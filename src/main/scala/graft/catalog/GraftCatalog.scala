@@ -1,0 +1,102 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Identifiers
+import graft.table.GraftTable
+
+/**
+ * Warehouse catalog: `<warehouse>/<table>/{_log, data}`. The native
+ * equivalent of the reference's `catalog.schema.table` namespace over
+ * Iceberg + Hive metastore (`api_poc.py:18-19`, DDL at
+ * `cdc_merger_optimized.py:189-203`): create / list / describe / drop plus
+ * batch CSV ingestion with schema inference, name sanitization and
+ * append-time schema evolution.
+ */
+final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
+  Files.createDirectories(warehouse)
+
+  private def tableRoot(name: String): Path = warehouse.resolve(name)
+
+  private def requireValid(name: String): Unit =
+    require(Identifiers.isValidIdent(name),
+      s"invalid table name '$name' (guard from api_poc.py:292,304)")
+
+  /** `CREATE TABLE IF NOT EXISTS` with a declared schema (S15). */
+  def createTable(name: String, schema: StructType): GraftTable = {
+    requireValid(name)
+    val t = new GraftTable(spark, tableRoot(name), name)
+    if (t.log.latest().isEmpty) {
+      Files.createDirectories(tableRoot(name))
+      t.log.commit("create", schema.json, Seq.empty, Map("records" -> "0"))
+    }
+    t
+  }
+
+  def tableExists(name: String): Boolean =
+    Files.isDirectory(tableRoot(name).resolve("_log")) &&
+      new GraftTable(spark, tableRoot(name), name).log.latest().isDefined
+
+  def table(name: String): GraftTable = {
+    requireValid(name)
+    require(tableExists(name), s"table $name does not exist")
+    new GraftTable(spark, tableRoot(name), name)
+  }
+
+  /** `SHOW TABLES` (S16). */
+  def listTables(): Seq[String] =
+    if (!Files.isDirectory(warehouse)) Seq.empty
+    else
+      Using.resource(Files.list(warehouse)) { s =>
+        s.iterator().asScala
+          .filter(p => Files.isDirectory(p.resolve("_log")))
+          .map(_.getFileName.toString)
+          .toSeq
+          .sorted
+      }
+
+  /** `DESCRIBE t` (S16). */
+  def describe(name: String): StructType = table(name).schema
+
+  def dropTable(name: String): Unit = {
+    requireValid(name)
+    val root = tableRoot(name)
+    if (Files.exists(root)) {
+      Using.resource(Files.walk(root)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  /**
+   * Batch CSV → table (S1 + S8): header + type inference
+   * (`ingest_trino.py:77`), column-name sanitization
+   * (`ingest_csv_hudi.py:63-64`), then replace or append-with-evolution.
+   */
+  def ingestCsv(
+      csvPath: String,
+      name: String,
+      mode: String = "replace",
+      inferSchema: Boolean = true): GraftTable = {
+    requireValid(name)
+    val raw = spark.read
+      .option("header", "true")
+      .option("inferSchema", inferSchema.toString)
+      .csv(csvPath)
+    val df = raw.toDF(Identifiers.sanitizeAll(raw.columns.toSeq): _*)
+    val t = new GraftTable(spark, tableRoot(name), name)
+    Files.createDirectories(tableRoot(name))
+    mode match {
+      case "replace" => t.overwrite(df)
+      case "append" => t.append(df)
+      case other => throw new IllegalArgumentException(s"unknown ingest mode $other")
+    }
+    t
+  }
+}

@@ -1,0 +1,111 @@
+package graft.dml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Keyed MERGE engine — the native replacement for the Iceberg `MERGE INTO`
+ * the reference emits (`cdc_merger_optimized.py:169-183`) and for Hudi's
+ * copy-on-write upsert/delete sinks (`ingest_csv_hudi.py:80-99`,
+ * `delete_hudi.py:63-88`). Semantics reproduced exactly:
+ *
+ *   WHEN MATCHED AND source.op = 'd'      THEN DELETE
+ *   WHEN MATCHED                          THEN UPDATE SET *
+ *   WHEN NOT MATCHED AND source.op <> 'd' THEN INSERT *
+ *
+ * plus Hudi-style precombine: if several source rows share a key, the one
+ * with the greatest precombine value wins (`row_number` dedup, same as
+ * `cdc_merger_optimized.py:160-161`).
+ *
+ * Physical shape (scale notes): because a matched row is fully replaced by
+ * the update image, the plan is an ANTI JOIN + UNION, not a full-outer join.
+ * With `broadcastUpdates = true` (the normal CDC case: small micro-batch vs
+ * huge table) the target side is never shuffled at all — the whole merge is
+ * a single codegen'd scan-filter-union over the target. The precombine dedup
+ * is a window over the updates side only.
+ */
+object Merge {
+
+  /** Latest-per-key dedup of the updates side (Hudi precombine analog). */
+  def dedupLatest(updates: DataFrame, key: String, precombine: String, tieBreak: Option[String] = None): DataFrame = {
+    val order = col(precombine).desc +: tieBreak.map(col(_).desc).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Merge `updates` into `target` on `key`.
+   *
+   * @param precombine column of `updates` ordering duplicate keys (desc wins)
+   * @param opCol      optional column of `updates` holding the Debezium op
+   *                   code; rows with op == 'd' delete the matching target
+   *                   row (and never insert). The op column is NOT part of
+   *                   the output schema.
+   */
+  def merge(
+      target: DataFrame,
+      updates: DataFrame,
+      key: String,
+      precombine: Option[String] = None,
+      opCol: Option[String] = None,
+      broadcastUpdates: Boolean = false): DataFrame = {
+
+    val deduped = precombine match {
+      case Some(p) => dedupLatest(updates, key, p)
+      case None => updates.dropDuplicates(Seq(key))
+    }
+
+    // Output schema = target columns, then any new update-side columns
+    // (schema evolution during merge), excluding the op meta column.
+    val metaCols = opCol.toSet
+    val updateDataCols = deduped.columns.filterNot(metaCols.contains)
+    val outCols: Seq[String] =
+      target.columns.toSeq ++ updateDataCols.filterNot(target.columns.contains)
+
+    // Align one side to outCols, padding absent columns with typed nulls
+    // (the reference pads evolved columns the same way:
+    // `ingest_csv_hudi.py:128`).
+    def alignTo(df: DataFrame, other: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(outCols.map { c =>
+        if (have.contains(c)) col(c).as(c)
+        else {
+          val dt = other.schema.find(_.name == c).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          lit(null).cast(dt).as(c)
+        }
+      }: _*)
+    }
+
+    // Because a matched row is FULLY replaced by the update image
+    // (`UPDATE SET *` / Debezium after-image), MERGE degenerates to:
+    //   (target ⟕̸ update-keys)  ∪  (updates where op ≠ 'd')
+    // i.e. an anti join + union. With the update keys broadcast (the normal
+    // CDC case: small micro-batch vs huge table) the target side is NEVER
+    // shuffled — strictly better than a full-outer join at 100 TB, and the
+    // anti join stays inside whole-stage codegen.
+    val notDelete = opCol.map(c => coalesce(col(c) =!= "d", lit(true))).getOrElse(lit(true))
+    val upserts = alignTo(deduped.filter(notDelete).drop(opCol.toSeq: _*), target)
+    val keys = deduped.select(col(key)).dropDuplicates(Seq(key))
+    val keysSide = if (broadcastUpdates) broadcast(keys) else keys
+    val kept = alignTo(target, deduped).join(keysSide, Seq(key), "left_anti")
+    kept.unionByName(upserts)
+  }
+
+  /** Delete-as-anti-join (`delete_hudi.py:63-88`): remove rows whose key appears in `keys`. */
+  def deleteKeys(target: DataFrame, keys: DataFrame, key: String, broadcastKeys: Boolean = true): DataFrame = {
+    val k = keys.select(col(key)).dropDuplicates(Seq(key))
+    target.join(if (broadcastKeys) broadcast(k) else k, Seq(key), "left_anti")
+  }
+
+  /** Schema union used for append-time evolution (`ingest_csv_hudi.py:112-146`). */
+  def unionSchema(base: StructType, incoming: StructType): StructType = {
+    val baseNames = base.fieldNames.toSet
+    StructType(base.fields ++ incoming.fields.filterNot(f => baseNames.contains(f.name)))
+  }
+}

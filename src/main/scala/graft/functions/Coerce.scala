@@ -1,0 +1,53 @@
+package graft.functions
+
+import java.time.{Instant, OffsetDateTime}
+import org.apache.spark.sql.types._
+
+/**
+ * Form-value string → typed-value coercion, behaviorally matching the
+ * reference's `get_cast_val` (`api_poc.py:704-726`):
+ *   - int-family → toInt/toLong
+ *   - double/decimal/real → toDouble
+ *   - boolean → truthy set {"true","1","yes","on"} (case-insensitive)
+ *   - timestamp/date → ISO-8601, accepting a trailing `Z` (→ +00:00)
+ *   - any parse failure → fall back to the raw string (the reference never
+ *     throws on user form input; it lets the engine cast or fail later)
+ */
+object Coerce {
+  private val truthy = Set("true", "1", "yes", "on")
+
+  def coerce(raw: String, dataType: DataType): Any = {
+    if (raw == null) return null
+    val v = raw.trim
+    try {
+      dataType match {
+        case IntegerType | ShortType | ByteType => v.toInt
+        case LongType => v.toLong
+        case DoubleType | FloatType | _: DecimalType => v.toDouble
+        case BooleanType => truthy.contains(v.toLowerCase)
+        case TimestampType | DateType =>
+          val iso = if (v.endsWith("Z")) v.dropRight(1) + "+00:00" else v
+          java.sql.Timestamp.from(
+            try OffsetDateTime.parse(iso).toInstant
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.LocalDateTime.parse(iso)
+                  .toInstant(java.time.ZoneOffset.UTC)
+            })
+        case _ => v
+      }
+    } catch { case _: RuntimeException => v }
+  }
+
+  /**
+   * pandas-dtype-string → Spark type mapping used for CDC schema sidecars:
+   * `'int*' → IntegerType`, `'float*' → DoubleType`, else `StringType`
+   * (`cdc_merger_optimized.py:59-63`, exported by `csv_to_sql.py:40-44`).
+   */
+  def dtypeToSpark(dtype: String): DataType = {
+    val d = dtype.toLowerCase
+    if (d.contains("int")) IntegerType
+    else if (d.contains("float") || d.contains("double")) DoubleType
+    else StringType
+  }
+}

@@ -1,0 +1,125 @@
+package graft.log
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.Instant
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/**
+ * One committed version of a table.
+ *
+ * Mirrors the snapshot fields the reference exposes from Iceberg's
+ * `$snapshots` metadata relation (`api_poc.py:426-429,490-492`:
+ * snapshot_id / parent_id / committed_at / operation), re-expressed as a
+ * native JSON manifest so no lakehouse connector is needed.
+ *
+ * `dataDirs` is the FULL set of data directories (relative to the table
+ * root) that make up this version — append commits carry the parent's dirs
+ * plus one new dir; overwrite / merge / delete commits carry only the
+ * newly written dir (copy-on-write). Storing the full set keeps time-travel
+ * reads O(1): no chain walking, one manifest read resolves the file list,
+ * which matters when the log is long and the table has thousands of files.
+ */
+case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    committedAt: String, // ISO-8601 UTC instant
+    operation: String, // create | overwrite | append | upsert | delete | update
+    schemaJson: String, // StructType.json of this version's schema
+    dataDirs: Seq[String],
+    summary: Map[String, String] = Map.empty,
+    // Idempotence token for streaming foreachBatch retries (SURVEY §7
+    // hard part (a)): a commit with an already-seen batchKey is a no-op.
+    batchKey: Option[String] = None)
+
+/**
+ * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
+ *
+ * Commit protocol: write the manifest to a temp file in the same directory,
+ * then atomically rename it into place. A single rename is the commit point
+ * (same idea as Iceberg's metadata-file swap and Delta's _delta_log), so a
+ * crashed writer never leaves a torn manifest and readers never see a
+ * partial commit. On a real cluster this directory lives on a store with
+ * atomic rename (HDFS) or a log service; the protocol is unchanged.
+ *
+ * Retention mirrors the reference's `write.metadata.previous-versions-max=100`
+ * (`cdc_merger_optimized.py:108,200`): at most `retainVersions` manifests are
+ * kept; older ones are deleted after a successful commit.
+ */
+final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  private val logDir: Path = tableRoot.resolve("_log")
+
+  private def manifestPath(id: Long): Path = logDir.resolve(f"v$id%016d.json")
+
+  private def listManifests(): Seq[Path] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else
+      Using.resource(Files.list(logDir)) { s =>
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
+          .toSeq
+          .sortBy(_.getFileName.toString)
+      }
+
+  def versions(): Seq[Long] =
+    listManifests().map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+
+  def snapshots(): Seq[Snapshot] = listManifests().map(readManifest)
+
+  def latest(): Option[Snapshot] =
+    listManifests().lastOption.map(readManifest)
+
+  def get(id: Long): Option[Snapshot] = {
+    val p = manifestPath(id)
+    if (Files.exists(p)) Some(readManifest(p)) else None
+  }
+
+  def contains(batchKey: String): Boolean =
+    snapshots().exists(_.batchKey.contains(batchKey))
+
+  private def readManifest(p: Path): Snapshot =
+    Serialization.read[Snapshot](new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+
+  /**
+   * Atomically commit the next snapshot. The caller supplies everything but
+   * the id / parent / timestamp, which the log assigns under its own view of
+   * the current head.
+   */
+  def commit(
+      operation: String,
+      schemaJson: String,
+      dataDirs: Seq[String],
+      summary: Map[String, String] = Map.empty,
+      batchKey: Option[String] = None): Snapshot = {
+    Files.createDirectories(logDir)
+    val head = latest()
+    if (batchKey.exists(contains)) {
+      return head.get // idempotent replay: this batch already committed
+    }
+    val snap = Snapshot(
+      snapshotId = head.map(_.snapshotId + 1).getOrElse(1L),
+      parentId = head.map(_.snapshotId),
+      committedAt = Instant.now().toString,
+      operation = operation,
+      schemaJson = schemaJson,
+      dataDirs = dataDirs,
+      summary = summary,
+      batchKey = batchKey)
+    val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
+    Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(snap.snapshotId), StandardCopyOption.ATOMIC_MOVE)
+    expireOldManifests()
+    snap
+  }
+
+  private def expireOldManifests(): Unit = {
+    val ms = listManifests()
+    if (ms.size > retainVersions) ms.dropRight(retainVersions).foreach(Files.deleteIfExists(_))
+  }
+}

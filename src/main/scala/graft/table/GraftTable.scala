@@ -1,0 +1,214 @@
+package graft.table
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.dml.Merge
+import graft.log.{Snapshot, SnapshotLog}
+
+/**
+ * A snapshot-versioned, keyed table: immutable Parquet data directories plus
+ * a JSON snapshot log. This is the native stand-in for the Iceberg/Hudi
+ * tables the reference orchestrates — same capability surface:
+ *
+ *  - latest-snapshot scan (`api_poc.py:372`)            → [[read]]
+ *  - time travel `FOR VERSION AS OF` (`api_poc.py:374`) → [[readAsOf]]
+ *  - `$snapshots` metadata relation (`api_poc.py:426`)  → [[snapshotsDF]]
+ *  - append / replace ingest (`ingest_to_iceberg.py:52`)→ [[append]]/[[overwrite]]
+ *  - Hudi COW upsert (`ingest_csv_hudi.py:80-99`)       → [[upsert]]
+ *  - keyed delete (`delete_hudi.py:63-88`, `api_poc.py:803`) → [[deleteKeys]]/[[deleteWhere]]
+ *  - single-row UPDATE/INSERT (`api_poc.py:728,763`)    → [[updateWhere]]/[[append]]
+ *  - snapshot diff vs parent (`api_poc.py:420-487`)     → [[diff]]
+ *
+ * Scale notes: reads hand Catalyst a plain multi-directory Parquet relation
+ * with an explicit schema, so vectorized scan, predicate pushdown, column
+ * pruning and partition coalescing all apply untouched. Writes are
+ * copy-on-write at data-directory granularity; at cluster scale the merge
+ * output arrives pre-partitioned by key from the join shuffle (the analog of
+ * the reference's `write.distribution-mode=hash`).
+ */
+final class GraftTable(val spark: SparkSession, val root: Path, val name: String) {
+
+  val log = new SnapshotLog(root)
+
+  def schema: StructType =
+    log.latest().map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+
+  def latestVersion: Long = log.latest().map(_.snapshotId).getOrElse(0L)
+
+  // ---------------------------------------------------------------- reads
+
+  def read(): DataFrame =
+    log.latest().map(readSnapshot).getOrElse(emptyDF(new StructType()))
+
+  /** Time-travel read. Throws on unknown snapshot id. */
+  def readAsOf(snapshotId: Long): DataFrame =
+    readSnapshot(log.get(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"table $name has no snapshot $snapshotId")))
+
+  /**
+   * Time travel with the reference's expired-snapshot fallback
+   * (`api_poc.py:462-468`): an unknown / expired id silently resolves to
+   * the latest snapshot.
+   */
+  def readAsOfOrLatest(snapshotId: Long): DataFrame =
+    log.get(snapshotId).map(readSnapshot).getOrElse(read())
+
+  private def readSnapshot(s: Snapshot): DataFrame = {
+    val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    if (s.dataDirs.isEmpty) emptyDF(st)
+    else
+      // Explicit snapshot schema: files written before a schema evolution
+      // lack the newer columns and the reader fills typed nulls — the
+      // scan-time analog of unionByName(allowMissingColumns = true).
+      spark.read.schema(st).parquet(s.dataDirs.map(d => root.resolve(d).toString): _*)
+  }
+
+  private def emptyDF(st: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+
+  /** The `$snapshots` metadata relation (`api_poc.py:490-492`). */
+  def snapshotsDF: DataFrame = {
+    val rows = log.snapshots().map { s =>
+      (s.snapshotId, s.parentId, s.committedAt, s.operation,
+        s.summary.get("records").map(_.toLong))
+    }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "parent_id", "committed_at", "operation", "records")
+  }
+
+  /** Commit history: distinct commit times + record counts (`lake_shell.py:222`). */
+  def history: DataFrame =
+    snapshotsDF.orderBy(desc("committed_at"))
+      .select("committed_at", "operation", "records")
+
+  // --------------------------------------------------------------- writes
+
+  private def writeDataDir(df: DataFrame, snapshotId: Long): (String, Long) = {
+    val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
+    val abs = root.resolve(rel).toString
+    df.write.mode("overwrite").parquet(abs)
+    // Footer-only count (no data scan) for the snapshot summary.
+    val records = spark.read.parquet(abs).count()
+    (rel, records)
+  }
+
+  private def align(df: DataFrame, st: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(st.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Full replace (`writeTo(t).createOrReplace()` in the reference). */
+  def overwrite(df: DataFrame): Snapshot = {
+    val next = latestVersion + 1
+    val (dir, n) = writeDataDir(df, next)
+    log.commit("overwrite", df.schema.json, Seq(dir), Map("records" -> n.toString))
+  }
+
+  /**
+   * Append with schema-union evolution (`ingest_csv_hudi.py:112-146`): the
+   * table schema grows to the union; incoming rows are padded with typed
+   * nulls for historical columns; existing files are NOT rewritten.
+   */
+  def append(df: DataFrame, batchKey: Option[String] = None): Snapshot = {
+    val head = log.latest()
+    val evolved = head.map(s => Merge.unionSchema(
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
+      .getOrElse(df.schema)
+    val next = latestVersion + 1
+    val (dir, n) = writeDataDir(align(df, evolved), next)
+    val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) :+ dir
+    val total = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L) + n
+    log.commit("append", evolved.json, dirs,
+      Map("records" -> total.toString, "appended" -> n.toString), batchKey)
+  }
+
+  /** Keyed COW upsert/merge; see [[graft.dml.Merge.merge]] for semantics. */
+  def upsert(
+      updates: DataFrame,
+      key: String,
+      precombine: Option[String] = None,
+      opCol: Option[String] = None,
+      broadcastUpdates: Boolean = true,
+      batchKey: Option[String] = None): Snapshot = {
+    if (batchKey.exists(log.contains)) return log.latest().get
+    val merged = Merge.merge(read(), updates, key, precombine, opCol, broadcastUpdates)
+    commitRewrite(merged, "upsert", batchKey)
+  }
+
+  /** Delete rows whose key matches any key in `keys` (keys-only DF sink, `delete_hudi.py`). */
+  def deleteKeys(keys: DataFrame, key: String): Snapshot =
+    commitRewrite(Merge.deleteKeys(read(), keys, key), "delete")
+
+  /** `DELETE FROM t WHERE cond` (`api_poc.py:803-826`). */
+  def deleteWhere(cond: Column): Snapshot =
+    commitRewrite(read().filter(!cond), "delete")
+
+  /** `UPDATE t SET c = v WHERE cond` (`api_poc.py:728-761`), copy-on-write. */
+  def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {
+    val cur = read()
+    val updated = cur.select(cur.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(v) => when(cond, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    commitRewrite(updated, "update")
+  }
+
+  private def commitRewrite(df: DataFrame, operation: String, batchKey: Option[String] = None): Snapshot = {
+    val next = latestVersion + 1
+    val (dir, n) = writeDataDir(df, next)
+    log.commit(operation, df.schema.json, Seq(dir), Map("records" -> n.toString), batchKey)
+  }
+
+  // ----------------------------------------------------------------- diff
+
+  /**
+   * Snapshot diff: classify rows of version `v2` against version `v1`
+   * (usually its parent) as NEW / MODIFIED / DELETED / UNCHANGED, with the
+   * list of changed columns — the engine-side generalization of the
+   * reference's page diff (`api_poc.py:443-487` classify, `:552-557`
+   * cell-level old→new).
+   */
+  def diff(v2: Long, v1: Long, pk: String): DataFrame = {
+    val cur = readAsOf(v2)
+    val par = readAsOf(v1)
+    // Versions may have different schemas (evolution between v1 and v2):
+    // compare over the union, padding the missing side with typed nulls.
+    val dataCols = (cur.columns ++ par.columns).distinct.filterNot(_ == pk).toSeq
+    def side(df: DataFrame, other: DataFrame, as: String) = {
+      val have = df.columns.toSet
+      df.select(col(pk).as("__pk"), struct(dataCols.map { cc =>
+        if (have.contains(cc)) col(cc).as(cc)
+        else {
+          val dt = other.schema.find(_.name == cc).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          lit(null).cast(dt).as(cc)
+        }
+      }: _*).as(as))
+    }
+    val c = side(cur, par, "__c")
+    val p = side(par, cur, "__p")
+    val j = c.join(p, Seq("__pk"), "full_outer")
+    val changed = array_compact(array(dataCols.map { cc =>
+      when(!(col(s"__c.$cc") <=> col(s"__p.$cc")), lit(cc)).otherwise(lit(null).cast("string"))
+    }: _*))
+    j.select(
+      col("__pk").as(pk),
+      when(col("__p").isNull, "NEW")
+        .when(col("__c").isNull, "DELETED")
+        .when(!(col("__c") <=> col("__p")), "MODIFIED")
+        .otherwise("UNCHANGED").as("change_type"),
+      when(col("__c").isNotNull && col("__p").isNotNull, changed)
+        .otherwise(array().cast("array<string>")).as("changed_columns"))
+  }
+}
