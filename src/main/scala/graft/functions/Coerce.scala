@@ -25,7 +25,7 @@ object Coerce {
         case LongType => v.toLong
         case DoubleType | FloatType | _: DecimalType => v.toDouble
         case BooleanType => truthy.contains(v.toLowerCase)
-        case TimestampType | DateType =>
+        case TimestampType =>
           val iso = if (v.endsWith("Z")) v.dropRight(1) + "+00:00" else v
           java.sql.Timestamp.from(
             try OffsetDateTime.parse(iso).toInstant
@@ -33,6 +33,20 @@ object Coerce {
               case _: java.time.format.DateTimeParseException =>
                 java.time.LocalDateTime.parse(iso)
                   .toInstant(java.time.ZoneOffset.UTC)
+            })
+        case DateType =>
+          // Spark's external type for DateType is java.sql.Date, not
+          // Timestamp (the reference's Python datetime covers both).
+          val iso = if (v.endsWith("Z")) v.dropRight(1) + "+00:00" else v
+          java.sql.Date.valueOf(
+            try OffsetDateTime.parse(iso).toLocalDate
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                try java.time.LocalDateTime.parse(iso).toLocalDate
+                catch {
+                  case _: java.time.format.DateTimeParseException =>
+                    java.time.LocalDate.parse(iso)
+                }
             })
         case _ => v
       }

@@ -98,24 +98,42 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
       summary: Map[String, String] = Map.empty,
       batchKey: Option[String] = None): Snapshot = {
     Files.createDirectories(logDir)
-    val head = latest()
-    if (batchKey.exists(contains)) {
-      return head.get // idempotent replay: this batch already committed
+    // Optimistic-concurrency commit loop (Iceberg/Delta style): assign the
+    // next id under the current head, then claim the manifest path with
+    // Files.createLink — a hard link FAILS if the target exists, unlike
+    // rename, which on POSIX silently replaces it (a lost committed write
+    // when two writers race to the same id). On collision, re-read the head
+    // and retry with the next id.
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val head = latest()
+      if (batchKey.exists(contains)) {
+        return head.get // idempotent replay: this batch already committed
+      }
+      val snap = Snapshot(
+        snapshotId = head.map(_.snapshotId + 1).getOrElse(1L),
+        parentId = head.map(_.snapshotId),
+        committedAt = Instant.now().toString,
+        operation = operation,
+        schemaJson = schemaJson,
+        dataDirs = dataDirs,
+        summary = summary,
+        batchKey = batchKey)
+      val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
+      Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestPath(snap.snapshotId), tmp)
+        Files.deleteIfExists(tmp)
+        expireOldManifests()
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race — retry under new head
+      }
     }
-    val snap = Snapshot(
-      snapshotId = head.map(_.snapshotId + 1).getOrElse(1L),
-      parentId = head.map(_.snapshotId),
-      committedAt = Instant.now().toString,
-      operation = operation,
-      schemaJson = schemaJson,
-      dataDirs = dataDirs,
-      summary = summary,
-      batchKey = batchKey)
-    val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
-    Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(snap.snapshotId), StandardCopyOption.ATOMIC_MOVE)
-    expireOldManifests()
-    snap
+    throw new IllegalStateException(
+      s"snapshot commit for $tableRoot lost $attempts consecutive races")
   }
 
   private def expireOldManifests(): Unit = {

@@ -1,0 +1,218 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/**
+ * Gate entries that route the corpus THROUGH the snapshot-table engine
+ * (ingest → commit → read back), so the DuckDB oracle verifies the engine's
+ * storage/merge/travel semantics, not just Spark's operators:
+ * S1/S2/S3/S4/S5/S8/S9/S10/S13/S14, SET1, J1-J4, F6, F9.
+ *
+ * Every query builds a throwaway table in a temp warehouse from the sf
+ * parquet and expresses the expected end state as plain SQL over the same
+ * parquet for the oracle.
+ */
+object EngineQueries {
+
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val orderColsSql = orderCols.mkString(", ")
+
+  val queries: Map[String, QueryFn] = Map(
+    // S8 replace ingest + S2 latest-snapshot scan round-trip.
+    "t_ingest_scan" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwrite(tbl(s, d, "orders"))
+      t.read()
+    }),
+
+    // S1 CSV ingest with header + schema inference + F9 sanitization.
+    "t_csv_roundtrip" -> ((s, d) => {
+      val csvDir = Files.createTempDirectory("graft-csv-").resolve("region")
+      tbl(s, d, "region").coalesce(1)
+        .write.option("header", "true").csv(csvDir.toString)
+      val cat = new graft.catalog.GraftCatalog(s, Files.createTempDirectory("graft-cat-"))
+      cat.ingestCsv(csvDir.toString, "region_csv").read()
+    }),
+
+    // SET1/F6: append-time schema-union evolution pads old rows with typed nulls.
+    "t_append_evolve" -> ((s, d) => {
+      val c = tbl(s, d, "customer")
+      val t = tempTable(s)
+      t.overwrite(c.select("c_custkey", "c_name", "c_nationkey"))
+      t.append(c.filter(col("c_custkey") <= 750)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      t.read()
+    }),
+
+    // J1/J3/S9: keyed COW upsert — updates fully replace matched rows.
+    "t_upsert" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") % 3 =!= 0))
+      val updates = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("o_orderpriority", lit("9-UPSERTED"))
+      t.upsert(updates, "o_orderkey")
+      t.read()
+    }),
+
+    // W1 precombine: duplicate keys in one batch — greatest precombine wins.
+    "t_upsert_precombine" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o)
+      val hits = o.filter(col("o_orderkey") % 10 === 0)
+      val v1 = hits.withColumn("o_orderpriority", lit("P1")).withColumn("ver", lit(1L))
+      val v2 = hits.withColumn("o_orderpriority", lit("P2"))
+        .withColumn("o_totalprice", col("o_totalprice") + 500)
+        .withColumn("ver", lit(2L))
+      t.upsert(v1.unionByName(v2), "o_orderkey", precombine = Some("ver"))
+      t.read().drop("ver")
+    }),
+
+    // J1 with Debezium op codes: op='d' deletes, others upsert (S9+S10 in one merge).
+    "t_merge_cdc_ops" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o)
+      val dels = o.filter(col("o_orderkey") % 5 === 0).withColumn("op", lit("d"))
+      val ups = o.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 111)
+        .withColumn("op", lit("u"))
+      t.upsert(dels.unionByName(ups), "o_orderkey", opCol = Some("op"))
+      t.read()
+    }),
+
+    // J4/S10: delete-as-anti-join by key list.
+    "t_delete_keys" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o)
+      t.deleteKeys(o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"), "o_orderkey")
+      t.read()
+    }),
+
+    // S14 with SQL three-valued logic: NULL-predicate rows must survive.
+    "t_delete_where_null" -> ((s, d) => {
+      val o = tbl(s, d, "orders").withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      val t = tempTable(s)
+      t.overwrite(o)
+      t.deleteWhere(col("o_orderpriority") === "1-URGENT")
+      t.read()
+    }),
+
+    // S13: copy-on-write UPDATE ... WHERE.
+    "t_update_where" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwrite(tbl(s, d, "orders"))
+      t.updateWhere(col("o_orderstatus") === "O",
+        Map("o_orderpriority" -> lit("5-LOW")))
+      t.read()
+    }),
+
+    // S3: time travel to the pre-append version.
+    "t_timetravel" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      val v1 = t.overwrite(o.filter(col("o_orderkey") <= 9999))
+      t.append(o.filter(col("o_orderkey") > 9999))
+      t.readAsOf(v1.snapshotId)
+    }),
+
+    // S4: $snapshots metadata relation (minus the wall-clock column).
+    "t_snapshots_meta" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 9999))
+      t.append(o.filter(col("o_orderkey") > 9999))
+      t.snapshotsDF.select("snapshot_id", "parent_id", "operation", "records")
+    }),
+
+    // S5/A3: commit history (rows-per-commit), wall-clock column dropped.
+    "t_history" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 9999))
+      t.append(o.filter(col("o_orderkey") > 9999))
+      t.history.select("operation", "records")
+    }),
+
+    // J2: snapshot diff across upsert + delete commits.
+    "t_diff" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      val v1 = t.overwrite(o.filter(col("o_orderkey") % 4 =!= 1))
+      t.upsert(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7), "o_orderkey")
+      val v3 = t.deleteKeys(o.filter(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey"), "o_orderkey")
+      t.diff(v3.snapshotId, v1.snapshotId, "o_orderkey")
+        .withColumn("changed_cols", array_join(col("changed_columns"), ","))
+        .drop("changed_columns")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "t_ingest_scan" -> "SELECT * FROM orders",
+    "t_csv_roundtrip" -> "SELECT * FROM region",
+    "t_append_evolve" ->
+      """SELECT c_custkey, c_name, c_nationkey, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_custkey <= 750""".stripMargin,
+    "t_upsert" ->
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,
+         |       o_orderdate, '9-UPSERTED' AS o_orderpriority
+         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    "t_upsert_precombine" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'P2' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "t_merge_cdc_ops" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 111 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+    "t_delete_keys" ->
+      "SELECT * FROM orders WHERE o_orderkey % 5 <> 0",
+    "t_delete_where_null" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders)
+        |SELECT * FROM base WHERE NOT coalesce(o_orderpriority = '1-URGENT', false)""".stripMargin,
+    "t_update_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'O' THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "t_timetravel" ->
+      "SELECT * FROM orders WHERE o_orderkey <= 9999",
+    "t_snapshots_meta" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(NULL AS BIGINT) AS parent_id,
+        |  'overwrite' AS operation, (SELECT count(*) FROM orders WHERE o_orderkey <= 9999) AS records
+        |UNION ALL
+        |SELECT 2, 1, 'append', (SELECT count(*) FROM orders)""".stripMargin,
+    "t_history" ->
+      """SELECT 'overwrite' AS operation, (SELECT count(*) FROM orders WHERE o_orderkey <= 9999) AS records
+        |UNION ALL
+        |SELECT 'append', (SELECT count(*) FROM orders)""".stripMargin,
+    "t_diff" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN 'NEW'
+        |       WHEN o_orderkey % 5 = 0 THEN 'DELETED'
+        |       WHEN o_orderkey % 3 = 0 THEN 'MODIFIED'
+        |       ELSE 'UNCHANGED' END AS change_type,
+        |  CASE WHEN o_orderkey % 4 <> 1 AND o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
+        |       THEN 'o_totalprice' ELSE '' END AS changed_cols
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 1 OR (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)""".stripMargin)
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.table.GraftTable
+
+/**
+ * Shared helpers for the driver-graded query registry (`graft.SparkEntry`).
+ *
+ * Float discipline: the correctness gate compares doubles BIT-FOR-BIT
+ * against a DuckDB oracle. Per-row IEEE-754 arithmetic (`a*b`, `a+b`) is
+ * deterministic across engines, but the accumulation ORDER of a double SUM
+ * is not (Spark sums per-partition). So every aggregate over a double column
+ * routes through exact decimal arithmetic — [[dsum]] — and the matching
+ * oracle SQL does the same (`CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`),
+ * making both sides exact and therefore identical.
+ */
+object Q {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def tbl(s: SparkSession, sfDir: String, name: String): DataFrame =
+    s.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Order-independent exact sum of a double column (see class doc). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  /**
+   * `events.parquet` stores TIMESTAMP(NANOS), which Spark's TimestampType
+   * (µs) cannot hold — read the raw int64 nanos (`nanosAsLong`) and floor to
+   * micros, exactly matching DuckDB's ns→µs truncation on the oracle side.
+   */
+  def events(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** A fresh single-use [[GraftTable]] in a temp warehouse dir. */
+  def tempTable(s: SparkSession, name: String = "t"): GraftTable = {
+    val wh: Path = Files.createTempDirectory("graft-wh-")
+    wh.toFile.deleteOnExit()
+    new GraftTable(s, wh.resolve(name), name)
+  }
+}

@@ -82,9 +82,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     rows.toDF("snapshot_id", "parent_id", "committed_at", "operation", "records")
   }
 
-  /** Commit history: distinct commit times + record counts (`lake_shell.py:222`). */
+  /**
+   * Commit history: distinct commit times + record counts
+   * (`lake_shell.py:222`). Ordered by snapshot_id (monotonic by
+   * construction) — `committed_at` is an ISO string whose fractional-second
+   * precision varies, so lexicographic order can disagree with commit order.
+   */
   def history: DataFrame =
-    snapshotsDF.orderBy(desc("committed_at"))
+    snapshotsDF.orderBy(desc("snapshot_id"))
       .select("committed_at", "operation", "records")
 
   // --------------------------------------------------------------- writes
@@ -93,7 +98,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
     val abs = root.resolve(rel).toString
     df.write.mode("overwrite").parquet(abs)
-    // Footer-only count (no data scan) for the snapshot summary.
+    // Count for the snapshot summary. This re-reads what was just written —
+    // a real scan job, but counting freshly written local parquet is cheap
+    // relative to the write, and it doubles as a read-back verification
+    // (the reference re-counts after every ingest too, ingest_trino.py:86).
     val records = spark.read.parquet(abs).count()
     (rel, records)
   }
@@ -148,9 +156,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   def deleteKeys(keys: DataFrame, key: String): Snapshot =
     commitRewrite(Merge.deleteKeys(read(), keys, key), "delete")
 
-  /** `DELETE FROM t WHERE cond` (`api_poc.py:803-826`). */
+  /**
+   * `DELETE FROM t WHERE cond` (`api_poc.py:803-826`). SQL three-valued
+   * logic: only rows where the predicate is TRUE are deleted — rows where it
+   * evaluates NULL are kept (plain `filter(!cond)` would silently drop them).
+   */
   def deleteWhere(cond: Column): Snapshot =
-    commitRewrite(read().filter(!cond), "delete")
+    commitRewrite(read().filter(!coalesce(cond, lit(false))), "delete")
 
   /** `UPDATE t SET c = v WHERE cond` (`api_poc.py:728-761`), copy-on-write. */
   def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {
