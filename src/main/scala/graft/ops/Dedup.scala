@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines: exact
+ * (normalized-hash), exact shingle-Jaccard (the verification oracle), and
+ * MinHash+LSH banding (the 100 TB path — candidate pairs come from bucket
+ * joins, NEVER an all-pairs cross join).
+ *
+ * Everything here is pure `Column` combinators / higher-order functions, so
+ * the whole pipeline stays inside whole-stage codegen; the only shuffles are
+ * the groupBy on (band, bandHash) buckets and the final pair aggregation.
+ */
+object Dedup {
+
+  /** Whitespace-tokenize after lowercasing — matches the search tokenizer. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Canonical text normalization for exact dedup: lower, trim, collapse runs of whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /**
+   * Exact-duplicate groups: rows sharing normalized text, keyed by the
+   * smallest id (the canonical survivor). Only the (hash, id) pair shuffles
+   * — the text itself is reduced map-side to a 64-bit fingerprint, which is
+   * what makes this viable when the text column is the bulk of 100 TB.
+   */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), xxhash64(normalize(col(textCol))).as("text_fp"))
+      .groupBy("text_fp")
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup: keep the smallest id per normalized text; drops later copies. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(normalize(col(textCol))))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Word n-gram shingles of the token array (default 3). Documents shorter
+   * than `n` tokens contribute their whole text as one shingle.
+   */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val idx = sequence(lit(0), size(t) - n)
+    val grams = transform(idx, i => array_join(slice(t, i + 1, lit(n)), " "))
+    when(size(t) < n, array(lower(trim(text)))).otherwise(grams)
+  }
+
+  /** Distinct (id, shingle) pairs — the set representation used by Jaccard. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("__id"), explode(wordShingles(col(textCol), n)).as("__sh"))
+      .distinct()
+
+  /**
+   * EXACT shingle-Jaccard similar pairs via an inverted shingle join (the
+   * small-scale verification path; at 100 TB use [[nearDupPairs]]).
+   *
+   * `dfCap` drops shingles appearing in more than that many documents before
+   * the self-join — the standard guard against quadratic blowup on boilerplate
+   * shingles. 0 = no cap (needed when an external oracle recomputes the exact
+   * answer without the cap).
+   */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      n: Int = 3,
+      dfCap: Int = 0): DataFrame = {
+    val dt = shingleSets(docs, idCol, textCol, n)
+    val filtered =
+      if (dfCap <= 0) dt
+      else {
+        val rare = dt.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= dfCap).select("__sh")
+        dt.join(rare, "__sh")
+      }
+    val sizes = dt.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__c"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /**
+   * MinHash signature: `sig_i = min over shingles of xxhash64(shingleHash, i)`
+   * — re-hashing the shingle hash with the permutation index as salt gives a
+   * deterministic permutation family without any arithmetic that could
+   * overflow under ANSI mode. One array column holds the whole signature;
+   * computed map-side, no shuffle.
+   */
+  def minhashSignature(text: Column, numPerm: Int = 64, n: Int = 3): Column = {
+    val hashes = transform(wordShingles(text, n), s => xxhash64(s))
+    val sig = (0 until numPerm).map { i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))
+    }
+    array(sig: _*)
+  }
+
+  /**
+   * LSH band buckets: the signature is cut into `bands` bands of
+   * `numPerm/bands` rows; each band hashes to one bucket key. Candidate
+   * pairs are generated ONLY inside a (band, bucket) group — the join is on
+   * the bucket key, so at scale it is one shuffle on a short key, never a
+   * cross join. b=16, r=4 targets Jaccard ≳ 0.5.
+   */
+  def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    val r = numPerm / bands
+    val sig = docs.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), numPerm, n).as("__sig"))
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((0 until r).map(j => element_at(col("__sig"), bi * r + j + 1)) :+ lit(bi): _*)
+          .as("bucket"))
+    }
+    val exploded = sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Near-duplicate pairs, 100 TB shape: MinHash-LSH candidates, then exact
+   * shingle-Jaccard verification restricted to the candidate pairs (a semi
+   * join — the quadratic step never materializes).
+   */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    val cands = lshCandidates(docs, idCol, textCol, numPerm, bands, n)
+    val dt = shingleSets(docs, idCol, textCol, n)
+    // Only documents that appear in some candidate pair enter the exact
+    // verification — at scale this is a tiny fraction of the corpus, so the
+    // inverted shingle join below runs over candidates only.
+    val candDocs = cands.select(col("id_a").as("__id"))
+      .union(cands.select(col("id_b").as("__id"))).distinct()
+    val dtC = dt.join(candDocs, "__id")
+    val sizes = dt.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = dtC.toDF("id_a", "__sh").join(dtC.toDF("id_b", "__sh2"),
+        col("__sh") === col("__sh2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
+    cands.join(inter, Seq("id_a", "id_b")) // keep only LSH-candidate pairs
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /**
+   * 64-bit SimHash fingerprint over the distinct word-3-gram shingle set:
+   * each shingle hash votes ±1 per bit position; the sign of each
+   * accumulated position becomes the fingerprint bit. Shingles (not unigram
+   * tokens) keep the fingerprint discriminative on corpora with a small
+   * shared vocabulary. Pure higher-order functions — computed map-side.
+   */
+  def simhash(text: Column, n: Int = 3): Column = {
+    val hashes = transform(array_distinct(wordShingles(text, n)), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * SimHash near-dup candidates with Hamming distance <= maxDist, banded by
+   * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
+   * one of 4 chunks — bucket join on chunk value, never all-pairs).
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp"))
+    val chunks = fp.select(col("__id"), col("__fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("__fp"), i * 16).bitwiseAND(0xFFFFL).as("val"))): _*)).as("__c"))
+      .select(col("__id"), col("__fp"), col("__c.chunk").as("__chunk"), col("__c.val").as("__val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.__chunk") === col("b.__chunk") && col("a.__val") === col("b.__val") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        bit_count(col("a.__fp").bitwiseXOR(col("b.__fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`): brute-force
+ * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
+ * variant as the 100 TB path (candidates come from a bucket join; the full
+ * n×m cartesian never materializes).
+ *
+ * Dot products run through `aggregate`/`zip_with` higher-order functions with
+ * a double accumulator — sequential over the array in both Spark and any
+ * oracle engine, so results are deterministic.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact cosine top-k: every query vector against every corpus vector.
+   * The queries side is broadcast (it is small by construction); the corpus
+   * is scanned once, partition-parallel; ranking shuffles only
+   * (query_id, corpus_id, cosine) triples, never the vectors.
+   * Output: (query_id, rank, neighbor_id, cosine), rank 1..k per query.
+   */
+  def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane, dim):
+   * xxhash64 → uniform in [-1, 1). No RNG state, so the signature of a
+   * vector is stable across runs and cluster topologies.
+   */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1L << 20)).cast("double") / (1L << 19)) - 1.0
+
+  /** `nPlanes`-bit sign signature of a vector under fixed random hyperplanes. */
+  def lshSignature(vec: Column, nPlanes: Int = 16): Column = {
+    val dims = sequence(lit(1), size(vec))
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Approximate NN: bucket the corpus by hyperplane signature, compare each
+   * query only against its own bucket plus all 1-bit-flip neighbor buckets
+   * (multi-probe — recovers most neighbors lost to a single unlucky plane),
+   * then exact-cosine rank within the candidate set. The join key is the
+   * bucket id: one shuffle, cardinality ~ (nProbes+1) × |queries|.
+   */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 16): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshSignature(col(vecCol), nPlanes).as("__bucket"))
+    val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshSignature(col(vecCol), nPlanes).as("__sig"))
+    // own bucket + every 1-bit flip of it
+    val probes = qSig.select(col("query_id"), col("__qv"),
+      explode(array(col("__sig") +:
+        (0 until nPlanes).map(p => col("__sig").bitwiseXOR(lit(1L << p))): _*)).as("__bucket"))
+    val scored = broadcast(probes).join(c, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: token/char statistics,
+ * quality scoring, n-gram-heuristic language identification, and rolling-hash
+ * document fingerprinting. All pure column expressions — per-row, map-side,
+ * no shuffle until the caller aggregates.
+ */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charLen(text: Column): Column = length(text)
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  /** Ratio columns are double per-row divisions — deterministic IEEE. */
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Tiny per-language stopword lists for the heuristic scorer. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Number of tokens that are stopwords of `lang`. */
+  def stopwordCount(text: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(text), t => t.isin(set: _*)))
+  }
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordCount(text, lang).cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+
+  def avgTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /**
+   * Composite quality metrics per document — the curation filters a training
+   * pipeline applies before dedup (length bounds, punctuation sanity,
+   * stopword density).
+   */
+  def qualityMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      charLen(t).as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      avgTokenLen(t).as("avg_token_len"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t, "en").as("stopword_ratio"),
+      (charLen(t) >= 20 && tokenCount(t) >= 5 && punctRatio(t) < 0.2)
+        .as("passes_quality"))
+  }
+
+  /**
+   * Stopword-vote language ID: the language whose stopword list scores the
+   * most token hits wins; ties and zero-hit rows fall back to 'und'
+   * (undetermined). Deterministic tie-break: language order as listed.
+   */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scores = langs.map(l => stopwordCount(text, l))
+    val best = greatest(scores: _*)
+    val pick = langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight builds last-to-first, so earlier langs overwrite later ones
+    // on ties — i.e. precedence follows the list order.
+    pick
+  }
+
+  /**
+   * Order-sensitive rolling hash over the token stream (a content-defined
+   * fingerprint: same token sequence → same fingerprint, any reordering →
+   * different). fp = fold(xxhash64(acc, token)) — hash chaining instead of
+   * polynomial multiply keeps it overflow-free under ANSI mode.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

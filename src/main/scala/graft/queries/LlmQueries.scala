@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Q._
+
+/**
+ * Gate entries for the LLM-data-pipeline operators: deduplication (exact,
+ * exact shingle-Jaccard, MinHash+LSH, SimHash), embedding similarity search
+ * (brute-force + LSH ANN), text analysis, and multimodal plumbing.
+ *
+ * Oracle strategy: everything DuckDB can recompute gets a full hash-checked
+ * oracle (including MinHash-LSH — its verified output equals the exact
+ * Jaccard answer on this corpus, which DuckDB computes directly); outputs
+ * depending on xxhash64 (fingerprints, SimHash values) are rows-only.
+ */
+object LlmQueries {
+
+  /** The documents corpus plus planted exact duplicates (every 10th doc copied under a new id). */
+  private def withExactDups(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = tbl(s, d, "documents")
+    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  // Shared DuckDB CTE: exact word-3-gram shingle-Jaccard pairs >= 0.5.
+  private val jaccardCte =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+      |        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2])) AS sh
+      |      FROM tok),
+      |dt AS (SELECT DISTINCT doc_id, sh FROM g),
+      |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |          FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jacs AS (SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |         FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+      |""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    // Exact dedup: keep smallest id per normalized text.
+    "d_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(withExactDups(s, d), "doc_id", "text").select("doc_id")),
+
+    // Exact-duplicate group listing (canonical id + group size).
+    "d_dup_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(withExactDups(s, d), "doc_id", "text")
+        .select("canonical_id", "dup_count")),
+
+    // Exact shingle-Jaccard near-dup pairs (small-scale verification path).
+    "d_jaccard_pairs" -> ((s, d) =>
+      Dedup.exactJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.5)),
+
+    // MinHash+LSH near-dup pairs, exact-verified — the 100 TB path. Its
+    // output must equal the exact Jaccard answer (oracle recomputes that).
+    "d_minhash_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(tbl(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.5)),
+
+    // SimHash near-dup candidates (hash-dependent output → rows-only).
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text", maxDist = 3)),
+
+    // Brute-force cosine top-5 for 10 query vectors (ranks are int-only).
+    "e_cosine_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    // LSH-bucketed approximate NN (approximation → rows-only). 6 planes =
+    // 64 buckets, sized to this corpus; at 100 TB scale nPlanes grows with
+    // log2(corpus/target-bucket-size).
+    "e_ann_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nPlanes = 6)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    // Per-language corpus statistics.
+    "x_lang_stats" -> ((s, d) =>
+      tbl(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))),
+
+    // Per-document quality metrics (curation filters).
+    "x_quality" -> ((s, d) =>
+      TextAnalysis.qualityMetrics(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // Stopword-vote language ID vs the labeled lang column.
+    "x_langid" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
+
+    // Rolling-hash document fingerprints (xxhash64-based → rows-only).
+    "x_fingerprint" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+
+    // Multimodal: media-table wrap (binary payload + typed metadata).
+    "m_media_meta" -> ((s, d) =>
+      Multimodal.asMediaTable(tbl(s, d, "documents"), "doc_id", "text", "source")
+        .select(col("media_id"), col("media_type"),
+          col("meta.source").as("source"),
+          col("meta.declared_bytes").as("declared_bytes"))),
+
+    // Multimodal: batched per-partition decode (STUB codec, real plumbing).
+    "m_decode_stub" -> ((s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.asMediaTable(tbl(s, d, "documents"), "doc_id", "text", "source"))
+        .select("media_id", "n_bytes", "frame_count")))
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" -> "SELECT doc_id FROM documents",
+    "d_dup_groups" ->
+      "SELECT doc_id AS canonical_id, CAST(2 AS BIGINT) AS dup_count FROM documents WHERE doc_id % 10 = 0",
+    "d_jaccard_pairs" ->
+      (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
+    "d_minhash_pairs" ->
+      (jaccardCte + "SELECT id_a, id_b FROM jacs WHERE jaccard >= 0.5"),
+    "e_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, c.embedding) AS cos
+        |      FROM q, embeddings c WHERE c.vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+    "x_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "x_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t))) AS DOUBLE)
+        |    / greatest(len(string_split(lower(text), ' ')), 1) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |        t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
+        |    / greatest(len(string_split(lower(text), ' ')), 1) AS stopword_ratio,
+        |  (length(text) >= 20 AND len(string_split(lower(text), ' ')) >= 5
+        |    AND CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1) < 0.2) AS passes_quality
+        |FROM documents""".stripMargin,
+    "x_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','les','et','de','un','est','que'))) AS h_fr,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('的','是','了','在','我','有','和','不'))) AS h_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(h_en,h_de,h_es,h_fr,h_zh) = 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'en'
+        |         WHEN h_de = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'de'
+        |         WHEN h_es = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'es'
+        |         WHEN h_fr = greatest(h_en,h_de,h_es,h_fr,h_zh) THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin,
+    "m_media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS media_type, source,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
+        |FROM documents""".stripMargin,
+    "m_decode_stub" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) // 1024 AS BIGINT) AS frame_count
+        |FROM documents""".stripMargin)
+}

