@@ -74,6 +74,19 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** Save a DataFrame as a catalog table (replace or append-with-evolution). */
+  def saveTable(name: String, df: DataFrame, mode: String = "replace"): GraftTable = {
+    requireValid(name)
+    val t = new GraftTable(spark, tableRoot(name), name)
+    Files.createDirectories(tableRoot(name))
+    mode match {
+      case "replace" => t.overwrite(df)
+      case "append" => t.append(df)
+      case other => throw new IllegalArgumentException(s"unknown save mode $other")
+    }
+    t
+  }
+
   /**
    * Batch CSV → table (S1 + S8): header + type inference
    * (`ingest_trino.py:77`), column-name sanitization

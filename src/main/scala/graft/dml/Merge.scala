@@ -47,6 +47,14 @@ object Merge {
    *                   row (and never insert). The op column is NOT part of
    *                   the output schema.
    */
+  /**
+   * Keys-per-side cap under which the update-keys side of the anti join is
+   * explicitly broadcast. A CDC micro-batch (≤100k keys) always broadcasts;
+   * a backfill replay of the whole history does NOT (it would OOM the
+   * driver) and falls back to a shuffled anti join / AQE's own choice.
+   */
+  val maxBroadcastKeys: Long = 4_000_000L
+
   def merge(
       target: DataFrame,
       updates: DataFrame,
@@ -92,7 +100,11 @@ object Merge {
     val notDelete = opCol.map(c => coalesce(col(c) =!= "d", lit(true))).getOrElse(lit(true))
     val upserts = alignTo(deduped.filter(notDelete).drop(opCol.toSeq: _*), target)
     val keys = deduped.select(col(key)).dropDuplicates(Seq(key))
-    val keysSide = if (broadcastUpdates) broadcast(keys) else keys
+    // Size-gated broadcast: an unconditional hint would OOM on a backfill
+    // batch that replays the whole history. Counting the deduped key set is
+    // one cheap pass over the (small-by-design) updates side.
+    val keysSide =
+      if (broadcastUpdates && keys.count() <= maxBroadcastKeys) broadcast(keys) else keys
     val kept = alignTo(target, deduped).join(keysSide, Seq(key), "left_anti")
     kept.unionByName(upserts)
   }

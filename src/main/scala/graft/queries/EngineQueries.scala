@@ -144,6 +144,43 @@ object EngineQueries {
       t.history.select("operation", "records")
     }),
 
+    // P1/O4/F11: SQL serving surface — catalog tables as views + semicolon
+    // strip + passthrough ORDER BY (the reference's postman query shape,
+    // `datalake_postman_collection.json:64`).
+    "t_sql_passthrough" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-sql-"))
+      cat.saveTable("products", tbl(s, d, "part"))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      session.sql("SELECT * FROM products WHERE p_retailprice > 50 ORDER BY p_retailprice DESC;")
+    }),
+
+    // A2 via SQL: the reference's own verify query shape (`run_verify.bat:3`).
+    "t_sql_group" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-sql-"))
+      cat.saveTable("transactions_t", tbl(s, d, "orders"))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      session.sql("SELECT count(*) AS total_records, o_orderstatus FROM transactions_t GROUP BY o_orderstatus;")
+    }),
+
+    // J2 cell-level: per-cell old → new values for modified rows.
+    "t_diff_cells" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      val v1 = t.overwrite(o.filter(col("o_orderkey") % 4 =!= 1))
+      t.upsert(o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7), "o_orderkey")
+      val v3 = t.deleteKeys(o.filter(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey"), "o_orderkey")
+      t.diffCells(v3.snapshotId, v1.snapshotId, "o_orderkey")
+        .select(col("o_orderkey"), col("column").as("col_name"),
+          col("old_value").cast("double").as("old_price"),
+          col("new_value").cast("double").as("new_price"))
+    }),
+
     // J2: snapshot diff across upsert + delete commits.
     "t_diff" -> ((s, d) => {
       val o = tbl(s, d, "orders")
@@ -205,6 +242,15 @@ object EngineQueries {
       """SELECT 'overwrite' AS operation, (SELECT count(*) FROM orders WHERE o_orderkey <= 9999) AS records
         |UNION ALL
         |SELECT 'append', (SELECT count(*) FROM orders)""".stripMargin,
+    "t_sql_passthrough" ->
+      "SELECT * FROM part WHERE p_retailprice > 50",
+    "t_sql_group" ->
+      "SELECT count(*) AS total_records, o_orderstatus FROM orders GROUP BY o_orderstatus",
+    "t_diff_cells" ->
+      """SELECT o_orderkey, 'o_totalprice' AS col_name,
+        |  o_totalprice AS old_price, o_totalprice + 7 AS new_price
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 1 AND o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0""".stripMargin,
     "t_diff" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 4 = 1 THEN 'NEW'

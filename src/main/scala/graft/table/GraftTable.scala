@@ -192,6 +192,44 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * cell-level old→new).
    */
   def diff(v2: Long, v1: Long, pk: String): DataFrame = {
+    val (j, dataCols) = diffJoin(v2, v1, pk)
+    val changed = array_compact(array(dataCols.map { cc =>
+      when(!(col(s"__c.$cc") <=> col(s"__p.$cc")), lit(cc)).otherwise(lit(null).cast("string"))
+    }: _*))
+    j.select(
+      col("__pk").as(pk),
+      when(col("__p").isNull, "NEW")
+        .when(col("__c").isNull, "DELETED")
+        .when(!(col("__c") <=> col("__p")), "MODIFIED")
+        .otherwise("UNCHANGED").as("change_type"),
+      when(col("__c").isNotNull && col("__p").isNotNull, changed)
+        .otherwise(array().cast("array<string>")).as("changed_columns"))
+  }
+
+  /**
+   * Cell-level diff: one row per (pk, changed column) with old → new values
+   * (stringified for a uniform schema), exactly the reference's per-cell
+   * change payload (`api_poc.py:552-557`). Covers only rows present in both
+   * versions (MODIFIED); NEW/DELETED rows are whole-row changes reported by
+   * [[diff]].
+   */
+  def diffCells(v2: Long, v1: Long, pk: String): DataFrame = {
+    val (j, dataCols) = diffJoin(v2, v1, pk)
+    val cells = array_compact(array(dataCols.map { cc =>
+      when(!(col(s"__c.$cc") <=> col(s"__p.$cc")),
+        struct(lit(cc).as("column"),
+          col(s"__p.$cc").cast("string").as("old_value"),
+          col(s"__c.$cc").cast("string").as("new_value")))
+        .otherwise(lit(null))
+    }: _*))
+    j.filter(col("__c").isNotNull && col("__p").isNotNull && !(col("__c") <=> col("__p")))
+      .select(col("__pk").as(pk), explode(cells).as("__cell"))
+      .select(col(pk), col("__cell.column").as("column"),
+        col("__cell.old_value").as("old_value"), col("__cell.new_value").as("new_value"))
+  }
+
+  /** Shared full-outer diff join over the schema union of two versions. */
+  private def diffJoin(v2: Long, v1: Long, pk: String): (DataFrame, Seq[String]) = {
     val cur = readAsOf(v2)
     val par = readAsOf(v1)
     // Versions may have different schemas (evolution between v1 and v2):
@@ -210,17 +248,6 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     }
     val c = side(cur, par, "__c")
     val p = side(par, cur, "__p")
-    val j = c.join(p, Seq("__pk"), "full_outer")
-    val changed = array_compact(array(dataCols.map { cc =>
-      when(!(col(s"__c.$cc") <=> col(s"__p.$cc")), lit(cc)).otherwise(lit(null).cast("string"))
-    }: _*))
-    j.select(
-      col("__pk").as(pk),
-      when(col("__p").isNull, "NEW")
-        .when(col("__c").isNull, "DELETED")
-        .when(!(col("__c") <=> col("__p")), "MODIFIED")
-        .otherwise("UNCHANGED").as("change_type"),
-      when(col("__c").isNotNull && col("__p").isNotNull, changed)
-        .otherwise(array().cast("array<string>")).as("changed_columns"))
+    (c.join(p, Seq("__pk"), "full_outer"), dataCols)
   }
 }
