@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{CdcPipeline, Envelope}
+import graft.table.GraftTable
+
+/** End-to-end streaming CDC: envelope files → decode/flatten/dedup →
+  * checkpointed idempotent merge (SURVEY.md §2 ST1-ST9). */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val row = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  private def wrapped(id: Long, name: String, amount: Double, op: String, ts: Long,
+      beforeOnly: Boolean = false): String = {
+    val img = s"""{"id":$id,"name":"$name","amount":$amount}"""
+    val (b, a) = if (beforeOnly) (img, "null") else ("null", img)
+    s"""{"payload":{"before":$b,"after":$a,"op":"$op","ts_ms":$ts}}"""
+  }
+
+  private def flat(id: Long, name: String, amount: Double, op: String, ts: Long): String = {
+    val img = s"""{"id":$id,"name":"$name","amount":$amount}"""
+    s"""{"before":null,"after":$img,"op":"$op","ts_ms":$ts}"""
+  }
+
+  test("streaming pipeline: backfill, rate cap, update/delete/in-batch dedup, checkpoint idempotence") {
+    val in = TestSpark.tmpDir("cdc-in-")
+    val ckpt = TestSpark.tmpDir("cdc-ckpt-").toString
+    val wh = TestSpark.tmpDir("cdc-wh-")
+    val t = new GraftTable(spark, wh.resolve("t"), "t")
+
+    // file 1 (pre-existing → backfill, ST7): 5 inserts
+    Files.write(in.resolve("f1.json"),
+      (1 to 5).map(i => wrapped(i, s"n$i", i * 1.0, "c", i)).mkString("\n").getBytes)
+    // file 2: update id 2, delete id 3 (before-image only), insert id 6,
+    // and TWO images for id 4 in one batch — latest ts_ms must win (ST5)
+    Files.write(in.resolve("f2.json"), Seq(
+      wrapped(2, "n2x", 20.0, "u", 100),
+      wrapped(3, "n3", 3.0, "d", 101, beforeOnly = true),
+      wrapped(6, "n6", 6.0, "c", 102),
+      wrapped(4, "n4a", 40.0, "u", 103),
+      wrapped(4, "n4b", 44.0, "u", 104)).mkString("\n").getBytes)
+
+    val q = CdcPipeline.start(spark, in.toString, row, t, "id", ckpt,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1) // ST2 rate cap → 2 batches
+    q.awaitTermination()
+
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "n1", 1.0), (2L, "n2x", 20.0), (4L, "n4b", 44.0),
+      (5L, "n5", 5.0), (6L, "n6", 6.0)))
+    val nCommits = t.log.versions().size
+    assert(nCommits == 2, "one merge commit per non-empty micro-batch")
+
+    // ST3 checkpoint: restarting with no new files replays nothing
+    val q2 = CdcPipeline.start(spark, in.toString, row, t, "id", ckpt,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(t.log.versions().size == nCommits)
+
+    // idempotent commit: re-merging an already-seen batchKey is a no-op
+    import spark.implicits._
+    val replay = Seq((2L, "n2x", 20.0, "u")).toDF("id", "name", "amount", "op")
+    t.upsert(replay, "id", opCol = Some("op"), batchKey = Some("cdc-1"))
+    assert(t.log.versions().size == nCommits)
+  }
+
+  test("flat (unwrapped) envelopes auto-detect (ST9)") {
+    import spark.implicits._
+    val raw = Seq(flat(1, "a", 1.5, "c", 1), flat(1, "b", 2.5, "u", 2)).toDF("value")
+    val out = Envelope.transformBatch(raw, row, "id")
+      .select("id", "name", "amount", "op").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "b" && out(0).getDouble(2) == 2.5)
+  }
+
+  test("wrapped envelope delete keeps key from before image (P7)") {
+    import spark.implicits._
+    val raw = Seq(wrapped(9, "gone", 0.0, "d", 5, beforeOnly = true)).toDF("value")
+    val out = Envelope.transformBatch(raw, row, "id").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 9L)
+  }
+}
