@@ -34,7 +34,10 @@ case class Snapshot(
     summary: Map[String, String] = Map.empty,
     // Idempotence token for streaming foreachBatch retries (SURVEY §7
     // hard part (a)): a commit with an already-seen batchKey is a no-op.
-    batchKey: Option[String] = None)
+    batchKey: Option[String] = None,
+    // Per-dir record counts (bucketed tables): lets a partial rewrite
+    // carry forward untouched dirs' counts without rescanning them.
+    dirRecords: Map[String, Long] = Map.empty)
 
 /**
  * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
@@ -96,7 +99,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
       schemaJson: String,
       dataDirs: Seq[String],
       summary: Map[String, String] = Map.empty,
-      batchKey: Option[String] = None): Snapshot = {
+      batchKey: Option[String] = None,
+      dirRecords: Map[String, Long] = Map.empty): Snapshot = {
     Files.createDirectories(logDir)
     // Optimistic-concurrency commit loop (Iceberg/Delta style): assign the
     // next id under the current head, then claim the manifest path with
@@ -119,7 +123,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
         schemaJson = schemaJson,
         dataDirs = dataDirs,
         summary = summary,
-        batchKey = batchKey)
+        batchKey = batchKey,
+        dirRecords = dirRecords)
       val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
       Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
       try {
@@ -138,6 +143,46 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
 
   private def expireOldManifests(): Unit = {
     val ms = listManifests()
-    if (ms.size > retainVersions) ms.dropRight(retainVersions).foreach(Files.deleteIfExists(_))
+    if (ms.size > retainVersions) {
+      ms.dropRight(retainVersions).foreach(Files.deleteIfExists(_))
+      gcOrphanDataDirs()
+    }
   }
+
+  /**
+   * Delete data directories referenced by NO retained manifest (expired
+   * manifests used to be deleted while their data dirs leaked — unbounded
+   * storage growth). Granularity matches the layout: whole `data/s*` dirs
+   * for unbucketed commits, individual `__bucket=k` leaf dirs for bucketed
+   * ones (a later partial rewrite may still reference some leaves of an
+   * otherwise-superseded commit dir).
+   */
+  def gcOrphanDataDirs(): Unit = {
+    val referenced: Set[String] = snapshots().flatMap(_.dataDirs).toSet
+    val dataRoot = tableRoot.resolve("data")
+    if (!Files.isDirectory(dataRoot)) return
+    val tops = Using.resource(Files.list(dataRoot))(_.iterator().asScala.toSeq)
+    tops.foreach { top =>
+      val topRel = s"data/${top.getFileName}"
+      if (!referenced.contains(topRel)) {
+        val leaves =
+          if (Files.isDirectory(top))
+            Using.resource(Files.list(top))(_.iterator().asScala.toSeq)
+          else Seq.empty
+        val keep = leaves.filter(l => referenced.contains(s"$topRel/${l.getFileName}"))
+        if (keep.isEmpty) deleteRecursively(top)
+        else leaves.filterNot(keep.contains)
+          .filter(l => l.getFileName.toString.startsWith("__bucket="))
+          .foreach(deleteRecursively)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Using.resource(Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
 }

@@ -61,6 +61,19 @@ object EngineQueries {
       t.read()
     }),
 
+    // Bucketed COW: same merge semantics as t_upsert, but the table is
+    // hash-bucketed so the merge is a partial rewrite (the 100 TB layout).
+    "t_upsert_bucketed" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwriteBucketed(o.filter(col("o_orderkey") % 3 =!= 0), "o_orderkey", 8)
+      val updates = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("o_orderpriority", lit("9-UPSERTED"))
+      t.upsert(updates, "o_orderkey")
+      t.read()
+    }),
+
     // W1 precombine: duplicate keys in one batch — greatest precombine wins.
     "t_upsert_precombine" -> ((s, d) => {
       val o = tbl(s, d, "orders")
@@ -203,6 +216,12 @@ object EngineQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_custkey <= 750""".stripMargin,
     "t_upsert" ->
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,
+         |       o_orderdate, '9-UPSERTED' AS o_orderpriority
+         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    "t_upsert_bucketed" ->
       s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
          |UNION ALL
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,

@@ -31,9 +31,10 @@ import graft.log.{Snapshot, SnapshotLog}
  * output arrives pre-partitioned by key from the join shuffle (the analog of
  * the reference's `write.distribution-mode=hash`).
  */
-final class GraftTable(val spark: SparkSession, val root: Path, val name: String) {
+final class GraftTable(val spark: SparkSession, val root: Path, val name: String,
+    retainVersions: Int = 100) {
 
-  val log = new SnapshotLog(root)
+  val log = new SnapshotLog(root, retainVersions)
 
   def schema: StructType =
     log.latest().map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
@@ -92,6 +93,92 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     snapshotsDF.orderBy(desc("snapshot_id"))
       .select("committed_at", "operation", "records")
 
+  // ----------------------------------------------------- bucketed layout
+
+  /** Hash-bucket spec `(key, numBuckets)` if this table is bucketed. */
+  def bucketSpec: Option[(String, Int)] =
+    log.latest().flatMap { s =>
+      for {
+        k <- s.summary.get("bucket_key")
+        n <- s.summary.get("bucket_count")
+      } yield (k, n.toInt)
+    }
+
+  private val BucketCol = "__bucket"
+
+  private def bucketId(key: String, n: Int): Column =
+    pmod(xxhash64(col(key)), lit(n)).cast("int")
+
+  private def bucketOfDir(dir: String): Option[Int] = {
+    val marker = BucketCol + "="
+    val i = dir.lastIndexOf(marker)
+    if (i < 0) None else Some(dir.substring(i + marker.length).toInt)
+  }
+
+  /**
+   * Write `df` hash-bucketed by `key` into one new commit dir with
+   * `__bucket=<k>` leaf dirs; returns (leafRelDir → records) in bucket
+   * order. The partition column lives only in the directory name — leaf
+   * dirs are read directly, so scans never see it.
+   */
+  private def writeBucketedDir(
+      df: DataFrame, key: String, n: Int, snapshotId: Long): Seq[(String, Long)] = {
+    val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
+    val abs = root.resolve(rel).toString
+    df.withColumn(BucketCol, bucketId(key, n))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
+    spark.read.parquet(abs)
+      .groupBy(BucketCol).count().collect()
+      .map(r => (s"$rel/$BucketCol=${r.getInt(0)}", r.getLong(1)))
+      .toSeq.sortBy(_._1)
+  }
+
+  /**
+   * Full replace with hash-bucketing — the layout that makes every later
+   * keyed DML a PARTIAL rewrite: an upsert/delete touching k of n buckets
+   * rewrites only those k leaf dirs and carries the other n-k forward
+   * verbatim. At 100 TB this is the difference between a 10-second CDC
+   * micro-batch rewriting gigabytes vs the full table.
+   */
+  def overwriteBucketed(df: DataFrame, key: String, numBuckets: Int): Snapshot = {
+    val next = latestVersion + 1
+    val leaves = writeBucketedDir(df, key, numBuckets, next)
+    val total = leaves.map(_._2).sum
+    log.commit("overwrite", df.schema.json, leaves.map(_._1),
+      Map("records" -> total.toString,
+        "bucket_key" -> key, "bucket_count" -> numBuckets.toString),
+      dirRecords = leaves.toMap)
+  }
+
+  /** Partial-rewrite merge for bucketed tables: only touched buckets move. */
+  private def commitBucketedMerge(
+      updates: DataFrame,
+      key: String,
+      n: Int,
+      operation: String,
+      mergeFn: (DataFrame, DataFrame) => DataFrame,
+      batchKey: Option[String]): Snapshot = {
+    val head = log.latest().get
+    val touched: Set[Int] = updates.select(bucketId(key, n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val (touchedDirs, untouchedDirs) =
+      head.dataDirs.partition(d => bucketOfDir(d).exists(touched.contains))
+    val st = schema
+    val target =
+      if (touchedDirs.isEmpty) emptyDF(st)
+      else spark.read.schema(st).parquet(touchedDirs.map(d => root.resolve(d).toString): _*)
+    val merged = mergeFn(target, updates)
+    val next = latestVersion + 1
+    val newLeaves = writeBucketedDir(merged, key, n, next)
+    val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
+    val allDirs = carried ++ newLeaves
+    val total = allDirs.map(_._2).sum
+    log.commit(operation, merged.schema.json, allDirs.map(_._1),
+      Map("records" -> total.toString,
+        "bucket_key" -> key, "bucket_count" -> n.toString),
+      batchKey, allDirs.toMap)
+  }
+
   // --------------------------------------------------------------- writes
 
   private def writeDataDir(df: DataFrame, snapshotId: Long): (String, Long) = {
@@ -132,14 +219,33 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
       .getOrElse(df.schema)
     val next = latestVersion + 1
-    val (dir, n) = writeDataDir(align(df, evolved), next)
-    val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) :+ dir
-    val total = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L) + n
-    log.commit("append", evolved.json, dirs,
-      Map("records" -> total.toString, "appended" -> n.toString), batchKey)
+    val aligned = align(df, evolved)
+    val prior = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L)
+    bucketSpec match {
+      // Bucketed table: appended rows must land in bucket leaf dirs, or
+      // they would escape later partial-rewrite merges.
+      case Some((bk, n)) if evolved.fieldNames.contains(bk) =>
+        val leaves = writeBucketedDir(aligned, bk, n, next)
+        val appended = leaves.map(_._2).sum
+        val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) ++ leaves.map(_._1)
+        val dirRecs = head.map(_.dirRecords).getOrElse(Map.empty) ++ leaves.toMap
+        log.commit("append", evolved.json, dirs,
+          Map("records" -> (prior + appended).toString, "appended" -> appended.toString,
+            "bucket_key" -> bk, "bucket_count" -> n.toString),
+          batchKey, dirRecs)
+      case _ =>
+        val (dir, n) = writeDataDir(aligned, next)
+        val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) :+ dir
+        log.commit("append", evolved.json, dirs,
+          Map("records" -> (prior + n).toString, "appended" -> n.toString), batchKey)
+    }
   }
 
-  /** Keyed COW upsert/merge; see [[graft.dml.Merge.merge]] for semantics. */
+  /**
+   * Keyed COW upsert/merge; see [[graft.dml.Merge.merge]] for semantics.
+   * On a bucketed table (when `key` is the bucket key) this is a PARTIAL
+   * rewrite: only the buckets containing update keys are re-merged.
+   */
   def upsert(
       updates: DataFrame,
       key: String,
@@ -148,13 +254,26 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       broadcastUpdates: Boolean = true,
       batchKey: Option[String] = None): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
-    val merged = Merge.merge(read(), updates, key, precombine, opCol, broadcastUpdates)
-    commitRewrite(merged, "upsert", batchKey)
+    bucketSpec match {
+      case Some((bk, n)) if bk == key =>
+        commitBucketedMerge(updates, key, n, "upsert",
+          (t, u) => Merge.merge(t, u, key, precombine, opCol, broadcastUpdates), batchKey)
+      case _ =>
+        commitRewrite(
+          Merge.merge(read(), updates, key, precombine, opCol, broadcastUpdates),
+          "upsert", batchKey)
+    }
   }
 
   /** Delete rows whose key matches any key in `keys` (keys-only DF sink, `delete_hudi.py`). */
   def deleteKeys(keys: DataFrame, key: String): Snapshot =
-    commitRewrite(Merge.deleteKeys(read(), keys, key), "delete")
+    bucketSpec match {
+      case Some((bk, n)) if bk == key =>
+        commitBucketedMerge(keys, key, n, "delete",
+          (t, k) => Merge.deleteKeys(t, k, key), batchKey = None)
+      case _ =>
+        commitRewrite(Merge.deleteKeys(read(), keys, key), "delete")
+    }
 
   /**
    * `DELETE FROM t WHERE cond` (`api_poc.py:803-826`). SQL three-valued
@@ -176,10 +295,28 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     commitRewrite(updated, "update")
   }
 
+  /**
+   * Full-table copy-on-write commit. Arbitrary-predicate DML
+   * (deleteWhere/updateWhere) lands here even on bucketed tables — the
+   * predicate can touch any bucket — but the bucket layout is preserved so
+   * later keyed DML stays partial.
+   */
   private def commitRewrite(df: DataFrame, operation: String, batchKey: Option[String] = None): Snapshot = {
-    val next = latestVersion + 1
-    val (dir, n) = writeDataDir(df, next)
-    log.commit(operation, df.schema.json, Seq(dir), Map("records" -> n.toString), batchKey)
+    bucketSpec match {
+      case Some((bk, n)) if df.columns.contains(bk) =>
+        val next = latestVersion + 1
+        val leaves = writeBucketedDir(df, bk, n, next)
+        val total = leaves.map(_._2).sum
+        log.commit(operation, df.schema.json, leaves.map(_._1),
+          Map("records" -> total.toString,
+            "bucket_key" -> bk, "bucket_count" -> n.toString),
+          batchKey, leaves.toMap)
+      case _ =>
+        val next = latestVersion + 1
+        val (dir, nRec) = writeDataDir(df, next)
+        log.commit(operation, df.schema.json, Seq(dir),
+          Map("records" -> nRec.toString), batchKey)
+    }
   }
 
   // ----------------------------------------------------------------- diff

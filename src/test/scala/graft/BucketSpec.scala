@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/** Bucketed copy-on-write: partial rewrites, layout preservation, data GC. */
+class BucketSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+
+  test("upsert on a bucketed table rewrites only touched buckets; untouched dirs carry forward") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("bkt-").resolve("t"), "t")
+    val v1 = t.overwriteBucketed(orders, "o_orderkey", numBuckets = 8)
+    assert(v1.dataDirs.size == 8)
+    assert(t.bucketSpec.contains(("o_orderkey", 8)))
+
+    // a handful of keys → far fewer than 8 buckets touched
+    val updates = orders.filter(col("o_orderkey").isin(1L, 2L, 3L))
+      .withColumn("o_orderpriority", lit("X"))
+    val v2 = t.upsert(updates, "o_orderkey")
+
+    val reused = v2.dataDirs.toSet.intersect(v1.dataDirs.toSet)
+    assert(reused.nonEmpty, "untouched bucket dirs must be reused verbatim")
+    assert(v2.dataDirs.toSet != v1.dataDirs.toSet)
+    val replaced = v1.dataDirs.toSet -- v2.dataDirs.toSet
+    assert(replaced.size < 8, s"only touched buckets replaced, got $replaced")
+
+    // content correctness
+    val got = t.read().filter(col("o_orderkey").isin(1L, 2L, 3L))
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSeq
+    assert(got == Seq("X"))
+    assert(t.read().count() == orders.count())
+    // records bookkeeping survives the partial rewrite
+    assert(v2.summary("records").toLong == orders.count())
+  }
+
+  test("deleteKeys is a partial rewrite; append lands in bucket leaves; spec survives") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("bkt-").resolve("t"), "t")
+    val v1 = t.overwriteBucketed(orders.filter(col("o_orderkey") < 1000), "o_orderkey", 4)
+    val v2 = t.append(orders.filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 1100))
+    assert(t.bucketSpec.contains(("o_orderkey", 4)), "append must keep the bucket spec")
+    assert(v2.dataDirs.forall(_.contains("__bucket=")), "appended rows live in bucket leaves")
+
+    val v3 = t.deleteKeys(orders.filter(col("o_orderkey") === 7).select("o_orderkey"), "o_orderkey")
+    assert(v3.dataDirs.toSet.intersect(v2.dataDirs.toSet).nonEmpty,
+      "deleting one key must leave other buckets' dirs untouched")
+    assert(t.read().count() == orders.filter(col("o_orderkey") =!= 7 && col("o_orderkey") < 1100).count())
+  }
+
+  test("expired snapshots' orphaned data dirs are GC'd; live dirs survive") {
+    val root = TestSpark.tmpDir("gc-").resolve("t")
+    val t = new GraftTable(spark, root, "t", retainVersions = 1)
+    t.overwrite(orders.filter(col("o_orderkey") < 100))
+    val v1Dirs = t.log.latest().get.dataDirs
+    t.overwrite(orders.filter(col("o_orderkey") < 200))
+    t.overwrite(orders.filter(col("o_orderkey") < 300))
+    val liveDirs = t.log.latest().get.dataDirs
+    assert(t.log.versions().size == 1, "only the last manifest retained")
+    v1Dirs.foreach { d =>
+      assert(!java.nio.file.Files.exists(root.resolve(d)), s"orphan dir $d must be deleted")
+    }
+    liveDirs.foreach { d =>
+      assert(java.nio.file.Files.exists(root.resolve(d)), s"live dir $d must survive")
+    }
+    assert(t.read().count() == orders.filter(col("o_orderkey") < 300).count())
+  }
+}
