@@ -61,7 +61,8 @@ object Merge {
       key: String,
       precombine: Option[String] = None,
       opCol: Option[String] = None,
-      broadcastUpdates: Boolean = false): DataFrame = {
+      broadcastUpdates: Boolean = false,
+      updatesRowsHint: Option[Long] = None): DataFrame = {
 
     val deduped = precombine match {
       case Some(p) => dedupLatest(updates, key, p)
@@ -101,10 +102,11 @@ object Merge {
     val upserts = alignTo(deduped.filter(notDelete).drop(opCol.toSeq: _*), target)
     val keys = deduped.select(col(key)).dropDuplicates(Seq(key))
     // Size-gated broadcast: an unconditional hint would OOM on a backfill
-    // batch that replays the whole history. Counting the deduped key set is
-    // one cheap pass over the (small-by-design) updates side.
-    val keysSide =
-      if (broadcastUpdates && keys.count() <= maxBroadcastKeys) broadcast(keys) else keys
+    // batch that replays the whole history. The caller passes a row count it
+    // already knows (bucketed merges count while bucketing) so the common
+    // path costs no extra job; otherwise one cheap pass over the updates.
+    val smallEnough = updatesRowsHint.getOrElse(keys.count()) <= maxBroadcastKeys
+    val keysSide = if (broadcastUpdates && smallEnough) broadcast(keys) else keys
     val kept = alignTo(target, deduped).join(keysSide, Seq(key), "left_anti")
     kept.unionByName(upserts)
   }

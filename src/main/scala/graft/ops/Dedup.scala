@@ -101,20 +101,25 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
+  /** xxhash64 of every shingle — materialize this ONCE per row (its own
+    * projection) before fanning out to the permutations: lambda functions
+    * block common-subexpression elimination, so inlining it into each of the
+    * 64 signature mins would re-tokenize and re-hash the document 64 times. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
   /**
    * MinHash signature: `sig_i = min over shingles of xxhash64(shingleHash, i)`
    * — re-hashing the shingle hash with the permutation index as salt gives a
    * deterministic permutation family without any arithmetic that could
    * overflow under ANSI mode. One array column holds the whole signature;
-   * computed map-side, no shuffle.
+   * computed map-side, no shuffle. `hashes` must be a bound column (see
+   * [[shingleHashes]]).
    */
-  def minhashSignature(text: Column, numPerm: Int = 64, n: Int = 3): Column = {
-    val hashes = transform(wordShingles(text, n), s => xxhash64(s))
-    val sig = (0 until numPerm).map { i =>
+  def minhashSignature(hashes: Column, numPerm: Int = 64): Column =
+    array((0 until numPerm).map { i =>
       array_min(transform(hashes, h => xxhash64(h, lit(i))))
-    }
-    array(sig: _*)
-  }
+    }: _*)
 
   /**
    * LSH band buckets: the signature is cut into `bands` bands of
@@ -131,8 +136,9 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     val r = numPerm / bands
-    val sig = docs.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), numPerm, n).as("__sig"))
+    val sig = docs
+      .select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__h"))
+      .select(col("__id"), minhashSignature(col("__h"), numPerm).as("__sig"))
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64((0 until r).map(j => element_at(col("__sig"), bi * r + j + 1)) :+ lit(bi): _*)

@@ -156,18 +156,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       key: String,
       n: Int,
       operation: String,
-      mergeFn: (DataFrame, DataFrame) => DataFrame,
+      mergeFn: (DataFrame, DataFrame, Option[Long]) => DataFrame,
       batchKey: Option[String]): Snapshot = {
     val head = log.latest().get
-    val touched: Set[Int] = updates.select(bucketId(key, n).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // One pass over the updates yields both the touched-bucket set and the
+    // batch row count (reused as the broadcast-gate hint downstream).
+    val bucketCounts = updates.select(bucketId(key, n).as("b"))
+      .groupBy("b").count().collect()
+    val touched: Set[Int] = bucketCounts.map(_.getInt(0)).toSet
+    val updateRows = bucketCounts.map(_.getLong(1)).sum
     val (touchedDirs, untouchedDirs) =
       head.dataDirs.partition(d => bucketOfDir(d).exists(touched.contains))
     val st = schema
     val target =
       if (touchedDirs.isEmpty) emptyDF(st)
       else spark.read.schema(st).parquet(touchedDirs.map(d => root.resolve(d).toString): _*)
-    val merged = mergeFn(target, updates)
+    val merged = mergeFn(target, updates, Some(updateRows))
     val next = latestVersion + 1
     val newLeaves = writeBucketedDir(merged, key, n, next)
     val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
@@ -257,7 +261,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     bucketSpec match {
       case Some((bk, n)) if bk == key =>
         commitBucketedMerge(updates, key, n, "upsert",
-          (t, u) => Merge.merge(t, u, key, precombine, opCol, broadcastUpdates), batchKey)
+          (t, u, hint) => Merge.merge(t, u, key, precombine, opCol, broadcastUpdates, hint),
+          batchKey)
       case _ =>
         commitRewrite(
           Merge.merge(read(), updates, key, precombine, opCol, broadcastUpdates),
@@ -270,7 +275,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     bucketSpec match {
       case Some((bk, n)) if bk == key =>
         commitBucketedMerge(keys, key, n, "delete",
-          (t, k) => Merge.deleteKeys(t, k, key), batchKey = None)
+          (t, k, _) => Merge.deleteKeys(t, k, key), batchKey = None)
       case _ =>
         commitRewrite(Merge.deleteKeys(read(), keys, key), "delete")
     }
