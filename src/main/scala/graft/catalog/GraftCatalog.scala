@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
@@ -96,7 +96,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
       csvPath: String,
       name: String,
       mode: String = "replace",
-      inferSchema: Boolean = true): GraftTable = {
+      inferSchema: Boolean = true,
+      key: Option[String] = None): GraftTable = {
     requireValid(name)
     val raw = spark.read
       .option("header", "true")
@@ -108,8 +109,33 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
     mode match {
       case "replace" => t.overwrite(df)
       case "append" => t.append(df)
+      case "upsert" =>
+        // Hudi-style keyed CSV ingest (`ingest_csv_hudi.py:80-99`): record
+        // key from the reference's id heuristic unless given; a synthesized
+        // current-timestamp precombine column orders replays
+        // (`ingest_csv_hudi.py:68-69`), added only when absent.
+        val pk = key.getOrElse(Identifiers.findIdCol(df.columns.toSeq))
+        val withTs =
+          if (df.columns.contains("current_ts")) df
+          else df.withColumn("current_ts",
+            org.apache.spark.sql.functions.current_timestamp().cast("string"))
+        if (t.log.latest().isEmpty) t.overwrite(withTs)
+        else t.upsert(withTs, pk, precombine = Some("current_ts"))
       case other => throw new IllegalArgumentException(s"unknown ingest mode $other")
     }
     t
+  }
+
+  /**
+   * Raw object put (`smart_ingest.sh:37-40` analog): copy the source file
+   * untouched into the warehouse `_raw/` area as an ingest backup.
+   */
+  def putRaw(srcPath: String, destName: String): Path = {
+    val rawDir = warehouse.resolve("_raw")
+    Files.createDirectories(rawDir)
+    val dest = rawDir.resolve(destName)
+    Files.copy(Paths.get(srcPath), dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest
   }
 }

@@ -157,6 +157,35 @@ object EngineQueries {
       t.history.select("operation", "records")
     }),
 
+    // S12/F8: single-row INSERT from raw form strings via type coercion.
+    "t_insert_row" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwrite(tbl(s, d, "region"))
+      t.insertRow(Map("r_regionkey" -> "99", "r_name" -> "TESTLAND"))
+      t.read()
+    }),
+
+    // S9/F5: Hudi-style keyed CSV upsert ingest with synthesized precombine.
+    "t_csv_upsert" -> ((s, d) => {
+      val base = tbl(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val dir = Files.createTempDirectory("graft-csvup-")
+      base.coalesce(1).write.option("header", "true").csv(dir.resolve("v1").toString)
+      base.filter(col("c_custkey") <= 100)
+        .withColumn("c_name", lit("UPDATED"))
+        .coalesce(1).write.option("header", "true").csv(dir.resolve("v2").toString)
+      val cat = new graft.catalog.GraftCatalog(s, dir.resolve("wh"))
+      cat.ingestCsv(dir.resolve("v1").toString, "cust", mode = "upsert")
+      cat.ingestCsv(dir.resolve("v2").toString, "cust", mode = "upsert")
+      cat.table("cust").read().drop("current_ts")
+    }),
+
+    // P2/A5: key-equality lookup with bucket pruning (scans 1 of 8 buckets).
+    "t_key_lookup_pruned" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwriteBucketed(tbl(s, d, "orders"), "o_orderkey", 8)
+      t.lookupKey(7777L)
+    }),
+
     // P1/O4/F11: SQL serving surface — catalog tables as views + semicolon
     // strip + passthrough ORDER BY (the reference's postman query shape,
     // `datalake_postman_collection.json:64`).
@@ -261,6 +290,16 @@ object EngineQueries {
       """SELECT 'overwrite' AS operation, (SELECT count(*) FROM orders WHERE o_orderkey <= 9999) AS records
         |UNION ALL
         |SELECT 'append', (SELECT count(*) FROM orders)""".stripMargin,
+    "t_insert_row" ->
+      """SELECT * FROM region
+        |UNION ALL SELECT 99 AS r_regionkey, 'TESTLAND' AS r_name""".stripMargin,
+    "t_csv_upsert" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey <= 100 THEN 'UPDATED' ELSE c_name END AS c_name,
+        |  c_nationkey
+        |FROM customer""".stripMargin,
+    "t_key_lookup_pruned" ->
+      "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_sql_passthrough" ->
       "SELECT * FROM part WHERE p_retailprice > 50",
     "t_sql_group" ->

@@ -288,6 +288,46 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   def deleteWhere(cond: Column): Snapshot =
     commitRewrite(read().filter(!coalesce(cond, lit(false))), "delete")
 
+  /**
+   * Single-row INSERT from raw form strings (`api_poc.py:763-801`): each
+   * value is coerced to the table's column type via the reference's
+   * `get_cast_val` rules ([[graft.functions.Coerce]]); unknown columns are
+   * rejected, missing ones become NULL.
+   */
+  def insertRow(values: Map[String, String], batchKey: Option[String] = None): Snapshot = {
+    val st = schema
+    val unknown = values.keySet -- st.fieldNames.toSet
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    val row = Row.fromSeq(st.fields.toSeq.map { f =>
+      values.get(f.name).map(v => graft.functions.Coerce.coerce(v, f.dataType)).orNull
+    })
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), st)
+    append(df, batchKey)
+  }
+
+  /**
+   * Key-equality lookup with bucket pruning: on a bucketed table the key's
+   * bucket is computed driver-side and ONLY that bucket's leaf dirs are
+   * scanned — at 1000 executors × 100 TB this turns a point lookup into a
+   * 1/numBuckets scan (plus parquet footer min/max skipping within it).
+   */
+  def lookupKey(value: Any): DataFrame = bucketSpec match {
+    case Some((bk, n)) =>
+      val head = log.latest().get
+      val st = schema
+      val b = spark.range(1)
+        .select(pmod(xxhash64(lit(value).cast(st(bk).dataType)), lit(n)).cast("int"))
+        .head().getInt(0)
+      val dirs = head.dataDirs.filter(d => bucketOfDir(d).contains(b))
+      if (dirs.isEmpty) emptyDF(st)
+      else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
+        .filter(col(bk) === lit(value))
+    case None =>
+      val bk = graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq)
+      read().filter(col(bk) === lit(value))
+  }
+
   /** `UPDATE t SET c = v WHERE cond` (`api_poc.py:728-761`), copy-on-write. */
   def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {
     val cur = read()

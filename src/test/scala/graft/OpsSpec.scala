@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit tests for the LLM-data-pipeline operators over the driver corpus. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+  private def embs = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+
+  test("exact dedup: copies collapse to the smallest id; clean docs survive") {
+    val withDups = docs.unionByName(
+      docs.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 10000))
+    val kept = Dedup.exactDedup(withDups, "doc_id", "text")
+    assert(kept.count() == docs.count())
+    assert(kept.filter($"doc_id" >= 10000).count() == 0)
+    val groups = Dedup.exactDupGroups(withDups, "doc_id", "text")
+    assert(groups.count() == docs.filter($"doc_id" % 10 === 0).count())
+    assert(groups.agg(max("dup_count")).head.getLong(0) == 2L)
+  }
+
+  test("minhash-LSH + exact verify equals the exact Jaccard answer") {
+    val exact = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain planted near-dups")
+    assert(lsh == exact, s"LSH recall must be total on this corpus: ${exact -- lsh} missed")
+  }
+
+  test("simhash pairs are near-dups (subset of exact Jaccard at a lower bar)") {
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactLoose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(exactLoose), s"false positives: ${sim -- exactLoose}")
+  }
+
+  test("cosine top-k: ranks dense 1..k, self excluded, cosine within [-1,1]") {
+    val res = Similarity.cosineTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding", 3)
+    val rows = res.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("ANN top-k: valid shape and true-cosine ordering within each query") {
+    val res = Similarity.annTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding",
+      k = 3, nPlanes = 6).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("text analysis: counts, quality, language-ID and fingerprints are deterministic") {
+    val df = Seq((1L, "the quick brown fox jumps over a lazy dog"),
+      (2L, "der hund ist nicht ein katze und zu")).toDF("id", "text")
+    val q = TextAnalysis.qualityMetrics(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getInt(1) == 41) // n_chars
+    assert(q(1L).getLong(2) == 9L) // n_tokens
+    val lang = df.select($"id", TextAnalysis.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(1L) == "en" && lang(2L) == "de")
+    val fp = docs.select(TextAnalysis.fingerprint($"text").as("f"))
+    assert(fp.distinct().count() == docs.count(), "distinct texts → distinct fingerprints")
+  }
+
+  test("multimodal: media wrap + batched stub decode keep ids and byte counts") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "payload", "meta"))
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.count() == docs.count())
+    val expected = docs.select(col("doc_id").as("did"), length(col("text")).as("tlen"))
+    val joined = feats.join(expected, col("media_id") === col("did"))
+      .filter(col("n_bytes") =!= col("tlen")) // corpus text is ASCII
+    assert(joined.count() == 0)
+  }
+}

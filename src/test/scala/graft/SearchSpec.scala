@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.Search
+
+/** Two-tier search semantics (ES AND-match + phrase boost / LIKE fallback). */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+  test("AND-match requires every term; phrase hit boosts to 10.0; top-size respected") {
+    val res = Search.searchRanked(docs, "doc_id", "text", "merge batch", size = 50)
+    val rows = res.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val text = r.getAs[String]("text").toLowerCase
+      assert(text.split(" ").contains("merge") && text.split(" ").contains("batch"))
+      val expected = if (text.contains("merge batch")) 10.0 else 1.0
+      assert(r.getAs[Double]("score") == expected)
+    }
+    // phrase hits sort above non-phrase hits
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sortBy(-_.toDouble))
+  }
+
+  test("digit query routes to id equality; text query scans all string columns") {
+    val byId = Search.likeFallback(docs, "doc_id", "42").collect()
+    assert(byId.length == 1 && byId(0).getLong(0) == 42L)
+    val byKw = Search.likeFallback(docs, "doc_id", "src3").collect()
+    assert(byKw.nonEmpty && byKw.forall(_.getAs[String]("source") == "src3"))
+  }
+
+  test("inverted index: one posting per distinct (token, doc); doc-freq sane") {
+    val idx = Search.buildIndex(docs, "doc_id", "text")
+    assert(idx.count() == idx.distinct().count())
+    val df = Search.docFreq(idx)
+    val total = docs.count()
+    assert(df.filter($"n_docs" > total).count() == 0)
+    val hits = Search.fetchByIds(docs, "doc_id", Seq("1", "2"))
+    assert(hits.count() == 2)
+  }
+}
