@@ -36,6 +36,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm up the session (codegen, parquet footer caches, JIT) so the
+    // first timed query isn't charged with one-time startup cost.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -60,6 +60,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   def readAsOfOrLatest(snapshotId: Long): DataFrame =
     log.get(snapshotId).map(readSnapshot).getOrElse(read())
 
+  /**
+   * Snapshot-cutoff time travel (P6, the Hudi `_hoodie_commit_time <= ts`
+   * shape of `lake_shell.py:268`): newest snapshot committed at or before
+   * `ts` (ISO-8601 UTC instant). Comparison is lexicographic on the ISO
+   * string, which is chronologically correct for equal-precision instants.
+   */
+  def readAsOfTimestamp(ts: String): DataFrame =
+    log.snapshots().filter(_.committedAt <= ts)
+      .maxByOption(_.snapshotId).map(readSnapshot)
+      .getOrElse(emptyDF(schema))
+
   private def readSnapshot(s: Snapshot): DataFrame = {
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     if (s.dataDirs.isEmpty) emptyDF(st)
@@ -362,6 +373,18 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         log.commit(operation, df.schema.json, Seq(dir),
           Map("records" -> nRec.toString), batchKey)
     }
+  }
+
+  /**
+   * Compaction for append-heavy tables: rewrite the current state into one
+   * fresh commit (one dir, or one leaf per bucket on bucketed tables),
+   * collapsing the one-dir-per-append accumulation that degrades scans with
+   * thousands of small files. Old dirs become unreferenced and are GC'd
+   * when their manifests expire.
+   */
+  def compact(): Snapshot = {
+    require(log.latest().isDefined, s"table $name has no snapshots")
+    commitRewrite(read(), "compact")
   }
 
   // ----------------------------------------------------------------- diff

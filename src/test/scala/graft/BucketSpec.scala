@@ -50,6 +50,24 @@ class BucketSpec extends AnyFunSuite {
     assert(t.read().count() == orders.filter(col("o_orderkey") =!= 7 && col("o_orderkey") < 1100).count())
   }
 
+  test("compact collapses append accumulation; timestamp cutoff time-travels") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("cpt-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") < 100))
+    (1 to 4).foreach { i =>
+      t.append(orders.filter(col("o_orderkey") >= i * 100 && col("o_orderkey") < (i + 1) * 100))
+    }
+    val before = t.log.latest().get
+    assert(before.dataDirs.size == 5)
+    val preCompactTs = before.committedAt
+    val rows = t.read().count()
+    val c = t.compact()
+    assert(c.dataDirs.size == 1 && c.operation == "compact")
+    assert(t.read().count() == rows)
+    // P6: cutoff at the pre-compact commit time resolves to that version
+    assert(t.readAsOfTimestamp(preCompactTs).count() == rows)
+    assert(t.readAsOfTimestamp("1970-01-01T00:00:00Z").count() == 0)
+  }
+
   test("expired snapshots' orphaned data dirs are GC'd; live dirs survive") {
     val root = TestSpark.tmpDir("gc-").resolve("t")
     val t = new GraftTable(spark, root, "t", retainVersions = 1)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/**
+ * Physical-plan guards — the 100 TB lens as executable assertions: filters
+ * and projections must reach the parquet scan, small dims must broadcast,
+ * top-k must not global-sort, point lookups on bucketed tables must scan
+ * one bucket, and the merge must not shuffle the target side.
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val sf = TestSpark.sf0001
+
+  test("filter + projection push into the parquet scan") {
+    val df = graft.queries.Relational.queries("q6_filter_project")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"shipdate filter must reach the scan:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.substring(p.indexOf("ReadSchema")).contains("l_returnflag"),
+      "untouched columns must be pruned from the scan")
+  }
+
+  test("dim sides of the star join broadcast; no shuffle of dims") {
+    val df = graft.queries.Relational.queries("q9_region_rollup")(spark, sf)
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = graft.queries.Relational.queries("q4_topk_orders")(spark, sf)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("bucketed point lookup reads exactly one bucket's files") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("plan-").resolve("t"), "t")
+    t.overwriteBucketed(spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey", 8)
+    val lk = t.lookupKey(777L)
+    val buckets = lk.inputFiles.flatMap(f =>
+      "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(buckets.size == 1, s"lookup must prune to one bucket, scanned: $buckets")
+    assert(lk.count() == 1)
+  }
+
+  test("merge broadcasts the update keys — target side has no shuffle") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val updates = orders.filter(col("o_orderkey") < 10)
+    val merged = graft.dml.Merge.merge(orders, updates, "o_orderkey",
+      broadcastUpdates = true, updatesRowsHint = Some(10L))
+    val p = plan(merged)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti join must be broadcast:\n$p")
+  }
+}
