@@ -136,12 +136,27 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       df: DataFrame, key: String, n: Int, snapshotId: Long): Seq[(String, Long)] = {
     val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
     val abs = root.resolve(rel).toString
+    // Repartition on the bucket id before the partitioned write — the
+    // analog of the reference's `write.distribution-mode=hash`
+    // (`cdc_merger_optimized.py:107,201`). Without it every task writes a
+    // file into every bucket dir (tasks × buckets small files per commit);
+    // with it each bucket is one task's single file, which is also what
+    // keeps later scans and partial merges one-file-per-bucket fast.
+    // Per-bucket record counts piggyback on the write job via observe() —
+    // no read-back scan of what was just written.
+    val obs = org.apache.spark.sql.Observation(s"bucket-write-$snapshotId-${UUID.randomUUID()}")
+    val metrics = (0 until n).map(i =>
+      sum(when(col(BucketCol) === i, 1L).otherwise(0L)).as(s"b$i"))
     df.withColumn(BucketCol, bucketId(key, n))
+      .repartition(n, col(BucketCol))
+      .observe(obs, metrics.head, metrics.tail: _*)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
-    spark.read.parquet(abs)
-      .groupBy(BucketCol).count().collect()
-      .map(r => (s"$rel/$BucketCol=${r.getInt(0)}", r.getLong(1)))
-      .toSeq.sortBy(_._1)
+    val counts = obs.get
+    (0 until n).flatMap { i =>
+      counts.get(s"b$i").collect { case c: Long if c > 0 =>
+        (s"$rel/$BucketCol=$i", c)
+      }
+    }
   }
 
   /**
@@ -199,12 +214,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def writeDataDir(df: DataFrame, snapshotId: Long): (String, Long) = {
     val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
     val abs = root.resolve(rel).toString
-    df.write.mode("overwrite").parquet(abs)
-    // Count for the snapshot summary. This re-reads what was just written —
-    // a real scan job, but counting freshly written local parquet is cheap
-    // relative to the write, and it doubles as a read-back verification
-    // (the reference re-counts after every ingest too, ingest_trino.py:86).
-    val records = spark.read.parquet(abs).count()
+    // The record count for the snapshot summary piggybacks on the write job
+    // via observe() — no read-back scan of what was just written.
+    val obs = org.apache.spark.sql.Observation(s"write-$snapshotId-${UUID.randomUUID()}")
+    df.observe(obs, count(lit(1)).as("records"))
+      .write.mode("overwrite").parquet(abs)
+    val records = obs.get("records").asInstanceOf[Long]
     (rel, records)
   }
 
