@@ -104,9 +104,19 @@ object Dedup {
   /** xxhash64 of every shingle — materialize this ONCE per row (its own
     * projection) before fanning out to the permutations: lambda functions
     * block common-subexpression elimination, so inlining it into each of the
-    * 64 signature mins would re-tokenize and re-hash the document 64 times. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(wordShingles(text, n), s => xxhash64(s))
+    * 64 signature mins would re-tokenize and re-hash the document 64 times.
+    *
+    * The shingle hash is built from the n token hashes (`xxhash64(h_i, …,
+    * h_{i+n-1})`), never from a concatenated shingle STRING — MinHash only
+    * needs a deterministic hash per shingle, and skipping the string
+    * allocation roughly halves signature cost on long documents. */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val th = transform(tokens(text), t => xxhash64(t))
+    val idx = sequence(lit(0), size(th) - n)
+    val grams = transform(idx, i =>
+      xxhash64((0 until n).map(j => get(th, i + j)): _*))
+    when(size(th) < n, array(xxhash64(lower(trim(text))))).otherwise(grams)
+  }
 
   /**
    * MinHash signature: `sig_i = min over shingles of xxhash64(shingleHash, i)`
@@ -136,9 +146,10 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     val r = numPerm / bands
-    val sig = docs
-      .select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__h"))
-      .select(col("__id"), minhashSignature(col("__h"), numPerm).as("__sig"))
+    // Signature via the codegen'd native expression (one tight Java pass);
+    // see graft.plans.MinHashSignatureExpr for why not transform/array_min.
+    val sig = docs.select(col(idCol).as("__id"),
+      graft.plans.MinHashSignatureExpr.signature(tokens(col(textCol)), numPerm, n).as("__sig"))
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64((0 until r).map(j => element_at(col("__sig"), bi * r + j + 1)) :+ lit(bi): _*)

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Native codegen'd MinHash: token array → `numPerm`-long signature in ONE
+ * pass of tight generated Java (token xxhash64 → n-gram chain hash →
+ * per-permutation multiply-add min).
+ *
+ * Why a custom Catalyst `Expression`: the same computation written with
+ * `transform`/`array_min` higher-order functions is evaluated INTERPRETED
+ * (HOF lambdas don't participate in whole-stage codegen), costing
+ * numPerm × shingles lambda invocations per document — measured ~20s for
+ * 5000 docs at 64 perms. This expression generates a plain Java loop;
+ * multiply-add permutations are raw long arithmetic (wrap-around is fine
+ * for a permutation family and invisible to ANSI mode).
+ */
+case class MinHashSignatureExpr(child: Expression, numPerm: Int, ngram: Int)
+    extends UnaryExpression {
+
+  require(numPerm > 0 && ngram > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+
+  @transient private lazy val (aConsts, bConsts) = MinHashSignatureExpr.consts(numPerm)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val nsh = if (m < ngram) 1 else m - ngram + 1
+    val sh = new Array[Long](nsh)
+    if (m < ngram) {
+      var h = 42L; var j = 0
+      while (j < m) { h = XXH64.hashLong(th(j), h); j += 1 }
+      sh(0) = h
+    } else {
+      var j = 0
+      while (j < nsh) {
+        var h = 42L; var k = 0
+        while (k < ngram) { h = XXH64.hashLong(th(j + k), h); k += 1 }
+        sh(j) = h; j += 1
+      }
+    }
+    val sig = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      val a = aConsts(p); val b = bConsts(p)
+      var mn = Long.MaxValue; var j = 0
+      while (j < nsh) { val v = a * sh(j) + b; if (v < mn) mn = v; j += 1 }
+      sig(p) = mn; p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val aRef = ctx.addReferenceObj("minhashA", aConsts, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bConsts, "long[]")
+      val m = ctx.freshName("m")
+      val th = ctx.freshName("th")
+      val nsh = ctx.freshName("nsh")
+      val sh = ctx.freshName("sh")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $m = $c.numElements();
+         |final long[] $th = new long[$m];
+         |for (int i = 0; i < $m; i++) {
+         |  $th[i] = $c.isNullAt(i) ? 42L
+         |    : $xxh.hashUTF8String($c.getUTF8String(i), 42L);
+         |}
+         |final int $nsh = ($m < $ngram) ? 1 : $m - $ngram + 1;
+         |final long[] $sh = new long[$nsh];
+         |if ($m < $ngram) {
+         |  long h = 42L;
+         |  for (int j = 0; j < $m; j++) h = $xxh.hashLong($th[j], h);
+         |  $sh[0] = h;
+         |} else {
+         |  for (int j = 0; j < $nsh; j++) {
+         |    long h = 42L;
+         |    for (int k = 0; k < $ngram; k++) h = $xxh.hashLong($th[j + k], h);
+         |    $sh[j] = h;
+         |  }
+         |}
+         |final long[] $sig = new long[$numPerm];
+         |for (int p = 0; p < $numPerm; p++) {
+         |  final long a = $aRef[p]; final long b = $bRef[p];
+         |  long mn = Long.MAX_VALUE;
+         |  for (int j = 0; j < $nsh; j++) {
+         |    final long v = a * $sh[j] + b;
+         |    if (v < mn) mn = v;
+         |  }
+         |  $sig[p] = mn;
+         |}
+         |${ev.value} = new $gad($sig);
+       """.stripMargin
+    })
+}
+
+object MinHashSignatureExpr {
+
+  /** Deterministic permutation constants (odd multipliers), fixed seed. */
+  private[graft] def consts(numPerm: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x5EED5EEDL)
+    val a = Array.fill(numPerm)(rnd.nextLong() | 1L)
+    val b = Array.fill(numPerm)(rnd.nextLong())
+    (a, b)
+  }
+
+  /** Column wrapper: `minhashSignature(tokensCol)`. */
+  def signature(tokens: Column, numPerm: Int = 64, ngram: Int = 3): Column =
+    ColumnBridge.column(
+      MinHashSignatureExpr(ColumnBridge.expression(tokens), numPerm, ngram))
+}
