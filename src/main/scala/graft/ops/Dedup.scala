@@ -61,6 +61,18 @@ object Dedup {
       .distinct()
 
   /**
+   * Distinct (id, shingleHash) pairs — the scale-path set representation:
+   * set algebra over 64-bit shingle hashes instead of shingle strings
+   * (nothing wide shuffles). Counts equal the string-set counts unless two
+   * distinct shingles collide in 64 bits — the standard accepted risk in
+   * production dedup.
+   */
+  def hashShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      explode(graft.plans.ShingleHashesExpr.shingleHashes(tokens(col(textCol)), n)).as("__sh"))
+      .distinct()
+
+  /**
    * EXACT shingle-Jaccard similar pairs via an inverted shingle join (the
    * small-scale verification path; at 100 TB use [[nearDupPairs]]).
    *
@@ -100,36 +112,6 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- MinHash
-
-  /** xxhash64 of every shingle — materialize this ONCE per row (its own
-    * projection) before fanning out to the permutations: lambda functions
-    * block common-subexpression elimination, so inlining it into each of the
-    * 64 signature mins would re-tokenize and re-hash the document 64 times.
-    *
-    * The shingle hash is built from the n token hashes (`xxhash64(h_i, …,
-    * h_{i+n-1})`), never from a concatenated shingle STRING — MinHash only
-    * needs a deterministic hash per shingle, and skipping the string
-    * allocation roughly halves signature cost on long documents. */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val th = transform(tokens(text), t => xxhash64(t))
-    val idx = sequence(lit(0), size(th) - n)
-    val grams = transform(idx, i =>
-      xxhash64((0 until n).map(j => get(th, i + j)): _*))
-    when(size(th) < n, array(xxhash64(lower(trim(text))))).otherwise(grams)
-  }
-
-  /**
-   * MinHash signature: `sig_i = min over shingles of xxhash64(shingleHash, i)`
-   * — re-hashing the shingle hash with the permutation index as salt gives a
-   * deterministic permutation family without any arithmetic that could
-   * overflow under ANSI mode. One array column holds the whole signature;
-   * computed map-side, no shuffle. `hashes` must be a bound column (see
-   * [[shingleHashes]]).
-   */
-  def minhashSignature(hashes: Column, numPerm: Int = 64): Column =
-    array((0 until numPerm).map { i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i))))
-    }: _*)
 
   /**
    * LSH band buckets: the signature is cut into `bands` bands of
@@ -180,7 +162,7 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     val cands = lshCandidates(docs, idCol, textCol, numPerm, bands, n)
-    val dt = shingleSets(docs, idCol, textCol, n)
+    val dt = hashShingleSets(docs, idCol, textCol, n)
     // Only documents that appear in some candidate pair enter the exact
     // verification — at scale this is a tiny fraction of the corpus, so the
     // inverted shingle join below runs over candidates only.

@@ -70,6 +70,56 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate NN: the corpus is clustered into
+   * `nCells` Voronoi cells around deterministic seed centroids (the first
+   * `nCells` corpus vectors by id — reproducible without an RNG); each
+   * query probes only its `nProbe` nearest cells and exact-ranks inside
+   * them. The cell assignment is one broadcast-centroid pass over the
+   * corpus; at 100 TB the per-cell layout would be written once and reused
+   * across queries (this method recomputes it per call for simplicity).
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol), col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val spark = corpus.sparkSession
+    val cdf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.toSeq.map { case (i, v) => Row(i, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))))
+    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cdf)
+        .withColumn("__sim", cosine(col(vec), col("cvec"))).drop("cvec")
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(desc("__sim"), asc("cell"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep).drop("__cr", "__sim")
+    }
+    val cells = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", keep = 1)
+    val probes = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "__qv", keep = nProbe)
+    val scored = broadcast(probes).join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /**
    * Approximate NN: bucket the corpus by hyperplane signature, compare each
    * query only against its own bucket plus all 1-bit-flip neighbor buckets
    * (multi-probe — recovers most neighbors lost to a single unlucky plane),

@@ -122,6 +122,97 @@ case class MinHashSignatureExpr(child: Expression, numPerm: Int, ngram: Int)
     })
 }
 
+/**
+ * Codegen'd n-gram shingle hashes: token array → one xxhash64 chain hash per
+ * n-gram window (the same shingle identity [[MinHashSignatureExpr]] uses
+ * internally), for set algebra over 64-bit shingle hashes instead of
+ * shingle strings. A higher-order-function formulation re-evaluates the
+ * token-hash subtree per element (quadratic per document) and runs
+ * interpreted; this is one generated Java pass.
+ */
+case class ShingleHashesExpr(child: Expression, ngram: Int) extends UnaryExpression {
+
+  require(ngram > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val nsh = if (m < ngram) 1 else m - ngram + 1
+    val sh = new Array[Long](nsh)
+    if (m < ngram) {
+      var h = 42L; var j = 0
+      while (j < m) { h = XXH64.hashLong(th(j), h); j += 1 }
+      sh(0) = h
+    } else {
+      var j = 0
+      while (j < nsh) {
+        var h = 42L; var k = 0
+        while (k < ngram) { h = XXH64.hashLong(th(j + k), h); k += 1 }
+        sh(j) = h; j += 1
+      }
+    }
+    new GenericArrayData(sh)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val m = ctx.freshName("m")
+      val th = ctx.freshName("th")
+      val nsh = ctx.freshName("nsh")
+      val sh = ctx.freshName("sh")
+      s"""
+         |final int $m = $c.numElements();
+         |final long[] $th = new long[$m];
+         |for (int i = 0; i < $m; i++) {
+         |  $th[i] = $c.isNullAt(i) ? 42L
+         |    : $xxh.hashUTF8String($c.getUTF8String(i), 42L);
+         |}
+         |final int $nsh = ($m < $ngram) ? 1 : $m - $ngram + 1;
+         |final long[] $sh = new long[$nsh];
+         |if ($m < $ngram) {
+         |  long h = 42L;
+         |  for (int j = 0; j < $m; j++) h = $xxh.hashLong($th[j], h);
+         |  $sh[0] = h;
+         |} else {
+         |  for (int j = 0; j < $nsh; j++) {
+         |    long h = 42L;
+         |    for (int k = 0; k < $ngram; k++) h = $xxh.hashLong($th[j + k], h);
+         |    $sh[j] = h;
+         |  }
+         |}
+         |${ev.value} = new $gad($sh);
+       """.stripMargin
+    })
+}
+
+object ShingleHashesExpr {
+  /** Column wrapper: `shingleHashes(tokensCol)`. */
+  def shingleHashes(tokens: Column, ngram: Int = 3): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), ngram))
+}
+
 object MinHashSignatureExpr {
 
   /** Deterministic permutation constants (odd multipliers), fixed seed. */

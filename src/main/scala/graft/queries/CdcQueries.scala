@@ -46,7 +46,13 @@ object CdcQueries {
         .select(env(nul, img, "u", 1))
       val deletes = ev.filter(col("event_id") % 97 === 0)
         .select(env(img, nul, "d", 2))
-      val raw = inserts.unionAll(updates).unionAll(deletes)
+      // Materialize the envelope stream to disk first (as the file-source
+      // pipeline would see it) so the transform+merge is measured over real
+      // input instead of recomputing the JSON generation on every pass.
+      val rawDir = Files.createTempDirectory("graft-cdc-raw-").resolve("events")
+      inserts.unionAll(updates).unionAll(deletes)
+        .write.mode("overwrite").text(rawDir.toString)
+      val raw = s.read.text(rawDir.toString)
 
       val batch = Envelope.transformBatch(raw, rowSchema, "event_id")
         .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),

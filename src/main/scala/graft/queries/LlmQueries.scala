@@ -82,6 +82,14 @@ object LlmQueries {
         .select("query_id", "rank", "neighbor_id")
     }),
 
+    // IVF-clustered approximate NN (approximation → rows-only).
+    "e_ivf_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
     // Per-language corpus statistics.
     "x_lang_stats" -> ((s, d) =>
       tbl(s, d, "documents").groupBy("lang")

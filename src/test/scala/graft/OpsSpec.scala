@@ -61,6 +61,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: valid shape, self excluded, descending true-cosine per query") {
+    val res = Similarity.ivfTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding",
+      k = 3, nCells = 16, nProbe = 4).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getLong(0) != r.getLong(2)))
+    res.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("text analysis: counts, quality, language-ID and fingerprints are deterministic") {
     val df = Seq((1L, "the quick brown fox jumps over a lazy dog"),
       (2L, "der hund ist nicht ein katze und zu")).toDF("id", "text")
