@@ -72,13 +72,50 @@ object Bench {
         nBatch / ((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable => errors("merge_throughput") = e.toString.take(200); -1.0 }
 
+    // End-to-end CDC streaming throughput: envelope JSON files → decode →
+    // flatten → dedup → idempotent merge commits, via the real pipeline
+    // (Trigger.AvailableNow over pre-written files, several micro-batches).
+    val cdcThroughput =
+      try {
+        import org.apache.spark.sql.types._
+        val rowSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts_us", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val ev = graft.queries.Q.events(spark, sfDir)
+        val img = struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        val inDir = Files.createTempDirectory("bench-cdc-").resolve("in")
+        ev.select(to_json(struct(struct(lit(null).cast(rowSchema).as("before"),
+            img.as("after"), lit("c").as("op"), col("event_id").as("ts_ms")).as("payload")))
+            .as("value"))
+          .repartition(8).write.mode("overwrite").text(inDir.toString)
+        val nEvents = ev.count()
+        val cat = new graft.catalog.GraftCatalog(spark, Files.createTempDirectory("bench-cdc-wh-"))
+        val target = cat.createTable("cdc_bench", StructType(Seq(
+          StructField("event_id", LongType), StructField("ts_us", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))),
+          bucketBy = Some(("event_id", 16)))
+        val ckpt = Files.createTempDirectory("bench-cdc-ckpt-").toString
+        val t0 = System.nanoTime()
+        // One ~100k-row micro-batch — the reference's own trigger sizing
+        // (`maxOffsetsPerTrigger=100000`, `cdc_merger_optimized.py:23`).
+        val q = graft.cdc.CdcPipeline.start(spark, inDir.toString, rowSchema, target,
+          "event_id", ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          maxFilesPerTrigger = 8)
+        q.awaitTermination()
+        nEvents / ((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => errors("cdc_throughput") = e.toString.take(200); -1.0 }
+
     def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "-1" else f"$d%.3f"
     val qs = results.map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

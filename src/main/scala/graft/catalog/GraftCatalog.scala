@@ -27,13 +27,22 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
     require(Identifiers.isValidIdent(name),
       s"invalid table name '$name' (guard from api_poc.py:292,304)")
 
-  /** `CREATE TABLE IF NOT EXISTS` with a declared schema (S15). */
-  def createTable(name: String, schema: StructType): GraftTable = {
+  /**
+   * `CREATE TABLE IF NOT EXISTS` with a declared schema (S15), optionally
+   * hash-bucketed by key (`bucketBy`) so every later keyed DML is a partial
+   * rewrite (the TBLPROPERTIES analog of the reference's DDL,
+   * `cdc_merger_optimized.py:189-203`).
+   */
+  def createTable(name: String, schema: StructType,
+      bucketBy: Option[(String, Int)] = None): GraftTable = {
     requireValid(name)
     val t = new GraftTable(spark, tableRoot(name), name)
     if (t.log.latest().isEmpty) {
       Files.createDirectories(tableRoot(name))
-      t.log.commit("create", schema.json, Seq.empty, Map("records" -> "0"))
+      val spec = bucketBy.map { case (k, n) =>
+        Map("bucket_key" -> k, "bucket_count" -> n.toString)
+      }.getOrElse(Map.empty)
+      t.log.commit("create", schema.json, Seq.empty, Map("records" -> "0") ++ spec)
     }
     t
   }

@@ -15,6 +15,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /**
+   * BPE-style pre-tokenizer regex (GPT-2 family shape, ASCII-restricted so
+   * Java and RE2 regex dialects agree): contraction suffixes, optional-space
+   * letter runs, digit runs, punctuation runs. The unit a byte-pair encoder
+   * would merge within — the token count LLM-pipeline budgeting uses.
+   */
+  val bpePattern: String = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token count under the BPE-ish pre-tokenizer (vs whitespace [[tokenCount]]). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   def charLen(text: Column): Column = length(text)
 
   /** Count of punctuation characters. */

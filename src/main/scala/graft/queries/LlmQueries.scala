@@ -107,6 +107,12 @@ object LlmQueries {
         .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
 
+    // Whitespace vs BPE-ish-regex token counting per source.
+    "x_bpe_tokens" -> ((s, d) =>
+      tbl(s, d, "documents").groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))),
+
     // Rolling-hash document fingerprints (xxhash64-based → rows-only).
     "x_fingerprint" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
@@ -180,6 +186,11 @@ object LlmQueries {
         |         ELSE 'zh' END AS predicted
         |  FROM scored)
         |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin,
+    "x_bpe_tokens" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "m_media_meta" ->
       """SELECT doc_id AS media_id, 'image' AS media_type, source,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
