@@ -57,16 +57,66 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(1L << 20)).cast("double") / (1L << 19)) - 1.0
 
-  /** `nPlanes`-bit sign signature of a vector under fixed random hyperplanes. */
-  def lshSignature(vec: Column, nPlanes: Int = 16): Column = {
+  /** `nPlanes`-bit sign signature of a vector under fixed random hyperplanes
+    * (`planeOffset` selects an independent plane family — used for banding). */
+  def lshSignature(vec: Column, nPlanes: Int = 16, planeOffset: Int = 0): Column = {
     val dims = sequence(lit(1), size(vec))
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, dims, (x, i) => x.cast("double") * planeComponent(p + planeOffset, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs — EXACT baseline: every pair with
+   * cosine >= `minCosine`. O(n²) by definition; this is the verification
+   * oracle shape, usable on samples. At corpus scale use
+   * [[cosineDupPairsLsh]].
+   */
+  def cosineDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    // Norms precomputed per ROW (one pass) — only the dot product is per
+    // pair; computing l2norm inside the pair loop would triple the work.
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      l2norm(col(vecCol)).as("__na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      l2norm(col(vecCol)).as("__nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b")
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs, 100 TB shape: banded random-hyperplane
+   * LSH — `tables` independent hash tables of `r` sign bits each; candidate
+   * pairs come from same-bucket joins only (recall `1-(1-p^r)^tables` where
+   * `p = 1 - angle/π`), then exact-cosine verification on candidates.
+   */
+  def cosineDupPairsLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      r: Int = 4,
+      tables: Int = 16): DataFrame = {
+    val sig = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      explode(array((0 until tables).map(l =>
+        struct(lit(l).as("tbl"),
+          lshSignature(col(vecCol), r, planeOffset = l * r).as("bucket"))): _*)).as("__b"))
+      .select(col("__id"), col("__v"), col("__b.tbl").as("__tbl"), col("__b.bucket").as("__bucket"))
+    val cands = sig.as("a").join(sig.as("b"),
+        col("a.__tbl") === col("b.__tbl") && col("a.__bucket") === col("b.__bucket") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+    cands.withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b")
   }
 
   /**

@@ -82,6 +82,12 @@ object LlmQueries {
         .select("query_id", "rank", "neighbor_id")
     }),
 
+    // Embedding-cosine near-dup: exact baseline (oracled) + banded-LSH scale path.
+    "e_cos_dup_exact" -> ((s, d) =>
+      Similarity.cosineDupPairs(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.42)),
+    "e_cos_dup_lsh" -> ((s, d) =>
+      Similarity.cosineDupPairsLsh(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.42)),
+
     // IVF-clustered approximate NN (approximation → rows-only).
     "e_ivf_topk" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
@@ -132,13 +138,32 @@ object LlmQueries {
         .select("media_id", "n_bytes", "frame_count")))
 
   val oracles: Map[String, String] = Map(
-    "d_exact_dedup" -> "SELECT doc_id FROM documents",
+    // Oracles group by normalized text (not by the planted-copy pattern)
+    // so natural duplicates in the corpus are handled identically to the
+    // engine — the sf0.1 corpus contains a few.
+    "d_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY t""".stripMargin,
     "d_dup_groups" ->
-      "SELECT doc_id AS canonical_id, CAST(2 AS BIGINT) AS dup_count FROM documents WHERE doc_id % 10 = 0",
+      """WITH all_docs AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM all_docs GROUP BY t HAVING count(*) > 1""".stripMargin,
     "d_jaccard_pairs" ->
       (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
     "d_minhash_pairs" ->
       (jaccardCte + "SELECT id_a, id_b FROM jacs WHERE jaccard >= 0.5"),
+    "e_cos_dup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""".stripMargin,
     "e_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT query_id, c.vec_id AS neighbor_id,

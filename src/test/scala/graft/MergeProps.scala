@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.dml.Merge
+
+/**
+ * Property-based merge algebra (SURVEY §5): idempotence, last-writer-wins
+ * per precombine, delete∘insert = absent — over randomized keyed batches.
+ */
+object MergeProps extends Properties("Merge") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each case runs real Spark jobs
+
+  private val rowGen = for {
+    k <- Gen.chooseNum(0L, 12L)
+    v <- Gen.chooseNum(1L, 5L)
+    s <- Gen.alphaLowerStr.map(_.take(4))
+  } yield (k, v, s)
+
+  private val batchGen = Gen.listOfN(15, rowGen)
+
+  private def df(rows: List[(Long, Long, String)]) =
+    rows.toDF("id", "ver", "payload")
+
+  private def canon(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+    d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  property("idempotent: applying the same batch twice equals once") =
+    Prop.forAll(batchGen, batchGen) { (t, u) =>
+      val target = df(t).dropDuplicates(Seq("id"))
+      val once = Merge.merge(target, df(u), "id", precombine = Some("ver"))
+      val twice = Merge.merge(once, df(u), "id", precombine = Some("ver"))
+      canon(once) == canon(twice)
+    }
+
+  property("last-writer-wins: merged row carries the max precombine per key") =
+    Prop.forAll(batchGen) { u =>
+      val target = spark.emptyDataset[(Long, Long, String)].toDF("id", "ver", "payload")
+      val merged = Merge.merge(target, df(u), "id", precombine = Some("ver"))
+      val got = merged.select("id", "ver").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = u.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+      got == want
+    }
+
+  property("delete then re-check: deleted keys are absent, others untouched") =
+    Prop.forAll(batchGen, Gen.someOf(0L to 12L)) { (t, dels) =>
+      val target = df(t).dropDuplicates(Seq("id"))
+      val after = Merge.deleteKeys(target, dels.toList.toDF("id"), "id")
+      val expected = canon(target).filterNot(r => dels.contains(r._1))
+      canon(after) == expected
+    }
+
+  property("op='d' rows delete AND never insert") =
+    Prop.forAll(batchGen) { t =>
+      val target = df(t).dropDuplicates(Seq("id"))
+      val updates = df(t.take(5)).withColumn("op", lit("d"))
+        .unionByName(Seq((99L, 1L, "new")).toDF("id", "ver", "payload")
+          .withColumn("op", lit("c")))
+      val merged = Merge.merge(target, updates, "id", precombine = Some("ver"),
+        opCol = Some("op"))
+      val got = canon(merged)
+      val delKeys = t.take(5).map(_._1).toSet
+      got.forall(r => !delKeys.contains(r._1)) && got.exists(_._1 == 99L)
+    }
+}
