@@ -17,10 +17,14 @@ import graft.catalog.GraftCatalog
  */
 final class GraftSession(val catalog: GraftCatalog) {
 
-  /** (Re-)register every catalog table as a temp view over its latest snapshot. */
+  /** (Re-)register every catalog table as a temp view over its latest
+    * snapshot, plus a `<t>__snapshots` metadata view (the SQL face of
+    * Iceberg's `t$snapshots`, `api_poc.py:426-429`). */
   def refreshViews(): Unit =
     catalog.listTables().foreach { t =>
-      catalog.table(t).read().createOrReplaceTempView(t)
+      val table = catalog.table(t)
+      table.read().createOrReplaceTempView(t)
+      table.snapshotsDF.createOrReplaceTempView(s"${t}__snapshots")
     }
 
   /** Register one table (e.g. right after ingest) without a full refresh. */

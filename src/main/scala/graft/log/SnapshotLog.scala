@@ -39,6 +39,10 @@ case class Snapshot(
     // carry forward untouched dirs' counts without rescanning them.
     dirRecords: Map[String, Long] = Map.empty)
 
+/** A committed write lost the optimistic-concurrency race; the caller must
+  * re-derive its commit content against the new head and retry. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /**
  * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
  *
@@ -90,9 +94,57 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
     Serialization.read[Snapshot](new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
 
   /**
+   * Single-attempt commit that REQUIRES the current head to be
+   * `expectedParent`: the compare-and-swap primitive for commits whose
+   * content was derived FROM that head (appends carrying the parent's dir
+   * list, bucketed merges carrying untouched dirs). Throws
+   * [[CommitConflictException]] if the head moved or the manifest claim is
+   * lost — the caller must re-derive its state against the new head and
+   * retry (the log cannot, because the dataDirs it was handed are stale).
+   */
+  def commitExpecting(
+      expectedParent: Option[Long],
+      operation: String,
+      schemaJson: String,
+      dataDirs: Seq[String],
+      summary: Map[String, String] = Map.empty,
+      batchKey: Option[String] = None,
+      dirRecords: Map[String, Long] = Map.empty): Snapshot = {
+    Files.createDirectories(logDir)
+    val head = latest()
+    if (batchKey.exists(contains)) return head.get
+    if (head.map(_.snapshotId) != expectedParent) {
+      throw new CommitConflictException(
+        s"head is ${head.map(_.snapshotId)}, expected $expectedParent")
+    }
+    val snap = Snapshot(
+      snapshotId = expectedParent.map(_ + 1).getOrElse(1L),
+      parentId = expectedParent,
+      committedAt = Instant.now().toString,
+      operation = operation,
+      schemaJson = schemaJson,
+      dataDirs = dataDirs,
+      summary = summary,
+      batchKey = batchKey,
+      dirRecords = dirRecords)
+    val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
+    Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(manifestPath(snap.snapshotId), tmp)
+      expireOldManifests()
+      snap
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(s"lost claim for snapshot ${snap.snapshotId}")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /**
    * Atomically commit the next snapshot. The caller supplies everything but
    * the id / parent / timestamp, which the log assigns under its own view of
-   * the current head.
+   * the current head. Internally retries on a lost race — ONLY safe for
+   * commits whose dataDirs don't depend on the head (full replaces); use
+   * [[commitExpecting]] otherwise.
    */
   def commit(
       operation: String,

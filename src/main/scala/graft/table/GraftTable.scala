@@ -203,7 +203,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
     val allDirs = carried ++ newLeaves
     val total = allDirs.map(_._2).sum
-    log.commit(operation, merged.schema.json, allDirs.map(_._1),
+    // The merged output was computed against `head`'s data — if another
+    // writer committed meanwhile, this result is stale and MUST NOT land.
+    // commitExpecting fails it; DML writers are expected to serialize (or
+    // catch CommitConflictException and re-run the merge). Concurrent
+    // appends remain safe: they retry against the new head.
+    log.commitExpecting(Some(head.snapshotId), operation, merged.schema.json,
+      allDirs.map(_._1),
       Map("records" -> total.toString,
         "bucket_key" -> key, "bucket_count" -> n.toString),
       batchKey, allDirs.toMap)
@@ -244,31 +250,51 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * nulls for historical columns; existing files are NOT rewritten.
    */
   def append(df: DataFrame, batchKey: Option[String] = None): Snapshot = {
-    val head = log.latest()
-    val evolved = head.map(s => Merge.unionSchema(
-      DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
-      .getOrElse(df.schema)
-    val next = latestVersion + 1
-    val aligned = align(df, evolved)
-    val prior = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L)
-    bucketSpec match {
-      // Bucketed table: appended rows must land in bucket leaf dirs, or
-      // they would escape later partial-rewrite merges.
-      case Some((bk, n)) if evolved.fieldNames.contains(bk) =>
-        val leaves = writeBucketedDir(aligned, bk, n, next)
-        val appended = leaves.map(_._2).sum
-        val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) ++ leaves.map(_._1)
-        val dirRecs = head.map(_.dirRecords).getOrElse(Map.empty) ++ leaves.toMap
-        log.commit("append", evolved.json, dirs,
-          Map("records" -> (prior + appended).toString, "appended" -> appended.toString,
-            "bucket_key" -> bk, "bucket_count" -> n.toString),
+    // The data is written ONCE; only the head-derived commit content (dir
+    // list, evolved schema, totals) is re-derived if a concurrent writer
+    // wins the commit race (compare-and-swap via commitExpecting).
+    var written: Option[(Seq[(String, Long)], StructType)] = None
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val head = log.latest()
+      val evolved = head.map(s => Merge.unionSchema(
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
+        .getOrElse(df.schema)
+      val (newDirs, writtenSchema) = written.getOrElse {
+        val next = latestVersion + 1
+        val aligned = align(df, evolved)
+        val w = bucketSpec match {
+          // Bucketed table: appended rows must land in bucket leaf dirs, or
+          // they would escape later partial-rewrite merges.
+          case Some((bk, n)) if evolved.fieldNames.contains(bk) =>
+            writeBucketedDir(aligned, bk, n, next)
+          case _ =>
+            Seq(writeDataDir(aligned, next))
+        }
+        written = Some((w, evolved))
+        (w, evolved)
+      }
+      val appended = newDirs.map(_._2).sum
+      val prior = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L)
+      val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) ++ newDirs.map(_._1)
+      val dirRecs = head.map(_.dirRecords).getOrElse(Map.empty) ++ newDirs.toMap
+      val schemaJson = head.map(s => Merge.unionSchema(
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType], writtenSchema).json)
+        .getOrElse(writtenSchema.json)
+      val spec = bucketSpec.map { case (bk, n) =>
+        Map("bucket_key" -> bk, "bucket_count" -> n.toString)
+      }.getOrElse(Map.empty)
+      try {
+        return log.commitExpecting(head.map(_.snapshotId), "append", schemaJson, dirs,
+          Map("records" -> (prior + appended).toString,
+            "appended" -> appended.toString) ++ spec,
           batchKey, dirRecs)
-      case _ =>
-        val (dir, n) = writeDataDir(aligned, next)
-        val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) :+ dir
-        log.commit("append", evolved.json, dirs,
-          Map("records" -> (prior + n).toString, "appended" -> n.toString), batchKey)
+      } catch {
+        case _: graft.log.CommitConflictException if attempts < 64 => // re-derive
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /**

@@ -1,0 +1,49 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/**
+ * Commit-protocol safety: concurrent writers race to the same snapshot id;
+ * the hard-link claim makes losers retry under the new head instead of
+ * silently overwriting (the lost-write failure a plain rename allows).
+ */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("8 concurrent appends: no lost commits, contiguous ids, correct total") {
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val t = new GraftTable(spark, TestSpark.tmpDir("conc-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") < 100))
+
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { i =>
+      Future {
+        t.append(orders.filter(col("o_orderkey") >= 100 + i * 10 &&
+          col("o_orderkey") < 110 + i * 10))
+      }
+    }
+    Await.result(Future.sequence(futures), 5.minutes)
+    pool.shutdown()
+
+    val versions = t.log.versions()
+    assert(versions == (1L to 9L), s"expected 9 contiguous commits, got $versions")
+    // every appended range landed exactly once
+    val expected = orders.filter(col("o_orderkey") < 180).count()
+    assert(t.read().count() == expected)
+    // parent chain is a single line: each commit's parent is its predecessor
+    val snaps = t.log.snapshots().sortBy(_.snapshotId)
+    snaps.sliding(2).foreach {
+      case Seq(p, c) => assert(c.parentId.contains(p.snapshotId))
+      case _ =>
+    }
+  }
+}
