@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, accumulated in double. */
+  /** Sequential-fold dot product of two float arrays, accumulated in double.
+    * Backed by the codegen'd [[graft.plans.DotProductExpr]] — bit-identical
+    * to the `aggregate(zip_with(...))` formulation it replaced, but a
+    * generated Java loop instead of per-element interpreted lambdas (this
+    * runs O(pairs) times in every similarity operator). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.DotProductExpr.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

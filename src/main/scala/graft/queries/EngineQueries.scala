@@ -157,6 +157,16 @@ object EngineQueries {
       t.history.select("operation", "records")
     }),
 
+    // S16: SHOW TABLES over the warehouse catalog.
+    "t_show_tables" -> ((s, d) => {
+      import s.implicits._
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-show-"))
+      cat.saveTable("orders_t", tbl(s, d, "orders").limit(10))
+      cat.saveTable("region_t", tbl(s, d, "region"))
+      cat.listTables().toDF("table_name")
+    }),
+
     // S12/F8: single-row INSERT from raw form strings via type coercion.
     "t_insert_row" -> ((s, d) => {
       val t = tempTable(s)
@@ -290,6 +300,8 @@ object EngineQueries {
       """SELECT 'overwrite' AS operation, (SELECT count(*) FROM orders WHERE o_orderkey <= 9999) AS records
         |UNION ALL
         |SELECT 'append', (SELECT count(*) FROM orders)""".stripMargin,
+    "t_show_tables" ->
+      "SELECT 'orders_t' AS table_name UNION ALL SELECT 'region_t'",
     "t_insert_row" ->
       """SELECT * FROM region
         |UNION ALL SELECT 99 AS r_regionkey, 'TESTLAND' AS r_name""".stripMargin,
