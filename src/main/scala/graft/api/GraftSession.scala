@@ -31,9 +31,24 @@ final class GraftSession(val catalog: GraftCatalog) {
   def registerView(name: String): Unit =
     catalog.table(name).read().createOrReplaceTempView(name)
 
-  /** `/query`: passthrough SQL with the Trino-ism semicolon strip (F11). */
-  def sql(query: String): DataFrame =
-    catalog.spark.sql(query.trim.stripSuffix(";"))
+  private val VersionAsOf = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+
+  /**
+   * `/query`: passthrough SQL with the Trino-ism semicolon strip (F11) and
+   * the Iceberg time-travel sugar `FROM t VERSION AS OF <snapshotId>`
+   * (`api_poc.py:374-376`): each occurrence is rewritten to a temp view
+   * pinned to that snapshot before handing the query to Catalyst.
+   */
+  def sql(query: String): DataFrame = {
+    val clean = query.trim.stripSuffix(";")
+    val rewritten = VersionAsOf.replaceAllIn(clean, m => {
+      val (t, v) = (m.group(1), m.group(2).toLong)
+      val view = s"${t}__v$v"
+      catalog.table(t).readAsOf(v).createOrReplaceTempView(view)
+      view
+    })
+    catalog.spark.sql(rewritten)
+  }
 
   /** `/data/{t}` preview: first `limit` rows of a table (`api_poc.py:287`). */
   def preview(table: String, limit: Int = 10): DataFrame =

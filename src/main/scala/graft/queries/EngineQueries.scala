@@ -208,6 +208,18 @@ object EngineQueries {
       session.sql("SELECT * FROM products WHERE p_retailprice > 50 ORDER BY p_retailprice DESC;")
     }),
 
+    // S3 via SQL: `VERSION AS OF` time-travel sugar through the SQL surface.
+    "t_sql_timetravel" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-sqltt-"))
+      val o = tbl(s, d, "orders")
+      val t = cat.saveTable("orders_tt", o.filter(col("o_orderkey") <= 9999))
+      t.append(o.filter(col("o_orderkey") > 9999))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      session.sql("SELECT * FROM orders_tt VERSION AS OF 1;")
+    }),
+
     // A2 via SQL: the reference's own verify query shape (`run_verify.bat:3`).
     "t_sql_group" -> ((s, d) => {
       val cat = new graft.catalog.GraftCatalog(s,
@@ -314,6 +326,8 @@ object EngineQueries {
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_sql_passthrough" ->
       "SELECT * FROM part WHERE p_retailprice > 50",
+    "t_sql_timetravel" ->
+      "SELECT * FROM orders WHERE o_orderkey <= 9999",
     "t_sql_group" ->
       "SELECT count(*) AS total_records, o_orderstatus FROM orders GROUP BY o_orderstatus",
     "t_diff_cells" ->
