@@ -157,6 +157,16 @@ object EngineQueries {
       t.history.select("operation", "records")
     }),
 
+    // S16: DESCRIBE — column names + types of a catalog table.
+    "t_describe" -> ((s, d) => {
+      import s.implicits._
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-desc-"))
+      cat.saveTable("region_t", tbl(s, d, "region"))
+      cat.describe("region_t").fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString)).toDF("col_name", "data_type")
+    }),
+
     // S16: SHOW TABLES over the warehouse catalog.
     "t_show_tables" -> ((s, d) => {
       import s.implicits._
@@ -314,6 +324,9 @@ object EngineQueries {
         |SELECT 'append', (SELECT count(*) FROM orders)""".stripMargin,
     "t_show_tables" ->
       "SELECT 'orders_t' AS table_name UNION ALL SELECT 'region_t'",
+    "t_describe" ->
+      """SELECT 'r_regionkey' AS col_name, 'int' AS data_type
+        |UNION ALL SELECT 'r_name', 'string'""".stripMargin,
     "t_insert_row" ->
       """SELECT * FROM region
         |UNION ALL SELECT 99 AS r_regionkey, 'TESTLAND' AS r_name""".stripMargin,

@@ -31,8 +31,16 @@ import graft.log.{Snapshot, SnapshotLog}
  * output arrives pre-partitioned by key from the join shuffle (the analog of
  * the reference's `write.distribution-mode=hash`).
  */
+/**
+ * @param retainVersions  snapshot-log retention (reference keeps ≤100,
+ *                        `cdc_merger_optimized.py:108,200`)
+ * @param autoCompactAfter when > 0, an append that leaves more than this
+ *                        many data dirs triggers an inline [[compact]] —
+ *                        bounds the small-files accumulation of append-heavy
+ *                        streams without an external maintenance job
+ */
 final class GraftTable(val spark: SparkSession, val root: Path, val name: String,
-    retainVersions: Int = 100) {
+    retainVersions: Int = 100, autoCompactAfter: Int = 0) {
 
   val log = new SnapshotLog(root, retainVersions)
 
@@ -286,10 +294,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         Map("bucket_key" -> bk, "bucket_count" -> n.toString)
       }.getOrElse(Map.empty)
       try {
-        return log.commitExpecting(head.map(_.snapshotId), "append", schemaJson, dirs,
+        val snap = log.commitExpecting(head.map(_.snapshotId), "append", schemaJson, dirs,
           Map("records" -> (prior + appended).toString,
             "appended" -> appended.toString) ++ spec,
           batchKey, dirRecs)
+        return {
+          if (autoCompactAfter > 0 && snap.dataDirs.size > autoCompactAfter) compact()
+          else snap
+        }
       } catch {
         case _: graft.log.CommitConflictException if attempts < 64 => // re-derive
       }

@@ -68,6 +68,18 @@ class BucketSpec extends AnyFunSuite {
     assert(t.readAsOfTimestamp("1970-01-01T00:00:00Z").count() == 0)
   }
 
+  test("auto-compaction bounds dir accumulation on append-heavy tables") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("ac-").resolve("t"), "t",
+      autoCompactAfter = 3)
+    t.overwrite(orders.filter(col("o_orderkey") < 100))
+    (1 to 6).foreach { i =>
+      t.append(orders.filter(col("o_orderkey") >= i * 100 && col("o_orderkey") < (i + 1) * 100))
+    }
+    val head = t.log.latest().get
+    assert(head.dataDirs.size <= 4, s"auto-compact must bound dirs, got ${head.dataDirs.size}")
+    assert(t.read().count() == orders.filter(col("o_orderkey") < 700).count())
+  }
+
   test("expired snapshots' orphaned data dirs are GC'd; live dirs survive") {
     val root = TestSpark.tmpDir("gc-").resolve("t")
     val t = new GraftTable(spark, root, "t", retainVersions = 1)
