@@ -185,33 +185,27 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /**
-   * 64-bit SimHash fingerprint over the distinct word-3-gram shingle set:
-   * each shingle hash votes ±1 per bit position; the sign of each
-   * accumulated position becomes the fingerprint bit. Shingles (not unigram
-   * tokens) keep the fingerprint discriminative on corpora with a small
-   * shared vocabulary. Pure higher-order functions — computed map-side.
+   * 64-bit SimHash fingerprint over the distinct word-n-gram shingle-hash
+   * set — the codegen'd [[graft.plans.SimHashExpr]] (shingles, not unigram
+   * tokens, keep the fingerprint discriminative on corpora with a small
+   * shared vocabulary). Computed map-side, one pass per document.
    */
-  def simhash(text: Column, n: Int = 3): Column = {
-    val hashes = transform(array_distinct(wordShingles(text, n)), t => xxhash64(t))
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column, n: Int = 3): Column =
+    graft.plans.SimHashExpr.simhash(tokens(text), n)
 
   /**
    * SimHash near-dup candidates with Hamming distance <= maxDist, banded by
-   * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
-   * one of 4 chunks — bucket join on chunk value, never all-pairs).
+   * 8-bit chunks (pigeonhole: any pair within distance 7 shares at least
+   * one of 8 chunks — bucket join on chunk value, never all-pairs; recall
+   * above distance 7 is probabilistic but high, since flipped bits must
+   * spread across every chunk to evade all eight).
    */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 12): DataFrame = {
     val fp = docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp"))
     val chunks = fp.select(col("__id"), col("__fp"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until 8).map(i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("__fp"), i * 16).bitwiseAND(0xFFFFL).as("val"))): _*)).as("__c"))
+          shiftright(col("__fp"), i * 8).bitwiseAND(0xFFL).as("val"))): _*)).as("__c"))
       .select(col("__id"), col("__fp"), col("__c.chunk").as("__chunk"), col("__c.val").as("__val"))
     chunks.as("a")
       .join(chunks.as("b"),

@@ -62,7 +62,7 @@ object LlmQueries {
 
     // SimHash near-dup candidates (hash-dependent output → rows-only).
     "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text", maxDist = 3)),
+      Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text")),
 
     // Brute-force cosine top-5 for 10 query vectors (ranks are int-only).
     "e_cosine_topk" -> ((s, d) => {

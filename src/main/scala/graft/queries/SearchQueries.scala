@@ -30,6 +30,13 @@ object SearchQueries {
       Search.searchThenFetch(tbl(s, d, "documents"), "doc_id", "text",
         "merge batch", size = 50)),
 
+    // O5 via the index tier: posting-list intersection, then fetch + rank.
+    "s_index_search" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val idx = Search.buildIndex(docs, "doc_id", "text")
+      Search.searchViaIndex(docs, idx, "doc_id", "text", "merge batch", size = 50)
+    }),
+
     // S11/F12: inverted-index build + per-token document frequency.
     "s_token_index" -> ((s, d) =>
       Search.docFreq(Search.buildIndex(tbl(s, d, "documents"), "doc_id", "text"))))
@@ -44,6 +51,15 @@ object SearchQueries {
     "s_fetch_by_ids" ->
       "SELECT * FROM documents WHERE CAST(doc_id AS VARCHAR) IN ('3','7','11','99','250','444')",
     "s_keyword_rank" ->
+      """WITH hits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score
+        |  FROM documents
+        |  WHERE list_contains(string_split(lower(text), ' '), 'merge')
+        |    AND list_contains(string_split(lower(text), ' '), 'batch')
+        |  ORDER BY score DESC, doc_id LIMIT 50)
+        |SELECT d.*, h.score FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
+    "s_index_search" ->
       """WITH hits AS (
         |  SELECT doc_id,
         |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score

@@ -59,6 +59,33 @@ object Search {
       .limit(size)
   }
 
+  /**
+   * Index-backed AND-match: intersect the query terms' posting lists in the
+   * inverted-index table (each term filter prunes to one token's postings —
+   * with the index partitioned by token, a partition-pruned read), then
+   * fetch + phrase-boost-rank only the candidate rows. This is the tier
+   * that avoids touching the base table until candidates are known — at
+   * 100 TB the base scan of [[searchRanked]] is the fallback, not the norm.
+   */
+  def searchViaIndex(
+      df: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      size: Int = 50): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty query")
+    val candidates = terms.map(t => index.filter(col("token") === t).select("id"))
+      .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
+    val hits = df.join(broadcast(candidates.withColumnRenamed("id", idCol)), Seq(idCol))
+    hits
+      .withColumn("score",
+        when(lower(col(textCol)).contains(query.toLowerCase), 10.0).otherwise(1.0))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(size)
+  }
+
   /** Two-tier flow: ranked index hits → id semi-join back to the base table. */
   def searchThenFetch(
       df: DataFrame,

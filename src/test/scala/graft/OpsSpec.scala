@@ -34,7 +34,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash pairs are near-dups (subset of exact Jaccard at a lower bar)") {
-    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exactLoose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
