@@ -53,4 +53,47 @@ final class GraftSession(val catalog: GraftCatalog) {
   /** `/data/{t}` preview: first `limit` rows of a table (`api_poc.py:287`). */
   def preview(table: String, limit: Int = 10): DataFrame =
     catalog.table(table).read().limit(limit)
+
+  /**
+   * The read API (`lake_cli.py:70-85,136-137`): column projection (`*` or a
+   * list), optional equality filter, row limit — P1/P2/O3 as one typed
+   * surface.
+   */
+  def read(
+      table: String,
+      columns: Seq[String] = Seq("*"),
+      filter: Option[(String, Any)] = None,
+      limit: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = catalog.table(table).read()
+    val projected =
+      if (columns == Seq("*")) base else base.select(columns.map(col): _*)
+    val filtered = filter match {
+      case Some((c, v)) => projected.filter(col(c) === v)
+      case None => projected
+    }
+    filtered.limit(limit)
+  }
+
+  /**
+   * The dashboard composite `/view` (`api_poc.py:372-418`): optional
+   * time-travel (expired ids fall back to latest, `:462-468`), optional
+   * keyword search (digits → id equality, else multi-column LIKE,
+   * `:406-414`), newest-first page of `pageSize` rows (`:418`).
+   */
+  def view(
+      table: String,
+      search: Option[String] = None,
+      snapshotId: Option[Long] = None,
+      pageSize: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc}
+    val t = catalog.table(table)
+    val base = snapshotId.map(t.readAsOfOrLatest).getOrElse(t.read())
+    val idCol = graft.functions.Identifiers.findIdCol(base.columns.toSeq)
+    val searched = search.filter(_.nonEmpty) match {
+      case Some(kw) => graft.search.Search.likeFallback(base, idCol, kw)
+      case None => base
+    }
+    searched.orderBy(desc(idCol)).limit(pageSize)
+  }
 }

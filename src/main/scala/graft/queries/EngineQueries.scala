@@ -218,6 +218,29 @@ object EngineQueries {
       session.sql("SELECT * FROM products WHERE p_retailprice > 50 ORDER BY p_retailprice DESC;")
     }),
 
+    // P1/P2/O3: the typed read API — projection + equality filter + limit.
+    "t_read_api" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-read-"))
+      cat.saveTable("customer_t", tbl(s, d, "customer"))
+      new graft.api.GraftSession(cat).read("customer_t",
+        columns = Seq("c_custkey", "c_name", "c_acctbal"),
+        filter = Some(("c_custkey", 42L)), limit = 100)
+    }),
+
+    // The dashboard composite /view: time-travel + keyword search + page.
+    "t_view_page" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-view-"))
+      val o = tbl(s, d, "orders")
+      val t = cat.saveTable("orders_v", o.filter(col("o_orderkey") <= 9999))
+      t.append(o.filter(col("o_orderkey") > 9999))
+      // search "O" hits o_orderstatus via the multi-column LIKE fallback;
+      // snapshot 1 pins the pre-append version; newest-first page of 100.
+      new graft.api.GraftSession(cat)
+        .view("orders_v", search = Some("O"), snapshotId = Some(1L), pageSize = 100)
+    }),
+
     // S3 via SQL: `VERSION AS OF` time-travel sugar through the SQL surface.
     "t_sql_timetravel" -> ((s, d) => {
       val cat = new graft.catalog.GraftCatalog(s,
@@ -339,6 +362,14 @@ object EngineQueries {
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_sql_passthrough" ->
       "SELECT * FROM part WHERE p_retailprice > 50",
+    "t_read_api" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+    "t_view_page" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey <= 9999
+        |  AND (CAST(o_orderkey AS VARCHAR) LIKE '%O%' OR o_orderstatus LIKE '%O%'
+        |    OR o_orderpriority LIKE '%O%')
+        |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
     "t_sql_timetravel" ->
       "SELECT * FROM orders WHERE o_orderkey <= 9999",
     "t_sql_group" ->
