@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.catalog.GraftCatalog
+
+/** Serving surface: SQL passthrough (+ sugar), preview, read, view. */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshSession(): GraftSession = {
+    val cat = new GraftCatalog(spark, TestSpark.tmpDir("api-"))
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val t = cat.saveTable("orders_t", orders.filter(col("o_orderkey") < 500))
+    t.append(orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 600))
+    val s = new GraftSession(cat)
+    s.refreshViews()
+    s
+  }
+
+  test("sql passthrough strips trailing semicolons and sees latest snapshot") {
+    val s = freshSession()
+    val n = s.sql("SELECT count(*) AS n FROM orders_t;").head().getLong(0)
+    assert(n == 600)
+  }
+
+  test("VERSION AS OF rewrites to the pinned snapshot") {
+    val s = freshSession()
+    val n = s.sql("SELECT count(*) AS n FROM orders_t VERSION AS OF 1").head().getLong(0)
+    assert(n == 500)
+  }
+
+  test("snapshots metadata view is queryable by SQL") {
+    val s = freshSession()
+    val ops = s.sql("SELECT operation FROM orders_t__snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("overwrite", "append"))
+  }
+
+  test("preview, read (projection+filter+limit), and view page") {
+    val s = freshSession()
+    assert(s.preview("orders_t", 7).count() == 7)
+    val r = s.read("orders_t", Seq("o_orderkey", "o_totalprice"),
+      Some(("o_orderkey", 42L)))
+    assert(r.columns.toSeq == Seq("o_orderkey", "o_totalprice") && r.count() == 1)
+    val page = s.view("orders_t", pageSize = 50).collect()
+    assert(page.length == 50)
+    assert(page.map(_.getLong(0)).toSeq == (550L until 600L).reverse)
+    val hit = s.view("orders_t", search = Some("123")).collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 123L)
+  }
+}
