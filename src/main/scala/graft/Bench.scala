@@ -72,6 +72,23 @@ object Bench {
         nBatch / ((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable => errors("merge_throughput") = e.toString.take(200); -1.0 }
 
+    // Merge-on-read ingest throughput: the same 100k batch as a DELTA
+    // append (no base rewrite) — the fast-ingest path's headline number.
+    val morThroughput =
+      try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("li_id", col("l_orderkey") * 10 + col("l_linenumber"))
+        val t = new GraftTable(spark,
+          Files.createTempDirectory("bench-mor-").resolve("t"), "t")
+        t.overwriteBucketed(li, "li_id", 32)
+        val batch = li.filter(col("l_orderkey") % 6 === 0)
+          .withColumn("l_quantity", col("l_quantity") + 1)
+        val nBatch = batch.count()
+        val t0 = System.nanoTime()
+        t.upsertDeferred(batch, "li_id")
+        nBatch / ((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => errors("mor_throughput") = e.toString.take(200); -1.0 }
+
     // End-to-end CDC streaming throughput: envelope JSON files → decode →
     // flatten → dedup → idempotent merge commits, via the real pipeline
     // (Trigger.AvailableNow over pre-written files, several micro-batches).
@@ -115,7 +132,7 @@ object Bench {
       s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,10 @@ case class Snapshot(
     batchKey: Option[String] = None,
     // Per-dir record counts (bucketed tables): lets a partial rewrite
     // carry forward untouched dirs' counts without rescanning them.
-    dirRecords: Map[String, Long] = Map.empty)
+    dirRecords: Map[String, Long] = Map.empty,
+    // Merge-on-read delta dirs, oldest first: unresolved keyed upsert/delete
+    // batches appended by `upsertDeferred`; folded into dataDirs by compact().
+    deltaDirs: Seq[String] = Seq.empty)
 
 /** A committed write lost the optimistic-concurrency race; the caller must
   * re-derive its commit content against the new head and retry. */
@@ -109,7 +112,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
       dataDirs: Seq[String],
       summary: Map[String, String] = Map.empty,
       batchKey: Option[String] = None,
-      dirRecords: Map[String, Long] = Map.empty): Snapshot = {
+      dirRecords: Map[String, Long] = Map.empty,
+      deltaDirs: Seq[String] = Seq.empty): Snapshot = {
     Files.createDirectories(logDir)
     val head = latest()
     if (batchKey.exists(contains)) return head.get
@@ -126,7 +130,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
       dataDirs = dataDirs,
       summary = summary,
       batchKey = batchKey,
-      dirRecords = dirRecords)
+      dirRecords = dirRecords,
+      deltaDirs = deltaDirs)
     val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
     Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
     try {
@@ -210,7 +215,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
    * otherwise-superseded commit dir).
    */
   def gcOrphanDataDirs(): Unit = {
-    val referenced: Set[String] = snapshots().flatMap(_.dataDirs).toSet
+    val referenced: Set[String] =
+      snapshots().flatMap(s => s.dataDirs ++ s.deltaDirs).toSet
     val dataRoot = tableRoot.resolve("data")
     if (!Files.isDirectory(dataRoot)) return
     val tops = Using.resource(Files.list(dataRoot))(_.iterator().asScala.toSeq)

@@ -74,6 +74,18 @@ object EngineQueries {
       t.read()
     }),
 
+    // Merge-on-read: deferred upsert + tombstone deltas, resolved at read.
+    "t_upsert_mor" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o)
+      t.upsertDeferred(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000), "o_orderkey")
+      t.upsertDeferred(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("op", lit("d")), "o_orderkey", opCol = Some("op"))
+      t.read()
+    }),
+
     // W1 precombine: duplicate keys in one batch — greatest precombine wins.
     "t_upsert_precombine" -> ((s, d) => {
       val o = tbl(s, d, "orders")
@@ -311,6 +323,11 @@ object EngineQueries {
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice,
          |       o_orderdate, '9-UPSERTED' AS o_orderpriority
          |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    "t_upsert_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
     "t_upsert_precombine" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500 ELSE o_totalprice END AS o_totalprice,

@@ -53,11 +53,42 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   // ---------------------------------------------------------------- reads
 
   def read(): DataFrame =
-    log.latest().map(readSnapshot).getOrElse(emptyDF(new StructType()))
+    log.latest().map(readResolved).getOrElse(emptyDF(new StructType()))
+
+  /** Base files plus, for merge-on-read snapshots, delta resolution. */
+  private def readResolved(s: Snapshot): DataFrame = {
+    val base = readSnapshot(s)
+    if (s.deltaDirs.isEmpty) base else resolveDeltas(s, base)
+  }
+
+  /**
+   * Merge-on-read resolution: base rows at sequence 0, each delta batch at
+   * its position in the chain; latest sequence per key wins; a winning
+   * delete tombstone (`__op = 'd'`) removes the key. The shuffle happens at
+   * READ time — the write side of [[upsertDeferred]] only appends.
+   */
+  private def resolveDeltas(s: Snapshot, base: DataFrame): DataFrame = {
+    val key = s.summary("mor_key")
+    val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val deltaSchema = StructType(st.fields :+
+      org.apache.spark.sql.types.StructField("__op",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val deltas = s.deltaDirs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(deltaSchema).parquet(root.resolve(d).toString)
+        .withColumn("__seq", lit((i + 1).toLong))
+    }.reduce(_.unionByName(_))
+    val all = base
+      .withColumn("__op", lit(null).cast("string"))
+      .withColumn("__seq", lit(0L))
+      .unionByName(deltas)
+    Merge.dedupLatest(all, key, "__seq")
+      .filter(coalesce(col("__op") =!= "d", lit(true)))
+      .drop("__op", "__seq")
+  }
 
   /** Time-travel read. Throws on unknown snapshot id. */
   def readAsOf(snapshotId: Long): DataFrame =
-    readSnapshot(log.get(snapshotId).getOrElse(
+    readResolved(log.get(snapshotId).getOrElse(
       throw new NoSuchElementException(s"table $name has no snapshot $snapshotId")))
 
   /**
@@ -66,7 +97,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * the latest snapshot.
    */
   def readAsOfOrLatest(snapshotId: Long): DataFrame =
-    log.get(snapshotId).map(readSnapshot).getOrElse(read())
+    log.get(snapshotId).map(readResolved).getOrElse(read())
 
   /**
    * Snapshot-cutoff time travel (P6, the Hudi `_hoodie_commit_time <= ts`
@@ -76,7 +107,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   def readAsOfTimestamp(ts: String): DataFrame =
     log.snapshots().filter(_.committedAt <= ts)
-      .maxByOption(_.snapshotId).map(readSnapshot)
+      .maxByOption(_.snapshotId).map(readResolved)
       .getOrElse(emptyDF(schema))
 
   private def readSnapshot(s: Snapshot): DataFrame = {
@@ -293,11 +324,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       val spec = bucketSpec.map { case (bk, n) =>
         Map("bucket_key" -> bk, "bucket_count" -> n.toString)
       }.getOrElse(Map.empty)
+      // Pending MOR deltas (and their key) ride along untouched — an append
+      // must not silently drop an unresolved delta chain.
+      val morCarry = head.filter(_.deltaDirs.nonEmpty)
+        .map(h => (h.deltaDirs, Map("mor_key" -> h.summary("mor_key"),
+          "pending_deltas" -> h.deltaDirs.size.toString)))
+        .getOrElse((Seq.empty[String], Map.empty[String, String]))
       try {
         val snap = log.commitExpecting(head.map(_.snapshotId), "append", schemaJson, dirs,
           Map("records" -> (prior + appended).toString,
-            "appended" -> appended.toString) ++ spec,
-          batchKey, dirRecs)
+            "appended" -> appended.toString) ++ spec ++ morCarry._2,
+          batchKey, dirRecs, morCarry._1)
         return {
           if (autoCompactAfter > 0 && snap.dataDirs.size > autoCompactAfter) compact()
           else snap
@@ -322,8 +359,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       broadcastUpdates: Boolean = true,
       batchKey: Option[String] = None): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
+    val pendingDeltas = log.latest().exists(_.deltaDirs.nonEmpty)
     bucketSpec match {
-      case Some((bk, n)) if bk == key =>
+      // Bucketed partial rewrite reads raw bucket dirs — only valid when no
+      // MOR deltas are pending (those need read-time resolution first).
+      case Some((bk, n)) if bk == key && !pendingDeltas =>
         commitBucketedMerge(updates, key, n, "upsert",
           (t, u, hint) => Merge.merge(t, u, key, precombine, opCol, broadcastUpdates, hint),
           batchKey)
@@ -334,10 +374,70 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     }
   }
 
+  /**
+   * Merge-on-read upsert: append the (deduped) batch as a DELTA commit —
+   * no base data moves, so ingest cost is O(batch) regardless of table
+   * size; readers resolve latest-per-key across base + deltas until
+   * [[compact]] folds the chain back into base files. The Hudi-MOR-shaped
+   * fast-ingest mode: use when even a partial bucket rewrite per 10-second
+   * micro-batch is too much write amplification.
+   *
+   * Rows with `opCol = 'd'` become delete tombstones.
+   */
+  def upsertDeferred(
+      updates: DataFrame,
+      key: String,
+      precombine: Option[String] = None,
+      opCol: Option[String] = None,
+      batchKey: Option[String] = None): Snapshot = {
+    if (batchKey.exists(log.contains)) return log.latest().get
+    var written: Option[String] = None
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val head = log.latest().getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots; use overwrite first"))
+      require(head.summary.get("mor_key").forall(_ == key),
+        s"table $name has pending deltas keyed by ${head.summary("mor_key")}, not $key")
+      val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      val deduped = precombine match {
+        case Some(p) => Merge.dedupLatest(updates, key, p)
+        case None => updates.dropDuplicates(Seq(key))
+      }
+      val dataCols = deduped.drop(opCol.toSeq: _*)
+      val evolved = Merge.unionSchema(headSchema, dataCols.schema)
+      val dir = written.getOrElse {
+        val rel = s"data/m${head.snapshotId + 1}-${UUID.randomUUID().toString.take(8)}"
+        val withOp = opCol match {
+          case Some(c) => deduped.withColumnRenamed(c, "__op")
+          case None => deduped.withColumn("__op", lit(null).cast("string"))
+        }
+        val have = withOp.columns.toSet
+        val aligned = withOp.select(evolved.fields.toSeq.map { f =>
+          if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ col("__op").cast("string").as("__op"): _*)
+        aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+        written = Some(rel)
+        rel
+      }
+      try {
+        return log.commitExpecting(Some(head.snapshotId), "upsert-deferred",
+          evolved.json, head.dataDirs,
+          head.summary ++ Map("mor_key" -> key,
+            "pending_deltas" -> (head.deltaDirs.size + 1).toString),
+          batchKey, head.dirRecords, head.deltaDirs :+ dir)
+      } catch {
+        case _: graft.log.CommitConflictException if attempts < 64 => // re-derive
+      }
+    }
+    throw new IllegalStateException(s"upsertDeferred lost $attempts races")
+  }
+
   /** Delete rows whose key matches any key in `keys` (keys-only DF sink, `delete_hudi.py`). */
   def deleteKeys(keys: DataFrame, key: String): Snapshot =
     bucketSpec match {
-      case Some((bk, n)) if bk == key =>
+      case Some((bk, n)) if bk == key && !log.latest().exists(_.deltaDirs.nonEmpty) =>
         commitBucketedMerge(keys, key, n, "delete",
           (t, k, _) => Merge.deleteKeys(t, k, key), batchKey = None)
       case _ =>
@@ -408,22 +508,25 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * Full-table copy-on-write commit. Arbitrary-predicate DML
    * (deleteWhere/updateWhere) lands here even on bucketed tables — the
    * predicate can touch any bucket — but the bucket layout is preserved so
-   * later keyed DML stays partial.
+   * later keyed DML stays partial. The rewritten content was derived from
+   * the head (via read()), so the commit is compare-and-swap: a concurrent
+   * commit fails this one rather than being silently overwritten.
    */
   private def commitRewrite(df: DataFrame, operation: String, batchKey: Option[String] = None): Snapshot = {
+    val parent = log.latest().map(_.snapshotId)
     bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
         val leaves = writeBucketedDir(df, bk, n, next)
         val total = leaves.map(_._2).sum
-        log.commit(operation, df.schema.json, leaves.map(_._1),
+        log.commitExpecting(parent, operation, df.schema.json, leaves.map(_._1),
           Map("records" -> total.toString,
             "bucket_key" -> bk, "bucket_count" -> n.toString),
           batchKey, leaves.toMap)
       case _ =>
         val next = latestVersion + 1
         val (dir, nRec) = writeDataDir(df, next)
-        log.commit(operation, df.schema.json, Seq(dir),
+        log.commitExpecting(parent, operation, df.schema.json, Seq(dir),
           Map("records" -> nRec.toString), batchKey)
     }
   }

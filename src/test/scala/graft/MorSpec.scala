@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/** Merge-on-read: deferred upserts append deltas (no base rewrite), readers
+  * resolve latest-per-key + tombstones, compaction folds the chain. */
+class MorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+
+  test("deferred upserts leave base dirs untouched; reads resolve; compact folds") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor-").resolve("t"), "t")
+    val v1 = t.overwrite(orders)
+    val baseDirs = v1.dataDirs
+
+    val v2 = t.upsertDeferred(orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000), "o_orderkey")
+    assert(v2.dataDirs == baseDirs, "deferred upsert must not rewrite base data")
+    assert(v2.deltaDirs.size == 1)
+
+    val v3 = t.upsertDeferred(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("op", lit("d")), "o_orderkey", opCol = Some("op"))
+    assert(v3.dataDirs == baseDirs && v3.deltaDirs.size == 2)
+
+    val total = orders.count()
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      assert(df.count() == orders.filter(col("o_orderkey") % 5 =!= 0).count())
+      val bumped = df.filter(col("o_orderkey") % 2 === 0).select("o_totalprice")
+      val expect = orders.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 5 =!= 0)
+      assert(bumped.count() == expect.count())
+      assert(df.columns.toSeq == orders.columns.toSeq, "meta columns must not leak")
+    }
+    check(t.read())
+
+    // time travel into the middle of the delta chain resolves that prefix
+    assert(t.readAsOf(v2.snapshotId).count() == total)
+
+    val c = t.compact()
+    assert(c.deltaDirs.isEmpty)
+    check(t.read())
+
+    // idempotent deferred replay
+    val n = t.log.versions().size
+    t.upsertDeferred(orders.limit(1), "o_orderkey", batchKey = Some("mor-b1"))
+    t.upsertDeferred(orders.limit(1), "o_orderkey", batchKey = Some("mor-b1"))
+    assert(t.log.versions().size == n + 1)
+  }
+
+  test("COW upsert on a table with pending deltas resolves them first") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor2-").resolve("t"), "t")
+    t.overwriteBucketed(orders.filter(col("o_orderkey") < 1000), "o_orderkey", 4)
+    t.upsertDeferred(orders.filter(col("o_orderkey") === 3)
+      .withColumn("o_orderpriority", lit("DELTA")), "o_orderkey")
+    // bucketed fast path must not run while deltas pend — full path resolves
+    t.upsert(orders.filter(col("o_orderkey") === 5)
+      .withColumn("o_orderpriority", lit("COW")), "o_orderkey")
+    val got = t.read().filter(col("o_orderkey").isin(3L, 5L))
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "DELTA", 5L -> "COW"))
+    assert(t.log.latest().get.deltaDirs.isEmpty, "COW merge resolves the chain")
+  }
+}
