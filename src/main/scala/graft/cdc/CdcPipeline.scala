@@ -32,6 +32,12 @@ object CdcPipeline {
    * Start the stream: JSON-lines envelope files in `inputDir` → decode →
    * flatten → dedup → idempotent keyed merge into `table`.
    */
+  /**
+   * @param mergeOnRead false = copy-on-write merge per batch (bucketed
+   *                    partial rewrite); true = deferred delta append
+   *                    (O(batch) ingest) with a compaction every
+   *                    `compactEvery` accumulated deltas
+   */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -40,7 +46,9 @@ object CdcPipeline {
       key: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      mergeOnRead: Boolean = false,
+      compactEvery: Int = 16): StreamingQuery = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
@@ -50,8 +58,14 @@ object CdcPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { // ST8: skip empty micro-batches
           val b = Envelope.transformBatch(batch, rowSchema, key).drop("ts_ms")
-          table.upsert(b, key, opCol = Some("op"),
-            batchKey = Some(s"cdc-$batchId"))
+          if (mergeOnRead) {
+            val snap = table.upsertDeferred(b, key, opCol = Some("op"),
+              batchKey = Some(s"cdc-$batchId"))
+            if (snap.deltaDirs.size >= compactEvery) table.compact()
+          } else {
+            table.upsert(b, key, opCol = Some("op"),
+              batchKey = Some(s"cdc-$batchId"))
+          }
           ()
         }
       }

@@ -73,6 +73,34 @@ class CdcSpec extends AnyFunSuite {
     assert(t.log.versions().size == nCommits)
   }
 
+  test("merge-on-read streaming mode: delta appends per batch + threshold compaction") {
+    val in = TestSpark.tmpDir("cdcm-in-")
+    val ckpt = TestSpark.tmpDir("cdcm-ckpt-").toString
+    val wh = TestSpark.tmpDir("cdcm-wh-")
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val t = cat.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType))))
+    Files.write(in.resolve("f1.json"),
+      (1 to 5).map(i => wrapped(i, s"n$i", i * 1.0, "c", i)).mkString("\n").getBytes)
+    Files.write(in.resolve("f2.json"), Seq(
+      wrapped(2, "n2x", 20.0, "u", 100),
+      wrapped(3, "n3", 3.0, "d", 101, beforeOnly = true)).mkString("\n").getBytes)
+
+    val q = CdcPipeline.start(spark, in.toString, row, t, "id", ckpt,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      mergeOnRead = true, compactEvery = 2)
+    q.awaitTermination()
+
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "n1", 1.0), (2L, "n2x", 20.0), (4L, "n4", 4.0), (5L, "n5", 5.0)))
+    // second batch hit the threshold → chain folded
+    assert(t.log.latest().get.deltaDirs.isEmpty)
+    assert(t.log.latest().get.operation == "compact")
+  }
+
   test("flat (unwrapped) envelopes auto-detect (ST9)") {
     import spark.implicits._
     val raw = Seq(flat(1, "a", 1.5, "c", 1), flat(1, "b", 2.5, "u", 2)).toDF("value")
