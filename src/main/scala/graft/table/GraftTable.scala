@@ -477,7 +477,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * 1/numBuckets scan (plus parquet footer min/max skipping within it).
    */
   def lookupKey(value: Any): DataFrame = bucketSpec match {
-    case Some((bk, n)) =>
+    // Bucket pruning reads raw bucket dirs — only valid when no MOR deltas
+    // pend (a delta could hold a newer image or tombstone for this key).
+    case Some((bk, n)) if !log.latest().exists(_.deltaDirs.nonEmpty) =>
       val head = log.latest().get
       val st = schema
       val b = spark.range(1)
@@ -487,8 +489,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       if (dirs.isEmpty) emptyDF(st)
       else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
         .filter(col(bk) === lit(value))
-    case None =>
-      val bk = graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq)
+    case spec =>
+      val bk = spec.map(_._1)
+        .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
       read().filter(col(bk) === lit(value))
   }
 

@@ -64,4 +64,13 @@ class MorSpec extends AnyFunSuite {
     assert(got == Map(3L -> "DELTA", 5L -> "COW"))
     assert(t.log.latest().get.deltaDirs.isEmpty, "COW merge resolves the chain")
   }
+
+  test("lookupKey sees pending deltas (no stale bucket shortcut)") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor3-").resolve("t"), "t")
+    t.overwriteBucketed(orders.filter(col("o_orderkey") < 1000), "o_orderkey", 4)
+    t.upsertDeferred(orders.filter(col("o_orderkey") === 7)
+      .withColumn("o_orderpriority", lit("NEW")), "o_orderkey")
+    val hit = t.lookupKey(7L).select("o_orderpriority").collect()
+    assert(hit.length == 1 && hit(0).getString(0) == "NEW")
+  }
 }
