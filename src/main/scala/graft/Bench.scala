@@ -42,15 +42,16 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Single-line, JSON-safe error text (multi-line Spark messages would
+    // break the one-JSON-line output contract).
+    def errText(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString.take(200)
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
-      }
+      catch { case e: Throwable => errors(name) = errText(e) }
       name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
 
@@ -70,7 +71,7 @@ object Bench {
         val t0 = System.nanoTime()
         t.upsert(batch, "li_id")
         nBatch / ((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable => errors("merge_throughput") = e.toString.take(200); -1.0 }
+      } catch { case e: Throwable => errors("merge_throughput") = errText(e); -1.0 }
 
     // Merge-on-read ingest throughput: the same 100k batch as a DELTA
     // append (no base rewrite) — the fast-ingest path's headline number.
@@ -87,7 +88,7 @@ object Bench {
         val t0 = System.nanoTime()
         t.upsertDeferred(batch, "li_id")
         nBatch / ((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable => errors("mor_throughput") = e.toString.take(200); -1.0 }
+      } catch { case e: Throwable => errors("mor_throughput") = errText(e); -1.0 }
 
     // End-to-end CDC streaming throughput: envelope JSON files → decode →
     // flatten → dedup → idempotent merge commits, via the real pipeline
@@ -124,12 +125,20 @@ object Bench {
           maxFilesPerTrigger = 8)
         q.awaitTermination()
         nEvents / ((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable => errors("cdc_throughput") = e.toString.take(200); -1.0 }
+      } catch { case e: Throwable => errors("cdc_throughput") = errText(e); -1.0 }
 
-    def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "-1" else f"$d%.3f"
+    def jnum(d: Double): String =
+      if (d.isNaN || d.isInfinite) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
-      s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"")}\""
+      val esc = v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => ""
+        case c => c.toString
+      }
+      s"\"$k\":\"$esc\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")

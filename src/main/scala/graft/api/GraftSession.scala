@@ -66,13 +66,15 @@ final class GraftSession(val catalog: GraftCatalog) {
       limit: Int = 100): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = catalog.table(table).read()
-    val projected =
-      if (columns == Seq("*")) base else base.select(columns.map(col): _*)
+    // Filter BEFORE projecting — the filter column need not be projected
+    // (and the predicate then sits directly on the scan for pushdown).
     val filtered = filter match {
-      case Some((c, v)) => projected.filter(col(c) === v)
-      case None => projected
+      case Some((c, v)) => base.filter(col(c) === v)
+      case None => base
     }
-    filtered.limit(limit)
+    val projected =
+      if (columns == Seq("*")) filtered else filtered.select(columns.map(col): _*)
+    projected.limit(limit)
   }
 
   /**

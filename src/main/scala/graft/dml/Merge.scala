@@ -104,9 +104,12 @@ object Merge {
     // Size-gated broadcast: an unconditional hint would OOM on a backfill
     // batch that replays the whole history. The caller passes a row count it
     // already knows (bucketed merges count while bucketing) so the common
-    // path costs no extra job; otherwise one cheap pass over the updates.
-    val smallEnough = updatesRowsHint.getOrElse(keys.count()) <= maxBroadcastKeys
-    val keysSide = if (broadcastUpdates && smallEnough) broadcast(keys) else keys
+    // path costs no extra job; otherwise one cheap pass over the updates —
+    // and no count at all when broadcasting is off.
+    val keysSide =
+      if (broadcastUpdates && updatesRowsHint.getOrElse(keys.count()) <= maxBroadcastKeys)
+        broadcast(keys)
+      else keys
     val kept = alignTo(target, deduped).join(keysSide, Seq(key), "left_anti")
     kept.unionByName(upserts)
   }

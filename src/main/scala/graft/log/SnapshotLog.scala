@@ -60,7 +60,8 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
  * (`cdc_merger_optimized.py:108,200`): at most `retainVersions` manifests are
  * kept; older ones are deleted after a successful commit.
  */
-final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
+final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
+    gcGraceMs: Long = 60L * 60 * 1000) {
   private implicit val fmts: Formats = DefaultFormats
 
   private val logDir: Path = tableRoot.resolve("_log")
@@ -214,12 +215,19 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100) {
    * ones (a later partial rewrite may still reference some leaves of an
    * otherwise-superseded commit dir).
    */
+  // gcGraceMs: dirs younger than this are never GC'd — an in-flight writer
+  // writes its data dir BEFORE committing the manifest that references it,
+  // so a freshly written dir is unreferenced-but-live. The default hour
+  // dwarfs any write-to-commit window while bounding orphan lifetime.
+
   def gcOrphanDataDirs(): Unit = {
     val referenced: Set[String] =
       snapshots().flatMap(s => s.dataDirs ++ s.deltaDirs).toSet
     val dataRoot = tableRoot.resolve("data")
     if (!Files.isDirectory(dataRoot)) return
+    val cutoff = System.currentTimeMillis() - gcGraceMs
     val tops = Using.resource(Files.list(dataRoot))(_.iterator().asScala.toSeq)
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
     tops.foreach { top =>
       val topRel = s"data/${top.getFileName}"
       if (!referenced.contains(topRel)) {

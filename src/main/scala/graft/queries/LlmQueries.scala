@@ -25,10 +25,15 @@ object LlmQueries {
   }
 
   // Shared DuckDB CTE: exact word-3-gram shingle-Jaccard pairs >= 0.5.
+  // Sub-3-token documents contribute their whole text as one shingle,
+  // matching Dedup.wordShingles (the corpus has none today, but the oracle
+  // must not silently diverge if one appears).
   private val jaccardCte =
-    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
-      |        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2])) AS sh
+    """WITH tok AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ts FROM documents),
+      |g AS (SELECT doc_id, unnest(
+      |        CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
+      |             ELSE list_transform(range(1, len(ts) - 1),
+      |        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]) END) AS sh
       |      FROM tok),
       |dt AS (SELECT DISTINCT doc_id, sh FROM g),
       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),

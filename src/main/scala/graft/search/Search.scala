@@ -78,7 +78,10 @@ object Search {
     require(terms.nonEmpty, "empty query")
     val candidates = terms.map(t => index.filter(col("token") === t).select("id"))
       .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
-    val hits = df.join(broadcast(candidates.withColumnRenamed("id", idCol)), Seq(idCol))
+    // No explicit broadcast hint: a query of common terms can intersect to
+    // millions of ids, and forcing them through the driver would OOM — AQE
+    // broadcasts at runtime when the candidate set turns out small.
+    val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
     hits
       .withColumn("score",
         when(lower(col(textCol)).contains(query.toLowerCase), 10.0).otherwise(1.0))

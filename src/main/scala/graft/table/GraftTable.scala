@@ -40,9 +40,10 @@ import graft.log.{Snapshot, SnapshotLog}
  *                        streams without an external maintenance job
  */
 final class GraftTable(val spark: SparkSession, val root: Path, val name: String,
-    retainVersions: Int = 100, autoCompactAfter: Int = 0) {
+    retainVersions: Int = 100, autoCompactAfter: Int = 0,
+    gcGraceMs: Long = 60L * 60 * 1000) {
 
-  val log = new SnapshotLog(root, retainVersions)
+  val log = new SnapshotLog(root, retainVersions, gcGraceMs)
 
   def schema: StructType =
     log.latest().map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
@@ -102,13 +103,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   /**
    * Snapshot-cutoff time travel (P6, the Hudi `_hoodie_commit_time <= ts`
    * shape of `lake_shell.py:268`): newest snapshot committed at or before
-   * `ts` (ISO-8601 UTC instant). Comparison is lexicographic on the ISO
-   * string, which is chronologically correct for equal-precision instants.
+   * `ts` (ISO-8601 UTC instant). Instants are PARSED before comparing —
+   * `Instant.toString` emits variable fractional-second precision, so
+   * lexicographic order can disagree with chronological order.
    */
-  def readAsOfTimestamp(ts: String): DataFrame =
-    log.snapshots().filter(_.committedAt <= ts)
+  def readAsOfTimestamp(ts: String): DataFrame = {
+    val cutoff = java.time.Instant.parse(ts)
+    log.snapshots()
+      .filter(s => !java.time.Instant.parse(s.committedAt).isAfter(cutoff))
       .maxByOption(_.snapshotId).map(readResolved)
       .getOrElse(emptyDF(schema))
+  }
 
   private def readSnapshot(s: Snapshot): DataFrame = {
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
@@ -324,17 +329,24 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       val spec = bucketSpec.map { case (bk, n) =>
         Map("bucket_key" -> bk, "bucket_count" -> n.toString)
       }.getOrElse(Map.empty)
-      // Pending MOR deltas (and their key) ride along untouched — an append
-      // must not silently drop an unresolved delta chain.
-      val morCarry = head.filter(_.deltaDirs.nonEmpty)
-        .map(h => (h.deltaDirs, Map("mor_key" -> h.summary("mor_key"),
-          "pending_deltas" -> h.deltaDirs.size.toString)))
-        .getOrElse((Seq.empty[String], Map.empty[String, String]))
+      // With MOR deltas pending, the appended dir joins the DELTA chain
+      // (sequenced after the pending batches) instead of the base: a row
+      // appended after an earlier delta for the same key must win the
+      // read-time resolution, and base rows all sit at sequence 0.
+      val pendingDeltas = head.map(_.deltaDirs).getOrElse(Seq.empty)
+      val (commitDataDirs, commitDeltaDirs, morSummary) =
+        if (pendingDeltas.nonEmpty)
+          (head.map(_.dataDirs).getOrElse(Seq.empty),
+            pendingDeltas ++ newDirs.map(_._1),
+            Map("mor_key" -> head.get.summary("mor_key"),
+              "pending_deltas" -> (pendingDeltas.size + newDirs.size).toString))
+        else (dirs, Seq.empty[String], Map.empty[String, String])
       try {
-        val snap = log.commitExpecting(head.map(_.snapshotId), "append", schemaJson, dirs,
+        val snap = log.commitExpecting(head.map(_.snapshotId), "append", schemaJson,
+          commitDataDirs,
           Map("records" -> (prior + appended).toString,
-            "appended" -> appended.toString) ++ spec ++ morCarry._2,
-          batchKey, dirRecs, morCarry._1)
+            "appended" -> appended.toString) ++ spec ++ morSummary,
+          batchKey, dirRecs, commitDeltaDirs)
         return {
           if (autoCompactAfter > 0 && snap.dataDirs.size > autoCompactAfter) compact()
           else snap
@@ -359,7 +371,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       broadcastUpdates: Boolean = true,
       batchKey: Option[String] = None): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
-    val pendingDeltas = log.latest().exists(_.deltaDirs.nonEmpty)
+    val head = log.latest()
+    val pendingDeltas = head.exists(_.deltaDirs.nonEmpty)
     bucketSpec match {
       // Bucketed partial rewrite reads raw bucket dirs — only valid when no
       // MOR deltas are pending (those need read-time resolution first).
@@ -368,9 +381,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           (t, u, hint) => Merge.merge(t, u, key, precombine, opCol, broadcastUpdates, hint),
           batchKey)
       case _ =>
+        val target = head.map(readResolved).getOrElse(emptyDF(new StructType()))
         commitRewrite(
-          Merge.merge(read(), updates, key, precombine, opCol, broadcastUpdates),
-          "upsert", batchKey)
+          Merge.merge(target, updates, key, precombine, opCol, broadcastUpdates),
+          "upsert", batchKey, head.map(_.snapshotId))
     }
   }
 
@@ -435,22 +449,30 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /** Delete rows whose key matches any key in `keys` (keys-only DF sink, `delete_hudi.py`). */
-  def deleteKeys(keys: DataFrame, key: String): Snapshot =
+  def deleteKeys(keys: DataFrame, key: String): Snapshot = {
+    val head = log.latest()
     bucketSpec match {
-      case Some((bk, n)) if bk == key && !log.latest().exists(_.deltaDirs.nonEmpty) =>
+      case Some((bk, n)) if bk == key && !head.exists(_.deltaDirs.nonEmpty) =>
         commitBucketedMerge(keys, key, n, "delete",
           (t, k, _) => Merge.deleteKeys(t, k, key), batchKey = None)
       case _ =>
-        commitRewrite(Merge.deleteKeys(read(), keys, key), "delete")
+        val target = head.map(readResolved).getOrElse(emptyDF(new StructType()))
+        commitRewrite(Merge.deleteKeys(target, keys, key), "delete",
+          batchKey = None, parent = head.map(_.snapshotId))
     }
+  }
 
   /**
    * `DELETE FROM t WHERE cond` (`api_poc.py:803-826`). SQL three-valued
    * logic: only rows where the predicate is TRUE are deleted — rows where it
    * evaluates NULL are kept (plain `filter(!cond)` would silently drop them).
    */
-  def deleteWhere(cond: Column): Snapshot =
-    commitRewrite(read().filter(!coalesce(cond, lit(false))), "delete")
+  def deleteWhere(cond: Column): Snapshot = {
+    val head = log.latest()
+    val base = head.map(readResolved).getOrElse(emptyDF(new StructType()))
+    commitRewrite(base.filter(!coalesce(cond, lit(false))), "delete",
+      batchKey = None, parent = head.map(_.snapshotId))
+  }
 
   /**
    * Single-row INSERT from raw form strings (`api_poc.py:763-801`): each
@@ -497,26 +519,30 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
 
   /** `UPDATE t SET c = v WHERE cond` (`api_poc.py:728-761`), copy-on-write. */
   def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {
-    val cur = read()
+    val head = log.latest()
+    val cur = head.map(readResolved).getOrElse(emptyDF(new StructType()))
     val updated = cur.select(cur.columns.toSeq.map { c =>
       set.get(c) match {
         case Some(v) => when(cond, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
         case None => col(c)
       }
     }: _*)
-    commitRewrite(updated, "update")
+    commitRewrite(updated, "update", batchKey = None, parent = head.map(_.snapshotId))
   }
 
   /**
    * Full-table copy-on-write commit. Arbitrary-predicate DML
    * (deleteWhere/updateWhere) lands here even on bucketed tables — the
    * predicate can touch any bucket — but the bucket layout is preserved so
-   * later keyed DML stays partial. The rewritten content was derived from
-   * the head (via read()), so the commit is compare-and-swap: a concurrent
-   * commit fails this one rather than being silently overwritten.
+   * later keyed DML stays partial. The rewritten content was derived from a
+   * head snapshot, so the commit is compare-and-swap against THAT head
+   * (`parent` must be the snapshot the caller derived `df` from — capturing
+   * it here instead would let a commit landing between derivation and
+   * commit be silently lost): a concurrent commit fails this one rather
+   * than being overwritten.
    */
-  private def commitRewrite(df: DataFrame, operation: String, batchKey: Option[String] = None): Snapshot = {
-    val parent = log.latest().map(_.snapshotId)
+  private def commitRewrite(df: DataFrame, operation: String,
+      batchKey: Option[String], parent: Option[Long]): Snapshot = {
     bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
@@ -542,8 +568,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * when their manifests expire.
    */
   def compact(): Snapshot = {
-    require(log.latest().isDefined, s"table $name has no snapshots")
-    commitRewrite(read(), "compact")
+    val head = log.latest()
+    require(head.isDefined, s"table $name has no snapshots")
+    commitRewrite(readResolved(head.get), "compact", batchKey = None,
+      parent = head.map(_.snapshotId))
   }
 
   // ----------------------------------------------------------------- diff

@@ -82,7 +82,7 @@ class BucketSpec extends AnyFunSuite {
 
   test("expired snapshots' orphaned data dirs are GC'd; live dirs survive") {
     val root = TestSpark.tmpDir("gc-").resolve("t")
-    val t = new GraftTable(spark, root, "t", retainVersions = 1)
+    val t = new GraftTable(spark, root, "t", retainVersions = 1, gcGraceMs = 0L)
     t.overwrite(orders.filter(col("o_orderkey") < 100))
     val v1Dirs = t.log.latest().get.dataDirs
     t.overwrite(orders.filter(col("o_orderkey") < 200))

@@ -65,6 +65,19 @@ class MorSpec extends AnyFunSuite {
     assert(t.log.latest().get.deltaDirs.isEmpty, "COW merge resolves the chain")
   }
 
+  test("a row appended AFTER a delta wins resolution (commit order respected)") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor4-").resolve("t"), "t")
+    t.overwrite(Seq((1L, "base")).toDF("id", "v"))
+    t.upsertDeferred(Seq((1L, "delta")).toDF("id", "v"), "id")
+    t.append(Seq((1L, "appended")).toDF("id", "v"))
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "appended")),
+      s"append after delta must shadow the older delta, got $got")
+    // and the appended dir joined the delta chain, not the base
+    assert(t.log.latest().get.deltaDirs.size == 2)
+  }
+
   test("lookupKey sees pending deltas (no stale bucket shortcut)") {
     val t = new GraftTable(spark, TestSpark.tmpDir("mor3-").resolve("t"), "t")
     t.overwriteBucketed(orders.filter(col("o_orderkey") < 1000), "o_orderkey", 4)
