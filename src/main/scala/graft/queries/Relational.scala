@@ -103,7 +103,13 @@ object Relational {
 
     "q11_event_type_stats" -> ((s, d) =>
       events(s, d).groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))),
+
+    // Anti join (the J4 shape as a query): customers with no orders.
+    "q12_anti_join" -> ((s, d) =>
+      tbl(s, d, "customer").join(
+        tbl(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -149,5 +155,7 @@ object Relational {
     "q11_event_type_stats" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q12_anti_join" ->
+      "SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")
 }
