@@ -37,6 +37,16 @@ object SearchQueries {
       Search.searchViaIndex(docs, idx, "doc_id", "text", "merge batch", size = 50)
     }),
 
+    // S11 as a SINK: persisted token-bucketed index; term lookups prune to
+    // one bucket each, then the same intersection + fetch + rank.
+    "s_persisted_index" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-idx-"))
+      val idx = Search.persistIndex(cat, "doc_index", docs, "doc_id", "text")
+      Search.searchPersistedIndex(docs, idx, "doc_id", "text", "merge batch", size = 50)
+    }),
+
     // S11/F12: inverted-index build + per-token document frequency.
     "s_token_index" -> ((s, d) =>
       Search.docFreq(Search.buildIndex(tbl(s, d, "documents"), "doc_id", "text"))))
@@ -59,6 +69,14 @@ object SearchQueries {
         |    AND list_contains(string_split(lower(text), ' '), 'batch')
         |  ORDER BY score DESC, doc_id LIMIT 50)
         |SELECT d.*, h.score FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
+    "s_persisted_index" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score
+        |  FROM documents
+        |  WHERE list_contains(string_split(lower(text), ' '), 'merge')
+        |    AND list_contains(string_split(lower(text), ' '), 'batch'))
+        |SELECT * FROM m ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "s_index_search" ->
       """WITH hits AS (
         |  SELECT doc_id,

@@ -38,6 +38,51 @@ object Search {
     index.groupBy("token").agg(count(lit(1)).as("n_docs"))
 
   /**
+   * Persist the inverted index as a token-BUCKETED catalog table (the
+   * durable analog of `sync_to_es.py`'s bulk index): each term lookup then
+   * prunes to one bucket dir via [[graft.table.GraftTable.lookupKey]] —
+   * at 100 TB a posting fetch reads 1/numBuckets of the index, not all of
+   * it. Rebuilt wholesale on refresh, like the reference's sync.
+   */
+  def persistIndex(
+      catalog: graft.catalog.GraftCatalog,
+      indexName: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 64): graft.table.GraftTable = {
+    val t = new graft.table.GraftTable(catalog.spark,
+      catalog.warehouse.resolve(indexName), indexName)
+    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(indexName))
+    t.overwriteBucketed(buildIndex(docs, idCol, textCol), "token", numBuckets)
+    t
+  }
+
+  /**
+   * AND-match against a PERSISTED index: every term's postings come from a
+   * bucket-pruned point lookup; the intersection + fetch + rank is the same
+   * as [[searchViaIndex]].
+   */
+  def searchPersistedIndex(
+      df: DataFrame,
+      index: graft.table.GraftTable,
+      idCol: String,
+      textCol: String,
+      query: String,
+      size: Int = 50): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty query")
+    val candidates = terms.map(t => index.lookupKey(t).select("id"))
+      .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
+    val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
+    hits
+      .withColumn("score",
+        when(lower(col(textCol)).contains(query.toLowerCase), 10.0).otherwise(1.0))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(size)
+  }
+
+  /**
    * Index-tier search: docs containing ALL query terms (AND-match),
    * scored 1.0 base + 9.0 phrase boost (total 10.0 on exact-phrase hit,
    * matching the reference's phrase boost of 10), top `size` by
