@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
  *  - envelope schema `{payload: {before, after, op, ts_ms}}` (`:35-52,67-73`)
  *  - wrapped-vs-flat auto-detect by probing one row (`:129-135`)
  *  - after/before flattening (`:137-152`)
- *  - null-safe key (and every column) coalesce `after.c ?? before.c`
- *    (`:154-157` — delete events carry only the before image)
+ *  - null-safe KEY coalesce `after.id ?? before.id` (`:154-157` — delete
+ *    events carry only the before image, and only the key matters for a
+ *    delete). Data columns come from the after image ALONE: an update whose
+ *    after image legitimately sets a column to NULL must land as NULL, not
+ *    silently resurrect the before value.
  *  - in-batch latest-per-key dedup by event timestamp (`:160-161`)
  */
 object Envelope {
@@ -55,15 +58,21 @@ object Envelope {
   }
 
   /**
-   * Flatten images into row columns: every column is `coalesce(after.c,
-   * before.c)` so delete events (after = null) still carry their key and
-   * last-known values; `op` and `ts_ms` ride along.
+   * Flatten images into row columns. Only the KEY is `coalesce(after.k,
+   * before.k)` — delete events (after = null) carry their key from the
+   * before image, and the downstream merge deletes by key alone. Every
+   * other column is taken from the after image as-is, so an update event
+   * whose after image NULLs a column lands as NULL (reference
+   * `cdc_merger_optimized.py:154-157` coalesces only the id). `op` and
+   * `ts_ms` ride along.
    */
-  def flatten(decoded: DataFrame, row: StructType): DataFrame =
+  def flatten(decoded: DataFrame, row: StructType, key: String): DataFrame =
     decoded.select(
-      row.fields.toSeq.map(f =>
-        coalesce(col(s"after.${f.name}"), col(s"before.${f.name}")).as(f.name)) ++
-        Seq(col("op"), col("ts_ms")): _*)
+      row.fields.toSeq.map { f =>
+        if (f.name == key)
+          coalesce(col(s"after.${f.name}"), col(s"before.${f.name}")).as(f.name)
+        else col(s"after.${f.name}").as(f.name)
+      } ++ Seq(col("op"), col("ts_ms")): _*)
 
   /** In-batch dedup: latest image per key by ts_ms (key tiebreak on op for determinism). */
   def dedupe(flat: DataFrame, key: String): DataFrame =
@@ -72,5 +81,5 @@ object Envelope {
   /** decode → flatten → dedup: the full batch transform. */
   def transformBatch(raw: DataFrame, row: StructType, key: String,
       valueCol: String = "value"): DataFrame =
-    dedupe(flatten(decode(raw, row, valueCol), row), key)
+    dedupe(flatten(decode(raw, row, valueCol), row, key), key)
 }

@@ -15,12 +15,11 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Whitespace-tokenize after lowercasing — matches the search tokenizer. */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Canonical whitespace tokenizer — see [[graft.functions.Tokenize]]. */
+  def tokens(text: Column): Column = graft.functions.Tokenize.tokens(text)
 
   /** Canonical text normalization for exact dedup: lower, trim, collapse runs of whitespace. */
-  def normalize(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+  def normalize(text: Column): Column = graft.functions.Tokenize.normalize(text)
 
   /**
    * Exact-duplicate groups: rows sharing normalized text, keyed by the

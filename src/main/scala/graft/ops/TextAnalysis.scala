@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Canonical whitespace tokenizer — see [[graft.functions.Tokenize]]. */
+  def tokens(text: Column): Column = graft.functions.Tokenize.tokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -29,17 +29,43 @@ object CdcQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The current row as a Debezium image struct (ts as epoch micros). */
+  private def img = struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+    col("user_id"), col("event_type"), col("value"), col("props"))
+
+  private val nul = lit(null).cast(rowSchema)
+
+  /** Wrap before/after images into a JSON Debezium envelope line. */
+  private def env(before: org.apache.spark.sql.Column, after: org.apache.spark.sql.Column,
+      op: String, tsOff: Int) =
+    to_json(struct(struct(before.as("before"), after.as("after"),
+      lit(op).as("op"), (col("event_id") * 10 + tsOff).as("ts_ms")).as("payload")))
+      .as("value")
+
+  /** Target-table schema shared by the CDC gate entries. */
+  private val targetSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** decode → flatten → dedup → merge `raw` envelope lines into a fresh table. */
+  private def mergeEnvelopes(s: org.apache.spark.sql.SparkSession,
+      raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val batch = Envelope.transformBatch(raw, rowSchema, "event_id")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"), col("op"))
+    val cat = new graft.catalog.GraftCatalog(s, Files.createTempDirectory("graft-cdc-"))
+    val target = cat.createTable("cdc_events", targetSchema)
+    target.upsert(batch, "event_id", opCol = Some("op"))
+    target.read()
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "c_cdc_batch" -> ((s, d) => {
       val ev = events(s, d)
-      val img = struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
-      val nul = lit(null).cast(rowSchema)
-      def env(before: org.apache.spark.sql.Column, after: org.apache.spark.sql.Column,
-          op: String, tsOff: Int) =
-        to_json(struct(struct(before.as("before"), after.as("after"),
-          lit(op).as("op"), (col("event_id") * 10 + tsOff).as("ts_ms")).as("payload")))
-          .as("value")
       val inserts = ev.select(env(nul, img, "c", 0))
       val updates = ev.filter(col("event_id") % 2 === 0)
         .withColumn("value", col("value") + 10)
@@ -52,27 +78,31 @@ object CdcQueries {
       val rawDir = Files.createTempDirectory("graft-cdc-raw-").resolve("events")
       inserts.unionAll(updates).unionAll(deletes)
         .write.mode("overwrite").text(rawDir.toString)
-      val raw = s.read.text(rawDir.toString)
+      mergeEnvelopes(s, s.read.text(rawDir.toString))
+    }),
 
-      val batch = Envelope.transformBatch(raw, rowSchema, "event_id")
-        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"), col("op"))
-
-      val cat = new graft.catalog.GraftCatalog(s, Files.createTempDirectory("graft-cdc-"))
-      val target = cat.createTable("cdc_events", StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("ts", TimestampType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType),
-        StructField("props", StringType))))
-      target.upsert(batch, "event_id", opCol = Some("op"))
-      target.read()
+    // An update whose after image legitimately NULLs a column must land as
+    // NULL, not resurrect the insert's value (only the KEY is before/after
+    // coalesced — reference `cdc_merger_optimized.py:154-157`). Inserts carry
+    // full images; the update for even ids sets props = NULL and bumps value.
+    "c_cdc_null_update" -> ((s, d) => {
+      val ev = events(s, d).filter(col("event_id") % 5 === 0)
+      val inserts = ev.select(env(nul, img, "c", 0))
+      val updates = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + 10)
+        .withColumn("props", lit(null).cast(StringType))
+        .select(env(nul, img, "u", 1))
+      mergeEnvelopes(s, inserts.unionAll(updates))
     }))
 
   val oracles: Map[String, String] = Map(
     "c_cdc_batch" ->
       """SELECT event_id, ts, user_id, event_type,
         |  CASE WHEN event_id % 2 = 0 THEN value + 10 ELSE value END AS value, props
-        |FROM events WHERE event_id % 97 <> 0""".stripMargin)
+        |FROM events WHERE event_id % 97 <> 0""".stripMargin,
+    "c_cdc_null_update" ->
+      """SELECT event_id, ts, user_id, event_type,
+        |  CASE WHEN event_id % 2 = 0 THEN value + 10 ELSE value END AS value,
+        |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
+        |FROM events WHERE event_id % 5 = 0""".stripMargin)
 }

@@ -29,7 +29,7 @@ object LlmQueries {
   // matching Dedup.wordShingles (the corpus has none today, but the oracle
   // must not silently diverge if one appears).
   private val jaccardCte =
-    """WITH tok AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ts FROM documents),
+    """WITH tok AS (SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
       |g AS (SELECT doc_id, unnest(
       |        CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
       |             ELSE list_transform(range(1, len(ts) - 1),
@@ -180,31 +180,31 @@ object LlmQueries {
         |  FROM s) WHERE rank <= 5""".stripMargin,
     "x_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens
+        |  CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang""".stripMargin,
     "x_quality" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
-        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t))) AS DOUBLE)
-        |    / greatest(len(string_split(lower(text), ' ')), 1) AS avg_token_len,
+        |  CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> length(t))) AS DOUBLE)
+        |    / greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1) AS avg_token_len,
         |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
         |    / greatest(length(text), 1) AS punct_ratio,
-        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |  CAST(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
         |        t -> t IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE)
-        |    / greatest(len(string_split(lower(text), ' ')), 1) AS stopword_ratio,
-        |  (length(text) >= 20 AND len(string_split(lower(text), ' ')) >= 5
+        |    / greatest(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1) AS stopword_ratio,
+        |  (length(text) >= 20 AND len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 5
         |    AND CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
         |        / greatest(length(text), 1) < 0.2) AS passes_quality
         |FROM documents""".stripMargin,
     "x_langid" ->
       """WITH scored AS (
         |  SELECT lang,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que','y','en','un','es'))) AS h_es,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','les','et','de','un','est','que'))) AS h_fr,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('的','是','了','在','我','有','和','不'))) AS h_zh
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t IN ('the','a','of','and','to','in','is','that'))) AS h_en,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t IN ('el','la','de','que','y','en','un','es'))) AS h_es,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t IN ('le','la','les','et','de','un','est','que'))) AS h_fr,
+        |    len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), t -> t IN ('的','是','了','在','我','有','和','不'))) AS h_zh
         |  FROM documents),
         |pred AS (
         |  SELECT lang,
@@ -218,7 +218,7 @@ object LlmQueries {
         |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin,
     "x_bpe_tokens" ->
       """SELECT source,
-        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS ws_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY source""".stripMargin,
     "m_media_meta" ->

@@ -105,10 +105,14 @@ object Relational {
       events(s, d).groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))),
 
-    // Anti join (the J4 shape as a query): customers with no orders.
+    // Anti join (the J4 shape as a query): customers with no high-value
+    // orders. The filter keeps the result non-vacuous (every customer has
+    // SOME order in the corpus, so an unfiltered anti join returns 0 rows
+    // and proves nothing).
     "q12_anti_join" -> ((s, d) =>
       tbl(s, d, "customer").join(
-        tbl(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+        tbl(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")))
 
   val oracles: Map[String, String] = Map(
@@ -157,5 +161,5 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q12_anti_join" ->
-      "SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)")
+      "SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)")
 }

@@ -65,8 +65,8 @@ object SearchQueries {
         |  SELECT doc_id,
         |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score
         |  FROM documents
-        |  WHERE list_contains(string_split(lower(text), ' '), 'merge')
-        |    AND list_contains(string_split(lower(text), ' '), 'batch')
+        |  WHERE list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'merge')
+        |    AND list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'batch')
         |  ORDER BY score DESC, doc_id LIMIT 50)
         |SELECT d.*, h.score FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
     "s_persisted_index" ->
@@ -74,20 +74,20 @@ object SearchQueries {
         |  SELECT doc_id, text, lang, source, n_chars,
         |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score
         |  FROM documents
-        |  WHERE list_contains(string_split(lower(text), ' '), 'merge')
-        |    AND list_contains(string_split(lower(text), ' '), 'batch'))
+        |  WHERE list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'merge')
+        |    AND list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'batch'))
         |SELECT * FROM m ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "s_index_search" ->
       """WITH hits AS (
         |  SELECT doc_id,
         |    CASE WHEN position('merge batch' IN lower(text)) > 0 THEN 10.0 ELSE 1.0 END AS score
         |  FROM documents
-        |  WHERE list_contains(string_split(lower(text), ' '), 'merge')
-        |    AND list_contains(string_split(lower(text), ' '), 'batch')
+        |  WHERE list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'merge')
+        |    AND list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'batch')
         |  ORDER BY score DESC, doc_id LIMIT 50)
         |SELECT d.*, h.score FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
     "s_token_index" ->
       """SELECT token, count(*) AS n_docs FROM (
-        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  SELECT DISTINCT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
         |  FROM documents) WHERE token <> '' GROUP BY token""".stripMargin)
 }

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
  */
 object Search {
 
-  def tokenize(text: Column): Column = split(lower(text), " ")
+  /** Canonical whitespace tokenizer — see [[graft.functions.Tokenize]]. */
+  def tokenize(text: Column): Column = graft.functions.Tokenize.tokens(text)
 
   /**
    * Inverted-index table: one row per distinct (token, id). `docFreq` adds
