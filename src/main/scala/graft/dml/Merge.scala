@@ -100,7 +100,11 @@ object Merge {
     // anti join stays inside whole-stage codegen.
     val notDelete = opCol.map(c => coalesce(col(c) =!= "d", lit(true))).getOrElse(lit(true))
     val upserts = alignTo(deduped.filter(notDelete).drop(opCol.toSeq: _*), target)
-    val keys = deduped.select(col(key)).dropDuplicates(Seq(key))
+    // The anti join needs only the DISTINCT KEY SET, which precombine dedup
+    // cannot change — build it from the raw updates with a narrow
+    // single-column distinct instead of referencing the (windowed) deduped
+    // plan a second time.
+    val keys = updates.select(col(key)).dropDuplicates(Seq(key))
     // Size-gated broadcast: an unconditional hint would OOM on a backfill
     // batch that replays the whole history. The caller passes a row count it
     // already knows (bucketed merges count while bucketing) so the common

@@ -170,15 +170,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     if (i < 0) None else Some(dir.substring(i + marker.length).toInt)
   }
 
+  private def newDataRel(snapshotId: Long): String =
+    s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
+
   /**
-   * Write `df` hash-bucketed by `key` into one new commit dir with
+   * Write `df` hash-bucketed by `key` into one commit dir with
    * `__bucket=<k>` leaf dirs; returns (leafRelDir → records) in bucket
    * order. The partition column lives only in the directory name — leaf
    * dirs are read directly, so scans never see it.
    */
   private def writeBucketedDir(
-      df: DataFrame, key: String, n: Int, snapshotId: Long): Seq[(String, Long)] = {
-    val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
+      df: DataFrame, key: String, n: Int, rel: String): Seq[(String, Long)] = {
     val abs = root.resolve(rel).toString
     // Repartition on the bucket id before the partitioned write — the
     // analog of the reference's `write.distribution-mode=hash`
@@ -186,21 +188,44 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // file into every bucket dir (tasks × buckets small files per commit);
     // with it each bucket is one task's single file, which is also what
     // keeps later scans and partial merges one-file-per-bucket fast.
-    // Per-bucket record counts piggyback on the write job via observe() —
-    // no read-back scan of what was just written.
-    val obs = org.apache.spark.sql.Observation(s"bucket-write-$snapshotId-${UUID.randomUUID()}")
-    val metrics = (0 until n).map(i =>
-      sum(when(col(BucketCol) === i, 1L).otherwise(0L)).as(s"b$i"))
     df.withColumn(BucketCol, bucketId(key, n))
       .repartition(n, col(BucketCol))
-      .observe(obs, metrics.head, metrics.tail: _*)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
-    val counts = obs.get
-    (0 until n).flatMap { i =>
-      counts.get(s"b$i").collect { case c: Long if c > 0 =>
-        (s"$rel/$BucketCol=$i", c)
+    leafCounts(rel)
+  }
+
+
+  /**
+   * Per-leaf record counts from the parquet FOOTERS of what was just
+   * written: driver-side metadata reads (one listStatus + one footer per
+   * file), no Spark job and no per-row work in the write itself. This
+   * replaced per-row `observe()` metrics (n × `sum(when)` accumulators
+   * evaluated for every written row) — footer row counts are exact, already
+   * materialized by the writer, and cost O(buckets) regardless of data
+   * volume. Leaves that received no rows are never created by the
+   * partitioned write, so presence == non-empty.
+   */
+  private def leafCounts(rel: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(root.resolve(rel).toString)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
+      .sortBy(s => s.getPath.getName.stripPrefix(BucketCol + "=").toInt)
+      .map { leaf =>
+        val rows = fs.listStatus(leaf.getPath).toSeq
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+            finally r.close()
+          }.sum
+        (s"$rel/${leaf.getPath.getName}", rows)
       }
-    }
+      .filter(_._2 > 0)
   }
 
   /**
@@ -212,7 +237,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   def overwriteBucketed(df: DataFrame, key: String, numBuckets: Int): Snapshot = {
     val next = latestVersion + 1
-    val leaves = writeBucketedDir(df, key, numBuckets, next)
+    val leaves = writeBucketedDir(df, key, numBuckets, newDataRel(next))
     val total = leaves.map(_._2).sum
     log.commit("overwrite", df.schema.json, leaves.map(_._1),
       Map("records" -> total.toString,
@@ -220,7 +245,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       dirRecords = leaves.toMap)
   }
 
-  /** Partial-rewrite merge for bucketed tables: only touched buckets move. */
+  /** Partial-rewrite merge for bucketed tables: only touched buckets move.
+   *
+   * One cheap pre-pass over the RAW batch (keys only — dedup cannot change
+   * the key set, so it is skipped here) yields the touched-bucket set and
+   * the batch row count reused as the broadcast-gate hint. An
+   * exchange-free variant (one scan subtree per touched bucket feeding a
+   * partition-aligned write) was measured WORSE: each subtree's generated
+   * code embeds its own file paths, so nothing hits the codegen cache and
+   * every merge pays ~n compilations. One scan + one repartition of the
+   * merged output is the plan that amortizes.
+   */
   private def commitBucketedMerge(
       updates: DataFrame,
       key: String,
@@ -229,10 +264,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       mergeFn: (DataFrame, DataFrame, Option[Long]) => DataFrame,
       batchKey: Option[String]): Snapshot = {
     val head = log.latest().get
-    // One pass over the updates yields both the touched-bucket set and the
-    // batch row count (reused as the broadcast-gate hint downstream).
-    val bucketCounts = updates.select(bucketId(key, n).as("b"))
-      .groupBy("b").count().collect()
+    val bucketCounts = updates.select(bucketId(key, n).as("__b"))
+      .groupBy("__b").count().collect()
     val touched: Set[Int] = bucketCounts.map(_.getInt(0)).toSet
     val updateRows = bucketCounts.map(_.getLong(1)).sum
     val (touchedDirs, untouchedDirs) =
@@ -243,7 +276,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       else spark.read.schema(st).parquet(touchedDirs.map(d => root.resolve(d).toString): _*)
     val merged = mergeFn(target, updates, Some(updateRows))
     val next = latestVersion + 1
-    val newLeaves = writeBucketedDir(merged, key, n, next)
+    val newLeaves = writeBucketedDir(merged, key, n, newDataRel(next))
     val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
     val allDirs = carried ++ newLeaves
     val total = allDirs.map(_._2).sum
@@ -312,7 +345,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           // Bucketed table: appended rows must land in bucket leaf dirs, or
           // they would escape later partial-rewrite merges.
           case Some((bk, n)) if evolved.fieldNames.contains(bk) =>
-            writeBucketedDir(aligned, bk, n, next)
+            writeBucketedDir(aligned, bk, n, newDataRel(next))
           case _ =>
             Seq(writeDataDir(aligned, next))
         }
@@ -454,7 +487,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     bucketSpec match {
       case Some((bk, n)) if bk == key && !head.exists(_.deltaDirs.nonEmpty) =>
         commitBucketedMerge(keys, key, n, "delete",
-          (t, k, _) => Merge.deleteKeys(t, k, key), batchKey = None)
+          (t, k, hint) => Merge.deleteKeys(t, k, key,
+            broadcastKeys = hint.forall(_ <= Merge.maxBroadcastKeys)),
+          batchKey = None)
       case _ =>
         val target = head.map(readResolved).getOrElse(emptyDF(new StructType()))
         commitRewrite(Merge.deleteKeys(target, keys, key), "delete",
@@ -546,7 +581,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
-        val leaves = writeBucketedDir(df, bk, n, next)
+        val leaves = writeBucketedDir(df, bk, n, newDataRel(next))
         val total = leaves.map(_._2).sum
         log.commitExpecting(parent, operation, df.schema.json, leaves.map(_._1),
           Map("records" -> total.toString,
