@@ -40,7 +40,14 @@ case class Snapshot(
     dirRecords: Map[String, Long] = Map.empty,
     // Merge-on-read delta dirs, oldest first: unresolved keyed upsert/delete
     // batches appended by `upsertDeferred`; folded into dataDirs by compact().
-    deltaDirs: Seq[String] = Seq.empty)
+    deltaDirs: Seq[String] = Seq.empty,
+    // Rolling window of the batchKeys of the last `retainVersions` commits
+    // (this commit's included), carried forward so the idempotence check is
+    // ONE manifest read instead of re-reading every retained manifest per
+    // commit — 100 small JSON reads per commit is fine on local disk but
+    // chatty on object storage. The window equals manifest retention, so
+    // the dedupe horizon is unchanged from the scan-them-all behavior.
+    recentBatchKeys: Seq[String] = Seq.empty)
 
 /** A committed write lost the optimistic-concurrency race; the caller must
   * re-derive its commit content against the new head and retry. */
@@ -92,7 +99,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   }
 
   def contains(batchKey: String): Boolean =
-    snapshots().exists(_.batchKey.contains(batchKey))
+    latest().exists(_.recentBatchKeys.contains(batchKey))
 
   private def readManifest(p: Path): Snapshot =
     Serialization.read[Snapshot](new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
@@ -132,7 +139,10 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       summary = summary,
       batchKey = batchKey,
       dirRecords = dirRecords,
-      deltaDirs = deltaDirs)
+      deltaDirs = deltaDirs,
+      recentBatchKeys =
+        (head.map(_.recentBatchKeys).getOrElse(Seq.empty) ++ batchKey)
+          .takeRight(retainVersions))
     val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
     Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
     try {
@@ -182,7 +192,10 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         dataDirs = dataDirs,
         summary = summary,
         batchKey = batchKey,
-        dirRecords = dirRecords)
+        dirRecords = dirRecords,
+        recentBatchKeys =
+          (head.map(_.recentBatchKeys).getOrElse(Seq.empty) ++ batchKey)
+            .takeRight(retainVersions))
       val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
       Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
       try {

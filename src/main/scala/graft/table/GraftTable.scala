@@ -539,9 +539,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     case Some((bk, n)) if !log.latest().exists(_.deltaDirs.nonEmpty) =>
       val head = log.latest().get
       val st = schema
-      val b = spark.range(1)
-        .select(pmod(xxhash64(lit(value).cast(st(bk).dataType)), lit(n)).cast("int"))
-        .head().getInt(0)
+      val b = driverBucketId(value, st(bk).dataType, n)
       val dirs = head.dataDirs.filter(d => bucketOfDir(d).contains(b))
       if (dirs.isEmpty) emptyDF(st)
       else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
@@ -550,6 +548,24 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       val bk = spec.map(_._1)
         .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
       read().filter(col(bk) === lit(value))
+  }
+
+  /**
+   * Bucket id of a literal key, evaluated DRIVER-SIDE with the exact
+   * expression the write path's `xxhash64` column uses (XxHash64, seed 42,
+   * after a cast to the bucket column's type) — a point lookup (and each
+   * term of a persisted-index search) costs zero Spark jobs before the
+   * pruned scan itself. Previously this ran a 1-row `spark.range(1)` job
+   * per call: a whole scheduler round-trip to hash one value.
+   */
+  private def driverBucketId(value: Any, dt: DataType, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val raw = Literal(value)
+    val cast: org.apache.spark.sql.catalyst.expressions.Expression =
+      if (raw.dataType == dt) raw
+      else Cast(raw, dt, Option(spark.sessionState.conf.sessionLocalTimeZone))
+    val h = new XxHash64(Seq(cast)).eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
   }
 
   /** `UPDATE t SET c = v WHERE cond` (`api_poc.py:728-761`), copy-on-write. */

@@ -42,7 +42,19 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed point lookup reads exactly one bucket's files") {
     val t = new GraftTable(spark, TestSpark.tmpDir("plan-").resolve("t"), "t")
     t.overwriteBucketed(spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey", 8)
-    val lk = t.lookupKey(777L)
+    // The bucket id is computed driver-side: building the pruned lookup
+    // plan must launch ZERO Spark jobs (it used to cost a 1-row job per
+    // call — one scheduler round-trip per search term).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val lk =
+      try { val d = t.lookupKey(777L); Thread.sleep(500); d }
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"lookupKey planning must not launch jobs, saw ${jobs.get()}")
     val buckets = lk.inputFiles.flatMap(f =>
       "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
     assert(buckets.size == 1, s"lookup must prune to one bucket, scanned: $buckets")
