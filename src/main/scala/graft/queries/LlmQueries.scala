@@ -12,8 +12,11 @@ import Q._
  *
  * Oracle strategy: everything DuckDB can recompute gets a full hash-checked
  * oracle (including MinHash-LSH — its verified output equals the exact
- * Jaccard answer on this corpus, which DuckDB computes directly); outputs
- * depending on xxhash64 (fingerprints, SimHash values) are rows-only.
+ * Jaccard answer on this corpus, which DuckDB computes directly). The
+ * approximate-NN entries (ANN/IVF/cosine-LSH) are SELF-VERIFYING: they emit
+ * the exact side's counts (hash-checked against DuckDB) plus deterministic
+ * recall/precision gates over the approximation. Only outputs that ARE
+ * hash values (fingerprints, SimHash) stay rows-only.
  */
 object LlmQueries {
 
@@ -43,6 +46,26 @@ object LlmQueries {
       |jacs AS (SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
       |         FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
       |""".stripMargin
+
+  /**
+   * Self-verification shape for approximate-NN entries: one row per query
+   * with the exact top-k size (hash-checked against the DuckDB oracle's own
+   * exact computation) and a boolean recall gate over the approximate
+   * result. Both sides are computed in Spark; the oracle asserts
+   * `recall_ok = true`, so an ANN quality regression fails the gate instead
+   * of hiding behind a rows-only check.
+   */
+  private def recallGate(
+      exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame,
+      minRecall: Double): org.apache.spark.sql.DataFrame = {
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("__n_hit"), lit(0L)) >= col("n_exact") * minRecall).as("recall_ok"))
+  }
 
   val queries: Map[String, QueryFn] = Map(
     // Exact dedup: keep smallest id per normalized text.
@@ -77,28 +100,56 @@ object LlmQueries {
         .select("query_id", "rank", "neighbor_id")
     }),
 
-    // LSH-bucketed approximate NN (approximation → rows-only). 6 planes =
-    // 64 buckets, sized to this corpus; at 100 TB scale nPlanes grows with
-    // log2(corpus/target-bucket-size).
+    // Multi-table LSH approximate NN, SELF-VERIFYING: the exact top-5 is
+    // recomputed in Spark and the output row per query carries its size
+    // (hash-checked against DuckDB's exact computation) plus a recall gate —
+    // the ANN must recover ≥60% of the exact top-5. The LSH is
+    // deterministic (xxhash-derived planes), so a quality regression flips
+    // recall_ok to false and fails the hash compare. Measured recall at
+    // these params (6 planes × 16 tables): 50/50 at sf0.01, 48/50 at sf0.1.
     "e_ann_topk" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nPlanes = 6)
-        .select("query_id", "rank", "neighbor_id")
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.annTopK(emb, q, "vec_id", "embedding",
+        k = 5, nPlanes = 6, tables = 16).select("query_id", "neighbor_id")
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      recallGate(exact, ann, minRecall = 0.6)
     }),
 
-    // Embedding-cosine near-dup: exact baseline (oracled) + banded-LSH scale path.
+    // Embedding-cosine near-dup: exact baseline (oracled) + banded-LSH
+    // scale path. The LSH entry is SELF-VERIFYING: its one-row output
+    // hash-checks the exact pair count against DuckDB and asserts recall
+    // (found/exact ≥ 85%; measured 91% at sf0.01, 95% at sf0.1) and
+    // precision (every LSH pair is exact-verified by construction, so the
+    // spurious count must be 0).
     "e_cos_dup_exact" -> ((s, d) =>
       Similarity.cosineDupPairs(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.42)),
-    "e_cos_dup_lsh" -> ((s, d) =>
-      Similarity.cosineDupPairsLsh(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.42)),
+    "e_cos_dup_lsh" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42)
+      val lsh = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 0.42)
+      val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("__nf")))
+        .crossJoin(spurious.agg(count(lit(1)).as("__ns")))
+        .select(col("n_exact"),
+          (col("__nf") >= col("n_exact") * 0.85).as("recall_ok"),
+          (col("__ns") === 0).as("precision_ok"))
+    }),
 
-    // IVF-clustered approximate NN (approximation → rows-only).
+    // IVF approximate NN, SELF-VERIFYING like e_ann_topk (deterministic
+    // seed centroids). Measured recall: 46/50 at sf0.01 (min 3/5 per
+    // query), 50/50 at sf0.1 — gated at ≥50% per query.
     "e_ivf_topk" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
-        .select("query_id", "rank", "neighbor_id")
+      val q = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4).select("query_id", "neighbor_id")
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      recallGate(exact, ivf, minRecall = 0.5)
     }),
 
     // Per-language corpus statistics.
@@ -169,6 +220,16 @@ object LlmQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""".stripMargin,
+    "e_cos_dup_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""".stripMargin,
+    "e_ann_topk" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "e_ivf_topk" ->
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "e_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT query_id, c.vec_id AS neighbor_id,

@@ -101,6 +101,30 @@ class CdcSpec extends AnyFunSuite {
     assert(t.log.latest().get.operation == "compact")
   }
 
+  test("dtype sidecar: pandas dtype map round-trips to the row schema and drives the pipeline") {
+    val sidecar = TestSpark.tmpDir("cdc-sc-").resolve("t_schema.json")
+    // The reference's csv_to_sql.py export shape: {"col": "<pandas dtype>"}.
+    Files.write(sidecar,
+      """{"id": "int64", "name": "object", "amount": "float64"}""".getBytes)
+    val loaded = graft.cdc.DtypeSidecar.load(sidecar)
+    assert(loaded.fieldNames.toSeq == Seq("id", "name", "amount"))
+    assert(loaded("id").dataType == IntegerType)     // int* → int (cdc_merger_optimized.py:59-63)
+    assert(loaded("name").dataType == StringType)    // object → string
+    assert(loaded("amount").dataType == DoubleType)  // float* → double
+
+    val in = TestSpark.tmpDir("cdc-sc-in-")
+    val ckpt = TestSpark.tmpDir("cdc-sc-ckpt-").toString
+    val t = new GraftTable(spark, TestSpark.tmpDir("cdc-sc-wh-").resolve("t"), "t")
+    Files.write(in.resolve("f1.json"),
+      (1 to 3).map(i => wrapped(i, s"n$i", i * 1.0, "c", i)).mkString("\n").getBytes)
+    val q = CdcPipeline.startFromSidecar(spark, in.toString, sidecar, t, "id", ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = t.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "n1", 1.0), (2, "n2", 2.0), (3, "n3", 3.0)))
+  }
+
   test("flat (unwrapped) envelopes auto-detect (ST9)") {
     import spark.implicits._
     val raw = Seq(flat(1, "a", 1.5, "c", 1), flat(1, "b", 2.5, "u", 2)).toDF("value")
