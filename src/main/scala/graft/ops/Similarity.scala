@@ -122,14 +122,54 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** Deterministic seed centroids: the first `nCells` corpus vectors by id —
+    * reproducible without an RNG. nCells rows; the collect is O(nCells). */
+  private def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol), col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val spark = corpus.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.toSeq.map { case (i, v) => Row(i, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+  }
+
+  /** Attach each row's `keep` nearest cells (by centroid cosine) as `cell`. */
+  private def assignCells(df: DataFrame, cdf: DataFrame, vec: String, keep: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cdf))
+      .withColumn("__sim", cosine(col(vec), col("cvec"))).drop("cvec")
+    val w = Window.partitionBy(df.columns.map(col): _*)
+      .orderBy(desc("__sim"), asc("cell"))
+    scored.withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= keep).drop("__cr", "__sim")
+  }
+
+  /** Candidate scoring shared by the IVF variants: probe×cell join → exact
+    * cosine → top-k per query. */
+  private def rankProbed(
+      probes: DataFrame, cells: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(probes).join(cells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /**
    * IVF (inverted-file) approximate NN: the corpus is clustered into
-   * `nCells` Voronoi cells around deterministic seed centroids (the first
-   * `nCells` corpus vectors by id — reproducible without an RNG); each
-   * query probes only its `nProbe` nearest cells and exact-ranks inside
-   * them. The cell assignment is one broadcast-centroid pass over the
-   * corpus; at 100 TB the per-cell layout would be written once and reused
-   * across queries (this method recomputes it per call for simplicity).
+   * `nCells` Voronoi cells around deterministic seed centroids; each query
+   * probes only its `nProbe` nearest cells and exact-ranks inside them.
+   * The cell assignment is one broadcast-centroid pass over the corpus,
+   * recomputed per call — use [[persistIvf]] + [[ivfTopKPersisted]] to
+   * write the layout once and reuse it across queries.
    */
   def ivfTopK(
       corpus: DataFrame,
@@ -139,37 +179,64 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol), col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
-    val spark = corpus.sparkSession
-    val cdf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.toSeq.map { case (i, v) => Row(i, v) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cvec",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))))
-    def assign(df: DataFrame, vec: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(cdf)
-        .withColumn("__sim", cosine(col(vec), col("cvec"))).drop("cvec")
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(desc("__sim"), asc("cell"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep).drop("__cr", "__sim")
-    }
-    val cells = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "__cv", keep = 1)
-    val probes = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "__qv", keep = nProbe)
-    val scored = broadcast(probes).join(cells, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .select("query_id", "neighbor_id", "cosine").distinct()
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    val cdf = seedCentroids(corpus, idCol, vecCol, nCells)
+    val cells = assignCells(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), cdf, "__cv", keep = 1)
+    val probes = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), cdf, "__qv", keep = nProbe)
+    rankProbed(probes, cells, k)
+  }
+
+  /**
+   * Persist the IVF layout once: cell assignments as a CELL-BUCKETED
+   * snapshot table (`<name>`) plus the nCells centroids (`<name>__centroids`).
+   * At 100 TB the assignment pass over the corpus runs once here, not per
+   * query; a probe then reads only its cells' buckets.
+   * Returns (cells table, centroids table).
+   */
+  def persistIvf(
+      catalog: graft.catalog.GraftCatalog,
+      name: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16): (graft.table.GraftTable, graft.table.GraftTable) = {
+    val cdf = seedCentroids(corpus, idCol, vecCol, nCells)
+    val assigned = assignCells(corpus.select(col(idCol), col(vecCol)), cdf, vecCol, keep = 1)
+    val cells = new graft.table.GraftTable(catalog.spark,
+      catalog.warehouse.resolve(name), name)
+    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(name))
+    cells.overwriteBucketed(assigned, "cell", nCells)
+    val cents = new graft.table.GraftTable(catalog.spark,
+      catalog.warehouse.resolve(s"${name}__centroids"), s"${name}__centroids")
+    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(s"${name}__centroids"))
+    cents.overwrite(cdf)
+    (cells, cents)
+  }
+
+  /**
+   * [[ivfTopK]] over a layout written by [[persistIvf]]: queries are
+   * assigned to probe cells against the persisted centroids, the distinct
+   * probe-cell set (small — |queries| × nProbe ints) is collected, and the
+   * candidate read is a bucket-pruned [[graft.table.GraftTable.lookupKeys]]
+   * over exactly those cells — no assignment pass over the corpus at query
+   * time, and no scan of unprobed cells.
+   */
+  def ivfTopKPersisted(
+      cells: graft.table.GraftTable,
+      centroids: graft.table.GraftTable,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cdf = centroids.read()
+    val probes = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), cdf, "__qv", nProbe)
+    val probeCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val cand = cells.lookupKeys(probeCells)
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    rankProbed(probes, cand, k)
   }
 
   /**

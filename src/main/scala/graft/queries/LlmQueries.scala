@@ -139,14 +139,20 @@ object LlmQueries {
           (col("__ns") === 0).as("precision_ok"))
     }),
 
-    // IVF approximate NN, SELF-VERIFYING like e_ann_topk (deterministic
-    // seed centroids). Measured recall: 46/50 at sf0.01 (min 3/5 per
-    // query), 50/50 at sf0.1 — gated at ≥50% per query.
+    // IVF approximate NN over a PERSISTED cell layout (the 100 TB path:
+    // assignment pass runs once at build; the query reads only its probe
+    // cells' buckets), SELF-VERIFYING like e_ann_topk (deterministic seed
+    // centroids). Measured recall: 46/50 at sf0.01 (min 3/5 per query),
+    // 50/50 at sf0.1 — gated at ≥50% per query.
     "e_ivf_topk" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        k = 5, nCells = 16, nProbe = 4).select("query_id", "neighbor_id")
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-ivf-"))
+      val (cells, cents) = Similarity.persistIvf(cat, "emb_ivf", emb,
+        "vec_id", "embedding", nCells = 16)
+      val ivf = Similarity.ivfTopKPersisted(cells, cents, q,
+        "vec_id", "embedding", k = 5, nProbe = 4).select("query_id", "neighbor_id")
       val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
       recallGate(exact, ivf, minRecall = 0.5)

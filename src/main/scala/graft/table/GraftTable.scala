@@ -551,6 +551,28 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /**
+   * Multi-key pruned lookup: the union of the keys' buckets is read in ONE
+   * multi-dir scan, filtered by `isin`. For a small key set (an IVF probe's
+   * cells, a semi-join against a driver-known id list) this scans
+   * |distinct buckets|/numBuckets of the table instead of all of it.
+   */
+  def lookupKeys(values: Seq[Any]): DataFrame = bucketSpec match {
+    case Some((bk, n)) if !log.latest().exists(_.deltaDirs.nonEmpty) =>
+      val head = log.latest().get
+      val st = schema
+      if (values.isEmpty) return emptyDF(st)
+      val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
+      val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
+      if (dirs.isEmpty) emptyDF(st)
+      else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
+        .filter(col(bk).isin(values: _*))
+    case spec =>
+      val bk = spec.map(_._1)
+        .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
+      read().filter(col(bk).isin(values: _*))
+  }
+
+  /**
    * Bucket id of a literal key, evaluated DRIVER-SIDE with the exact
    * expression the write path's `xxhash64` column uses (XxHash64, seed 42,
    * after a cast to the bucket column's type) — a point lookup (and each

@@ -72,6 +72,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF layout returns exactly what the recomputed IVF returns") {
+    val q = embs.filter($"vec_id" < 5)
+    val recomputed = Similarity.ivfTopK(embs, q, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("ivf-"))
+    val (cells, cents) = Similarity.persistIvf(cat, "ivf", embs, "vec_id", "embedding", nCells = 8)
+    val persisted = Similarity.ivfTopKPersisted(cells, cents, q, "vec_id", "embedding",
+      k = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(persisted == recomputed)
+    // and the probe read is bucket-pruned: fewer buckets than the table has
+    val probed = cells.lookupKeys(Seq(0, 1)).inputFiles
+      .flatMap(f => "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(probed.size <= 2, s"2 cells must read at most 2 buckets, got $probed")
+  }
+
   test("text analysis: counts, quality, language-ID and fingerprints are deterministic") {
     val df = Seq((1L, "the quick brown fox jumps over a lazy dog"),
       (2L, "der hund ist nicht ein katze und zu")).toDF("id", "text")
