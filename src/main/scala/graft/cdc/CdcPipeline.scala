@@ -52,21 +52,37 @@ object CdcPipeline {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
+    // Wrapped-vs-flat envelope detection runs once, on the first non-empty
+    // batch, then sticks for the life of the stream — the format cannot
+    // change mid-stream, so re-probing every trigger would spend a driver
+    // round-trip per micro-batch on a constant answer.
+    var wrappedFmt: Option[Boolean] = None
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { // ST8: skip empty micro-batches
-          val b = Envelope.transformBatch(batch, rowSchema, key).drop("ts_ms")
-          if (mergeOnRead) {
-            val snap = table.upsertDeferred(b, key, opCol = Some("op"),
-              batchKey = Some(s"cdc-$batchId"))
-            if (snap.deltaDirs.size >= compactEvery) table.compact()
-          } else {
-            table.upsert(b, key, opCol = Some("op"),
-              batchKey = Some(s"cdc-$batchId"))
-          }
-          ()
+          if (wrappedFmt.isEmpty) wrappedFmt = Some(Envelope.looksWrapped(batch))
+          // The transformed batch is CACHED for the duration of the merge:
+          // downstream references it several times (bucket pre-pass,
+          // anti-join key set, union side), and each reference would
+          // otherwise re-read the source and re-decode the JSON envelopes —
+          // the decode, not the merge, dominated the measured pipeline cost.
+          // Bounded by the micro-batch size; spills to disk beyond memory.
+          val b = Envelope.transformBatch(batch, rowSchema, key,
+              wrappedHint = wrappedFmt).drop("ts_ms")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (mergeOnRead) {
+              val snap = table.upsertDeferred(b, key, opCol = Some("op"),
+                batchKey = Some(s"cdc-$batchId"))
+              if (snap.deltaDirs.size >= compactEvery) table.compact()
+            } else {
+              table.upsert(b, key, opCol = Some("op"),
+                batchKey = Some(s"cdc-$batchId"))
+            }
+            ()
+          } finally b.unpersist(blocking = false)
         }
       }
       .start()

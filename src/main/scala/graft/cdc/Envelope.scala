@@ -44,11 +44,14 @@ object Envelope {
 
   /**
    * Parse raw JSON into `before / after / op / ts_ms` columns, handling both
-   * wrapped and flat envelopes.
+   * wrapped and flat envelopes. `wrappedHint` skips the one-row probe when
+   * the caller already knows the shape (a stream detects it on its first
+   * batch and reuses the answer — the format cannot change mid-stream).
    */
-  def decode(raw: DataFrame, row: StructType, valueCol: String = "value"): DataFrame = {
+  def decode(raw: DataFrame, row: StructType, valueCol: String = "value",
+      wrappedHint: Option[Boolean] = None): DataFrame = {
     val parsed =
-      if (looksWrapped(raw, valueCol))
+      if (wrappedHint.getOrElse(looksWrapped(raw, valueCol)))
         raw.select(from_json(col(valueCol).cast("string"), envelopeSchema(row)).as("__e"))
           .select(col("__e.payload.*"))
       else
@@ -80,6 +83,6 @@ object Envelope {
 
   /** decode → flatten → dedup: the full batch transform. */
   def transformBatch(raw: DataFrame, row: StructType, key: String,
-      valueCol: String = "value"): DataFrame =
-    dedupe(flatten(decode(raw, row, valueCol), row, key), key)
+      valueCol: String = "value", wrappedHint: Option[Boolean] = None): DataFrame =
+    dedupe(flatten(decode(raw, row, valueCol, wrappedHint), row, key), key)
 }
