@@ -229,6 +229,14 @@ object EngineQueries {
       t.lookupKey(7777L)
     }),
 
+    // P2/P5: multi-key pruned lookup — one scan over the union of the keys'
+    // buckets (the driver-known-id-list semi-join shape).
+    "t_key_multi_lookup" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwriteBucketed(tbl(s, d, "orders"), "o_orderkey", 8)
+      t.lookupKeys(Seq(42L, 777L, 7777L, 9999L))
+    }),
+
     // P1/O4/F11: SQL serving surface — catalog tables as views + semicolon
     // strip + passthrough ORDER BY (the reference's postman query shape,
     // `datalake_postman_collection.json:64`).
@@ -390,6 +398,8 @@ object EngineQueries {
         |FROM customer""".stripMargin,
     "t_key_lookup_pruned" ->
       "SELECT * FROM orders WHERE o_orderkey = 7777",
+    "t_key_multi_lookup" ->
+      "SELECT * FROM orders WHERE o_orderkey IN (42, 777, 7777, 9999)",
     "t_sql_passthrough" ->
       "SELECT * FROM part WHERE p_retailprice > 50",
     "t_read_api" ->

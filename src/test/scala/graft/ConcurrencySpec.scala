@@ -18,6 +18,25 @@ import graft.table.GraftTable
 class ConcurrencySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("batch-key window: idempotent within retention, expires beyond it — one manifest read") {
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val small = orders.filter(col("o_orderkey") < 50)
+    val t = new GraftTable(spark, TestSpark.tmpDir("bk-").resolve("t"), "t",
+      retainVersions = 4)
+    t.overwrite(small)
+    t.append(small.limit(1), batchKey = Some("b1"))
+    val after = t.log.versions().size
+    // replaying a seen batchKey is a no-op (the window carries it forward)
+    t.append(small.limit(1), batchKey = Some("b1"))
+    assert(t.log.versions().size == after)
+    assert(t.log.contains("b1"))
+    // push b1 beyond the retention window: it expires, same as when contains()
+    // re-read every retained manifest
+    (0 until 4).foreach(i => t.append(small.limit(1), batchKey = Some(s"fill$i")))
+    assert(!t.log.contains("b1"))
+    assert(t.log.contains("fill3"))
+  }
+
   test("8 concurrent appends: no lost commits, contiguous ids, correct total") {
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
     val t = new GraftTable(spark, TestSpark.tmpDir("conc-").resolve("t"), "t")
