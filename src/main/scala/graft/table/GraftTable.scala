@@ -118,11 +118,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def readSnapshot(s: Snapshot): DataFrame = {
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     if (s.dataDirs.isEmpty) emptyDF(st)
-    else
+    else {
       // Explicit snapshot schema: files written before a schema evolution
       // lack the newer columns and the reader fills typed nulls — the
       // scan-time analog of unionByName(allowMissingColumns = true).
-      spark.read.schema(st).parquet(s.dataDirs.map(d => root.resolve(d).toString): _*)
+      val r = spark.read.schema(st)
+      // Bucketed tables advertise their layout to the optimizer: with
+      // GraftExtensions registered, a literal filter on the bucket key over
+      // this scan is rewritten to read only the matching bucket dirs
+      // (graft.plans.BucketPruneRule) — lookupKey semantics for plain reads.
+      val withSpec = bucketSpecOf(s) match {
+        case Some((bk, nb)) =>
+          r.option(graft.plans.BucketPruneRule.KeyOption, bk)
+            .option(graft.plans.BucketPruneRule.CountOption, nb.toString)
+        case None => r
+      }
+      withSpec.parquet(s.dataDirs.map(d => root.resolve(d).toString): _*)
+    }
   }
 
   private def emptyDF(st: StructType): DataFrame =
@@ -151,13 +163,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   // ----------------------------------------------------- bucketed layout
 
   /** Hash-bucket spec `(key, numBuckets)` if this table is bucketed. */
-  def bucketSpec: Option[(String, Int)] =
-    log.latest().flatMap { s =>
-      for {
-        k <- s.summary.get("bucket_key")
-        n <- s.summary.get("bucket_count")
-      } yield (k, n.toInt)
-    }
+  def bucketSpec: Option[(String, Int)] = log.latest().flatMap(bucketSpecOf)
+
+  private def bucketSpecOf(s: Snapshot): Option[(String, Int)] =
+    for {
+      k <- s.summary.get("bucket_key")
+      n <- s.summary.get("bucket_count")
+    } yield (k, n.toInt)
 
   private val BucketCol = "__bucket"
 
@@ -573,22 +585,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /**
-   * Bucket id of a literal key, evaluated DRIVER-SIDE with the exact
-   * expression the write path's `xxhash64` column uses (XxHash64, seed 42,
-   * after a cast to the bucket column's type) — a point lookup (and each
-   * term of a persisted-index search) costs zero Spark jobs before the
-   * pruned scan itself. Previously this ran a 1-row `spark.range(1)` job
-   * per call: a whole scheduler round-trip to hash one value.
+   * Bucket id of a literal key, evaluated DRIVER-SIDE
+   * ([[graft.plans.BucketHash]]) — a point lookup (and each term of a
+   * persisted-index search) costs zero Spark jobs before the pruned scan
+   * itself. Previously this ran a 1-row `spark.range(1)` job per call: a
+   * whole scheduler round-trip to hash one value.
    */
-  private def driverBucketId(value: Any, dt: DataType, n: Int): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-    val raw = Literal(value)
-    val cast: org.apache.spark.sql.catalyst.expressions.Expression =
-      if (raw.dataType == dt) raw
-      else Cast(raw, dt, Option(spark.sessionState.conf.sessionLocalTimeZone))
-    val h = new XxHash64(Seq(cast)).eval(null).asInstanceOf[Long]
-    (((h % n) + n) % n).toInt
-  }
+  private def driverBucketId(value: Any, dt: DataType, n: Int): Int =
+    graft.plans.BucketHash.bucketId(value, dt, n,
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   /** `UPDATE t SET c = v WHERE cond` (`api_poc.py:728-761`), copy-on-write. */
   def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {

@@ -61,6 +61,32 @@ class PlanSpec extends AnyFunSuite {
     assert(lk.count() == 1)
   }
 
+  test("optimizer rule prunes a literal key filter on a plain read to one bucket") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("rule-").resolve("t"), "t")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    t.overwriteBucketed(orders, "o_orderkey", 8)
+    // No lookupKey here — a PLAIN read with a DataFrame filter; the
+    // BucketPruneRule must rewrite the scan to the key's single bucket dir.
+    val df = t.read().filter(col("o_orderkey") === 777L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val buckets = scans.flatMap(_.relation.location.rootPaths)
+      .flatMap(p => "__bucket=(\\d+)".r.findFirstMatchIn(p.toString).map(_.group(1))).toSet
+    assert(buckets.size == 1, s"filter must prune to one bucket dir, kept: $buckets")
+    assert(df.count() == orders.filter(col("o_orderkey") === 777L).count())
+    // IN-list prunes to the union of the keys' buckets; other predicates don't prune
+    val in = t.read().filter(col("o_orderkey").isin(777L, 7777L))
+    assert(in.count() == orders.filter(col("o_orderkey").isin(777L, 7777L)).count())
+    val unpruned = t.read().filter(col("o_totalprice") > 0)
+    val upBuckets = unpruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.relation.location.rootPaths)
+      .flatMap(p => "__bucket=(\\d+)".r.findFirstMatchIn(p.toString).map(_.group(1))).toSet
+    assert(upBuckets.size == 8, "non-key predicates must not prune")
+  }
+
   test("merge broadcasts the update keys — target side has no shuffle") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val updates = orders.filter(col("o_orderkey") < 10)
