@@ -113,7 +113,16 @@ object Relational {
       tbl(s, d, "customer").join(
         tbl(s, d, "orders").filter(col("o_totalprice") > 300000)
           .select(col("o_custkey").as("c_custkey")),
-        Seq("c_custkey"), "left_anti")))
+        Seq("c_custkey"), "left_anti")),
+
+    // Tumbling-window counts — the batch shape of
+    // graft.streaming.EventWindows.windowedCounts (hour windows align to
+    // the epoch hour in both engines).
+    "q13_windowed_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -161,5 +170,8 @@ object Relational {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
     "q12_anti_join" ->
-      "SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)")
+      "SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)",
+    "q13_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed user session: [start, end] with its event count. */
+case class Session(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long)
+
+/** Open-session state carried between micro-batches (top-level: the state
+  * encoder's generated code must be able to construct it). */
+private[streaming] case class Open(start: Long, last: Long, n: Long)
+
+/**
+ * Streaming analytics over event streams — the watermark/windowed-agg and
+ * custom-state surface of Structured Streaming, applied to the `events`
+ * shape (`user_id`, `event_type`, `ts`). The reference's streaming job is
+ * the CDC merger ([[graft.cdc.CdcPipeline]], deliberately watermark-free
+ * keyed overwrite); these are the aggregation-side operators a training-data
+ * pipeline runs NEXT TO ingest: event-rate rollups and session extraction.
+ *
+ * Scale shape: windowed counts are a streaming partial aggregation — state
+ * per (window, key), bounded by the watermark which expires closed windows;
+ * sessionization keeps ONE open session per user in the state store and
+ * emits closed sessions on gap timeout. Both shuffle only the grouping key.
+ */
+object EventWindows {
+
+  /**
+   * Tumbling-window counts per key with a late-data bound: events later
+   * than `watermarkDelay` behind the max seen event time are dropped, and a
+   * window finalizes (append-mode emit, state evicted) when the watermark
+   * passes its end.
+   */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDur: String,
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n_events"))
+
+  /**
+   * Gap-based sessionization via `flatMapGroupsWithState` (event-time
+   * timeout): consecutive events of a user belong to one session while
+   * gaps stay ≤ `gapSeconds`; a session closes when a larger gap appears
+   * in-batch, or when the WATERMARK passes its last event + gap (the
+   * timeout path — this is what lets state be dropped at 100 TB instead of
+   * accumulating forever). Input rows older than the watermark are dropped
+   * by the engine before they reach the state function.
+   */
+  def sessionize(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gapSeconds: Long,
+      watermarkDelay: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def close(u: Long, s: Open): Session =
+      Session(u, new Timestamp(s.start), new Timestamp(s.last), s.n)
+
+    def fn(user: Long, rows: Iterator[(Long, Timestamp)],
+        state: GroupState[Open]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(user, s))
+      } else {
+        val incoming = rows.map(_._2.getTime).toArray.sorted
+        val closed = scala.collection.mutable.Buffer.empty[Session]
+        var cur = state.getOption.orNull
+        incoming.foreach { t =>
+          cur match {
+            case null => cur = Open(t, t, 1)
+            case c if t - c.last <= gapMs =>
+              cur = Open(c.start, math.max(c.last, t), c.n + 1)
+            case c =>
+              closed += close(user, c)
+              cur = Open(t, t, 1)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.last + gapMs)
+        }
+        closed.iterator
+      }
+    }
+
+    events.select(col(userCol).cast("long"), col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

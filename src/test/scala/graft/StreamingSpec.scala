@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventWindows
+
+/**
+ * Watermarked windowed aggregation and gap sessionization over a
+ * deterministic MemoryStream: windows finalize (and sessions close) only
+ * when the watermark passes them; late-beyond-watermark rows are dropped.
+ */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("windowed counts: append emits only watermark-closed windows; late rows dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = EventWindows.windowedCounts(
+      in.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      windowDur = "10 seconds", watermarkDelay = "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 3 clicks, 1 view; then advance watermark past it
+      in.addData((ts(1), "click"), (ts(2), "click"), (ts(9), "view"), (ts(3), "click"))
+      q.processAllAvailable()
+      in.addData((ts(30), "click")) // max event 30s → watermark 25s → [0,10) closes
+      q.processAllAvailable()
+      // a row at 4s is now far behind the 25s watermark → dropped, not re-emitted
+      in.addData((ts(4), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, "click", 3L), (0L, "view", 1L)),
+        s"only the closed [0,10) window may be emitted, got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionization: in-batch gap split + watermark-timeout close, state removed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sessions = EventWindows.sessionize(
+      in.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      gapSeconds = 10, watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10s and 14s, then a 36s gap inside the SAME batch
+      // → first session closes in-batch; second stays open. (Times start
+      // above 0: a row at the initial 0 watermark would be late-dropped.)
+      in.addData((1L, ts(10)), (1L, ts(14)), (1L, ts(50)), (2L, ts(15)))
+      q.processAllAvailable()
+      // advance watermark way past 50s+gap and 15s+gap → open sessions time out
+      in.addData((3L, ts(300)))
+      q.processAllAvailable()
+      in.addData((3L, ts(500))) // one more advance so user 3's own session closes
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+      assert(rows.contains((1L, 10L, 14L, 2L)), s"in-batch gap split missing: $rows")
+      assert(rows.contains((1L, 50L, 50L, 1L)), s"timeout close missing: $rows")
+      assert(rows.contains((2L, 15L, 15L, 1L)), s"user 2 timeout close missing: $rows")
+    } finally q.stop()
+  }
+}
