@@ -73,8 +73,15 @@ object Search {
       size: Int = 50): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "empty query")
-    val candidates = terms.map(t => index.lookupKey(t).select("id"))
-      .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
+    // ONE bucket-pruned scan fetches every term's postings (lookupKeys
+    // reads the union of the terms' buckets); the AND-match is then a
+    // count-distinct per doc id — equivalent to intersecting the k posting
+    // lists, but one scan + one aggregation instead of k scans + k-1
+    // semi-joins.
+    val candidates = index.lookupKeys(terms)
+      .groupBy("id").agg(count_distinct(col("token")).as("__nt"))
+      .filter(col("__nt") === terms.distinct.size)
+      .select("id")
     val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
     hits
       .withColumn("score",

@@ -74,10 +74,21 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val deltaSchema = StructType(st.fields :+
       org.apache.spark.sql.types.StructField("__op",
         org.apache.spark.sql.types.StringType, nullable = true))
-    val deltas = s.deltaDirs.zipWithIndex.map { case (d, i) =>
-      spark.read.schema(deltaSchema).parquet(root.resolve(d).toString)
-        .withColumn("__seq", lit((i + 1).toLong))
-    }.reduce(_.unionByName(_))
+    // ONE scan over every delta dir; each row's chain position is derived
+    // from its file path (the delta dir name is unique per commit). The
+    // previous shape — one scan subtree per delta with a literal __seq —
+    // planned N scans whose generated code differs only by embedded paths,
+    // so a 16-delta chain paid 16 codegen units and 16 listings per read.
+    val dirSeq = s.deltaDirs.zipWithIndex.map { case (d, i) =>
+      (d.split('/').last, (i + 1).toLong)
+    }
+    val parentDir = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
+    val seqExpr = dirSeq.foldLeft(lit(0L)) { case (acc, (name, seq)) =>
+      when(parentDir === name, seq).otherwise(acc)
+    }
+    val deltas = spark.read.schema(deltaSchema)
+      .parquet(s.deltaDirs.map(d => root.resolve(d).toString): _*)
+      .withColumn("__seq", seqExpr)
     val all = base
       .withColumn("__op", lit(null).cast("string"))
       .withColumn("__seq", lit(0L))
