@@ -56,6 +56,34 @@ object MergeProps extends Properties("Merge") {
       canon(after) == expected
     }
 
+  property("envelope fold: latest op per key wins; NULLing updates land as NULL; deletes remove") =
+    Prop.forAll(Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0L, 6L)
+      op <- Gen.oneOf("c", "u", "d")
+      v <- Gen.option(Gen.alphaLowerStr.map(_.take(3)))
+    } yield (k, op, v))) { evs =>
+      import org.apache.spark.sql.types._
+      val lines = evs.zipWithIndex.map { case ((k, op, v), i) =>
+        val img = s"""{"id":$k,"payload":${v.map("\"" + _ + "\"").getOrElse("null")}}"""
+        val (b, a) = if (op == "d") (img, "null") else ("null", img)
+        s"""{"payload":{"before":$b,"after":$a,"op":"$op","ts_ms":$i}}"""
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("payload", StringType)))
+      val batch = graft.cdc.Envelope
+        .transformBatch(lines.toDF("value"), schema, "id").drop("ts_ms")
+      val target = spark.emptyDataset[(Long, String)].toDF("id", "payload")
+      val merged = Merge.merge(target, batch, "id", opCol = Some("op"))
+      val got = merged.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      // Reference fold in plain Scala: the event with the greatest ts wins
+      // its key; a winning delete removes the key; a winning upsert's
+      // payload lands EXACTLY as its after image says — including NULL.
+      val want = evs.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, es) => k -> es.maxBy(_._2)._1 }
+        .collect { case (k, (_, op, v)) if op != "d" => k -> v }
+      got == want
+    }
+
   property("op='d' rows delete AND never insert") =
     Prop.forAll(batchGen) { t =>
       val target = df(t).dropDuplicates(Seq("id"))
