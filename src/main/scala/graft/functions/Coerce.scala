@@ -54,13 +54,18 @@ object Coerce {
   }
 
   /**
-   * pandas-dtype-string → Spark type mapping used for CDC schema sidecars:
-   * `'int*' → IntegerType`, `'float*' → DoubleType`, else `StringType`
+   * pandas-dtype-string → Spark type mapping used for CDC schema sidecars
    * (`cdc_merger_optimized.py:59-63`, exported by `csv_to_sql.py:40-44`).
+   * Deliberate divergence: the reference maps every int dtype to a 32-bit
+   * integer, but pandas' DEFAULT integer dtype is int64 — an id ≥ 2^31
+   * would overflow the 32-bit type and null out under from_json, silently
+   * losing the merge key. int64 therefore maps to LongType here; narrower
+   * int dtypes keep the reference's IntegerType.
    */
   def dtypeToSpark(dtype: String): DataType = {
     val d = dtype.toLowerCase
-    if (d.contains("int")) IntegerType
+    if (d.contains("int64")) LongType
+    else if (d.contains("int")) IntegerType
     else if (d.contains("float") || d.contains("double")) DoubleType
     else StringType
   }

@@ -99,7 +99,15 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   }
 
   def contains(batchKey: String): Boolean =
-    latest().exists(_.recentBatchKeys.contains(batchKey))
+    latest().exists { head =>
+      head.recentBatchKeys.contains(batchKey) ||
+        // Migration fallback: manifests written before recentBatchKeys
+        // existed carry only their own per-commit batchKey. Until a
+        // new-format commit rebuilds the window, fall back to the full
+        // retained-log scan the field replaced — otherwise a checkpointed
+        // stream replaying its last pre-upgrade batch would apply it twice.
+        (head.recentBatchKeys.isEmpty && snapshots().exists(_.batchKey.contains(batchKey)))
+    }
 
   private def readManifest(p: Path): Snapshot =
     Serialization.read[Snapshot](new String(Files.readAllBytes(p), StandardCharsets.UTF_8))

@@ -231,8 +231,13 @@ object Similarity {
       k: Int,
       nProbe: Int = 4): DataFrame = {
     val cdf = centroids.read()
+    // Persisted: the assignment subtree feeds both the probe-cell collect
+    // and the candidate ranking — uncached it would run twice (centroid
+    // read + crossJoin + window per reference). Bounded by
+    // |queries| × nProbe rows, the small side by contract.
     val probes = assignCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")), cdf, "__qv", nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val cand = cells.lookupKeys(probeCells)
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))

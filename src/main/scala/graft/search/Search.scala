@@ -71,7 +71,7 @@ object Search {
       textCol: String,
       query: String,
       size: Int = 50): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = graft.functions.Tokenize.queryTerms(query)
     require(terms.nonEmpty, "empty query")
     // ONE bucket-pruned scan fetches every term's postings (lookupKeys
     // reads the union of the terms' buckets); the AND-match is then a
@@ -102,7 +102,7 @@ object Search {
       textCol: String,
       query: String,
       size: Int = 50): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = graft.functions.Tokenize.queryTerms(query)
     val toks = tokenize(col(textCol))
     val andMatch = terms.map(t => array_contains(toks, t)).reduce(_ && _)
     val phrase = lower(col(textCol)).contains(query.toLowerCase)
@@ -127,7 +127,7 @@ object Search {
       textCol: String,
       query: String,
       size: Int = 50): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = graft.functions.Tokenize.queryTerms(query)
     require(terms.nonEmpty, "empty query")
     val candidates = terms.map(t => index.filter(col("token") === t).select("id"))
       .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))

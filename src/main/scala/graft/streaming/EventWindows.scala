@@ -83,7 +83,9 @@ object EventWindows {
           cur match {
             case null => cur = Open(t, t, 1)
             case c if t - c.last <= gapMs =>
-              cur = Open(c.start, math.max(c.last, t), c.n + 1)
+              // min() on the start: a late-but-within-watermark event from a
+              // LATER batch can precede the open session's first event.
+              cur = Open(math.min(c.start, t), math.max(c.last, t), c.n + 1)
             case c =>
               closed += close(user, c)
               cur = Open(t, t, 1)

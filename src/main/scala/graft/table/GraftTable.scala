@@ -75,16 +75,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       org.apache.spark.sql.types.StructField("__op",
         org.apache.spark.sql.types.StringType, nullable = true))
     // ONE scan over every delta dir; each row's chain position is derived
-    // from its file path (the delta dir name is unique per commit). The
-    // previous shape — one scan subtree per delta with a literal __seq —
-    // planned N scans whose generated code differs only by embedded paths,
-    // so a 16-delta chain paid 16 codegen units and 16 listings per read.
-    val dirSeq = s.deltaDirs.zipWithIndex.map { case (d, i) =>
-      (d.split('/').last, (i + 1).toLong)
-    }
-    val parentDir = regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1)
-    val seqExpr = dirSeq.foldLeft(lit(0L)) { case (acc, (name, seq)) =>
-      when(parentDir === name, seq).otherwise(acc)
+    // from its file path. The previous shape — one scan subtree per delta
+    // with a literal __seq — planned N scans whose generated code differs
+    // only by embedded paths, so a 16-delta chain paid 16 codegen units and
+    // 16 listings per read. The match is on the FULL relative dir path
+    // ("/data/s3-abc/__bucket=2/"): bucketed appends contribute `__bucket=k`
+    // leaf dirs whose last path component repeats across commits, so a
+    // leaf-name match would hand an older append a newer commit's sequence.
+    val seqExpr = s.deltaDirs.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (d, i)) =>
+        when(input_file_name().contains(s"/$d/"), lit((i + 1).toLong)).otherwise(acc)
     }
     val deltas = spark.read.schema(deltaSchema)
       .parquet(s.deltaDirs.map(d => root.resolve(d).toString): _*)

@@ -108,9 +108,10 @@ class CdcSpec extends AnyFunSuite {
       """{"id": "int64", "name": "object", "amount": "float64"}""".getBytes)
     val loaded = graft.cdc.DtypeSidecar.load(sidecar)
     assert(loaded.fieldNames.toSeq == Seq("id", "name", "amount"))
-    assert(loaded("id").dataType == IntegerType)     // int* → int (cdc_merger_optimized.py:59-63)
+    assert(loaded("id").dataType == LongType)        // int64 → long (pandas default int; a 32-bit map would null ids ≥ 2^31)
     assert(loaded("name").dataType == StringType)    // object → string
     assert(loaded("amount").dataType == DoubleType)  // float* → double
+    assert(graft.functions.Coerce.dtypeToSpark("int32") == IntegerType)
 
     val in = TestSpark.tmpDir("cdc-sc-in-")
     val ckpt = TestSpark.tmpDir("cdc-sc-ckpt-").toString
@@ -120,9 +121,9 @@ class CdcSpec extends AnyFunSuite {
     val q = CdcPipeline.startFromSidecar(spark, in.toString, sidecar, t, "id", ckpt,
       trigger = Trigger.AvailableNow())
     q.awaitTermination()
-    val got = t.read().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .sortBy(_._1).toSeq
-    assert(got == Seq((1, "n1", 1.0), (2, "n2", 2.0), (3, "n3", 3.0)))
+    assert(got == Seq((1L, "n1", 1.0), (2L, "n2", 2.0), (3L, "n3", 3.0)))
   }
 
   test("flat (unwrapped) envelopes auto-detect (ST9)") {

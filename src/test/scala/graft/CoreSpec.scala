@@ -32,7 +32,8 @@ class CoreSpec extends AnyFunSuite {
     assert(Coerce.coerce("not_a_number", IntegerType) == "not_a_number")
     val ts = Coerce.coerce("2025-01-01T10:00:00Z", TimestampType)
     assert(ts.isInstanceOf[java.sql.Timestamp])
-    assert(Coerce.dtypeToSpark("int64") == IntegerType)
+    assert(Coerce.dtypeToSpark("int64") == LongType) // pandas default int: 32-bit would null ids >= 2^31
+    assert(Coerce.dtypeToSpark("int32") == IntegerType)
     assert(Coerce.dtypeToSpark("float32") == DoubleType)
     assert(Coerce.dtypeToSpark("object") == StringType)
   }

@@ -78,6 +78,23 @@ class MorSpec extends AnyFunSuite {
     assert(t.log.latest().get.deltaDirs.size == 2)
   }
 
+  test("interleaved bucketed appends keep their own sequence (leaf dir names repeat)") {
+    import spark.implicits._
+    // Bucketed appends land as `__bucket=k` LEAF dirs in the delta chain —
+    // the leaf NAME repeats across commits (forced here with one bucket), so
+    // sequencing by dir name would hand append #1 the sequence of append #2
+    // and resurrect a row the deferred update in between had replaced.
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor5-").resolve("t"), "t")
+    t.overwriteBucketed(Seq((1L, "base")).toDF("id", "v"), "id", 1)
+    t.upsertDeferred(Seq((2L, "d1")).toDF("id", "v"), "id")
+    t.append(Seq((3L, "a1")).toDF("id", "v"))            // append #1 → leaf __bucket=0
+    t.upsertDeferred(Seq((3L, "d2")).toDF("id", "v"), "id") // replaces append #1's row
+    t.append(Seq((4L, "a2")).toDF("id", "v"))            // append #2 → leaf __bucket=0 again
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "base", 2L -> "d1", 3L -> "d2", 4L -> "a2"),
+      s"append #1 must not outrank the later deferred update, got $got")
+  }
+
   test("lookupKey sees pending deltas (no stale bucket shortcut)") {
     val t = new GraftTable(spark, TestSpark.tmpDir("mor3-").resolve("t"), "t")
     t.overwriteBucketed(orders.filter(col("o_orderkey") < 1000), "o_orderkey", 4)
