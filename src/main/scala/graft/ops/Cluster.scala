@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Near-duplicate CLUSTERING — the step a production dedup pipeline runs
+ * after pair generation: fold the near-dup pair graph into connected
+ * components, pick one canonical document per component, and drop the rest.
+ * (The reference stops at pair/fingerprint level; a training-data pipeline
+ * needs the closure, because near-duplication is not transitive at the pair
+ * threshold — A~B and B~C must collapse into ONE kept document even when
+ * A~C scores below the cutoff.)
+ *
+ * Connected components use the alternating large-star / small-star
+ * algorithm (Kiveris et al., "Connected Components in MapReduce and
+ * Beyond", SoCC 2014): each round is two shuffles on narrow (long, long)
+ * edge tuples and the round count is O(log^2 n) regardless of component
+ * DIAMETER — plain min-label propagation needs diameter-many rounds, which
+ * on a 100 TB corpus with chained boilerplate documents can be thousands.
+ * Lineage is truncated with `localCheckpoint` every round so the loop does
+ * not accumulate a plan of unbounded depth.
+ */
+object Cluster {
+
+  /**
+   * One large-star round: every node points its LARGER neighbors at the
+   * minimum of its neighborhood (including itself). Keeps (big, small)
+   * orientation, never creates self-loops.
+   */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("__mn"))
+      .select(col("u"), least(col("__mn"), col("u")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /**
+   * One small-star round: edges oriented big→small; every node links all
+   * its smaller neighbors (and itself) to its minimum neighbor.
+   */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /**
+   * Connected components of an undirected edge list. Returns `(id,
+   * component)` for every node that appears in an edge, where `component`
+   * is the smallest node id in the component (the canonical survivor).
+   *
+   * Convergence is detected by an order-independent signature of the edge
+   * set (count + sum of per-edge hashes) — one tiny aggregate per round,
+   * no edge-set diff join.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def signature(e: DataFrame): (Long, String) = {
+      // Sum in decimal(38,0): wide enough that per-edge 64-bit hashes cannot
+      // overflow it (ANSI mode makes a long sum throw instead of wrapping).
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)).as("h")).head()
+      (r.getLong(0), r.get(1).toString)
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    // At the fixpoint every edge is (member, componentMin); roots appear
+    // only on the right side and map to themselves.
+    val members = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(members.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.union(roots)
+  }
+
+  /**
+   * Document-level near-dup clustering: every document gets a `cluster_id`
+   * (the smallest doc id among its near-duplicates; its own id if it has
+   * none). `edges` is any near-dup pair frame — exact Jaccard for the
+   * verification path, MinHash-LSH [[Dedup.nearDupPairs]] at scale.
+   */
+  def clusterDocs(
+      docs: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(edges, aCol, bCol)
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Keep one canonical document per near-dup cluster (the smallest id). */
+  def dedupByCluster(
+      docs: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame =
+    clusterDocs(docs, idCol, edges, aCol, bCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+      .join(docs, Seq(idCol))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextAnalysis}
 import Q._
 
 /**
@@ -91,6 +91,16 @@ object LlmQueries {
     // SimHash near-dup candidates (hash-dependent output → rows-only).
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // Near-dup CLUSTERING: connected components over the exact-Jaccard pair
+    // graph (alternating large-star/small-star), every doc labeled with its
+    // cluster's canonical (minimum) id. The oracle recomputes the closure
+    // with a recursive CTE.
+    "d_cluster_cc" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Cluster.clusterDocs(docs, "doc_id",
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5))
+    }),
 
     // Brute-force cosine top-5 for 10 query vectors (ranks are int-only).
     "e_cosine_topk" -> ((s, d) => {
@@ -222,6 +232,16 @@ object LlmQueries {
       (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
     "d_minhash_pairs" ->
       (jaccardCte + "SELECT id_a, id_b FROM jacs WHERE jaccard >= 0.5"),
+    "d_cluster_cc" ->
+      ("WITH RECURSIVE " + jaccardCte.stripPrefix("WITH ") +
+        """,edges AS (SELECT id_a AS u, id_b AS v FROM jacs WHERE jaccard >= 0.5
+          |          UNION SELECT id_b, id_a FROM jacs WHERE jaccard >= 0.5),
+          |walk(id, r) AS (SELECT u, u FROM edges
+          |                UNION
+          |                SELECT w.id, e.v FROM walk w JOIN edges e ON w.r = e.u),
+          |comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+          |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin),
     "e_cos_dup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

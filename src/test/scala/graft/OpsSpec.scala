@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Unit tests for the LLM-data-pipeline operators over the driver corpus. */
 class OpsSpec extends AnyFunSuite {
@@ -31,6 +31,30 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "corpus must contain planted near-dups")
     assert(lsh == exact, s"LSH recall must be total on this corpus: ${exact -- lsh} missed")
+  }
+
+  test("near-dup clustering: pair chains collapse transitively; singletons keep own id") {
+    // A~B and B~C but never A~C at the pair threshold: the cluster must
+    // still merge all three (near-duplication is not transitive pairwise).
+    val d = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Cluster.clusterDocs(d, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    val kept = Cluster.dedupByCluster(d, "doc_id", edges)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L))
+  }
+
+  test("clustering over the corpus pair graph matches its own edge closure") {
+    val edges = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
+    val clusters = Cluster.clusterDocs(docs, "doc_id", edges)
+    // Every edge endpoint pair shares a cluster; cluster ids are members.
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.select("id_a", "id_b").collect().foreach { r =>
+      assert(cl(r.getLong(0)) == cl(r.getLong(1)))
+    }
+    assert(cl.values.toSet.subsetOf(cl.keySet))
   }
 
   test("simhash pairs are near-dups (subset of exact Jaccard at a lower bar)") {
