@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EngineQueries.queries ++
-      SearchQueries.queries ++ LlmQueries.queries ++ CdcQueries.queries
+      SearchQueries.queries ++ LlmQueries.queries ++ CdcQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EngineQueries.oracles ++
-      SearchQueries.oracles ++ LlmQueries.oracles ++ CdcQueries.oracles
+      SearchQueries.oracles ++ LlmQueries.oracles ++ CdcQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -34,19 +34,41 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val VersionAsOf = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
 
   /**
+   * Apply `f` to the segments of `s` OUTSIDE single-quoted string literals,
+   * copying literal content verbatim. SQL escapes a quote by doubling
+   * (`''`), which this scan handles naturally: the second quote re-enters
+   * literal state over an empty outside segment.
+   */
+  private def mapOutsideLiterals(s: String, f: String => String): String = {
+    val out = new StringBuilder
+    val buf = new StringBuilder
+    var inLiteral = false
+    for (c <- s) {
+      if (inLiteral) { out.append(c); if (c == '\'') inLiteral = false }
+      else if (c == '\'') {
+        out.append(f(buf.toString())); buf.clear(); out.append(c); inLiteral = true
+      } else buf.append(c)
+    }
+    out.append(f(buf.toString())).toString()
+  }
+
+  /**
    * `/query`: passthrough SQL with the Trino-ism semicolon strip (F11) and
    * the Iceberg time-travel sugar `FROM t VERSION AS OF <snapshotId>`
    * (`api_poc.py:374-376`): each occurrence is rewritten to a temp view
-   * pinned to that snapshot before handing the query to Catalyst.
+   * pinned to that snapshot before handing the query to Catalyst. The
+   * rewrite never fires inside a string literal — `WHERE c = 't VERSION AS
+   * OF 1'` passes through untouched.
    */
   def sql(query: String): DataFrame = {
     val clean = query.trim.stripSuffix(";")
-    val rewritten = VersionAsOf.replaceAllIn(clean, m => {
-      val (t, v) = (m.group(1), m.group(2).toLong)
-      val view = s"${t}__v$v"
-      catalog.table(t).readAsOf(v).createOrReplaceTempView(view)
-      view
-    })
+    val rewritten = mapOutsideLiterals(clean, seg =>
+      VersionAsOf.replaceAllIn(seg, m => {
+        val (t, v) = (m.group(1), m.group(2).toLong)
+        val view = s"${t}__v$v"
+        catalog.table(t).readAsOf(v).createOrReplaceTempView(view)
+        view
+      }))
     catalog.spark.sql(rewritten)
   }
 

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline runs
+ * between dedup and training: benchmark decontamination, deterministic
+ * train/validation/test splitting, PII-style redaction, and token-window
+ * chunking. All are pure column expressions or narrow hash joins — nothing
+ * here shuffles document text.
+ */
+object Curation {
+
+  /** Canonical whitespace tokenizer — see [[graft.functions.Tokenize]]. */
+  private def tokens(text: Column): Column = graft.functions.Tokenize.tokens(text)
+
+  // ------------------------------------------------------- decontamination
+
+  /**
+   * Benchmark decontamination hits: for every corpus document, the number
+   * of distinct word n-grams it shares with ANY benchmark document (the
+   * standard "n-gram collision" test for eval-set leakage into training
+   * data). Zero-hit documents are absent from the result.
+   *
+   * Scale shape: both sides reduce to (id, shingleHash) pairs map-side via
+   * the codegen'd [[graft.plans.ShingleHashesExpr]] — only 64-bit hashes
+   * shuffle, never text. The benchmark side of the join is tiny by
+   * definition (an eval set), so AQE broadcasts it; the corpus side is
+   * never shuffled at all in that plan.
+   */
+  def contaminationHits(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def shingles(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(graft.plans.ShingleHashesExpr.shingleHashes(tokens(col(textCol)), n)).as("__sh"))
+        .distinct()
+    shingles(corpus, "__cid")
+      .join(shingles(benchmark, "__bid").select("__sh").distinct(), "__sh")
+      .groupBy(col("__cid").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus minus contaminated documents (anti join on the hit set). */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame =
+    corpus.join(contaminationHits(corpus, benchmark, idCol, textCol, n)
+      .select(idCol), Seq(idCol), "left_anti")
+
+  // ------------------------------------------------------------- splitting
+
+  /**
+   * Deterministic content-hash train/validation/test split: the first two
+   * hex chars of `md5(text)` give 256 stable buckets; documents fall into
+   * named ranges. Portable across engines (md5 hex is identical everywhere,
+   * the comparison is plain string order), stable across runs and cluster
+   * sizes — the properties a training pipeline needs so that re-ingesting a
+   * document never migrates it between splits.
+   *
+   * `cuts` maps split names to upper-bound bucket counts out of 256; the
+   * default is ~80/10/10 (204/26/26).
+   */
+  def hashSplit(
+      docs: DataFrame,
+      textCol: String,
+      cuts: Seq[(String, Int)] = Seq("train" -> 204, "val" -> 230, "test" -> 256)): Column = {
+    val bucket = substring(md5(col(textCol).cast("binary")), 1, 2)
+    val hex = "0123456789abcdef"
+    def bound(i: Int): String = s"${hex(i / 16)}${hex(i % 16)}"
+    cuts.init.foldRight(lit(cuts.last._1)) { case ((name, ub), rest) =>
+      when(bucket < bound(ub), name).otherwise(rest)
+    }
+  }
+
+  /** Documents labeled with their split. */
+  def withSplit(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("split", hashSplit(docs, textCol))
+
+  // ------------------------------------------------------------- redaction
+
+  /**
+   * PII-style patterns, deliberately restricted to syntax Java regex and
+   * RE2 (DuckDB/Go engines) interpret identically: no lookaround, no
+   * backreferences, explicit character classes.
+   */
+  val urlPattern = "https?://[^ \\t\\n]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val phonePattern = "\\+?[0-9][0-9]{2}[0-9()\\- ]{5,10}[0-9]"
+
+  /**
+   * Redact URLs, emails and phone-shaped digit runs (in that order — an
+   * email inside a URL must be consumed by the URL rule first). Map-side
+   * `regexp_replace` chain, fully codegen'd.
+   */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-document redaction counts by category (regexp_count is codegen'd). */
+  def redactionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterUrl = regexp_replace(col(textCol), urlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailPattern, "<EMAIL>")
+    docs.select(col(idCol),
+      redact(col(textCol)).as("clean_text"),
+      regexp_count(col(textCol), lit(urlPattern)).as("n_urls"),
+      regexp_count(afterUrl, lit(emailPattern)).as("n_emails"),
+      regexp_count(afterEmail, lit(phonePattern)).as("n_phones"))
+  }
+
+  // -------------------------------------------------------------- chunking
+
+  /**
+   * Fixed token-window chunking with overlap — the context-window
+   * preparation step before tokenizer packing. Chunk `i` covers tokens
+   * `[i*stride, i*stride + window)` (stride = window - overlap); the last
+   * chunk may be short; documents shorter than the window yield one chunk.
+   *
+   * Pure per-row explode: chunk count arithmetic is integer-exact (`div`)
+   * so an external oracle reproduces boundaries bit-for-bit.
+   */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 32,
+      overlap: Int = 4): DataFrame = {
+    require(overlap < window, "overlap must be smaller than the window")
+    val stride = window - overlap
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__nc",
+        expr(s"greatest(size(__toks) - ${overlap + 1}, 0) div $stride") + 1)
+    withToks
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+}

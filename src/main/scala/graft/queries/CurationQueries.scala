@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+import Q._
+
+/**
+ * Gate entries for the corpus-curation operators: benchmark
+ * decontamination, deterministic hash splitting, PII-style redaction, and
+ * token-window chunking. Every entry has a full DuckDB oracle — the
+ * operators were designed around engine-portable primitives (md5 hex,
+ * RE2-safe regexes, integer-exact chunk arithmetic) precisely so the
+ * correctness gate can hash-check them.
+ */
+object CurationQueries {
+
+  /**
+   * Deterministic PII injection for the redaction gate: the corpus is
+   * synthetic and contains no emails/URLs/phones, so every 7th document
+   * gets a suffix with one of each — BOTH the Spark query and the DuckDB
+   * oracle construct the same input, keeping the gate non-vacuous.
+   */
+  private val piiSuffix =
+    " Contact bob.smith@example.com via https://example.com/a?b=1 or call 555-123-4567 now"
+
+  val queries: Map[String, QueryFn] = Map(
+    // Benchmark decontamination: every 5th doc stands in for the eval set;
+    // n_hits = distinct shared word-5-grams per contaminated corpus doc.
+    "x_decontam" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.contaminationHits(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
+    // Deterministic content-hash split (~80/10/10 by md5 prefix).
+    "x_split" -> ((s, d) =>
+      Curation.withSplit(tbl(s, d, "documents"), "text")
+        .select("doc_id", "split")),
+
+    // PII redaction over the injected corpus: cleaned text + per-category counts.
+    "x_redact" -> ((s, d) =>
+      Curation.redactionReport(
+        tbl(s, d, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(piiSuffix)))
+            .otherwise(col("text"))),
+        "doc_id", "text")),
+
+    // Token-window chunking (window 32, overlap 4).
+    "x_chunks" -> ((s, d) =>
+      Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text")))
+
+  private val tokCte =
+    """WITH tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x_decontam" ->
+      (tokCte +
+        """,g AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+          |         ELSE list_transform(range(1, len(ts) - 3),
+          |           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2] || ' ' || ts[CAST(i AS INT)+3] || ' ' || ts[CAST(i AS INT)+4]) END) AS sh
+          |      FROM tok),
+          |dt AS (SELECT DISTINCT doc_id, sh FROM g),
+          |bench AS (SELECT DISTINCT sh FROM dt WHERE doc_id % 5 = 0)
+          |SELECT doc_id, count(*) AS n_hits FROM dt JOIN bench USING (sh)
+          |WHERE doc_id % 5 <> 0 GROUP BY doc_id""".stripMargin),
+    "x_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "x_redact" ->
+      """WITH injected AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' Contact bob.smith@example.com via https://example.com/a?b=1 or call 555-123-4567 now'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |stages AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g') AS after_url
+        |  FROM injected),
+        |stages2 AS (
+        |  SELECT doc_id, text, after_url,
+        |    regexp_replace(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS after_email
+        |  FROM stages)
+        |SELECT doc_id,
+        |  regexp_replace(after_email, '\+?[0-9][0-9]{2}[0-9()\- ]{5,10}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email, '\+?[0-9][0-9]{2}[0-9()\- ]{5,10}[0-9]')) AS INT) AS n_phones
+        |FROM stages2""".stripMargin,
+    "x_chunks" ->
+      (tokCte +
+        """,n AS (SELECT doc_id, ts, greatest(len(ts) - 5, 0) // 28 + 1 AS nc FROM tok),
+          |c AS (SELECT doc_id, ts, unnest(range(0, nc)) AS chunk_id FROM n)
+          |SELECT doc_id, chunk_id,
+          |  len(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)]) AS n_tokens,
+          |  array_to_string(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)], ' ') AS chunk_text
+          |FROM c""".stripMargin))
+}

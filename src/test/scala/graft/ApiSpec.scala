@@ -32,6 +32,16 @@ class ApiSpec extends AnyFunSuite {
     assert(n == 500)
   }
 
+  test("VERSION AS OF inside a string literal is NOT rewritten") {
+    val s = freshSession()
+    // The literal must survive verbatim while the real sugar still fires.
+    val r = s.sql(
+      "SELECT 'orders_t VERSION AS OF 1' AS lit, count(*) AS n FROM orders_t VERSION AS OF 1 GROUP BY 1")
+      .head()
+    assert(r.getString(0) == "orders_t VERSION AS OF 1")
+    assert(r.getLong(1) == 500)
+  }
+
   test("snapshots metadata view is queryable by SQL") {
     val s = freshSession()
     val ops = s.sql("SELECT operation FROM orders_t__snapshots ORDER BY snapshot_id")

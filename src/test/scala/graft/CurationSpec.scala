@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+/** Unit tests for the corpus-curation operators over the driver corpus. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+  test("chunking: chunks tile the token stream with the declared overlap") {
+    val window = 32
+    val overlap = 4
+    val stride = window - overlap
+    val chunks = Curation.chunkTokens(docs, "doc_id", "text", window, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getInt(2), r.getString(3)))
+    val toks = docs.select(col("doc_id"), graft.functions.Tokenize.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, "chunk ids dense from 0")
+      // Every chunk is the exact token slice, all ≤ window, last covers the tail.
+      sorted.foreach { case (_, ci, n, text) =>
+        val want = toks(id).slice(ci * stride, ci * stride + window)
+        assert(text == want.mkString(" ") && n == want.size && n <= window)
+      }
+      assert(sorted.last._2 * stride + sorted.last._3 == toks(id).size, "tail covered")
+      // A doc under `window` tokens yields exactly one chunk.
+      if (toks(id).size <= window) assert(sorted.length == 1)
+    }
+  }
+
+  test("hash split: total, deterministic, all three splits present, ~80/10/10") {
+    val split = Curation.withSplit(docs, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(split.size == docs.count())
+    val frac = split.values.groupBy(identity).view.mapValues(_.size.toDouble / split.size)
+    assert(frac("train") > 0.6 && frac("val") > 0.01 && frac("test") > 0.01)
+    val again = Curation.withSplit(docs, "text").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(again == split, "split assignment must be deterministic")
+  }
+
+  test("redaction: urls, emails and phones are each caught and counted") {
+    val d = Seq((1L, "see https://x.io/a?b=1 mail a.b@c.org call 555-123-4567 end"),
+      (2L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val got = Curation.redactionReport(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L)._1 == "see <URL> mail <EMAIL> call <PHONE> end")
+    assert(got(1L)._2 == 1 && got(1L)._3 == 1 && got(1L)._4 == 1)
+    assert(got(2L) == (("clean text with no pii at all", 0, 0, 0)))
+  }
+
+  test("decontamination: hit docs share 5-grams with the benchmark; output is disjoint") {
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val hits = Curation.contaminationHits(corpus, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.nonEmpty, "corpus must contain planted near-dups crossing the split")
+    assert(hits.keys.forall(_ % 5 != 0))
+    assert(hits.values.forall(_ > 0))
+    val clean = Curation.decontaminate(corpus, bench, "doc_id", "text")
+    assert(clean.count() == corpus.count() - hits.size)
+    assert(clean.filter(col("doc_id").isin(hits.keys.toSeq: _*)).count() == 0)
+  }
+}
