@@ -25,6 +25,10 @@ object Bench {
     "t_upsert_bucketed", "c_cdc_batch",
     "d_minhash_pairs", "e_cosine_topk", "x_quality")
 
+  /** Round-3 curation ops, timed as their own group so the headline
+    * `total` stays comparable across rounds. */
+  private val curation = Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,13 +52,15 @@ object Bench {
     def errText(e: Throwable): String =
       Option(e.getMessage).getOrElse(e.getClass.getName)
         .linesIterator.take(1).mkString.take(200)
-    val results = headline.map { name =>
+    def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable => errors(name) = errText(e) }
       name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
+    val results = time(headline)
+    val curResults = time(curation)
 
     // CDC-merge throughput at the reference's batch size (~100k rows per
     // trigger, `cdc_merger_optimized.py:23`): keyed upsert into a bucketed
@@ -148,6 +154,8 @@ object Bench {
       if (d.isNaN || d.isInfinite) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+    val cqs = curResults.map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+    val curTotal = curResults.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) =>
       val esc = v.flatMap {
         case '"' => "\\\""
@@ -158,7 +166,7 @@ object Bench {
       s"\"$k\":\"$esc\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

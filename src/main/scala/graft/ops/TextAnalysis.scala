@@ -102,4 +102,17 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /**
+   * Corpus-wide top-k word n-grams by total occurrence count (vocabulary /
+   * boilerplate mining). The classic word-count shape: map-side partial
+   * aggregation means only (gram, partialCount) per distinct gram per
+   * partition shuffles — never the documents. Deterministic tie-break:
+   * count desc, then gram asc.
+   */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 2, k: Int = 50): DataFrame =
+    docs.select(explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
 }

@@ -191,6 +191,10 @@ object LlmQueries {
         .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
           sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"))),
 
+    // Corpus-wide top-50 bigrams (vocabulary / boilerplate mining).
+    "x_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
+
     // Rolling-hash document fingerprints (xxhash64-based → rows-only).
     "x_fingerprint" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
@@ -303,6 +307,14 @@ object LlmQueries {
         |         ELSE 'zh' END AS predicted
         |  FROM scored)
         |SELECT lang, predicted, count(*) AS n FROM pred GROUP BY lang, predicted""".stripMargin,
+    "x_top_ngrams" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |        ELSE list_transform(range(1, len(ts)),
+        |          i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]) END) AS ngram
+        |      FROM tok)
+        |SELECT ngram, count(*) AS n_occurrences FROM g
+        |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
     "x_bpe_tokens" ->
       """SELECT source,
         |  CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS ws_tokens,

@@ -57,6 +57,14 @@ class OpsSpec extends AnyFunSuite {
     assert(cl.values.toSet.subsetOf(cl.keySet))
   }
 
+  test("top n-grams: descending counts, deterministic tie-break, k rows") {
+    val top = graft.ops.TextAnalysis.topNgrams(docs, "text", n = 2, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == 20)
+    assert(top.sliding(2).forall { case Array((ga, ca), (gb, cb)) =>
+      ca > cb || (ca == cb && ga < gb) })
+  }
+
   test("simhash pairs are near-dups (subset of exact Jaccard at a lower bar)") {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text")
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
