@@ -69,11 +69,14 @@ object Cluster {
       aCol: String,
       bCol: String,
       maxRounds: Int = 50): DataFrame = {
+    // Lazy checkpoints: the signature aggregate right after is the first
+    // action, so each round materializes its checkpoint AND computes the
+    // signature in ONE job instead of two (eager checkpoint + agg).
     var edges = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def signature(e: DataFrame): (Long, String) = {
       // Sum in decimal(38,0): wide enough that per-edge 64-bit hashes cannot
@@ -89,7 +92,7 @@ object Cluster {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next

@@ -92,14 +92,16 @@ object LlmQueries {
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text")),
 
-    // Near-dup CLUSTERING: connected components over the exact-Jaccard pair
+    // Near-dup CLUSTERING: connected components over the near-dup pair
     // graph (alternating large-star/small-star), every doc labeled with its
-    // cluster's canonical (minimum) id. The oracle recomputes the closure
-    // with a recursive CTE.
+    // cluster's canonical (minimum) id. Edges come from the 100 TB pair
+    // path (MinHash-LSH + restricted exact verification) — the oracle
+    // recomputes the closure of the EXACT pair graph with a recursive CTE,
+    // so the gate simultaneously re-proves LSH-vs-exact equality here.
     "d_cluster_cc" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Cluster.clusterDocs(docs, "doc_id",
-        Dedup.exactJaccardPairs(docs, "doc_id", "text", minJaccard = 0.5))
+        Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5))
     }),
 
     // Brute-force cosine top-5 for 10 query vectors (ranks are int-only).
