@@ -122,7 +122,14 @@ object Relational {
       events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
-        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))),
+
+    // Gap sessionization, batch shape (1-day gap): the hash-verified face
+    // of the streaming sessionize operator (StreamingSpec proves the
+    // streaming path emits exactly these sessions).
+    "q14_sessions" -> ((s, d) =>
+      graft.streaming.EventWindows.sessionizeBatch(
+        events(s, d), "ts", "user_id", gapSeconds = 86400L)))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -173,5 +180,15 @@ object Relational {
       "SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)",
     "q13_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q14_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > CAST(86400 AS BIGINT)*1000000
+        |             THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin)
 }

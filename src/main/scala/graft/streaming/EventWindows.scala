@@ -48,6 +48,35 @@ object EventWindows {
         col("window.end").as("window_end"), col(keyCol), col("n_events"))
 
   /**
+   * BATCH gap sessionization — the same session semantics as [[sessionize]]
+   * expressed with window functions over a static frame: a session breaks
+   * where the in-user gap exceeds `gapSeconds`; ids are the running count
+   * of breaks. One shuffle on the user key; everything else is per-user
+   * sorted-run arithmetic (integer microseconds, so an external engine
+   * reproduces boundaries exactly). `StreamingSpec` asserts the streaming
+   * operator emits exactly these sessions once the watermark closes them.
+   */
+  def sessionizeBatch(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol)
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(byUser)
+    val brk = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1).otherwise(0)
+    events
+      .withColumn("__brk", brk)
+      .withColumn("__sid", sum(col("__brk"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  /**
    * Gap-based sessionization via `flatMapGroupsWithState` (event-time
    * timeout): consecutive events of a user belong to one session while
    * gaps stay ≤ `gapSeconds`; a session closes when a larger gap appears

@@ -43,6 +43,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize emits exactly the batch sessionizeBatch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Deterministic pseudo-random event set: 3 users, varied gaps around
+    // the 10s threshold (both sides), in-batch duplicates and ties.
+    val rnd = new scala.util.Random(7)
+    val real = (1 to 3).flatMap { u =>
+      var t = 5L + u
+      (1 to 15).map { _ =>
+        t += (if (rnd.nextBoolean()) rnd.between(1L, 9L) else rnd.between(11L, 40L))
+        (u.toLong, ts(t))
+      }
+    }
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = EventWindows.sessionize(
+      in.toDF().toDF("user_id", "ts"), "ts", "user_id",
+      gapSeconds = 10, watermarkDelay = "0 seconds")
+      .toDF().writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(real: _*)
+      q.processAllAvailable()
+      // Sentinels far past every real session + gap: watermark advances and
+      // every real session times out and closes; sentinel sessions stay open.
+      val far = real.map(_._2.getTime).max / 1000 + 1000
+      in.addData((1L, ts(far)), (2L, ts(far)), (3L, ts(far)))
+      q.processAllAvailable()
+      in.addData((1L, ts(far + 1000))) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .filter(_._2.getTime < far * 1000L).toSet
+      val batch = EventWindows.sessionizeBatch(
+        real.toDF("user_id", "ts"), "ts", "user_id", gapSeconds = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"closed streaming sessions must equal batch sessions\nstream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("sessionization: in-batch gap split + watermark-timeout close, state removed") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
