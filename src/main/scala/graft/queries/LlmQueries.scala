@@ -92,6 +92,21 @@ object LlmQueries {
     "d_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text")),
 
+    // SimHash SELF-VERIFYING gate: every SimHash pair must also be an exact
+    // Jaccard ≥ 0.3 pair (lexical precision), and the candidate set must be
+    // non-empty — a fingerprint/banding regression flips a boolean and
+    // fails the hash compare instead of hiding behind rows-only.
+    "d_simhash_gate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      val loose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.3)
+        .select("id_a", "id_b")
+      sim.agg(count(lit(1)).as("__n"))
+        .crossJoin(sim.join(loose, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("__out")))
+        .select((col("__n") > 0).as("nonempty_ok"), (col("__out") === 0).as("precision_ok"))
+    }),
+
     // Near-dup CLUSTERING: connected components over the near-dup pair
     // graph (alternating large-star/small-star), every doc labeled with its
     // cluster's canonical (minimum) id. Edges come from the 100 TB pair
@@ -202,6 +217,19 @@ object LlmQueries {
       tbl(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // Fingerprint SELF-VERIFYING gate: equal token streams hash equal by
+    // construction, so distinct-fingerprint count must equal
+    // distinct-normalized-text count (collision-free on this corpus, with
+    // planted exact duplicates included). The count is oracle-checked; a
+    // fingerprint collision or determinism regression flips the boolean.
+    "x_fp_gate" -> ((s, d) => {
+      val docs = withExactDups(s, d)
+      docs.agg(
+        countDistinct(graft.functions.Tokenize.normalize(col("text"))).as("n_distinct_texts"),
+        (countDistinct(TextAnalysis.fingerprint(col("text"))) ===
+          countDistinct(graft.functions.Tokenize.normalize(col("text")))).as("collision_free"))
+    }),
+
     // Multimodal: media-table wrap (binary payload + typed metadata).
     "m_media_meta" -> ((s, d) =>
       Multimodal.asMediaTable(tbl(s, d, "documents"), "doc_id", "text", "source")
@@ -238,6 +266,15 @@ object LlmQueries {
       (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
     "d_minhash_pairs" ->
       (jaccardCte + "SELECT id_a, id_b FROM jacs WHERE jaccard >= 0.5"),
+    "d_simhash_gate" ->
+      "SELECT true AS nonempty_ok, true AS precision_ok",
+    "x_fp_gate" ->
+      """WITH all_docs AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
+        |  UNION ALL
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT count(DISTINCT t) AS n_distinct_texts, true AS collision_free FROM all_docs""".stripMargin,
     "d_cluster_cc" ->
       ("WITH RECURSIVE " + jaccardCte.stripPrefix("WITH ") +
         """,edges AS (SELECT id_a AS u, id_b AS v FROM jacs WHERE jaccard >= 0.5

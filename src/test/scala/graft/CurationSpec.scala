@@ -35,6 +35,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking boundaries: exhaustive token counts 1..80 across window shapes") {
+    for ((window, overlap) <- Seq((32, 4), (8, 0), (5, 4))) {
+      val stride = window - overlap
+      val d = (1 to 80).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = graft.ops.Curation.chunkTokens(d, "doc_id", "text", window, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getInt(2), r.getString(3)))
+        .groupBy(_._1)
+      (1 to 80).foreach { n =>
+        val toks = (1 to n).map(i => s"t$i")
+        // Reference: greedy fixed-stride tiling; last chunk covers the tail.
+        val expect = Iterator.from(0).map(i => toks.slice(i * stride, i * stride + window))
+          .takeWhile(_.nonEmpty).zipWithIndex
+          .map { case (c, i) => (i, c.size, c.mkString(" ")) }.toVector
+        val want = if (n <= window) expect.take(1)
+          else expect.filter { case (i, sz, _) => i == 0 || sz > overlap }
+        val g = got(n.toLong).sortBy(_._2).map(t => (t._2, t._3, t._4)).toVector
+        assert(g == want, s"n=$n window=$window overlap=$overlap")
+      }
+    }
+  }
+
   test("hash split: total, deterministic, all three splits present, ~80/10/10") {
     val split = Curation.withSplit(docs, "text").select("doc_id", "split")
       .as[(Long, String)].collect().toMap

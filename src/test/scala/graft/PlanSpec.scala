@@ -87,6 +87,39 @@ class PlanSpec extends AnyFunSuite {
     assert(upBuckets.size == 8, "non-key predicates must not prune")
   }
 
+  test("decontamination broadcasts the benchmark side; only 64-bit hashes shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hits = graft.ops.Curation.contaminationHits(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text")
+    val p = plan(hits)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    // No shuffle carries the text column — only (id, shingle-hash) pairs.
+    // Under AQE exchanges only exist inside the adaptive plan, so read them
+    // from the formatted explain, which lists each node with its inputs.
+    val fmt = hits.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = fmt.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, s"expected shuffles in:\n$fmt")
+    exchangeInputs.foreach(in =>
+      assert(!in.contains("text#"), s"text must never shuffle: $in"))
+  }
+
+  test("chunking and splitting are map-side only until their terminal agg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val chunks = fmt(graft.ops.Curation.chunkTokens(docs, "doc_id", "text"))
+    assert(!chunks.contains("Exchange"), s"chunking must not shuffle:\n$chunks")
+    val split = fmt(graft.ops.Curation.withSplit(docs, "text"))
+    assert(!split.contains("Exchange"), s"splitting must not shuffle:\n$split")
+  }
+
   test("merge broadcasts the update keys — target side has no shuffle") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val updates = orders.filter(col("o_orderkey") < 10)
