@@ -84,6 +84,43 @@ object Curation {
   def withSplit(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("split", hashSplit(docs, textCol))
 
+  // -------------------------------------------------------------- sampling
+
+  /**
+   * Deterministic content-hash sampling: keep a document iff its first four
+   * md5 hex chars fall under `keep16` out of 65536 slices. Like
+   * [[hashSplit]] this is stable across runs, engines and cluster layouts —
+   * re-ingesting a document never flips its membership, and a downstream
+   * engine can reproduce the exact sample. Pure map-side filter.
+   */
+  def sampleByHash(docs: DataFrame, textCol: String, keep16: Int): Column = {
+    require(keep16 >= 0 && keep16 <= 0x10000)
+    val hex = "0123456789abcdef"
+    val bound = (3 to 0 by -1).map(i => hex((keep16 >> (4 * i)) & 0xF)).mkString
+    if (keep16 == 0x10000) lit(true)
+    else substring(md5(col(textCol).cast("binary")), 1, 4) < bound
+  }
+
+  /**
+   * Per-group quota (domain/language balancing): keep at most `k` documents
+   * per group, chosen deterministically by md5 order (id tie-break for
+   * equal texts). One shuffle on the group key; the rank never sees text
+   * beyond the md5 already computed map-side.
+   */
+  def capPerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   // ------------------------------------------------------------- redaction
 
   /**

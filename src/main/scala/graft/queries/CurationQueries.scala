@@ -50,7 +50,19 @@ object CurationQueries {
 
     // Token-window chunking (window 32, overlap 4).
     "x_chunks" -> ((s, d) =>
-      Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text")))
+      Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // Deterministic 25% content-hash sample.
+    "x_sample" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      docs.filter(Curation.sampleByHash(docs, "text", keep16 = 0x4000))
+        .select("doc_id")
+    }),
+
+    // Per-language quota of 30 docs (domain balancing), md5-deterministic.
+    "x_cap_group" -> ((s, d) =>
+      Curation.capPerGroup(tbl(s, d, "documents"), "lang", "doc_id", "text", k = 30)
+        .select("lang", "doc_id")))
 
   private val tokCte =
     """WITH tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents)
@@ -94,6 +106,14 @@ object CurationQueries {
         |  CAST(len(regexp_extract_all(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(after_email, '\+?[0-9][0-9]{2}[0-9()\- ]{5,10}[0-9]')) AS INT) AS n_phones
         |FROM stages2""".stripMargin,
+    "x_sample" ->
+      "SELECT doc_id FROM documents WHERE substr(md5(text), 1, 4) < '4000'",
+    "x_cap_group" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30""".stripMargin,
     "x_chunks" ->
       (tokCte +
         """,n AS (SELECT doc_id, ts, greatest(len(ts) - 5, 0) // 28 + 1 AS nc FROM tok),

@@ -68,6 +68,27 @@ class CurationSpec extends AnyFunSuite {
     assert(again == split, "split assignment must be deterministic")
   }
 
+  test("hash sampling: deterministic, monotone in the fraction, exact at the poles") {
+    val n = docs.count()
+    assert(docs.filter(Curation.sampleByHash(docs, "text", 0)).count() == 0)
+    assert(docs.filter(Curation.sampleByHash(docs, "text", 0x10000)).count() == n)
+    val q1 = docs.filter(Curation.sampleByHash(docs, "text", 0x4000))
+    val q3 = docs.filter(Curation.sampleByHash(docs, "text", 0xC000))
+    val (c1, c3) = (q1.count(), q3.count())
+    assert(c1 > 0 && c1 < c3 && c3 < n)
+    // A kept doc at 25% stays kept at 75% (nested samples).
+    assert(q1.join(q3, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("per-group cap: at most k per group, deterministic membership") {
+    val capped = Curation.capPerGroup(docs, "lang", "doc_id", "text", 10)
+    val sizes = capped.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 10) && sizes.nonEmpty)
+    val again = Curation.capPerGroup(docs, "lang", "doc_id", "text", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("redaction: urls, emails and phones are each caught and counted") {
     val d = Seq((1L, "see https://x.io/a?b=1 mail a.b@c.org call 555-123-4567 end"),
       (2L, "clean text with no pii at all")).toDF("doc_id", "text")
