@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, KMeans, Multimodal, Similarity, TextAnalysis}
 import Q._
 
 /**
@@ -185,6 +185,37 @@ object LlmQueries {
       recallGate(exact, ivf, minRecall = 0.5)
     }),
 
+    // Distributed Lloyd's k-means over the embeddings, SELF-VERIFYING:
+    // point count hash-checks against DuckDB, all 8 cells must be
+    // non-empty, and the Lloyd invariant (inertia never increases across
+    // iterations) must hold.
+    "e_kmeans" -> ((s, d) => {
+      val r = KMeans.fit(tbl(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 4)
+      r.assignments
+        .agg(count(lit(1)).as("n_points"), countDistinct(col("cell")).as("n_cells"))
+        .withColumn("inertia_monotone", lit(r.inertiaMonotone))
+    }),
+
+    // SemDeDup-style semantic near-dup: k-means cells + multi-probe
+    // within-cell exact verification. Same self-verifying shape as
+    // e_cos_dup_lsh: exact pair count hash-checked, recall ≥ 90% (measured
+    // 100% at sf0.01 and sf0.001, 95.5% at sf0.1), zero spurious pairs by
+    // construction.
+    "e_semdedup" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42)
+      val sem = KMeans.semanticDupPairs(emb, "vec_id", "embedding", 0.42,
+        k = 8, iters = 4, probes = 3)
+      val found = exact.join(sem, Seq("id_a", "id_b"), "left_semi")
+      val spurious = sem.join(exact, Seq("id_a", "id_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("__nf")))
+        .crossJoin(spurious.agg(count(lit(1)).as("__ns")))
+        .select(col("n_exact"),
+          (col("__nf") >= col("n_exact") * 0.9).as("recall_ok"),
+          (col("__ns") === 0).as("precision_ok"))
+    }),
+
     // Per-language corpus statistics.
     "x_lang_stats" -> ((s, d) =>
       tbl(s, d, "documents").groupBy("lang")
@@ -296,6 +327,13 @@ object LlmQueries {
     "e_ann_topk" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "e_kmeans" ->
+      """SELECT count(*) AS n_points, CAST(8 AS BIGINT) AS n_cells,
+        |  true AS inertia_monotone FROM embeddings""".stripMargin,
+    "e_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42""".stripMargin,
     "e_ivf_topk" ->
       """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
