@@ -140,11 +140,20 @@ object Bench {
         try {
           q.processAllAvailable() // wave 1: full insert load, untimed warm-up
           // wave 2: a full UPDATE image of every key (the reference merger's
-          // steady diet), appended as new files under the running query.
+          // steady diet). Written to a STAGING dir the resident stream can't
+          // see, then moved in AFTER t0 — otherwise the polling stream
+          // starts merging early part-files while the untimed write is
+          // still running and the timed window misses that work.
           val nWave2 = ev.count()
+          val stage = Files.createTempDirectory("bench-cdc-stage-")
           envOf(ev.withColumn("value", col("value") + 10), "u", 1)
-            .repartition(8).write.mode("append").text(inDir.toString)
+            .repartition(8).write.mode("overwrite").text(stage.toString)
+          val parts = java.nio.file.Files.list(stage).iterator()
           val t0 = System.nanoTime()
+          parts.forEachRemaining { p =>
+            if (p.getFileName.toString.startsWith("part-"))
+              java.nio.file.Files.move(p, inDir.resolve(p.getFileName))
+          }
           q.processAllAvailable() // timed: decode + dedup + merge of wave 2
           nWave2 / ((System.nanoTime() - t0) / 1e9)
         } finally q.stop()

@@ -34,22 +34,34 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val VersionAsOf = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
 
   /**
-   * Apply `f` to the segments of `s` OUTSIDE single-quoted string literals,
-   * copying literal content verbatim. SQL escapes a quote by doubling
-   * (`''`), which this scan handles naturally: the second quote re-enters
-   * literal state over an empty outside segment.
+   * Apply `f` to the segments of `s` OUTSIDE string literals (single- or
+   * double-quoted, with backslash escapes — Spark's default dialect treats
+   * both as strings) and outside `--` line comments, copying protected
+   * content verbatim. SQL's doubled-quote escape (`''`) falls out of the
+   * scan naturally: the second quote re-enters literal state over an empty
+   * outside segment.
    */
   private def mapOutsideLiterals(s: String, f: String => String): String = {
     val out = new StringBuilder
     val buf = new StringBuilder
-    var inLiteral = false
+    var quote: Char = 0 // current literal delimiter, 0 = outside
+    var inComment = false
+    var escaped = false
+    def flush(): Unit = { out.append(f(buf.toString())); buf.clear() }
     for (c <- s) {
-      if (inLiteral) { out.append(c); if (c == '\'') inLiteral = false }
-      else if (c == '\'') {
-        out.append(f(buf.toString())); buf.clear(); out.append(c); inLiteral = true
+      if (inComment) { out.append(c); if (c == '\n') inComment = false }
+      else if (quote != 0) {
+        out.append(c)
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { flush(); out.append(c); quote = c }
+      else if (c == '-' && buf.nonEmpty && buf.last == '-') {
+        buf.deleteCharAt(buf.length - 1); flush(); out.append("--"); inComment = true
       } else buf.append(c)
     }
-    out.append(f(buf.toString())).toString()
+    flush()
+    out.toString()
   }
 
   /**

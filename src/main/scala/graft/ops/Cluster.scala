@@ -92,13 +92,19 @@ object Cluster {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      val prev = edges
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nextSig = signature(next)
+      val nextSig = signature(next) // materializes next's checkpoint
+      prev.unpersist(blocking = false) // prior round's blocks no longer needed
       converged = nextSig == sig
       edges = next
       sig = nextSig
       round += 1
     }
+    // Fail loudly rather than return silently-wrong components: the
+    // post-loop extraction below is only valid at the star-graph fixpoint.
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds")
     // At the fixpoint every edge is (member, componentMin); roots appear
     // only on the right side and map to themselves.
     val members = edges.select(col("u").as("id"), col("v").as("component"))

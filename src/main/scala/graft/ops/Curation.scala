@@ -69,9 +69,10 @@ object Curation {
    * default is ~80/10/10 (204/26/26).
    */
   def hashSplit(
-      docs: DataFrame,
       textCol: String,
       cuts: Seq[(String, Int)] = Seq("train" -> 204, "val" -> 230, "test" -> 256)): Column = {
+    require(cuts.nonEmpty && cuts.init.forall(c => c._2 > 0 && c._2 < 256),
+      "non-final cuts must be upper bounds in (0, 256)")
     val bucket = substring(md5(col(textCol).cast("binary")), 1, 2)
     val hex = "0123456789abcdef"
     def bound(i: Int): String = s"${hex(i / 16)}${hex(i % 16)}"
@@ -82,7 +83,7 @@ object Curation {
 
   /** Documents labeled with their split. */
   def withSplit(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("split", hashSplit(docs, textCol))
+    docs.withColumn("split", hashSplit(textCol))
 
   // -------------------------------------------------------------- sampling
 
@@ -93,7 +94,7 @@ object Curation {
    * re-ingesting a document never flips its membership, and a downstream
    * engine can reproduce the exact sample. Pure map-side filter.
    */
-  def sampleByHash(docs: DataFrame, textCol: String, keep16: Int): Column = {
+  def sampleByHash(textCol: String, keep16: Int): Column = {
     require(keep16 >= 0 && keep16 <= 0x10000)
     val hex = "0123456789abcdef"
     val bound = (3 to 0 by -1).map(i => hex((keep16 >> (4 * i)) & 0xF)).mkString

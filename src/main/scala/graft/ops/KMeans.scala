@@ -94,19 +94,19 @@ object KMeans {
       inertias += sums.flatMap(r => Option(r.get(4)).map(_.asInstanceOf[Double]))
         .sum
       val next = cents.map(_.clone())
-      val counts = Array.fill(k)(0L)
       sums.foreach { r =>
         val (cell, dim) = (r.getInt(0), r.getInt(1))
-        counts(cell) = r.getLong(3)
         next(cell)(dim) = r.getDouble(2) / r.getLong(3)
       }
       cents = next
     }
-
-    val finalAssign = vecs
-      .select(col("__id").as(idCol), nearest(col("__v"), cents).getField("cell").as("cell"))
-      .localCheckpoint() // materialize off the cache, then release it
     vecs.unpersist(blocking = false)
+
+    // Lazy: one map-side pass over the source when (and only if) the caller
+    // actually evaluates the assignments — semanticDupPairs, for one, needs
+    // only the centroids.
+    val finalAssign = corpus
+      .select(col(idCol), nearest(col(vecCol), cents).getField("cell").as("cell"))
     Result(finalAssign, cents, inertias.toSeq)
   }
 

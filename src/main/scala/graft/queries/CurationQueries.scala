@@ -55,7 +55,7 @@ object CurationQueries {
     // Deterministic 25% content-hash sample.
     "x_sample" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      docs.filter(Curation.sampleByHash(docs, "text", keep16 = 0x4000))
+      docs.filter(Curation.sampleByHash("text", keep16 = 0x4000))
         .select("doc_id")
     }),
 
@@ -119,7 +119,7 @@ object CurationQueries {
         """,n AS (SELECT doc_id, ts, greatest(len(ts) - 5, 0) // 28 + 1 AS nc FROM tok),
           |c AS (SELECT doc_id, ts, unnest(range(0, nc)) AS chunk_id FROM n)
           |SELECT doc_id, chunk_id,
-          |  len(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)]) AS n_tokens,
+          |  CAST(len(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)]) AS INT) AS n_tokens,
           |  array_to_string(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)], ' ') AS chunk_text
           |FROM c""".stripMargin))
 }

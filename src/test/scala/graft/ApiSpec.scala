@@ -42,6 +42,21 @@ class ApiSpec extends AnyFunSuite {
     assert(r.getLong(1) == 500)
   }
 
+  test("literal scanner: escaped quotes, double-quoted strings, line comments") {
+    val s = freshSession()
+    // Backslash-escaped quote inside a literal must not end the literal.
+    val r1 = s.sql("SELECT 'it\\'s orders_t VERSION AS OF 1' AS lit FROM orders_t LIMIT 1").head()
+    assert(r1.getString(0) == "it's orders_t VERSION AS OF 1")
+    // Double-quoted strings are literals in Spark's default dialect.
+    val r2 = s.sql("SELECT \"orders_t VERSION AS OF 1\" AS lit FROM orders_t LIMIT 1").head()
+    assert(r2.getString(0) == "orders_t VERSION AS OF 1")
+    // An apostrophe in a -- comment must not flip literal state; the real
+    // sugar after the comment line must still fire.
+    val r3 = s.sql(
+      "SELECT count(*) AS n -- don't rewrite 'this'\nFROM orders_t VERSION AS OF 1").head()
+    assert(r3.getLong(0) == 500)
+  }
+
   test("snapshots metadata view is queryable by SQL") {
     val s = freshSession()
     val ops = s.sql("SELECT operation FROM orders_t__snapshots ORDER BY snapshot_id")

@@ -70,10 +70,10 @@ class CurationSpec extends AnyFunSuite {
 
   test("hash sampling: deterministic, monotone in the fraction, exact at the poles") {
     val n = docs.count()
-    assert(docs.filter(Curation.sampleByHash(docs, "text", 0)).count() == 0)
-    assert(docs.filter(Curation.sampleByHash(docs, "text", 0x10000)).count() == n)
-    val q1 = docs.filter(Curation.sampleByHash(docs, "text", 0x4000))
-    val q3 = docs.filter(Curation.sampleByHash(docs, "text", 0xC000))
+    assert(docs.filter(Curation.sampleByHash("text", 0)).count() == 0)
+    assert(docs.filter(Curation.sampleByHash("text", 0x10000)).count() == n)
+    val q1 = docs.filter(Curation.sampleByHash("text", 0x4000))
+    val q3 = docs.filter(Curation.sampleByHash("text", 0xC000))
     val (c1, c3) = (q1.count(), q3.count())
     assert(c1 > 0 && c1 < c3 && c3 < n)
     // A kept doc at 25% stays kept at 75% (nested samples).
