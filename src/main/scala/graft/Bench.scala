@@ -62,12 +62,19 @@ object Bench {
     val results = time(headline)
     val curResults = time(curation)
 
+    /** Median of three timed runs — single-shot timings on a busy machine
+      * swing ±30%; the median is what a sustained-rate claim compares to. */
+    def median3(run: Int => Double): Double = {
+      val ts = (0 until 3).map(run).sorted
+      ts(1)
+    }
+
     // CDC-merge throughput at the reference's batch size (~100k rows per
     // trigger, `cdc_merger_optimized.py:23`): keyed upsert into a bucketed
     // table of the full lineitem (600k rows at sf0.1). STEADY-STATE: the
     // baseline's ~50k rows/s is a long-running merger's sustained rate, so
     // one untimed warm-up merge absorbs the one-time codegen/JIT compile a
-    // resident service amortizes; the timed merge then does every piece of
+    // resident service amortizes; each timed merge then does every piece of
     // real per-batch work (scan, dedup, anti-join, bucketed write, commit).
     val mergeThroughput =
       try {
@@ -80,10 +87,12 @@ object Bench {
           .withColumn("l_quantity", col("l_quantity") + 1)
         val nBatch = batch.count()
         t.upsert(batch, "li_id") // warm-up: identical untimed merge
-        val batch2 = batch.withColumn("l_quantity", col("l_quantity") + 1)
-        val t0 = System.nanoTime()
-        t.upsert(batch2, "li_id")
-        nBatch / ((System.nanoTime() - t0) / 1e9)
+        nBatch / median3 { i =>
+          val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
+          val t0 = System.nanoTime()
+          t.upsert(b, "li_id")
+          (System.nanoTime() - t0) / 1e9
+        }
       } catch { case e: Throwable => errors("merge_throughput") = errText(e); -1.0 }
 
     // Merge-on-read ingest throughput: the same 100k batch as a DELTA
@@ -98,9 +107,13 @@ object Bench {
         val batch = li.filter(col("l_orderkey") % 6 === 0)
           .withColumn("l_quantity", col("l_quantity") + 1)
         val nBatch = batch.count()
-        val t0 = System.nanoTime()
-        t.upsertDeferred(batch, "li_id")
-        nBatch / ((System.nanoTime() - t0) / 1e9)
+        t.upsertDeferred(batch, "li_id") // warm-up delta append
+        nBatch / median3 { i =>
+          val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
+          val t0 = System.nanoTime()
+          t.upsertDeferred(b, "li_id")
+          (System.nanoTime() - t0) / 1e9
+        }
       } catch { case e: Throwable => errors("mor_throughput") = errText(e); -1.0 }
 
     // End-to-end CDC streaming throughput: envelope JSON files → decode →
@@ -139,23 +152,27 @@ object Bench {
           maxFilesPerTrigger = 8)
         try {
           q.processAllAvailable() // wave 1: full insert load, untimed warm-up
-          // wave 2: a full UPDATE image of every key (the reference merger's
-          // steady diet). Written to a STAGING dir the resident stream can't
-          // see, then moved in AFTER t0 — otherwise the polling stream
-          // starts merging early part-files while the untimed write is
-          // still running and the timed window misses that work.
-          val nWave2 = ev.count()
-          val stage = Files.createTempDirectory("bench-cdc-stage-")
-          envOf(ev.withColumn("value", col("value") + 10), "u", 1)
-            .repartition(8).write.mode("overwrite").text(stage.toString)
-          val parts = java.nio.file.Files.list(stage).iterator()
-          val t0 = System.nanoTime()
-          parts.forEachRemaining { p =>
-            if (p.getFileName.toString.startsWith("part-"))
-              java.nio.file.Files.move(p, inDir.resolve(p.getFileName))
+          // waves 2-4: full UPDATE images of every key (the reference
+          // merger's steady diet), median-timed. Each wave is written to a
+          // STAGING dir the resident stream can't see, then moved in AFTER
+          // t0 — otherwise the polling stream starts merging early
+          // part-files while the untimed write is still running and the
+          // timed window misses that work.
+          val nWave = ev.count()
+          nWave / median3 { i =>
+            val stage = Files.createTempDirectory(s"bench-cdc-stage-$i-")
+            envOf(ev.withColumn("value", col("value") + 10 + i), "u", i + 1)
+              .repartition(8).write.mode("overwrite").text(stage.toString)
+            val parts = java.nio.file.Files.list(stage).iterator()
+            val t0 = System.nanoTime()
+            parts.forEachRemaining { p =>
+              if (p.getFileName.toString.startsWith("part-"))
+                java.nio.file.Files.move(p,
+                  inDir.resolve(s"wave$i-${p.getFileName}"))
+            }
+            q.processAllAvailable() // timed: decode + dedup + merge of the wave
+            (System.nanoTime() - t0) / 1e9
           }
-          q.processAllAvailable() // timed: decode + dedup + merge of wave 2
-          nWave2 / ((System.nanoTime() - t0) / 1e9)
         } finally q.stop()
       } catch { case e: Throwable => errors("cdc_throughput") = errText(e); -1.0 }
 
