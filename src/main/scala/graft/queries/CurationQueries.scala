@@ -62,7 +62,29 @@ object CurationQueries {
     // Per-language quota of 30 docs (domain balancing), md5-deterministic.
     "x_cap_group" -> ((s, d) =>
       Curation.capPerGroup(tbl(s, d, "documents"), "lang", "doc_id", "text", k = 30)
-        .select("lang", "doc_id")))
+        .select("lang", "doc_id")),
+
+    // COMPOSITE end-to-end curation pipeline — the operators chained the
+    // way a real training-data run chains them: exact dedup → benchmark
+    // decontamination → quality filter → deterministic split → token
+    // chunking, rolled up per split. One hash-checked gate proves the whole
+    // chain, not just each stage in isolation.
+    "p_curation_pipeline" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val deduped = graft.ops.Dedup.exactDedup(docs, "doc_id", "text")
+      val corpus = deduped.filter(col("doc_id") % 5 =!= 0)
+      val bench = docs.filter(col("doc_id") % 5 === 0)
+      val clean = Curation.decontaminate(corpus, bench, "doc_id", "text")
+      val kept = clean.join(
+        graft.ops.TextAnalysis.qualityMetrics(clean, "doc_id", "text")
+          .filter(col("passes_quality")).select("doc_id"), "doc_id")
+      val split = Curation.withSplit(kept, "text").select("doc_id", "split")
+      val chunksPerDoc = Curation.chunkTokens(kept, "doc_id", "text")
+        .groupBy("doc_id").agg(count(lit(1)).as("__nc"))
+      split.join(chunksPerDoc, "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("__nc").as("n_chunks"))
+    }))
 
   private val tokCte =
     """WITH tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents)
@@ -114,6 +136,36 @@ object CurationQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 30""".stripMargin,
+    "p_curation_pipeline" ->
+      (tokCte +
+        """,dedup AS (SELECT min(doc_id) AS doc_id FROM documents
+          |          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+          |g AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+          |        ELSE list_transform(range(1, len(ts) - 3),
+          |          i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2] || ' ' || ts[CAST(i AS INT)+3] || ' ' || ts[CAST(i AS INT)+4]) END) AS sh
+          |      FROM tok),
+          |dt AS (SELECT DISTINCT doc_id, sh FROM g),
+          |bench AS (SELECT DISTINCT sh FROM dt WHERE doc_id % 5 = 0),
+          |corpus AS (SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
+          |           WHERE d.doc_id % 5 <> 0),
+          |hits AS (SELECT DISTINCT dt.doc_id FROM dt JOIN bench USING (sh)
+          |         JOIN corpus c ON c.doc_id = dt.doc_id),
+          |clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+          |kept AS (SELECT doc_id, text,
+          |           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+          |         FROM clean
+          |         WHERE length(text) >= 20
+          |           AND len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 5
+          |           AND CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+          |               / greatest(length(text), 1) < 0.2),
+          |lab AS (SELECT doc_id,
+          |          CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+          |               WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+          |               ELSE 'test' END AS split,
+          |          greatest(len(ts) - 5, 0) // 28 + 1 AS nc
+          |        FROM kept)
+          |SELECT split, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chunks
+          |FROM lab GROUP BY split""".stripMargin),
     "x_chunks" ->
       (tokCte +
         """,n AS (SELECT doc_id, ts, greatest(len(ts) - 5, 0) // 28 + 1 AS nc FROM tok),
