@@ -163,15 +163,21 @@ object Bench {
             val stage = Files.createTempDirectory(s"bench-cdc-stage-$i-")
             envOf(ev.withColumn("value", col("value") + 10 + i), "u", i + 1)
               .repartition(8).write.mode("overwrite").text(stage.toString)
-            val parts = java.nio.file.Files.list(stage).iterator()
             val t0 = System.nanoTime()
-            parts.forEachRemaining { p =>
+            val parts = java.nio.file.Files.list(stage)
+            try parts.forEach { p =>
               if (p.getFileName.toString.startsWith("part-"))
                 java.nio.file.Files.move(p,
                   inDir.resolve(s"wave$i-${p.getFileName}"))
-            }
+            } finally parts.close()
             q.processAllAvailable() // timed: decode + dedup + merge of the wave
-            (System.nanoTime() - t0) / 1e9
+            val elapsed = (System.nanoTime() - t0) / 1e9
+            // Drop the drained staging dir (only _SUCCESS/CRC leftovers).
+            val rest = java.nio.file.Files.list(stage)
+            try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally rest.close()
+            java.nio.file.Files.deleteIfExists(stage)
+            elapsed
           }
         } finally q.stop()
       } catch { case e: Throwable => errors("cdc_throughput") = errText(e); -1.0 }

@@ -167,6 +167,20 @@ object Curation {
    * Pure per-row explode: chunk count arithmetic is integer-exact (`div`)
    * so an external oracle reproduces boundaries bit-for-bit.
    */
+  /** Chunk count for a token count — floor-div is exact for the
+    * non-negative ints here, identical to integer `div`. */
+  private def numChunks(nTokens: Column, window: Int, overlap: Int): Column =
+    floor(greatest(nTokens - (overlap + 1), lit(0)).cast("double") / (window - overlap))
+      .cast("long") + 1
+
+  /** Number of chunks [[chunkTokens]] yields per document — the same
+    * integer-exact arithmetic without materializing the chunks (rollups
+    * like the composite pipeline gate need only the count). */
+  def chunkCount(text: Column, window: Int = 32, overlap: Int = 4): Column = {
+    require(overlap < window, "overlap must be smaller than the window")
+    numChunks(size(tokens(text)), window, overlap)
+  }
+
   def chunkTokens(
       docs: DataFrame,
       idCol: String,
@@ -176,8 +190,7 @@ object Curation {
     require(overlap < window, "overlap must be smaller than the window")
     val stride = window - overlap
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .withColumn("__nc",
-        expr(s"greatest(size(__toks) - ${overlap + 1}, 0) div $stride") + 1)
+      .withColumn("__nc", numChunks(size(col("__toks")), window, overlap))
     withToks
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))

@@ -59,6 +59,11 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
 
+  /** The pass/fail curation predicate (length bounds, punctuation sanity) —
+    * a pure per-row column, usable as a map-side filter with no join. */
+  def passesQuality(text: Column): Column =
+    charLen(text) >= 20 && tokenCount(text) >= 5 && punctRatio(text) < 0.2
+
   /**
    * Composite quality metrics per document — the curation filters a training
    * pipeline applies before dedup (length bounds, punctuation sanity,
@@ -73,8 +78,7 @@ object TextAnalysis {
       avgTokenLen(t).as("avg_token_len"),
       punctRatio(t).as("punct_ratio"),
       stopwordRatio(t, "en").as("stopword_ratio"),
-      (charLen(t) >= 20 && tokenCount(t) >= 5 && punctRatio(t) < 0.2)
-        .as("passes_quality"))
+      passesQuality(t).as("passes_quality"))
   }
 
   /**

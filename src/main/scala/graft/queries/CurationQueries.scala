@@ -75,13 +75,11 @@ object CurationQueries {
       val corpus = deduped.filter(col("doc_id") % 5 =!= 0)
       val bench = docs.filter(col("doc_id") % 5 === 0)
       val clean = Curation.decontaminate(corpus, bench, "doc_id", "text")
-      val kept = clean.join(
-        graft.ops.TextAnalysis.qualityMetrics(clean, "doc_id", "text")
-          .filter(col("passes_quality")).select("doc_id"), "doc_id")
-      val split = Curation.withSplit(kept, "text").select("doc_id", "split")
-      val chunksPerDoc = Curation.chunkTokens(kept, "doc_id", "text")
-        .groupBy("doc_id").agg(count(lit(1)).as("__nc"))
-      split.join(chunksPerDoc, "doc_id")
+      // Quality gate, split label and chunk count are all per-row columns:
+      // one pass over the decontaminated survivors, no self-joins.
+      clean.filter(graft.ops.TextAnalysis.passesQuality(col("text")))
+        .select(Curation.hashSplit("text").as("split"),
+          Curation.chunkCount(col("text")).as("__nc"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("__nc").as("n_chunks"))
     }))
