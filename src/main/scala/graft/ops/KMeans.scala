@@ -58,6 +58,63 @@ object KMeans {
       s => s.getField("cell"))
 
   /**
+   * Literal-centroid plans stay codegen-friendly up to this many centroid
+   * COMPONENTS (k × dim); beyond it assignment dispatches to a broadcast
+   * centroid join (same arithmetic to the bit: float centroids, double
+   * accumulation, (d2, cell) struct-min tie-break).
+   */
+  val defaultLiteralLimit = 4096
+
+  /** Broadcast centroid table: (cell, cvec float, |c|² folded driver-side
+    * exactly like [[dist2]] does). */
+  private def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.zipWithIndex.toSeq.map { case (c, i) =>
+          val cf = c.map(_.toFloat)
+          Row(i, cf.toSeq, cf.map(v => v.toDouble * v).sum)
+        }, 1),
+      StructType(Seq(
+        StructField("cell", IntegerType),
+        StructField("cvec", ArrayType(FloatType)),
+        StructField("c2", DoubleType))))
+  }
+
+  /** Large-k assignment: broadcast-join every point against the centroid
+    * table, struct-min per point. Output (__id, __d2, __cell). */
+  private def assignViaJoin(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val cdf = centroidsDF(vecs.sparkSession, cents)
+    vecs.crossJoin(broadcast(cdf))
+      .select(col("__id"),
+        (Similarity.dot(col("__v"), col("__v")) -
+          lit(2.0) * Similarity.dot(col("__v"), col("cvec")) + col("c2")).as("__d2"),
+        col("cell"))
+      .groupBy("__id")
+      .agg(min(struct(col("__d2"), col("cell"))).as("__m"))
+      .select(col("__id"), col("__m.__d2").as("__d2"), col("__m.cell").as("__cell"))
+  }
+
+  /** Large-k top-n cells per point (the multi-probe analog). Output
+    * (__id, cell), `n` rows per point. */
+  private def nearestNViaJoin(
+      vecs: DataFrame, cents: Array[Array[Double]], n: Int): DataFrame = {
+    val cdf = centroidsDF(vecs.sparkSession, cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__d2"), col("cell"))
+    vecs.crossJoin(broadcast(cdf))
+      .select(col("__id"),
+        (Similarity.dot(col("__v"), col("__v")) -
+          lit(2.0) * Similarity.dot(col("__v"), col("cvec")) + col("c2")).as("__d2"),
+        col("cell"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .select(col("__id"), col("cell"))
+  }
+
+  /**
    * Fit with `iters` Lloyd iterations from deterministic seeds (the `k`
    * smallest-id vectors). Each iteration: literal-centroid argmin assign →
    * per-(cell, dim) partial sums (one narrow shuffle, k×dim rows collected)
@@ -68,7 +125,8 @@ object KMeans {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): Result = {
+      iters: Int,
+      literalLimit: Int = defaultLiteralLimit): Result = {
     // Iterated over `iters` times — cache the projected (id, vector) pairs
     // so each Lloyd pass reads columnar cache, not the source again.
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -77,11 +135,15 @@ object KMeans {
     var cents: Array[Array[Double]] = vecs.orderBy("__id").limit(k)
       .select("__v").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(cents.length == k, s"corpus must contain at least $k vectors")
+    def literal = cents.length.toLong * cents.head.length <= literalLimit
     val inertias = scala.collection.mutable.Buffer.empty[Double]
 
     for (_ <- 1 to iters) {
-      val assigned = vecs.select(col("__id"), col("__v"), nearest(col("__v"), cents).as("__n"))
-        .select(col("__id"), col("__v"), col("__n.d2").as("__d2"), col("__n.cell").as("__cell"))
+      val assigned =
+        if (literal)
+          vecs.select(col("__id"), col("__v"), nearest(col("__v"), cents).as("__n"))
+            .select(col("__id"), col("__v"), col("__n.d2").as("__d2"), col("__n.cell").as("__cell"))
+        else assignViaJoin(vecs, cents).join(vecs, "__id")
       // One aggregation job yields the iteration's inertia AND the new
       // centroid sums: explode to (cell, dim, x) AFTER the argmin so the
       // shuffle carries k×dim×partitions partials, not vectors.
@@ -102,11 +164,15 @@ object KMeans {
     }
     vecs.unpersist(blocking = false)
 
-    // Lazy: one map-side pass over the source when (and only if) the caller
-    // actually evaluates the assignments — semanticDupPairs, for one, needs
-    // only the centroids.
-    val finalAssign = corpus
-      .select(col(idCol), nearest(col(vecCol), cents).getField("cell").as("cell"))
+    // Lazy: one pass over the source when (and only if) the caller actually
+    // evaluates the assignments — semanticDupPairs, for one, needs only the
+    // centroids.
+    val finalAssign =
+      if (literal)
+        corpus.select(col(idCol), nearest(col(vecCol), cents).getField("cell").as("cell"))
+      else
+        assignViaJoin(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), cents)
+          .select(col("__id").as(idCol), col("__cell").as("cell"))
     Result(finalAssign, cents, inertias.toSeq)
   }
 
@@ -126,10 +192,19 @@ object KMeans {
       minCosine: Double,
       k: Int = 8,
       iters: Int = 4,
-      probes: Int = 2): DataFrame = {
-    val cents = fit(corpus, idCol, vecCol, k, iters).centroids
-    val tagged = corpus.select(col(idCol), col(vecCol),
-        explode(nearestN(col(vecCol), cents, probes)).as("cell"))
+      probes: Int = 2,
+      literalLimit: Int = defaultLiteralLimit): DataFrame = {
+    val cents = fit(corpus, idCol, vecCol, k, iters, literalLimit).centroids
+    val tagged =
+      if (cents.length.toLong * cents.head.length <= literalLimit)
+        corpus.select(col(idCol), col(vecCol),
+          explode(nearestN(col(vecCol), cents, probes)).as("cell"))
+      else
+        corpus.join(
+          nearestNViaJoin(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+            cents, probes).withColumnRenamed("__id", idCol),
+          idCol)
+          .select(col(idCol), col(vecCol), col("cell"))
     val a = tagged.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("__va"),
       Similarity.l2norm(col(vecCol)).as("__na"))
     val b = tagged.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"),

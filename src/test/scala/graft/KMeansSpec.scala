@@ -52,6 +52,28 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("large-k broadcast-join assignment equals the literal-plan path exactly") {
+    // literalLimit = 0 forces the join path; results must be identical —
+    // same float centroids, same double accumulation, same tie-break.
+    val lit = KMeans.fit(embs, "vec_id", "embedding", k = 4, iters = 3)
+    val join = KMeans.fit(embs, "vec_id", "embedding", k = 4, iters = 3, literalLimit = 0)
+    // Inertia is a driver-side sum over collected rows whose order may
+    // differ between the two plans — compare within float tolerance.
+    assert(lit.inertia.zip(join.inertia).forall { case (a, b) =>
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)) },
+      s"${lit.inertia} vs ${join.inertia}")
+    assert(lit.centroids.zip(join.centroids).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)) } })
+    assert(lit.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      join.assignments.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    val semLit = KMeans.semanticDupPairs(embs, "vec_id", "embedding", 0.42, 8, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semJoin = KMeans.semanticDupPairs(embs, "vec_id", "embedding", 0.42, 8, 4, 3,
+      literalLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semLit == semJoin)
+  }
+
   test("semantic dedup: high recall vs exact pairs, exact precision") {
     val exact = Similarity.cosineDupPairs(embs, "vec_id", "embedding", 0.42)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
