@@ -119,7 +119,13 @@ object Dedup {
    * the bucket key, so at scale it is one shuffle on a short key, never a
    * cross join. b=16, r=4 targets Jaccard ≳ 0.5.
    */
-  def lshCandidates(
+  /**
+   * One row per (doc, LSH band bucket): the bucket key folds the band id
+   * into the hash, so same-key rows are same-band same-bucket. This is the
+   * joinable (and PERSISTABLE — see [[persistDedupState]]) form of the
+   * MinHash banding.
+   */
+  def bandBuckets(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -132,17 +138,22 @@ object Dedup {
     val sig = docs.select(col(idCol).as("__id"),
       graft.plans.MinHashSignatureExpr.signature(tokens(col(textCol)), numPerm, n).as("__sig"))
     val bandCols = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        xxhash64((0 until r).map(j => element_at(col("__sig"), bi * r + j + 1)) :+ lit(bi): _*)
-          .as("bucket"))
+      xxhash64((0 until r).map(j => element_at(col("__sig"), bi * r + j + 1)) :+ lit(bi): _*)
     }
-    val exploded = sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__b.band").as("__band"), col("__b.bucket").as("__bucket"))
+    sig.select(col("__id"), explode(array(bandCols: _*)).as("__bkey"))
+  }
+
+  def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    val exploded = bandBuckets(docs, idCol, textCol, numPerm, bands, n)
     exploded.as("a")
       .join(exploded.as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__bucket") === col("b.__bucket") &&
-          col("a.__id") < col("b.__id"))
+        col("a.__bkey") === col("b.__bkey") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
   }
@@ -178,6 +189,83 @@ object Dedup {
       .withColumn("jaccard",
         col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
       .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+  }
+
+  // -------------------------------------------------- incremental dedup
+
+  /**
+   * Persist the corpus's dedup state so NEW batches can be checked without
+   * re-touching corpus text — how dedup actually runs at 100 TB (the corpus
+   * is deduped once; every ingest batch after that is incremental):
+   *
+   *  - `<name>`: (doc_id, bkey) LSH band buckets, bucketed by bkey — a new
+   *    doc's candidates come from a join on this narrow table;
+   *  - `<name>__shingles`: (doc_id, sh) hashed shingle sets, bucketed by
+   *    doc_id — exact-verification reads only the candidate docs' rows.
+   *
+   * Both are snapshot tables: corpus growth appends new docs' rows.
+   */
+  def persistDedupState(
+      catalog: graft.catalog.GraftCatalog,
+      name: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3,
+      numBuckets: Int = 64): (graft.table.GraftTable, graft.table.GraftTable) = {
+    val bt = new graft.table.GraftTable(catalog.spark,
+      catalog.warehouse.resolve(name), name)
+    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(name))
+    bt.overwriteBucketed(
+      bandBuckets(docs, idCol, textCol, numPerm, bands, n)
+        .toDF("doc_id", "bkey"), "bkey", numBuckets)
+    val st = new graft.table.GraftTable(catalog.spark,
+      catalog.warehouse.resolve(s"${name}__shingles"), s"${name}__shingles")
+    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(s"${name}__shingles"))
+    st.overwriteBucketed(
+      hashShingleSets(docs, idCol, textCol, n).toDF("doc_id", "sh"),
+      "doc_id", numBuckets)
+    (bt, st)
+  }
+
+  /**
+   * Near-dup pairs between a NEW batch and the persisted corpus state:
+   * batch band buckets join the persisted bucket table (narrow longs only),
+   * then exact Jaccard verification over the batch's shingles (computed on
+   * the fly) and the candidates' shingles (fetched from the persisted set —
+   * a semi join that touches only candidate rows). Output
+   * `(id_a = batch id, id_b = corpus id)`.
+   */
+  def dedupIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: graft.table.GraftTable,
+      shingles: graft.table.GraftTable,
+      minJaccard: Double,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    val bb = bandBuckets(batch, idCol, textCol, numPerm, bands, n)
+    val cand = bb
+      .join(buckets.read().withColumnRenamed("bkey", "__bkey"), "__bkey")
+      .select(col("__id").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    val newSh = hashShingleSets(batch, idCol, textCol, n)
+    val oldSh = shingles.read()
+      .join(cand.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val sizesNew = newSh.groupBy("__id").agg(count(lit(1)).as("__na"))
+    val sizesOld = oldSh.groupBy("doc_id").agg(count(lit(1)).as("__nb"))
+    val inter = newSh.join(oldSh, col("__sh") === col("sh"))
+      .groupBy(col("__id").as("id_a"), col("doc_id").as("id_b"))
+      .agg(count(lit(1)).as("__c"))
+    cand.join(inter, Seq("id_a", "id_b")) // LSH-candidate pairs only
+      .join(sizesNew.withColumnRenamed("__id", "id_a"), "id_a")
+      .join(sizesOld.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .filter(col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")) >= minJaccard)
       .select("id_a", "id_b")
   }
 

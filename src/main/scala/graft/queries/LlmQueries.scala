@@ -107,6 +107,21 @@ object LlmQueries {
         .select((col("__n") > 0).as("nonempty_ok"), (col("__out") === 0).as("precision_ok"))
     }),
 
+    // INCREMENTAL dedup: a new batch (every 10th doc re-ingested under a
+    // new id) checked against the PERSISTED corpus dedup state — band
+    // buckets + shingle sets written once, batch verified against them
+    // without re-touching corpus text. Oracle recomputes the exact
+    // batch-vs-corpus Jaccard pairs.
+    "d_incremental" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-dedupstate-"))
+      val (bt, st) = Dedup.persistDedupState(cat, "corpus_sigs", docs, "doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      Dedup.dedupIncremental(batch, "doc_id", "text", bt, st, minJaccard = 0.5)
+    }),
+
     // Near-dup CLUSTERING: connected components over the near-dup pair
     // graph (alternating large-star/small-star), every doc labeled with its
     // cluster's canonical (minimum) id. Edges come from the 100 TB pair
@@ -297,6 +312,27 @@ object LlmQueries {
       (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
     "d_minhash_pairs" ->
       (jaccardCte + "SELECT id_a, id_b FROM jacs WHERE jaccard >= 0.5"),
+    "d_incremental" ->
+      """WITH bt AS (SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |ntok AS (SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM bt),
+        |otok AS (SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |ng AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
+        |         ELSE list_transform(range(1, len(ts) - 1),
+        |           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2]) END) AS sh
+        |       FROM ntok),
+        |og AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
+        |         ELSE list_transform(range(1, len(ts) - 1),
+        |           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2]) END) AS sh
+        |       FROM otok),
+        |ndt AS (SELECT DISTINCT doc_id, sh FROM ng),
+        |odt AS (SELECT DISTINCT doc_id, sh FROM og),
+        |nsz AS (SELECT doc_id, count(*) AS n FROM ndt GROUP BY doc_id),
+        |osz AS (SELECT doc_id, count(*) AS n FROM odt GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |          FROM ndt a JOIN odt b ON a.sh = b.sh GROUP BY 1, 2)
+        |SELECT id_a, id_b FROM inter
+        |JOIN nsz ON nsz.doc_id = id_a JOIN osz ON osz.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (nsz.n + osz.n - c) >= 0.5""".stripMargin,
     "d_simhash_gate" ->
       "SELECT true AS nonempty_ok, true AS precision_ok",
     "x_fp_gate" ->

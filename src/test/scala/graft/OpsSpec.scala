@@ -33,6 +33,24 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH recall must be total on this corpus: ${exact -- lsh} missed")
   }
 
+  test("incremental dedup: batch vs persisted state equals batch vs corpus exact Jaccard") {
+    val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("dedupstate-"))
+    val (bt, st) = Dedup.persistDedupState(cat, "sigs", docs, "doc_id", "text")
+    val batch = docs.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 20000)
+    val got = Dedup.dedupIncremental(batch, "doc_id", "text", bt, st, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Reference: exact cross Jaccard between batch and corpus (small scale).
+    assert(got.nonEmpty)
+    // Every re-ingested copy must match its source doc (jaccard 1).
+    batch.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(got.contains((id, id - 20000)), s"copy $id must match its source")
+    }
+    // A genuinely new document must not be flagged.
+    val fresh = Seq((30000L, "completely unrelated fresh content zyx wvu tsr qpo nml kji"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupIncremental(fresh, "doc_id", "text", bt, st, 0.5).count() == 0)
+  }
+
   test("near-dup clustering: pair chains collapse transitively; singletons keep own id") {
     // A~B and B~C but never A~C at the pair threshold: the cluster must
     // still merge all three (near-duplication is not transitive pairwise).
