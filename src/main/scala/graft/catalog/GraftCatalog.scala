@@ -47,6 +47,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
     t
   }
 
+  /**
+   * Validated handle + directory for a DERIVED table (search index, IVF
+   * cells, dedup signature state) whose builder will overwrite it directly
+   * — same name guard as [[createTable]], no initial empty commit.
+   */
+  def materialized(name: String): GraftTable = {
+    requireValid(name)
+    Files.createDirectories(tableRoot(name))
+    new GraftTable(spark, tableRoot(name), name)
+  }
+
   def tableExists(name: String): Boolean =
     Files.isDirectory(tableRoot(name).resolve("_log")) &&
       new GraftTable(spark, tableRoot(name), name).log.latest().isDefined

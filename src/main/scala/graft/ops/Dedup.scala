@@ -113,17 +113,11 @@ object Dedup {
   // -------------------------------------------------------------- MinHash
 
   /**
-   * LSH band buckets: the signature is cut into `bands` bands of
-   * `numPerm/bands` rows; each band hashes to one bucket key. Candidate
-   * pairs are generated ONLY inside a (band, bucket) group — the join is on
-   * the bucket key, so at scale it is one shuffle on a short key, never a
-   * cross join. b=16, r=4 targets Jaccard ≳ 0.5.
-   */
-  /**
-   * One row per (doc, LSH band bucket): the bucket key folds the band id
-   * into the hash, so same-key rows are same-band same-bucket. This is the
-   * joinable (and PERSISTABLE — see [[persistDedupState]]) form of the
-   * MinHash banding.
+   * One row per (doc, LSH band bucket): the signature is cut into `bands`
+   * bands of `numPerm/bands` rows; each band hashes to one bucket key with
+   * the band id folded in, so same-key rows are same-band same-bucket.
+   * This is the joinable (and PERSISTABLE — see [[persistDedupState]])
+   * form of the MinHash banding. b=16, r=4 targets Jaccard ≳ 0.5.
    */
   def bandBuckets(
       docs: DataFrame,
@@ -143,6 +137,11 @@ object Dedup {
     sig.select(col("__id"), explode(array(bandCols: _*)).as("__bkey"))
   }
 
+  /**
+   * Candidate pairs are generated ONLY inside a shared band bucket — the
+   * self-join is on the bucket key, so at scale it is one shuffle on a
+   * short key, never a cross join.
+   */
   def lshCandidates(
       docs: DataFrame,
       idCol: String,
@@ -216,15 +215,11 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3,
       numBuckets: Int = 64): (graft.table.GraftTable, graft.table.GraftTable) = {
-    val bt = new graft.table.GraftTable(catalog.spark,
-      catalog.warehouse.resolve(name), name)
-    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(name))
+    val bt = catalog.materialized(name)
     bt.overwriteBucketed(
       bandBuckets(docs, idCol, textCol, numPerm, bands, n)
         .toDF("doc_id", "bkey"), "bkey", numBuckets)
-    val st = new graft.table.GraftTable(catalog.spark,
-      catalog.warehouse.resolve(s"${name}__shingles"), s"${name}__shingles")
-    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(s"${name}__shingles"))
+    val st = catalog.materialized(s"${name}__shingles")
     st.overwriteBucketed(
       hashShingleSets(docs, idCol, textCol, n).toDF("doc_id", "sh"),
       "doc_id", numBuckets)
@@ -254,7 +249,11 @@ object Dedup {
       .join(buckets.read().withColumnRenamed("bkey", "__bkey"), "__bkey")
       .select(col("__id").as("id_a"), col("doc_id").as("id_b"))
       .distinct()
+    // Restrict BOTH shingle sides to candidate docs before the intersection
+    // join — in the normal incremental case most batch docs have no LSH
+    // candidate and must not shuffle their shingles at all.
     val newSh = hashShingleSets(batch, idCol, textCol, n)
+      .join(cand.select(col("id_a").as("__id")).distinct(), Seq("__id"), "left_semi")
     val oldSh = shingles.read()
       .join(cand.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val sizesNew = newSh.groupBy("__id").agg(count(lit(1)).as("__na"))

@@ -119,6 +119,10 @@ object KMeans {
    * smallest-id vectors). Each iteration: literal-centroid argmin assign →
    * per-(cell, dim) partial sums (one narrow shuffle, k×dim rows collected)
    * → driver recomputes means. Empty cells keep their previous centroid.
+   *
+   * `idCol` must be UNIQUE and NON-NULL — the large-k join path keys its
+   * per-point argmin on it (duplicate or null ids would silently collapse
+   * or drop rows there, where the literal path would not).
    */
   def fit(
       corpus: DataFrame,

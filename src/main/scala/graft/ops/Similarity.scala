@@ -203,13 +203,9 @@ object Similarity {
       nCells: Int = 16): (graft.table.GraftTable, graft.table.GraftTable) = {
     val cdf = seedCentroids(corpus, idCol, vecCol, nCells)
     val assigned = assignCells(corpus.select(col(idCol), col(vecCol)), cdf, vecCol, keep = 1)
-    val cells = new graft.table.GraftTable(catalog.spark,
-      catalog.warehouse.resolve(name), name)
-    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(name))
+    val cells = catalog.materialized(name)
     cells.overwriteBucketed(assigned, "cell", nCells)
-    val cents = new graft.table.GraftTable(catalog.spark,
-      catalog.warehouse.resolve(s"${name}__centroids"), s"${name}__centroids")
-    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(s"${name}__centroids"))
+    val cents = catalog.materialized(s"${name}__centroids")
     cents.overwrite(cdf)
     (cells, cents)
   }

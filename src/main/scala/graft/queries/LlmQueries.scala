@@ -114,8 +114,9 @@ object LlmQueries {
     // batch-vs-corpus Jaccard pairs.
     "d_incremental" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
-      val cat = new graft.catalog.GraftCatalog(s,
-        java.nio.file.Files.createTempDirectory("graft-dedupstate-"))
+      val wh = java.nio.file.Files.createTempDirectory("graft-dedupstate-")
+      wh.toFile.deleteOnExit()
+      val cat = new graft.catalog.GraftCatalog(s, wh)
       val (bt, st) = Dedup.persistDedupState(cat, "corpus_sigs", docs, "doc_id", "text")
       val batch = docs.filter(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 20000)
@@ -189,8 +190,9 @@ object LlmQueries {
     "e_ivf_topk" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      val cat = new graft.catalog.GraftCatalog(s,
-        java.nio.file.Files.createTempDirectory("graft-ivf-"))
+      val ivfWh = java.nio.file.Files.createTempDirectory("graft-ivf-")
+      ivfWh.toFile.deleteOnExit()
+      val cat = new graft.catalog.GraftCatalog(s, ivfWh)
       val (cells, cents) = Similarity.persistIvf(cat, "emb_ivf", emb,
         "vec_id", "embedding", nCells = 16)
       val ivf = Similarity.ivfTopKPersisted(cells, cents, q,

@@ -52,9 +52,7 @@ object Search {
       idCol: String,
       textCol: String,
       numBuckets: Int = 64): graft.table.GraftTable = {
-    val t = new graft.table.GraftTable(catalog.spark,
-      catalog.warehouse.resolve(indexName), indexName)
-    java.nio.file.Files.createDirectories(catalog.warehouse.resolve(indexName))
+    val t = catalog.materialized(indexName)
     t.overwriteBucketed(buildIndex(docs, idCol, textCol), "token", numBuckets)
     t
   }

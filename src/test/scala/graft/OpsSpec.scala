@@ -39,8 +39,20 @@ class OpsSpec extends AnyFunSuite {
     val batch = docs.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 20000)
     val got = Dedup.dedupIncremental(batch, "doc_id", "text", bt, st, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Reference: exact cross Jaccard between batch and corpus (small scale).
     assert(got.nonEmpty)
+    // Reference: exact cross Jaccard between batch and corpus, computed
+    // without LSH (full shingle intersection — feasible at this scale).
+    val nsh = Dedup.hashShingleSets(batch, "doc_id", "text").toDF("na_id", "sh")
+    val osh = Dedup.hashShingleSets(docs, "doc_id", "text").toDF("nb_id", "sh")
+    val nsz = nsh.groupBy("na_id").count().withColumnRenamed("count", "na")
+    val osz = osh.groupBy("nb_id").count().withColumnRenamed("count", "nb")
+    val want = nsh.join(osh, "sh").groupBy("na_id", "nb_id").count()
+      .join(nsz, "na_id").join(osz, "nb_id")
+      .filter($"count".cast("double") / ($"na" + $"nb" - $"count") >= 0.5)
+      .select("na_id", "nb_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"incremental must equal exact cross Jaccard; " +
+      s"missed=${want -- got} spurious=${got -- want}")
     // Every re-ingested copy must match its source doc (jaccard 1).
     batch.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
       assert(got.contains((id, id - 20000)), s"copy $id must match its source")
