@@ -268,6 +268,47 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /**
+   * Serving-path incremental check for a HANDFUL of documents (an ingest
+   * API validating one upload, not a batch job): same answer as
+   * [[dedupIncremental]], but the persisted state is read via BUCKET-PRUNED
+   * point lookups — the docs' ≤ `bands` band keys prune the bucket table to
+   * their buckets, and only the candidates' ids prune the shingle table.
+   * Total data read is proportional to the candidates, not the corpus.
+   */
+  def checkDocs(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: graft.table.GraftTable,
+      shingles: graft.table.GraftTable,
+      minJaccard: Double,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    val bb = bandBuckets(batch, idCol, textCol, numPerm, bands, n)
+      .localCheckpoint() // tiny by contract; reused for keys + join
+    val bkeys = bb.select("__bkey").distinct().collect().map(_.getLong(0)).toSeq
+    val cand = bb.join(buckets.lookupKeys(bkeys).withColumnRenamed("bkey", "__bkey"), "__bkey")
+      .select(col("__id").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cand.select("id_b").distinct().collect().map(_.getLong(0)).toSeq
+    if (candIds.isEmpty) return cand
+    val newSh = hashShingleSets(batch, idCol, textCol, n)
+    val oldSh = shingles.lookupKeys(candIds)
+    val sizesNew = newSh.groupBy("__id").agg(count(lit(1)).as("__na"))
+    val sizesOld = oldSh.groupBy("doc_id").agg(count(lit(1)).as("__nb"))
+    val inter = newSh.join(oldSh, col("__sh") === col("sh"))
+      .groupBy(col("__id").as("id_a"), col("doc_id").as("id_b"))
+      .agg(count(lit(1)).as("__c"))
+    cand.join(inter, Seq("id_a", "id_b"))
+      .join(sizesNew.withColumnRenamed("__id", "id_a"), "id_a")
+      .join(sizesOld.withColumnRenamed("doc_id", "id_b"), "id_b")
+      .filter(col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")) >= minJaccard)
+      .select("id_a", "id_b")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /**

@@ -61,6 +61,14 @@ class OpsSpec extends AnyFunSuite {
     val fresh = Seq((30000L, "completely unrelated fresh content zyx wvu tsr qpo nml kji"))
       .toDF("doc_id", "text")
     assert(Dedup.dedupIncremental(fresh, "doc_id", "text", bt, st, 0.5).count() == 0)
+    // The bucket-pruned serving path gives the same answer as the batch path.
+    val few = batch.limit(5)
+    val pruned = Dedup.checkDocs(few, "doc_id", "text", bt, st, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.dedupIncremental(few, "doc_id", "text", bt, st, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == full && pruned.nonEmpty)
+    assert(Dedup.checkDocs(fresh, "doc_id", "text", bt, st, 0.5).count() == 0)
   }
 
   test("near-dup clustering: pair chains collapse transitively; singletons keep own id") {
