@@ -236,6 +236,11 @@ object LlmQueries {
           (col("__ns") === 0).as("precision_ok"))
     }),
 
+    // Column profiling (data-quality summary): exact mode for the gate;
+    // the API default uses HyperLogLog distincts at scale.
+    "x_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(tbl(s, d, "documents"), exact = true)),
+
     // Per-language corpus statistics.
     "x_lang_stats" -> ((s, d) =>
       tbl(s, d, "documents").groupBy("lang")
@@ -387,6 +392,16 @@ object LlmQueries {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+    "x_profile" -> {
+      def one(c: String, t: String) =
+        s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint")
+        .map { case (c, t) => one(c, t) }.mkString("\nUNION ALL\n")
+    },
     "x_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_tokens

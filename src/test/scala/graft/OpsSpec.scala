@@ -159,6 +159,20 @@ class OpsSpec extends AnyFunSuite {
     assert(probed.size <= 2, s"2 cells must read at most 2 buckets, got $probed")
   }
 
+  test("profile: nulls, distincts and ranges per column; approx mode close to exact") {
+    val d = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, Some("a")))
+      .toDF("id", "v")
+    val p = graft.ops.Profile.profile(d, exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("v") == ((4L, 1L, 2L, "a", "c")))
+    val approx = graft.ops.Profile.profile(docs, exact = false)
+      .filter($"column" === "doc_id").head.getLong(4)
+    val exact = docs.count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
+  }
+
   test("text analysis: counts, quality, language-ID and fingerprints are deterministic") {
     val df = Seq((1L, "the quick brown fox jumps over a lazy dog"),
       (2L, "der hund ist nicht ein katze und zu")).toDF("id", "text")
