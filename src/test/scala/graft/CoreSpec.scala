@@ -11,6 +11,17 @@ class CoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("materialized tables go through the identifier guard; profile handles empty input") {
+    val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("matguard-"))
+    intercept[IllegalArgumentException] { cat.materialized("../escape") }
+    intercept[IllegalArgumentException] { cat.materialized("a/b") }
+    assert(cat.materialized("idx__aux").name == "idx__aux")
+    val empty = spark.emptyDataset[(Long, String)].toDF("id", "v")
+    val p = graft.ops.Profile.profile(empty, exact = true)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p == Map("id" -> 0L, "v" -> 0L))
+  }
+
   test("identifiers: sanitize + pk heuristic") {
     assert(Identifiers.sanitize("Customer Id") == "Customer_Id")
     assert(Identifiers.sanitize("a.b/c(d)") == "abcd")
