@@ -120,11 +120,21 @@ object Bench {
     // flatten → dedup → idempotent merge commits, via the real pipeline.
     // STEADY-STATE like the merge metric: ONE resident stream (the
     // reference's merger is a long-running process, `smart_ingest.sh`);
-    // wave 1 runs untimed (absorbs stream/codegen warm-up), wave 2 lands
-    // as new files on the running query and its processing is timed via
-    // `processAllAvailable`. Each wave is one ~100k-row micro-batch against
-    // the reference's trigger sizing (`maxOffsetsPerTrigger=100000`,
-    // `cdc_merger_optimized.py:23`).
+    // wave 1 runs untimed (absorbs stream/codegen warm-up), each later wave
+    // lands on the running query and its processing is timed via
+    // `processAllAvailable`. Each wave is one ~100k-row micro-batch —
+    // exactly the reference's trigger sizing (`maxOffsetsPerTrigger=100000`,
+    // `cdc_merger_optimized.py:23`), since events at sf0.1 is 100k rows.
+    //
+    // Each wave is ONE file moved in with ONE atomic rename: the resident
+    // stream polls continuously, so a multi-file wave moved in a loop can be
+    // picked up partially, silently splitting the wave into several
+    // micro-batches that each pay a full merge — that race, not the
+    // pipeline, produced the 22.6k rows/s r3 reading (the same code
+    // measured 65-70k unsplit). decodeParallelism keeps the JSON decode of
+    // the single-split file spread across the cores (AQE is off in
+    // streaming plans, so nothing re-partitions the batch otherwise).
+    var cdcBatchRows = -1L
     val cdcThroughput =
       try {
         import org.apache.spark.sql.types._
@@ -149,27 +159,28 @@ object Bench {
         val q = graft.cdc.CdcPipeline.start(spark, inDir.toString, rowSchema, target,
           "event_id", ckpt,
           trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
-          maxFilesPerTrigger = 8)
+          maxFilesPerTrigger = 8, decodeParallelism = cpus.toInt)
         try {
           q.processAllAvailable() // wave 1: full insert load, untimed warm-up
           // waves 2-4: full UPDATE images of every key (the reference
           // merger's steady diet), median-timed. Each wave is written to a
-          // STAGING dir the resident stream can't see, then moved in AFTER
-          // t0 — otherwise the polling stream starts merging early
-          // part-files while the untimed write is still running and the
-          // timed window misses that work.
+          // STAGING dir the resident stream can't see, then moved in as one
+          // atomic rename AFTER t0 — one wave, one file, one micro-batch,
+          // deterministically.
           val nWave = ev.count()
+          cdcBatchRows = nWave
           nWave / median3 { i =>
             val stage = Files.createTempDirectory(s"bench-cdc-stage-$i-")
             envOf(ev.withColumn("value", col("value") + 10 + i), "u", i + 1)
-              .repartition(8).write.mode("overwrite").text(stage.toString)
+              .repartition(1).write.mode("overwrite").text(stage.toString)
+            val part = {
+              val parts = java.nio.file.Files.list(stage)
+              try parts.filter(p => p.getFileName.toString.startsWith("part-"))
+                .findFirst().get()
+              finally parts.close()
+            }
             val t0 = System.nanoTime()
-            val parts = java.nio.file.Files.list(stage)
-            try parts.forEach { p =>
-              if (p.getFileName.toString.startsWith("part-"))
-                java.nio.file.Files.move(p,
-                  inDir.resolve(s"wave$i-${p.getFileName}"))
-            } finally parts.close()
+            java.nio.file.Files.move(part, inDir.resolve(s"wave$i.json"))
             q.processAllAvailable() // timed: decode + dedup + merge of the wave
             val elapsed = (System.nanoTime() - t0) / 1e9
             // Drop the drained staging dir (only _SUCCESS/CRC leftovers).
@@ -198,7 +209,15 @@ object Bench {
       s"\"$k\":\"$esc\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_batch_rows":$cdcBatchRows,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line arrives wrapped in sbt [info] noise, which defeated
+    // the driver's JSON parse both prior rounds — the FILE is the
+    // machine-readable copy of record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => println(s"bench_out write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

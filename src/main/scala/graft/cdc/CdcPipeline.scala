@@ -37,6 +37,15 @@ object CdcPipeline {
    *                    partial rewrite); true = deferred delta append
    *                    (O(batch) ingest) with a compaction every
    *                    `compactEvery` accumulated deltas
+   * @param decodeParallelism when > 0 and a micro-batch arrives in fewer
+   *                    partitions, the raw lines are repartitioned to this
+   *                    width before the JSON decode. AQE is disabled inside
+   *                    streaming plans, so a batch that lands as one big
+   *                    file (one input split) would otherwise decode on a
+   *                    single core — the shuffle moves only the raw text
+   *                    bytes of one micro-batch, the decode is the cost
+   *                    that must be spread. 0 = trust source partitioning
+   *                    (a Kafka-like source already arrives partitioned).
    */
   def start(
       spark: SparkSession,
@@ -48,7 +57,8 @@ object CdcPipeline {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxFilesPerTrigger: Int = 1000,
       mergeOnRead: Boolean = false,
-      compactEvery: Int = 16): StreamingQuery = {
+      compactEvery: Int = 16,
+      decodeParallelism: Int = 0): StreamingQuery = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
@@ -63,16 +73,33 @@ object CdcPipeline {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) { // ST8: skip empty micro-batches
           if (wrappedFmt.isEmpty) wrappedFmt = Some(Envelope.looksWrapped(batch))
+          val spread =
+            if (decodeParallelism > 0 &&
+                batch.rdd.getNumPartitions < decodeParallelism)
+              batch.repartition(decodeParallelism)
+            else batch
           // The transformed batch is CACHED for the duration of the merge:
           // downstream references it several times (bucket pre-pass,
           // anti-join key set, union side), and each reference would
           // otherwise re-read the source and re-decode the JSON envelopes —
           // the decode, not the merge, dominated the measured pipeline cost.
           // Bounded by the micro-batch size; spills to disk beyond memory.
-          val b = Envelope.transformBatch(batch, rowSchema, key,
+          // The decode itself is NOT materialized by a separate action: the
+          // first job that touches the cache is the merge's own bucket
+          // pre-pass, so decode + touched-bucket derivation share one pass.
+          val b = Envelope.transformBatch(spread, rowSchema, key,
               wrappedHint = wrappedFmt).drop("ts_ms")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            // Opt-in phase instrumentation (-Dgraft.cdc.timing=true): splits
+            // the batch into decode vs merge wall time. The explicit count()
+            // that separates the phases is an extra cache-materializing pass,
+            // so this stays off outside diagnosis runs.
+            val timing = sys.props.get("graft.cdc.timing").contains("true")
+            val t0 = System.nanoTime()
+            val rows = if (timing) b.count() else -1L
+            val tDecode = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
             if (mergeOnRead) {
               val snap = table.upsertDeferred(b, key, opCol = Some("op"),
                 batchKey = Some(s"cdc-$batchId"))
@@ -80,6 +107,10 @@ object CdcPipeline {
             } else {
               table.upsert(b, key, opCol = Some("op"),
                 batchKey = Some(s"cdc-$batchId"))
+            }
+            if (timing) {
+              val tMerge = (System.nanoTime() - t1) / 1e9
+              println(f"graft.cdc batch=$batchId rows=$rows decode=$tDecode%.3fs merge=$tMerge%.3fs")
             }
             ()
           } finally b.unpersist(blocking = false)
@@ -103,7 +134,9 @@ object CdcPipeline {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxFilesPerTrigger: Int = 1000,
       mergeOnRead: Boolean = false,
-      compactEvery: Int = 16): StreamingQuery =
+      compactEvery: Int = 16,
+      decodeParallelism: Int = 0): StreamingQuery =
     start(spark, inputDir, DtypeSidecar.load(sidecarPath), table, key,
-      checkpointDir, trigger, maxFilesPerTrigger, mergeOnRead, compactEvery)
+      checkpointDir, trigger, maxFilesPerTrigger, mergeOnRead, compactEvery,
+      decodeParallelism)
 }

@@ -234,10 +234,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val dir = new org.apache.hadoop.fs.Path(root.resolve(rel).toString)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
+    val leaves = fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
       .sortBy(s => s.getPath.getName.stripPrefix(BucketCol + "=").toInt)
-      .map { leaf =>
+    // The footer opens are independent I/O — run them CONCURRENTLY instead
+    // of one leaf at a time. A 10-second CDC micro-batch pays this per
+    // commit, and on an object store each sequential footer round-trip
+    // would be tens of milliseconds; the commit path should not serialize
+    // O(buckets) of them.
+    val futures = leaves.map { leaf =>
+      scala.concurrent.Future {
         val rows = fs.listStatus(leaf.getPath).toSeq
           .filter(f => f.getPath.getName.endsWith(".parquet"))
           .map { f =>
@@ -247,7 +253,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
             finally r.close()
           }.sum
         (s"$rel/${leaf.getPath.getName}", rows)
-      }
+      }(scala.concurrent.ExecutionContext.global)
+    }
+    futures
+      .map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration(120, "s")))
       .filter(_._2 > 0)
   }
 
