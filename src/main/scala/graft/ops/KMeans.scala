@@ -84,17 +84,26 @@ object KMeans {
   }
 
   /** Large-k assignment: broadcast-join every point against the centroid
-    * table, struct-min per point. Output (__id, __d2, __cell). */
-  private def assignViaJoin(vecs: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    * table, struct-min per point. Output (__id, __d2, __cell), plus __v
+    * when `carryVec` — the vector rides through the argmin struct instead
+    * of being re-joined afterwards (one shuffle, not two; it cannot affect
+    * the min because (d2, cell) is already unique per point). The Lloyd
+    * iteration needs the vector for the centroid sums; the final
+    * assignment does not, and leaving it out keeps that shuffle narrow. */
+  private def assignViaJoin(vecs: DataFrame, cents: Array[Array[Double]],
+      carryVec: Boolean = false): DataFrame = {
     val cdf = centroidsDF(vecs.sparkSession, cents)
-    vecs.crossJoin(broadcast(cdf))
+    val scored = vecs.crossJoin(broadcast(cdf))
       .select(col("__id"),
         (Similarity.dot(col("__v"), col("__v")) -
           lit(2.0) * Similarity.dot(col("__v"), col("cvec")) + col("c2")).as("__d2"),
-        col("cell"))
-      .groupBy("__id")
-      .agg(min(struct(col("__d2"), col("cell"))).as("__m"))
-      .select(col("__id"), col("__m.__d2").as("__d2"), col("__m.cell").as("__cell"))
+        col("cell"), col("__v"))
+    val m =
+      if (carryVec) struct(col("__d2"), col("cell"), col("__v"))
+      else struct(col("__d2"), col("cell"))
+    val out = Seq(col("__id"), col("__m.__d2").as("__d2"), col("__m.cell").as("__cell")) ++
+      (if (carryVec) Seq(col("__m.__v").as("__v")) else Nil)
+    scored.groupBy("__id").agg(min(m).as("__m")).select(out: _*)
   }
 
   /** Large-k top-n cells per point (the multi-probe analog). Output
@@ -147,7 +156,7 @@ object KMeans {
         if (literal)
           vecs.select(col("__id"), col("__v"), nearest(col("__v"), cents).as("__n"))
             .select(col("__id"), col("__v"), col("__n.d2").as("__d2"), col("__n.cell").as("__cell"))
-        else assignViaJoin(vecs, cents).join(vecs, "__id")
+        else assignViaJoin(vecs, cents, carryVec = true)
       // One aggregation job yields the iteration's inertia AND the new
       // centroid sums: explode to (cell, dim, x) AFTER the argmin so the
       // shuffle carries k×dim×partitions partials, not vectors.

@@ -39,6 +39,18 @@ object Search {
     index.groupBy("token").agg(count(lit(1)).as("n_docs"))
 
   /**
+   * Query terms ordered by ascending posting count (ties by term for
+   * determinism). Terms absent from the index count 0 and sort first —
+   * the intersection then empties on the first join, the cheapest outcome.
+   */
+  def rareFirst(index: DataFrame, terms: Seq[String]): Seq[String] = {
+    val freq = index.filter(col("token").isin(terms: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.distinct.sortBy(t => (freq.getOrElse(t, 0L), t))
+  }
+
+  /**
    * Persist the inverted index as a token-BUCKETED catalog table (the
    * durable analog of `sync_to_es.py`'s bulk index): each term lookup then
    * prunes to one bucket dir via [[graft.table.GraftTable.lookupKey]] —
@@ -127,7 +139,12 @@ object Search {
       size: Int = 50): DataFrame = {
     val terms = graft.functions.Tokenize.queryTerms(query)
     require(terms.nonEmpty, "empty query")
-    val candidates = terms.map(t => index.filter(col("token") === t).select("id"))
+    // Rarest term FIRST: the left side of the first semi-join bounds every
+    // later intersection, so starting from a stopword-sized posting list
+    // would drag the whole list through each join. The ordering costs one
+    // tiny aggregate over just the query terms' postings (k rows back).
+    val ordered = rareFirst(index, terms)
+    val candidates = ordered.map(t => index.filter(col("token") === t).select("id"))
       .reduce((a, b) => a.join(b, Seq("id"), "left_semi"))
     // No explicit broadcast hint: a query of common terms can intersect to
     // millions of ids, and forcing them through the driver would OOM — AQE

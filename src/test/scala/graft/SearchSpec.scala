@@ -43,4 +43,23 @@ class SearchSpec extends AnyFunSuite {
     val hits = Search.fetchByIds(docs, "doc_id", Seq("1", "2"))
     assert(hits.count() == 2)
   }
+
+  test("posting intersection runs rarest term first; unknown terms sort first") {
+    val idx = Search.buildIndex(docs, "doc_id", "text")
+    val freq = Search.docFreq(idx).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n_docs")).toMap
+    // pick one common and one rare real token, plus a term not in the index
+    val byFreq = freq.toSeq.sortBy(_._2)
+    val (rare, common) = (byFreq.head._1, byFreq.last._1)
+    val ordered = Search.rareFirst(idx, Seq(common, rare, "zz_not_a_token"))
+    assert(ordered == Seq("zz_not_a_token", rare, common))
+    val counts = ordered.map(t => freq.getOrElse(t, 0L))
+    assert(counts == counts.sorted)
+    // the reordering must not change AND-match results
+    val viaIdx = Search.searchViaIndex(docs, idx, "doc_id", "text", "merge batch")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scan = Search.searchRanked(docs, "doc_id", "text", "merge batch")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIdx == scan)
+  }
 }
