@@ -15,8 +15,10 @@ import Q._
  * Jaccard answer on this corpus, which DuckDB computes directly). The
  * approximate-NN entries (ANN/IVF/cosine-LSH) are SELF-VERIFYING: they emit
  * the exact side's counts (hash-checked against DuckDB) plus deterministic
- * recall/precision gates over the approximation. Only outputs that ARE
- * hash values (fingerprints, SimHash) stay rows-only.
+ * recall/precision gates over the approximation. Outputs that ARE hash
+ * values (fingerprints, SimHash) compare a derived exact-checkable shape
+ * instead (group sizes, exact-side counts + quality booleans), so every
+ * entry is hash-checked — none are rows-only.
  */
 object LlmQueries {
 
@@ -88,26 +90,35 @@ object LlmQueries {
       Dedup.nearDupPairs(tbl(s, d, "documents"), "doc_id", "text",
         minJaccard = 0.5)),
 
-    // SimHash near-dup candidates (hash-dependent output → rows-only).
-    "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text")),
-
-    // SimHash SELF-VERIFYING gate: ≥90% of SimHash pairs must also be exact
-    // Jaccard ≥ 0.3 pairs (lexical precision — SimHash is a bit-sampling
-    // heuristic, so a small false-positive tail is inherent: measured 0/25
-    // outside at sf0.01, 3/256 at sf0.1), and the candidate set must be
-    // non-empty. A fingerprint/banding regression pushes most pairs outside
-    // the bar and flips the boolean instead of hiding behind rows-only.
-    "d_simhash_gate" -> ((s, d) => {
+    // SimHash near-dup candidates, SELF-VERIFYING and fully hash-checked
+    // (the pair list itself is hash-dependent, so the compared output is
+    // the exact side plus quality booleans — formerly the separate
+    // `d_simhash_gate` companion, now folded into the primary entry):
+    //  - n_strict_pairs: exact Jaccard ≥ 0.5 pair count, hash-checked
+    //    against DuckDB's own recomputation;
+    //  - precision_ok: ≥90% of SimHash pairs are exact Jaccard ≥ 0.3 pairs
+    //    (bit-sampling false-positive tail: measured 0/25 outside at
+    //    sf0.01, 3/256 at sf0.1);
+    //  - recall_ok: SimHash recovers ≥50% of the strict exact pairs
+    //    (a 12-bit-radius heuristic, deterministic on fixed data);
+    //  - nonempty_ok: the candidate set is non-empty.
+    "d_simhash_pairs" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       val sim = Dedup.simhashPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      val strict = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
+        .select("id_a", "id_b")
       val loose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.3)
         .select("id_a", "id_b")
-      sim.agg(count(lit(1)).as("__n"))
+      strict.agg(count(lit(1)).as("n_strict_pairs"))
+        .crossJoin(sim.agg(count(lit(1)).as("__n")))
         .crossJoin(sim.join(loose, Seq("id_a", "id_b"), "left_anti")
           .agg(count(lit(1)).as("__out")))
-        .select((col("__n") > 0).as("nonempty_ok"),
-          (col("__out") * 10 <= col("__n")).as("precision_ok"))
+        .crossJoin(strict.join(sim, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__hit")))
+        .select(col("n_strict_pairs"),
+          (col("__n") > 0).as("nonempty_ok"),
+          (col("__out") * 10 <= col("__n")).as("precision_ok"),
+          (col("__hit") * 2 >= col("n_strict_pairs")).as("recall_ok"))
     }),
 
     // INCREMENTAL dedup: a new batch (every 10th doc re-ingested under a
@@ -241,6 +252,24 @@ object LlmQueries {
     "x_profile" -> ((s, d) =>
       graft.ops.Profile.profile(tbl(s, d, "documents"), exact = true)),
 
+    // The HLL path itself, SELF-VERIFYING: the 100 TB default
+    // (approx_count_distinct, rsd 0.05) must land within 4 standard errors
+    // of the exact count for EVERY column (plus an absolute floor of 16 —
+    // HLL++ is exact in sparse mode at tiny cardinalities, the floor only
+    // guards the band formula). The sketch is deterministic on fixed data,
+    // so this is a hard bound, not a flaky statistical test.
+    "x_profile_hll" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val hll = graft.ops.Profile.profile(docs)
+        .select(col("column"), col("n_distinct").as("__hll"))
+      val ex = graft.ops.Profile.profile(docs, exact = true)
+        .select(col("column"), col("n_distinct").as("__ex"))
+      hll.join(ex, "column").agg(
+        count(lit(1)).as("n_cols"),
+        bool_and(abs(col("__hll") - col("__ex")) <=
+          greatest(lit(4.0 * 0.05) * col("__ex"), lit(16.0))).as("within_band"))
+    }),
+
     // Per-language corpus statistics.
     "x_lang_stats" -> ((s, d) =>
       tbl(s, d, "documents").groupBy("lang")
@@ -268,10 +297,18 @@ object LlmQueries {
     "x_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
 
-    // Rolling-hash document fingerprints (xxhash64-based → rows-only).
-    "x_fingerprint" -> ((s, d) =>
-      tbl(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+    // Rolling-hash document fingerprints. The raw hash values cannot be
+    // recomputed by DuckDB, so the compared output is each document's
+    // FINGERPRINT-GROUP SIZE: deterministic + collision-free fingerprints
+    // make groups-by-fingerprint equal groups-by-normalized-text, which
+    // the oracle computes directly. A collision merges two groups and a
+    // determinism regression splits one — both flip row hashes.
+    "x_fingerprint" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+      tbl(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("__fp"))
+        .select(col("doc_id"), count(lit(1)).over(w).as("fp_group_size"))
+    }),
 
     // Fingerprint SELF-VERIFYING gate: equal token streams hash equal by
     // construction, so distinct-fingerprint count must equal
@@ -343,8 +380,15 @@ object LlmQueries {
         |SELECT id_a, id_b FROM inter
         |JOIN nsz ON nsz.doc_id = id_a JOIN osz ON osz.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (nsz.n + osz.n - c) >= 0.5""".stripMargin,
-    "d_simhash_gate" ->
-      "SELECT true AS nonempty_ok, true AS precision_ok",
+    "d_simhash_pairs" ->
+      (jaccardCte +
+        """SELECT CAST(count(*) AS BIGINT) AS n_strict_pairs, true AS nonempty_ok,
+          |  true AS precision_ok, true AS recall_ok
+          |FROM jacs WHERE jaccard >= 0.5""".stripMargin),
+    "x_fingerprint" ->
+      """SELECT doc_id, count(*) OVER (
+        |  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_group_size
+        |FROM documents""".stripMargin,
     "x_fp_gate" ->
       """WITH all_docs AS (
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents
@@ -392,6 +436,8 @@ object LlmQueries {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM s) WHERE rank <= 5""".stripMargin,
+    "x_profile_hll" ->
+      "SELECT CAST(5 AS BIGINT) AS n_cols, true AS within_band",
     "x_profile" -> {
       def one(c: String, t: String) =
         s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,
