@@ -36,7 +36,8 @@ final class GraftSession(val catalog: GraftCatalog) {
   /**
    * Apply `f` to the segments of `s` OUTSIDE string literals (single- or
    * double-quoted, with backslash escapes — Spark's default dialect treats
-   * both as strings) and outside `--` line comments, copying protected
+   * both as strings), outside `--` line comments, and outside `/* */`
+   * block comments (nested, as Spark's lexer accepts), copying protected
    * content verbatim. SQL's doubled-quote escape (`''`) falls out of the
    * scan naturally: the second quote re-enters literal state over an empty
    * outside segment.
@@ -46,11 +47,18 @@ final class GraftSession(val catalog: GraftCatalog) {
     val buf = new StringBuilder
     var quote: Char = 0 // current literal delimiter, 0 = outside
     var inComment = false
+    var blockDepth = 0 // nested /* */ depth
+    var blockPrev: Char = 0 // previous char inside a block comment
     var escaped = false
     def flush(): Unit = { out.append(f(buf.toString())); buf.clear() }
     for (c <- s) {
       if (inComment) { out.append(c); if (c == '\n') inComment = false }
-      else if (quote != 0) {
+      else if (blockDepth > 0) {
+        out.append(c)
+        if (blockPrev == '*' && c == '/') { blockDepth -= 1; blockPrev = 0 }
+        else if (blockPrev == '/' && c == '*') { blockDepth += 1; blockPrev = 0 }
+        else blockPrev = c
+      } else if (quote != 0) {
         out.append(c)
         if (escaped) escaped = false
         else if (c == '\\') escaped = true
@@ -58,6 +66,9 @@ final class GraftSession(val catalog: GraftCatalog) {
       } else if (c == '\'' || c == '"') { flush(); out.append(c); quote = c }
       else if (c == '-' && buf.nonEmpty && buf.last == '-') {
         buf.deleteCharAt(buf.length - 1); flush(); out.append("--"); inComment = true
+      } else if (c == '*' && buf.nonEmpty && buf.last == '/') {
+        buf.deleteCharAt(buf.length - 1); flush(); out.append("/*")
+        blockDepth = 1; blockPrev = 0
       } else buf.append(c)
     }
     flush()
@@ -69,17 +80,21 @@ final class GraftSession(val catalog: GraftCatalog) {
    * the Iceberg time-travel sugar `FROM t VERSION AS OF <snapshotId>`
    * (`api_poc.py:374-376`): each occurrence is rewritten to a temp view
    * pinned to that snapshot before handing the query to Catalyst. The
-   * rewrite never fires inside a string literal — `WHERE c = 't VERSION AS
-   * OF 1'` passes through untouched.
+   * rewrite never fires inside a string literal or comment — `WHERE c =
+   * 't VERSION AS OF 1'` passes through untouched — and only fires for
+   * names that ARE catalog tables, so a pattern-shaped phrase elsewhere in
+   * a valid query cannot fail it (Catalyst still reports real errors).
    */
   def sql(query: String): DataFrame = {
     val clean = query.trim.stripSuffix(";")
     val rewritten = mapOutsideLiterals(clean, seg =>
       VersionAsOf.replaceAllIn(seg, m => {
         val (t, v) = (m.group(1), m.group(2).toLong)
-        val view = s"${t}__v$v"
-        catalog.table(t).readAsOf(v).createOrReplaceTempView(view)
-        view
+        if (catalog.tableExists(t)) {
+          val view = s"${t}__v$v"
+          catalog.table(t).readAsOf(v).createOrReplaceTempView(view)
+          view
+        } else scala.util.matching.Regex.quoteReplacement(m.matched)
       }))
     catalog.spark.sql(rewritten)
   }

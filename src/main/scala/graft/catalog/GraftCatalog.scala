@@ -51,9 +51,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
    * Validated handle + directory for a DERIVED table (search index, IVF
    * cells, dedup signature state) whose builder will overwrite it directly
    * — same name guard as [[createTable]], no initial empty commit.
+   *
+   * An EXISTING table under this name is rejected unless the caller passes
+   * `overwrite = true`: builders derive extra table names (`__shingles`,
+   * `__centroids` suffixes), and a silent overwriteBucketed over an
+   * unrelated table that happened to collide would destroy user data.
    */
-  def materialized(name: String): GraftTable = {
+  def materialized(name: String, overwrite: Boolean = false): GraftTable = {
     requireValid(name)
+    require(overwrite || !tableExists(name),
+      s"table $name already exists; pass overwrite = true to re-materialize it")
     Files.createDirectories(tableRoot(name))
     new GraftTable(spark, tableRoot(name), name)
   }

@@ -56,19 +56,21 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
 /**
  * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
  *
- * Commit protocol: write the manifest to a temp file in the same directory,
- * then atomically rename it into place. A single rename is the commit point
- * (same idea as Iceberg's metadata-file swap and Delta's _delta_log), so a
- * crashed writer never leaves a torn manifest and readers never see a
- * partial commit. On a real cluster this directory lives on a store with
- * atomic rename (HDFS) or a log service; the protocol is unchanged.
+ * Commit protocol: an atomic create-if-absent claim of the next manifest
+ * path ([[LogStore.tryClaim]] — same idea as Iceberg's metadata-file swap
+ * and Delta's _delta_log), so a crashed writer never leaves a torn manifest
+ * and readers never see a partial commit. All storage I/O for the log goes
+ * through the pluggable [[LogStore]]: the default [[LocalLogStore]] claims
+ * via hard link (POSIX/HDFS); an object-store deployment swaps in a
+ * conditional-put implementation (see [[LogStore]] scaladoc for the exact
+ * S3/GCS/Azure mapping) with no change to this protocol.
  *
  * Retention mirrors the reference's `write.metadata.previous-versions-max=100`
  * (`cdc_merger_optimized.py:108,200`): at most `retainVersions` manifests are
  * kept; older ones are deleted after a successful commit.
  */
 final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
-    gcGraceMs: Long = 60L * 60 * 1000) {
+    gcGraceMs: Long = 60L * 60 * 1000, store: LogStore = LocalLogStore) {
   private implicit val fmts: Formats = DefaultFormats
 
   private val logDir: Path = tableRoot.resolve("_log")
@@ -76,14 +78,9 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def manifestPath(id: Long): Path = logDir.resolve(f"v$id%016d.json")
 
   private def listManifests(): Seq[Path] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else
-      Using.resource(Files.list(logDir)) { s =>
-        s.iterator().asScala
-          .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
-          .toSeq
-          .sortBy(_.getFileName.toString)
-      }
+    store.list(logDir)
+      .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
+      .sortBy(_.getFileName.toString)
 
   def versions(): Seq[Long] =
     listManifests().map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
@@ -95,7 +92,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
 
   def get(id: Long): Option[Snapshot] = {
     val p = manifestPath(id)
-    if (Files.exists(p)) Some(readManifest(p)) else None
+    if (store.exists(p)) Some(readManifest(p)) else None
   }
 
   def contains(batchKey: String): Boolean =
@@ -110,7 +107,28 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     }
 
   private def readManifest(p: Path): Snapshot =
-    Serialization.read[Snapshot](new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    Serialization.read[Snapshot](new String(store.read(p), StandardCharsets.UTF_8))
+
+  /**
+   * The batchKey window for a commit extending `head`. Migration seed
+   * (upgrade from the scan-every-manifest format): the first post-upgrade
+   * commit that CARRIES a batchKey rebuilds the window from the retained
+   * manifests' own per-commit batchKeys — starting from the head's empty
+   * window instead would permanently hide pre-upgrade batchKeys from
+   * [[contains]], and a checkpointed stream replaying its last pre-upgrade
+   * batch after such a commit would apply it twice. Commits without a
+   * batchKey skip the seed scan (their window stays empty and [[contains]]
+   * keeps its own full-scan fallback).
+   */
+  private def nextBatchKeyWindow(
+      head: Option[Snapshot], batchKey: Option[String]): Seq[String] = {
+    val window = head.map(_.recentBatchKeys).getOrElse(Seq.empty)
+    val seeded =
+      if (window.isEmpty && batchKey.nonEmpty && head.nonEmpty)
+        snapshots().flatMap(_.batchKey)
+      else window
+    (seeded ++ batchKey).takeRight(retainVersions)
+  }
 
   /**
    * Single-attempt commit that REQUIRES the current head to be
@@ -130,7 +148,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       batchKey: Option[String] = None,
       dirRecords: Map[String, Long] = Map.empty,
       deltaDirs: Seq[String] = Seq.empty): Snapshot = {
-    Files.createDirectories(logDir)
+    store.mkdirs(logDir)
     val head = latest()
     if (batchKey.exists(contains)) return head.get
     if (head.map(_.snapshotId) != expectedParent) {
@@ -148,19 +166,13 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       batchKey = batchKey,
       dirRecords = dirRecords,
       deltaDirs = deltaDirs,
-      recentBatchKeys =
-        (head.map(_.recentBatchKeys).getOrElse(Seq.empty) ++ batchKey)
-          .takeRight(retainVersions))
-    val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
-    Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
-    try {
-      Files.createLink(manifestPath(snap.snapshotId), tmp)
+      recentBatchKeys = nextBatchKeyWindow(head, batchKey))
+    if (store.tryClaim(manifestPath(snap.snapshotId),
+        Serialization.write(snap).getBytes(StandardCharsets.UTF_8))) {
       expireOldManifests()
       snap
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(s"lost claim for snapshot ${snap.snapshotId}")
-    } finally Files.deleteIfExists(tmp)
+    } else
+      throw new CommitConflictException(s"lost claim for snapshot ${snap.snapshotId}")
   }
 
   /**
@@ -177,13 +189,12 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       summary: Map[String, String] = Map.empty,
       batchKey: Option[String] = None,
       dirRecords: Map[String, Long] = Map.empty): Snapshot = {
-    Files.createDirectories(logDir)
+    store.mkdirs(logDir)
     // Optimistic-concurrency commit loop (Iceberg/Delta style): assign the
-    // next id under the current head, then claim the manifest path with
-    // Files.createLink — a hard link FAILS if the target exists, unlike
-    // rename, which on POSIX silently replaces it (a lost committed write
-    // when two writers race to the same id). On collision, re-read the head
-    // and retry with the next id.
+    // next id under the current head, then claim the manifest path via
+    // LogStore.tryClaim (create-if-absent — a plain rename would silently
+    // replace a committed write when two writers race to the same id). On
+    // a lost claim, re-read the head and retry with the next id.
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
@@ -201,20 +212,12 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         summary = summary,
         batchKey = batchKey,
         dirRecords = dirRecords,
-        recentBatchKeys =
-          (head.map(_.recentBatchKeys).getOrElse(Seq.empty) ++ batchKey)
-            .takeRight(retainVersions))
-      val tmp = Files.createTempFile(logDir, ".commit-", ".tmp")
-      Files.write(tmp, Serialization.write(snap).getBytes(StandardCharsets.UTF_8))
-      try {
-        Files.createLink(manifestPath(snap.snapshotId), tmp)
-        Files.deleteIfExists(tmp)
+        recentBatchKeys = nextBatchKeyWindow(head, batchKey))
+      if (store.tryClaim(manifestPath(snap.snapshotId),
+          Serialization.write(snap).getBytes(StandardCharsets.UTF_8))) {
         expireOldManifests()
         return snap
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race — retry under new head
-      }
+      } // else: lost the race — retry under new head
     }
     throw new IllegalStateException(
       s"snapshot commit for $tableRoot lost $attempts consecutive races")
@@ -223,7 +226,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def expireOldManifests(): Unit = {
     val ms = listManifests()
     if (ms.size > retainVersions) {
-      ms.dropRight(retainVersions).foreach(Files.deleteIfExists(_))
+      ms.dropRight(retainVersions).foreach(store.delete)
       gcOrphanDataDirs()
     }
   }

@@ -214,12 +214,13 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       n: Int = 3,
-      numBuckets: Int = 64): (graft.table.GraftTable, graft.table.GraftTable) = {
-    val bt = catalog.materialized(name)
+      numBuckets: Int = 64,
+      overwrite: Boolean = false): (graft.table.GraftTable, graft.table.GraftTable) = {
+    val bt = catalog.materialized(name, overwrite)
     bt.overwriteBucketed(
       bandBuckets(docs, idCol, textCol, numPerm, bands, n)
         .toDF("doc_id", "bkey"), "bkey", numBuckets)
-    val st = catalog.materialized(s"${name}__shingles")
+    val st = catalog.materialized(s"${name}__shingles", overwrite)
     st.overwriteBucketed(
       hashShingleSets(docs, idCol, textCol, n).toDF("doc_id", "sh"),
       "doc_id", numBuckets)

@@ -200,12 +200,13 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      nCells: Int = 16): (graft.table.GraftTable, graft.table.GraftTable) = {
+      nCells: Int = 16,
+      overwrite: Boolean = false): (graft.table.GraftTable, graft.table.GraftTable) = {
     val cdf = seedCentroids(corpus, idCol, vecCol, nCells)
     val assigned = assignCells(corpus.select(col(idCol), col(vecCol)), cdf, vecCol, keep = 1)
-    val cells = catalog.materialized(name)
+    val cells = catalog.materialized(name, overwrite)
     cells.overwriteBucketed(assigned, "cell", nCells)
-    val cents = catalog.materialized(s"${name}__centroids")
+    val cents = catalog.materialized(s"${name}__centroids", overwrite)
     cents.overwrite(cdf)
     (cells, cents)
   }

@@ -55,7 +55,9 @@ object Search {
    * durable analog of `sync_to_es.py`'s bulk index): each term lookup then
    * prunes to one bucket dir via [[graft.table.GraftTable.lookupKey]] —
    * at 100 TB a posting fetch reads 1/numBuckets of the index, not all of
-   * it. Rebuilt wholesale on refresh, like the reference's sync.
+   * it. Rebuilt wholesale on refresh, like the reference's sync — a refresh
+   * over an existing index passes `overwrite = true` (the catalog rejects
+   * silently clobbering an existing table otherwise).
    */
   def persistIndex(
       catalog: graft.catalog.GraftCatalog,
@@ -63,8 +65,9 @@ object Search {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numBuckets: Int = 64): graft.table.GraftTable = {
-    val t = catalog.materialized(indexName)
+      numBuckets: Int = 64,
+      overwrite: Boolean = false): graft.table.GraftTable = {
+    val t = catalog.materialized(indexName, overwrite)
     t.overwriteBucketed(buildIndex(docs, idCol, textCol), "token", numBuckets)
     t
   }

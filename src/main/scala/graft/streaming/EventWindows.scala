@@ -93,10 +93,21 @@ object EventWindows {
       watermarkDelay: String): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    // All gap arithmetic in integer MICROSECONDS, the same unit
+    // sessionizeBatch uses (unix_micros) — Timestamp.getTime truncates to
+    // milliseconds, and a sub-millisecond event time could then put a gap
+    // on the other side of the boundary than the batch twin, breaking the
+    // documented stream ≡ batch equivalence.
+    val gapUs = gapSeconds * 1000000L
+    def toUs(ts: Timestamp): Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
 
     def close(u: Long, s: Open): Session =
-      Session(u, new Timestamp(s.start), new Timestamp(s.last), s.n)
+      Session(u, toTs(s.start), toTs(s.last), s.n)
 
     def fn(user: Long, rows: Iterator[(Long, Timestamp)],
         state: GroupState[Open]): Iterator[Session] = {
@@ -105,13 +116,13 @@ object EventWindows {
         state.remove()
         Iterator.single(close(user, s))
       } else {
-        val incoming = rows.map(_._2.getTime).toArray.sorted
+        val incoming = rows.map(r => toUs(r._2)).toArray.sorted
         val closed = scala.collection.mutable.Buffer.empty[Session]
         var cur = state.getOption.orNull
         incoming.foreach { t =>
           cur match {
             case null => cur = Open(t, t, 1)
-            case c if t - c.last <= gapMs =>
+            case c if t - c.last <= gapUs =>
               // min() on the start: a late-but-within-watermark event from a
               // LATER batch can precede the open session's first event.
               cur = Open(math.min(c.start, t), math.max(c.last, t), c.n + 1)
@@ -122,7 +133,9 @@ object EventWindows {
         }
         if (cur != null) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.last + gapMs)
+          // The timeout API is millisecond-granular; round UP so the state
+          // never times out before last + gap has truly passed.
+          state.setTimeoutTimestamp((cur.last + gapUs + 999L) / 1000L)
         }
         closed.iterator
       }

@@ -57,6 +57,27 @@ class ApiSpec extends AnyFunSuite {
     assert(r3.getLong(0) == 500)
   }
 
+  test("literal scanner: block comments protected; non-table names pass through") {
+    val s = freshSession()
+    // Sugar-shaped text inside /* */ (even nested, as Spark's lexer allows)
+    // must not be rewritten; the real sugar outside still fires.
+    val r1 = s.sql(
+      "SELECT count(*) AS n /* not orders_t VERSION AS OF 1 /* nested 'x */ here */ FROM orders_t VERSION AS OF 1")
+      .head()
+    assert(r1.getLong(0) == 500)
+    // A quote inside a block comment must not flip literal state.
+    val r2 = s.sql(
+      "SELECT count(*) AS n /* don't */ FROM orders_t VERSION AS OF 1").head()
+    assert(r2.getLong(0) == 500)
+    // A pattern match on a NON-table name is passed through for Catalyst to
+    // judge on the original text: the failure (if any) is Spark's own parse/
+    // analysis error, not the catalog's "table does not exist" require — and
+    // no temp view is registered as a side effect.
+    val e = intercept[Exception] { s.sql("SELECT * FROM nosuch VERSION AS OF 1") }
+    assert(!e.isInstanceOf[IllegalArgumentException], s"catalog require leaked: $e")
+    assert(!spark.catalog.tableExists("nosuch__v1"))
+  }
+
   test("snapshots metadata view is queryable by SQL") {
     val s = freshSession()
     val ops = s.sql("SELECT operation FROM orders_t__snapshots ORDER BY snapshot_id")

@@ -37,6 +37,39 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.log.contains("fill3"))
   }
 
+  test("pre-window manifests: first windowed commit seeds from retained batchKeys") {
+    // Simulate an upgrade from the scan-every-manifest log format: strip
+    // recentBatchKeys from every committed manifest, then land one commit
+    // that carries a batchKey. The new head's window must include the
+    // pre-upgrade keys — otherwise a checkpointed stream replaying its last
+    // pre-upgrade batch after that commit would apply it twice.
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val small = orders.filter(col("o_orderkey") < 50)
+    val root = TestSpark.tmpDir("mig-").resolve("t")
+    val t = new GraftTable(spark, root, "t")
+    t.overwrite(small)
+    t.append(small.limit(1), batchKey = Some("old1"))
+    t.append(small.limit(1), batchKey = Some("old2"))
+    val logDir = root.resolve("_log")
+    val paths = java.nio.file.Files.list(logDir)
+    try paths.forEach { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .replaceAll(""","recentBatchKeys":\[[^\]]*\]""", ""","recentBatchKeys":[]""")
+      java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+    } finally paths.close()
+    assert(t.log.latest().get.recentBatchKeys.isEmpty)
+    assert(t.log.contains("old1"), "empty-window fallback must still scan")
+    t.append(small.limit(1), batchKey = Some("new1"))
+    val head = t.log.latest().get
+    assert(head.recentBatchKeys.toSet == Set("old1", "old2", "new1"),
+      s"window must be seeded from retained manifests, got ${head.recentBatchKeys}")
+    assert(t.log.contains("old1") && t.log.contains("old2") && t.log.contains("new1"))
+    // idempotent replay of a pre-upgrade batch stays a no-op post-seed
+    val nVersions = t.log.versions().size
+    t.append(small.limit(1), batchKey = Some("old2"))
+    assert(t.log.versions().size == nVersions)
+  }
+
   test("8 concurrent appends: no lost commits, contiguous ids, correct total") {
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
     val t = new GraftTable(spark, TestSpark.tmpDir("conc-").resolve("t"), "t")

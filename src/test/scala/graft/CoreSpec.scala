@@ -16,6 +16,10 @@ class CoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { cat.materialized("../escape") }
     intercept[IllegalArgumentException] { cat.materialized("a/b") }
     assert(cat.materialized("idx__aux").name == "idx__aux")
+    // an EXISTING table is protected from silent re-materialization
+    cat.saveTable("user_tbl", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] { cat.materialized("user_tbl") }
+    assert(cat.materialized("user_tbl", overwrite = true).name == "user_tbl")
     val empty = spark.emptyDataset[(Long, String)].toDF("id", "v")
     val p = graft.ops.Profile.profile(empty, exact = true)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
