@@ -56,19 +56,56 @@ object Cluster {
   }
 
   /**
+   * Distinct-edge count at or below which components are computed with a
+   * DRIVER-SIDE union-find over the collected edge list instead of the
+   * distributed star rounds: a near-dup graph of a few thousand edges pays
+   * several rounds of wide-shuffle stages that each carry a handful of rows
+   * per task — all scheduling overhead. The collect is O(limit) longs by
+   * contract (≈3 MB at the default), decided from an aggregate the loop
+   * computes anyway. Pass 0 to force the distributed path.
+   */
+  val defaultDriverEdgeLimit: Long = 200000L
+
+  /** Driver union-find, components keyed by MIN id (roots merge min-wards —
+    * the same canonical labeling the distributed fixpoint produces). */
+  private def unionFindComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    import spark.implicits._
+    parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "component")
+  }
+
+  /**
    * Connected components of an undirected edge list. Returns `(id,
    * component)` for every node that appears in an edge, where `component`
    * is the smallest node id in the component (the canonical survivor).
    *
    * Convergence is detected by an order-independent signature of the edge
    * set (count + sum of per-edge hashes) — one tiny aggregate per round,
-   * no edge-set diff join.
+   * no edge-set diff join. Graphs at or below `driverEdgeLimit` distinct
+   * edges dispatch to a driver-side union-find instead (same labeling).
    */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      driverEdgeLimit: Long = defaultDriverEdgeLimit): DataFrame = {
     // Lazy checkpoints: the signature aggregate right after is the first
     // action, so each round materializes its checkpoint AND computes the
     // signature in ONE job instead of two (eager checkpoint + agg).
@@ -89,6 +126,13 @@ object Cluster {
     }
 
     var sig = signature(edges)
+    if (sig._1 <= driverEdgeLimit) {
+      // Small graph: the edges are already checkpointed, so the collect is
+      // a cheap second job over materialized blocks.
+      val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(blocking = false)
+      return unionFindComponents(pairs.sparkSession, arr)
+    }
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

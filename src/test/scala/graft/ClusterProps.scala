@@ -52,16 +52,23 @@ object ClusterProps extends Properties("Cluster") {
     val real = edges.filter(e => e._1 != e._2)
     if (real.isEmpty) Prop.passed
     else {
-      val got = Cluster.connectedComponents(real.toDF("id_a", "id_b"), "id_a", "id_b")
+      // driverEdgeLimit = 0 forces the DISTRIBUTED star rounds — the
+      // default would dispatch these small graphs to the driver union-find
+      // and the property would compare union-find against itself.
+      val got = Cluster.connectedComponents(real.toDF("id_a", "id_b"), "id_a", "id_b",
+        driverEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(real)
-      Prop(got == want) :| s"got=$got want=$want"
+      val viaDriver = Cluster.connectedComponents(real.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (Prop(got == want) :| s"distributed: got=$got want=$want") &&
+        (Prop(viaDriver == want) :| s"driver path: got=$viaDriver want=$want")
     }
   }
 
-  property("components equal union-find on random graphs") =
+  property("components equal union-find on random graphs (both paths)") =
     Prop.forAll(graphGen)(check)
 
-  property("components equal union-find on chain-heavy graphs") =
+  property("components equal union-find on chain-heavy graphs (both paths)") =
     Prop.forAll(chainGen)(check)
 }
