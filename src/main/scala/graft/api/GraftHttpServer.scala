@@ -1,0 +1,221 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * HTTP transport for the serving surface — the runnable counterpart of the
+ * reference's FastAPI app (`api_poc.py`), built on the JDK's own
+ * `com.sun.net.httpserver` (no added dependencies). The endpoint logic all
+ * lives in [[GraftSession]] / [[graft.catalog.GraftCatalog]]; this layer
+ * only routes, decodes parameters, and renders JSON (where the reference
+ * renders HTML dashboards, this serves the same rows as JSON — SURVEY §3.1
+ * maps the serving boundary that way).
+ *
+ * Endpoints (reference file:line in parens):
+ *  - `GET /tables`                       — SHOW TABLES (`api_poc.py:274-284`)
+ *  - `GET /data/{t}?limit=n`             — preview (`api_poc.py:286-298`)
+ *  - `GET /query?query=sql`              — SQL passthrough incl. `VERSION AS
+ *    OF` sugar (`api_poc.py:208-263`)
+ *  - `GET /view/{t}?search=&snapshot=&page_size=` — dashboard page: optional
+ *    keyword search + time travel, newest-first page (`api_poc.py:362-446`)
+ *  - `GET /snapshots/{t}`                — `$snapshots` metadata
+ *    (`api_poc.py:490-492`)
+ *  - `GET /diff/{t}?v2=&v1=`             — snapshot diff (`api_poc.py:420-487`)
+ *  - `POST /insert/{t}` (JSON object of column → string) — single-row INSERT
+ *    with form coercion (`api_poc.py:763-801`)
+ *  - `POST /update/{t}/{id}` (JSON object) — UPDATE by id (`api_poc.py:728-761`)
+ *  - `POST /delete/{t}/{id}`             — DELETE by id (`api_poc.py:803-826`)
+ *  - `POST /upload/{t}` (text/csv body; `?mode=replace|append|upsert`) — CSV
+ *    ingest (`api_poc.py:300-320`; raw body instead of multipart — the
+ *    transport simplification, same ingest path underneath)
+ *
+ * Serving limits: every row-returning endpoint caps its collect (`limit`,
+ * `page_size`, `maxRows`) — the driver never materializes an unbounded
+ * result, matching the reference's LIMIT-ed serving queries.
+ */
+final class GraftHttpServer(session: GraftSession, port: Int = 0,
+    maxRows: Int = 1000) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Bound port (useful with port = 0 for an ephemeral choice). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): GraftHttpServer = { server.start(); this }
+
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------- helpers
+
+  private def qs(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> ""
+        else java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      }.toMap
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  /** Parse a flat JSON object of string/number/bool values to a String map
+    * (the form-value shape `get_cast_val` coerces, `api_poc.py:704-726`). */
+  private def jsonObjToMap(s: String): Map[String, String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toString
+        case (k, JLong(v)) => k -> v.toString
+        case (k, JDouble(v)) => k -> v.toString
+        case (k, JDecimal(v)) => k -> v.toString
+        case (k, JBool(v)) => k -> v.toString
+      }.toMap
+      case _ => throw new IllegalArgumentException("body must be a JSON object")
+    }
+  }
+
+  /** Render `limit` rows as `{"columns":[...],"rows":[{...},...]}` — the
+    * JSON face of the reference's cursor description + fetchall
+    * (`api_poc.py:221-224`). toJSON serializes row-by-row on executors. */
+  private def dfJson(df: DataFrame, limit: Int): String = {
+    val cols = df.columns.map(c => "\"" + c.replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val rows = df.limit(limit).toJSON.collect().mkString("[", ",", "]")
+    s"""{"columns":$cols,"rows":$rows}"""
+  }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def jsonErr(msg: String): String =
+    """{"error":"""" + Option(msg).getOrElse("internal error")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') "" else c.toString) + "\"}"
+
+  /** Route with uniform error mapping: bad input → 400, anything else → 500
+    * (`safe_execute`'s error surface, `api_poc.py:54-63`). */
+  private def handle(path: String)(fn: HttpExchange => String): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      try respond(ex, 200, fn(ex))
+      catch {
+        case e: IllegalArgumentException => respond(ex, 400, jsonErr(e.getMessage))
+        case e: NoSuchElementException => respond(ex, 404, jsonErr(e.getMessage))
+        case e: Throwable => respond(ex, 500, jsonErr(e.getMessage))
+      } finally ex.close()
+    })
+
+  /** `/prefix/{t}` → table name (validated by the catalog on use). */
+  private def pathArg(ex: HttpExchange, prefix: String): String = {
+    val rest = ex.getRequestURI.getPath.stripPrefix(prefix).stripPrefix("/")
+    require(rest.nonEmpty, s"missing path argument after $prefix")
+    java.net.URLDecoder.decode(rest, "UTF-8")
+  }
+
+  // -------------------------------------------------------------- routes
+
+  handle("/tables") { _ =>
+    session.catalog.listTables()
+      .map(t => "\"" + t + "\"").mkString("""{"tables":[""", ",", "]}")
+  }
+
+  handle("/data") { ex =>
+    val t = pathArg(ex, "/data")
+    val limit = qs(ex).get("limit").map(_.toInt).getOrElse(10)
+    dfJson(session.preview(t, math.min(limit, maxRows)), maxRows)
+  }
+
+  handle("/query") { ex =>
+    val sql = qs(ex).getOrElse("query",
+      throw new IllegalArgumentException("missing query parameter"))
+    dfJson(session.sql(sql), maxRows)
+  }
+
+  handle("/view") { ex =>
+    val t = pathArg(ex, "/view")
+    val p = qs(ex)
+    val page = math.min(p.get("page_size").map(_.toInt).getOrElse(100), maxRows)
+    dfJson(session.view(t, search = p.get("search"),
+      snapshotId = p.get("snapshot").map(_.toLong), pageSize = page), maxRows)
+  }
+
+  handle("/snapshots") { ex =>
+    val t = pathArg(ex, "/snapshots")
+    dfJson(session.catalog.table(t).snapshotsDF
+      .orderBy(org.apache.spark.sql.functions.desc("snapshot_id")), maxRows)
+  }
+
+  handle("/diff") { ex =>
+    val t = pathArg(ex, "/diff")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    val v2 = p.get("v2").map(_.toLong).getOrElse(table.latestVersion)
+    val v1 = p.get("v1").map(_.toLong)
+      .orElse(table.log.get(v2).flatMap(_.parentId))
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $v2 has no parent"))
+    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    dfJson(table.diff(v2, v1, pk), maxRows)
+  }
+
+  handle("/insert") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/insert")
+    val snap = session.catalog.table(t).insertRow(jsonObjToMap(body(ex)))
+    s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
+  }
+
+  handle("/update") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val rest = pathArg(ex, "/update")
+    val Array(t, id) = rest.split("/", 2)
+    val table = session.catalog.table(t)
+    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    // Values arrive as strings and coerce per column type, exactly the
+    // reference's get_cast_val form handling (`api_poc.py:704-726`).
+    val sets = jsonObjToMap(body(ex)).map { case (c, v) =>
+      c -> org.apache.spark.sql.functions.lit(
+        graft.functions.Coerce.coerce(v, table.schema(c).dataType))
+    }
+    val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
+    val snap = table.updateWhere(
+      org.apache.spark.sql.functions.col(pk) === idVal, sets)
+    s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
+  }
+
+  handle("/delete") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val rest = pathArg(ex, "/delete")
+    val Array(t, id) = rest.split("/", 2)
+    val table = session.catalog.table(t)
+    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
+    val snap = table.deleteWhere(
+      org.apache.spark.sql.functions.col(pk) === idVal)
+    s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
+  }
+
+  handle("/upload") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/upload")
+    val mode = qs(ex).getOrElse("mode", "replace")
+    val tmp = java.nio.file.Files.createTempFile("graft-upload-", ".csv")
+    try {
+      java.nio.file.Files.write(tmp, body(ex).getBytes(StandardCharsets.UTF_8))
+      val table = session.catalog.ingestCsv(tmp.toString, t, mode = mode)
+      session.registerView(t)
+      s"""{"status":"ok","table":"$t","records":${table.read().count()}}"""
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}

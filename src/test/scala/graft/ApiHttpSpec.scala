@@ -1,0 +1,107 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{GraftHttpServer, GraftSession}
+import graft.catalog.GraftCatalog
+
+/** The HTTP serving layer end-to-end: real sockets, JDK HttpClient. */
+class ApiHttpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val fixture: (GraftHttpServer, GraftSession, String) = {
+    val cat = new GraftCatalog(spark, TestSpark.tmpDir("http-"))
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val t = cat.saveTable("orders_t", orders.filter(col("o_orderkey") < 500))
+    t.append(orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 600))
+    val s = new GraftSession(cat)
+    s.refreshViews()
+    val srv = new GraftHttpServer(s).start()
+    (srv, s, s"http://127.0.0.1:${srv.boundPort}")
+  }
+  private def session = fixture._2
+  private def base = fixture._3
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("GET /tables lists catalog tables") {
+    val (code, body) = get("/tables")
+    assert(code == 200 && body.contains("\"orders_t\""))
+  }
+
+  test("GET /data previews with limit; GET /query runs SQL incl. time travel") {
+    val (c1, b1) = get("/data/orders_t?limit=3")
+    assert(c1 == 200 && b1.contains("\"columns\"") && b1.contains("o_orderkey"))
+    assert("\\{\"o_orderkey\"".r.findAllIn(b1).size == 3)
+    val q = java.net.URLEncoder.encode(
+      "SELECT count(*) AS n FROM orders_t VERSION AS OF 1", "UTF-8")
+    val (c2, b2) = get(s"/query?query=$q")
+    assert(c2 == 200 && b2.contains("\"n\":500"), b2)
+  }
+
+  test("GET /view searches and pages; GET /snapshots lists history; GET /diff classifies") {
+    val (c1, b1) = get("/view/orders_t?search=42&page_size=5")
+    assert(c1 == 200 && b1.contains("\"o_orderkey\":42"), b1)
+    val (c2, b2) = get("/snapshots/orders_t")
+    assert(c2 == 200 && b2.contains("\"operation\":\"append\""), b2)
+    val (c3, b3) = get("/diff/orders_t?v2=2&v1=1")
+    assert(c3 == 200 && b3.contains("\"NEW\""), b3)
+  }
+
+  test("POST insert/update/delete round-trip with form coercion") {
+    val (c1, b1) = post("/insert/orders_t",
+      """{"o_orderkey":"999999","o_custkey":"7","o_totalprice":"12.5","o_orderstatus":"O"}""")
+    assert(c1 == 200 && b1.contains("\"status\":\"ok\""), b1)
+    val (c2, _) = post("/update/orders_t/999999", """{"o_totalprice":"99.5"}""")
+    assert(c2 == 200)
+    // /data and /view read the table's LATEST snapshot directly (no view
+    // refresh needed); SQL views pin the registration-time snapshot, so
+    // refresh before the SQL check — same model as the reference, where
+    // Trino sees the table as of query planning.
+    val (c3, b3) = get("/view/orders_t?search=999999")
+    assert(c3 == 200 && b3.contains("99.5"), b3)
+    session.refreshViews()
+    val q = java.net.URLEncoder.encode(
+      "SELECT o_totalprice FROM orders_t WHERE o_orderkey = 999999", "UTF-8")
+    val (c4, b4) = get(s"/query?query=$q")
+    assert(c4 == 200 && b4.contains("99.5"), b4)
+    val (c5, _) = post("/delete/orders_t/999999", "")
+    assert(c5 == 200)
+    val (c6, b6) = get("/view/orders_t?search=999999")
+    assert(c6 == 200 && !b6.contains("99.5"), b6)
+  }
+
+  test("POST /upload ingests a CSV body") {
+    val csv = "item_id,name,price\n1,widget,2.5\n2,gadget,3.5\n"
+    val (c1, b1) = post("/upload/uploads_t?mode=replace", csv)
+    assert(c1 == 200 && b1.contains("\"records\":2"), b1)
+    val (c2, b2) = get("/data/uploads_t?limit=10")
+    assert(c2 == 200 && b2.contains("widget"), b2)
+  }
+
+  test("errors map to JSON statuses") {
+    val (c1, b1) = get("/data/no_such_table")
+    assert(c1 == 400 && b1.contains("error"), s"$c1 $b1")
+    val q = java.net.URLEncoder.encode("SELECT bogus FROM orders_t", "UTF-8")
+    val (c2, _) = get(s"/query?query=$q")
+    assert(c2 == 500)
+    val (c3, _) = get("/query")
+    assert(c3 == 400)
+  }
+}
