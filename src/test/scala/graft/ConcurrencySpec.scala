@@ -8,7 +8,42 @@ import scala.concurrent.duration._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.log.{LogStore, SnapshotLog}
 import graft.table.GraftTable
+
+/**
+ * Object-store-shaped [[LogStore]]: no hard links, no renames — the claim
+ * is a bare conditional put (`putIfAbsent`), exactly the primitive S3
+ * (`If-None-Match: *`) / GCS (`ifGenerationMatch=0`) expose. Running the
+ * commit protocol through it proves the trait boundary carries the whole
+ * transactional surface.
+ */
+final class MemoryLogStore extends LogStore {
+  import java.nio.file.Path
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def tryClaim(target: Path, bytes: Array[Byte]): Boolean =
+    objects.putIfAbsent(target.toString, bytes) == null
+
+  def read(p: Path): Array[Byte] =
+    Option(objects.get(p.toString))
+      .getOrElse(throw new java.nio.file.NoSuchFileException(p.toString))
+
+  def list(dir: Path): Seq[Path] = {
+    val prefix = dir.toString + "/"
+    import scala.jdk.CollectionConverters._
+    objects.keySet.asScala.toSeq
+      .filter(k => k.startsWith(prefix) && !k.drop(prefix.length).contains('/'))
+      .map(java.nio.file.Paths.get(_))
+  }
+
+  def exists(p: Path): Boolean = objects.containsKey(p.toString)
+
+  def delete(p: Path): Unit = { objects.remove(p.toString); () }
+
+  def mkdirs(dir: Path): Unit = () // object stores have no directories
+}
 
 /**
  * Commit-protocol safety: concurrent writers race to the same snapshot id;
@@ -68,6 +103,32 @@ class ConcurrencySpec extends AnyFunSuite {
     val nVersions = t.log.versions().size
     t.append(small.limit(1), batchKey = Some("old2"))
     assert(t.log.versions().size == nVersions)
+  }
+
+  test("commit protocol through a conditional-put object store: races, idempotence, retention") {
+    val store = new MemoryLogStore
+    val log = new SnapshotLog(TestSpark.tmpDir("objstore-").resolve("t"),
+      retainVersions = 4, store = store)
+    // 8 writers race full-replace commits through bare putIfAbsent claims
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { i =>
+      Future { log.commit("overwrite", "{}", Seq.empty, Map("w" -> i.toString)) }
+    }
+    val snaps = Await.result(Future.sequence(futures), 2.minutes)
+    pool.shutdown()
+    // every writer landed, ids are contiguous, no commit was lost
+    assert(snaps.map(_.snapshotId).sorted == (1L to 8L))
+    assert(log.versions() == (5L to 8L), s"retention should keep 4: ${log.versions()}")
+    // batchKey idempotence works through the same store
+    val s9 = log.commit("append", "{}", Seq.empty, batchKey = Some("bk1"))
+    assert(log.commit("append", "{}", Seq.empty, batchKey = Some("bk1"))
+      .snapshotId == s9.snapshotId)
+    assert(log.contains("bk1") && !log.contains("bk2"))
+    // compare-and-swap rejects a stale parent
+    intercept[graft.log.CommitConflictException] {
+      log.commitExpecting(Some(1L), "upsert", "{}", Seq.empty)
+    }
   }
 
   test("8 concurrent appends: no lost commits, contiguous ids, correct total") {
