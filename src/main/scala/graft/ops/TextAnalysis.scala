@@ -119,4 +119,56 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
+
+  /** Word n-grams WITH multiplicity; a doc shorter than `n` tokens has none
+    * (repetition metrics count occurrences — no whole-text fallback here,
+    * unlike the dedup shingles). */
+  private def countedNgrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - n + 1),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Occurrence count of the most frequent gram: O(distinct × total) per
+    * row over short arrays — still pure map-side, no shuffle. */
+  private def topGramCount(grams: Column): Column =
+    aggregate(array_distinct(grams), lit(0),
+      (acc, g) => greatest(acc, size(filter(grams, x => x === g))))
+
+  /**
+   * Gopher/FineWeb-style repetition metrics per document — the filter
+   * family that removes boilerplate-heavy and degenerate (looping) text
+   * before training. All outputs are INTEGER counts plus one boolean, so an
+   * external engine reproduces them bit-for-bit; callers derive the
+   * fractions. Per doc:
+   *
+   *  - `n_tokens`, and for n ∈ {2, 3}: total n-grams + distinct n-grams
+   *  - `top_ngram_2`: occurrences of the most frequent 2-gram
+   *  - `passes_repetition`: duplicate-2-gram fraction ≤ 20%, most-frequent-
+   *    2-gram fraction ≤ 20% (a gram occurring ONCE is exempt — it is not
+   *    repetition, and short clean docs would otherwise fail on 1/total
+   *    alone), duplicate-3-gram fraction ≤ 10% — compared in integer
+   *    arithmetic (`dup·5 ≤ total`), never floating point.
+   *
+   * Pure per-row column expressions: map-side, no shuffle, codegen'd.
+   */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g2 = countedNgrams(col(textCol), 2)
+    val g3 = countedNgrams(col(textCol), 3)
+    docs.select(
+      col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      size(g2).cast("long").as("n_ngrams_2"),
+      size(array_distinct(g2)).cast("long").as("n_distinct_2"),
+      topGramCount(g2).cast("long").as("top_ngram_2"),
+      size(g3).cast("long").as("n_ngrams_3"),
+      size(array_distinct(g3)).cast("long").as("n_distinct_3"))
+      .withColumn("passes_repetition",
+        (col("n_ngrams_2") - col("n_distinct_2")) * 5 <= col("n_ngrams_2") &&
+          (col("top_ngram_2") <= 1 ||
+            col("top_ngram_2") * 5 <= col("n_ngrams_2")) &&
+          (col("n_ngrams_3") - col("n_distinct_3")) * 10 <= col("n_ngrams_3"))
+  }
 }

@@ -297,6 +297,12 @@ object LlmQueries {
     "x_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Gopher/FineWeb-style repetition filters: integer n-gram duplication
+    // counts + most-frequent-2-gram count + the integer-arithmetic pass
+    // boolean, all recomputed exactly by the oracle.
+    "x_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionMetrics(tbl(s, d, "documents"), "doc_id", "text")),
+
     // Rolling-hash document fingerprints. The raw hash values cannot be
     // recomputed by DuckDB, so the compared output is each document's
     // FINGERPRINT-GROUP SIZE: deterministic + collision-free fingerprints
@@ -438,6 +444,29 @@ object LlmQueries {
         |  FROM s) WHERE rank <= 5""".stripMargin,
     "x_profile_hll" ->
       "SELECT CAST(5 AS BIGINT) AS n_cols, true AS within_band",
+    "x_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, ts,
+        |  CASE WHEN len(ts) >= 2 THEN list_transform(range(1, len(ts)),
+        |    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) ELSE [] END AS g2,
+        |  CASE WHEN len(ts) >= 3 THEN list_transform(range(1, len(ts)-1),
+        |    i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2]) ELSE [] END AS g3
+        |  FROM tok),
+        |m AS (SELECT doc_id, ts, g2, g3,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(g2),
+        |    gr -> len(list_filter(g2, x -> x = gr)))), 0) AS BIGINT) AS top2
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(g2) AS BIGINT) AS n_ngrams_2,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2,
+        |  top2 AS top_ngram_2,
+        |  CAST(len(g3) AS BIGINT) AS n_ngrams_3,
+        |  CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_3,
+        |  ((len(g2) - len(list_distinct(g2))) * 5 <= len(g2)
+        |    AND (top2 <= 1 OR top2 * 5 <= len(g2))
+        |    AND (len(g3) - len(list_distinct(g3))) * 10 <= len(g3)) AS passes_repetition
+        |FROM m""".stripMargin,
     "x_profile" -> {
       def one(c: String, t: String) =
         s"""SELECT '$c' AS "column", '$t' AS dtype, count(*) AS n_rows,

@@ -187,6 +187,26 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.distinct().count() == docs.count(), "distinct texts → distinct fingerprints")
   }
 
+  test("repetition metrics: hand-computed counts, degenerate docs fail, short docs vacuous") {
+    val df = Seq(
+      (1L, "a b a b a b"), // looping text: 2-grams [ab,ba,ab,ba,ab] → 5 total, 2 distinct, top 3
+      (2L, "one two three four five"), // clean: all n-grams unique
+      (3L, "solo"), // 1 token: no n-grams at all
+      (4L, "")) // empty
+      .toDF("id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(2) == 5L && m(1L).getLong(3) == 2L, "bigram totals/distincts")
+    assert(m(1L).getLong(4) == 3L, "top bigram 'a b' occurs 3 times")
+    assert(m(1L).getLong(5) == 4L && m(1L).getLong(6) == 2L, "trigram totals/distincts")
+    assert(!m(1L).getBoolean(7), "looping text must fail the repetition filter")
+    assert(m(2L).getLong(2) == 4L && m(2L).getLong(3) == 4L)
+    assert(m(2L).getBoolean(7), "unique-n-gram text passes")
+    assert(m(3L).getLong(2) == 0L && m(3L).getLong(4) == 0L && m(3L).getBoolean(7),
+      "sub-n docs have zero n-grams and pass vacuously")
+    assert(m(4L).getLong(2) == 0L)
+  }
+
   test("multimodal: media wrap + batched stub decode keep ids and byte counts") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
     assert(media.schema.fieldNames.toSeq ==
