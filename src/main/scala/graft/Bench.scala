@@ -25,9 +25,10 @@ object Bench {
     "t_upsert_bucketed", "c_cdc_batch",
     "d_minhash_pairs", "e_cosine_topk", "x_quality")
 
-  /** Round-3 curation ops, timed as their own group so the headline
+  /** Curation ops (rounds 3-4), timed as their own group so the headline
     * `total` stays comparable across rounds. */
-  private val curation = Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split")
+  private val curation =
+    Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split", "x_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

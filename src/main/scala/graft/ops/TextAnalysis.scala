@@ -131,11 +131,19 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Occurrence count of the most frequent gram: O(distinct × total) per
-    * row over short arrays — still pure map-side, no shuffle. */
+  /** Occurrence count of the most frequent gram: sort, then a longest-run
+    * fold — O(n log n) per row, so a pathological million-token document
+    * costs a sort, not a distinct×total quadratic scan. Map-side only. */
   private def topGramCount(grams: Column): Column =
-    aggregate(array_distinct(grams), lit(0),
-      (acc, g) => greatest(acc, size(filter(grams, x => x === g))))
+    aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /**
    * Gopher/FineWeb-style repetition metrics per document — the filter
