@@ -43,12 +43,19 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  // Without an explicit executor the JDK server handles every request on
+  // its single dispatcher thread — one slow query would serialize the whole
+  // surface. Spark sessions are thread-safe; a small pool serves concurrent
+  // dashboard + query traffic like the reference's ASGI workers.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
+
   /** Bound port (useful with port = 0 for an ephemeral choice). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): GraftHttpServer = { server.start(); this }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ------------------------------------------------------------- helpers
 
@@ -169,10 +176,15 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     dfJson(table.diff(v2, v1, pk), maxRows)
   }
 
+  // DML endpoints re-register the table's SQL view after committing, so a
+  // following /query sees the new snapshot — the reference's Trino always
+  // plans against the current table; only explicitly pinned `VERSION AS OF`
+  // reads stay historical.
   handle("/insert") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
     val t = pathArg(ex, "/insert")
     val snap = session.catalog.table(t).insertRow(jsonObjToMap(body(ex)))
+    session.registerView(t)
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
   }
 
@@ -191,6 +203,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
     val snap = table.updateWhere(
       org.apache.spark.sql.functions.col(pk) === idVal, sets)
+    session.registerView(t)
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
   }
 
@@ -203,6 +216,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
     val snap = table.deleteWhere(
       org.apache.spark.sql.functions.col(pk) === idVal)
+    session.registerView(t)
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
   }
 

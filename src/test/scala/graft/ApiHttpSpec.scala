@@ -70,13 +70,10 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c1 == 200 && b1.contains("\"status\":\"ok\""), b1)
     val (c2, _) = post("/update/orders_t/999999", """{"o_totalprice":"99.5"}""")
     assert(c2 == 200)
-    // /data and /view read the table's LATEST snapshot directly (no view
-    // refresh needed); SQL views pin the registration-time snapshot, so
-    // refresh before the SQL check — same model as the reference, where
-    // Trino sees the table as of query planning.
     val (c3, b3) = get("/view/orders_t?search=999999")
     assert(c3 == 200 && b3.contains("99.5"), b3)
-    session.refreshViews()
+    // DML endpoints re-register the SQL view: /query sees the new snapshot
+    // without any manual refresh (Trino-like read-current semantics).
     val q = java.net.URLEncoder.encode(
       "SELECT o_totalprice FROM orders_t WHERE o_orderkey = 999999", "UTF-8")
     val (c4, b4) = get(s"/query?query=$q")
@@ -85,6 +82,8 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c5 == 200)
     val (c6, b6) = get("/view/orders_t?search=999999")
     assert(c6 == 200 && !b6.contains("99.5"), b6)
+    val (c7, b7) = get(s"/query?query=$q")
+    assert(c7 == 200 && !b7.contains("99.5"), b7)
   }
 
   test("POST /upload ingests a CSV body") {
