@@ -208,6 +208,36 @@ object EngineQueries {
       t.read()
     }),
 
+    // F7/F8/F9/F10: the driver-side glue functions, pinned against SQL
+    // semantics — form-value coercion (int/double/truthy-bool/ISO timestamp
+    // with Z and explicit-offset handling, raw-string fallback), the
+    // identifier guard, name sanitization, and the pk heuristic, all
+    // evaluated in Scala and hash-compared to the oracle's literals.
+    "f_coerce" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      import graft.functions.{Coerce, Identifiers}
+      val row = org.apache.spark.sql.Row(
+        Coerce.coerce(" 42 ", IntegerType),
+        Coerce.coerce("9.5", DoubleType),
+        Coerce.coerce("YES", BooleanType),
+        Coerce.coerce("off", BooleanType),
+        Coerce.coerce("2026-01-02T03:04:05Z", TimestampType),
+        Coerce.coerce("2026-01-02T03:04:05+02:00", TimestampType),
+        Coerce.coerce("not a time", StringType),
+        Identifiers.isValidIdent("tbl_1"),
+        Identifiers.isValidIdent("1; drop tables"),
+        Identifiers.sanitize("Customer Id"),
+        Identifiers.findIdCol(Seq("name", "customer_id", "x")))
+      val schema = StructType(Seq(
+        StructField("int_val", IntegerType), StructField("dbl_val", DoubleType),
+        StructField("bool_true", BooleanType), StructField("bool_false", BooleanType),
+        StructField("ts_utc", TimestampType), StructField("ts_offset", TimestampType),
+        StructField("fallback_val", StringType),
+        StructField("ident_ok", BooleanType), StructField("ident_bad", BooleanType),
+        StructField("sanitized", StringType), StructField("id_col", StringType)))
+      s.createDataFrame(s.sparkContext.parallelize(Seq(row), 1), schema)
+    }),
+
     // S9/F5: Hudi-style keyed CSV upsert ingest with synthesized precombine.
     "t_csv_upsert" -> ((s, d) => {
       val base = tbl(s, d, "customer").select("c_custkey", "c_name", "c_nationkey")
@@ -391,6 +421,14 @@ object EngineQueries {
     "t_insert_row" ->
       """SELECT * FROM region
         |UNION ALL SELECT 99 AS r_regionkey, 'TESTLAND' AS r_name""".stripMargin,
+    "f_coerce" ->
+      """SELECT CAST(42 AS INTEGER) AS int_val, CAST(9.5 AS DOUBLE) AS dbl_val,
+        |  true AS bool_true, false AS bool_false,
+        |  TIMESTAMP '2026-01-02 03:04:05' AS ts_utc,
+        |  TIMESTAMP '2026-01-02 01:04:05' AS ts_offset,
+        |  'not a time' AS fallback_val,
+        |  true AS ident_ok, false AS ident_bad,
+        |  'Customer_Id' AS sanitized, 'customer_id' AS id_col""".stripMargin,
     "t_csv_upsert" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey <= 100 THEN 'UPDATED' ELSE c_name END AS c_name,
