@@ -120,6 +120,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!split.contains("Exchange"), s"splitting must not shuffle:\n$split")
   }
 
+  test("quality and repetition metrics are pure map-side (no Exchange)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val rep = fmt(graft.ops.TextAnalysis.repetitionMetrics(docs, "doc_id", "text"))
+    assert(!rep.contains("Exchange"), s"repetition metrics must not shuffle:\n$rep")
+    val qual = fmt(graft.ops.TextAnalysis.qualityMetrics(docs, "doc_id", "text"))
+    assert(!qual.contains("Exchange"), s"quality metrics must not shuffle:\n$qual")
+  }
+
   test("merge broadcasts the update keys — target side has no shuffle") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val updates = orders.filter(col("o_orderkey") < 10)
