@@ -136,7 +136,7 @@ object Bench {
     // the single-split file spread across the cores (AQE is off in
     // streaming plans, so nothing re-partitions the batch otherwise).
     var cdcBatchRows = -1L
-    val cdcThroughput =
+    def cdcWaveThroughput(mergeOnRead: Boolean, tag: String): Double =
       try {
         import org.apache.spark.sql.types._
         val rowSchema = StructType(Seq(
@@ -151,16 +151,21 @@ object Bench {
             img.as("after"), lit(op).as("op"),
             (col("event_id") * 10 + tsOff).as("ts_ms")).as("payload")))
             .as("value"))
-        val inDir = Files.createTempDirectory("bench-cdc-").resolve("in")
+        val inDir = Files.createTempDirectory(s"bench-cdc-$tag-").resolve("in")
         envOf(ev, "c", 0).repartition(8).write.mode("overwrite").text(inDir.toString)
-        val cat = new graft.catalog.GraftCatalog(spark, Files.createTempDirectory("bench-cdc-wh-"))
+        val cat = new graft.catalog.GraftCatalog(spark,
+          Files.createTempDirectory(s"bench-cdc-$tag-wh-"))
         val target = cat.createTable("cdc_bench", rowSchema,
           bucketBy = Some(("event_id", 16)))
-        val ckpt = Files.createTempDirectory("bench-cdc-ckpt-").toString
+        val ckpt = Files.createTempDirectory(s"bench-cdc-$tag-ckpt-").toString
+        // compactEvery = 16 > the 4 waves, so the MOR figure measures pure
+        // delta-append ingest (compaction is the amortized background cost,
+        // priced separately by mor_rows_per_sec's table machinery).
         val q = graft.cdc.CdcPipeline.start(spark, inDir.toString, rowSchema, target,
           "event_id", ckpt,
           trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
-          maxFilesPerTrigger = 8, decodeParallelism = cpus.toInt)
+          maxFilesPerTrigger = 8, mergeOnRead = mergeOnRead,
+          decodeParallelism = cpus.toInt)
         try {
           q.processAllAvailable() // wave 1: full insert load, untimed warm-up
           // waves 2-4: full UPDATE images of every key (the reference
@@ -171,7 +176,7 @@ object Bench {
           val nWave = ev.count()
           cdcBatchRows = nWave
           nWave / median3 { i =>
-            val stage = Files.createTempDirectory(s"bench-cdc-stage-$i-")
+            val stage = Files.createTempDirectory(s"bench-cdc-$tag-stage-$i-")
             envOf(ev.withColumn("value", col("value") + 10 + i), "u", i + 1)
               .repartition(1).write.mode("overwrite").text(stage.toString)
             val part = {
@@ -192,7 +197,14 @@ object Bench {
             elapsed
           }
         } finally q.stop()
-      } catch { case e: Throwable => errors("cdc_throughput") = errText(e); -1.0 }
+      } catch { case e: Throwable => errors(s"cdc_${tag}_throughput") = errText(e); -1.0 }
+
+    // End-to-end resident stream in BOTH write modes: copy-on-write
+    // (bucketed partial rewrite per batch — the apples-to-apples number vs
+    // the reference's merger) and merge-on-read (delta append per batch —
+    // the fast-ingest mode's end-to-end number).
+    val cdcThroughput = cdcWaveThroughput(mergeOnRead = false, tag = "cow")
+    val cdcMorThroughput = cdcWaveThroughput(mergeOnRead = true, tag = "mor")
 
     def jnum(d: Double): String =
       if (d.isNaN || d.isInfinite) "-1"
@@ -210,7 +222,7 @@ object Bench {
       s"\"$k\":\"$esc\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_batch_rows":$cdcBatchRows,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"sf":"$sfDir"}"""
     println(json)
     // The stdout line arrives wrapped in sbt [info] noise, which defeated
     // the driver's JSON parse both prior rounds — the FILE is the
