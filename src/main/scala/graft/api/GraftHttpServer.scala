@@ -229,7 +229,9 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       java.nio.file.Files.write(tmp, body(ex).getBytes(StandardCharsets.UTF_8))
       val table = session.catalog.ingestCsv(tmp.toString, t, mode = mode)
       session.registerView(t)
-      s"""{"status":"ok","table":"$t","records":${table.read().count()}}"""
+      // The ingest commit already counted its rows — no read-back job.
+      val records = table.log.latest().flatMap(_.summary.get("records")).getOrElse("0")
+      s"""{"status":"ok","table":"$t","records":$records}"""
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 }
