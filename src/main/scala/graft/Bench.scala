@@ -206,6 +206,27 @@ object Bench {
     val cdcThroughput = cdcWaveThroughput(mergeOnRead = false, tag = "cow")
     val cdcMorThroughput = cdcWaveThroughput(mergeOnRead = true, tag = "mor")
 
+    // Serving-path point-lookup latency, speaking to the reference's
+    // "millisecond-latency" serving claim (`OZONE_ARCHITECTURE.md:87`):
+    // median wall-clock of a bucket-pruned key lookup on the full lineitem
+    // table (driver-side bucket hash → one bucket's files → footer
+    // min/max skipping), collected to completion like a serving call.
+    val lookupMs =
+      try {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .withColumn("li_id", col("l_orderkey") * 10 + col("l_linenumber"))
+        val t = new GraftTable(spark,
+          Files.createTempDirectory("bench-lkp-").resolve("t"), "t")
+        t.overwriteBucketed(li, "li_id", 32)
+        t.lookupKey(10L).collect() // warm-up (plan + footer caches)
+        1000.0 * median3 { i =>
+          val key = 10L + i * 60L + i % 4 // distinct keys: no result caching
+          val t0 = System.nanoTime()
+          t.lookupKey(key).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+      } catch { case e: Throwable => errors("lookup_latency") = errText(e); -1.0 }
+
     def jnum(d: Double): String =
       if (d.isNaN || d.isInfinite) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -222,7 +243,7 @@ object Bench {
       s"\"$k\":\"$esc\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"sf":"$sfDir"}"""
     println(json)
     // The stdout line arrives wrapped in sbt [info] noise, which defeated
     // the driver's JSON parse both prior rounds — the FILE is the

@@ -47,7 +47,15 @@ case class Snapshot(
     // commit — 100 small JSON reads per commit is fine on local disk but
     // chatty on object storage. The window equals manifest retention, so
     // the dedupe horizon is unchanged from the scan-them-all behavior.
-    recentBatchKeys: Seq[String] = Seq.empty)
+    recentBatchKeys: Seq[String] = Seq.empty,
+    // Per-dir column min/max statistics ("<col>:min" / "<col>:max" →
+    // stringified value; types recovered from schemaJson), harvested from
+    // the parquet footers the writer already opens. Powers manifest-level
+    // data skipping: a range read intersects [min, max] per dir BEFORE
+    // listing any files — on an append-heavy table whose commits are
+    // time-correlated, a time-window query plans against a handful of dirs
+    // instead of thousands. Dirs absent from the map are always read.
+    dirStats: Map[String, Map[String, String]] = Map.empty)
 
 /** A committed write lost the optimistic-concurrency race; the caller must
   * re-derive its commit content against the new head and retry. */
@@ -147,7 +155,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       summary: Map[String, String] = Map.empty,
       batchKey: Option[String] = None,
       dirRecords: Map[String, Long] = Map.empty,
-      deltaDirs: Seq[String] = Seq.empty): Snapshot = {
+      deltaDirs: Seq[String] = Seq.empty,
+      dirStats: Map[String, Map[String, String]] = Map.empty): Snapshot = {
     store.mkdirs(logDir)
     val head = latest()
     if (batchKey.exists(contains)) return head.get
@@ -166,7 +175,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       batchKey = batchKey,
       dirRecords = dirRecords,
       deltaDirs = deltaDirs,
-      recentBatchKeys = nextBatchKeyWindow(head, batchKey))
+      recentBatchKeys = nextBatchKeyWindow(head, batchKey),
+      dirStats = dirStats)
     if (store.tryClaim(manifestPath(snap.snapshotId),
         Serialization.write(snap).getBytes(StandardCharsets.UTF_8))) {
       expireOldManifests()
@@ -188,7 +198,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       dataDirs: Seq[String],
       summary: Map[String, String] = Map.empty,
       batchKey: Option[String] = None,
-      dirRecords: Map[String, Long] = Map.empty): Snapshot = {
+      dirRecords: Map[String, Long] = Map.empty,
+      dirStats: Map[String, Map[String, String]] = Map.empty): Snapshot = {
     store.mkdirs(logDir)
     // Optimistic-concurrency commit loop (Iceberg/Delta style): assign the
     // next id under the current head, then claim the manifest path via
@@ -212,7 +223,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         summary = summary,
         batchKey = batchKey,
         dirRecords = dirRecords,
-        recentBatchKeys = nextBatchKeyWindow(head, batchKey))
+        recentBatchKeys = nextBatchKeyWindow(head, batchKey),
+        dirStats = dirStats)
       if (store.tryClaim(manifestPath(snap.snapshotId),
           Serialization.write(snap).getBytes(StandardCharsets.UTF_8))) {
         expireOldManifests()

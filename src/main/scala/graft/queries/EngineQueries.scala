@@ -252,6 +252,19 @@ object EngineQueries {
       cat.table("cust").read().drop("current_ts")
     }),
 
+    // A5 (manifest tier): range read with manifest-level min/max data
+    // skipping — three range-correlated appends, a window over the middle
+    // one; only the matching dir's files are planned (StatsSpec asserts the
+    // inputFiles set; this entry hash-checks the values).
+    "t_range_pruned" -> ((s, d) => {
+      val t = Q.tempTable(s)
+      val ev = Q.events(s, d)
+      t.overwrite(ev.filter(col("event_id") < 1000))
+      t.append(ev.filter(col("event_id") >= 1000 && col("event_id") < 2000))
+      t.append(ev.filter(col("event_id") >= 2000))
+      t.readRange("event_id", 1200L, 1800L)
+    }),
+
     // P2/A5: key-equality lookup with bucket pruning (scans 1 of 8 buckets).
     "t_key_lookup_pruned" -> ((s, d) => {
       val t = tempTable(s)
@@ -434,6 +447,9 @@ object EngineQueries {
         |  CASE WHEN c_custkey <= 100 THEN 'UPDATED' ELSE c_name END AS c_name,
         |  c_nationkey
         |FROM customer""".stripMargin,
+    "t_range_pruned" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_id BETWEEN 1200 AND 1800""".stripMargin,
     "t_key_lookup_pruned" ->
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_key_multi_lookup" ->

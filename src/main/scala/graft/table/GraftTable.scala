@@ -126,6 +126,98 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       .getOrElse(emptyDF(schema))
   }
 
+  /**
+   * Range scan with MANIFEST-LEVEL data skipping: data dirs whose recorded
+   * [min, max] for `column` cannot intersect [lower, upper] are pruned
+   * BEFORE any file is listed — the lakehouse data-skipping move. On an
+   * append-heavy table whose commits are naturally range-correlated (a
+   * time-series ingest, a monotonically keyed load), a window query plans
+   * against the handful of matching dirs instead of every commit ever made;
+   * parquet row-group min/max then skips within the surviving files. Dirs
+   * without recorded stats are always read (skipping is an optimization,
+   * never a filter), NULL never matches a range predicate so all-null
+   * chunks are safely unrepresented, and pending MOR deltas fall back to
+   * the resolving read. Numeric, string, timestamp and date columns prune;
+   * other types read everything.
+   */
+  def readRange(column: String, lower: Any, upper: Any): DataFrame = {
+    val headOpt = log.latest()
+    if (headOpt.isEmpty) return emptyDF(new StructType())
+    val head = headOpt.get
+    val st = schema
+    require(st.fieldNames.contains(column), s"table $name has no column $column")
+    val between = col(column) >= lit(lower) && col(column) <= lit(upper)
+    if (head.deltaDirs.nonEmpty) return readResolved(head).filter(between)
+    val dt = st(column).dataType
+    val loB = statBound(lower, dt)
+    val hiB = statBound(upper, dt)
+    val dirs = head.dataDirs.filter { d =>
+      (for {
+        s <- head.dirStats.get(d)
+        mn <- s.get(s"$column:min").flatMap(parseStat(_, dt))
+        mx <- s.get(s"$column:max").flatMap(parseStat(_, dt))
+        lo <- loB
+        hi <- hiB
+      } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
+    }
+    if (dirs.isEmpty) emptyDF(st)
+    else spark.read.schema(st)
+      .parquet(dirs.map(d => root.resolve(d).toString): _*)
+      .filter(between)
+  }
+
+  /** User-supplied range bound → the stats domain (long / double / string). */
+  private def statBound(v: Any, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      case FloatType | DoubleType => v match {
+        case n: Number => Some(n.doubleValue)
+        case _ => None
+      }
+      case StringType => Some(String.valueOf(v))
+      case TimestampType => v match {
+        case t: java.sql.Timestamp =>
+          Some(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+        case i: java.time.Instant =>
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+        case s: String => scala.util.Try(java.time.Instant.parse(s)).toOption
+          .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000)
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case s: String =>
+          scala.util.Try(java.time.LocalDate.parse(s)).toOption.map(_.toEpochDay)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Manifest stat string → the stats domain, per the column's type. */
+  private def parseStat(s: String, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
+        s.toLongOption
+      case FloatType | DoubleType => s.toDoubleOption
+      case StringType => Some(s)
+      case _ => None
+    }
+  }
+
+  private def statLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => x < y
+    case (x: String, y: String) => x < y
+    case _ => false
+  }
+
   private def readSnapshot(s: Snapshot): DataFrame = {
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     if (s.dataDirs.isEmpty) emptyDF(st)
@@ -198,12 +290,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
 
   /**
    * Write `df` hash-bucketed by `key` into one commit dir with
-   * `__bucket=<k>` leaf dirs; returns (leafRelDir → records) in bucket
+   * `__bucket=<k>` leaf dirs; returns per-leaf [[DirInfo]] in bucket
    * order. The partition column lives only in the directory name — leaf
    * dirs are read directly, so scans never see it.
    */
   private def writeBucketedDir(
-      df: DataFrame, key: String, n: Int, rel: String): Seq[(String, Long)] = {
+      df: DataFrame, key: String, n: Int, rel: String): Seq[DirInfo] = {
     val abs = root.resolve(rel).toString
     // Repartition on the bucket id before the partitioned write — the
     // analog of the reference's `write.distribution-mode=hash`
@@ -218,18 +310,99 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
 
+  /** One written data directory: relative path, exact row count, and the
+    * per-column min/max harvested from the same footer pass (empty map for
+    * columns whose physical type carries no usable statistics). */
+  private case class DirInfo(rel: String, rows: Long, stats: Map[String, String])
+
   /**
-   * Per-leaf record counts from the parquet FOOTERS of what was just
-   * written: driver-side metadata reads (one listStatus + one footer per
-   * file), no Spark job and no per-row work in the write itself. This
-   * replaced per-row `observe()` metrics (n × `sum(when)` accumulators
-   * evaluated for every written row) — footer row counts are exact, already
-   * materialized by the writer, and cost O(buckets) regardless of data
-   * volume. Leaves that received no rows are never created by the
-   * partitioned write, so presence == non-empty.
+   * Row count + column min/max statistics for every parquet file in one
+   * directory, from the FOOTERS of what was just written: driver-side
+   * metadata reads (one listStatus + one footer per file), no Spark job and
+   * no per-row work in the write itself — footer row counts and chunk
+   * statistics are exact and already materialized by the writer. Stats are
+   * kept for INT32/INT64/FLOAT/DOUBLE and UTF-8 BINARY chunks (timestamps
+   * ride as INT64 micros); a column with any unreadable chunk is dropped
+   * from the map — absence means "cannot prune", never "wrong bounds".
+   * All-null chunks contribute nothing (a range predicate never selects
+   * NULL, so the remaining bounds stay valid).
    */
-  private def leafCounts(rel: String): Seq[(String, Long)] = {
+  private def dirFooterInfo(
+      fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      dirPath: org.apache.hadoop.fs.Path): (Long, Map[String, String]) = {
     import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    var rows = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    val bad = scala.collection.mutable.Set.empty[String]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _ => false
+    }
+    fs.listStatus(dirPath).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          rows += blocks.map(_.getRowCount.toLong).sum
+          blocks.flatMap(_.getColumns.asScala).foreach { cc =>
+            val name = cc.getPath.toDotString
+            if (!bad.contains(name)) {
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
+              if (st == null || st.isEmpty) bad += name
+              else if (!st.hasNonNullValue) () // all-null chunk
+              else {
+                val tpe = cc.getPrimitiveType
+                val mnmx: Option[(Any, Any)] = tpe.getPrimitiveTypeName match {
+                  case INT64 => Some((st.genericGetMin.asInstanceOf[Number].longValue,
+                    st.genericGetMax.asInstanceOf[Number].longValue))
+                  case INT32 => Some((st.genericGetMin.asInstanceOf[Number].longValue,
+                    st.genericGetMax.asInstanceOf[Number].longValue))
+                  case DOUBLE => Some((st.genericGetMin.asInstanceOf[Number].doubleValue,
+                    st.genericGetMax.asInstanceOf[Number].doubleValue))
+                  case FLOAT => Some((st.genericGetMin.asInstanceOf[Number].doubleValue,
+                    st.genericGetMax.asInstanceOf[Number].doubleValue))
+                  case BINARY
+                    if tpe.getLogicalTypeAnnotation.isInstanceOf[
+                      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                    Some((
+                      st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                      st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+                  case _ => None
+                }
+                mnmx match {
+                  case Some((mn, mx)) =>
+                    if (!mins.contains(name) || lt(mn, mins(name))) mins(name) = mn
+                    if (!maxs.contains(name) || lt(maxs(name), mx)) maxs(name) = mx
+                  case None => bad += name
+                }
+              }
+            }
+          }
+        } finally r.close()
+      }
+    val stats = mins.keys.filterNot(bad.contains).flatMap { c =>
+      Seq(s"$c:min" -> mins(c).toString, s"$c:max" -> maxs(c).toString)
+    }.toMap
+    (rows, stats)
+  }
+
+  /**
+   * Per-leaf [[DirInfo]] for a freshly written bucketed commit dir. Leaves
+   * that received no rows are never created by the partitioned write, so
+   * presence == non-empty. The footer opens are independent I/O — run
+   * CONCURRENTLY instead of one leaf at a time: a 10-second CDC micro-batch
+   * pays this per commit, and on an object store each sequential footer
+   * round-trip would be tens of milliseconds.
+   */
+  private def leafCounts(rel: String): Seq[DirInfo] = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(root.resolve(rel).toString)
     val fs = dir.getFileSystem(conf)
@@ -237,27 +410,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val leaves = fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
       .sortBy(s => s.getPath.getName.stripPrefix(BucketCol + "=").toInt)
-    // The footer opens are independent I/O — run them CONCURRENTLY instead
-    // of one leaf at a time. A 10-second CDC micro-batch pays this per
-    // commit, and on an object store each sequential footer round-trip
-    // would be tens of milliseconds; the commit path should not serialize
-    // O(buckets) of them.
     val futures = leaves.map { leaf =>
       scala.concurrent.Future {
-        val rows = fs.listStatus(leaf.getPath).toSeq
-          .filter(f => f.getPath.getName.endsWith(".parquet"))
-          .map { f =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-            finally r.close()
-          }.sum
-        (s"$rel/${leaf.getPath.getName}", rows)
+        val (rows, stats) = dirFooterInfo(fs, conf, leaf.getPath)
+        DirInfo(s"$rel/${leaf.getPath.getName}", rows, stats)
       }(scala.concurrent.ExecutionContext.global)
     }
     futures
       .map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration(120, "s")))
-      .filter(_._2 > 0)
+      .filter(_.rows > 0)
   }
 
   /**
@@ -270,11 +431,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   def overwriteBucketed(df: DataFrame, key: String, numBuckets: Int): Snapshot = {
     val next = latestVersion + 1
     val leaves = writeBucketedDir(df, key, numBuckets, newDataRel(next))
-    val total = leaves.map(_._2).sum
-    log.commit("overwrite", df.schema.json, leaves.map(_._1),
+    val total = leaves.map(_.rows).sum
+    log.commit("overwrite", df.schema.json, leaves.map(_.rel),
       Map("records" -> total.toString,
         "bucket_key" -> key, "bucket_count" -> numBuckets.toString),
-      dirRecords = leaves.toMap)
+      dirRecords = leaves.map(l => l.rel -> l.rows).toMap,
+      dirStats = leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats).toMap)
   }
 
   /** Partial-rewrite merge for bucketed tables: only touched buckets move.
@@ -310,8 +472,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val next = latestVersion + 1
     val newLeaves = writeBucketedDir(merged, key, n, newDataRel(next))
     val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
-    val allDirs = carried ++ newLeaves
+    val allDirs = carried ++ newLeaves.map(l => l.rel -> l.rows)
     val total = allDirs.map(_._2).sum
+    // Untouched dirs carry their stats forward verbatim; rewritten buckets
+    // get the stats of what was just written.
+    val allStats =
+      head.dirStats.view.filterKeys(untouchedDirs.toSet).toMap ++
+        newLeaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats)
     // The merged output was computed against `head`'s data — if another
     // writer committed meanwhile, this result is stale and MUST NOT land.
     // commitExpecting fails it; DML writers are expected to serialize (or
@@ -321,21 +488,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       allDirs.map(_._1),
       Map("records" -> total.toString,
         "bucket_key" -> key, "bucket_count" -> n.toString),
-      batchKey, allDirs.toMap)
+      batchKey, allDirs.toMap, dirStats = allStats)
   }
 
   // --------------------------------------------------------------- writes
 
-  private def writeDataDir(df: DataFrame, snapshotId: Long): (String, Long) = {
+  private def writeDataDir(df: DataFrame, snapshotId: Long): DirInfo = {
     val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
     val abs = root.resolve(rel).toString
-    // The record count for the snapshot summary piggybacks on the write job
-    // via observe() — no read-back scan of what was just written.
-    val obs = org.apache.spark.sql.Observation(s"write-$snapshotId-${UUID.randomUUID()}")
-    df.observe(obs, count(lit(1)).as("records"))
-      .write.mode("overwrite").parquet(abs)
-    val records = obs.get("records").asInstanceOf[Long]
-    (rel, records)
+    df.write.mode("overwrite").parquet(abs)
+    // Record count AND column min/max come from the footers of what was
+    // just written — one driver-side metadata pass, no read-back Spark job
+    // (this replaced an observe() accumulator, which counted rows but could
+    // not supply the statistics the manifest now carries for data skipping).
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(abs)
+    val (rows, stats) = dirFooterInfo(p.getFileSystem(conf), conf, p)
+    DirInfo(rel, rows, stats)
   }
 
   private def align(df: DataFrame, st: StructType): DataFrame = {
@@ -349,8 +518,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   /** Full replace (`writeTo(t).createOrReplace()` in the reference). */
   def overwrite(df: DataFrame): Snapshot = {
     val next = latestVersion + 1
-    val (dir, n) = writeDataDir(df, next)
-    log.commit("overwrite", df.schema.json, Seq(dir), Map("records" -> n.toString))
+    val d = writeDataDir(df, next)
+    log.commit("overwrite", df.schema.json, Seq(d.rel),
+      Map("records" -> d.rows.toString),
+      dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
   }
 
   /**
@@ -362,7 +533,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // The data is written ONCE; only the head-derived commit content (dir
     // list, evolved schema, totals) is re-derived if a concurrent writer
     // wins the commit race (compare-and-swap via commitExpecting).
-    var written: Option[(Seq[(String, Long)], StructType)] = None
+    var written: Option[(Seq[DirInfo], StructType)] = None
     var attempts = 0
     while (true) {
       attempts += 1
@@ -384,10 +555,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         written = Some((w, evolved))
         (w, evolved)
       }
-      val appended = newDirs.map(_._2).sum
+      val appended = newDirs.map(_.rows).sum
       val prior = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L)
-      val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) ++ newDirs.map(_._1)
-      val dirRecs = head.map(_.dirRecords).getOrElse(Map.empty) ++ newDirs.toMap
+      val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) ++ newDirs.map(_.rel)
+      val dirRecs = head.map(_.dirRecords).getOrElse(Map.empty) ++
+        newDirs.map(l => l.rel -> l.rows)
       val schemaJson = head.map(s => Merge.unionSchema(
         DataType.fromJson(s.schemaJson).asInstanceOf[StructType], writtenSchema).json)
         .getOrElse(writtenSchema.json)
@@ -402,16 +574,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       val (commitDataDirs, commitDeltaDirs, morSummary) =
         if (pendingDeltas.nonEmpty)
           (head.map(_.dataDirs).getOrElse(Seq.empty),
-            pendingDeltas ++ newDirs.map(_._1),
+            pendingDeltas ++ newDirs.map(_.rel),
             Map("mor_key" -> head.get.summary("mor_key"),
               "pending_deltas" -> (pendingDeltas.size + newDirs.size).toString))
         else (dirs, Seq.empty[String], Map.empty[String, String])
+      // Stats only for dirs that are part of the base data set (delta dirs
+      // are resolved at read time; readRange falls back while they pend).
+      val dirSet = commitDataDirs.toSet
+      val statsAll = (head.map(_.dirStats).getOrElse(Map.empty) ++
+        newDirs.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats))
+        .view.filterKeys(dirSet).toMap
       try {
         val snap = log.commitExpecting(head.map(_.snapshotId), "append", schemaJson,
           commitDataDirs,
           Map("records" -> (prior + appended).toString,
             "appended" -> appended.toString) ++ spec ++ morSummary,
-          batchKey, dirRecs, commitDeltaDirs)
+          batchKey, dirRecs, commitDeltaDirs, statsAll)
         return {
           if (autoCompactAfter > 0 && snap.dataDirs.size > autoCompactAfter) compact()
           else snap
@@ -505,7 +683,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           evolved.json, head.dataDirs,
           head.summary ++ Map("mor_key" -> key,
             "pending_deltas" -> (head.deltaDirs.size + 1).toString),
-          batchKey, head.dirRecords, head.deltaDirs :+ dir)
+          batchKey, head.dirRecords, head.deltaDirs :+ dir, head.dirStats)
       } catch {
         case _: graft.log.CommitConflictException if attempts < 64 => // re-derive
       }
@@ -645,16 +823,18 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
         val leaves = writeBucketedDir(df, bk, n, newDataRel(next))
-        val total = leaves.map(_._2).sum
-        log.commitExpecting(parent, operation, df.schema.json, leaves.map(_._1),
+        val total = leaves.map(_.rows).sum
+        log.commitExpecting(parent, operation, df.schema.json, leaves.map(_.rel),
           Map("records" -> total.toString,
             "bucket_key" -> bk, "bucket_count" -> n.toString),
-          batchKey, leaves.toMap)
+          batchKey, leaves.map(l => l.rel -> l.rows).toMap,
+          dirStats = leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats).toMap)
       case _ =>
         val next = latestVersion + 1
-        val (dir, nRec) = writeDataDir(df, next)
-        log.commitExpecting(parent, operation, df.schema.json, Seq(dir),
-          Map("records" -> nRec.toString), batchKey)
+        val d = writeDataDir(df, next)
+        log.commitExpecting(parent, operation, df.schema.json, Seq(d.rel),
+          Map("records" -> d.rows.toString), batchKey,
+          dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
     }
   }
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.GraftTable
+
+/** Manifest-level min/max data skipping (readRange + dirStats). */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+
+  test("range read prunes append dirs by manifest min/max; results match a full filter") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("stats-").resolve("t"), "t")
+    // three appends with disjoint key ranges — the time-series commit shape
+    t.overwrite(orders.filter(col("o_orderkey") < 500))
+    t.append(orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 1000))
+    t.append(orders.filter(col("o_orderkey") >= 1000))
+    val head = t.log.latest().get
+    assert(head.dataDirs.size == 3)
+    assert(head.dirStats.size == 3, s"every dir must carry stats: ${head.dirStats.keySet}")
+    assert(head.dirStats(head.dataDirs.head).contains("o_orderkey:min"))
+
+    // a window inside the middle segment reads ONLY that dir's files
+    val pruned = t.readRange("o_orderkey", 600L, 900L)
+    val midDir = head.dataDirs(1)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains(midDir.stripPrefix("data/"))),
+      s"expected only $midDir, scanned ${pruned.inputFiles.toSeq}")
+    val full = t.read().filter(col("o_orderkey") >= 600 && col("o_orderkey") <= 900)
+    assert(pruned.collect().toSet == full.collect().toSet)
+
+    // string column pruning: o_orderpriority spans all dirs → no skipping,
+    // but results stay correct
+    val s = t.readRange("o_orderpriority", "1-URGENT", "1-URGENT")
+    assert(s.collect().toSet ==
+      t.read().filter(col("o_orderpriority") === "1-URGENT").collect().toSet)
+
+    // a window outside every dir reads nothing
+    assert(t.readRange("o_orderkey", -100L, -1L).count() == 0)
+  }
+
+  test("stats survive bucketed partial rewrites and dirs without stats stay readable") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("stats-b-").resolve("t"), "t")
+    t.overwriteBucketed(orders.filter(col("o_orderkey") < 3000), "o_orderkey", 4)
+    val before = t.log.latest().get
+    assert(before.dirStats.nonEmpty)
+    // keyed upsert rewrites touched buckets; stats map follows the dirs
+    val up = orders.filter(col("o_orderkey") === 42)
+      .withColumn("o_comment", lit("changed"))
+    t.upsert(up, "o_orderkey")
+    val after = t.log.latest().get
+    assert(after.dirStats.keySet == after.dataDirs.toSet,
+      "every live dir must have stats after a partial rewrite")
+
+    // simulate a pre-stats manifest: strip dirStats → readRange still
+    // correct (skipping is an optimization, absence means read-everything)
+    val logDir = t.root.resolve("_log")
+    val paths = java.nio.file.Files.list(logDir)
+    try paths.forEach { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .replaceAll(""","dirStats":\{.*?\}\}""", ""","dirStats":{}""")
+      java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+    } finally paths.close()
+    val head2 = t.log.latest().get
+    assert(head2.dirStats.isEmpty)
+    val r = t.readRange("o_orderkey", 100L, 200L)
+    assert(r.collect().toSet ==
+      t.read().filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 200).collect().toSet)
+  }
+
+  test("timestamp range read is correct (prunes only when micros stats exist)") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("stats-ts-").resolve("t"), "t")
+    val ev = graft.queries.Q.events(spark, TestSpark.sf0001)
+    val cut = ev.select(min("ts")).head().getTimestamp(0)
+    t.overwrite(ev.filter(col("ts") <= cut))
+    t.append(ev.filter(col("ts") > cut))
+    val got = t.readRange("ts", new java.sql.Timestamp(0), cut)
+    assert(got.collect().toSet == ev.filter(col("ts") <= cut).collect().toSet)
+  }
+}
