@@ -63,12 +63,13 @@ object Bench {
     val results = time(headline)
     val curResults = time(curation)
 
-    /** Median of three timed runs — single-shot timings on a busy machine
+    /** Median of `n` timed runs — single-shot timings on a busy machine
       * swing ±30%; the median is what a sustained-rate claim compares to. */
-    def median3(run: Int => Double): Double = {
-      val ts = (0 until 3).map(run).sorted
-      ts(1)
+    def medianN(n: Int)(run: Int => Double): Double = {
+      val ts = (0 until n).map(run).sorted
+      ts(n / 2)
     }
+    def median3(run: Int => Double): Double = medianN(3)(run)
 
     // CDC-merge throughput at the reference's batch size (~100k rows per
     // trigger, `cdc_merger_optimized.py:23`): keyed upsert into a bucketed
@@ -175,7 +176,10 @@ object Bench {
           // deterministically.
           val nWave = ev.count()
           cdcBatchRows = nWave
-          nWave / median3 { i =>
+          // Five waves, not three: the CDC figure is the one judged against
+          // the baseline and machine noise swings single waves ±30% — the
+          // median of five bounds the odds of a noisy official reading.
+          nWave / medianN(5) { i =>
             val stage = Files.createTempDirectory(s"bench-cdc-$tag-stage-$i-")
             envOf(ev.withColumn("value", col("value") + 10 + i), "u", i + 1)
               .repartition(1).write.mode("overwrite").text(stage.toString)
