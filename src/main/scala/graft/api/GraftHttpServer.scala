@@ -23,6 +23,8 @@ import org.apache.spark.sql.DataFrame
  *    OF` sugar (`api_poc.py:208-263`)
  *  - `GET /view/{t}?search=&snapshot=&page_size=` — dashboard page: optional
  *    keyword search + time travel, newest-first page (`api_poc.py:362-446`)
+ *  - `GET /range/{t}?col=&lo=&hi=`       — range read with manifest-level
+ *    min/max data skipping; bounds coerce per the column's type
  *  - `GET /snapshots/{t}`                — `$snapshots` metadata
  *    (`api_poc.py:490-492`)
  *  - `GET /diff/{t}?v2=&v1=`             — snapshot diff (`api_poc.py:420-487`)
@@ -156,6 +158,23 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val page = math.min(p.get("page_size").map(_.toInt).getOrElse(100), maxRows)
     dfJson(session.view(t, search = p.get("search"),
       snapshotId = p.get("snapshot").map(_.toLong), pageSize = page), maxRows)
+  }
+
+  handle("/range") { ex =>
+    val t = pathArg(ex, "/range")
+    val p = qs(ex)
+    val c = p.getOrElse("col", throw new IllegalArgumentException("missing col"))
+    val table = session.catalog.table(t)
+    require(table.schema.fieldNames.contains(c), s"no such column $c")
+    val dt = table.schema(c).dataType
+    // Bounds arrive as strings and coerce per the column's type — the same
+    // form-value rules as the DML endpoints; the manifest-level min/max
+    // skipping then plans only the dirs whose bounds intersect the window.
+    val lo = graft.functions.Coerce.coerce(
+      p.getOrElse("lo", throw new IllegalArgumentException("missing lo")), dt)
+    val hi = graft.functions.Coerce.coerce(
+      p.getOrElse("hi", throw new IllegalArgumentException("missing hi")), dt)
+    dfJson(table.readRange(c, lo, hi), maxRows)
   }
 
   handle("/snapshots") { ex =>

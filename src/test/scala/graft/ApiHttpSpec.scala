@@ -86,6 +86,15 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c7 == 200 && !b7.contains("99.5"), b7)
   }
 
+  test("GET /range reads a typed window with manifest skipping") {
+    val (c1, b1) = get("/range/orders_t?col=o_orderkey&lo=100&hi=105")
+    assert(c1 == 200, b1)
+    assert((100 to 105).forall(k => b1.contains(s"\"o_orderkey\":$k")), b1)
+    assert(!b1.contains("\"o_orderkey\":99") && !b1.contains("\"o_orderkey\":106"), b1)
+    val (c2, _) = get("/range/orders_t?col=nope&lo=1&hi=2")
+    assert(c2 == 400)
+  }
+
   test("POST /upload ingests a CSV body") {
     val csv = "item_id,name,price\n1,widget,2.5\n2,gadget,3.5\n"
     val (c1, b1) = post("/upload/uploads_t?mode=replace", csv)
