@@ -55,6 +55,11 @@ case class Snapshot(
     // listing any files — on an append-heavy table whose commits are
     // time-correlated, a time-window query plans against a handful of dirs
     // instead of thousands. Dirs absent from the map are always read.
+    // Scale note: this keeps the manifest O(dirs × cols); at manifest sizes
+    // where that bites (≥10^5 dirs), the next step is Iceberg's move —
+    // split the dir list + stats into side manifest files and keep only
+    // their paths here. The protocol (one atomic manifest claim) is
+    // unchanged by that split.
     dirStats: Map[String, Map[String, String]] = Map.empty)
 
 /** A committed write lost the optimistic-concurrency race; the caller must
