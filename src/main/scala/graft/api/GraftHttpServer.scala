@@ -74,21 +74,36 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
-  /** Parse a flat JSON object of string/number/bool values to a String map
-    * (the form-value shape `get_cast_val` coerces, `api_poc.py:704-726`). */
+  /** Parse a flat JSON object of string/number/bool/null values to a String
+    * map (the form-value shape `get_cast_val` coerces, `api_poc.py:704-726`).
+    * JSON null maps to a null VALUE — "set this column to NULL" — rather
+    * than being dropped, which would make `{"qty": null}` a silent no-op
+    * the client cannot distinguish from a successful update. Nested
+    * objects/arrays are rejected loudly for the same reason. */
   private def jsonObjToMap(s: String): Map[String, String] = {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(s) match {
-      case JObject(fields) => fields.collect {
+      case JObject(fields) => fields.map {
         case (k, JString(v)) => k -> v
         case (k, JInt(v)) => k -> v.toString
         case (k, JLong(v)) => k -> v.toString
         case (k, JDouble(v)) => k -> v.toString
         case (k, JDecimal(v)) => k -> v.toString
         case (k, JBool(v)) => k -> v.toString
+        case (k, JNull) => k -> (null: String)
+        case (k, other) => throw new IllegalArgumentException(
+          s"field $k must be a scalar, got ${other.getClass.getSimpleName}")
       }.toMap
       case _ => throw new IllegalArgumentException("body must be a JSON object")
     }
+  }
+
+  /** `/prefix/{t}/{id}` → (table, id); missing id is a 400, not a crash. */
+  private def tableAndId(ex: HttpExchange, prefix: String): (String, String) = {
+    val parts = pathArg(ex, prefix).split("/", 2)
+    require(parts.length == 2 && parts(1).nonEmpty,
+      s"expected $prefix/{table}/{id}")
+    (parts(0), parts(1))
   }
 
   /** Render `limit` rows as `{"columns":[...],"rows":[{...},...]}` — the
@@ -209,15 +224,17 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   handle("/update") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
-    val rest = pathArg(ex, "/update")
-    val Array(t, id) = rest.split("/", 2)
+    val (t, id) = tableAndId(ex, "/update")
     val table = session.catalog.table(t)
     val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
     // Values arrive as strings and coerce per column type, exactly the
-    // reference's get_cast_val form handling (`api_poc.py:704-726`).
+    // reference's get_cast_val form handling (`api_poc.py:704-726`); a JSON
+    // null sets the column to a typed NULL.
     val sets = jsonObjToMap(body(ex)).map { case (c, v) =>
-      c -> org.apache.spark.sql.functions.lit(
-        graft.functions.Coerce.coerce(v, table.schema(c).dataType))
+      val dt = table.schema(c).dataType
+      c -> (if (v == null) org.apache.spark.sql.functions.lit(null).cast(dt)
+            else org.apache.spark.sql.functions.lit(
+              graft.functions.Coerce.coerce(v, dt)))
     }
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
     val snap = table.updateWhere(
@@ -228,8 +245,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   handle("/delete") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
-    val rest = pathArg(ex, "/delete")
-    val Array(t, id) = rest.split("/", 2)
+    val (t, id) = tableAndId(ex, "/delete")
     val table = session.catalog.table(t)
     val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)

@@ -99,10 +99,14 @@ object EventWindows {
     // on the other side of the boundary than the batch twin, breaking the
     // documented stream ≡ batch equivalence.
     val gapUs = gapSeconds * 1000000L
-    def toUs(ts: Timestamp): Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    // floorDiv/floorMod: plain division truncates toward zero, which flips
+    // the fractional second of pre-epoch timestamps (getNanos is always the
+    // non-negative sub-second part) — unix_micros on the batch side floors.
+    def toUs(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
     def toTs(us: Long): Timestamp = {
-      val t = new Timestamp(us / 1000)
-      t.setNanos((us % 1000000L).toInt * 1000)
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
       t
     }
 

@@ -144,7 +144,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val headOpt = log.latest()
     if (headOpt.isEmpty) return emptyDF(new StructType())
     val head = headOpt.get
-    val st = schema
+    // The head manifest is already in hand — parse its schema directly
+    // instead of re-listing and re-reading the log through `schema`.
+    val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     require(st.fieldNames.contains(column), s"table $name has no column $column")
     val between = col(column) >= lit(lower) && col(column) <= lit(upper)
     if (head.deltaDirs.nonEmpty) return readResolved(head).filter(between)
@@ -178,10 +180,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         case n: Number => Some(n.doubleValue)
         case _ => None
       }
-      case StringType => Some(String.valueOf(v))
+      // Only a STRING bound prunes a string column: stringifying a numeric
+      // bound would prune lexicographically while Spark's filter compares
+      // numerically — type mismatches must mean "no pruning", like every
+      // other branch.
+      case StringType => v match {
+        case s: String => Some(s)
+        case _ => None
+      }
       case TimestampType => v match {
         case t: java.sql.Timestamp =>
-          Some(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+          // floorDiv: plain division truncates toward zero and flips the
+          // fractional second of pre-epoch timestamps (getNanos is always
+          // the non-negative sub-second part).
+          Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
         case i: java.time.Instant =>
           Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
         case s: String => scala.util.Try(java.time.Instant.parse(s)).toOption
@@ -211,10 +223,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     }
   }
 
+  /**
+   * Ordering over the stats domain. Strings compare as UNSIGNED UTF-8
+   * BYTES — the order parquet's statistics comparator and Spark's
+   * UTF8String both use; Java's native UTF-16 compareTo disagrees for
+   * supplementary-plane text (surrogates sort below U+E000 in UTF-16 but
+   * above it in UTF-8), which would mis-prune dirs containing emoji.
+   */
   private def statLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Double, y: Double) => x < y
-    case (x: String, y: String) => x < y
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     case _ => false
   }
 
@@ -337,12 +359,6 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val mins = scala.collection.mutable.Map.empty[String, Any]
     val maxs = scala.collection.mutable.Map.empty[String, Any]
     val bad = scala.collection.mutable.Set.empty[String]
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long) => x < y
-      case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x < y
-      case _ => false
-    }
     fs.listStatus(dirPath).toSeq
       .filter(f => f.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
@@ -360,9 +376,21 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
               else if (!st.hasNonNullValue) () // all-null chunk
               else {
                 val tpe = cc.getPrimitiveType
+                // An INT64 timestamp chunk is only usable when its unit is
+                // MICROS (our readers' domain): a MILLIS-annotated writer
+                // (spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS)
+                // would record values 1000x smaller than the query bounds
+                // and mis-prune everything. Plain longs have no annotation
+                // and pass through.
+                def int64UnitOk: Boolean = tpe.getLogicalTypeAnnotation match {
+                  case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+                  case _ => true
+                }
                 val mnmx: Option[(Any, Any)] = tpe.getPrimitiveTypeName match {
-                  case INT64 => Some((st.genericGetMin.asInstanceOf[Number].longValue,
-                    st.genericGetMax.asInstanceOf[Number].longValue))
+                  case INT64 if int64UnitOk =>
+                    Some((st.genericGetMin.asInstanceOf[Number].longValue,
+                      st.genericGetMax.asInstanceOf[Number].longValue))
                   case INT32 => Some((st.genericGetMin.asInstanceOf[Number].longValue,
                     st.genericGetMax.asInstanceOf[Number].longValue))
                   case DOUBLE => Some((st.genericGetMin.asInstanceOf[Number].doubleValue,
@@ -379,8 +407,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
                 }
                 mnmx match {
                   case Some((mn, mx)) =>
-                    if (!mins.contains(name) || lt(mn, mins(name))) mins(name) = mn
-                    if (!maxs.contains(name) || lt(maxs(name), mx)) maxs(name) = mx
+                    if (!mins.contains(name) || statLt(mn, mins(name))) mins(name) = mn
+                    if (!maxs.contains(name) || statLt(maxs(name), mx)) maxs(name) = mx
                   case None => bad += name
                 }
               }

@@ -111,5 +111,24 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c2 == 500)
     val (c3, _) = get("/query")
     assert(c3 == 400)
+    // missing id segment is a 400 with a usable message, not a MatchError 500
+    val (c4, b4) = post("/update/orders_t", """{"o_totalprice":"1"}""")
+    assert(c4 == 400 && b4.contains("{id}"), s"$c4 $b4")
+    val (c5, _) = post("/delete/orders_t", "")
+    assert(c5 == 400)
+    // nested values are rejected loudly, not silently dropped
+    val (c6, b6) = post("/insert/orders_t", """{"o_orderkey":{"nested":1}}""")
+    assert(c6 == 400 && b6.contains("scalar"), s"$c6 $b6")
+  }
+
+  test("JSON null in an update sets the column to NULL") {
+    val (c1, _) = post("/insert/orders_t",
+      """{"o_orderkey":"888888","o_custkey":"7","o_orderpriority":"1-URGENT"}""")
+    assert(c1 == 200)
+    val (c2, _) = post("/update/orders_t/888888", """{"o_orderpriority":null}""")
+    assert(c2 == 200)
+    val (c3, b3) = get("/view/orders_t?search=888888")
+    assert(c3 == 200 && !b3.contains("1-URGENT"), b3)
+    post("/delete/orders_t/888888", "")
   }
 }
