@@ -97,4 +97,22 @@ class BucketSpec extends AnyFunSuite {
     }
     assert(t.read().count() == orders.filter(col("o_orderkey") < 300).count())
   }
+
+  test("GC grace protects in-flight readers pinned to an expired snapshot") {
+    val root = TestSpark.tmpDir("gcgrace-").resolve("t")
+    // grace = 1h: dirs younger than that are never deleted, even when every
+    // manifest referencing them has expired — the snapshot-isolation window
+    // a long-running reader relies on.
+    val t = new GraftTable(spark, root, "t", retainVersions = 1,
+      gcGraceMs = 60L * 60 * 1000)
+    val a = orders.filter(col("o_orderkey") < 100)
+    t.overwrite(a)
+    val v1 = t.latestVersion
+    val inflight = t.readAsOf(v1) // lazy plan pinned to v1's files
+    t.overwrite(orders.filter(col("o_orderkey") < 200))
+    t.overwrite(orders.filter(col("o_orderkey") < 300))
+    assert(t.log.get(v1).isEmpty, "v1's manifest must have expired")
+    // the pinned plan still evaluates: its files sit inside the grace window
+    assert(inflight.count() == a.count())
+  }
 }
