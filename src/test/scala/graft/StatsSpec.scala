@@ -71,6 +71,22 @@ class StatsSpec extends AnyFunSuite {
       t.read().filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 200).collect().toSet)
   }
 
+  test("range read with pending MOR deltas resolves through the delta chain") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("stats-mor-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") < 1000))
+    // deferred upsert: newer image for key 500 sits in an unresolved delta —
+    // a stats-pruned raw-dir read would return the stale base row
+    val up = orders.filter(col("o_orderkey") === 500)
+      .withColumn("o_comment", lit("mor-updated"))
+    t.upsertDeferred(up, "o_orderkey")
+    val r = t.readRange("o_orderkey", 400L, 600L).collect()
+    assert(r.length ==
+      orders.filter(col("o_orderkey") >= 400 && col("o_orderkey") <= 600).count())
+    val row500 = r.find(_.getAs[Long]("o_orderkey") == 500L).get
+    assert(row500.getAs[String]("o_comment") == "mor-updated",
+      "range read must see the delta image, not the stale base row")
+  }
+
   test("timestamp range read is correct (prunes only when micros stats exist)") {
     val t = new GraftTable(spark, TestSpark.tmpDir("stats-ts-").resolve("t"), "t")
     val ev = graft.queries.Q.events(spark, TestSpark.sf0001)
