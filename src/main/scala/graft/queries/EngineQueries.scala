@@ -252,6 +252,23 @@ object EngineQueries {
       cat.table("cust").read().drop("current_ts")
     }),
 
+    // S17: raw object put — the backup copy must round-trip byte-exactly
+    // (read back through the CSV reader and hash-compared to the source
+    // table the file was derived from). Region is 5 rows; the driver-side
+    // materialization is O(small) by construction.
+    "t_raw_put" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-raw-"))
+      val src = Files.createTempFile("graft-src-", ".csv")
+      val content = "r_regionkey,r_name\n" +
+        tbl(s, d, "region").orderBy("r_regionkey").collect()
+          .map(r => s"${r.get(0)},${r.get(1)}").mkString("\n")
+      Files.write(src, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dest = cat.putRaw(src.toString, "backup.csv")
+      s.read.option("header", "true").csv(dest.toString)
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    }),
+
     // A5 (manifest tier): range read with manifest-level min/max data
     // skipping — three range-correlated appends, a window over the middle
     // one; only the matching dir's files are planned (StatsSpec asserts the
@@ -447,6 +464,8 @@ object EngineQueries {
         |  CASE WHEN c_custkey <= 100 THEN 'UPDATED' ELSE c_name END AS c_name,
         |  c_nationkey
         |FROM customer""".stripMargin,
+    "t_raw_put" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
     "t_range_pruned" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE event_id BETWEEN 1200 AND 1800""".stripMargin,
