@@ -222,9 +222,15 @@ object Bench {
         val t = new GraftTable(spark,
           Files.createTempDirectory("bench-lkp-").resolve("t"), "t")
         t.overwriteBucketed(li, "li_id", 32)
-        t.lookupKey(7L).collect() // warm-up (plan + JIT), key outside the timed set
+        // Timed keys come from the DATA (li_id is orderkey*10+linenumber,
+        // a sparse domain — a guessed literal almost always misses, and an
+        // empty-result lookup understates real point-read cost). Four real
+        // keys collected up front: one for warm-up, three timed.
+        val keys = li.select("li_id").orderBy("li_id").limit(400)
+          .collect().map(_.getLong(0))
+        t.lookupKey(keys(0)).collect() // warm-up (plan + JIT), outside timed set
         1000.0 * median3 { i =>
-          val key = 10L + i * 60L // distinct keys, distinct buckets likely
+          val key = keys(100 * (i + 1)) // distinct existing keys
           val t0 = System.nanoTime()
           t.lookupKey(key).collect()
           (System.nanoTime() - t0) / 1e9

@@ -16,6 +16,16 @@ import org.apache.spark.sql.types._
 object Coerce {
   private val truthy = Set("true", "1", "yes", "on")
 
+  /**
+   * `java.sql.Timestamp` → epoch MICROS, floor-based. floorDiv, not `/`:
+   * plain division truncates toward zero and flips the fractional second
+   * of pre-epoch timestamps (`getNanos` is always the non-negative
+   * sub-second part). Shared by streaming sessionization and manifest-stat
+   * pruning so their integer time arithmetic can never drift apart.
+   */
+  def timestampMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
   def coerce(raw: String, dataType: DataType): Any = {
     if (raw == null) return null
     val v = raw.trim

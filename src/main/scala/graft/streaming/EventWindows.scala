@@ -99,11 +99,9 @@ object EventWindows {
     // on the other side of the boundary than the batch twin, breaking the
     // documented stream ≡ batch equivalence.
     val gapUs = gapSeconds * 1000000L
-    // floorDiv/floorMod: plain division truncates toward zero, which flips
-    // the fractional second of pre-epoch timestamps (getNanos is always the
-    // non-negative sub-second part) — unix_micros on the batch side floors.
-    def toUs(ts: Timestamp): Long =
-      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+    // Shared floor-based conversion (see Coerce.timestampMicros) — the
+    // batch side's unix_micros floors the same way.
+    def toUs(ts: Timestamp): Long = graft.functions.Coerce.timestampMicros(ts)
     def toTs(us: Long): Timestamp = {
       val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
       t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)

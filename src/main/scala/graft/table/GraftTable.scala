@@ -190,10 +190,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       }
       case TimestampType => v match {
         case t: java.sql.Timestamp =>
-          // floorDiv: plain division truncates toward zero and flips the
-          // fractional second of pre-epoch timestamps (getNanos is always
-          // the non-negative sub-second part).
-          Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+          Some(graft.functions.Coerce.timestampMicros(t))
         case i: java.time.Instant =>
           Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
         case s: String => scala.util.Try(java.time.Instant.parse(s)).toOption
