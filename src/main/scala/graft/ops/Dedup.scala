@@ -79,6 +79,11 @@ object Dedup {
    * the self-join — the standard guard against quadratic blowup on boilerplate
    * shingles. 0 = no cap (needed when an external oracle recomputes the exact
    * answer without the cap).
+   *
+   * `maxRows` refuses a corpus larger than the cap (one cheap count) — with
+   * `dfCap = 0` nothing else bounds the shingle self-join, and an accidental
+   * full-corpus call would otherwise launch it silently. 0 disables the
+   * guard for a deliberate oracle run.
    */
   def exactJaccardPairs(
       docs: DataFrame,
@@ -86,7 +91,15 @@ object Dedup {
       textCol: String,
       minJaccard: Double,
       n: Int = 3,
-      dfCap: Int = 0): DataFrame = {
+      dfCap: Int = 0,
+      maxRows: Long = 100000): DataFrame = {
+    if (maxRows > 0) {
+      val rows = docs.count()
+      require(rows <= maxRows,
+        s"exactJaccardPairs is the exact verification path: corpus has $rows " +
+          s"rows > maxRows=$maxRows. Use nearDupPairs (MinHash+LSH) at scale, " +
+          "or pass a larger maxRows (0 disables the guard).")
+    }
     val dt = shingleSets(docs, idCol, textCol, n)
     val filtered =
       if (dfCap <= 0) dt

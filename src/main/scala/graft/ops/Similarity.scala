@@ -78,9 +78,22 @@ object Similarity {
    * cosine >= `minCosine`. O(n²) by definition; this is the verification
    * oracle shape, usable on samples. At corpus scale use
    * [[cosineDupPairsLsh]].
+   *
+   * `maxRows` guards the quadratic blowup: the call refuses a corpus larger
+   * than this (one cheap count) rather than silently launching an n²-pair
+   * cartesian on a full corpus. Pass a larger cap — or 0 to disable — only
+   * when the quadratic cost is the point (an offline oracle recomputation).
    */
   def cosineDupPairs(
-      corpus: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+      corpus: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      maxRows: Long = 100000): DataFrame = {
+    if (maxRows > 0) {
+      val n = corpus.count()
+      require(n <= maxRows,
+        s"cosineDupPairs is the exact O(n^2) oracle: corpus has $n rows > " +
+          s"maxRows=$maxRows. Use cosineDupPairsLsh at scale, or pass a " +
+          "larger maxRows (0 disables the guard) for a deliberate oracle run.")
+    }
     // Norms precomputed per ROW (one pass) — only the dot product is per
     // pair; computing l2norm inside the pair loop would triple the work.
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),

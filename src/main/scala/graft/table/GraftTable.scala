@@ -38,10 +38,19 @@ import graft.log.{Snapshot, SnapshotLog}
  *                        many data dirs triggers an inline [[compact]] —
  *                        bounds the small-files accumulation of append-heavy
  *                        streams without an external maintenance job
+ * @param statsColumns    columns to harvest manifest min/max statistics for
+ *                        (plus, always, the bucket key and timestamp/date
+ *                        columns). None = the default heuristic: id/key-named
+ *                        columns and time columns — the ones range and point
+ *                        reads actually prune on. Harvesting every column of
+ *                        a wide table charged each merge commit a 16-column
+ *                        statistics parse it never used; absence of stats
+ *                        only disables skipping, never correctness.
  */
 final class GraftTable(val spark: SparkSession, val root: Path, val name: String,
     retainVersions: Int = 100, autoCompactAfter: Int = 0,
-    gcGraceMs: Long = 60L * 60 * 1000) {
+    gcGraceMs: Long = 60L * 60 * 1000,
+    statsColumns: Option[Set[String]] = None) {
 
   val log = new SnapshotLog(root, retainVersions, gcGraceMs)
 
@@ -78,14 +87,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // from its file path. The previous shape — one scan subtree per delta
     // with a literal __seq — planned N scans whose generated code differs
     // only by embedded paths, so a 16-delta chain paid 16 codegen units and
-    // 16 listings per read. The match is on the FULL relative dir path
-    // ("/data/s3-abc/__bucket=2/"): bucketed appends contribute `__bucket=k`
-    // leaf dirs whose last path component repeats across commits, so a
-    // leaf-name match would hand an older append a newer commit's sequence.
-    val seqExpr = s.deltaDirs.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, (d, i)) =>
-        when(input_file_name().contains(s"/$d/"), lit((i + 1).toLong)).otherwise(acc)
-    }
+    // 16 listings per read. Sequencing is ONE regexp extract of the
+    // relative dir segment (everything after the table's "data/" up to the
+    // file name) + one literal-map lookup — constant work per row
+    // regardless of chain length, where the earlier when-fold ran one
+    // contains() over the full path per delta. The key is the FULL relative
+    // segment (e.g. "s3-abc/__bucket=2"): bucketed appends contribute
+    // `__bucket=k` leaf dirs whose last path component repeats across
+    // commits, so a leaf-name key would hand an older append a newer
+    // commit's sequence. The greedy `.*` anchors on the LAST "/data/" so a
+    // warehouse path that itself contains "/data/" cannot shift the match.
+    val seqByDir: Map[String, Long] = s.deltaDirs.zipWithIndex.map {
+      case (d, i) => d.stripPrefix("data/") -> (i + 1).toLong
+    }.toMap
+    val seqExpr = coalesce(
+      element_at(typedLit(seqByDir),
+        regexp_extract(input_file_name(), ".*/data/(.+)/[^/]+$", 1)),
+      lit(0L))
     val deltas = spark.read.schema(deltaSchema)
       .parquet(s.deltaDirs.map(d => root.resolve(d).toString): _*)
       .withColumn("__seq", seqExpr)
@@ -325,7 +343,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     df.withColumn(BucketCol, bucketId(key, n))
       .repartition(n, col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
-    leafCounts(rel)
+    leafCounts(rel, statsKeep(Some(key)))
   }
 
 
@@ -333,6 +351,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     * per-column min/max harvested from the same footer pass (empty map for
     * columns whose physical type carries no usable statistics). */
   private case class DirInfo(rel: String, rows: Long, stats: Map[String, String])
+
+  /**
+   * Name-level predicate for which columns the footer pass harvests min/max
+   * statistics for. Timestamp/date columns are ALWAYS kept (detected at the
+   * parquet-annotation level inside [[dirFooterInfo]]); beyond those, the
+   * explicit `statsColumns` set (if declared) or the id/key-name heuristic
+   * decides. Parsing statistics for every column of a wide table on every
+   * commit was measurable write-path cost that no read ever used.
+   */
+  private def statsKeep(bucketKey: Option[String]): String => Boolean =
+    statsColumns match {
+      case Some(set) => n => set.contains(n) || bucketKey.contains(n)
+      case None => n => bucketKey.contains(n) || GraftTable.idLike(n)
+    }
 
   /**
    * Row count + column min/max statistics for every parquet file in one
@@ -349,13 +381,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def dirFooterInfo(
       fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
-      dirPath: org.apache.hadoop.fs.Path): (Long, Map[String, String]) = {
+      dirPath: org.apache.hadoop.fs.Path,
+      keep: String => Boolean): (Long, Map[String, String]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     var rows = 0L
     val mins = scala.collection.mutable.Map.empty[String, Any]
     val maxs = scala.collection.mutable.Map.empty[String, Any]
     val bad = scala.collection.mutable.Set.empty[String]
+    // Timestamp/date columns are prune-worthy regardless of name — detected
+    // here from the parquet logical annotation, so `keep` stays a pure
+    // name predicate.
+    def timeAnnotated(tpe: org.apache.parquet.schema.PrimitiveType): Boolean =
+      tpe.getLogicalTypeAnnotation match {
+        case _: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
+        case _: org.apache.parquet.schema.LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case _ => false
+      }
     fs.listStatus(dirPath).toSeq
       .filter(f => f.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
@@ -366,7 +408,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           rows += blocks.map(_.getRowCount.toLong).sum
           blocks.flatMap(_.getColumns.asScala).foreach { cc =>
             val name = cc.getPath.toDotString
-            if (!bad.contains(name)) {
+            if (!bad.contains(name) &&
+                (keep(name) || timeAnnotated(cc.getPrimitiveType))) {
               val st: org.apache.parquet.column.statistics.Statistics[_] =
                 cc.getStatistics
               if (st == null || st.isEmpty) bad += name
@@ -427,7 +470,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * pays this per commit, and on an object store each sequential footer
    * round-trip would be tens of milliseconds.
    */
-  private def leafCounts(rel: String): Seq[DirInfo] = {
+  private def leafCounts(rel: String, keep: String => Boolean): Seq[DirInfo] = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(root.resolve(rel).toString)
     val fs = dir.getFileSystem(conf)
@@ -437,7 +480,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       .sortBy(s => s.getPath.getName.stripPrefix(BucketCol + "=").toInt)
     val futures = leaves.map { leaf =>
       scala.concurrent.Future {
-        val (rows, stats) = dirFooterInfo(fs, conf, leaf.getPath)
+        val (rows, stats) = dirFooterInfo(fs, conf, leaf.getPath, keep)
         DirInfo(s"$rel/${leaf.getPath.getName}", rows, stats)
       }(scala.concurrent.ExecutionContext.global)
     }
@@ -528,7 +571,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // not supply the statistics the manifest now carries for data skipping).
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(abs)
-    val (rows, stats) = dirFooterInfo(p.getFileSystem(conf), conf, p)
+    val (rows, stats) = dirFooterInfo(p.getFileSystem(conf), conf, p, statsKeep(None))
     DirInfo(rel, rows, stats)
   }
 
@@ -944,5 +987,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val c = side(cur, par, "__c")
     val p = side(par, cur, "__p")
     (c.join(p, Seq("__pk"), "full_outer"), dataCols)
+  }
+}
+
+object GraftTable {
+  /**
+   * Default prune-worthy heuristic for manifest statistics: id/key-named
+   * columns — the ones equality lookups and range reads target (timestamp/
+   * date columns are kept separately by parquet annotation). A false
+   * positive costs a few bytes of manifest; a false negative only disables
+   * skipping for that column (reads stay correct), and a table that prunes
+   * on an unusual column name declares it via `statsColumns`.
+   */
+  private[table] def idLike(name: String): Boolean = {
+    val l = name.toLowerCase
+    l.endsWith("id") || l.endsWith("key")
   }
 }

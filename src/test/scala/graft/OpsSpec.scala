@@ -207,6 +207,20 @@ class OpsSpec extends AnyFunSuite {
     assert(m(4L).getLong(2) == 0L)
   }
 
+  test("exact-quadratic oracles refuse an over-cap corpus unless overridden") {
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5, maxRows = 3).count()
+    }
+    assert(e1.getMessage.contains("maxRows"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairs(embs, "vec_id", "embedding", 0.9, maxRows = 3).count()
+    }
+    assert(e2.getMessage.contains("maxRows"))
+    // explicit override (0 = disabled) still runs the oracle
+    assert(Similarity.cosineDupPairs(embs.limit(5), "vec_id", "embedding",
+      -1.0, maxRows = 0).count() == 5L * 4 / 2)
+  }
+
   test("multimodal: media wrap + batched stub decode keep ids and byte counts") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "source")
     assert(media.schema.fieldNames.toSeq ==
