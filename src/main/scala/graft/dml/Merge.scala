@@ -124,9 +124,16 @@ object Merge {
     target.join(if (broadcastKeys) broadcast(k) else k, Seq(key), "left_anti")
   }
 
-  /** Schema union used for append-time evolution (`ingest_csv_hudi.py:112-146`). */
+  /** Schema union used for append-time evolution (`ingest_csv_hudi.py:112-146`).
+    * Columns NEW to the union are nullable BY CONSTRUCTION — every
+    * pre-evolution row is padded with a typed null for them — regardless of
+    * the incoming batch's own flag. Carrying a non-nullable flag into the
+    * table schema let null-intolerant consumers (e.g. a LocalRelation built
+    * from served rows) read the padding as 0 instead of NULL. */
   def unionSchema(base: StructType, incoming: StructType): StructType = {
     val baseNames = base.fieldNames.toSet
-    StructType(base.fields ++ incoming.fields.filterNot(f => baseNames.contains(f.name)))
+    StructType(base.fields ++
+      incoming.fields.filterNot(f => baseNames.contains(f.name))
+        .map(_.copy(nullable = true)))
   }
 }

@@ -42,19 +42,26 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed point lookup reads exactly one bucket's files") {
     val t = new GraftTable(spark, TestSpark.tmpDir("plan-").resolve("t"), "t")
     t.overwriteBucketed(spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey", 8)
-    // The bucket id is computed driver-side: building the pruned lookup
-    // plan must launch ZERO Spark jobs (it used to cost a 1-row job per
-    // call — one scheduler round-trip per search term).
+    // Default (serving) path: the ENTIRE lookup — including the read — must
+    // launch ZERO Spark jobs; the driver answers from the pruned bucket's
+    // files directly (LocalPointRead).
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
-    val lk =
-      try { val d = t.lookupKey(777L); Thread.sleep(500); d }
+    val localRows =
+      try { val d = t.lookupKey(777L).collect(); Thread.sleep(500); d }
       finally spark.sparkContext.removeSparkListener(listener)
-    assert(jobs.get() == 0, s"lookupKey planning must not launch jobs, saw ${jobs.get()}")
+    assert(jobs.get() == 0, s"serving lookup must not launch jobs, saw ${jobs.get()}")
+    assert(localRows.length == 1)
+    // Distributed fallback (big buckets at scale): the scan plan itself
+    // must be pruned to the key's single bucket dir.
+    sys.props(graft.table.LocalPointRead.EnabledProp) = "false"
+    val lk =
+      try t.lookupKey(777L)
+      finally sys.props.remove(graft.table.LocalPointRead.EnabledProp)
     val buckets = lk.inputFiles.flatMap(f =>
       "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
     assert(buckets.size == 1, s"lookup must prune to one bucket, scanned: $buckets")
