@@ -49,7 +49,19 @@ object SearchQueries {
 
     // S11/F12: inverted-index build + per-token document frequency.
     "s_token_index" -> ((s, d) =>
-      Search.docFreq(Search.buildIndex(tbl(s, d, "documents"), "doc_id", "text"))))
+      Search.docFreq(Search.buildIndex(tbl(s, d, "documents"), "doc_id", "text"))),
+
+    // ES `"fields": ["*"]` cross_fields AND (`api_poc.py:81-86`): the index
+    // posts every string column's tokens, so a term set SPLIT across
+    // columns still AND-matches — here 'merge' appears only in `text` and
+    // 'en' only in `lang` (no document's text contains the token 'en'), so
+    // every hit is findable only cross-column.
+    "s_index_multicol" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val cols = Search.stringCols(docs)
+      val idx = Search.buildIndex(docs, "doc_id", cols)
+      Search.searchViaIndex(docs, idx, "doc_id", cols, "merge en", size = 50)
+    }))
 
   val oracles: Map[String, String] = Map(
     "s_like_multi" ->
@@ -89,5 +101,22 @@ object SearchQueries {
     "s_token_index" ->
       """SELECT token, count(*) AS n_docs FROM (
         |  SELECT DISTINCT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
-        |  FROM documents) WHERE token <> '' GROUP BY token""".stripMargin)
+        |  FROM documents) WHERE token <> '' GROUP BY token""".stripMargin,
+    "s_index_multicol" ->
+      """WITH m AS (
+        |  SELECT *,
+        |    (list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'merge')
+        |     OR list_contains(string_split(regexp_replace(lower(trim(lang)), '\s+', ' ', 'g'), ' '), 'merge')
+        |     OR list_contains(string_split(regexp_replace(lower(trim(source)), '\s+', ' ', 'g'), ' '), 'merge')) AS has_merge,
+        |    (list_contains(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 'en')
+        |     OR list_contains(string_split(regexp_replace(lower(trim(lang)), '\s+', ' ', 'g'), ' '), 'en')
+        |     OR list_contains(string_split(regexp_replace(lower(trim(source)), '\s+', ' ', 'g'), ' '), 'en')) AS has_en
+        |  FROM documents)
+        |SELECT doc_id, text, lang, source, n_chars,
+        |  CASE WHEN position('merge en' IN lower(text)) > 0
+        |         OR position('merge en' IN lower(lang)) > 0
+        |         OR position('merge en' IN lower(source)) > 0
+        |       THEN 10.0 ELSE 1.0 END AS score
+        |FROM m WHERE has_merge AND has_en
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin)
 }

@@ -31,9 +31,31 @@ object Search {
    * the per-token posting count (used for rare-term-first intersection).
    */
   def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(explode(tokenize(col(textCol))).as("token"), col(idCol).as("id"))
+    buildIndex(df, idCol, Seq(textCol))
+
+  /**
+   * Multi-column index build — the ES `"fields": ["*"]` shape the
+   * reference's index tier queries (`api_poc.py:81-86`): postings are
+   * FIELD-AGNOSTIC (token → id over the union of every listed column's
+   * tokens), so a term set split across columns still AND-matches, exactly
+   * like `multi_match` with `cross_fields` + `operator: and`. One extra
+   * array flatten per row at build; query cost is unchanged.
+   */
+  def buildIndex(df: DataFrame, idCol: String, textCols: Seq[String]): DataFrame = {
+    require(textCols.nonEmpty, "buildIndex needs at least one column")
+    val toks =
+      if (textCols.sizeIs == 1) tokenize(col(textCols.head).cast("string"))
+      else array_distinct(flatten(array(
+        textCols.map(c => tokenize(col(c).cast("string"))): _*)))
+    df.select(explode(toks).as("token"), col(idCol).as("id"))
       .filter(col("token") =!= "")
       .distinct()
+  }
+
+  /** Every string column of `df` — the default `["*"]` field set. */
+  def stringCols(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
 
   def docFreq(index: DataFrame): DataFrame =
     index.groupBy("token").agg(count(lit(1)).as("n_docs"))
@@ -66,10 +88,41 @@ object Search {
       idCol: String,
       textCol: String,
       numBuckets: Int = 64,
-      overwrite: Boolean = false): graft.table.GraftTable = {
+      overwrite: Boolean = false): graft.table.GraftTable =
+    persistIndex(catalog, indexName, docs, idCol, Seq(textCol), numBuckets, overwrite)
+
+  /** Multi-column [[persistIndex]] — the `["*"]` index as a durable sink. */
+  def persistIndex(
+      catalog: graft.catalog.GraftCatalog,
+      indexName: String,
+      docs: DataFrame,
+      idCol: String,
+      textCols: Seq[String],
+      numBuckets: Int,
+      overwrite: Boolean): graft.table.GraftTable = {
     val t = catalog.materialized(indexName, overwrite)
-    t.overwriteBucketed(buildIndex(docs, idCol, textCol), "token", numBuckets)
+    t.overwriteBucketed(buildIndex(docs, idCol, textCols), "token", numBuckets)
     t
+  }
+
+  /** Phrase-boost ranking + fetch shared by the index tiers: base score 1.0,
+    * ×10 when ANY of `phraseCols` contains the exact phrase (the reference
+    * boosts `match_phrase` hits by 10, `api_poc.py:97-101`). */
+  private def rankAndFetch(
+      df: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      phraseCols: Seq[String],
+      query: String,
+      size: Int): DataFrame = {
+    val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
+    val phrase = phraseCols
+      .map(c => lower(col(c).cast("string")).contains(query.toLowerCase))
+      .reduce(_ || _)
+    hits
+      .withColumn("score", when(phrase, 10.0).otherwise(1.0))
+      .orderBy(desc("score"), col(idCol).asc)
+      .limit(size)
   }
 
   /**
@@ -83,7 +136,18 @@ object Search {
       idCol: String,
       textCol: String,
       query: String,
-      size: Int = 50): DataFrame = {
+      size: Int = 50): DataFrame =
+    searchPersistedIndex(df, index, idCol, Seq(textCol), query, size)
+
+  /** Multi-column [[searchPersistedIndex]]: the index already posts every
+    * column's tokens; only the phrase boost needs the column list. */
+  def searchPersistedIndex(
+      df: DataFrame,
+      index: graft.table.GraftTable,
+      idCol: String,
+      textCols: Seq[String],
+      query: String,
+      size: Int): DataFrame = {
     val terms = graft.functions.Tokenize.queryTerms(query)
     require(terms.nonEmpty, "empty query")
     // ONE bucket-pruned scan fetches every term's postings (lookupKeys
@@ -95,12 +159,7 @@ object Search {
       .groupBy("id").agg(count_distinct(col("token")).as("__nt"))
       .filter(col("__nt") === terms.distinct.size)
       .select("id")
-    val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
-    hits
-      .withColumn("score",
-        when(lower(col(textCol)).contains(query.toLowerCase), 10.0).otherwise(1.0))
-      .orderBy(desc("score"), col(idCol).asc)
-      .limit(size)
+    rankAndFetch(df, candidates, idCol, textCols, query, size)
   }
 
   /**
@@ -139,7 +198,19 @@ object Search {
       idCol: String,
       textCol: String,
       query: String,
-      size: Int = 50): DataFrame = {
+      size: Int = 50): DataFrame =
+    searchViaIndex(df, index, idCol, Seq(textCol), query, size)
+
+  /** Multi-column [[searchViaIndex]] (`cross_fields` AND): terms may match
+    * in DIFFERENT columns — the index is field-agnostic, so the posting
+    * intersection is unchanged; only the phrase boost spans the columns. */
+  def searchViaIndex(
+      df: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCols: Seq[String],
+      query: String,
+      size: Int): DataFrame = {
     val terms = graft.functions.Tokenize.queryTerms(query)
     require(terms.nonEmpty, "empty query")
     // Rarest term FIRST: the left side of the first semi-join bounds every
@@ -152,12 +223,7 @@ object Search {
     // No explicit broadcast hint: a query of common terms can intersect to
     // millions of ids, and forcing them through the driver would OOM — AQE
     // broadcasts at runtime when the candidate set turns out small.
-    val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
-    hits
-      .withColumn("score",
-        when(lower(col(textCol)).contains(query.toLowerCase), 10.0).otherwise(1.0))
-      .orderBy(desc("score"), col(idCol).asc)
-      .limit(size)
+    rankAndFetch(df, candidates, idCol, textCols, query, size)
   }
 
   /** Two-tier flow: ranked index hits → id semi-join back to the base table. */

@@ -62,4 +62,36 @@ class SearchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaIdx == scan)
   }
+
+  test("multi-column index AND-matches terms split across columns (cross_fields)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta", "milan", "x"),   // 'alpha' in text, 'milan' in city
+      (2L, "alpha milan", "paris", "x"),  // both terms in text alone
+      (3L, "alpha beta", "paris", "x"),   // no 'milan' anywhere
+      (4L, "gamma", "milan", "x"))        // no 'alpha' anywhere
+      .toDF("id", "text", "city", "etc")
+    val cols = Search.stringCols(rows)
+    assert(cols == Seq("text", "city", "etc"))
+    val idx = Search.buildIndex(rows, "id", cols)
+    val hits = Search.searchViaIndex(rows, idx, "id", cols, "alpha milan", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L), s"cross-column AND must hit 1 and 2, got $hits")
+    // the single-column index misses the cross-column row — the gap the
+    // multi-column tier closes
+    val single = Search.buildIndex(rows, "id", "text")
+    val singleHits = Search.searchViaIndex(rows, single, "id", "text", "alpha milan", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(singleHits == Set(2L))
+    // persisted multi-column index: same answer via bucket-pruned lookups
+    val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("idx-mc-"))
+    val pidx = Search.persistIndex(cat, "mc_idx", rows, "id", cols, 8, overwrite = false)
+    val pHits = Search.searchPersistedIndex(rows, pidx, "id", cols, "alpha milan", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(pHits == Set(1L, 2L))
+    // phrase boost spans columns: exact phrase inside a single column
+    val scored = Search.searchViaIndex(rows, idx, "id", cols, "alpha milan", 50)
+      .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(2L) == 10.0 && scored(1L) == 1.0)
+  }
 }
