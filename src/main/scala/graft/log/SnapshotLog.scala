@@ -55,16 +55,44 @@ case class Snapshot(
     // listing any files — on an append-heavy table whose commits are
     // time-correlated, a time-window query plans against a handful of dirs
     // instead of thousands. Dirs absent from the map are always read.
-    // Scale note: this keeps the manifest O(dirs × cols); at manifest sizes
-    // where that bites (≥10^5 dirs), the next step is Iceberg's move —
-    // split the dir list + stats into side manifest files and keep only
-    // their paths here. The protocol (one atomic manifest claim) is
-    // unchanged by that split.
+    // ON DISK this field (with dataDirs/deltaDirs/dirRecords) lives in a
+    // SIDE detail file ([[SnapshotDetail]], Iceberg's manifest-list move):
+    // the manifest document itself stays O(1) no matter how many dirs the
+    // table accumulates. This case class remains the one in-memory view.
     dirStats: Map[String, Map[String, String]] = Map.empty)
 
 /** A committed write lost the optimistic-concurrency race; the caller must
   * re-derive its commit content against the new head and retry. */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/**
+ * The O(dirs)-sized half of a commit, stored in a SIDE FILE next to the
+ * manifest (Iceberg's manifest-list move): dir list, per-dir rows, per-dir
+ * column statistics. The manifest itself stays O(1) regardless of how many
+ * data dirs a long append history accumulates — at 10^5 dirs the inline
+ * form made every commit rewrite megabytes of manifest. `dirStats` is the
+ * LAST field by construction (tests and tooling that patch stats in place
+ * rely on it closing the JSON document).
+ */
+private[log] case class SnapshotDetail(
+    dataDirs: Seq[String],
+    deltaDirs: Seq[String] = Seq.empty,
+    dirRecords: Map[String, Long] = Map.empty,
+    dirStats: Map[String, Map[String, String]] = Map.empty)
+
+/** The O(1) half: identity, schema, summary, idempotence window, and the
+  * side-file reference. Everything a `contains`/`history` call needs
+  * without touching the detail file. */
+private[log] case class ManifestCore(
+    snapshotId: Long,
+    parentId: Option[Long],
+    committedAt: String,
+    operation: String,
+    schemaJson: String,
+    summary: Map[String, String] = Map.empty,
+    batchKey: Option[String] = None,
+    recentBatchKeys: Seq[String] = Seq.empty,
+    detailFile: Option[String] = None)
 
 /**
  * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
@@ -119,8 +147,58 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         (head.recentBatchKeys.isEmpty && snapshots().exists(_.batchKey.contains(batchKey)))
     }
 
-  private def readManifest(p: Path): Snapshot =
-    Serialization.read[Snapshot](new String(store.read(p), StandardCharsets.UTF_8))
+  /** Parse a manifest in either format: the SPLIT form (core + side detail
+    * file) or the legacy inline form (everything in one document) — old
+    * logs stay readable without migration. */
+  private def readManifest(p: Path): Snapshot = {
+    val s = new String(store.read(p), StandardCharsets.UTF_8)
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(s) \ "detailFile" match {
+      case JString(df) =>
+        val core = Serialization.read[ManifestCore](s)
+        val detail = Serialization.read[SnapshotDetail](
+          new String(store.read(logDir.resolve(df)), StandardCharsets.UTF_8))
+        Snapshot(core.snapshotId, core.parentId, core.committedAt,
+          core.operation, core.schemaJson, detail.dataDirs, core.summary,
+          core.batchKey, detail.dirRecords, detail.deltaDirs,
+          core.recentBatchKeys, detail.dirStats)
+      case _ => Serialization.read[Snapshot](s)
+    }
+  }
+
+  /** Detail-file reference of a manifest, without inflating the snapshot. */
+  private def detailFileOf(p: Path): Option[String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(
+      new String(store.read(p), StandardCharsets.UTF_8)) \ "detailFile" match {
+      case JString(df) => Some(df)
+      case _ => None
+    }
+  }
+
+  /**
+   * The two-file commit write: the O(dirs) detail lands FIRST under a
+   * unique uncontended name, then the O(1) manifest referencing it is
+   * claimed atomically — the commit point is unchanged (one tryClaim of the
+   * manifest path), readers never see a detail file except through a
+   * committed manifest, and a crash between the writes leaves only an
+   * orphan detail file that [[gcOrphanDetailFiles]] collects after the
+   * grace period. A lost race deletes the loser's detail file immediately.
+   */
+  private def claimSplit(snap: Snapshot): Boolean = {
+    val detailName =
+      f"d${snap.snapshotId}%016d-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    store.tryClaim(logDir.resolve(detailName),
+      Serialization.write(SnapshotDetail(snap.dataDirs, snap.deltaDirs,
+        snap.dirRecords, snap.dirStats)).getBytes(StandardCharsets.UTF_8))
+    val core = ManifestCore(snap.snapshotId, snap.parentId, snap.committedAt,
+      snap.operation, snap.schemaJson, snap.summary, snap.batchKey,
+      snap.recentBatchKeys, Some(detailName))
+    val won = store.tryClaim(manifestPath(snap.snapshotId),
+      Serialization.write(core).getBytes(StandardCharsets.UTF_8))
+    if (!won) store.delete(logDir.resolve(detailName))
+    won
+  }
 
   /**
    * The batchKey window for a commit extending `head`. Migration seed
@@ -182,8 +260,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       deltaDirs = deltaDirs,
       recentBatchKeys = nextBatchKeyWindow(head, batchKey),
       dirStats = dirStats)
-    if (store.tryClaim(manifestPath(snap.snapshotId),
-        Serialization.write(snap).getBytes(StandardCharsets.UTF_8))) {
+    if (claimSplit(snap)) {
       expireOldManifests()
       snap
     } else
@@ -230,8 +307,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         dirRecords = dirRecords,
         recentBatchKeys = nextBatchKeyWindow(head, batchKey),
         dirStats = dirStats)
-      if (store.tryClaim(manifestPath(snap.snapshotId),
-          Serialization.write(snap).getBytes(StandardCharsets.UTF_8))) {
+      if (claimSplit(snap)) {
         expireOldManifests()
         return snap
       } // else: lost the race — retry under new head
@@ -243,9 +319,32 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def expireOldManifests(): Unit = {
     val ms = listManifests()
     if (ms.size > retainVersions) {
-      ms.dropRight(retainVersions).foreach(store.delete)
+      // A concurrent committer may be expiring the same manifests — a read
+      // of an already-deleted file is a benign race, not an error.
+      ms.dropRight(retainVersions).foreach { p =>
+        scala.util.Try(detailFileOf(p)).toOption.flatten
+          .foreach(df => store.delete(logDir.resolve(df)))
+        store.delete(p)
+      }
       gcOrphanDataDirs()
+      gcOrphanDetailFiles()
     }
+  }
+
+  /** Detail files referenced by NO retained manifest (a crashed writer that
+    * never claimed its manifest, or a file missed at expiry) are deleted
+    * once older than the GC grace — the same protection window in-flight
+    * writers get for data dirs. */
+  private def gcOrphanDetailFiles(): Unit = {
+    val referenced = listManifests()
+      .flatMap(p => scala.util.Try(detailFileOf(p)).toOption.flatten).toSet
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    store.list(logDir)
+      .filter(p => p.getFileName.toString.matches("d\\d{16}-[0-9a-f]{8}\\.json"))
+      .filterNot(p => referenced.contains(p.getFileName.toString))
+      .filter(p => scala.util.Try(
+        Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false))
+      .foreach(store.delete)
   }
 
   /**
