@@ -126,14 +126,45 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   def versions(): Seq[Long] =
     listManifests().map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
 
-  def snapshots(): Seq[Snapshot] = listManifests().map(readManifest)
+  /** A file that vanished between listing and reading was expired by a
+    * concurrent committer's retention pass — the snapshot is gone, not the
+    * log corrupt. Readers treat it exactly like a manifest that was never
+    * listed. (Expiry deletes the manifest BEFORE its detail file, so a
+    * VISIBLE manifest always has its detail; only this list-then-read race
+    * can observe a missing file.) */
+  private def isMissing(e: Throwable): Boolean = e match {
+    case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException => true
+    case _ => false
+  }
 
-  def latest(): Option[Snapshot] =
-    listManifests().lastOption.map(readManifest)
+  def snapshots(): Seq[Snapshot] =
+    listManifests().flatMap { p =>
+      try Some(readManifest(p))
+      catch { case e if isMissing(e) => None } // expired mid-read
+    }
+
+  def latest(): Option[Snapshot] = {
+    // The newest retained manifest is never expired, so a missing-file read
+    // here means the LISTING was stale — re-list and retry.
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      listManifests().lastOption match {
+        case None => return None
+        case Some(p) =>
+          try return Some(readManifest(p))
+          catch { case e if isMissing(e) => } // stale listing — re-list
+      }
+    }
+    throw new IllegalStateException(s"latest() raced expiry $attempts times in $tableRoot")
+  }
 
   def get(id: Long): Option[Snapshot] = {
     val p = manifestPath(id)
-    if (store.exists(p)) Some(readManifest(p)) else None
+    if (!store.exists(p)) None
+    else
+      try Some(readManifest(p))
+      catch { case e if isMissing(e) => None } // expired between check and read
   }
 
   def contains(batchKey: String): Boolean =
@@ -320,11 +351,14 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     val ms = listManifests()
     if (ms.size > retainVersions) {
       // A concurrent committer may be expiring the same manifests — a read
-      // of an already-deleted file is a benign race, not an error.
+      // of an already-deleted file is a benign race, not an error. The
+      // MANIFEST is deleted FIRST: readers resolve detail files only
+      // through a manifest they just read, so deleting the detail first
+      // would leave a visible manifest pointing at nothing.
       ms.dropRight(retainVersions).foreach { p =>
-        scala.util.Try(detailFileOf(p)).toOption.flatten
-          .foreach(df => store.delete(logDir.resolve(df)))
+        val df = scala.util.Try(detailFileOf(p)).toOption.flatten
         store.delete(p)
+        df.foreach(d => store.delete(logDir.resolve(d)))
       }
       gcOrphanDataDirs()
       gcOrphanDetailFiles()
