@@ -121,6 +121,19 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c6 == 400 && b6.contains("scalar"), s"$c6 $b6")
   }
 
+  test("context prefixes require a segment boundary; %2F stays one segment") {
+    // JDK HttpServer matches contexts by literal prefix: '/datax' lands on
+    // the '/data' handler but must 404, not parse table 'x'.
+    val (c1, _) = get("/datax")
+    assert(c1 == 404, s"GET /datax must 404, got $c1")
+    val (c2, _) = get("/data/orders_t?limit=1")
+    assert(c2 == 200, "the real /data/{t} route must keep working")
+    // A table segment containing %2F decodes to 'a/b' AFTER the split — it
+    // must be rejected as one bad identifier, not resplit into ('a', 'b/5').
+    val (c3, b3) = post("/update/a%2Fb/5", """{"o_totalprice":"1"}""")
+    assert(c3 >= 400 && c3 < 500, s"expected client error, got $c3 $b3")
+  }
+
   test("JSON null in an update sets the column to NULL") {
     val (c1, _) = post("/insert/orders_t",
       """{"o_orderkey":"888888","o_custkey":"7","o_orderpriority":"1-URGENT"}""")

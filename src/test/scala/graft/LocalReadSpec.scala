@@ -56,6 +56,18 @@ class LocalReadSpec extends AnyFunSuite {
     assert(t.lookupKey(3L).collect().map(_.toSeq).toSet == distributed(t, 3L))
   }
 
+  test("byte cap forces the distributed fallback; results identical") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lkp-cap-").resolve("t"), "t")
+    t.overwriteBucketed(orders, "o_orderkey", 4)
+    val k = orders.select("o_orderkey").head().getLong(0)
+    val viaLocal = t.lookupKeyRows(k).map(_.toSeq).toSet
+    sys.props(LocalPointRead.MaxBytesProp) = "1" // every bucket exceeds 1 byte
+    try {
+      val viaSpark = t.lookupKeyRows(k).map(_.toSeq).toSet
+      assert(viaSpark == viaLocal && viaSpark.nonEmpty)
+    } finally sys.props.remove(LocalPointRead.MaxBytesProp)
+  }
+
   test("nested schemas fall back to the distributed path") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(StructField("id", LongType),
