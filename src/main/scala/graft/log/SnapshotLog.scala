@@ -360,10 +360,24 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         store.delete(p)
         df.foreach(d => store.delete(logDir.resolve(d)))
       }
-      gcOrphanDataDirs()
-      gcOrphanDetailFiles()
+      // The orphan sweep re-reads every retained manifest (+detail) to build
+      // the referenced set — ~200 small reads. Running it on EVERY commit
+      // past retention bought nothing: the GC grace makes any orphan
+      // younger than `gcGraceMs` immune anyway, so a sweep per grace
+      // quarter-hour keeps the same orphan-lifetime bound (grace + interval)
+      // at 1/N the steady-state commit cost of a long-running CDC stream.
+      // Tests that force immediate GC use gcGraceMs = 0 → interval 0 →
+      // every expiry sweeps, as before.
+      val now = System.currentTimeMillis()
+      if (now - lastSweepMs >= math.min(gcGraceMs / 4, 15L * 60 * 1000)) {
+        lastSweepMs = now
+        gcOrphanDataDirs()
+        gcOrphanDetailFiles()
+      }
     }
   }
+
+  @volatile private var lastSweepMs = 0L
 
   /** Detail files referenced by NO retained manifest (a crashed writer that
     * never claimed its manifest, or a file missed at expiry) are deleted
