@@ -198,10 +198,24 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     // Bounds arrive as strings and coerce per the column's type — the same
     // form-value rules as the DML endpoints; the manifest-level min/max
     // skipping then plans only the dirs whose bounds intersect the window.
-    val lo = graft.functions.Coerce.coerce(
-      p.getOrElse("lo", throw new IllegalArgumentException("missing lo")), dt)
-    val hi = graft.functions.Coerce.coerce(
-      p.getOrElse("hi", throw new IllegalArgumentException("missing hi")), dt)
+    // Unlike the DML forms, an unparseable bound here can't be "cast later"
+    // — Coerce's raw-string fallback would defeat stat pruning and the
+    // engine-side cast would NULL the filter, silently returning zero rows
+    // with a 200. A bound that failed to coerce to the column's type is a
+    // client error: reject it as a 400, same as an unknown column.
+    def bound(name: String): Any = {
+      val raw = p.getOrElse(name, throw new IllegalArgumentException(s"missing $name"))
+      val v = graft.functions.Coerce.coerce(raw, dt)
+      val ok = dt match {
+        case org.apache.spark.sql.types.StringType => true
+        case _ => !v.isInstanceOf[String]
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"$name='$raw' is not a valid ${dt.simpleString} bound for column $c")
+      v
+    }
+    val lo = bound("lo")
+    val hi = bound("hi")
     dfJson(table.readRange(c, lo, hi), maxRows)
   }
 

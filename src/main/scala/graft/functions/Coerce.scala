@@ -41,9 +41,34 @@ object Coerce {
             try OffsetDateTime.parse(iso).toInstant
             catch {
               case _: java.time.format.DateTimeParseException =>
-                java.time.LocalDateTime.parse(iso)
+                try java.time.LocalDateTime.parse(iso)
                   .toInstant(java.time.ZoneOffset.UTC)
+                catch {
+                  // Date-only input → midnight UTC, like Python's
+                  // datetime.fromisoformat("1992-01-01") in the
+                  // reference's get_cast_val — a date bound on a
+                  // timestamp column is routine serving input.
+                  case _: java.time.format.DateTimeParseException =>
+                    java.time.LocalDate.parse(iso)
+                      .atStartOfDay.toInstant(java.time.ZoneOffset.UTC)
+                }
             })
+        case TimestampNTZType =>
+          // External type for TIMESTAMP_NTZ is LocalDateTime — wall-clock,
+          // no zone. Parquet timestamp[ms/us] WITHOUT isAdjustedToUTC
+          // (pandas/arrow's default) loads as NTZ, so serving bounds on
+          // ingested tables routinely land here. A trailing Z or offset is
+          // accepted and its instant reinterpreted as UTC wall-clock.
+          val iso = if (v.endsWith("Z")) v.dropRight(1) + "+00:00" else v
+          try OffsetDateTime.parse(iso).withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDateTime.parse(iso)
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  java.time.LocalDate.parse(iso).atStartOfDay
+              }
+          }
         case DateType =>
           // Spark's external type for DateType is java.sql.Date, not
           // Timestamp (the reference's Python datetime covers both).

@@ -52,6 +52,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     gcGraceMs: Long = 60L * 60 * 1000,
     statsColumns: Option[Set[String]] = None) {
 
+  // Timestamp columns must be written as INT64 TIMESTAMP_MICROS: Spark's
+  // legacy INT96 parquet encoding carries no usable column-chunk statistics,
+  // which would leave the manifest-level timestamp min/max pruning
+  // (readRange / dirFooterInfo) permanently inert — reads stay correct via
+  // the always-read fallback, but every time-window query would scan every
+  // dir. Pinned at table construction (idempotent, session-scoped) so every
+  // write through this handle produces stats-bearing footers.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   val log = new SnapshotLog(root, retainVersions, gcGraceMs)
 
   // Shared by the serving lookups: building a fresh Hadoop conf per call
@@ -221,6 +230,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000)
         case _ => None
       }
+      // NTZ stats live in the same micros domain: the footer records the
+      // wall-clock value as micros-from-epoch with no zone adjustment, and
+      // LocalDateTime-at-UTC reproduces exactly that number.
+      case TimestampNTZType => v match {
+        case t: java.time.LocalDateTime =>
+          val i = t.toInstant(java.time.ZoneOffset.UTC)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+        case _ => None
+      }
       case DateType => v match {
         case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
         case d: java.time.LocalDate => Some(d.toEpochDay)
@@ -236,7 +254,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def parseStat(s: String, dt: DataType): Option[Any] = {
     import org.apache.spark.sql.types._
     dt match {
-      case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+           TimestampNTZType | DateType =>
         s.toLongOption
       case FloatType | DoubleType => s.toDoubleOption
       case StringType => Some(s)
@@ -492,8 +511,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       .sortBy(s => s.getPath.getName.stripPrefix(BucketCol + "=").toInt)
     val futures = leaves.map { leaf =>
       scala.concurrent.Future {
-        val (rows, stats) = dirFooterInfo(fs, conf, leaf.getPath, keep)
-        DirInfo(s"$rel/${leaf.getPath.getName}", rows, stats)
+        // blocking{}: footer opens are synchronous filesystem I/O, and the
+        // global pool is CPU-sized — without the marker a wide bucketed
+        // commit would park every fork-join worker on I/O and starve any
+        // other driver-side user of the pool. blocking{} lets the pool
+        // spawn compensation threads for the duration.
+        scala.concurrent.blocking {
+          val (rows, stats) = dirFooterInfo(fs, conf, leaf.getPath, keep)
+          DirInfo(s"$rel/${leaf.getPath.getName}", rows, stats)
+        }
       }(scala.concurrent.ExecutionContext.global)
     }
     futures

@@ -93,6 +93,11 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(!b1.contains("\"o_orderkey\":99") && !b1.contains("\"o_orderkey\":106"), b1)
     val (c2, _) = get("/range/orders_t?col=nope&lo=1&hi=2")
     assert(c2 == 400)
+    // An unparseable bound must be a 400, not a silent empty 200: Coerce's
+    // raw-string fallback would otherwise defeat pruning and NULL the cast.
+    val (c3, b3) = get("/range/orders_t?col=o_orderkey&lo=abc&hi=105")
+    assert(c3 == 400, s"$c3 $b3")
+    assert(b3.contains("abc"), b3)
   }
 
   test("POST /upload ingests a CSV body") {

@@ -47,6 +47,11 @@ class CoreSpec extends AnyFunSuite {
     assert(Coerce.coerce("not_a_number", IntegerType) == "not_a_number")
     val ts = Coerce.coerce("2025-01-01T10:00:00Z", TimestampType)
     assert(ts.isInstanceOf[java.sql.Timestamp])
+    // Date-only bound on a timestamp column → midnight UTC, matching
+    // Python's datetime.fromisoformat in the reference's get_cast_val.
+    val dateOnly = Coerce.coerce("1992-01-01", TimestampType)
+    assert(dateOnly == java.sql.Timestamp.from(java.time.Instant.parse("1992-01-01T00:00:00Z")),
+      s"got $dateOnly")
     assert(Coerce.dtypeToSpark("int64") == LongType) // pandas default int: 32-bit would null ids >= 2^31
     assert(Coerce.dtypeToSpark("int32") == IntegerType)
     assert(Coerce.dtypeToSpark("float32") == DoubleType)

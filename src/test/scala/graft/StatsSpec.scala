@@ -87,12 +87,45 @@ class StatsSpec extends AnyFunSuite {
       "range read must see the delta image, not the stale base row")
   }
 
+  test("TIMESTAMP_NTZ range read prunes and coerces date-only string bounds") {
+    // o_orderdate loads as TIMESTAMP_NTZ (parquet timestamp[ms] without
+    // isAdjustedToUTC — the pandas/arrow default), so this exercises the
+    // NTZ stats domain end to end: write → footer harvest → statBound →
+    // prune → filter, with bounds arriving as serving-style strings.
+    val t = new GraftTable(spark, TestSpark.tmpDir("stats-ntz-").resolve("t"), "t")
+    assert(orders.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val cut = orders.select(min("o_orderdate")).head().getAs[java.time.LocalDateTime](0)
+      .plusDays(30)
+    t.overwrite(orders.filter(col("o_orderdate") <= lit(cut)))
+    t.append(orders.filter(col("o_orderdate") > lit(cut)))
+    val head = t.log.latest().get
+    assert(head.dataDirs.forall(d =>
+      head.dirStats.get(d).exists(_.contains("o_orderdate:min"))),
+      s"every dir must carry NTZ stats, got ${head.dirStats}")
+    val lo = graft.functions.Coerce.coerce("1970-01-01", orders.schema("o_orderdate").dataType)
+    val hi = graft.functions.Coerce.coerce(cut.toString, orders.schema("o_orderdate").dataType)
+    assert(lo.isInstanceOf[java.time.LocalDateTime] && hi == cut)
+    val got = t.readRange("o_orderdate", lo, hi)
+    // the early window lives entirely in the first dir — the second must prune
+    assert(got.inputFiles.forall(_.contains(head.dataDirs.head.stripPrefix("data/"))),
+      s"late dir must be pruned: ${got.inputFiles.toSeq}")
+    assert(got.count() == orders.filter(col("o_orderdate") <= lit(cut)).count())
+  }
+
   test("timestamp range read is correct (prunes only when micros stats exist)") {
     val t = new GraftTable(spark, TestSpark.tmpDir("stats-ts-").resolve("t"), "t")
     val ev = graft.queries.Q.events(spark, TestSpark.sf0001)
     val cut = ev.select(min("ts")).head().getTimestamp(0)
     t.overwrite(ev.filter(col("ts") <= cut))
     t.append(ev.filter(col("ts") > cut))
+    // The pruning must not be inert: with outputTimestampType pinned to
+    // TIMESTAMP_MICROS the footers carry usable INT64 stats, so every dir's
+    // manifest entry must record a ts min/max (INT96 output would leave
+    // these absent and silently disable timestamp skipping).
+    val head = t.log.latest().get
+    assert(head.dataDirs.forall(d => head.dirStats.get(d).exists(_.contains("ts:min"))),
+      s"every dir must carry ts stats, got ${head.dirStats}")
     val got = t.readRange("ts", new java.sql.Timestamp(0), cut)
     assert(got.collect().toSet == ev.filter(col("ts") <= cut).collect().toSet)
   }
