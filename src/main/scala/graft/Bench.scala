@@ -47,6 +47,27 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
+    // Ambient-load probe: a fixed single-threaded integer loop whose
+    // wall-clock depends only on how much CPU this process actually gets.
+    // Timed at bench start and end and reported as `calib_ms` — on a quiet
+    // machine both readings sit near the nominal ~100-200 ms; a loaded
+    // official run shows inflated calibration, making a noisy reading
+    // distinguishable from a code regression without a rerun.
+    def calibMs(): Double = {
+      var acc = 0L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 100000000L) {
+        acc ^= java.lang.Long.rotateLeft(acc + i * 0x9E3779B97F4A7C15L, 13)
+        i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (acc == 42L) println("calib") // defeat dead-code elimination
+      ms
+    }
+    calibMs() // untimed: JIT-compile the loop so `start` measures load, not warm-up
+    val calibStart = calibMs()
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Single-line, JSON-safe error text (multi-line Spark messages would
     // break the one-JSON-line output contract).
@@ -289,7 +310,9 @@ object Bench {
     val phases = cdcPhases.map { case (r, d, m) =>
       s"""{"rows":$r,"decode_sec":${jnum(d)},"merge_sec":${jnum(m)}}"""
     }.getOrElse("null")
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"sf":"$sfDir"}"""
+    val calibEnd = calibMs()
+    val calib = s"""{"start_ms":${jnum(calibStart)},"end_ms":${jnum(calibEnd)}}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the
