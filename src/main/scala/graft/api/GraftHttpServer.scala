@@ -136,7 +136,17 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     * (`safe_execute`'s error surface, `api_poc.py:54-63`). */
   private def handle(path: String)(fn: HttpExchange => String): Unit =
     server.createContext(path, (ex: HttpExchange) => {
-      try respond(ex, 200, fn(ex))
+      try {
+        // The JDK server matches contexts by literal string prefix, so
+        // `/tablesx` lands on the `/tables` handler. Enforce the segment
+        // boundary centrally: the path must BE the route or continue with
+        // `/`. (Arg-taking routes re-check via rawPathArg; this covers the
+        // no-arg routes too.)
+        val p = ex.getRequestURI.getPath
+        if (p != path && !p.startsWith(path + "/"))
+          throw new NoSuchElementException(s"no such endpoint: $p")
+        respond(ex, 200, fn(ex))
+      }
       catch {
         case e: IllegalArgumentException => respond(ex, 400, jsonErr(e.getMessage))
         case e: NoSuchElementException => respond(ex, 404, jsonErr(e.getMessage))

@@ -42,6 +42,14 @@ trait LogStore {
   def delete(p: Path): Unit
 
   def mkdirs(dir: Path): Unit
+
+  /** Last-modified time of `p` in epoch millis; None if unavailable.
+    * Used by orphan GC's age check — goes through the store (not raw
+    * java.nio) so an object-store implementation whose Paths aren't local
+    * files still ages out orphans instead of silently retaining them
+    * forever. The default covers POSIX/HDFS-style stores. */
+  def modifiedAtMs(p: Path): Option[Long] =
+    scala.util.Try(Files.getLastModifiedTime(p).toMillis).toOption
 }
 
 /** POSIX/HDFS implementation: hard-link claim (see [[LogStore]] scaladoc). */

@@ -83,7 +83,7 @@ private[log] case class SnapshotDetail(
 /** The O(1) half: identity, schema, summary, idempotence window, and the
   * side-file reference. Everything a `contains`/`history` call needs
   * without touching the detail file. */
-private[log] case class ManifestCore(
+private[graft] case class ManifestCore(
     snapshotId: Long,
     parentId: Option[Long],
     committedAt: String,
@@ -143,6 +143,28 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       catch { case e if isMissing(e) => None } // expired mid-read
     }
 
+  /** Core fields of every retained manifest WITHOUT inflating split detail
+    * files. Metadata callers ($snapshots, history, batch-key scans,
+    * timestamp cutoff selection) need only these; reading the O(dirs)
+    * detail for each would double the log reads per call and re-introduce
+    * on the read side the per-operation cost the manifest split removed.
+    * Legacy inline manifests surface the same fields from the full parse. */
+  def snapshotsCore(): Seq[ManifestCore] =
+    listManifests().flatMap { p =>
+      try {
+        val s = new String(store.read(p), StandardCharsets.UTF_8)
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(s) \ "detailFile" match {
+          case JString(_) => Some(Serialization.read[ManifestCore](s))
+          case _ =>
+            val full = Serialization.read[Snapshot](s)
+            Some(ManifestCore(full.snapshotId, full.parentId, full.committedAt,
+              full.operation, full.schemaJson, full.summary, full.batchKey,
+              full.recentBatchKeys, None))
+        }
+      } catch { case e if isMissing(e) => None } // expired mid-read
+    }
+
   def latest(): Option[Snapshot] = {
     // The newest retained manifest is never expired, so a missing-file read
     // here means the LISTING was stale — re-list and retry.
@@ -175,7 +197,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         // new-format commit rebuilds the window, fall back to the full
         // retained-log scan the field replaced — otherwise a checkpointed
         // stream replaying its last pre-upgrade batch would apply it twice.
-        (head.recentBatchKeys.isEmpty && snapshots().exists(_.batchKey.contains(batchKey)))
+        (head.recentBatchKeys.isEmpty && snapshotsCore().exists(_.batchKey.contains(batchKey)))
     }
 
   /** Parse a manifest in either format: the SPLIT form (core + side detail
@@ -219,9 +241,16 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def claimSplit(snap: Snapshot): Boolean = {
     val detailName =
       f"d${snap.snapshotId}%016d-${java.util.UUID.randomUUID().toString.take(8)}.json"
-    store.tryClaim(logDir.resolve(detailName),
+    // The detail claim must gate the manifest claim: committing a manifest
+    // whose referenced detail never landed (uuid collision with a crashed
+    // process's leftover, transient store failure) would make every read of
+    // this snapshot throw — and as the NEWEST manifest it is not covered by
+    // the benign expiry-race retry. Failing the commit lets the caller's
+    // conflict/retry path handle it like any lost race.
+    val detailOk = store.tryClaim(logDir.resolve(detailName),
       Serialization.write(SnapshotDetail(snap.dataDirs, snap.deltaDirs,
         snap.dirRecords, snap.dirStats)).getBytes(StandardCharsets.UTF_8))
+    if (!detailOk) return false
     val core = ManifestCore(snap.snapshotId, snap.parentId, snap.committedAt,
       snap.operation, snap.schemaJson, snap.summary, snap.batchKey,
       snap.recentBatchKeys, Some(detailName))
@@ -247,7 +276,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     val window = head.map(_.recentBatchKeys).getOrElse(Seq.empty)
     val seeded =
       if (window.isEmpty && batchKey.nonEmpty && head.nonEmpty)
-        snapshots().flatMap(_.batchKey)
+        snapshotsCore().flatMap(_.batchKey)
       else window
     (seeded ++ batchKey).takeRight(retainVersions)
   }
@@ -390,8 +419,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     store.list(logDir)
       .filter(p => p.getFileName.toString.matches("d\\d{16}-[0-9a-f]{8}\\.json"))
       .filterNot(p => referenced.contains(p.getFileName.toString))
-      .filter(p => scala.util.Try(
-        Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false))
+      .filter(p => store.modifiedAtMs(p).exists(_ < cutoff))
       .foreach(store.delete)
   }
 

@@ -81,8 +81,11 @@ object LlmQueries {
 
     // Exact shingle-Jaccard near-dup pairs (small-scale verification path).
     "d_jaccard_pairs" -> ((s, d) =>
+      // maxRows = 0: this gate entry IS the documented deliberate oracle
+      // run; the guard's count() would otherwise bill every timed
+      // execution one extra Spark job (and throw at large SF).
       Dedup.exactJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
-        minJaccard = 0.5)),
+        minJaccard = 0.5, maxRows = 0)),
 
     // MinHash+LSH near-dup pairs, exact-verified — the 100 TB path. Its
     // output must equal the exact Jaccard answer (oracle recomputes that).
@@ -105,9 +108,11 @@ object LlmQueries {
     "d_simhash_pairs" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       val sim = Dedup.simhashPairs(docs, "doc_id", "text").select("id_a", "id_b")
-      val strict = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
+      val strict = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5,
+          maxRows = 0) // deliberate oracle run: no guard count() in the gate
         .select("id_a", "id_b")
-      val loose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.3)
+      val loose = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.3,
+          maxRows = 0)
         .select("id_a", "id_b")
       strict.agg(count(lit(1)).as("n_strict_pairs"))
         .crossJoin(sim.agg(count(lit(1)).as("__n")))
@@ -181,10 +186,12 @@ object LlmQueries {
     // precision (every LSH pair is exact-verified by construction, so the
     // spurious count must be 0).
     "e_cos_dup_exact" -> ((s, d) =>
-      Similarity.cosineDupPairs(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.42)),
+      Similarity.cosineDupPairs(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        0.42, maxRows = 0)), // deliberate oracle run: guard count() elided
     "e_cos_dup_lsh" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
-      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42)
+      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42,
+        maxRows = 0) // deliberate oracle run
       val lsh = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 0.42)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
@@ -234,7 +241,8 @@ object LlmQueries {
     // construction.
     "e_semdedup" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
-      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42)
+      val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42,
+        maxRows = 0) // deliberate oracle run
       val sem = KMeans.semanticDupPairs(emb, "vec_id", "embedding", 0.42,
         k = 8, iters = 4, probes = 3)
       val found = exact.join(sem, Seq("id_a", "id_b"), "left_semi")

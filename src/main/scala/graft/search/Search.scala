@@ -45,8 +45,14 @@ object Search {
     require(textCols.nonEmpty, "buildIndex needs at least one column")
     val toks =
       if (textCols.sizeIs == 1) tokenize(col(textCols.head).cast("string"))
+      // coalesce each column to an empty array: tokenize null-propagates,
+      // and flatten() returns NULL if ANY nested array is NULL — without
+      // the guard one NULL column would erase the document's postings from
+      // every other column, making it unfindable by the index tier (ES
+      // cross_fields simply skips missing fields).
       else array_distinct(flatten(array(
-        textCols.map(c => tokenize(col(c).cast("string"))): _*)))
+        textCols.map(c => coalesce(tokenize(col(c).cast("string")),
+          array())): _*)))
     df.select(explode(toks).as("token"), col(idCol).as("id"))
       .filter(col("token") =!= "")
       .distinct()

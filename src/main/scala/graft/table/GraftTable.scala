@@ -58,8 +58,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   // (readRange / dirFooterInfo) permanently inert — reads stay correct via
   // the always-read fallback, but every time-window query would scan every
   // dir. Pinned at table construction (idempotent, session-scoped) so every
-  // write through this handle produces stats-bearing footers.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // write through this handle produces stats-bearing footers. Only the
+  // legacy INT96 default is replaced: an application that deliberately set
+  // TIMESTAMP_MILLIS for its own exports keeps its choice (MILLIS footers
+  // are safely ignored by the harvest's unit check, so pruning stays off
+  // for that session rather than mis-firing).
+  if (spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96") == "INT96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   val log = new SnapshotLog(root, retainVersions, gcGraceMs)
 
@@ -153,9 +158,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   def readAsOfTimestamp(ts: String): DataFrame = {
     val cutoff = java.time.Instant.parse(ts)
-    log.snapshots()
+    // Core-only scan to pick the cutoff snapshot (no detail inflation for
+    // the N-1 rejected manifests), then one full read for the winner.
+    log.snapshotsCore()
       .filter(s => !java.time.Instant.parse(s.committedAt).isAfter(cutoff))
-      .maxByOption(_.snapshotId).map(readResolved)
+      .maxByOption(_.snapshotId).flatMap(c => log.get(c.snapshotId))
+      .map(readResolved)
       .getOrElse(emptyDF(schema))
   }
 
@@ -307,7 +315,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
 
   /** The `$snapshots` metadata relation (`api_poc.py:490-492`). */
   def snapshotsDF: DataFrame = {
-    val rows = log.snapshots().map { s =>
+    // Core-only manifest reads: the metadata relation never needs the
+    // O(dirs) detail files.
+    val rows = log.snapshotsCore().map { s =>
       (s.snapshotId, s.parentId, s.committedAt, s.operation,
         s.summary.get("records").map(_.toLong))
     }

@@ -56,9 +56,22 @@ object LocalPointRead {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         size() > cap
     }
-    def getOrUpdate(k: K)(mk: => V): V = synchronized {
-      val got = m.get(k)
-      if (got != null) got else { val v = mk; m.put(k, v); v }
+    // The miss computation (footer open — real I/O) runs OUTSIDE the
+    // monitor: holding the lock across it would serialize every concurrent
+    // serving lookup — including hits on other, already-cached files —
+    // behind one slow cold read. Two racing misses on the same key may
+    // duplicate the work; the first result wins the put and the loser's
+    // copy is discarded (both are equivalent: files are immutable).
+    def getOrUpdate(k: K)(mk: => V): V = {
+      val got = synchronized { m.get(k) }
+      if (got != null) got
+      else {
+        val v = mk
+        synchronized {
+          val again = m.get(k)
+          if (again != null) again else { m.put(k, v); v }
+        }
+      }
     }
   }
 

@@ -131,6 +131,12 @@ class ApiHttpSpec extends AnyFunSuite {
     // the '/data' handler but must 404, not parse table 'x'.
     val (c1, _) = get("/datax")
     assert(c1 == 404, s"GET /datax must 404, got $c1")
+    // no-arg routes need the same boundary: '/tablesx' prefix-matches the
+    // '/tables' context and '/queryx' the '/query' context.
+    val (c1b, _) = get("/tablesx")
+    assert(c1b == 404, s"GET /tablesx must 404, got $c1b")
+    val (c1c, _) = get("/queryx?query=SELECT%201")
+    assert(c1c == 404, s"GET /queryx must 404, got $c1c")
     val (c2, _) = get("/data/orders_t?limit=1")
     assert(c2 == 200, "the real /data/{t} route must keep working")
     // A table segment containing %2F decodes to 'a/b' AFTER the split — it

@@ -69,29 +69,30 @@ class SearchSpec extends AnyFunSuite {
       (1L, "alpha beta", "milan", "x"),   // 'alpha' in text, 'milan' in city
       (2L, "alpha milan", "paris", "x"),  // both terms in text alone
       (3L, "alpha beta", "paris", "x"),   // no 'milan' anywhere
-      (4L, "gamma", "milan", "x"))        // no 'alpha' anywhere
+      (4L, "gamma", "milan", "x"),        // no 'alpha' anywhere
+      (5L, "alpha milan zeta", null, "x")) // NULL column must not erase postings
       .toDF("id", "text", "city", "etc")
     val cols = Search.stringCols(rows)
     assert(cols == Seq("text", "city", "etc"))
     val idx = Search.buildIndex(rows, "id", cols)
     val hits = Search.searchViaIndex(rows, idx, "id", cols, "alpha milan", 50)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(hits == Set(1L, 2L), s"cross-column AND must hit 1 and 2, got $hits")
+    assert(hits == Set(1L, 2L, 5L), s"cross-column AND must hit 1, 2 and 5 (NULL city on 5 must not erase its text postings), got $hits")
     // the single-column index misses the cross-column row — the gap the
     // multi-column tier closes
     val single = Search.buildIndex(rows, "id", "text")
     val singleHits = Search.searchViaIndex(rows, single, "id", "text", "alpha milan", 50)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(singleHits == Set(2L))
+    assert(singleHits == Set(2L, 5L))
     // persisted multi-column index: same answer via bucket-pruned lookups
     val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("idx-mc-"))
     val pidx = Search.persistIndex(cat, "mc_idx", rows, "id", cols, 8, overwrite = false)
     val pHits = Search.searchPersistedIndex(rows, pidx, "id", cols, "alpha milan", 50)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(pHits == Set(1L, 2L))
+    assert(pHits == Set(1L, 2L, 5L))
     // phrase boost spans columns: exact phrase inside a single column
     val scored = Search.searchViaIndex(rows, idx, "id", cols, "alpha milan", 50)
       .select("id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(scored(2L) == 10.0 && scored(1L) == 1.0)
+    assert(scored(2L) == 10.0 && scored(5L) == 10.0 && scored(1L) == 1.0)
   }
 }
