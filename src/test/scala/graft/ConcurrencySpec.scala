@@ -18,7 +18,7 @@ import graft.table.GraftTable
  * commit protocol through it proves the trait boundary carries the whole
  * transactional surface.
  */
-final class MemoryLogStore extends LogStore {
+class MemoryLogStore extends LogStore {
   import java.nio.file.Path
   private val objects =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
@@ -129,6 +129,37 @@ class ConcurrencySpec extends AnyFunSuite {
     intercept[graft.log.CommitConflictException] {
       log.commitExpecting(Some(1L), "upsert", "{}", Seq.empty)
     }
+  }
+
+  test("a failed detail-file claim fails the attempt, never publishes a torn manifest") {
+    // Store that rejects the first N detail-file claims (d<id>-<uuid>.json):
+    // a transient conditional-put failure or a crashed writer's leftover at
+    // the same name. The manifest referencing that detail must NOT land.
+    class FlakyDetailStore(failFirst: Int) extends MemoryLogStore {
+      val detailFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def tryClaim(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+        val isDetail = target.getFileName.toString.matches("d\\d{16}-[0-9a-f]{8}\\.json")
+        if (isDetail && detailFailures.get() < failFirst) {
+          detailFailures.incrementAndGet(); false
+        } else super.tryClaim(target, bytes)
+      }
+    }
+    // Transient failure: the commit loop retries with a fresh detail name
+    // and succeeds; every published manifest's detail is readable.
+    val flaky = new FlakyDetailStore(failFirst = 2)
+    val log = new SnapshotLog(TestSpark.tmpDir("flaky-").resolve("t"), store = flaky)
+    val s = log.commit("overwrite", "{}", Seq("data/s1"), Map("records" -> "1"))
+    assert(flaky.detailFailures.get() == 2, "the detail claim must gate the manifest")
+    assert(log.latest().get.snapshotId == s.snapshotId)
+    assert(log.latest().get.dataDirs == Seq("data/s1"), "detail must be readable")
+    // Permanent failure: the commit surfaces an error and the head is
+    // UNCHANGED — no manifest pointing at an absent detail file.
+    val dead = new FlakyDetailStore(failFirst = Int.MaxValue)
+    val log2 = new SnapshotLog(TestSpark.tmpDir("dead-").resolve("t"), store = dead)
+    intercept[IllegalStateException] {
+      log2.commit("overwrite", "{}", Seq("data/s1"))
+    }
+    assert(log2.latest().isEmpty, "no torn manifest may be published")
   }
 
   test("8 concurrent appends: no lost commits, contiguous ids, correct total") {
