@@ -190,7 +190,6 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
     require(st.fieldNames.contains(column), s"table $name has no column $column")
     val between = col(column) >= lit(lower) && col(column) <= lit(upper)
-    if (head.deltaDirs.nonEmpty) return readResolved(head).filter(between)
     val dt = st(column).dataType
     val loB = statBound(lower, dt)
     val hiB = statBound(upper, dt)
@@ -202,6 +201,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         lo <- loB
         hi <- hiB
       } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
+    }
+    if (head.deltaDirs.nonEmpty) {
+      // Merge-on-read: base dirs prune exactly like the copy-on-write path
+      // — EVERY delta dir is still read, and a delta image always outranks
+      // a base row for its key, so dropping a base dir whose stats exclude
+      // the window can never change a final image: a base-only key there is
+      // out-of-window by its stats; a delta'd key's winner is in the delta
+      // scan regardless. Without this, a streaming MOR table (the CDC
+      // shape, queried by time window between compactions) would lose ALL
+      // manifest skipping while any delta is pending. Deltas are bounded
+      // by compactEvery, so the unpruned remainder stays small.
+      val base =
+        if (dirs.isEmpty) emptyDF(st)
+        else spark.read.schema(st)
+          .parquet(dirs.map(d => root.resolve(d).toString): _*)
+      return resolveDeltas(head, base).filter(between)
     }
     if (dirs.isEmpty) emptyDF(st)
     else spark.read.schema(st)
@@ -694,8 +709,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
             Map("mor_key" -> head.get.summary("mor_key"),
               "pending_deltas" -> (pendingDeltas.size + newDirs.size).toString))
         else (dirs, Seq.empty[String], Map.empty[String, String])
-      // Stats only for dirs that are part of the base data set (delta dirs
-      // are resolved at read time; readRange falls back while they pend).
+      // Stats only for dirs that are part of the base data set: delta dirs
+      // are resolved at read time and ALWAYS read (readRange prunes base
+      // dirs only), so their stats would never be consulted.
       val dirSet = commitDataDirs.toSet
       val statsAll = (head.map(_.dirStats).getOrElse(Map.empty) ++
         newDirs.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats))

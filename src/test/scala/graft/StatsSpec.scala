@@ -85,6 +85,31 @@ class StatsSpec extends AnyFunSuite {
     val row500 = r.find(_.getAs[Long]("o_orderkey") == 500L).get
     assert(row500.getAs[String]("o_comment") == "mor-updated",
       "range read must see the delta image, not the stale base row")
+
+    // Base-dir pruning stays ACTIVE under pending deltas (a pruned base dir
+    // can hold no final in-window image: delta images always outrank base
+    // and every delta dir is read) — a disjoint later base segment must not
+    // be scanned for a window inside the first segment. Segments are laid
+    // down BEFORE the delta: an append under pending deltas joins the delta
+    // chain by design, so base dirs only exist pre-delta.
+    val t2 = new GraftTable(spark, TestSpark.tmpDir("stats-mor2-").resolve("t"), "t")
+    t2.overwrite(orders.filter(col("o_orderkey") < 1000))
+    t2.append(orders.filter(col("o_orderkey") >= 1000))
+    val dirsBefore = t2.log.latest().get.dataDirs
+    t2.upsertDeferred(up, "o_orderkey")
+    val pruned = t2.readRange("o_orderkey", 400L, 600L)
+    val head = t2.log.latest().get
+    assert(head.deltaDirs.nonEmpty, "the delta must still be pending")
+    val lateDir = dirsBefore.last.stripPrefix("data/")
+    assert(!pruned.inputFiles.exists(_.contains(lateDir)),
+      s"out-of-window base dir $lateDir must be pruned under MOR")
+    assert(head.deltaDirs.forall(d =>
+      pruned.inputFiles.exists(_.contains(d.stripPrefix("data/")))),
+      "every delta dir must be read under MOR pruning")
+    val r2 = pruned.collect()
+    assert(r2.length == r.length &&
+      r2.find(_.getAs[Long]("o_orderkey") == 500L).get
+        .getAs[String]("o_comment") == "mor-updated")
   }
 
   test("TIMESTAMP_NTZ range read prunes and coerces date-only string bounds") {
