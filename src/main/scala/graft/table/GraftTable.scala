@@ -97,7 +97,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * delete tombstone (`__op = 'd'`) removes the key. The shuffle happens at
    * READ time — the write side of [[upsertDeferred]] only appends.
    */
-  private def resolveDeltas(s: Snapshot, base: DataFrame): DataFrame = {
+  private def resolveDeltas(s: Snapshot, base: DataFrame): DataFrame =
+    resolveDeltas(s, base, s.deltaDirs)
+
+  /** [[resolveDeltas]] over a SUBSET of the delta chain (bucket-pruned
+    * lookups): sequence positions still come from the FULL chain, so a
+    * kept dir's rows rank exactly as they would in a complete resolution. */
+  private def resolveDeltas(s: Snapshot, base: DataFrame,
+      deltaSubset: Seq[String]): DataFrame = {
     val key = s.summary("mor_key")
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     val deltaSchema = StructType(st.fields :+
@@ -125,7 +132,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         regexp_extract(input_file_name(), ".*/data/(.+)/[^/]+$", 1)),
       lit(0L))
     val deltas = spark.read.schema(deltaSchema)
-      .parquet(s.deltaDirs.map(d => root.resolve(d).toString): _*)
+      .parquet(deltaSubset.map(d => root.resolve(d).toString): _*)
       .withColumn("__seq", seqExpr)
     val all = base
       .withColumn("__op", lit(null).cast("string"))
@@ -901,11 +908,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       }
     }
 
-  /** The slow-path lookup over the resolving full read. */
-  private def lookupViaRead(value: Any): DataFrame = {
-    val bk = bucketSpec.map(_._1)
-      .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
-    read().filter(col(bk) === lit(value))
+  /** The slow-path lookup. Bucketed tables route through [[lookupKeys]],
+    * which stays bucket-pruned on both sides of a pending delta chain —
+    * only an UNBUCKETED table pays the full resolving read here. */
+  private def lookupViaRead(value: Any): DataFrame = bucketSpec match {
+    case Some(_) => lookupKeys(Seq(value))
+    case None =>
+      val bk = graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq)
+      read().filter(col(bk) === lit(value))
   }
 
   def lookupKey(value: Any): DataFrame = prunedLookupCtx(value) match {
@@ -950,15 +960,33 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * |distinct buckets|/numBuckets of the table instead of all of it.
    */
   def lookupKeys(values: Seq[Any]): DataFrame = bucketSpec match {
-    case Some((bk, n)) if !log.latest().exists(_.deltaDirs.nonEmpty) =>
+    case Some((bk, n)) =>
       val head = log.latest().get
       val st = schema
       if (values.isEmpty) return emptyDF(st)
       val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
       val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
-      if (dirs.isEmpty) emptyDF(st)
-      else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
-        .filter(col(bk).isin(values: _*))
+      val isin = col(bk).isin(values: _*)
+      if (head.deltaDirs.isEmpty) {
+        if (dirs.isEmpty) emptyDF(st)
+        else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
+          .filter(isin)
+      } else {
+        // Pending deltas: the lookup stays bucket-pruned on the BASE side
+        // (the big one) and reads the bounded delta chain. upsertDeferred
+        // writes flat delta dirs (no bucket segment → forall = true →
+        // conservatively kept in full); appends made under pending deltas
+        // DO land as bucket leaf dirs and prune like the base. Falling
+        // back to a full resolved scan here would make every serving
+        // lookup O(table) the moment one delta batch pends.
+        val deltaSub = head.deltaDirs.filter(d =>
+          bucketOfDir(d).forall(buckets.contains))
+        val base =
+          if (dirs.isEmpty) emptyDF(st)
+          else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
+        if (deltaSub.isEmpty) base.filter(isin)
+        else resolveDeltas(head, base, deltaSub).filter(isin)
+      }
     case spec =>
       val bk = spec.map(_._1)
         .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))

@@ -102,5 +102,31 @@ class MorSpec extends AnyFunSuite {
       .withColumn("o_orderpriority", lit("NEW")), "o_orderkey")
     val hit = t.lookupKey(7L).select("o_orderpriority").collect()
     assert(hit.length == 1 && hit(0).getString(0) == "NEW")
+
+    // ...and the lookup stays bucket-pruned on BOTH sides of the chain:
+    // only key 7's bucket leaf is scanned from the base AND from each
+    // pending delta (a serving lookup must not go O(table) the moment one
+    // delta batch pends).
+    val plan = t.lookupKey(7L)
+    val bucket = "__bucket=" + graft.plans.BucketHash.bucketId(7L,
+      org.apache.spark.sql.types.LongType, 4,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    // Base files must come from key 7's bucket leaf only; delta dirs from
+    // upsertDeferred are flat (no bucket segment) and are conservatively
+    // read in full — they are the bounded small side of the resolution.
+    val (baseFiles, deltaFiles) = plan.inputFiles.partition(_.contains("__bucket="))
+    assert(baseFiles.nonEmpty && baseFiles.forall(_.contains(bucket + "/")),
+      s"base side must scan only $bucket: " +
+        plan.inputFiles.map(_.split("/data/").last).toSeq)
+    assert(deltaFiles.nonEmpty, "the pending delta must be read")
+    // rows-shaped serving call agrees
+    val rows = t.lookupKeyRows(7L)
+    assert(rows.length == 1 &&
+      rows(0).getAs[String]("o_orderpriority") == "NEW")
+    // a delete tombstone in the chain removes the key from the lookup
+    t.upsertDeferred(orders.filter(col("o_orderkey") === 7)
+      .withColumn("op", lit("d")), "o_orderkey", opCol = Some("op"))
+    assert(t.lookupKey(7L).collect().isEmpty)
+    assert(t.lookupKeyRows(7L).isEmpty)
   }
 }
