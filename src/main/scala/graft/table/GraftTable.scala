@@ -209,25 +209,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         hi <- hiB
       } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
     }
-    if (head.deltaDirs.nonEmpty) {
-      // Merge-on-read: base dirs prune exactly like the copy-on-write path
-      // — EVERY delta dir is still read, and a delta image always outranks
-      // a base row for its key, so dropping a base dir whose stats exclude
-      // the window can never change a final image: a base-only key there is
-      // out-of-window by its stats; a delta'd key's winner is in the delta
-      // scan regardless. Without this, a streaming MOR table (the CDC
-      // shape, queried by time window between compactions) would lose ALL
-      // manifest skipping while any delta is pending. Deltas are bounded
-      // by compactEvery, so the unpruned remainder stays small.
-      val base =
-        if (dirs.isEmpty) emptyDF(st)
-        else spark.read.schema(st)
-          .parquet(dirs.map(d => root.resolve(d).toString): _*)
-      return resolveDeltas(head, base).filter(between)
-    }
-    if (dirs.isEmpty) emptyDF(st)
-    else spark.read.schema(st)
-      .parquet(dirs.map(d => root.resolve(d).toString): _*)
+    // With pending merge-on-read deltas, base dirs STILL prune exactly like
+    // the copy-on-write path — EVERY delta dir is read, and a delta image
+    // always outranks a base row for its key, so dropping a base dir whose
+    // stats exclude the window can never change a final image: a base-only
+    // key there is out-of-window by its stats; a delta'd key's winner is in
+    // the delta scan regardless. Without this, a streaming MOR table (the
+    // CDC shape, queried by time window between compactions) would lose ALL
+    // manifest skipping while any delta is pending. Deltas are bounded by
+    // compactEvery, so the unpruned remainder stays small.
+    val base =
+      if (dirs.isEmpty) emptyDF(st)
+      else spark.read.schema(st)
+        .parquet(dirs.map(d => root.resolve(d).toString): _*)
+    (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
       .filter(between)
   }
 
@@ -959,38 +954,41 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * cells, a semi-join against a driver-known id list) this scans
    * |distinct buckets|/numBuckets of the table instead of all of it.
    */
-  def lookupKeys(values: Seq[Any]): DataFrame = bucketSpec match {
-    case Some((bk, n)) =>
-      val head = log.latest().get
-      val st = schema
-      if (values.isEmpty) return emptyDF(st)
-      val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
-      val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
-      val isin = col(bk).isin(values: _*)
-      if (head.deltaDirs.isEmpty) {
-        if (dirs.isEmpty) emptyDF(st)
-        else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
-          .filter(isin)
-      } else {
+  def lookupKeys(values: Seq[Any]): DataFrame = {
+    // ONE log read: bucket spec, schema, dirs and delta chain all come from
+    // the same head snapshot — separate reads could observe different
+    // snapshots across a concurrent commit (and each costs log I/O).
+    val headOpt = log.latest()
+    headOpt.flatMap(h => bucketSpecOf(h).map(h -> _)) match {
+      case Some((head, (bk, n))) =>
+        val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        if (values.isEmpty) return emptyDF(st)
+        val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
+        val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
         // Pending deltas: the lookup stays bucket-pruned on the BASE side
-        // (the big one) and reads the bounded delta chain. upsertDeferred
-        // writes flat delta dirs (no bucket segment → forall = true →
-        // conservatively kept in full); appends made under pending deltas
-        // DO land as bucket leaf dirs and prune like the base. Falling
-        // back to a full resolved scan here would make every serving
-        // lookup O(table) the moment one delta batch pends.
-        val deltaSub = head.deltaDirs.filter(d =>
-          bucketOfDir(d).forall(buckets.contains))
+        // (the big one) and reads the bounded delta chain on top — falling
+        // back to a full resolved scan would make every serving lookup
+        // O(table) the moment one delta batch pends. Delta LEAF dirs
+        // (appends made under pending deltas) may only be pruned when the
+        // resolution key IS the bucket key: resolution dedups per mor_key,
+        // and if mor_key differs, a leaf in another bucket can hold the
+        // winning image for a looked-up key — pruning it would resurrect
+        // the stale base row. Flat upsertDeferred dirs (no bucket segment)
+        // are always kept.
+        val deltaSub =
+          if (head.summary.get("mor_key").contains(bk))
+            head.deltaDirs.filter(d => bucketOfDir(d).forall(buckets.contains))
+          else head.deltaDirs
         val base =
           if (dirs.isEmpty) emptyDF(st)
-          else spark.read.schema(st).parquet(dirs.map(d => root.resolve(d).toString): _*)
-        if (deltaSub.isEmpty) base.filter(isin)
-        else resolveDeltas(head, base, deltaSub).filter(isin)
-      }
-    case spec =>
-      val bk = spec.map(_._1)
-        .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
-      read().filter(col(bk).isin(values: _*))
+          else spark.read.schema(st)
+            .parquet(dirs.map(d => root.resolve(d).toString): _*)
+        (if (deltaSub.isEmpty) base else resolveDeltas(head, base, deltaSub))
+          .filter(col(bk).isin(values: _*))
+      case None => // unbucketed (or empty) table: resolving scan + id filter
+        val bk = graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq)
+        read().filter(col(bk).isin(values: _*))
+    }
   }
 
   /**

@@ -129,4 +129,25 @@ class MorSpec extends AnyFunSuite {
     assert(t.lookupKey(7L).collect().isEmpty)
     assert(t.lookupKeyRows(7L).isEmpty)
   }
+
+  test("delta leaf dirs are NOT pruned when mor_key differs from the bucket key") {
+    // Resolution dedups per mor_key; when the table is bucketed by a
+    // DIFFERENT column, a bucketed append in the delta chain can carry the
+    // winning image for a key whose old image sits in another bucket —
+    // pruning that leaf would resurrect the stale base row.
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor4-").resolve("t"), "t")
+    t.overwriteBucketed(
+      Seq((1L, "A", "v1"), (2L, "B", "v1")).toDF("id", "region", "payload"),
+      "region", 4)
+    t.upsertDeferred(Seq((2L, "B", "v2")).toDF("id", "region", "payload"), "id")
+    // append under pending deltas: id=1 MOVES to region B; the row lands as
+    // a bucket leaf (hash of B) in the delta chain, sequenced last
+    t.append(Seq((1L, "B", "v3")).toDF("id", "region", "payload"))
+    val stale = t.lookupKeys(Seq("A")).collect()
+    assert(stale.isEmpty,
+      s"stale base row must lose to the delta-chain image: ${stale.toSeq}")
+    val b = t.lookupKeys(Seq("B")).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(b.toSet == Set((1L, "v3"), (2L, "v2")), s"got ${b.toSeq}")
+  }
 }
