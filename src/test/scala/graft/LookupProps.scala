@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.table.GraftTable
+
+/**
+ * Property-based lookup algebra: for ANY random sequence of deferred
+ * upserts / tombstones / appends over a bucketed table, the bucket-pruned
+ * `lookupKeys` must equal the full resolving `read().filter` — pruning
+ * (base side always; delta leaves only when mor_key == bucket key) is an
+ * optimization, never a semantics change. Covers both key regimes:
+ * bucketed BY the merge key, and bucketed by a different column whose
+ * value the chain may rewrite (the case where delta-leaf pruning would be
+ * unsound and must stay off).
+ */
+object LookupProps extends Properties("Lookup") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5) // each case commits a real delta chain
+
+  // an op: (kind, id, region, payload) — kind 0 upsert, 1 tombstone, 2 append
+  private val opGen = for {
+    kind <- Gen.chooseNum(0, 2)
+    id <- Gen.chooseNum(0L, 7L)
+    region <- Gen.oneOf("A", "B", "C")
+    pay <- Gen.alphaLowerStr.map(_.take(3))
+  } yield (kind, id, region, pay)
+
+  private val chainGen = Gen.listOfN(5, opGen)
+
+  private def buildTable(bucketBy: String, ops: List[(Int, Long, String, String)]): GraftTable = {
+    val t = new GraftTable(spark,
+      TestSpark.tmpDir(s"lkp-prop-$bucketBy-").resolve("t"), "t")
+    val init = (0L until 8L).map(k => (k, if (k % 2 == 0) "A" else "B", "init"))
+      .toDF("id", "region", "payload")
+    t.overwriteBucketed(init, bucketBy, 4)
+    ops.foreach {
+      case (0, id, region, pay) =>
+        t.upsertDeferred(Seq((id, region, pay)).toDF("id", "region", "payload"), "id")
+      case (1, id, region, _) =>
+        t.upsertDeferred(Seq((id, region, "x"))
+          .toDF("id", "region", "payload").withColumn("op", lit("d")),
+          "id", opCol = Some("op"))
+      case (_, id, region, pay) =>
+        t.append(Seq((id, region, pay)).toDF("id", "region", "payload"))
+    }
+    t
+  }
+
+  private def canon(d: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+    d.select("id", "region", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  property("bucketed by the merge key: pruned lookup == resolving filter") =
+    Prop.forAll(chainGen, Gen.listOfN(3, Gen.chooseNum(0L, 9L))) { (ops, keys) =>
+      val t = buildTable("id", ops)
+      canon(t.lookupKeys(keys)) ==
+        canon(t.read().filter(col("id").isin(keys: _*)))
+    }
+
+  property("bucketed by a rewritten column: pruned lookup == resolving filter") =
+    Prop.forAll(chainGen, Gen.listOfN(2, Gen.oneOf("A", "B", "C"))) { (ops, regs) =>
+      val t = buildTable("region", ops)
+      canon(t.lookupKeys(regs)) ==
+        canon(t.read().filter(col("region").isin(regs: _*)))
+    }
+}
