@@ -181,6 +181,56 @@ object Curation {
     numChunks(size(tokens(text)), window, overlap)
   }
 
+  // ---------------------------------------------------- line deduplication
+
+  /**
+   * Corpus-level line deduplication (the RefinedWeb/C4-style boilerplate
+   * filter): a line occurring in more than `maxDocFreq` DISTINCT documents
+   * is boilerplate — navigation chrome, license banners, template headers —
+   * and is dropped from EVERY document; each document's text is rebuilt
+   * from its surviving lines in original order. Documents whose lines were
+   * all boilerplate disappear from the result (nothing survives to train
+   * on), mirroring how empty docs fall out of the other quality filters.
+   *
+   * Returns (idCol, text_clean, n_lines_kept).
+   *
+   * Scale shape: the doc-frequency count groups by the line's 64-bit
+   * xxhash64 — only hashes shuffle, never line text, and the count is
+   * map-side partial. The boilerplate set (high-df hashes) is small by
+   * definition, so the anti-join back to the lines broadcasts under AQE.
+   * Reconstruction shuffles each document's own surviving lines once,
+   * keyed by the document id — the same partitioning a downstream
+   * per-document write wants.
+   */
+  def dropRepeatedLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int,
+      delim: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
+    val lines = docs
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val boilerplate = lines
+      .groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocFreq)
+      .select("__h")
+    lines
+      .join(boilerplate, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line")),
+          delim).as("text_clean"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   def chunkTokens(
       docs: DataFrame,
       idCol: String,

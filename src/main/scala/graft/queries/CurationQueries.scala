@@ -52,6 +52,25 @@ object CurationQueries {
     "x_chunks" -> ((s, d) =>
       Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text")),
 
+    // Corpus-level line dedup (RefinedWeb/C4 boilerplate removal). The
+    // fixture text carries no newlines, so the gate first RECONSTRUCTS
+    // multi-line documents deterministically — 8-token non-overlapping
+    // windows joined by \n (the x_chunks construction, overlap 0) — then
+    // drops every line shared by more than 5 distinct documents and
+    // rebuilds the survivors. Exact-duplicate docs (the fixture's 50 dup
+    // groups) make their lines boilerplate wherever a group exceeds the
+    // cap, so the result exercises both drop and keep paths.
+    "x_line_dedup" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val lines8 = Curation.chunkTokens(docs, "doc_id", "text",
+        window = 8, overlap = 0)
+      val multi = lines8.groupBy("doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s2 => s2.getField("chunk_text")), "\n").as("text"))
+      Curation.dropRepeatedLines(multi, "doc_id", "text", maxDocFreq = 5)
+    }),
+
     // Deterministic 25% content-hash sample.
     "x_sample" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
@@ -164,6 +183,19 @@ object CurationQueries {
           |        FROM kept)
           |SELECT split, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS n_chunks
           |FROM lab GROUP BY split""".stripMargin),
+    "x_line_dedup" ->
+      (tokCte +
+        """,n AS (SELECT doc_id, ts, greatest(len(ts) - 1, 0) // 8 + 1 AS nc FROM tok),
+          |c AS (SELECT doc_id, unnest(range(0, nc)) AS line_id, ts FROM n),
+          |l AS (SELECT doc_id, line_id,
+          |        array_to_string(ts[CAST(line_id*8+1 AS INT) : CAST(line_id*8+8 AS INT)], ' ') AS line
+          |      FROM c),
+          |df AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+          |keep AS (SELECT l.doc_id, l.line_id, l.line
+          |         FROM l JOIN df USING (line) WHERE df.nd <= 5)
+          |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_id) AS text_clean,
+          |  CAST(count(*) AS BIGINT) AS n_lines_kept
+          |FROM keep GROUP BY doc_id""".stripMargin),
     "x_chunks" ->
       (tokCte +
         """,n AS (SELECT doc_id, ts, greatest(len(ts) - 5, 0) // 28 + 1 AS nc FROM tok),

@@ -112,4 +112,32 @@ class CurationSpec extends AnyFunSuite {
     assert(clean.count() == corpus.count() - hits.size)
     assert(clean.filter(col("doc_id").isin(hits.keys.toSeq: _*)).count() == 0)
   }
+
+  test("line dedup: boilerplate lines drop everywhere, order survives, empty docs vanish") {
+    import spark.implicits._
+    // "nav" appears in 3 docs (> maxDocFreq=2) → boilerplate; "rare" lines
+    // are unique; doc 4 is ALL boilerplate and must disappear; doc 1's
+    // surviving lines must keep their original relative order.
+    val docs = Seq(
+      (1L, "alpha\nnav\nbeta"),
+      (2L, "nav\ngamma"),
+      (3L, "delta\nnav"),
+      (4L, "nav")).toDF("doc_id", "text")
+    val out = Curation.dropRepeatedLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ("alpha\nbeta", 2L),
+      2L -> ("gamma", 1L),
+      3L -> ("delta", 1L)), s"got $out")
+    // at maxDocFreq=4 ("nav" is in exactly 4 docs) nothing is boilerplate
+    val intact = Curation.dropRepeatedLines(docs, "doc_id", "text", maxDocFreq = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(intact(1L) == "alpha\nnav\nbeta" && intact(4L) == "nav")
+    // a line repeated WITHIN one doc counts that doc once toward the
+    // frequency, and both copies survive in order
+    val twice = Seq((1L, "x\nx\ny"), (2L, "z")).toDF("doc_id", "text")
+    val kept = Curation.dropRepeatedLines(twice, "doc_id", "text", maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "x\nx\ny", s"got $kept")
+  }
 }
