@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
  * Corpus-curation operators a large-scale training-data pipeline runs
  * between dedup and training: benchmark decontamination, deterministic
  * train/validation/test splitting, PII-style redaction, and token-window
- * chunking. All are pure column expressions or narrow hash joins — nothing
- * here shuffles document text.
+ * chunking. Nearly all are pure column expressions or narrow hash joins
+ * that never put document text on the shuffle wire; the one exception is
+ * [[Curation.dropRepeatedLines]]'s per-document rebuild, which shuffles
+ * each document's surviving lines once (see its scaladoc).
  */
 object Curation {
 
@@ -185,22 +187,29 @@ object Curation {
 
   /**
    * Corpus-level line deduplication (the RefinedWeb/C4-style boilerplate
-   * filter): a line occurring in more than `maxDocFreq` DISTINCT documents
-   * is boilerplate — navigation chrome, license banners, template headers —
-   * and is dropped from EVERY document; each document's text is rebuilt
-   * from its surviving lines in original order. Documents whose lines were
-   * all boilerplate disappear from the result (nothing survives to train
-   * on), mirroring how empty docs fall out of the other quality filters.
+   * filter): a NON-BLANK line occurring in more than `maxDocFreq` DISTINCT
+   * documents is boilerplate — navigation chrome, license banners, template
+   * headers — and is dropped from EVERY document; each document's text is
+   * rebuilt from its surviving lines in original order. Blank lines
+   * (empty / whitespace-only — paragraph separators) are exempt: they
+   * repeat everywhere by nature and deleting them would destroy paragraph
+   * structure corpus-wide. NULL text reads as empty text, so the document
+   * passes through rather than vanishing. Documents whose lines were all
+   * boilerplate disappear from the result (nothing survives to train on),
+   * mirroring how empty docs fall out of the other quality filters.
    *
    * Returns (idCol, text_clean, n_lines_kept).
    *
-   * Scale shape: the doc-frequency count groups by the line's 64-bit
-   * xxhash64 — only hashes shuffle, never line text, and the count is
-   * map-side partial. The boilerplate set (high-df hashes) is small by
-   * definition, so the anti-join back to the lines broadcasts under AQE.
-   * Reconstruction shuffles each document's own surviving lines once,
-   * keyed by the document id — the same partitioning a downstream
-   * per-document write wants.
+   * Scale shape — candidate-then-verify, like every hash family here:
+   * phase 1 counts doc frequency per 64-bit line hash (only hashes and ids
+   * shuffle, map-side partial); phase 2 recounts EXACTLY, by text, only
+   * the candidate hashes' lines (a tiny high-df subset), so a birthday
+   * collision with a boilerplate hash cannot drop an innocent line — the
+   * drop decision is text-exact. The boilerplate set is small by
+   * definition, so the anti-join back broadcasts under AQE. Reconstruction
+   * shuffles each document's own surviving lines once, keyed by the
+   * document id — the same partitioning a downstream per-document write
+   * wants.
    */
   def dropRepeatedLines(
       docs: DataFrame,
@@ -211,16 +220,27 @@ object Curation {
     require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
     val lines = docs
       .select(col(idCol), posexplode(
-        split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(delim)))
         .as(Seq("__pos", "__line")))
       .withColumn("__h", xxhash64(col("__line")))
-    val boilerplate = lines
+    val nonBlank = lines.filter(trim(col("__line")) =!= "")
+    // phase 1: cheap hash-keyed doc-frequency — candidates only
+    val candidates = nonBlank
       .groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > maxDocFreq)
       .select("__h")
+    // phase 2: exact text-keyed recount restricted to candidate hashes —
+    // a true boilerplate line always survives phase 1 (its hash df >= its
+    // text df), and a collision victim is exonerated here
+    val boilerplate = nonBlank
+      .join(candidates, Seq("__h"))
+      .groupBy("__h", "__line")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocFreq)
+      .select("__h", "__line")
     lines
-      .join(boilerplate, Seq("__h"), "left_anti")
+      .join(boilerplate, Seq("__h", "__line"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(

@@ -139,5 +139,14 @@ class CurationSpec extends AnyFunSuite {
     val kept = Curation.dropRepeatedLines(twice, "doc_id", "text", maxDocFreq = 1)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept(1L) == "x\nx\ny", s"got $kept")
+    // blank lines (paragraph separators) are exempt from the boilerplate
+    // cap even when every document contains one, and NULL text passes
+    // through as an empty document instead of vanishing
+    val para = Seq((1L, "a\n\nb"), (2L, "\nc"), (3L, "d\n"), (4L, null))
+      .toDF("doc_id", "text")
+    val out2 = Curation.dropRepeatedLines(para, "doc_id", "text", maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "a\n\nb", 2L -> "\nc", 3L -> "d\n", 4L -> ""),
+      s"got $out2")
   }
 }

@@ -51,9 +51,11 @@ object LookupProps extends Properties("Lookup") {
     t
   }
 
-  private def canon(d: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+  // Multiset comparison (sorted Seq, not Set): a pruning bug that drops one
+  // of two identical rows must fail the property, not hide in set collapse.
+  private def canon(d: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
     d.select("id", "region", "payload").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
 
   property("bucketed by the merge key: pruned lookup == resolving filter") =
     Prop.forAll(chainGen, Gen.listOfN(3, Gen.chooseNum(0L, 9L))) { (ops, keys) =>
