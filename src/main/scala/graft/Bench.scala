@@ -28,7 +28,8 @@ object Bench {
   /** Curation ops (rounds 3-4), timed as their own group so the headline
     * `total` stays comparable across rounds. */
   private val curation =
-    Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split", "x_repetition")
+    Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split", "x_repetition",
+      "x_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
