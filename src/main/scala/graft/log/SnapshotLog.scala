@@ -151,19 +151,25 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     * Legacy inline manifests surface the same fields from the full parse. */
   def snapshotsCore(): Seq[ManifestCore] =
     listManifests().flatMap { p =>
-      try {
-        val s = new String(store.read(p), StandardCharsets.UTF_8)
-        import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(s) \ "detailFile" match {
-          case JString(_) => Some(Serialization.read[ManifestCore](s))
-          case _ =>
-            val full = Serialization.read[Snapshot](s)
-            Some(ManifestCore(full.snapshotId, full.parentId, full.committedAt,
-              full.operation, full.schemaJson, full.summary, full.batchKey,
-              full.recentBatchKeys, None))
-        }
-      } catch { case e if isMissing(e) => None } // expired mid-read
+      try Some(parseManifest(new String(store.read(p), StandardCharsets.UTF_8))._1)
+      catch { case e if isMissing(e) => None } // expired mid-read
     }
+
+  /** The ONE place both manifest formats are discriminated: returns the
+    * core view plus, for a LEGACY inline manifest, the already-parsed full
+    * snapshot (so full readers skip a second parse). Core-only and full
+    * readers both layer on this — a format revision has a single home. */
+  private def parseManifest(s: String): (ManifestCore, Option[Snapshot]) = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(s) \ "detailFile" match {
+      case JString(_) => (Serialization.read[ManifestCore](s), None)
+      case _ =>
+        val full = Serialization.read[Snapshot](s)
+        (ManifestCore(full.snapshotId, full.parentId, full.committedAt,
+          full.operation, full.schemaJson, full.summary, full.batchKey,
+          full.recentBatchKeys, None), Some(full))
+    }
+  }
 
   def latest(): Option[Snapshot] = {
     // The newest retained manifest is never expired, so a missing-file read
@@ -203,31 +209,21 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   /** Parse a manifest in either format: the SPLIT form (core + side detail
     * file) or the legacy inline form (everything in one document) — old
     * logs stay readable without migration. */
-  private def readManifest(p: Path): Snapshot = {
-    val s = new String(store.read(p), StandardCharsets.UTF_8)
-    import org.json4s._
-    org.json4s.jackson.JsonMethods.parse(s) \ "detailFile" match {
-      case JString(df) =>
-        val core = Serialization.read[ManifestCore](s)
-        val detail = Serialization.read[SnapshotDetail](
-          new String(store.read(logDir.resolve(df)), StandardCharsets.UTF_8))
+  private def readManifest(p: Path): Snapshot =
+    parseManifest(new String(store.read(p), StandardCharsets.UTF_8)) match {
+      case (_, Some(legacyFull)) => legacyFull
+      case (core, None) =>
+        val detail = Serialization.read[SnapshotDetail](new String(
+          store.read(logDir.resolve(core.detailFile.get)), StandardCharsets.UTF_8))
         Snapshot(core.snapshotId, core.parentId, core.committedAt,
           core.operation, core.schemaJson, detail.dataDirs, core.summary,
           core.batchKey, detail.dirRecords, detail.deltaDirs,
           core.recentBatchKeys, detail.dirStats)
-      case _ => Serialization.read[Snapshot](s)
     }
-  }
 
   /** Detail-file reference of a manifest, without inflating the snapshot. */
-  private def detailFileOf(p: Path): Option[String] = {
-    import org.json4s._
-    org.json4s.jackson.JsonMethods.parse(
-      new String(store.read(p), StandardCharsets.UTF_8)) \ "detailFile" match {
-      case JString(df) => Some(df)
-      case _ => None
-    }
-  }
+  private def detailFileOf(p: Path): Option[String] =
+    parseManifest(new String(store.read(p), StandardCharsets.UTF_8))._1.detailFile
 
   /**
    * The two-file commit write: the O(dirs) detail lands FIRST under a

@@ -22,9 +22,21 @@ class MemoryLogStore extends LogStore {
   import java.nio.file.Path
   private val objects =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  // Object stores report a last-modified time per object; without this
+  // override the trait's filesystem default always returns None here and
+  // orphan-detail GC silently never fires (the exact failure the hook
+  // exists to prevent on non-local stores).
+  private val mtimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def tryClaim(target: Path, bytes: Array[Byte]): Boolean =
-    objects.putIfAbsent(target.toString, bytes) == null
+  def tryClaim(target: Path, bytes: Array[Byte]): Boolean = {
+    val won = objects.putIfAbsent(target.toString, bytes) == null
+    if (won) mtimes.put(target.toString, System.currentTimeMillis())
+    won
+  }
+
+  override def modifiedAtMs(p: Path): Option[Long] =
+    Option(mtimes.get(p.toString)).map(_.longValue)
 
   def read(p: Path): Array[Byte] =
     Option(objects.get(p.toString))
@@ -129,6 +141,21 @@ class ConcurrencySpec extends AnyFunSuite {
     intercept[graft.log.CommitConflictException] {
       log.commitExpecting(Some(1L), "upsert", "{}", Seq.empty)
     }
+  }
+
+  test("orphan detail files age out through the store's own mtime on an object store") {
+    val store = new MemoryLogStore
+    val root = TestSpark.tmpDir("objgc-").resolve("t")
+    val log = new SnapshotLog(root, retainVersions = 2, gcGraceMs = 0, store = store)
+    // a crashed writer's leftover: a detail file no manifest references
+    val orphan = root.resolve("_log").resolve(f"d${99L}%016d-deadbeef.json")
+    assert(store.tryClaim(orphan, "{}".getBytes))
+    // commits past retention trigger expiry + (grace 0) the orphan sweep
+    (1 to 4).foreach(i => log.commit("append", "{}", Seq.empty, Map("i" -> i.toString)))
+    assert(!store.exists(orphan),
+      "orphan detail must be GC'd via store.modifiedAtMs, not java.nio mtime")
+    // live split manifests keep their details readable
+    assert(log.latest().isDefined)
   }
 
   test("a failed detail-file claim fails the attempt, never publishes a torn manifest") {
