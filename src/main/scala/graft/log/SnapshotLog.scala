@@ -221,9 +221,22 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
           core.recentBatchKeys, detail.dirStats)
     }
 
-  /** Detail-file reference of a manifest, without inflating the snapshot. */
-  private def detailFileOf(p: Path): Option[String] =
-    parseManifest(new String(store.read(p), StandardCharsets.UTF_8))._1.detailFile
+  /** Detail-file reference of a manifest, without inflating the snapshot.
+    * DELIBERATELY a bare AST field extraction, not [[parseManifest]]: the
+    * GC paths call this per retained manifest, where a legacy inline
+    * manifest would pay a full O(dirs) deserialization just to learn the
+    * field is absent — and a manifest written by a NEWER format revision
+    * (whose core fields may not deserialize here) must still yield its
+    * detailFile so the orphan sweep never mistakes its live detail for
+    * garbage. */
+  private def detailFileOf(p: Path): Option[String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(
+      new String(store.read(p), StandardCharsets.UTF_8)) \ "detailFile" match {
+      case JString(df) => Some(df)
+      case _ => None
+    }
+  }
 
   /**
    * The two-file commit write: the O(dirs) detail lands FIRST under a

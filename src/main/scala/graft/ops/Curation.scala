@@ -194,9 +194,11 @@ object Curation {
    * (empty / whitespace-only — paragraph separators) are exempt: they
    * repeat everywhere by nature and deleting them would destroy paragraph
    * structure corpus-wide. NULL text reads as empty text, so the document
-   * passes through rather than vanishing. Documents whose lines were all
-   * boilerplate disappear from the result (nothing survives to train on),
-   * mirroring how empty docs fall out of the other quality filters.
+   * passes through rather than vanishing. A document whose non-blank lines
+   * were ALL boilerplate either disappears (no line survives) or surfaces
+   * with `n_lines_kept = 0` (only blank separators survive) — filter
+   * `n_lines_kept > 0` for trainable content; blank and phantom lines
+   * never count toward it.
    *
    * Returns (idCol, text_clean, n_lines_kept).
    *
@@ -223,7 +225,10 @@ object Curation {
         split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(delim)))
         .as(Seq("__pos", "__line")))
       .withColumn("__h", xxhash64(col("__line")))
-    val nonBlank = lines.filter(trim(col("__line")) =!= "")
+    // rlike("\\S"), not trim(): Spark's trim strips only ASCII space, so a
+    // CRLF corpus's "\r" separator lines (or tab-indented blanks) would
+    // count as content and get dropped corpus-wide as boilerplate.
+    val nonBlank = lines.filter(col("__line").rlike("\\S"))
     // phase 1: cheap hash-keyed doc-frequency — candidates only
     val candidates = nonBlank
       .groupBy("__h")
@@ -248,7 +253,10 @@ object Curation {
             array_sort(collect_list(struct(col("__pos"), col("__line")))),
             s => s.getField("__line")),
           delim).as("text_clean"),
-        count(lit(1)).as("n_lines_kept"))
+        // Only CONTENT lines count: blank separators and the empty line a
+        // NULL/empty doc degenerates to would otherwise make an
+        // all-boilerplate shell look trainable to a n_lines_kept > 0 filter.
+        count(when(col("__line").rlike("\\S"), 1)).as("n_lines_kept"))
   }
 
   def chunkTokens(

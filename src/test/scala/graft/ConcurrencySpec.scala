@@ -150,6 +150,10 @@ class ConcurrencySpec extends AnyFunSuite {
     // a crashed writer's leftover: a detail file no manifest references
     val orphan = root.resolve("_log").resolve(f"d${99L}%016d-deadbeef.json")
     assert(store.tryClaim(orphan, "{}".getBytes))
+    // the sweep's age check is STRICT (mtime < now - grace); with grace 0 a
+    // sweep landing in the orphan's own claim millisecond would keep it —
+    // let the clock tick past before committing
+    Thread.sleep(5)
     // commits past retention trigger expiry + (grace 0) the orphan sweep
     (1 to 4).foreach(i => log.commit("append", "{}", Seq.empty, Map("i" -> i.toString)))
     assert(!store.exists(orphan),

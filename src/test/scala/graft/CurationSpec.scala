@@ -145,8 +145,11 @@ class CurationSpec extends AnyFunSuite {
     val para = Seq((1L, "a\n\nb"), (2L, "\nc"), (3L, "d\n"), (4L, null))
       .toDF("doc_id", "text")
     val out2 = Curation.dropRepeatedLines(para, "doc_id", "text", maxDocFreq = 1)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out2 == Map(1L -> "a\n\nb", 2L -> "\nc", 3L -> "d\n", 4L -> ""),
-      s"got $out2")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // blank lines survive but do NOT count as kept content: the NULL doc is
+    // an empty shell with n_lines_kept = 0, filterable downstream
+    assert(out2 == Map(
+      1L -> ("a\n\nb", 2L), 2L -> ("\nc", 1L),
+      3L -> ("d\n", 1L), 4L -> ("", 0L)), s"got $out2")
   }
 }
