@@ -29,8 +29,12 @@ object CdcQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The current row as a Debezium image struct (ts as epoch micros). */
-  private def img = struct(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+  /** The current row as a Debezium image struct (ts as epoch micros).
+    * `ts` arrives as TIMESTAMP_NTZ from [[Q.events]]; `unix_micros` takes
+    * LTZ only, so cast through TimestampType — the session TZ is pinned
+    * UTC, making wall-clock micros == instant micros. */
+  private def img = struct(col("event_id"),
+    unix_micros(col("ts").cast(TimestampType)).as("ts_us"),
     col("user_id"), col("event_type"), col("value"), col("props"))
 
   private val nul = lit(null).cast(rowSchema)
@@ -42,10 +46,12 @@ object CdcQueries {
       lit(op).as("op"), (col("event_id") * 10 + tsOff).as("ts_ms")).as("payload")))
       .as("value")
 
-  /** Target-table schema shared by the CDC gate entries. */
+  /** Target-table schema shared by the CDC gate entries. `ts` is NTZ so the
+    * final table state parquet-encodes naive, matching the DuckDB oracle's
+    * naive TIMESTAMP (see [[Q.events]]). */
   private val targetSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -55,7 +61,8 @@ object CdcQueries {
   private def mergeEnvelopes(s: org.apache.spark.sql.SparkSession,
       raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val batch = Envelope.transformBatch(raw, rowSchema, "event_id")
-      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+      .select(col("event_id"),
+        timestamp_micros(col("ts_us")).cast(TimestampNTZType).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"), col("op"))
     val cat = new graft.catalog.GraftCatalog(s, Files.createTempDirectory("graft-cdc-"))
     val target = cat.createTable("cdc_events", targetSchema)

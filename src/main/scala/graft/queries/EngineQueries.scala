@@ -221,8 +221,12 @@ object EngineQueries {
         Coerce.coerce("9.5", DoubleType),
         Coerce.coerce("YES", BooleanType),
         Coerce.coerce("off", BooleanType),
-        Coerce.coerce("2026-01-02T03:04:05Z", TimestampType),
-        Coerce.coerce("2026-01-02T03:04:05+02:00", TimestampType),
+        // NTZ, not session-TZ TimestampType: the oracle's TIMESTAMP
+        // literals are naive, and an LTZ column parquet-encodes as
+        // adjusted-to-UTC — a schema mismatch at the gate (the TimestampType
+        // branch of coerce stays covered by CoreSpec).
+        Coerce.coerce("2026-01-02T03:04:05Z", TimestampNTZType),
+        Coerce.coerce("2026-01-02T03:04:05+02:00", TimestampNTZType),
         Coerce.coerce("not a time", StringType),
         Identifiers.isValidIdent("tbl_1"),
         Identifiers.isValidIdent("1; drop tables"),
@@ -231,7 +235,7 @@ object EngineQueries {
       val schema = StructType(Seq(
         StructField("int_val", IntegerType), StructField("dbl_val", DoubleType),
         StructField("bool_true", BooleanType), StructField("bool_false", BooleanType),
-        StructField("ts_utc", TimestampType), StructField("ts_offset", TimestampType),
+        StructField("ts_utc", TimestampNTZType), StructField("ts_offset", TimestampNTZType),
         StructField("fallback_val", StringType),
         StructField("ident_ok", BooleanType), StructField("ident_bad", BooleanType),
         StructField("sanitized", StringType), StructField("id_col", StringType)))

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
 
 import graft.table.GraftTable
 
@@ -36,11 +36,23 @@ object Q {
    * `events.parquet` stores TIMESTAMP(NANOS), which Spark's TimestampType
    * (µs) cannot hold — read the raw int64 nanos (`nanosAsLong`) and floor to
    * micros, exactly matching DuckDB's ns→µs truncation on the oracle side.
+   *
+   * The result `ts` is TIMESTAMP_NTZ, not session-TZ TimestampType: the
+   * corpus column is wall-clock (parquet isAdjustedToUTC=false) and DuckDB
+   * reads it as naive TIMESTAMP, so every gate entry that materializes `ts`
+   * must write it back as naive too — an LTZ `ts` parquet-encodes as
+   * adjusted-to-UTC micros, which DuckDB types as TIMESTAMP WITH TIME ZONE
+   * and the driver's schema compare rejects (the round-5 7-entry
+   * regression). The LTZ→NTZ cast renders in the session time zone, which
+   * the gate mains (Verify/Bench) pin to UTC; pinned here as well so ad-hoc
+   * sessions (tests) get identical values.
    */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 
   /** A fresh single-use [[GraftTable]] in a temp warehouse dir. */

@@ -63,7 +63,13 @@ object EventWindows {
       gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)
-    val us = unix_micros(col(tsCol))
+    // Accept NTZ timestamps too (the gate corpus is wall-clock naive):
+    // unix_micros takes LTZ only, so cast through TimestampType — a no-op
+    // for LTZ input. For NTZ the cast interprets wall-clock in the session
+    // TZ; under a fixed-offset zone (the gate mains pin UTC) that is one
+    // constant shift, leaving the gap arithmetic invariant. Session bounds
+    // (min/max below) stay in the INPUT type, so NTZ in → NTZ out.
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     val prev = lag(us, 1).over(byUser)
     val brk = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1).otherwise(0)
     events

@@ -52,21 +52,38 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     gcGraceMs: Long = 60L * 60 * 1000,
     statsColumns: Option[Set[String]] = None) {
 
-  // Timestamp columns must be written as INT64 TIMESTAMP_MICROS: Spark's
-  // legacy INT96 parquet encoding carries no usable column-chunk statistics,
-  // which would leave the manifest-level timestamp min/max pruning
-  // (readRange / dirFooterInfo) permanently inert — reads stay correct via
-  // the always-read fallback, but every time-window query would scan every
-  // dir. Pinned at table construction (idempotent, session-scoped) so every
-  // write through this handle produces stats-bearing footers. Only the
-  // legacy INT96 default is replaced: an application that deliberately set
-  // TIMESTAMP_MILLIS for its own exports keeps its choice (MILLIS footers
-  // are safely ignored by the harvest's unit check, so pruning stays off
-  // for that session rather than mis-firing).
-  if (spark.conf.get("spark.sql.parquet.outputTimestampType", "INT96") == "INT96")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-
   val log = new SnapshotLog(root, retainVersions, gcGraceMs)
+
+  /**
+   * Runs one of THIS table's data-directory writes with parquet timestamps
+   * pinned to INT64 TIMESTAMP_MICROS. Spark's legacy INT96 encoding carries
+   * no usable column-chunk statistics, which would leave the manifest-level
+   * timestamp min/max pruning (readRange / dirFooterInfo) permanently inert
+   * — reads stay correct via the always-read fallback, but every
+   * time-window query would scan every dir.
+   *
+   * Scoped save/set/restore, NOT a constructor-time session mutation: round
+   * 5 set this session-wide on table construction, which retagged every
+   * LATER parquet write in the shared session (including ones that never
+   * touch a GraftTable) from INT96 to adjusted-to-UTC micros — a visible
+   * type change for any downstream naive-timestamp reader. Only the legacy
+   * INT96 default is replaced even here: an application that deliberately
+   * chose TIMESTAMP_MILLIS keeps its choice (MILLIS footers are safely
+   * ignored by the harvest's unit check, so pruning stays off rather than
+   * mis-firing). The window where the conf is altered is exactly the write
+   * job of this table's own data — a concurrent writer on the same session
+   * during that window would also produce (correct, statistics-bearing)
+   * MICROS files, a benign encoding swap, restored in finally either way.
+   */
+  private def withMicrosFooters[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key, "INT96")
+    if (prev != "INT96") body
+    else {
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
 
   // Shared by the serving lookups: building a fresh Hadoop conf per call
   // copies the whole session conf (~10 ms) — measurable against a
@@ -397,10 +414,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // bucket skip at the parquet level once files grow past one row group
     // (the 100 TB bucket) — and sorted columns compress better. The sort is
     // per-task over one bucket's rows, a trivial cost next to the write.
-    df.withColumn(BucketCol, bucketId(key, n))
-      .repartition(n, col(BucketCol))
-      .sortWithinPartitions(col(BucketCol), col(key))
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
+    withMicrosFooters {
+      df.withColumn(BucketCol, bucketId(key, n))
+        .repartition(n, col(BucketCol))
+        .sortWithinPartitions(col(BucketCol), col(key))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
+    }
     leafCounts(rel, statsKeep(Some(key)))
   }
 
@@ -629,7 +648,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def writeDataDir(df: DataFrame, snapshotId: Long): DirInfo = {
     val rel = s"data/s$snapshotId-${UUID.randomUUID().toString.take(8)}"
     val abs = root.resolve(rel).toString
-    df.write.mode("overwrite").parquet(abs)
+    withMicrosFooters { df.write.mode("overwrite").parquet(abs) }
     // Record count AND column min/max come from the footers of what was
     // just written — one driver-side metadata pass, no read-back Spark job
     // (this replaced an observe() accumulator, which counted rows but could
@@ -808,7 +827,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         } :+ col("__op").cast("string").as("__op"): _*)
-        aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+        withMicrosFooters {
+          aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
+        }
         written = Some(rel)
         rel
       }

@@ -37,7 +37,10 @@ class LocalReadSpec extends AnyFunSuite {
   }
 
   test("local lookup handles timestamp columns and schema evolution") {
+    // Both timestamp kinds through the serving path: `ts` is NTZ (what
+    // Q.events now emits), `ts_ltz` the session-TZ flavor.
     val ev = graft.queries.Q.events(spark, TestSpark.sf0001)
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
     val t = new GraftTable(spark, TestSpark.tmpDir("lkp-ev-").resolve("t"), "t")
     t.overwriteBucketed(ev, "event_id", 4)
     // evolve: new column appears only in post-evolution files
@@ -50,7 +53,8 @@ class LocalReadSpec extends AnyFunSuite {
     val preEvo = t.lookupKey(3L).collect()
     assert(preEvo.length == 1 && preEvo.head.isNullAt(preEvo.head.fieldIndex("extra")),
       "pre-evolution file rows must be padded with a typed null")
-    assert(preEvo.head.getAs[java.sql.Timestamp]("ts") != null)
+    assert(preEvo.head.getAs[java.time.LocalDateTime]("ts") != null)
+    assert(preEvo.head.getAs[java.sql.Timestamp]("ts_ltz") != null)
     val postEvo = t.lookupKey(1000003L).collect()
     assert(postEvo.length == 1 && postEvo.head.getAs[Long]("extra") == 7L)
     assert(t.lookupKey(3L).collect().map(_.toSeq).toSet == distributed(t, 3L))

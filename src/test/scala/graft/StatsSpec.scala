@@ -140,7 +140,11 @@ class StatsSpec extends AnyFunSuite {
 
   test("timestamp range read is correct (prunes only when micros stats exist)") {
     val t = new GraftTable(spark, TestSpark.tmpDir("stats-ts-").resolve("t"), "t")
+    // Q.events now emits NTZ (gate parity); cast back to session-TZ
+    // TimestampType so THIS test keeps covering the LTZ path — the one
+    // whose footers the scoped outputTimestampType pin exists for.
     val ev = graft.queries.Q.events(spark, TestSpark.sf0001)
+      .withColumn("ts", col("ts").cast("timestamp"))
     val cut = ev.select(min("ts")).head().getTimestamp(0)
     t.overwrite(ev.filter(col("ts") <= cut))
     t.append(ev.filter(col("ts") > cut))

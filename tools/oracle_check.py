@@ -23,6 +23,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_tag(s: pd.Series) -> str:
+    """Driver-faithful type identity for a column. The driver loads the
+    result parquet in DuckDB and compares its schema against the oracle
+    query's: integer/float WIDTH is tolerated (the 82 r5-green entries
+    include width-normalized casts), but a timezone-aware timestamp
+    (parquet isAdjustedToUTC=true -> DuckDB TIMESTAMP WITH TIME ZONE) is a
+    DIFFERENT TYPE from the oracle's naive TIMESTAMP. Round 5 shipped 7
+    entries red precisely because the old norm() here tz_localize(None)'d
+    that distinction away before comparing."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        tz = getattr(s.dtype, "tz", None)
+        return "timestamptz" if tz is not None else "timestamp"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return str(s.dtype)
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -81,6 +102,17 @@ def main():
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+            n_fail += 1
+            continue
+        # Schema check BEFORE value compare, on the PRE-norm frames: norm()
+        # erases exactly the tz-awareness split the driver's gate flags.
+        type_bad = [
+            (c, type_tag(got[c]), type_tag(exp[c]))
+            for c in sorted(got.columns)
+            if type_tag(got[c]) != type_tag(exp[c])]
+        if type_bad:
+            c, gt, et = type_bad[0]
+            print(f"FAIL {name}: schema col={c} got={gt} exp={et}")
             n_fail += 1
             continue
         if g.shape != e.shape:
