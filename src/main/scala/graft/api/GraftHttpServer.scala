@@ -133,17 +133,20 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       .flatMap(c => if (c < ' ') "" else c.toString) + "\"}"
 
   /** Route with uniform error mapping: bad input → 400, anything else → 500
-    * (`safe_execute`'s error surface, `api_poc.py:54-63`). */
-  private def handle(path: String)(fn: HttpExchange => String): Unit =
+    * (`safe_execute`'s error surface, `api_poc.py:54-63`). `exact` is for
+    * routes that take no path argument: they match ONLY their own path —
+    * without it, `GET /tables/anything` would 200 with the tables list
+    * instead of 404ing. */
+  private def handle(path: String, exact: Boolean = false)(
+      fn: HttpExchange => String): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       try {
         // The JDK server matches contexts by literal string prefix, so
         // `/tablesx` lands on the `/tables` handler. Enforce the segment
-        // boundary centrally: the path must BE the route or continue with
-        // `/`. (Arg-taking routes re-check via rawPathArg; this covers the
-        // no-arg routes too.)
+        // boundary centrally: the path must BE the route or (for arg-taking
+        // routes, which re-check via rawPathArg) continue with `/`.
         val p = ex.getRequestURI.getPath
-        if (p != path && !p.startsWith(path + "/"))
+        if (p != path && (exact || !p.startsWith(path + "/")))
           throw new NoSuchElementException(s"no such endpoint: $p")
         respond(ex, 200, fn(ex))
       }
@@ -173,7 +176,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   // -------------------------------------------------------------- routes
 
-  handle("/tables") { _ =>
+  handle("/tables", exact = true) { _ =>
     session.catalog.listTables()
       .map(t => "\"" + t + "\"").mkString("""{"tables":[""", ",", "]}")
   }
@@ -205,6 +208,11 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val table = session.catalog.table(t)
     require(table.schema.fieldNames.contains(c), s"no such column $c")
     val dt = table.schema(c).dataType
+    // A boolean column has no meaningful range window, and Coerce's truthy
+    // parse cannot FAIL on it (any non-truthy string becomes false), so a
+    // nonsense bound would 200 — reject the column kind up front instead.
+    require(dt != org.apache.spark.sql.types.BooleanType,
+      s"column $c is ${dt.simpleString}: range windows need an orderable column")
     // Bounds arrive as strings and coerce per the column's type — the same
     // form-value rules as the DML endpoints; the manifest-level min/max
     // skipping then plans only the dirs whose bounds intersect the window.

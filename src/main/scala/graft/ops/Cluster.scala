@@ -66,6 +66,20 @@ object Cluster {
    */
   val defaultDriverEdgeLimit: Long = 200000L
 
+  /**
+   * Distinct-edge sanity cap (loud-failure guard, not a tuning knob): a
+   * VERIFIED near-dup pair graph is sparse by construction — pairs exist
+   * only where the candidate stage matched AND the exact check passed — so
+   * even a billion-document corpus yields edges in the millions. An edge
+   * frame past this cap almost certainly means a caller wired an
+   * UNVERIFIED candidate frame (raw band buckets, a cross join) into the
+   * clustering step; at corpus scale that quadratic input would grind
+   * through star rounds for hours before anyone noticed. Fail at the first
+   * signature aggregate (computed anyway) instead. Pass 0 to disable for
+   * a genuinely dense graph.
+   */
+  val defaultMaxEdges: Long = 100000000L
+
   /** Driver union-find, components keyed by MIN id (roots merge min-wards —
     * the same canonical labeling the distributed fixpoint produces). */
   private def unionFindComponents(
@@ -105,7 +119,8 @@ object Cluster {
       aCol: String,
       bCol: String,
       maxRounds: Int = 50,
-      driverEdgeLimit: Long = defaultDriverEdgeLimit): DataFrame = {
+      driverEdgeLimit: Long = defaultDriverEdgeLimit,
+      maxEdges: Long = defaultMaxEdges): DataFrame = {
     // Lazy checkpoints: the signature aggregate right after is the first
     // action, so each round materializes its checkpoint AND computes the
     // signature in ONE job instead of two (eager checkpoint + agg).
@@ -126,6 +141,10 @@ object Cluster {
     }
 
     var sig = signature(edges)
+    require(maxEdges <= 0 || sig._1 <= maxEdges,
+      s"edge frame has ${sig._1} distinct edges (cap $maxEdges): a verified " +
+        "near-dup graph is sparse — this looks like an unverified candidate " +
+        "frame; verify pairs first or raise maxEdges explicitly")
     if (sig._1 <= driverEdgeLimit) {
       // Small graph: the edges are already checkpointed, so the collect is
       // a cheap second job over materialized blocks.
@@ -169,8 +188,9 @@ object Cluster {
       idCol: String,
       edges: DataFrame,
       aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(edges, aCol, bCol)
+      bCol: String = "id_b",
+      maxEdges: Long = defaultMaxEdges): DataFrame = {
+    val cc = connectedComponents(edges, aCol, bCol, maxEdges = maxEdges)
     docs.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
@@ -182,8 +202,9 @@ object Cluster {
       idCol: String,
       edges: DataFrame,
       aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame =
-    clusterDocs(docs, idCol, edges, aCol, bCol)
+      bCol: String = "id_b",
+      maxEdges: Long = defaultMaxEdges): DataFrame =
+    clusterDocs(docs, idCol, edges, aCol, bCol, maxEdges)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
       .join(docs, Seq(idCol))

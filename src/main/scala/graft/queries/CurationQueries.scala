@@ -190,11 +190,13 @@ object CurationQueries {
           |l AS (SELECT doc_id, line_id,
           |        array_to_string(ts[CAST(line_id*8+1 AS INT) : CAST(line_id*8+8 AS INT)], ' ') AS line
           |      FROM c),
-          |df AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+          |df AS (SELECT line, count(DISTINCT doc_id) AS nd
+          |       FROM l WHERE line <> '' GROUP BY line),
           |keep AS (SELECT l.doc_id, l.line_id, l.line
-          |         FROM l JOIN df USING (line) WHERE df.nd <= 5)
+          |         FROM l LEFT JOIN df USING (line)
+          |         WHERE df.nd IS NULL OR df.nd <= 5)
           |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_id) AS text_clean,
-          |  CAST(count(*) AS BIGINT) AS n_lines_kept
+          |  CAST(count(CASE WHEN line <> '' THEN 1 END) AS BIGINT) AS n_lines_kept
           |FROM keep GROUP BY doc_id""".stripMargin),
     "x_chunks" ->
       (tokCte +

@@ -184,9 +184,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val cutoff = java.time.Instant.parse(ts)
     // Core-only scan to pick the cutoff snapshot (no detail inflation for
     // the N-1 rejected manifests), then one full read for the winner.
+    // Candidates newest-first: if the winner EXPIRES between the core scan
+    // and its log.get (retention GC racing this read), fall through to the
+    // next-older retained snapshot instead of returning an empty frame —
+    // the same next-best degradation the old full-materialize path had.
     log.snapshotsCore()
       .filter(s => !java.time.Instant.parse(s.committedAt).isAfter(cutoff))
-      .maxByOption(_.snapshotId).flatMap(c => log.get(c.snapshotId))
+      .sortBy(-_.snapshotId)
+      .iterator.flatMap(c => log.get(c.snapshotId))
+      .nextOption()
       .map(readResolved)
       .getOrElse(emptyDF(schema))
   }

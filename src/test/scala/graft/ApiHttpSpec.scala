@@ -98,6 +98,15 @@ class ApiHttpSpec extends AnyFunSuite {
     val (c3, b3) = get("/range/orders_t?col=o_orderkey&lo=abc&hi=105")
     assert(c3 == 400, s"$c3 $b3")
     assert(b3.contains("abc"), b3)
+    // A boolean column can't take a range window, and its coercion can't
+    // fail (any non-truthy string becomes false) — so the column kind
+    // itself must 400, not 200 with a nonsense window.
+    import spark.implicits._
+    session.catalog.saveTable("flags_t",
+      Seq((1L, true), (2L, false)).toDF("id", "flag"))
+    val (c4, b4) = get("/range/flags_t?col=flag&lo=purple&hi=banana")
+    assert(c4 == 400, s"$c4 $b4")
+    assert(b4.contains("orderable"), b4)
   }
 
   test("POST /upload ingests a CSV body") {
@@ -135,6 +144,10 @@ class ApiHttpSpec extends AnyFunSuite {
     // '/tables' context and '/queryx' the '/query' context.
     val (c1b, _) = get("/tablesx")
     assert(c1b == 404, s"GET /tablesx must 404, got $c1b")
+    // ...and a no-arg route takes no subpath either: /tables/anything is
+    // not an endpoint, not a spelling of /tables.
+    val (c1d, _) = get("/tables/anything")
+    assert(c1d == 404, s"GET /tables/anything must 404, got $c1d")
     val (c1c, _) = get("/queryx?query=SELECT%201")
     assert(c1c == 404, s"GET /queryx must 404, got $c1c")
     val (c2, _) = get("/data/orders_t?limit=1")

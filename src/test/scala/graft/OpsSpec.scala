@@ -84,6 +84,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 9L))
   }
 
+  test("clustering refuses a suspiciously dense edge frame (unverified candidates)") {
+    val d = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    // An all-pairs frame — the shape a caller gets by wiring raw candidate
+    // buckets (or a cross join) into clustering without the verify step.
+    val dense = d.select(col("doc_id").as("id_a"))
+      .crossJoin(d.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val e = intercept[IllegalArgumentException] {
+      Cluster.clusterDocs(d, "doc_id", dense, maxEdges = 3L).collect()
+    }
+    assert(e.getMessage.contains("distinct edges"))
+    // maxEdges = 0 disables the cap for a genuinely dense graph.
+    assert(Cluster.clusterDocs(d, "doc_id", dense, maxEdges = 0L).count() == 4)
+  }
+
   test("clustering over the corpus pair graph matches its own edge closure") {
     val edges = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.5)
     val clusters = Cluster.clusterDocs(docs, "doc_id", edges)
