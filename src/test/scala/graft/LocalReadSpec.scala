@@ -60,6 +60,47 @@ class LocalReadSpec extends AnyFunSuite {
     assert(t.lookupKey(3L).collect().map(_.toSeq).toSet == distributed(t, 3L))
   }
 
+  test("mixed pre/post-evolution files in one bucket with sanitized names: bit-equal to distributed") {
+    import spark.implicits._
+    import graft.functions.Identifiers
+    // Column names as CSV ingest sanitization produces them — mixed case
+    // with underscores ("Customer Id" → "Customer_Id"): the serving read
+    // remaps file→table columns BY NAME, so sanitized spellings must round
+    // trip exactly.
+    val custCol = Identifiers.sanitize("Customer Id")
+    val valCol = Identifiers.sanitize("Order Value")
+    val extraCol = Identifiers.sanitize("Extra Col")
+    assert(custCol == "Customer_Id" && extraCol == "Extra_Col")
+    val t = new GraftTable(spark, TestSpark.tmpDir("lkp-mix-").resolve("t"), "t")
+    val v1 = (0L until 40L).map(k => (k, s"name$k", k * 2.5))
+      .toDF("id", custCol, valCol)
+    t.overwriteBucketed(v1, "id", 4)
+    // Post-evolution append DUPLICATING existing ids: every bucket now
+    // mixes a 3-column pre-evolution file with a 4-column appended file,
+    // and the duplicated keys have one row in EACH file shape.
+    val v2 = Seq(3L, 17L, 30L).map(k => (k, s"name$k-new", k * 3.5, s"x$k"))
+      .toDF("id", custCol, valCol, extraCol)
+    t.append(v2)
+    assert(t.schema.fieldNames.toSeq == Seq("id", custCol, valCol, extraCol))
+    for (k <- 0L until 40L) {
+      val local = t.lookupKeyRows(k).map(_.toSeq)
+      val dist = {
+        sys.props(LocalPointRead.EnabledProp) = "false"
+        try t.lookupKeyRows(k).map(_.toSeq)
+        finally sys.props.remove(LocalPointRead.EnabledProp)
+      }
+      // Multiset bit-equality: same rows, same values, same null padding.
+      assert(local.map(_.toString).sorted == dist.map(_.toString).sorted,
+        s"paths disagree for key $k: local=$local dist=$dist")
+      val expected = if (Seq(3L, 17L, 30L).contains(k)) 2 else 1
+      assert(local.size == expected, s"key $k expected $expected rows, got $local")
+      // The pre-evolution row of a duplicated key must be null-padded.
+      if (expected == 2)
+        assert(local.exists(_.last == null) && local.exists(_.last == s"x$k"),
+          s"key $k rows: $local")
+    }
+  }
+
   test("byte cap forces the distributed fallback; results identical") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lkp-cap-").resolve("t"), "t")
     t.overwriteBucketed(orders, "o_orderkey", 4)
