@@ -73,20 +73,26 @@ object Merge {
     // (schema evolution during merge), excluding the op meta column.
     val metaCols = opCol.toSet
     val updateDataCols = deduped.columns.filterNot(metaCols.contains)
-    val outCols: Seq[String] =
-      target.columns.toSeq ++ updateDataCols.filterNot(target.columns.contains)
+    // Case-insensitive (see unionSchema): an update batch spelling the
+    // target's "id" as "ID" evolves nothing — and must still have its
+    // values land in "id", not be null-padded as an absent column.
+    val targetLower = target.columns.map(_.toLowerCase).toSet
+    val outCols: Seq[String] = target.columns.toSeq ++
+      updateDataCols.filterNot(c => targetLower.contains(c.toLowerCase))
 
     // Align one side to outCols, padding absent columns with typed nulls
     // (the reference pads evolved columns the same way:
     // `ingest_csv_hudi.py:128`).
     def alignTo(df: DataFrame, other: DataFrame): DataFrame = {
-      val have = df.columns.toSet
+      val have = df.columns.map(c => c.toLowerCase -> c).toMap
       df.select(outCols.map { c =>
-        if (have.contains(c)) col(c).as(c)
-        else {
-          val dt = other.schema.find(_.name == c).map(_.dataType)
-            .getOrElse(org.apache.spark.sql.types.StringType)
-          lit(null).cast(dt).as(c)
+        have.get(c.toLowerCase) match {
+          case Some(actual) => col(actual).as(c)
+          case None =>
+            val dt = other.schema
+              .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType)
+            lit(null).cast(dt).as(c)
         }
       }: _*)
     }
@@ -131,9 +137,16 @@ object Merge {
     * table schema let null-intolerant consumers (e.g. a LocalRelation built
     * from served rows) read the padding as 0 instead of NULL. */
   def unionSchema(base: StructType, incoming: StructType): StructType = {
-    val baseNames = base.fieldNames.toSet
+    // Name match is case-INSENSITIVE, like the analyzer's default
+    // resolution: an incoming "ID" is the table's existing "id" (kept under
+    // the table's spelling), not a second column. Admitting a case-variant
+    // pair into one schema would brick every later read — Spark's
+    // case-insensitive parquet resolution rejects duplicate-modulo-case
+    // columns — and the align step would silently null-pad the canonical
+    // one while the incoming values landed beside it.
+    val baseNames = base.fieldNames.map(_.toLowerCase).toSet
     StructType(base.fields ++
-      incoming.fields.filterNot(f => baseNames.contains(f.name))
+      incoming.fields.filterNot(f => baseNames.contains(f.name.toLowerCase))
         .map(_.copy(nullable = true)))
   }
 }

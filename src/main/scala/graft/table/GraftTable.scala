@@ -666,10 +666,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   private def align(df: DataFrame, st: StructType): DataFrame = {
-    val have = df.columns.toSet
+    // Case-insensitive resolution (analyzer semantics, see
+    // Merge.unionSchema): an incoming "ID" lands in the table's "id",
+    // written under the table's canonical spelling.
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(st.fields.toSeq.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name.toLowerCase) match {
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 
@@ -828,10 +833,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           case Some(c) => deduped.withColumnRenamed(c, "__op")
           case None => deduped.withColumn("__op", lit(null).cast("string"))
         }
-        val have = withOp.columns.toSet
+        // Case-insensitive like align(): the delta file must use the
+        // table's canonical column spellings.
+        val have = withOp.columns.map(c => c.toLowerCase -> c).toMap
         val aligned = withOp.select(evolved.fields.toSeq.map { f =>
-          if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          have.get(f.name.toLowerCase) match {
+            case Some(c) => col(c).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         } :+ col("__op").cast("string").as("__op"): _*)
         withMicrosFooters {
           aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)

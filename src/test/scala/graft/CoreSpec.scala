@@ -124,6 +124,29 @@ class CoreSpec extends AnyFunSuite {
     assert(t.latestVersion == before + 1)
   }
 
+  test("schema evolution resolves case-insensitively (no duplicate-modulo-case columns)") {
+    val t = new graft.table.GraftTable(spark, TestSpark.tmpDir("case-").resolve("t"), "t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // Append spelling the key "ID": must land in "id", evolve nothing.
+    t.append(Seq((3L, "c")).toDF("ID", "name"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name"),
+      s"case-variant append must not add a column: ${t.schema.fieldNames.toSeq}")
+    assert(t.read().orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L))
+    // Upsert with a case-variant value column + one genuinely new column.
+    t.upsert(Seq((2L, "B2", "x")).toDF("id", "NAME", "extra"), "id")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "extra"))
+    val r2 = t.read().filter($"id" === 2L).head()
+    assert(r2.getAs[String]("name") == "B2", s"case-variant update lost: $r2")
+    assert(r2.getAs[String]("extra") == "x")
+    assert(t.read().filter($"id" === 1L).head().getAs[String]("extra") == null)
+    // Merge-on-read delta with case-variant spelling resolves the same way.
+    t.upsertDeferred(Seq((1L, "A2", "y")).toDF("Id", "Name", "Extra"), "id")
+    val r1 = t.read().filter($"id" === 1L).head()
+    assert(r1.getAs[String]("name") == "A2" && r1.getAs[String]("extra") == "y")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "extra"))
+  }
+
   test("merge: last-writer-wins and idempotence algebra") {
     val target = Seq((1, "a"), (2, "b")).toDF("id", "v")
     val batch = Seq((2, "b2", 5L, "u"), (3, "c", 1L, "c")).toDF("id", "v", "seq", "op")
