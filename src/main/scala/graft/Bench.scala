@@ -83,6 +83,14 @@ object Bench {
       name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
     }
     val results = time(headline)
+
+    /** `n` timed runs, RAW — the median is the headline (single-shot timings
+      * on a busy machine swing ±30%), and the full per-wave series is
+      * reported as a dispersion field so a loaded-machine official run is
+      * distinguishable from a code regression without a rerun. */
+    def runsN(n: Int)(run: Int => Double): Seq[Double] = (0 until n).map(run)
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+
     // Curation entries are timed in 3 waves each (median reported): the r5
     // official run read d_cluster_cc at 9.1s where r4 said 3.1s on
     // UNCHANGED operator code — a local phase probe showed the first
@@ -106,7 +114,7 @@ object Bench {
       }
     val curWaves = timeWaves(curation, 3)
     val curResults = curWaves.map { case (name, ws) =>
-      name -> (if (ws.exists(_ < 0)) -1.0 else { val s = ws.sorted; s(s.size / 2) })
+      name -> (if (ws.exists(_ < 0)) -1.0 else median(ws))
     }
 
     // Pair-generation vs connected-components split for the cluster entry:
@@ -125,13 +133,6 @@ object Bench {
       val tFull = (System.nanoTime() - t1) / 1e9
       ccPhases = Some((tPairs, math.max(0.0, tFull - tPairs)))
     } catch { case e: Throwable => errors("cluster_cc_phases") = errText(e) }
-
-    /** `n` timed runs, RAW — the median is the headline (single-shot timings
-      * on a busy machine swing ±30%), and the full per-wave series is
-      * reported as a dispersion field so a loaded-machine official run is
-      * distinguishable from a code regression without a rerun. */
-    def runsN(n: Int)(run: Int => Double): Seq[Double] = (0 until n).map(run)
-    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
 
     // CDC-merge throughput at the reference's batch size (~100k rows per
     // trigger, `cdc_merger_optimized.py:23`): keyed upsert into a bucketed
@@ -216,10 +217,10 @@ object Bench {
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         val ev = graft.queries.Q.events(spark, sfDir)
-        // Q.events emits NTZ; unix_micros takes LTZ only (session TZ is UTC,
-        // so the cast preserves the micros value).
+        // Q.events emits NTZ; wallMicros extracts the micros zone-free
+        // (unix_micros rejects NTZ).
         val img = struct(col("event_id"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          graft.plans.TimestampMicrosExprs.wallMicros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         def envOf(rows: org.apache.spark.sql.DataFrame, op: String, tsOff: Int) =
           rows.select(to_json(struct(struct(lit(null).cast(rowSchema).as("before"),

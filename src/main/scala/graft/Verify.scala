@@ -21,7 +21,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        // Fail a typo loudly: a misspelled name silently matching nothing
+        // would exit 0 having verified nothing.
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>

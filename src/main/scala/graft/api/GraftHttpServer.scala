@@ -187,7 +187,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     dfJson(session.preview(t, math.min(limit, maxRows)), maxRows)
   }
 
-  handle("/query") { ex =>
+  handle("/query", exact = true) { ex =>
     val sql = qs(ex).getOrElse("query",
       throw new IllegalArgumentException("missing query parameter"))
     dfJson(session.sql(sql), maxRows)

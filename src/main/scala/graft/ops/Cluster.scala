@@ -141,10 +141,16 @@ object Cluster {
     }
 
     var sig = signature(edges)
-    require(maxEdges <= 0 || sig._1 <= maxEdges,
-      s"edge frame has ${sig._1} distinct edges (cap $maxEdges): a verified " +
-        "near-dup graph is sparse — this looks like an unverified candidate " +
-        "frame; verify pairs first or raise maxEdges explicitly")
+    if (maxEdges > 0 && sig._1 > maxEdges) {
+      // Release the (by definition huge) materialized checkpoint before
+      // throwing — a caller catching this in a long-lived session must not
+      // be left holding the quadratic frame's blocks.
+      edges.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"edge frame has ${sig._1} distinct edges (cap $maxEdges): a verified " +
+          "near-dup graph is sparse — this looks like an unverified candidate " +
+          "frame; verify pairs first or raise maxEdges explicitly")
+    }
     if (sig._1 <= driverEdgeLimit) {
       // Small graph: the edges are already checkpointed, so the collect is
       // a cheap second job over materialized blocks.

@@ -29,12 +29,12 @@ object CdcQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The current row as a Debezium image struct (ts as epoch micros).
-    * `ts` arrives as TIMESTAMP_NTZ from [[Q.events]]; `unix_micros` takes
-    * LTZ only, so cast through TimestampType — the session TZ is pinned
-    * UTC, making wall-clock micros == instant micros. */
+  /** The current row as a Debezium image struct (ts as wall-clock micros).
+    * `ts` arrives as TIMESTAMP_NTZ from [[Q.events]]; `wallMicros` extracts
+    * the internal micros zone-free (`unix_micros` rejects NTZ, and a cast
+    * through TimestampType would shift under a non-UTC session zone). */
   private def img = struct(col("event_id"),
-    unix_micros(col("ts").cast(TimestampType)).as("ts_us"),
+    graft.plans.TimestampMicrosExprs.wallMicros(col("ts")).as("ts_us"),
     col("user_id"), col("event_type"), col("value"), col("props"))
 
   private val nul = lit(null).cast(rowSchema)
@@ -62,7 +62,7 @@ object CdcQueries {
       raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val batch = Envelope.transformBatch(raw, rowSchema, "event_id")
       .select(col("event_id"),
-        timestamp_micros(col("ts_us")).cast(TimestampNTZType).as("ts"),
+        graft.plans.TimestampMicrosExprs.microsToNtz(col("ts_us")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"), col("op"))
     val cat = new graft.catalog.GraftCatalog(s, Files.createTempDirectory("graft-cdc-"))
     val target = cat.createTable("cdc_events", targetSchema)

@@ -43,16 +43,16 @@ object Q {
    * must write it back as naive too — an LTZ `ts` parquet-encodes as
    * adjusted-to-UTC micros, which DuckDB types as TIMESTAMP WITH TIME ZONE
    * and the driver's schema compare rejects (the round-5 7-entry
-   * regression). The LTZ→NTZ cast renders in the session time zone, which
-   * the gate mains (Verify/Bench) pin to UTC; pinned here as well so ad-hoc
-   * sessions (tests) get identical values.
+   * regression). The NTZ value is built straight from the micros
+   * ([[graft.plans.TimestampMicrosExprs.microsToNtz]]) — zone-free, no
+   * session-TZ dependence and no session conf mutated beyond the
+   * `nanosAsLong` read flag this file needs to open the NANOS column at all.
    */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        graft.plans.TimestampMicrosExprs.microsToNtz(expr("ts div 1000")))
   }
 
   /** A fresh single-use [[GraftTable]] in a temp warehouse dir. */

@@ -63,13 +63,12 @@ object EventWindows {
       gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)
-    // Accept NTZ timestamps too (the gate corpus is wall-clock naive):
-    // unix_micros takes LTZ only, so cast through TimestampType — a no-op
-    // for LTZ input. For NTZ the cast interprets wall-clock in the session
-    // TZ; under a fixed-offset zone (the gate mains pin UTC) that is one
-    // constant shift, leaving the gap arithmetic invariant. Session bounds
+    // Zone-free micros for BOTH timestamp kinds (unix_micros rejects NTZ,
+    // and a cast between the kinds re-renders through the session zone —
+    // non-constant and non-injective across DST transitions, which would
+    // corrupt gap arithmetic for non-UTC sessions). Session bounds
     // (min/max below) stay in the INPUT type, so NTZ in → NTZ out.
-    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val us = graft.plans.TimestampMicrosExprs.wallMicros(col(tsCol))
     val prev = lag(us, 1).over(byUser)
     val brk = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1).otherwise(0)
     events

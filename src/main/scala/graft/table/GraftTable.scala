@@ -71,9 +71,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * chose TIMESTAMP_MILLIS keeps its choice (MILLIS footers are safely
    * ignored by the harvest's unit check, so pruning stays off rather than
    * mis-firing). The window where the conf is altered is exactly the write
-   * job of this table's own data — a concurrent writer on the same session
-   * during that window would also produce (correct, statistics-bearing)
-   * MICROS files, a benign encoding swap, restored in finally either way.
+   * job of this table's own data. A concurrent writer on the same session
+   * can interleave either way — planning inside the window picks up MICROS
+   * (correct, statistics-bearing files), planning across a restore can
+   * still pick up INT96 (correct files whose timestamp stats are absent,
+   * so manifest skipping stays off for those dirs). Both outcomes preserve
+   * correctness; stats harvesting is best-effort by design.
    */
   private def withMicrosFooters[T](body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
@@ -833,15 +836,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           case Some(c) => deduped.withColumnRenamed(c, "__op")
           case None => deduped.withColumn("__op", lit(null).cast("string"))
         }
-        // Case-insensitive like align(): the delta file must use the
-        // table's canonical column spellings.
-        val have = withOp.columns.map(c => c.toLowerCase -> c).toMap
-        val aligned = withOp.select(evolved.fields.toSeq.map { f =>
-          have.get(f.name.toLowerCase) match {
-            case Some(c) => col(c).cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
-          }
-        } :+ col("__op").cast("string").as("__op"): _*)
+        // One shared alignment (case-insensitive canonical spellings): the
+        // delta schema is the evolved table schema plus the op marker.
+        val evolvedPlusOp = StructType(evolved.fields :+
+          org.apache.spark.sql.types.StructField("__op",
+            org.apache.spark.sql.types.StringType, nullable = true))
+        val aligned = align(withOp, evolvedPlusOp)
         withMicrosFooters {
           aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
         }

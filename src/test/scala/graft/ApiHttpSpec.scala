@@ -150,6 +150,8 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c1d == 404, s"GET /tables/anything must 404, got $c1d")
     val (c1c, _) = get("/queryx?query=SELECT%201")
     assert(c1c == 404, s"GET /queryx must 404, got $c1c")
+    val (c1e, _) = get("/query/anything?query=SELECT%201")
+    assert(c1e == 404, s"GET /query/anything must 404, got $c1e")
     val (c2, _) = get("/data/orders_t?limit=1")
     assert(c2 == 200, "the real /data/{t} route must keep working")
     // A table segment containing %2F decodes to 'a/b' AFTER the split — it

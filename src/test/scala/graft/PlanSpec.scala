@@ -147,4 +147,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"anti join must be broadcast:\n$p")
   }
+
+  test("wallMicros/microsToNtz are zone-free identities in every session zone") {
+    import graft.plans.TimestampMicrosExprs._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // 2024-01-01T00:00:00 wall-clock plus offsets; values must not move
+      // with the session zone (America/New_York also exercises DST rules).
+      for (tz <- Seq("UTC", "Asia/Tokyo", "America/New_York")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val df = spark.range(3)
+          .select((col("id") * 977L + 1704067200000000L).as("us"))
+        assert(df.select(wallMicros(microsToNtz(col("us"))).as("rt"), col("us"))
+          .filter(col("rt") =!= col("us")).count() == 0, s"round trip in $tz")
+        val rendered = df.select(microsToNtz(col("us")).cast("string"))
+          .orderBy("us").collect().map(_.getString(0)).head
+        assert(rendered == "2024-01-01 00:00:00", s"zone $tz rendered $rendered")
+      }
+      // Gap sessionization over NTZ events gives identical sessions in any
+      // zone (the r6 DST-correctness claim, asserted not just commented).
+      import spark.implicits._
+      def sessions(tz: String): Seq[(Long, Long)] = {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val ev = Seq(1704067200000000L, 1704067260000000L, 1704200000000000L)
+          .map(us => (1L, us)).toDF("user_id", "us")
+          .select(col("user_id"), microsToNtz(col("us")).as("ts"))
+        graft.streaming.EventWindows
+          .sessionizeBatch(ev, "ts", "user_id", gapSeconds = 3600L)
+          .select(col("user_id"), col("n_events"))
+          .as[(Long, Long)].collect().toSeq.sorted
+      }
+      assert(sessions("UTC") == sessions("America/New_York"))
+      assert(sessions("UTC") == Seq((1L, 1L), (1L, 2L)))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
