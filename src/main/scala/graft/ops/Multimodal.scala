@@ -7,10 +7,16 @@ import org.apache.spark.sql.types._
 /**
  * Multimodal-column plumbing: media (image/audio/video) rides as an opaque
  * `binary` payload column with typed metadata; decode / feature-extract run
- * per-partition in batches. The Spark-side contract — schema, partitioning,
- * batch shape, output schema — is real and tested; the actual codec call is
- * a clearly marked STUB (no image/audio libraries exist in this
- * environment) producing deterministic fake features from the bytes.
+ * per-partition in batches.
+ *
+ * IMAGES are decoded FOR REAL: the JDK ships PNG/JPEG/BMP/GIF/TIFF codecs
+ * (`javax.imageio`, headless-safe, no external dependency), so
+ * [[decodeImages]] / [[resizeImages]] do actual pixel work — dimensions,
+ * frame count, exact channel means, an 8×8 bilinear luma thumbnail (the
+ * aHash basis), and PNG re-encode after resize. AUDIO/VIDEO have no codec
+ * in this environment; their path ([[decodeFeatures]]) keeps the real
+ * per-partition batch shape with a clearly marked deterministic stub where
+ * the codec call belongs.
  */
 object Multimodal {
 
@@ -81,5 +87,160 @@ object Multimodal {
       it.grouped(decodeBatchSize).flatMap(decodeBatch)
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ------------------------------------------------------ real image codec
+
+  /** Output schema of [[decodeImages]]: `decoded = false` rows carry the
+    * byte count and zeros/empties — an undecodable payload is data to
+    * filter on, never an executor crash. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frame_count", LongType, nullable = false),
+    StructField("mean_rgb", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("thumb_luma", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Thumbnail edge for the aHash-style luma feature (8×8 = 64 doubles). */
+  val thumbEdge = 8
+
+  /** Decode one image payload with the JDK codecs; first frame drives the
+    * pixel features, `frame_count` counts all frames (animated GIF). */
+  private def decodeOneImage(id: Long, payload: Array[Byte]): Row = {
+    val n = payload.length.toLong
+    def fallback = Row(id, n, false, 0, 0, 0L,
+      Array.empty[Double], Array.empty[Double])
+    if (n == 0) return fallback
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return fallback
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val frames = try reader.getNumImages(true).toLong catch {
+            case _: javax.imageio.IIOException => 1L
+          }
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          // Exact channel means over the full frame: one bulk getRGB pass.
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            i += 1
+          }
+          val cnt = px.length.toDouble
+          val mean = Array(sr / cnt, sg / cnt, sb / cnt)
+          // 8×8 bilinear grayscale thumbnail (aHash basis). Integer luma
+          // weights so an external check can reproduce values exactly.
+          val thumb = new java.awt.image.BufferedImage(
+            thumbEdge, thumbEdge, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = thumb.createGraphics()
+          try {
+            g2.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, thumbEdge, thumbEdge, null)
+          } finally g2.dispose()
+          val tpx = thumb.getRGB(0, 0, thumbEdge, thumbEdge, null, 0, thumbEdge)
+          val luma = tpx.map { p =>
+            (299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+              114L * (p & 0xFF)) / 1000.0
+          }
+          Row(id, n, true, w, h, frames, mean, luma)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
+
+  /**
+   * REAL image decode + feature extraction over the media table — same
+   * distributed shape as [[decodeFeatures]] (per-partition, batched, no
+   * driver involvement), but the codec call is `javax.imageio` doing actual
+   * pixel work. At 100 TB this is the dominant-cost map stage of an image
+   * curation pipeline; it shuffles nothing.
+   */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = imageFeatureSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { r =>
+        decodeOneImage(r.getLong(0),
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Output schema of [[resizeImages]]: resized payloads are PNG (lossless,
+    * so constant regions survive re-decode bit-exactly). */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /**
+   * REAL image resize: decode with the JDK codecs, bilinear-scale to
+   * `width`×`height`, re-encode as PNG. Undecodable payloads pass through
+   * with `decoded = false` and a NULL payload. Same per-partition batch
+   * shape as the decode operators.
+   */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "resize dimensions must be positive")
+    val spark = media.sparkSession
+    val outSchema = resizedSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) Row(id, false, null)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            try {
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, width, height, null)
+            } finally g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(id, true, bos.toByteArray)
+          }
+        } catch { case scala.util.control.NonFatal(_) => Row(id, false, null) }
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic constant-color PNG — the synthesis helper gates and
+    * tests use to build image corpora whose decode results are analytic
+    * (a constant image survives PNG round-trip and bilinear resize with
+    * every pixel exactly the painted color). */
+  def constantPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 }

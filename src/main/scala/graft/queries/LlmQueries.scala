@@ -344,11 +344,61 @@ object LlmQueries {
           col("meta.source").as("source"),
           col("meta.declared_bytes").as("declared_bytes"))),
 
-    // Multimodal: batched per-partition decode (STUB codec, real plumbing).
+    // Multimodal: batched per-partition decode (STUB codec, real plumbing —
+    // the audio/video path; images decode for real below).
     "m_decode_stub" -> ((s, d) =>
       Multimodal.decodeFeatures(
         Multimodal.asMediaTable(tbl(s, d, "documents"), "doc_id", "text", "source"))
-        .select("media_id", "n_bytes", "frame_count")))
+        .select("media_id", "n_bytes", "frame_count")),
+
+    // Multimodal: REAL image decode through the JDK PNG codec, hash-checked.
+    // Each doc id synthesizes a constant-color PNG with analytically known
+    // dimensions and channel values; the operator must recover exactly
+    // those from the pixels (constant images survive PNG round-trip and the
+    // 8×8 bilinear thumbnail bit-exactly), so the DuckDB oracle is pure
+    // arithmetic while the Spark side does actual codec work.
+    "m_image_decode" -> ((s, d) => {
+      val media = imageCorpus(s, d)
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+          col("frame_count"),
+          element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
+          element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
+          element_at(col("mean_rgb"), 3).cast("long").as("mean_b"),
+          element_at(col("thumb_luma"), 1).as("luma_1"))
+    }),
+
+    // Multimodal: REAL resize (decode → bilinear scale → PNG re-encode)
+    // chained into a second real decode — dimensions become the target box
+    // and constant channel values survive both codec passes.
+    "m_image_resize" -> ((s, d) => {
+      val media = imageCorpus(s, d)
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(media, 4, 3)
+          .select(col("media_id"), lit("image").as("media_type"), col("payload"),
+            struct(lit(null).cast("string").as("source"),
+              octet_length(col("payload")).cast("long").as("declared_bytes"))
+              .as("meta")))
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+          element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
+          element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
+          element_at(col("mean_rgb"), 3).cast("long").as("mean_b"))
+    }))
+
+  /** Deterministic synthetic image corpus: one constant-color PNG per doc
+    * id — width/height/color all analytic functions of the id (executors
+    * synthesize their own partitions' payloads; nothing is collected). */
+  private def imageCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    val payload = ids.map { id =>
+      (id, Multimodal.constantPng(
+        (id % 13L).toInt + 1, (id % 7L).toInt + 1,
+        (id % 256L).toInt, (id * 7L % 256L).toInt, (id * 13L % 256L).toInt),
+        "synthetic")
+    }.toDF("doc_id", "png", "src")
+    Multimodal.asMediaTable(payload, "doc_id", "png", "src")
+  }
 
   val oracles: Map[String, String] = Map(
     // Oracles group by normalized text (not by the planted-copy pattern)
@@ -543,5 +593,24 @@ object LlmQueries {
     "m_decode_stub" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(1 + octet_length(encode(text)) // 1024 AS BIGINT) AS frame_count
+        |FROM documents""".stripMargin,
+    // Real-codec entries: every value is an analytic function of doc_id
+    // because the corpus is constant-color PNGs (see imageCorpus) — the
+    // oracle recomputes what the pixels must decode to.
+    "m_image_decode" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 7 + 1 AS INT) AS height,
+        |  CAST(1 AS BIGINT) AS frame_count,
+        |  doc_id % 256 AS mean_r, (doc_id * 7) % 256 AS mean_g,
+        |  (doc_id * 13) % 256 AS mean_b,
+        |  (299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256)
+        |     + 114 * ((doc_id * 13) % 256)) / 1000.0 AS luma_1
+        |FROM documents""".stripMargin,
+    "m_image_resize" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  doc_id % 256 AS mean_r, (doc_id * 7) % 256 AS mean_g,
+        |  (doc_id * 13) % 256 AS mean_b
         |FROM documents""".stripMargin)
 }

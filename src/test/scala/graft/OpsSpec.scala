@@ -247,4 +247,52 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("n_bytes") =!= col("tlen")) // corpus text is ASCII
     assert(joined.count() == 0)
   }
+
+  test("multimodal: real JDK image decode — gradient pixels, resize box, broken-payload fallback") {
+    // A non-constant gradient: the operator's means/thumbnail must match a
+    // reference computed directly with ImageIO in this test.
+    def gradientPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 255 / math.max(1, w - 1)) << 16) |
+          ((y * 255 / math.max(1, h - 1)) << 8) | 0x40)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val png = gradientPng(20, 10)
+    val rows = Seq(
+      (1L, png),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, Multimodal.constantPng(5, 4, 10, 20, 30)))
+    val media = Multimodal.asMediaTable(
+      rows.toDF("id", "bytes").withColumn("src", lit("t")), "id", "bytes", "src")
+    val out = Multimodal.decodeImages(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // Gradient: dims recovered; exact means from the reference pixels.
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val px = ref.getRGB(0, 0, 20, 10, null, 0, 20)
+    val meanR = px.map(p => (p >> 16) & 0xFF).sum / px.length.toDouble
+    val g1 = out(1L)
+    assert(g1.getBoolean(2) && g1.getInt(3) == 20 && g1.getInt(4) == 10)
+    assert(g1.getSeq[Double](6).head == meanR, "exact mean over gradient pixels")
+    assert(g1.getSeq[Double](7).size == 64, "8x8 luma thumbnail")
+    // Broken payload: fallback row, not a crash.
+    val g2 = out(2L)
+    assert(!g2.getBoolean(2) && g2.getInt(3) == 0 && g2.getSeq[Double](6).isEmpty)
+    // Constant image: exact channel means.
+    assert(out(3L).getSeq[Double](6).toSeq == Seq(10.0, 20.0, 30.0))
+    // Resize: gradient lands in the target box and stays decodable; the
+    // broken payload passes through with decoded=false and NULL bytes.
+    val resized = Multimodal.resizeImages(media, 6, 5)
+    val rz = Multimodal.decodeImages(
+      resized.select(col("media_id"), lit("image").as("media_type"), col("payload"),
+        struct(lit("t").as("source"), lit(0L).as("declared_bytes")).as("meta")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rz(1L).getBoolean(2) && rz(1L).getInt(3) == 6 && rz(1L).getInt(4) == 5)
+    assert(!rz(2L).getBoolean(2))
+    assert(rz(3L).getSeq[Double](6).toSeq == Seq(10.0, 20.0, 30.0),
+      "constant survives bilinear resize exactly")
+  }
 }
