@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
  * `binary` payload column with typed metadata; decode / feature-extract run
  * per-partition in batches.
  *
- * IMAGES are decoded FOR REAL: the JDK ships PNG/JPEG/BMP/GIF/TIFF codecs
- * (`javax.imageio`, headless-safe, no external dependency), so
- * [[decodeImages]] / [[resizeImages]] do actual pixel work — dimensions,
- * frame count, exact channel means, an 8×8 bilinear luma thumbnail (the
- * aHash basis), and PNG re-encode after resize. AUDIO/VIDEO have no codec
- * in this environment; their path ([[decodeFeatures]]) keeps the real
- * per-partition batch shape with a clearly marked deterministic stub where
- * the codec call belongs.
+ * IMAGES and PCM AUDIO are decoded FOR REAL with the JDK's own codecs (no
+ * external dependency, headless-safe): `javax.imageio` ships
+ * PNG/JPEG/BMP/GIF/TIFF, so [[decodeImages]] / [[resizeImages]] /
+ * [[sampleFrames]] do actual pixel work — dimensions, frame counts, exact
+ * channel means, an 8×8 bilinear luma thumbnail (the aHash basis), PNG
+ * re-encode, and every-Nth-frame extraction from multi-frame containers;
+ * `javax.sound.sampled` reads WAV/AIFF/AU, so [[decodeAudio]] extracts
+ * real sample rate / channels / duration / RMS / peak from the PCM. VIDEO
+ * containers have no JDK parser; that path ([[decodeFeatures]]) keeps the
+ * real per-partition batch shape with a clearly marked deterministic stub
+ * where the codec call belongs.
  */
 object Multimodal {
 
@@ -223,6 +226,194 @@ object Multimodal {
       })
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ------------------------------------------------- real audio codec (WAV)
+
+  /** Output schema of [[decodeAudio]]. `rms`/`peak` are in RAW sample units
+    * (16-bit PCM counts, not normalized) so an external oracle over
+    * synthesized audio reproduces them exactly. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("sample_rate", DoubleType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false)))
+
+  private def decodeOneAudio(id: Long, payload: Array[Byte]): Row = {
+    val n = payload.length.toLong
+    def fallback = Row(id, n, false, 0.0, 0, 0L, 0.0, 0.0, 0.0)
+    if (n == 0) return fallback
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        // 16-bit signed PCM is what WAV/AIFF carry in practice; other
+        // encodings fall back rather than mis-read sample bytes.
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return fallback
+        val frames = ais.getFrameLength
+        val ch = fmt.getChannels
+        val pcm = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        var (sumSq, peak) = (0.0, 0.0)
+        var i = 0
+        while (i + 1 < pcm.length) {
+          val s = (if (big) (pcm(i) << 8) | (pcm(i + 1) & 0xFF)
+                   else (pcm(i + 1) << 8) | (pcm(i) & 0xFF)).toShort.toDouble
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 2
+        }
+        val nSamples = pcm.length / 2
+        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+        val rate = fmt.getSampleRate.toDouble
+        Row(id, n, true, rate, ch, frames,
+          if (rate > 0) frames / rate else 0.0, rms, peak)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
+
+  /**
+   * REAL audio decode over WAV/AIFF/AU payloads via the JDK's
+   * `javax.sound.sampled` (no external dependency): container format,
+   * channel count, frame count, duration, and RMS/peak over the raw PCM
+   * samples. Same per-partition batch shape as the image operators;
+   * undecodable payloads degrade to `decoded = false`.
+   */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = audioFeatureSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { r =>
+        decodeOneAudio(r.getLong(0),
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic mono 16-bit little-endian square-wave WAV (+amp/-amp
+    * alternating): every sample's square is amp², so RMS == peak == amp
+    * EXACTLY for any frame count — the audio analog of [[constantPng]]. */
+  def squareWav(nFrames: Int, sampleRate: Float, amplitude: Short): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------- frame sampling (multi-frame)
+
+  /** Output schema of [[sampleFrames]]: one row per SAMPLED frame, with the
+    * frame's own dimensions, exact channel means, and a standalone PNG
+    * re-encode of the frame for downstream per-frame processing. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_rgb", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /**
+   * REAL frame sampling over multi-frame containers (animated GIF,
+   * multi-page TIFF — any format the JDK readers expose as an image
+   * sequence): every `stride`-th frame is decoded, featurized, and
+   * re-encoded as its own PNG. The 100 TB shape of video frame extraction:
+   * a flatMap that multiplies rows without any shuffle.
+   */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be at least 1")
+    val spark = media.sparkSession
+    val outSchema = frameSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq(Row(id, -1, false, 0, 0, Array.empty[Double], null))
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              try {
+                val total = reader.getNumImages(true)
+                (0 until total by stride).map { f =>
+                  val img = reader.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
+                  var (sr, sg, sb) = (0L, 0L, 0L)
+                  var i = 0
+                  while (i < px.length) {
+                    val p = px(i)
+                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                    i += 1
+                  }
+                  val cnt = px.length.toDouble
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  Row(id, f, true, w, h,
+                    Array(sr / cnt, sg / cnt, sb / cnt), bos.toByteArray)
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(Row(id, -1, false, 0, 0, Array.empty[Double], null))
+        }
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic multi-page TIFF, one constant color per frame — the
+    * multi-frame analog of [[constantPng]] for frame-sampling oracles. */
+  def multiFrameTiff(width: Int, height: Int,
+      frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frameColors.foreach { case (r, g, b) =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Deterministic constant-color PNG — the synthesis helper gates and

@@ -383,6 +383,48 @@ object LlmQueries {
           element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
           element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
           element_at(col("mean_rgb"), 3).cast("long").as("mean_b"))
+    }),
+
+    // Multimodal: REAL audio decode through the JDK WAV codec. Square-wave
+    // PCM has RMS == peak == amplitude EXACTLY for any frame count, so the
+    // oracle is pure arithmetic while the engine parses a real RIFF/WAV
+    // container and folds real 16-bit samples.
+    "m_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val wavs = ids.map { id =>
+        (id, Multimodal.squareWav(
+          ((id % 50L).toInt + 1) * 16, 8000f, ((id % 2000L) + 1).toShort), "s")
+      }.toDF("doc_id", "wav", "src")
+      Multimodal.decodeAudio(
+        Multimodal.asMediaTable(wavs, "doc_id", "wav", "src", mediaType = "audio"))
+        .select(col("media_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_frames"), col("duration_s"),
+          col("rms"), col("peak"))
+    }),
+
+    // Multimodal: REAL frame sampling from multi-page TIFF containers —
+    // every 2nd frame decoded and featurized; frame count, sampled indexes
+    // and per-frame channel means are all analytic functions of the id.
+    "m_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val tiffs = ids.map { id =>
+        val colors = (0 until (id % 4L).toInt + 2).map { f =>
+          (((id + f * 17L) % 256L).toInt, ((id * 3L + f * 29L) % 256L).toInt,
+            ((id * 5L + f * 41L) % 256L).toInt)
+        }
+        (id, Multimodal.multiFrameTiff(
+          (id % 6L).toInt + 2, (id % 5L).toInt + 2, colors), "s")
+      }.toDF("doc_id", "tiff", "src")
+      Multimodal.sampleFrames(
+        Multimodal.asMediaTable(tiffs, "doc_id", "tiff", "src", mediaType = "video"),
+        stride = 2)
+        .select(col("media_id"), col("frame_index"), col("decoded"),
+          col("width"), col("height"),
+          element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
+          element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
+          element_at(col("mean_rgb"), 3).cast("long").as("mean_b"))
     }))
 
   /** Deterministic synthetic image corpus: one constant-color PNG per doc
@@ -612,5 +654,25 @@ object LlmQueries {
         |  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
         |  doc_id % 256 AS mean_r, (doc_id * 7) % 256 AS mean_g,
         |  (doc_id * 13) % 256 AS mean_b
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "m_audio_decode" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CAST(8000 AS DOUBLE) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  (doc_id % 50 + 1) * 16 AS n_frames,
+        |  ((doc_id % 50 + 1) * 16) / 8000.0 AS duration_s,
+        |  CAST(doc_id % 2000 + 1 AS DOUBLE) AS rms,
+        |  CAST(doc_id % 2000 + 1 AS DOUBLE) AS peak
+        |FROM documents""".stripMargin,
+    "m_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |             unnest(range(0, doc_id % 4 + 2, 2)) AS fi
+        |           FROM documents)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_index,
+        |  true AS decoded,
+        |  CAST(doc_id % 6 + 2 AS INT) AS width,
+        |  CAST(doc_id % 5 + 2 AS INT) AS height,
+        |  (doc_id + fi * 17) % 256 AS mean_r,
+        |  (doc_id * 3 + fi * 29) % 256 AS mean_g,
+        |  (doc_id * 5 + fi * 41) % 256 AS mean_b
+        |FROM f""".stripMargin)
 }

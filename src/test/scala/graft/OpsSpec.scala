@@ -295,4 +295,49 @@ class OpsSpec extends AnyFunSuite {
     assert(rz(3L).getSeq[Double](6).toSeq == Seq(10.0, 20.0, 30.0),
       "constant survives bilinear resize exactly")
   }
+
+  test("multimodal: real WAV decode and TIFF frame sampling with reference values") {
+    // Ramp PCM (0, 7, 14, ...): RMS/peak computed against the same samples
+    // here, so the operator's container parse + sample fold is checked on
+    // NON-degenerate audio (the gate's square wave is the analytic case).
+    val n = 480
+    val samples = (0 until n).map(i => (i * 7 % 3000).toShort)
+    val pcm = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq((1L, bos.toByteArray), (2L, "junk".getBytes("UTF-8")))
+    val media = Multimodal.asMediaTable(
+      rows.toDF("id", "bytes").withColumn("src", lit("t")), "id", "bytes", "src",
+      mediaType = "audio")
+    val out = Multimodal.decodeAudio(media).collect().map(r => r.getLong(0) -> r).toMap
+    val a1 = out(1L)
+    assert(a1.getBoolean(2) && a1.getDouble(3) == 16000.0 && a1.getInt(4) == 1)
+    assert(a1.getLong(5) == n && a1.getDouble(6) == n / 16000.0)
+    val refRms = math.sqrt(samples.map(s => s.toDouble * s).sum / n)
+    assert(a1.getDouble(7) == refRms && a1.getDouble(8) == samples.max.toDouble)
+    assert(!out(2L).getBoolean(2), "junk payload must fall back, not crash")
+
+    // Frame sampling: 5 frames, stride 2 -> indexes 0,2,4; each sampled
+    // frame's standalone PNG re-decodes to the frame's own color.
+    val colors = Seq((10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 0, 0), (0, 50, 0))
+    val tiff = Multimodal.multiFrameTiff(3, 2, colors)
+    val fmedia = Multimodal.asMediaTable(
+      Seq((9L, tiff)).toDF("id", "bytes").withColumn("src", lit("t")),
+      "id", "bytes", "src", mediaType = "video")
+    val frames = Multimodal.sampleFrames(fmedia, stride = 2).collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(frames.keySet == Set(0, 2, 4))
+    assert(frames(2).getSeq[Double](5).toSeq == Seq(0.0, 0.0, 30.0))
+    val png2 = frames(2).getAs[Array[Byte]]("payload")
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png2))
+    assert(img2.getWidth == 3 && img2.getHeight == 2 &&
+      (img2.getRGB(1, 1) & 0xFFFFFF) == 30, "sampled frame PNG must round-trip")
+  }
 }
