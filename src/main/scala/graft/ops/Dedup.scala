@@ -184,14 +184,20 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     val cands = lshCandidates(docs, idCol, textCol, numPerm, bands, n)
-    val dt = hashShingleSets(docs, idCol, textCol, n)
     // Only documents that appear in some candidate pair enter the exact
-    // verification — at scale this is a tiny fraction of the corpus, so the
-    // inverted shingle join below runs over candidates only.
+    // verification — at scale this is a tiny fraction of the corpus, so
+    // SHINGLE ONLY THOSE: the candidate-id semi join runs against the raw
+    // docs BEFORE shingling. (Shingling first and filtering after re-hashed
+    // the entire corpus a second time — the LSH pass already did it once —
+    // purely to discard the non-candidates' shingles.)
     val candDocs = cands.select(col("id_a").as("__id"))
       .union(cands.select(col("id_b").as("__id"))).distinct()
-    val dtC = dt.join(candDocs, "__id")
-    val sizes = dt.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val docsC = docs.join(candDocs.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left_semi")
+    val dtC = hashShingleSets(docsC, idCol, textCol, n)
+    // Set sizes are only ever joined back on candidate ids, so candidate
+    // shingles suffice here too.
+    val sizes = dtC.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = dtC.toDF("id_a", "__sh").join(dtC.toDF("id_b", "__sh2"),
         col("__sh") === col("__sh2") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__c"))
