@@ -110,6 +110,16 @@ object Multimodal {
   /** Thumbnail edge for the aHash-style luma feature (8×8 = 64 doubles). */
   val thumbEdge = 8
 
+  /** Decompression-bomb guard: frames larger than this many PIXELS are
+    * refused (`decoded = false`) BEFORE any pixel allocation — the
+    * dimensions come from the container header, so a hostile 30k×30k PNG
+    * whose pixel array would be gigabytes never expands on the executor.
+    * 64M pixels ≈ a 256 MB ARGB frame, far above any legitimate training
+    * image. The audio analog [[maxPcmBytes]] caps the decoded PCM size the
+    * same way (frame count × frame size, known from the header). */
+  val maxFramePixels: Long = 64L * 1024 * 1024
+  val maxPcmBytes: Long = 256L * 1024 * 1024
+
   /** Decode one image payload with the JDK codecs; first frame drives the
     * pixel features, `frame_count` counts all frames (animated GIF). */
   private def decodeOneImage(id: Long, payload: Array[Byte]): Row = {
@@ -129,6 +139,9 @@ object Multimodal {
           val frames = try reader.getNumImages(true).toLong catch {
             case _: javax.imageio.IIOException => 1L
           }
+          // Header-declared size check BEFORE decoding any pixels.
+          if (reader.getWidth(0).toLong * reader.getHeight(0) > maxFramePixels)
+            return fallback
           val img = reader.read(0)
           val (w, h) = (img.getWidth, img.getHeight)
           // Exact channel means over the full frame: one bulk getRGB pass.
@@ -205,8 +218,7 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          val img = readFirstFrameCapped(payload)
           if (img == null) Row(id, false, null)
           else {
             val out = new java.awt.image.BufferedImage(
@@ -259,6 +271,9 @@ object Multimodal {
           fmt.getSampleSizeInBits != 16) return fallback
         val frames = ais.getFrameLength
         val ch = fmt.getChannels
+        // Header-declared PCM size check BEFORE materializing the samples.
+        if (frames > 0 && fmt.getFrameSize > 0 &&
+          frames * fmt.getFrameSize > maxPcmBytes) return fallback
         val pcm = ais.readAllBytes()
         val big = fmt.isBigEndian
         var (sumSq, peak) = (0.0, 0.0)
@@ -361,6 +376,8 @@ object Multimodal {
               try {
                 val total = reader.getNumImages(true)
                 (0 until total by stride).map { f =>
+                  if (reader.getWidth(f).toLong * reader.getHeight(f) > maxFramePixels)
+                    throw new IllegalStateException("frame exceeds pixel cap")
                   val img = reader.read(f)
                   val (w, h) = (img.getWidth, img.getHeight)
                   val px = img.getRGB(0, 0, w, h, null, 0, w)
@@ -387,6 +404,25 @@ object Multimodal {
       })
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** First frame via the reader API with the [[maxFramePixels]] header
+    * check (the `ImageIO.read` convenience entry point cannot refuse a
+    * decompression bomb before allocating its pixels). Null when
+    * unreadable or over the cap. */
+  private def readFirstFrameCapped(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        if (reader.getWidth(0).toLong * reader.getHeight(0) > maxFramePixels) null
+        else reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** Deterministic multi-page TIFF, one constant color per frame — the

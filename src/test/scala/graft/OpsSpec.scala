@@ -340,4 +340,37 @@ class OpsSpec extends AnyFunSuite {
     assert(img2.getWidth == 3 && img2.getHeight == 2 &&
       (img2.getRGB(1, 1) & 0xFFFFFF) == 30, "sampled frame PNG must round-trip")
   }
+
+  test("multimodal: decompression bomb refused from the header, before pixel allocation") {
+    // A valid PNG signature + IHDR declaring 50000x50000 (2.5G pixels) with
+    // no pixel data: the guard must reject on the HEADER dims — a decoder
+    // that reached pixel allocation would try a multi-GB array first.
+    def bombPng(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(17)
+      ihdr.put("IHDR".getBytes("US-ASCII"))
+      ihdr.putInt(w).putInt(h)
+      ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val chunk = ihdr.array()
+      val crc = new java.util.zip.CRC32()
+      crc.update(chunk)
+      val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+      bos.write(len); bos.write(chunk)
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      bos.toByteArray
+    }
+    val media = Multimodal.asMediaTable(
+      Seq((1L, bombPng(50000, 50000)), (2L, Multimodal.constantPng(2, 2, 1, 2, 3)))
+        .toDF("id", "bytes").withColumn("src", lit("t")), "id", "bytes", "src")
+    val out = Multimodal.decodeImages(media).collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(2), "bomb must be refused")
+    assert(out(2L).getBoolean(2), "legitimate image still decodes")
+    val rz = Multimodal.resizeImages(media, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rz == Map(1L -> false, 2L -> true))
+    val fr = Multimodal.sampleFrames(media, 1).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(fr == Set((1L, false), (2L, true)))
+  }
 }
