@@ -120,6 +120,50 @@ object Multimodal {
   val maxFramePixels: Long = 64L * 1024 * 1024
   val maxPcmBytes: Long = 256L * 1024 * 1024
 
+  /** In-memory image input stream: `ImageIO.createImageInputStream` would
+    * return a FileCacheImageInputStream (ImageIO's use-cache default),
+    * round-tripping every payload through an executor temp FILE — pure
+    * overhead on the decode hot path, where the payload is already a byte
+    * array. Explicit memory-cache streams avoid both the disk I/O and the
+    * JVM-global `ImageIO.setUseCache` mutation. */
+  private def memIn(payload: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+
+  /** PNG-encode fully in memory (see [[memIn]] for why not ImageIO's
+    * default file cache). */
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { javax.imageio.ImageIO.write(img, "png", mos); mos.flush() }
+    finally mos.close()
+    bos.toByteArray
+  }
+
+  /** Exact per-channel means over the full frame: one bulk getRGB pass. */
+  private def meanRgb(img: java.awt.image.BufferedImage): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      i += 1
+    }
+    val cnt = px.length.toDouble
+    Array(sr / cnt, sg / cnt, sb / cnt)
+  }
+
+  private def fillConstant(img: java.awt.image.BufferedImage, rgb: Int): Unit = {
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+  }
+
   /** Decode one image payload with the JDK codecs; first frame drives the
     * pixel features, `frame_count` counts all frames (animated GIF). */
   private def decodeOneImage(id: Long, payload: Array[Byte]): Row = {
@@ -128,8 +172,7 @@ object Multimodal {
       Array.empty[Double], Array.empty[Double])
     if (n == 0) return fallback
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val iis = memIn(payload)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return fallback
@@ -144,17 +187,7 @@ object Multimodal {
             return fallback
           val img = reader.read(0)
           val (w, h) = (img.getWidth, img.getHeight)
-          // Exact channel means over the full frame: one bulk getRGB pass.
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var i = 0
-          while (i < px.length) {
-            val p = px(i)
-            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            i += 1
-          }
-          val cnt = px.length.toDouble
-          val mean = Array(sr / cnt, sg / cnt, sb / cnt)
+          val mean = meanRgb(img)
           // 8×8 bilinear grayscale thumbnail (aHash basis). Integer luma
           // weights so an external check can reproduce values exactly.
           val thumb = new java.awt.image.BufferedImage(
@@ -230,9 +263,7 @@ object Multimodal {
                 java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
               g2.drawImage(img, 0, 0, width, height, null)
             } finally g2.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            Row(id, true, bos.toByteArray)
+            Row(id, true, pngBytes(out))
           }
         } catch { case scala.util.control.NonFatal(_) => Row(id, false, null) }
       })
@@ -269,11 +300,15 @@ object Multimodal {
         // encodings fall back rather than mis-read sample bytes.
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
           fmt.getSampleSizeInBits != 16) return fallback
-        val frames = ais.getFrameLength
+        val declared = ais.getFrameLength
         val ch = fmt.getChannels
         // Header-declared PCM size check BEFORE materializing the samples.
-        if (frames > 0 && fmt.getFrameSize > 0 &&
-          frames * fmt.getFrameSize > maxPcmBytes) return fallback
+        // A header may also declare UNKNOWN length (-1, AU streams): then
+        // the payload's own byte count is the bound — uncompressed PCM can
+        // never inflate past its container.
+        if (declared > 0 && fmt.getFrameSize > 0 &&
+          declared * fmt.getFrameSize > maxPcmBytes) return fallback
+        if (declared < 0 && n > maxPcmBytes) return fallback
         val pcm = ais.readAllBytes()
         val big = fmt.isBigEndian
         var (sumSq, peak) = (0.0, 0.0)
@@ -289,6 +324,11 @@ object Multimodal {
         val nSamples = pcm.length / 2
         val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
         val rate = fmt.getSampleRate.toDouble
+        // Repair an unknown-length header from the PCM actually read, so
+        // n_frames/duration_s are never the header's -1 sentinel.
+        val frames =
+          if (declared >= 0) declared
+          else if (ch > 0) nSamples.toLong / ch else 0L
         Row(id, n, true, rate, ch, frames,
           if (rate > 0) frames / rate else 0.0, rms, peak)
       } finally ais.close()
@@ -364,43 +404,38 @@ object Multimodal {
       it.grouped(decodeBatchSize).flatMap(_.flatMap { r =>
         val id = r.getLong(0)
         val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        def containerFailure = Seq(Row(id, -1, false, 0, 0, Array.empty[Double], null))
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(payload))
+          val iis = memIn(payload)
           try {
             val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) Seq(Row(id, -1, false, 0, 0, Array.empty[Double], null))
+            if (!readers.hasNext) containerFailure
             else {
               val reader = readers.next()
               reader.setInput(iis)
               try {
                 val total = reader.getNumImages(true)
                 (0 until total by stride).map { f =>
-                  if (reader.getWidth(f).toLong * reader.getHeight(f) > maxFramePixels)
-                    throw new IllegalStateException("frame exceeds pixel cap")
-                  val img = reader.read(f)
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  val px = img.getRGB(0, 0, w, h, null, 0, w)
-                  var (sr, sg, sb) = (0L, 0L, 0L)
-                  var i = 0
-                  while (i < px.length) {
-                    val p = px(i)
-                    sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                    i += 1
+                  // PER-FRAME failure isolation: one truncated or over-cap
+                  // frame becomes its own decoded=false row; the other
+                  // sampled frames of the container still come through.
+                  try {
+                    if (reader.getWidth(f).toLong * reader.getHeight(f) > maxFramePixels)
+                      Row(id, f, false, 0, 0, Array.empty[Double], null)
+                    else {
+                      val img = reader.read(f)
+                      Row(id, f, true, img.getWidth, img.getHeight,
+                        meanRgb(img), pngBytes(img))
+                    }
+                  } catch {
+                    case scala.util.control.NonFatal(_) =>
+                      Row(id, f, false, 0, 0, Array.empty[Double], null)
                   }
-                  val cnt = px.length.toDouble
-                  val bos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "png", bos)
-                  Row(id, f, true, w, h,
-                    Array(sr / cnt, sg / cnt, sb / cnt), bos.toByteArray)
                 }
               } finally reader.dispose()
             }
           } finally iis.close()
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            Seq(Row(id, -1, false, 0, 0, Array.empty[Double], null))
-        }
+        } catch { case scala.util.control.NonFatal(_) => containerFailure }
       })
     }
     spark.createDataFrame(rdd, outSchema)
@@ -411,8 +446,7 @@ object Multimodal {
     * decompression bomb before allocating its pixels). Null when
     * unreadable or over the cap. */
   private def readFirstFrameCapped(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val iis = memIn(payload)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
@@ -438,13 +472,7 @@ object Multimodal {
       frameColors.foreach { case (r, g, b) =>
         val img = new java.awt.image.BufferedImage(
           width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
+        fillConstant(img, ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
         w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       w.endWriteSequence()
@@ -459,15 +487,7 @@ object Multimodal {
   def constantPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    fillConstant(img, ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
+    pngBytes(img)
   }
 }

@@ -362,10 +362,10 @@ object LlmQueries {
       Multimodal.decodeImages(media)
         .select(col("media_id"), col("decoded"), col("width"), col("height"),
           col("frame_count"),
-          element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
-          element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
-          element_at(col("mean_rgb"), 3).cast("long").as("mean_b"),
-          element_at(col("thumb_luma"), 1).as("luma_1"))
+          try_element_at(col("mean_rgb"), lit(1)).cast("long").as("mean_r"),
+          try_element_at(col("mean_rgb"), lit(2)).cast("long").as("mean_g"),
+          try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"),
+          try_element_at(col("thumb_luma"), lit(1)).as("luma_1"))
     }),
 
     // Multimodal: REAL resize (decode → bilinear scale → PNG re-encode)
@@ -373,16 +373,13 @@ object LlmQueries {
     // and constant channel values survive both codec passes.
     "m_image_resize" -> ((s, d) => {
       val media = imageCorpus(s, d)
-      Multimodal.decodeImages(
-        Multimodal.resizeImages(media, 4, 3)
-          .select(col("media_id"), lit("image").as("media_type"), col("payload"),
-            struct(lit(null).cast("string").as("source"),
-              octet_length(col("payload")).cast("long").as("declared_bytes"))
-              .as("meta")))
+      // resizeImages already emits the (media_id, payload) pair the decode
+      // operators read — no media-table re-wrap needed.
+      Multimodal.decodeImages(Multimodal.resizeImages(media, 4, 3))
         .select(col("media_id"), col("decoded"), col("width"), col("height"),
-          element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
-          element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
-          element_at(col("mean_rgb"), 3).cast("long").as("mean_b"))
+          try_element_at(col("mean_rgb"), lit(1)).cast("long").as("mean_r"),
+          try_element_at(col("mean_rgb"), lit(2)).cast("long").as("mean_g"),
+          try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
     }),
 
     // Multimodal: REAL audio decode through the JDK WAV codec. Square-wave
@@ -422,9 +419,9 @@ object LlmQueries {
         stride = 2)
         .select(col("media_id"), col("frame_index"), col("decoded"),
           col("width"), col("height"),
-          element_at(col("mean_rgb"), 1).cast("long").as("mean_r"),
-          element_at(col("mean_rgb"), 2).cast("long").as("mean_g"),
-          element_at(col("mean_rgb"), 3).cast("long").as("mean_b"))
+          try_element_at(col("mean_rgb"), lit(1)).cast("long").as("mean_r"),
+          try_element_at(col("mean_rgb"), lit(2)).cast("long").as("mean_g"),
+          try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
     }))
 
   /** Deterministic synthetic image corpus: one constant-color PNG per doc

@@ -285,10 +285,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).getSeq[Double](6).toSeq == Seq(10.0, 20.0, 30.0))
     // Resize: gradient lands in the target box and stays decodable; the
     // broken payload passes through with decoded=false and NULL bytes.
-    val resized = Multimodal.resizeImages(media, 6, 5)
-    val rz = Multimodal.decodeImages(
-      resized.select(col("media_id"), lit("image").as("media_type"), col("payload"),
-        struct(lit("t").as("source"), lit(0L).as("declared_bytes")).as("meta")))
+    val rz = Multimodal.decodeImages(Multimodal.resizeImages(media, 6, 5))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(rz(1L).getBoolean(2) && rz(1L).getInt(3) == 6 && rz(1L).getInt(4) == 5)
     assert(!rz(2L).getBoolean(2))
