@@ -65,6 +65,37 @@ class MemoryLogStore extends LogStore {
 class ConcurrencySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("parquet timestamp conf: scoped to table writes, restored after failures and concurrency") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    assert(spark.conf.get(key, "INT96") == "INT96", "precondition: session default")
+    val t = new GraftTable(spark, TestSpark.tmpDir("conf-").resolve("t"), "t")
+    t.overwrite(orders.limit(10))
+    assert(spark.conf.get(key, "INT96") == "INT96", "restored after a write")
+    // Restored even when the write FAILS (finally path): a column whose
+    // type parquet cannot write (CalendarInterval) aborts inside df.write.
+    intercept[Throwable] {
+      t.append(orders.limit(1).withColumn("bad",
+        expr("make_interval(0, 0, 0, 0, 0, 0, 1)")))
+    }
+    assert(spark.conf.get(key, "INT96") == "INT96", "restored after a failed write")
+    // Concurrent appends from many threads: whatever the interleaving of
+    // save/set/restore windows, the conf must settle back to the default.
+    val threads = (1 to 4).map { i =>
+      new Thread(() => t.append(orders.limit(5).withColumn("thread", lit(i))))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(spark.conf.get(key, "INT96") == "INT96", "restored after concurrent writes")
+    assert(t.read().count() == 10 + 4 * 5)
+    // A deliberate non-INT96 application choice is respected, not replaced.
+    spark.conf.set(key, "TIMESTAMP_MILLIS")
+    try {
+      t.append(orders.limit(1))
+      assert(spark.conf.get(key) == "TIMESTAMP_MILLIS", "explicit choice kept")
+    } finally spark.conf.unset(key)
+  }
+
   test("batch-key window: idempotent within retention, expires beyond it — one manifest read") {
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
     val small = orders.filter(col("o_orderkey") < 50)
