@@ -40,12 +40,27 @@ object EventWindows {
       tsCol: String,
       keyCol: String,
       windowDur: String,
-      watermarkDelay: String): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay)
+      watermarkDelay: String): DataFrame = {
+    // Streaming watermarks only accept session-TZ TimestampType
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), but the event corpus is
+    // wall-clock NTZ — so NTZ input drives the watermark through an LTZ
+    // cast and the emitted window bounds are cast back: NTZ in → NTZ out.
+    // Under a fixed-offset session zone the round trip is exact; like
+    // [[sessionizeBatch]], DST zones shift the epoch-aligned window
+    // boundaries at transitions.
+    val ntzIn = events.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    val src =
+      if (ntzIn) events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      else events
+    def bound(c: org.apache.spark.sql.Column) =
+      if (ntzIn) c.cast(org.apache.spark.sql.types.TimestampNTZType) else c
+    src.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col(keyCol), col("n_events"))
+      .select(bound(col("window.start")).as("window_start"),
+        bound(col("window.end")).as("window_end"), col(keyCol), col("n_events"))
+  }
 
   /**
    * BATCH gap sessionization — the same session semantics as [[sessionize]]

@@ -43,6 +43,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed counts accept NTZ event time: NTZ in, NTZ bounds out, same counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, String)]
+    val ntz = EventWindows.windowedCounts(
+      in.toDF().toDF("us", "event_type")
+        .select(graft.plans.TimestampMicrosExprs.microsToNtz(col("us")).as("ts"),
+          col("event_type")),
+      "ts", "event_type", windowDur = "10 seconds", watermarkDelay = "5 seconds")
+    assert(ntz.schema("window_start").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType, "NTZ in must give NTZ bounds")
+    val q = ntz.writeStream.format("memory").queryName("winntz")
+      .outputMode("append").start()
+    try {
+      in.addData((1000000L, "click"), (2000000L, "click"), (9000000L, "view"))
+      q.processAllAvailable()
+      in.addData((30000000L, "click")) // watermark 25s → [0,10) closes
+      q.processAllAvailable()
+      val rows = spark.table("winntz")
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getAs[java.time.LocalDateTime](0).getSecond,
+          r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0, "click", 2L), (0, "view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits exactly the batch sessionizeBatch sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
