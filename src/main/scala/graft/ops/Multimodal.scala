@@ -140,10 +140,8 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Exact per-channel means over the full frame: one bulk getRGB pass. */
-  private def meanRgb(img: java.awt.image.BufferedImage): Array[Double] = {
-    val (w, h) = (img.getWidth, img.getHeight)
-    val px = img.getRGB(0, 0, w, h, null, 0, w)
+  /** Exact per-channel means over row-major ARGB pixels. */
+  private def meanRgbOf(px: Array[Int]): Array[Double] = {
     var (sr, sg, sb) = (0L, 0L, 0L)
     var i = 0
     while (i < px.length) {
@@ -154,6 +152,10 @@ object Multimodal {
     val cnt = px.length.toDouble
     Array(sr / cnt, sg / cnt, sb / cnt)
   }
+
+  /** Exact per-channel means over the full frame: one bulk getRGB pass. */
+  private def meanRgb(img: java.awt.image.BufferedImage): Array[Double] =
+    meanRgbOf(img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
 
   private def fillConstant(img: java.awt.image.BufferedImage, rgb: Int): Unit = {
     var y = 0
@@ -458,6 +460,111 @@ object Multimodal {
       } finally reader.dispose()
     } finally iis.close()
   }
+
+  // -------------------------------------------- real video container (AVI)
+
+  /** Output schema of [[decodeVideo]]: stream geometry, frame rate,
+    * duration, and exact channel means across ALL frames' pixels. */
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("fps", DoubleType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("mean_rgb", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /**
+   * REAL video decode over RIFF/AVI containers — uncompressed BGR24 DIB
+   * frames decode by byte shuffling alone, MJPEG frames through the JDK's
+   * JPEG reader (see [[Riff]]); no external codec. Geometry, frame count,
+   * fps, duration, and exact channel means over every frame. Payloads that
+   * are not AVI (or use a codec with no JDK decoder) degrade to
+   * `decoded = false`, same contract as the image/audio paths.
+   */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = videoFeatureSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val n = payload.length.toLong
+        try {
+          val avi = Riff.parseAvi(payload, maxFramePixels)
+          var (sr, sg, sb, cnt) = (0L, 0L, 0L, 0L)
+          (0 until avi.nFrames).foreach { f =>
+            val px = Riff.decodeFrame(avi, f).argb
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+            cnt += px.length
+          }
+          val mean =
+            if (cnt == 0) Array.empty[Double]
+            else Array(sr.toDouble / cnt, sg.toDouble / cnt, sb.toDouble / cnt)
+          Row(id, n, true, avi.width, avi.height, avi.nFrames.toLong,
+            avi.fps, avi.durationS, mean)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, n, false, 0, 0, 0L, 0.0, 0.0, Array.empty[Double])
+        }
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * REAL video frame sampling: every `stride`-th AVI frame decoded,
+   * featurized, and re-encoded as its own PNG — identical output shape to
+   * the multi-frame image sampler ([[frameSchema]]), so downstream
+   * per-frame processing is container-agnostic.
+   */
+  def sampleVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be at least 1")
+    val spark = media.sparkSession
+    val outSchema = frameSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        try {
+          val avi = Riff.parseAvi(payload, maxFramePixels)
+          (0 until avi.nFrames by stride).map { f =>
+            try {
+              val fr = Riff.decodeFrame(avi, f)
+              val img = new java.awt.image.BufferedImage(
+                fr.width, fr.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              img.setRGB(0, 0, fr.width, fr.height, fr.argb, 0, fr.width)
+              Row(id, f, true, fr.width, fr.height, meanRgbOf(fr.argb), pngBytes(img))
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                Row(id, f, false, 0, 0, Array.empty[Double], null)
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(Row(id, -1, false, 0, 0, Array.empty[Double], null))
+        }
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic constant-color uncompressed AVI — the video analog of
+    * [[constantPng]]: raw BGR24 frames, so decode is exact. */
+  def constantAvi(width: Int, height: Int, fps: Int,
+      frameColors: Seq[(Int, Int, Int)]): Array[Byte] =
+    Riff.writeUncompressedAvi(width, height, fps,
+      frameColors.map { case (r, g, b) =>
+        Array.fill(width * height)(
+          0xFF000000 | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
+      })
 
   /** Deterministic multi-page TIFF, one constant color per frame — the
     * multi-frame analog of [[constantPng]] for frame-sampling oracles. */

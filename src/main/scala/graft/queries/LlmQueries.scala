@@ -422,6 +422,54 @@ object LlmQueries {
           try_element_at(col("mean_rgb"), lit(1)).cast("long").as("mean_r"),
           try_element_at(col("mean_rgb"), lit(2)).cast("long").as("mean_g"),
           try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
+    }),
+
+    // Multimodal: REAL video decode — a RIFF/AVI container with raw BGR24
+    // frames, parsed and pixel-decoded natively (no codec library; see
+    // graft.ops.Riff). Constant frames make geometry, fps, duration and
+    // channel means analytic functions of the id.
+    "m_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val avis = ids.map { id =>
+        val k = (id % 3L).toInt + 1
+        (id, Multimodal.constantAvi(
+          (id % 8L).toInt + 2, (id % 6L).toInt + 2, fps = 10,
+          Seq.fill(k)((
+            (id % 256L).toInt, (id * 11L % 256L).toInt, (id * 19L % 256L).toInt))),
+          "s")
+      }.toDF("doc_id", "avi", "src")
+      Multimodal.decodeVideo(
+        Multimodal.asMediaTable(avis, "doc_id", "avi", "src", mediaType = "video"))
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+          col("n_frames"), col("fps"), col("duration_s"),
+          try_element_at(col("mean_rgb"), lit(1)).cast("long").as("mean_r"),
+          try_element_at(col("mean_rgb"), lit(2)).cast("long").as("mean_g"),
+          try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
+    }),
+
+    // Multimodal: REAL video frame sampling — every 2nd AVI frame with
+    // per-frame colors; same analytic-oracle shape as m_frame_sample.
+    "m_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val avis = ids.map { id =>
+        val w = (id % 8L).toInt + 2
+        val h = (id % 6L).toInt + 2
+        val colors = (0 until (id % 4L).toInt + 2).map { f =>
+          (((id + f * 23L) % 256L).toInt, ((id * 7L + f * 31L) % 256L).toInt,
+            ((id * 13L + f * 43L) % 256L).toInt)
+        }
+        (id, Multimodal.constantAvi(w, h, fps = 10, colors), "s")
+      }.toDF("doc_id", "avi", "src")
+      Multimodal.sampleVideoFrames(
+        Multimodal.asMediaTable(avis, "doc_id", "avi", "src", mediaType = "video"),
+        stride = 2)
+        .select(col("media_id"), col("frame_index"), col("decoded"),
+          col("width"), col("height"),
+          try_element_at(col("mean_rgb"), lit(1)).cast("long").as("mean_r"),
+          try_element_at(col("mean_rgb"), lit(2)).cast("long").as("mean_g"),
+          try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
     }))
 
   /** Deterministic synthetic image corpus: one constant-color PNG per doc
@@ -671,5 +719,27 @@ object LlmQueries {
         |  (doc_id + fi * 17) % 256 AS mean_r,
         |  (doc_id * 3 + fi * 29) % 256 AS mean_g,
         |  (doc_id * 5 + fi * 41) % 256 AS mean_b
+        |FROM f""".stripMargin,
+    "m_video_decode" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+        |  CAST(doc_id % 8 + 2 AS INT) AS width,
+        |  CAST(doc_id % 6 + 2 AS INT) AS height,
+        |  doc_id % 3 + 1 AS n_frames,
+        |  CAST(10 AS DOUBLE) AS fps,
+        |  (doc_id % 3 + 1) / 10.0 AS duration_s,
+        |  doc_id % 256 AS mean_r, (doc_id * 11) % 256 AS mean_g,
+        |  (doc_id * 19) % 256 AS mean_b
+        |FROM documents""".stripMargin,
+    "m_video_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |             unnest(range(0, doc_id % 4 + 2, 2)) AS fi
+        |           FROM documents)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_index,
+        |  true AS decoded,
+        |  CAST(doc_id % 8 + 2 AS INT) AS width,
+        |  CAST(doc_id % 6 + 2 AS INT) AS height,
+        |  (doc_id + fi * 23) % 256 AS mean_r,
+        |  (doc_id * 7 + fi * 31) % 256 AS mean_g,
+        |  (doc_id * 13 + fi * 43) % 256 AS mean_b
         |FROM f""".stripMargin)
 }

@@ -338,6 +338,55 @@ class OpsSpec extends AnyFunSuite {
       (img2.getRGB(1, 1) & 0xFFFFFF) == 30, "sampled frame PNG must round-trip")
   }
 
+  test("multimodal: real AVI video decode — gradient pixels, MJPEG frames, bomb and junk fallback") {
+    import graft.ops.Riff
+    // Gradient DIB frames: decode must reproduce the exact painted pixels
+    // (raw BGR24 — no codec loss anywhere).
+    val (w, h) = (7, 5)
+    def gradient(seed: Int): Array[Int] =
+      Array.tabulate(w * h)(i => 0xFF000000 |
+        (((i * 3 + seed) % 256) << 16) | (((i * 5 + seed) % 256) << 8) | ((i * 7 + seed) % 256))
+    val frames = Seq(gradient(1), gradient(2), gradient(3))
+    val avi = Riff.writeUncompressedAvi(w, h, fps = 25, frames)
+    val parsed = Riff.parseAvi(avi, Multimodal.maxFramePixels)
+    assert(parsed.width == w && parsed.height == h && parsed.nFrames == 3)
+    assert(parsed.fps == 25.0)
+    (0 until 3).foreach { f =>
+      assert(Riff.decodeFrame(parsed, f).argb.toSeq == frames(f).toSeq,
+        s"frame $f must round-trip bit-exactly")
+    }
+    // MJPEG ('00dc') frames decode through the JDK JPEG reader: dims exact,
+    // means near the painted constant (JPEG is lossy).
+    val jpegImg = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) jpegImg.setRGB(x, y, 0x808080)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jpegImg, "jpg", jb)
+    val mjpeg = Riff.writeAvi(8, 6, 10, "MJPG", Seq(("dc", jb.toByteArray)))
+    val rows = Seq((1L, avi), (2L, mjpeg), (3L, "not a video".getBytes("UTF-8")),
+      (4L, Riff.writeAvi(40000, 40000, 10, "DIB ", Seq(("db", new Array[Byte](8))))))
+    val media = Multimodal.asMediaTable(
+      rows.toDF("id", "bytes").withColumn("src", lit("t")), "id", "bytes", "src",
+      mediaType = "video")
+    val out = Multimodal.decodeVideo(media).collect().map(r => r.getLong(0) -> r).toMap
+    val v1 = out(1L)
+    assert(v1.getBoolean(2) && v1.getInt(3) == w && v1.getInt(4) == h &&
+      v1.getLong(5) == 3L && v1.getDouble(6) == 25.0)
+    val refMean = frames.flatten.map(p => (p >> 16) & 0xFF).sum /
+      (frames.size * w * h).toDouble
+    assert(v1.getSeq[Double](8).head == refMean, "exact mean over gradient frames")
+    val v2 = out(2L)
+    assert(v2.getBoolean(2) && v2.getInt(3) == 8 && v2.getInt(4) == 6)
+    assert(math.abs(v2.getSeq[Double](8).head - 128.0) < 4.0,
+      s"MJPEG mean near the painted gray, got ${v2.getSeq[Double](8)}")
+    assert(!out(3L).getBoolean(2), "junk payload falls back")
+    assert(!out(4L).getBoolean(2), "over-cap geometry refused from the header")
+    // Frame sampling matches the image sampler's shape and strides.
+    val fr = Multimodal.sampleVideoFrames(media, 2).collect()
+      .filter(_.getLong(0) == 1L).map(r => r.getInt(1)).toSet
+    assert(fr == Set(0, 2))
+  }
+
   test("multimodal: decompression bomb refused from the header, before pixel allocation") {
     // A valid PNG signature + IHDR declaring 50000x50000 (2.5G pixels) with
     // no pixel data: the guard must reject on the HEADER dims — a decoder
