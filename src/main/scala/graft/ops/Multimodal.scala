@@ -9,17 +9,19 @@ import org.apache.spark.sql.types._
  * `binary` payload column with typed metadata; decode / feature-extract run
  * per-partition in batches.
  *
- * IMAGES and PCM AUDIO are decoded FOR REAL with the JDK's own codecs (no
- * external dependency, headless-safe): `javax.imageio` ships
- * PNG/JPEG/BMP/GIF/TIFF, so [[decodeImages]] / [[resizeImages]] /
- * [[sampleFrames]] do actual pixel work — dimensions, frame counts, exact
- * channel means, an 8×8 bilinear luma thumbnail (the aHash basis), PNG
- * re-encode, and every-Nth-frame extraction from multi-frame containers;
- * `javax.sound.sampled` reads WAV/AIFF/AU, so [[decodeAudio]] extracts
- * real sample rate / channels / duration / RMS / peak from the PCM. VIDEO
- * containers have no JDK parser; that path ([[decodeFeatures]]) keeps the
- * real per-partition batch shape with a clearly marked deterministic stub
- * where the codec call belongs.
+ * IMAGES, PCM AUDIO and AVI VIDEO are decoded FOR REAL without external
+ * dependencies: `javax.imageio` ships PNG/JPEG/BMP/GIF/TIFF, so
+ * [[decodeImages]] / [[resizeImages]] / [[sampleFrames]] do actual pixel
+ * work — dimensions, frame counts, exact channel means, an 8×8 bilinear
+ * luma thumbnail (the aHash basis), PNG re-encode, and every-Nth-frame
+ * extraction from multi-frame containers; `javax.sound.sampled` reads
+ * WAV/AIFF/AU, so [[decodeAudio]] extracts real sample rate / channels /
+ * duration / RMS / peak from the PCM; and [[decodeVideo]] /
+ * [[sampleVideoFrames]] parse RIFF/AVI natively ([[Riff]] — raw BGR24
+ * frames byte-decoded, MJPEG via the JDK JPEG reader). Only codecs with no
+ * JDK decoder (e.g. H.264) remain behind [[decodeFeatures]]'s clearly
+ * marked deterministic stub, which keeps the real per-partition batch
+ * shape where the codec call belongs.
  */
 object Multimodal {
 
@@ -496,7 +498,7 @@ object Multimodal {
           val avi = Riff.parseAvi(payload, maxFramePixels)
           var (sr, sg, sb, cnt) = (0L, 0L, 0L, 0L)
           (0 until avi.nFrames).foreach { f =>
-            val px = Riff.decodeFrame(avi, f).argb
+            val px = Riff.decodeFrame(avi, f, maxFramePixels).argb
             var i = 0
             while (i < px.length) {
               val p = px(i)
@@ -537,7 +539,7 @@ object Multimodal {
           val avi = Riff.parseAvi(payload, maxFramePixels)
           (0 until avi.nFrames by stride).map { f =>
             try {
-              val fr = Riff.decodeFrame(avi, f)
+              val fr = Riff.decodeFrame(avi, f, maxFramePixels)
               val img = new java.awt.image.BufferedImage(
                 fr.width, fr.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
               img.setRGB(0, 0, fr.width, fr.height, fr.argb, 0, fr.width)

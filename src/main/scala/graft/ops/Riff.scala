@@ -23,8 +23,10 @@ object Riff {
   /** One parsed video frame: dimensions plus row-major ARGB pixels. */
   final case class Frame(width: Int, height: Int, argb: Array[Int])
 
-  /** Parsed container: stream geometry plus lazily-decoded frames. */
-  final case class Avi(width: Int, height: Int, fps: Double,
+  /** Parsed container: stream geometry plus lazily-decoded frames.
+    * `topDown` carries the sign of the DIB's biHeight (negative = rows
+    * stored top-down instead of the default bottom-up). */
+  final case class Avi(width: Int, height: Int, fps: Double, topDown: Boolean,
       frameChunks: Seq[(String, Array[Byte])]) {
     def nFrames: Int = frameChunks.size
     def durationS: Double = if (fps > 0) nFrames / fps else 0.0
@@ -46,9 +48,17 @@ object Riff {
     require(fourCC(b) == "AVI ", "not an AVI RIFF form")
     var width, height = 0
     var scale, rate = 0
+    var topDown = false
+    // Streams appear in declaration order; the Nth strl's chunks are
+    // prefixed "0N". Geometry must come from the VIDEO stream's strf (an
+    // audio-first AVI's WAVEFORMAT strf would otherwise poison the dims),
+    // and only that stream's movi chunks are frames.
+    var streamIdx = -1
+    var videoStream = -1
+    var lastStrhIsVideo = false
     val frames = Seq.newBuilder[(String, Array[Byte])]
 
-    def walk(limit: Int): Unit =
+    def walk(limit: Int, inMovi: Boolean): Unit =
       while (b.position() < limit && limit - b.position() >= 8) {
         val id = fourCC(b)
         val size = b.getInt
@@ -57,23 +67,30 @@ object Riff {
           s"chunk $id overruns the container")
         id match {
           case "LIST" =>
-            fourCC(b) // list type (hdrl/strl/movi) — walk contents either way
-            walk(next)
+            val kind = fourCC(b) // hdrl / strl / movi / rec
+            walk(next, inMovi || kind == "movi")
           case "strh" =>
-            val fccType = fourCC(b)
-            if (fccType == "vids") {
+            streamIdx += 1
+            lastStrhIsVideo = fourCC(b) == "vids"
+            if (lastStrhIsVideo && videoStream < 0) {
+              videoStream = streamIdx
               b.position(b.position() + 16) // handler, flags, prio, lang, initial
               scale = b.getInt
               rate = b.getInt
             }
           case "strf" =>
-            if (width == 0 && size >= 40) {
+            // Only the (first) video stream's BITMAPINFOHEADER.
+            if (lastStrhIsVideo && streamIdx == videoStream && width == 0 && size >= 40) {
               b.getInt // biSize
               width = b.getInt
-              height = math.abs(b.getInt) // negative = top-down DIB
+              val bh = b.getInt
+              topDown = bh < 0 // negative biHeight = top-down row order
+              height = math.abs(bh)
             }
           case _ =>
-            if ((id.endsWith("db") || id.endsWith("dc")) && size > 0) {
+            val isFrame = inMovi && size > 0 && videoStream >= 0 &&
+              (id == f"$videoStream%02ddb" || id == f"$videoStream%02ddc")
+            if (isFrame) {
               val data = new Array[Byte](size)
               b.get(data)
               frames += ((id.substring(2), data))
@@ -82,17 +99,20 @@ object Riff {
         b.position(next)
       }
 
-    walk(payload.length)
+    walk(payload.length, inMovi = false)
     require(width > 0 && height > 0, "AVI carries no video stream geometry")
     require(width.toLong * height <= maxFramePixels,
       s"frame ${width}x$height exceeds the pixel cap")
     val fps = if (scale > 0) rate.toDouble / scale else 0.0
-    Avi(width, height, fps, frames.result())
+    Avi(width, height, fps, topDown, frames.result())
   }
 
-  /** Decode one frame chunk: `db` = uncompressed bottom-up BGR24 DIB
-    * (rows padded to 4 bytes), `dc` = an embedded JPEG image. */
-  def decodeFrame(avi: Avi, idx: Int): Frame = {
+  /** Decode one frame chunk: `db` = uncompressed BGR24 DIB (rows padded to
+    * 4 bytes, bottom-up unless the strf declared top-down), `dc` = an
+    * embedded JPEG image whose OWN header is checked against
+    * `maxFramePixels` before pixel allocation — the strf geometry cap does
+    * not bound what a hostile compressed chunk may declare internally. */
+  def decodeFrame(avi: Avi, idx: Int, maxFramePixels: Long): Frame = {
     val (kind, data) = avi.frameChunks(idx)
     if (kind == "db") {
       val (w, h) = (avi.width, avi.height)
@@ -101,7 +121,8 @@ object Riff {
       val argb = new Array[Int](w * h)
       var y = 0
       while (y < h) {
-        val rowOff = (h - 1 - y) * stride // bottom-up
+        val srcRow = if (avi.topDown) y else h - 1 - y
+        val rowOff = srcRow * stride
         var x = 0
         while (x < w) {
           val o = rowOff + x * 3
@@ -113,10 +134,21 @@ object Riff {
       }
       Frame(w, h, argb)
     } else {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      require(img != null, "dc frame is not a JDK-decodable image")
-      Frame(img.getWidth, img.getHeight,
-        img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "dc frame is not a JDK-decodable image")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          require(reader.getWidth(0).toLong * reader.getHeight(0) <= maxFramePixels,
+            "dc frame header exceeds the pixel cap")
+          val img = reader.read(0)
+          Frame(img.getWidth, img.getHeight,
+            img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+        } finally reader.dispose()
+      } finally iis.close()
     }
   }
 

@@ -352,8 +352,8 @@ class OpsSpec extends AnyFunSuite {
     assert(parsed.width == w && parsed.height == h && parsed.nFrames == 3)
     assert(parsed.fps == 25.0)
     (0 until 3).foreach { f =>
-      assert(Riff.decodeFrame(parsed, f).argb.toSeq == frames(f).toSeq,
-        s"frame $f must round-trip bit-exactly")
+      assert(Riff.decodeFrame(parsed, f, Multimodal.maxFramePixels).argb.toSeq ==
+        frames(f).toSeq, s"frame $f must round-trip bit-exactly")
     }
     // MJPEG ('00dc') frames decode through the JDK JPEG reader: dims exact,
     // means near the painted constant (JPEG is lossy).
@@ -385,6 +385,69 @@ class OpsSpec extends AnyFunSuite {
     val fr = Multimodal.sampleVideoFrames(media, 2).collect()
       .filter(_.getLong(0) == 1L).map(r => r.getInt(1)).toSet
     assert(fr == Set(0, 2))
+  }
+
+  test("multimodal: AVI parser hostile-input corners — MJPEG bomb, top-down DIB, stream selection") {
+    import graft.ops.Riff
+    // An MJPEG 'dc' chunk whose EMBEDDED image header declares huge dims:
+    // the strf geometry passes the cap, so the frame's own header must be
+    // checked before pixel allocation (a raw ImageIO.read here would OOM).
+    val bombPng = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(17)
+      ihdr.put("IHDR".getBytes("US-ASCII")).putInt(50000).putInt(50000)
+      ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val crc = new java.util.zip.CRC32(); crc.update(ihdr.array())
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+      bos.write(ihdr.array())
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      bos.toByteArray
+    }
+    val bombAvi = Riff.writeAvi(2, 2, 10, "MJPG", Seq(("dc", bombPng)))
+    val parsedBomb = Riff.parseAvi(bombAvi, Multimodal.maxFramePixels)
+    val e = intercept[IllegalArgumentException] {
+      Riff.decodeFrame(parsedBomb, 0, Multimodal.maxFramePixels)
+    }
+    assert(e.getMessage.contains("pixel cap"))
+    // ...and through the operator it is a decoded=false frame row, not a crash.
+    val bm = Multimodal.asMediaTable(
+      Seq((1L, bombAvi)).toDF("id", "bytes").withColumn("src", lit("t")),
+      "id", "bytes", "src", mediaType = "video")
+    val br = Multimodal.sampleVideoFrames(bm, 1).collect()
+    assert(br.length == 1 && !br.head.getBoolean(2))
+
+    // Top-down DIB (negative biHeight): rows must NOT be flipped. Build a
+    // bottom-up container, then patch biHeight negative and re-order rows.
+    val px = Array.tabulate(4 * 2)(i => 0xFF000000 | (i << 16)) // row0: 0..3, row1: 4..7
+    val base = Riff.writeUncompressedAvi(4, 2, 10, Seq(px))
+    val parsedUp = Riff.parseAvi(base, Multimodal.maxFramePixels)
+    assert(Riff.decodeFrame(parsedUp, 0, Multimodal.maxFramePixels).argb.toSeq == px.toSeq)
+    // Patch: find the strf's biHeight (follows biWidth=4 after biSize=40) and
+    // negate it; swap the two 12-byte-padded rows in the 00db chunk so the
+    // file stores top-down data.
+    val td = base.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val strfAt = { // locate "strf" tag
+      var i = 0
+      while (!(td(i) == 's' && td(i + 1) == 't' && td(i + 2) == 'r' && td(i + 3) == 'f')) i += 1
+      i
+    }
+    bb.putInt(strfAt + 8 + 8, -2) // biHeight := -2 (top-down)
+    val dbAt = {
+      var i = 0
+      while (!(td(i) == '0' && td(i + 1) == '0' && td(i + 2) == 'd' && td(i + 3) == 'b')) i += 1
+      i
+    }
+    val stride = 12 // (4*3+3)&~3
+    val row = new Array[Byte](stride)
+    System.arraycopy(td, dbAt + 8, row, 0, stride)
+    System.arraycopy(td, dbAt + 8 + stride, td, dbAt + 8, stride)
+    System.arraycopy(row, 0, td, dbAt + 8 + stride, stride)
+    val parsedTd = Riff.parseAvi(td, Multimodal.maxFramePixels)
+    assert(parsedTd.topDown, "patched header must parse as top-down")
+    assert(Riff.decodeFrame(parsedTd, 0, Multimodal.maxFramePixels).argb.toSeq == px.toSeq,
+      "top-down rows must decode in the same logical order")
   }
 
   test("multimodal: decompression bomb refused from the header, before pixel allocation") {
