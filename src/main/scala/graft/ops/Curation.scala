@@ -140,6 +140,60 @@ object Curation {
    * email inside a URL must be consumed by the URL rule first). Map-side
    * `regexp_replace` chain, fully codegen'd.
    */
+  // ------------------------------------------------------ URL curation
+
+  /**
+   * URL canonicalization — the C4/CommonCrawl-style normalization run
+   * before URL-level dedup so syntactic variants of one page collapse:
+   * lowercase scheme and host, strip the scheme's default port, drop the
+   * fragment, drop tracking query parameters (`utm_*`, `fbclid`, `gclid`),
+   * sort the surviving parameters, and trim a bare trailing slash. Pure
+   * codegen'd Column combinators (regexp splits + array ops) — map-side at
+   * any scale, and exactly mirrorable in an external SQL engine for
+   * verification.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val pathQ = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_extract(pathQ, "^([^?]*)", 1)
+    val query = when(pathQ.contains("?"), regexp_extract(pathQ, "\\?(.*)$", 1))
+      .otherwise(lit(""))
+    val keptParams = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !(p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)=") || p === ""))),
+      "&")
+    val trimmedPath = when(path === "", lit("/"))
+      .when(path =!= "/" && path.endsWith("/"),
+        path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    concat(scheme, lit("://"), host, trimmedPath,
+      when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams)))
+  }
+
+  /**
+   * Registered domain of a URL or bare host — the per-site grouping key for
+   * domain quotas and provenance stats. Heuristic public-suffix handling:
+   * a two-label suffix from the common set (`co|com|net|org|ac|gov|edu` +
+   * ccTLD) keeps three labels, anything else keeps two.
+   */
+  def registeredDomain(url: Column): Column = {
+    val host = when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)))
+      .otherwise(lower(regexp_extract(url, "^([^/?#:]*)", 1)))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val secondLevel = element_at(labels, n - 1)
+    when(n >= 3 && secondLevel.rlike("^(co|com|net|org|ac|gov|edu)$"),
+      concat_ws(".", element_at(labels, n - 2), secondLevel, element_at(labels, n)))
+      .when(n >= 2, concat_ws(".", secondLevel, element_at(labels, n)))
+      .otherwise(host)
+  }
+
   def redact(text: Column): Column =
     regexp_replace(
       regexp_replace(

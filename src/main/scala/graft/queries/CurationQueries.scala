@@ -52,6 +52,29 @@ object CurationQueries {
     "x_chunks" -> ((s, d) =>
       Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text")),
 
+    // URL canonicalization + registered-domain extraction: each doc id
+    // builds a deliberately messy URL (uppercase scheme/host, default
+    // port, tracking params, unsorted query, trailing slash, fragment)
+    // whose CANONICAL form is a closed-form function of the id — the
+    // Spark side does the real normalization, the oracle is arithmetic.
+    "x_url_canon" -> ((s, d) => {
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+        lit("WWW.Site"), col("doc_id") % 20,
+        when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+        lit("/Page"), col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        lit("?b=2&utm_source=x&a="), col("doc_id") % 7,
+        when(col("doc_id") % 4 === 0, lit("&gclid=z")).otherwise(lit("")),
+        lit("#sec"), col("doc_id"))
+      tbl(s, d, "documents")
+        .select(col("doc_id"), messy.as("__url"))
+        .select(col("doc_id"),
+          Curation.canonicalizeUrl(col("__url")).as("url_canonical"),
+          Curation.registeredDomain(col("__url")).as("domain"))
+    }),
+
     // Corpus-level line dedup (RefinedWeb/C4 boilerplate removal). The
     // fixture text carries no newlines, so the gate first RECONSTRUCTS
     // multi-line documents deterministically — 8-token non-overlapping
@@ -205,5 +228,18 @@ object CurationQueries {
           |SELECT doc_id, chunk_id,
           |  CAST(len(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)]) AS INT) AS n_tokens,
           |  array_to_string(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)], ' ') AS chunk_text
-          |FROM c""".stripMargin))
+          |FROM c""".stripMargin),
+    // The canonical form of x_url_canon's synthetic URL, in closed form:
+    // params sorted ('a=' < 'b='), trackers dropped, default port and the
+    // fragment gone, trailing slash trimmed, scheme/host lowercased.
+    "x_url_canon" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+        |    || '://www.site' || (doc_id % 20)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+        |    || '/Page' || doc_id
+        |    || '?a=' || (doc_id % 7) || '&b=2' AS url_canonical,
+        |  'site' || (doc_id % 20)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END) AS domain
+        |FROM documents""".stripMargin)
 }

@@ -152,4 +152,26 @@ class CurationSpec extends AnyFunSuite {
       1L -> ("a\n\nb", 2L), 2L -> ("\nc", 1L),
       3L -> ("d\n", 1L), 4L -> ("", 0L)), s"got $out2")
   }
+  test("url canonicalization: ports, trackers, fragments, sorting, domains") {
+    val cases = Seq(
+      // messy -> canonical
+      ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&z=1&a=2#frag",
+        "https://www.example.com/A/B?a=2&z=1"),
+      ("http://Host.ORG:8080/path", "http://host.org:8080/path"), // non-default port kept
+      ("https://site.com", "https://site.com/"),                  // empty path -> /
+      ("https://site.com/p?utm_campaign=a&gclid=b", "https://site.com/p"), // all trackers
+      ("https://site.com/P?b=2&a=1&a=0", "https://site.com/P?a=0&a=1&b=2"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    val domains = Seq(
+      "https://www.example.co.uk/x" -> "example.co.uk",
+      "https://a.b.site.com/x" -> "site.com",
+      "http://localhost/x" -> "localhost",
+      "deep.sub.gov.uk" -> "sub.gov.uk")
+    val gd = domains.map(_._1).toDF("u")
+      .select(Curation.registeredDomain(col("u"))).as[String].collect().toSeq
+    assert(gd == domains.map(_._2), s"got $gd")
+  }
 }
+
