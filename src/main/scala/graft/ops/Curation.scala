@@ -171,8 +171,13 @@ object Curation {
       .when(path =!= "/" && path.endsWith("/"),
         path.substr(lit(1), length(path) - 1))
       .otherwise(path)
-    concat(scheme, lit("://"), host, trimmedPath,
-      when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams)))
+    // Canonicalization is defined on ABSOLUTE URLs; anything without a
+    // scheme (relative refs, bare hosts) passes through unchanged rather
+    // than being mangled into "://…".
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(scheme, lit("://"), host, trimmedPath,
+        when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams))))
+      .otherwise(url)
   }
 
   /**

@@ -160,7 +160,8 @@ class CurationSpec extends AnyFunSuite {
       ("http://Host.ORG:8080/path", "http://host.org:8080/path"), // non-default port kept
       ("https://site.com", "https://site.com/"),                  // empty path -> /
       ("https://site.com/p?utm_campaign=a&gclid=b", "https://site.com/p"), // all trackers
-      ("https://site.com/P?b=2&a=1&a=0", "https://site.com/P?a=0&a=1&b=2"))
+      ("https://site.com/P?b=2&a=1&a=0", "https://site.com/P?a=0&a=1&b=2"),
+      ("site.com/relative/path?utm_source=x", "site.com/relative/path?utm_source=x"))
     val got = cases.map(_._1).toDF("u")
       .select(Curation.canonicalizeUrl(col("u"))).as[String].collect().toSeq
     assert(got == cases.map(_._2), s"got $got")
