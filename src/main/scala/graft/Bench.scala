@@ -25,11 +25,13 @@ object Bench {
     "t_upsert_bucketed", "c_cdc_batch",
     "d_minhash_pairs", "e_cosine_topk", "x_quality")
 
-  /** Curation ops (rounds 3-4), timed as their own group so the headline
-    * `total` stays comparable across rounds. */
+  /** Curation ops (rounds 3-6), timed as their own group so the headline
+    * `total` stays comparable across rounds. The media entries time REAL
+    * codec work (JDK PNG decode incl. corpus synthesis; native AVI parse)
+    * over one synthetic asset per document. */
   private val curation =
     Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split", "x_repetition",
-      "x_line_dedup")
+      "x_line_dedup", "x_url_canon", "m_image_decode", "m_video_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
