@@ -233,6 +233,24 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Perceptual image dedup: group by DECODED features — dimensions plus the
+   * 8×8 luma thumbnail — keeping the smallest id as canonical. Catches what
+   * byte-level dedup cannot: the same picture stored as PNG vs BMP vs TIFF
+   * (or with different metadata) decodes to identical pixels and collapses
+   * into one group, while any visible difference keeps images apart. Scale
+   * shape: decode is the map stage; the only shuffle is a groupBy on a
+   * ~smaller-than-row feature key.
+   */
+  def dedupImagesByThumb(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    decodeImages(media)
+      .filter(col("decoded"))
+      .groupBy(col("width"), col("height"), col("thumb_luma"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+  }
+
   /** Output schema of [[resizeImages]]: resized payloads are PNG (lossless,
     * so constant regions survive re-decode bit-exactly). */
   val resizedSchema: StructType = StructType(Seq(

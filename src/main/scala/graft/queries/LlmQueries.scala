@@ -382,6 +382,24 @@ object LlmQueries {
           try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
     }),
 
+    // Multimodal: perceptual image dedup — ids sharing (id%4, id%3, id%8)
+    // produce pixel-identical gray images (period 24), so thumbnail-feature
+    // groups, canonical ids and dup counts are all analytic. Gray level
+    // (id%8)*30 makes luma exactly (299+587+114)/1000 * level = level*30.
+    "m_image_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val pngs = ids.map { id =>
+        val g = (id % 8L).toInt * 30
+        (id, Multimodal.constantPng((id % 4L).toInt + 2, (id % 3L).toInt + 2, g, g, g), "s")
+      }.toDF("doc_id", "png", "src")
+      Multimodal.dedupImagesByThumb(
+        Multimodal.asMediaTable(pngs, "doc_id", "png", "src"))
+        .select(col("width"), col("height"),
+          try_element_at(col("thumb_luma"), lit(1)).as("luma"),
+          col("canonical_id"), col("n_dups"))
+    }),
+
     // Multimodal: REAL audio decode through the JDK WAV codec. Square-wave
     // PCM has RMS == peak == amplitude EXACTLY for any frame count, so the
     // oracle is pure arithmetic while the engine parses a real RIFF/WAV
@@ -700,6 +718,12 @@ object LlmQueries {
         |  doc_id % 256 AS mean_r, (doc_id * 7) % 256 AS mean_g,
         |  (doc_id * 13) % 256 AS mean_b
         |FROM documents""".stripMargin,
+    "m_image_dedup" ->
+      """SELECT CAST(doc_id % 24 % 4 + 2 AS INT) AS width,
+        |  CAST(doc_id % 24 % 3 + 2 AS INT) AS height,
+        |  CAST(doc_id % 24 % 8 * 30 AS DOUBLE) AS luma,
+        |  min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY doc_id % 24""".stripMargin,
     "m_audio_decode" ->
       """SELECT doc_id AS media_id, true AS decoded,
         |  CAST(8000 AS DOUBLE) AS sample_rate, CAST(1 AS INT) AS channels,

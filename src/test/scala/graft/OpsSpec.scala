@@ -450,6 +450,33 @@ class OpsSpec extends AnyFunSuite {
       "top-down rows must decode in the same logical order")
   }
 
+  test("multimodal: perceptual dedup collapses the same picture across container formats") {
+    // One gradient image encoded as PNG, BMP and TIFF — three byte-distinct
+    // payloads (byte-level dedup sees three documents) that decode to the
+    // same pixels and must land in ONE feature group; a visibly different
+    // image stays its own group.
+    val img = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 9)
+      img.setRGB(x, y, (x * 28 << 16) | (y * 36 << 8) | 0x20)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val (png, bmp, tiff) = (enc("png"), enc("bmp"), enc("tiff"))
+    assert(png.toSeq != bmp.toSeq && bmp.toSeq != tiff.toSeq,
+      "the three containers must be byte-distinct")
+    val other = Multimodal.constantPng(9, 7, 200, 10, 10)
+    val media = Multimodal.asMediaTable(
+      Seq((1L, png), (2L, bmp), (3L, tiff), (4L, other))
+        .toDF("id", "bytes").withColumn("src", lit("t")), "id", "bytes", "src")
+    val groups = Multimodal.dedupImagesByThumb(media).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L),
+      s"same pixels must collapse across formats: $groups")
+  }
+
   test("multimodal: decompression bomb refused from the header, before pixel allocation") {
     // A valid PNG signature + IHDR declaring 50000x50000 (2.5G pixels) with
     // no pixel data: the guard must reject on the HEADER dims — a decoder
