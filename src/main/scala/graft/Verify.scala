@@ -17,7 +17,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,q2_... runs just those
-    // entries (the driver never sets it, so the gate always runs all 89).
+    // entries (the driver never sets it, so the gate always runs the full
+    // registry).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {

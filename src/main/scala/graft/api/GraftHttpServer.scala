@@ -208,11 +208,21 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val table = session.catalog.table(t)
     require(table.schema.fieldNames.contains(c), s"no such column $c")
     val dt = table.schema(c).dataType
-    // A boolean column has no meaningful range window, and Coerce's truthy
-    // parse cannot FAIL on it (any non-truthy string becomes false), so a
-    // nonsense bound would 200 — reject the column kind up front instead.
-    require(dt != org.apache.spark.sql.types.BooleanType,
-      s"column $c is ${dt.simpleString}: range windows need an orderable column")
+    // Only scalar ORDERABLE kinds take a range window. Boolean is excluded
+    // because Coerce's truthy parse cannot FAIL on it (nonsense bounds
+    // would 200); nested/binary kinds because a string bound against them
+    // either planner-errors into a 500 or silently filters nothing — both
+    // are client errors and must 400 up front.
+    val orderable = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: NumericType | StringType | TimestampType | TimestampNTZType |
+          DateType => true
+        case _ => false
+      }
+    }
+    require(orderable,
+      s"column $c is ${dt.simpleString}: range windows need an orderable scalar column")
     // Bounds arrive as strings and coerce per the column's type — the same
     // form-value rules as the DML endpoints; the manifest-level min/max
     // skipping then plans only the dirs whose bounds intersect the window.

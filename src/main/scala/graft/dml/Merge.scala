@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.StructType
  */
 object Merge {
 
+  /** Locale-FREE lowercase for identifier matching: the default
+    * `toLowerCase` folds through the JVM locale, and under tr-TR "ID"
+    * becomes dotless-ı "ıd" ≠ "id" — silently re-opening the
+    * duplicate-modulo-case schema hole on Turkish-locale deployments. */
+  private[dml] def lc(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
   /** Latest-per-key dedup of the updates side (Hudi precombine analog). */
   def dedupLatest(updates: DataFrame, key: String, precombine: String, tieBreak: Option[String] = None): DataFrame = {
     val order = col(precombine).desc +: tieBreak.map(col(_).desc).toSeq
@@ -76,17 +83,18 @@ object Merge {
     // Case-insensitive (see unionSchema): an update batch spelling the
     // target's "id" as "ID" evolves nothing — and must still have its
     // values land in "id", not be null-padded as an absent column.
-    val targetLower = target.columns.map(_.toLowerCase).toSet
+    val targetLower = target.columns.map(lc).toSet
+    val newSeen = scala.collection.mutable.HashSet.empty[String]
     val outCols: Seq[String] = target.columns.toSeq ++
-      updateDataCols.filterNot(c => targetLower.contains(c.toLowerCase))
+      updateDataCols.filterNot(c => targetLower.contains(lc(c)) || !newSeen.add(lc(c)))
 
     // Align one side to outCols, padding absent columns with typed nulls
     // (the reference pads evolved columns the same way:
     // `ingest_csv_hudi.py:128`).
     def alignTo(df: DataFrame, other: DataFrame): DataFrame = {
-      val have = df.columns.map(c => c.toLowerCase -> c).toMap
+      val have = df.columns.map(c => lc(c) -> c).toMap
       df.select(outCols.map { c =>
-        have.get(c.toLowerCase) match {
+        have.get(lc(c)) match {
           case Some(actual) => col(actual).as(c)
           case None =>
             val dt = other.schema
@@ -144,9 +152,12 @@ object Merge {
     // case-insensitive parquet resolution rejects duplicate-modulo-case
     // columns — and the align step would silently null-pad the canonical
     // one while the incoming values landed beside it.
-    val baseNames = base.fieldNames.map(_.toLowerCase).toSet
+    // Dedupe against the base AND within the incoming batch itself: a batch
+    // carrying both "extra" and "EXTRA" must evolve ONE column, not two.
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    base.fieldNames.foreach(n => seen.add(lc(n)))
     StructType(base.fields ++
-      incoming.fields.filterNot(f => baseNames.contains(f.name.toLowerCase))
+      incoming.fields.filter(f => seen.add(lc(f.name)))
         .map(_.copy(nullable = true)))
   }
 }

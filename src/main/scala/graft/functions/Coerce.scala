@@ -34,7 +34,7 @@ object Coerce {
         case IntegerType | ShortType | ByteType => v.toInt
         case LongType => v.toLong
         case DoubleType | FloatType | _: DecimalType => v.toDouble
-        case BooleanType => truthy.contains(v.toLowerCase)
+        case BooleanType => truthy.contains(v.toLowerCase(java.util.Locale.ROOT))
         case TimestampType =>
           val iso = if (v.endsWith("Z")) v.dropRight(1) + "+00:00" else v
           java.sql.Timestamp.from(
@@ -98,7 +98,7 @@ object Coerce {
    * int dtypes keep the reference's IntegerType.
    */
   def dtypeToSpark(dtype: String): DataType = {
-    val d = dtype.toLowerCase
+    val d = dtype.toLowerCase(java.util.Locale.ROOT)
     if (d.contains("int64")) LongType
     else if (d.contains("int")) IntegerType
     else if (d.contains("float") || d.contains("double")) DoubleType

@@ -46,9 +46,9 @@ object Identifiers {
     val candidates = Seq(
       "id", "index", "internal_id", "uid", "uuid", "guid", "key", "pk",
       "customer_id", "product_id", "emp_id", "user_id", "transaction_id")
-    val lower = columns.map(c => c.toLowerCase -> c).toMap
+    val lower = columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     candidates.collectFirst { case c if lower.contains(c) => lower(c) }
-      .orElse(columns.find(_.toLowerCase.endsWith("_id")))
+      .orElse(columns.find(_.toLowerCase(java.util.Locale.ROOT).endsWith("_id")))
       .getOrElse(columns.head)
   }
 }

@@ -33,5 +33,5 @@ object Tokenize {
 
   /** Driver-side analog for query strings. */
   def queryTerms(query: String): Seq[String] =
-    query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    query.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
 }

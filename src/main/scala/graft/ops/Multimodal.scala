@@ -346,11 +346,13 @@ object Multimodal {
         val nSamples = pcm.length / 2
         val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
         val rate = fmt.getSampleRate.toDouble
-        // Repair an unknown-length header from the PCM actually read, so
-        // n_frames/duration_s are never the header's -1 sentinel.
-        val frames =
-          if (declared >= 0) declared
-          else if (ch > 0) nSamples.toLong / ch else 0L
+        // Frame count from the PCM ACTUALLY READ, never the header: a
+        // truncated WAV's header can declare minutes of audio backed by a
+        // handful of samples, and an unknown-length (-1) header has nothing
+        // better to offer anyway — reporting header frames beside
+        // actually-read rms/peak would hand downstream duration filters
+        // mutually inconsistent fields.
+        val frames = if (ch > 0) nSamples.toLong / ch else 0L
         Row(id, n, true, rate, ch, frames,
           if (rate > 0) frames / rate else 0.0, rms, peak)
       } finally ais.close()

@@ -25,9 +25,11 @@ object Riff {
 
   /** Parsed container: stream geometry plus lazily-decoded frames.
     * `topDown` carries the sign of the DIB's biHeight (negative = rows
-    * stored top-down instead of the default bottom-up). */
+    * stored top-down instead of the default bottom-up). `frameChunks` is an
+    * IndexedSeq: decode iterates by index, and a linked list would make a
+    * 10k-frame video O(n²) in pointer chasing alone. */
   final case class Avi(width: Int, height: Int, fps: Double, topDown: Boolean,
-      frameChunks: Seq[(String, Array[Byte])]) {
+      frameChunks: IndexedSeq[(String, Array[Byte])]) {
     def nFrames: Int = frameChunks.size
     def durationS: Double = if (fps > 0) nFrames / fps else 0.0
   }
@@ -56,22 +58,29 @@ object Riff {
     var streamIdx = -1
     var videoStream = -1
     var lastStrhIsVideo = false
-    val frames = Seq.newBuilder[(String, Array[Byte])]
+    val frames = Vector.newBuilder[(String, Array[Byte])]
 
     def walk(limit: Int, inMovi: Boolean): Unit =
       while (b.position() < limit && limit - b.position() >= 8) {
         val id = fourCC(b)
         val size = b.getInt
-        val next = b.position() + size + (size & 1) // chunks are word-aligned
-        require(size >= 0 && b.position() + size <= payload.length,
+        // LONG arithmetic: a hostile size near Int.MaxValue would overflow
+        // `position + size` negative and slip past this guard straight into
+        // a ~2 GB array allocation (OutOfMemoryError is fatal — it escapes
+        // the NonFatal handlers that turn bad payloads into decoded=false).
+        require(size >= 0 && b.position().toLong + size <= payload.length,
           s"chunk $id overruns the container")
+        val next = b.position() + size + (size & 1) // chunks are word-aligned
         id match {
           case "LIST" =>
             val kind = fourCC(b) // hdrl / strl / movi / rec
             walk(next, inMovi || kind == "movi")
           case "strh" =>
             streamIdx += 1
-            lastStrhIsVideo = fourCC(b) == "vids"
+            // Through dwRate needs 28 bytes (type 4 + handler/flags/prio/
+            // initial 16 + scale 4 + rate 4); a shorter declared size would
+            // read the NEXT chunk's header bytes as garbage scale/rate.
+            lastStrhIsVideo = size >= 28 && fourCC(b) == "vids"
             if (lastStrhIsVideo && videoStream < 0) {
               videoStream = streamIdx
               b.position(b.position() + 16) // handler, flags, prio, lang, initial

@@ -123,7 +123,7 @@ object Search {
       size: Int): DataFrame = {
     val hits = df.join(candidates.withColumnRenamed("id", idCol), Seq(idCol))
     val phrase = phraseCols
-      .map(c => lower(col(c).cast("string")).contains(query.toLowerCase))
+      .map(c => lower(col(c).cast("string")).contains(query.toLowerCase(java.util.Locale.ROOT)))
       .reduce(_ || _)
     hits
       .withColumn("score", when(phrase, 10.0).otherwise(1.0))
@@ -183,7 +183,7 @@ object Search {
     val terms = graft.functions.Tokenize.queryTerms(query)
     val toks = tokenize(col(textCol))
     val andMatch = terms.map(t => array_contains(toks, t)).reduce(_ && _)
-    val phrase = lower(col(textCol)).contains(query.toLowerCase)
+    val phrase = lower(col(textCol)).contains(query.toLowerCase(java.util.Locale.ROOT))
     df.filter(andMatch)
       .withColumn("score", when(phrase, 10.0).otherwise(1.0))
       .orderBy(desc("score"), col(idCol).asc)

@@ -669,12 +669,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   private def align(df: DataFrame, st: StructType): DataFrame = {
-    // Case-insensitive resolution (analyzer semantics, see
-    // Merge.unionSchema): an incoming "ID" lands in the table's "id",
+    // Case-insensitive resolution (analyzer semantics, locale-free — see
+    // Merge.unionSchema/lc): an incoming "ID" lands in the table's "id",
     // written under the table's canonical spelling.
-    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    val have = df.columns
+      .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     df.select(st.fields.toSeq.map { f =>
-      have.get(f.name.toLowerCase) match {
+      have.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
         case Some(c) => col(c).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
@@ -1177,7 +1178,7 @@ object GraftTable {
    * on an unusual column name declares it via `statsColumns`.
    */
   private[table] def idLike(name: String): Boolean = {
-    val l = name.toLowerCase
+    val l = name.toLowerCase(java.util.Locale.ROOT)
     l.endsWith("id") || l.endsWith("key")
   }
 }
