@@ -38,6 +38,24 @@ object CdcPipeline {
   @volatile var lastTiming: Option[(Long, Double, Double)] = None
 
   /**
+   * Per-micro-batch trace — (batchId, bodyWallSec, gcSecDelta) — appended
+   * for every batch while `-Dgraft.cdc.trace=true`. Unlike [[lastTiming]]
+   * this costs nothing extra (no cache-materializing pass): it brackets the
+   * foreachBatch body with a wall clock and the JVM's cumulative GC-time
+   * counters. The bench keeps it on for every timed wave, so a slow wave is
+   * attributable — externally-timed wave minus bodyWallSec is streaming
+   * machinery (source listing, offset log, checkpoint), and gcSecDelta says
+   * how much of the body was collector pauses rather than merge work.
+   */
+  @volatile var traces: Vector[(Long, Double, Double)] = Vector.empty
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /**
    * Start the stream: JSON-lines envelope files in `inputDir` → decode →
    * flatten → dedup → idempotent keyed merge into `table`.
    */
@@ -80,6 +98,9 @@ object CdcPipeline {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val trace = sys.props.get("graft.cdc.trace").contains("true")
+        val traceT0 = if (trace) System.nanoTime() else 0L
+        val traceGc0 = if (trace) gcMillis() else 0L
         if (!batch.isEmpty) { // ST8: skip empty micro-batches
           if (wrappedFmt.isEmpty) wrappedFmt = Some(Envelope.looksWrapped(batch))
           val spread =
@@ -124,6 +145,11 @@ object CdcPipeline {
             }
             ()
           } finally b.unpersist(blocking = false)
+        }
+        if (trace) {
+          val wall = (System.nanoTime() - traceT0) / 1e9
+          val gcSec = (gcMillis() - traceGc0) / 1e3
+          traces = traces :+ ((batchId, wall, gcSec))
         }
       }
       .start()

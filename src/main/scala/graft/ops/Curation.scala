@@ -182,9 +182,21 @@ object Curation {
 
   /**
    * Registered domain of a URL or bare host — the per-site grouping key for
-   * domain quotas and provenance stats. Heuristic public-suffix handling:
-   * a two-label suffix from the common set (`co|com|net|org|ac|gov|edu` +
-   * ccTLD) keeps three labels, anything else keeps two.
+   * domain quotas and provenance stats. Heuristic public-suffix handling,
+   * NOT the full public-suffix list (which is a ~10k-entry moving target):
+   * a two-label suffix keeps three labels when its second level is in the
+   * generic set (`co|com|net|org|ac|gov|edu` — these are second-level
+   * registries under essentially every ccTLD that has them), or — only
+   * under a two-letter ccTLD — in the extended set covering the other
+   * widespread national second levels (`ne.jp`, `or.at`, `id.au`,
+   * `go.kr`, `mil.*`, `sch.uk`, `gob.mx`, `asn.au`, `ltd.uk`, `plc.uk`,
+   * `web.za`, …). Everything else keeps two labels — the explicit
+   * fallback. Residual inaccuracy is bounded and one-sided: an unlisted
+   * national suffix (e.g. `pref.aichi.jp`) under-splits, so unrelated
+   * sites beneath it share one quota group in [[capPerGroup]]-style
+   * balancing; listed entries never over-split because the extended set
+   * applies only where the trailing label is a ccTLD (so `foo.go.com`
+   * still groups as `go.com`).
    */
   def registeredDomain(url: Column): Column = {
     val host = when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
@@ -193,7 +205,11 @@ object Curation {
     val labels = split(host, "\\.")
     val n = size(labels)
     val secondLevel = element_at(labels, n - 1)
-    when(n >= 3 && secondLevel.rlike("^(co|com|net|org|ac|gov|edu)$"),
+    val tld = element_at(labels, n)
+    val generic = secondLevel.rlike("^(co|com|net|org|ac|gov|edu)$")
+    val ccNational = tld.rlike("^[a-z][a-z]$") &&
+      secondLevel.rlike("^(ne|or|id|go|mil|sch|gob|asn|ltd|plc|web|nom|in|gen)$")
+    when(n >= 3 && (generic || ccNational),
       concat_ws(".", element_at(labels, n - 2), secondLevel, element_at(labels, n)))
       .when(n >= 2, concat_ws(".", secondLevel, element_at(labels, n)))
       .otherwise(host)

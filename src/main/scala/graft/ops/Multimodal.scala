@@ -241,12 +241,21 @@ object Multimodal {
    * into one group, while any visible difference keeps images apart. Scale
    * shape: decode is the map stage; the only shuffle is a groupBy on a
    * ~smaller-than-row feature key.
+   *
+   * The thumbnail is QUANTIZED to integer luma before grouping: the 8×8
+   * raster comes out of Graphics2D bilinear drawImage, whose rounding is
+   * not guaranteed bit-identical across JVM versions/platforms — raw-double
+   * keys could put the same picture in different groups on heterogeneous
+   * executors. Integer luma absorbs that sub-unit jitter while staying
+   * strictly finer than a 64-bit aHash (whose luma-vs-mean bits degenerate
+   * to all-zero for near-constant images, collapsing distinct gray levels).
    */
   def dedupImagesByThumb(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     decodeImages(media)
       .filter(col("decoded"))
-      .groupBy(col("width"), col("height"), col("thumb_luma"))
+      .groupBy(col("width"), col("height"),
+        transform(col("thumb_luma"), v => round(v).cast("long")).as("thumb_luma"))
       .agg(min(col("media_id")).as("canonical_id"),
         count(lit(1)).as("n_dups"))
   }

@@ -70,7 +70,10 @@ object Riff {
         // the NonFatal handlers that turn bad payloads into decoded=false).
         require(size >= 0 && b.position().toLong + size <= payload.length,
           s"chunk $id overruns the container")
-        val next = b.position() + size + (size & 1) // chunks are word-aligned
+        // Chunks are word-aligned, but the FINAL chunk of a container may
+        // legally omit the trailing pad byte — clamp so a missing last pad
+        // doesn't push `next` past the buffer and reject a fully-parsed file.
+        val next = math.min(b.position() + size + (size & 1), limit)
         id match {
           case "LIST" =>
             val kind = fourCC(b) // hdrl / strl / movi / rec

@@ -344,9 +344,12 @@ object LlmQueries {
           col("meta.source").as("source"),
           col("meta.declared_bytes").as("declared_bytes"))),
 
-    // Multimodal: batched per-partition decode (STUB codec, real plumbing —
-    // the audio/video path; images decode for real below).
-    "m_decode_stub" -> ((s, d) =>
+    // Multimodal: batched per-partition decode plumbing (schema, batch
+    // shape, partitioning — all real and what this entry tests); only the
+    // codec fallback inside decodeFeatures for formats with no JDK decoder
+    // (e.g. H.264) is a deterministic stand-in. Images/audio/GIF/TIFF/AVI
+    // decode for real in the entries below.
+    "m_batch_shape" -> ((s, d) =>
       Multimodal.decodeFeatures(
         Multimodal.asMediaTable(tbl(s, d, "documents"), "doc_id", "text", "source"))
         .select("media_id", "n_bytes", "frame_count")),
@@ -396,7 +399,9 @@ object LlmQueries {
       Multimodal.dedupImagesByThumb(
         Multimodal.asMediaTable(pngs, "doc_id", "png", "src"))
         .select(col("width"), col("height"),
-          try_element_at(col("thumb_luma"), lit(1)).as("luma"),
+          // thumb_luma is the QUANTIZED (integer) group key here; the
+          // oracle's closed form is exact integers, so the cast is lossless.
+          try_element_at(col("thumb_luma"), lit(1)).cast("double").as("luma"),
           col("canonical_id"), col("n_dups"))
     }),
 
@@ -695,7 +700,7 @@ object LlmQueries {
       """SELECT doc_id AS media_id, 'image' AS media_type, source,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
         |FROM documents""".stripMargin,
-    "m_decode_stub" ->
+    "m_batch_shape" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(1 + octet_length(encode(text)) // 1024 AS BIGINT) AS frame_count
         |FROM documents""".stripMargin,

@@ -44,17 +44,21 @@ object EventWindows {
     // Streaming watermarks only accept session-TZ TimestampType
     // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), but the event corpus is
     // wall-clock NTZ — so NTZ input drives the watermark through an LTZ
-    // cast and the emitted window bounds are cast back: NTZ in → NTZ out.
-    // Under a fixed-offset session zone the round trip is exact; like
-    // [[sessionizeBatch]], DST zones shift the epoch-aligned window
-    // boundaries at transitions.
+    // value REBUILT FROM THE RAW MICROS (timestamp_micros ∘ wallMicros),
+    // not a cast: a cast re-renders through the session zone, which shifts
+    // window bounds under non-UTC zones and is non-injective across DST
+    // transitions. Window arithmetic is pure micros math on the internal
+    // value, and the emitted bounds go back through wallMicros → NTZ, so
+    // the whole round trip is zone-free: NTZ in → identical NTZ out under
+    // ANY session zone, DST included.
+    import graft.plans.TimestampMicrosExprs.{microsToNtz, wallMicros}
     val ntzIn = events.schema(tsCol).dataType ==
       org.apache.spark.sql.types.TimestampNTZType
     val src =
-      if (ntzIn) events.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      if (ntzIn) events.withColumn(tsCol, timestamp_micros(wallMicros(col(tsCol))))
       else events
     def bound(c: org.apache.spark.sql.Column) =
-      if (ntzIn) c.cast(org.apache.spark.sql.types.TimestampNTZType) else c
+      if (ntzIn) microsToNtz(wallMicros(c)) else c
     src.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n_events"))

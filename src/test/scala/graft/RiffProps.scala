@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.scalacheck.{Gen, Prop, Properties}
 
 import graft.ops.{Multimodal, Riff}
@@ -38,6 +40,30 @@ object RiffProps extends Properties("Riff") {
       (Prop(geomOk) :| s"geometry: got ${avi.width}x${avi.height} " +
         s"frames=${avi.nFrames} fps=${avi.fps}, want ${w}x$h ${frames.size} $fps") &&
         (Prop(pixelsOk) :| "pixel round trip")
+    }
+
+  property("a final odd-size chunk may omit its trailing pad byte") =
+    Prop.forAll(Gen.chooseNum(0, 49)) { k =>
+      val oddLen = 2 * k + 1
+      val body = Array.tabulate(oddLen)(i => (i * 7).toByte)
+      val full = Riff.writeAvi(4, 3, 10, "MJPG", Seq(("dc", body)))
+      // Strip the final pad byte the writer emitted and fix up the sizes a
+      // pad-omitting writer would have produced (RIFF form + movi LIST) —
+      // word-aligned chunk sizes never include their own pad, so only the
+      // two enclosing lengths shrink.
+      val bytes = full.dropRight(1)
+      def shrink(at: Int): Unit = {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(at, bb.getInt(at) - 1)
+      }
+      shrink(4) // RIFF form size
+      val moviKind = Iterator.range(0, bytes.length - 4).find(i =>
+        bytes(i) == 'm' && bytes(i + 1) == 'o' &&
+          bytes(i + 2) == 'v' && bytes(i + 3) == 'i').get
+      shrink(moviKind - 4) // movi LIST size
+      val avi = Riff.parseAvi(bytes, Multimodal.maxFramePixels)
+      (Prop(avi.nFrames == 1) :| s"frame count ${avi.nFrames}") &&
+        (Prop(avi.frameChunks.head._2.sameElements(body)) :| "frame bytes intact")
     }
 
   property("truncated containers fail loudly, never decode garbage") =

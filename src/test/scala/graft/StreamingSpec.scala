@@ -70,6 +70,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed counts NTZ bridge is zone-free across DST transitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Wall-clock NTZ events inside 2024-03-10 02:00-03:00 local time, the
+    // hour America/New_York SKIPS at spring-forward — a session-zone cast
+    // has no faithful instant for these, so the old cast-based bridge
+    // shifted the emitted bounds by an hour. The micros-rebuild bridge must
+    // emit exact wall-clock window bounds under any session zone.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val events = Seq(
+        ("2024-03-10T02:05:00", "a"), ("2024-03-10T02:14:59", "a"),
+        ("2024-03-10T02:15:01", "a"), ("2024-03-10T02:59:00", "b"))
+        .toDF("s", "event_type")
+        .select(col("s").cast("timestamp_ntz").as("ts"), col("event_type"))
+      val rows = EventWindows.windowedCounts(events, "ts", "event_type",
+        windowDur = "15 minutes", watermarkDelay = "0 seconds")
+        .collect()
+        .map(r => (r.getAs[java.time.LocalDateTime]("window_start").toString,
+          r.getString(2), r.getLong(3))).toSet
+      assert(rows == Set(
+        ("2024-03-10T02:00", "a", 2L),
+        ("2024-03-10T02:15", "a", 1L),
+        ("2024-03-10T02:45", "b", 1L)),
+        s"DST-skipped wall-clock windows must round-trip exactly, got $rows")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("streaming sessionize emits exactly the batch sessionizeBatch sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
