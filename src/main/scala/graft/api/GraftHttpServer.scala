@@ -35,6 +35,16 @@ import org.apache.spark.sql.DataFrame
  *  - `POST /upload/{t}` (text/csv body; `?mode=replace|append|upsert`) — CSV
  *    ingest (`api_poc.py:300-320`; raw body instead of multipart — the
  *    transport simplification, same ingest path underneath)
+ *  - `POST /cdc/{t}/start?dir=&key=&mode=cow|mor&trigger_ms=&max_files=` —
+ *    start the streaming CDC merger on envelope files in `dir`, merging
+ *    into table `t` (the reference spawns its merger as a background task
+ *    from `POST /upload/{t}?mode=mysql|postgres`, `api_poc.py:300-360`;
+ *    here the lifecycle is explicit and the source is the file stand-in)
+ *  - `GET /cdc/{t}/status` — active flag + last micro-batch progress
+ *  - `POST /cdc/{t}/drain` — block until all currently-available input is
+ *    processed (deterministic flush for tests/ops)
+ *  - `POST /cdc/{t}/stop` — stop the stream (checkpoint retained: a later
+ *    start resumes exactly-once from the committed offsets)
  *
  * Serving limits: every row-returning endpoint caps its collect (`limit`,
  * `page_size`, `maxRows`) — the driver never materializes an unbounded
@@ -57,7 +67,14 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   def start(): GraftHttpServer = { server.start(); this }
 
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def stop(): Unit = {
+    // Endpoint-started CDC streams die with the server (their checkpoints
+    // survive, so a restarted server resumes them exactly-once on demand).
+    streams.forEach((_, q) => try q.stop() catch { case _: Throwable => () })
+    streams.clear()
+    server.stop(0)
+    pool.shutdown()
+  }
 
   // ------------------------------------------------------------- helpers
 
@@ -308,6 +325,86 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       org.apache.spark.sql.functions.col(pk) === idVal)
     session.registerView(t)
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
+  }
+
+  // ---------------------------------------------------- CDC streaming
+
+  /** Endpoint-started CDC streams by target table. ConcurrentHashMap's
+    * atomic `compute` is the start/start race guard — two concurrent
+    * starts for one table cannot both launch a stream. */
+  private val streams = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  private def jstr(s: String): String =
+    "\"" + Option(s).getOrElse("").replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') "" else c.toString) + "\""
+
+  handle("/cdc") { ex =>
+    val (t, action) = tableAndId(ex, "/cdc")
+    action match {
+      case "start" =>
+        require(ex.getRequestMethod == "POST", "POST required")
+        val p = qs(ex)
+        val dir = p.getOrElse("dir",
+          throw new IllegalArgumentException("missing dir (envelope files directory)"))
+        val table = session.catalog.table(t)
+        require(table.schema.fields.nonEmpty,
+          s"table $t has no committed schema to merge into")
+        // Key defaults like the DML endpoints: the id-looking column.
+        val key = p.getOrElse("key",
+          graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq))
+        require(table.schema.fieldNames.contains(key), s"no such key column: $key")
+        val mor = p.getOrElse("mode", "cow") match {
+          case "cow" => false
+          case "mor" => true
+          case m => throw new IllegalArgumentException(s"mode must be cow|mor, got $m")
+        }
+        val triggerMs = p.get("trigger_ms").map(_.toLong).getOrElse(10000L)
+        require(triggerMs >= 0, "trigger_ms must be >= 0")
+        val maxFiles = p.get("max_files").map(_.toInt).getOrElse(1000)
+        val spark = table.spark
+        val q = streams.compute(t, (_, existing) => {
+          if (existing != null && existing.isActive)
+            throw new IllegalArgumentException(s"a CDC stream is already active for $t")
+          // Checkpoint lives INSIDE the table dir: stop + start resumes the
+          // committed offsets, and the merge's idempotent batchKey makes a
+          // replayed trailing batch a no-op — exactly-once across restarts.
+          graft.cdc.CdcPipeline.start(spark, dir, table.schema, table, key,
+            table.root.resolve("_cdc_checkpoint").toString,
+            trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs),
+            maxFilesPerTrigger = maxFiles, mergeOnRead = mor,
+            decodeParallelism = spark.sparkContext.defaultParallelism)
+        })
+        s"""{"status":"ok","table":${jstr(t)},"query_id":"${q.id}","mode":"${if (mor) "mor" else "cow"}","key":${jstr(key)}}"""
+
+      case "status" =>
+        Option(streams.get(t)) match {
+          case None => s"""{"table":${jstr(t)},"active":false}"""
+          case Some(q) =>
+            val lp = Option(q.lastProgress)
+            val err = q.exception
+              .map(e => s""","error":${jstr(Option(e.cause).getOrElse(e).toString)}""")
+              .getOrElse("")
+            s"""{"table":${jstr(t)},"active":${q.isActive},"query_id":"${q.id}","last_batch_id":${lp.map(_.batchId).getOrElse(-1L)},"last_batch_rows":${lp.map(_.numInputRows).getOrElse(0L)}$err}"""
+        }
+
+      case "drain" =>
+        require(ex.getRequestMethod == "POST", "POST required")
+        val q = Option(streams.get(t)).filter(_.isActive).getOrElse(
+          throw new NoSuchElementException(s"no active CDC stream for $t"))
+        q.processAllAvailable()
+        s"""{"status":"ok","table":${jstr(t)},"drained":true}"""
+
+      case "stop" =>
+        require(ex.getRequestMethod == "POST", "POST required")
+        val q = Option(streams.remove(t)).getOrElse(
+          throw new NoSuchElementException(s"no CDC stream for $t"))
+        q.stop()
+        s"""{"status":"ok","table":${jstr(t)},"stopped":true}"""
+
+      case other =>
+        throw new NoSuchElementException(s"no such cdc action: $other")
+    }
   }
 
   handle("/upload") { ex =>

@@ -117,6 +117,55 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c2 == 200 && b2.contains("widget"), b2)
   }
 
+  test("CDC stream over HTTP: start, drain, merge, status, stop, resume semantics") {
+    import org.apache.spark.sql.types._
+    val inDir = TestSpark.tmpDir("http-cdc-in-")
+    session.catalog.createTable("cdc_http_t", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DoubleType))))
+    def env(id: Long, name: String, amount: Double, op: String, ts: Long) =
+      s"""{"payload":{"before":null,"after":{"id":$id,"name":"$name","amount":$amount},"op":"$op","ts_ms":$ts}}"""
+    // Backfill file exists BEFORE the stream starts (ST7 over HTTP).
+    java.nio.file.Files.write(inDir.resolve("f1.json"),
+      (1 to 5).map(i => env(i, s"n$i", i * 1.0, "c", i)).mkString("\n").getBytes)
+    val dir = java.net.URLEncoder.encode(inDir.toString, "UTF-8")
+    val (c1, b1) = post(s"/cdc/cdc_http_t/start?dir=$dir&key=id&mode=cow&trigger_ms=0", "")
+    assert(c1 == 200 && b1.contains("\"mode\":\"cow\"") && b1.contains("\"key\":\"id\""), b1)
+    // second start while active is a client error, not a second stream
+    val (cDup, bDup) = post(s"/cdc/cdc_http_t/start?dir=$dir", "")
+    assert(cDup == 400 && bDup.contains("already active"), s"$cDup $bDup")
+    val (c2, b2) = post("/cdc/cdc_http_t/drain", "")
+    assert(c2 == 200 && b2.contains("\"drained\":true"), b2)
+    // an update envelope lands while the stream is live
+    java.nio.file.Files.write(inDir.resolve("f2.json"),
+      env(2, "n2x", 20.0, "u", 100).getBytes)
+    post("/cdc/cdc_http_t/drain", "")
+    val (c3, b3) = get("/data/cdc_http_t?limit=10")
+    assert(c3 == 200 && b3.contains("n2x") && b3.contains("n5") && !b3.contains("\"n2\""),
+      b3)
+    val (c4, b4) = get("/cdc/cdc_http_t/status")
+    assert(c4 == 200 && b4.contains("\"active\":true") &&
+      b4.contains("\"last_batch_id\":1"), b4)
+    val (c5, b5) = post("/cdc/cdc_http_t/stop", "")
+    assert(c5 == 200 && b5.contains("\"stopped\":true"), b5)
+    val (c6, b6) = get("/cdc/cdc_http_t/status")
+    assert(c6 == 200 && b6.contains("\"active\":false"), b6)
+    val (c7, _) = post("/cdc/cdc_http_t/drain", "")
+    assert(c7 == 404)
+    // restart resumes from the retained checkpoint: old files NOT replayed
+    // (commit count unchanged after a drain with no new input)
+    val commits = session.catalog.table("cdc_http_t").log.versions().size
+    val (c8, _) = post(s"/cdc/cdc_http_t/start?dir=$dir&trigger_ms=0", "")
+    assert(c8 == 200)
+    post("/cdc/cdc_http_t/drain", "")
+    assert(session.catalog.table("cdc_http_t").log.versions().size == commits,
+      "resumed stream must not replay committed offsets")
+    post("/cdc/cdc_http_t/stop", "")
+    // unknown action 404s
+    val (c9, _) = post("/cdc/cdc_http_t/bogus", "")
+    assert(c9 == 404)
+  }
+
   test("errors map to JSON statuses") {
     val (c1, b1) = get("/data/no_such_table")
     assert(c1 == 400 && b1.contains("error"), s"$c1 $b1")
