@@ -135,17 +135,23 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
-  /** Deterministic seed centroids: the first `nCells` corpus vectors by id —
-    * reproducible without an RNG. nCells rows; the collect is O(nCells). */
+  /** Deterministic centroids via [[KMeans.fit]] (RNG-free: seeds are the
+    * `nCells` smallest-id vectors, refined by Lloyd iterations). First-N
+    * RAW vectors as centroids — the previous scheme — are skew-prone: on a
+    * clustered corpus most vectors land in a few Voronoi cells and the
+    * cell-bucket pruning that is the point of the persisted IVF layout at
+    * 100 TB stops helping. Lloyd refinement spreads the centroids toward
+    * the corpus's actual density modes, balancing cell occupancy. */
   private def seedCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
     import org.apache.spark.sql.Row
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol), col(vecCol)).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val cents = KMeans.fit(corpus, idCol, vecCol, k = nCells, iters = 4).centroids
     val spark = corpus.sparkSession
     spark.createDataFrame(
-      spark.sparkContext.parallelize(centroids.toSeq.map { case (i, v) => Row(i, v) }, 1),
+      spark.sparkContext.parallelize(
+        cents.zipWithIndex.toSeq.map { case (v, i) =>
+          Row(i, v.map(_.toFloat).toSeq)
+        }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("cvec",

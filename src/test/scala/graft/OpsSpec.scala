@@ -174,6 +174,42 @@ class OpsSpec extends AnyFunSuite {
     assert(probed.size <= 2, s"2 cells must read at most 2 buckets, got $probed")
   }
 
+  test("IVF centroids are kmeans-refined: balanced cells where first-N seeding skews") {
+    // Two well-separated clusters in 8-d with CONTIGUOUS ids per cluster,
+    // so "first N vectors by id" seeds would both come from cluster A.
+    val dim = 8
+    def vec(base: Int, jitterId: Int): Seq[Float] = {
+      val a = Array.fill(dim)(0f)
+      a(base) += 10f
+      a(jitterId % dim) += 0.1f * ((jitterId % 5) + 1)
+      a.toSeq
+    }
+    val rows = (0 until 10).map(i => (i.toLong, vec(0, i))) ++
+      (10 until 20).map(i => (i.toLong, vec(4, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    // The failure mode this test pins: with first-N seeds (vectors of ids
+    // 0 and 1 — both cluster A), brute-force cosine assignment collapses
+    // all of cluster B plus most of A into one Voronoi cell.
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val seeds = rows.take(2).map(_._2)
+    val firstNOcc = rows.groupBy(r =>
+      seeds.indices.maxBy(s => cos(r._2, seeds(s)))).map(_._2.size)
+    assert(firstNOcc.max >= 15,
+      s"first-N seeding must skew this corpus (else the test proves nothing), got $firstNOcc")
+    // kmeans-refined seeding must spread the centroids to the two density
+    // modes: cell occupancy balanced within 2x.
+    val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("ivf-bal-"))
+    val (cells, _) = Similarity.persistIvf(cat, "ivfbal", df, "vec_id", "embedding",
+      nCells = 2)
+    val occ = cells.read().groupBy("cell").count().collect().map(_.getLong(1))
+    assert(occ.length == 2 && occ.max <= 2L * occ.min,
+      s"kmeans-seeded cells must be balanced, got ${occ.toSeq}")
+  }
+
   test("profile: nulls, distincts and ranges per column; approx mode close to exact") {
     val d = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, Some("a")))
       .toDF("id", "v")
