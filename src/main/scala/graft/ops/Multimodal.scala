@@ -318,53 +318,70 @@ object Multimodal {
     StructField("rms", DoubleType, nullable = false),
     StructField("peak", DoubleType, nullable = false)))
 
+  /** Shared 16-bit-PCM extraction with the decode guards: container parse
+    * via `javax.sound.sampled`, PCM_SIGNED/16-bit check (other encodings
+    * must not be mis-read as sample bytes), and the header-declared size
+    * bomb check BEFORE materializing samples (a header may also declare
+    * UNKNOWN length, -1, for AU streams: then the payload's own byte count
+    * is the bound — uncompressed PCM never inflates past its container).
+    * Returns the format plus raw PCM bytes; None = treat as undecodable.
+    * Throws on non-audio payloads (callers' NonFatal fallback). */
+  private def readPcm16(payload: Array[Byte]): Option[
+      (javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16) None
+      else {
+        val declared = ais.getFrameLength
+        if (declared > 0 && fmt.getFrameSize > 0 &&
+          declared * fmt.getFrameSize > maxPcmBytes) None
+        else if (declared < 0 && payload.length > maxPcmBytes) None
+        else Some((fmt, ais.readAllBytes()))
+      }
+    } finally ais.close()
+  }
+
+  /** Sample `i` (0-based, interleaved) of 16-bit PCM with the container's
+    * endianness. */
+  @inline private def pcm16Sample(pcm: Array[Byte], i: Int, big: Boolean): Int =
+    (if (big) (pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xFF)
+     else (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+
   private def decodeOneAudio(id: Long, payload: Array[Byte]): Row = {
     val n = payload.length.toLong
     def fallback = Row(id, n, false, 0.0, 0, 0L, 0.0, 0.0, 0.0)
     if (n == 0) return fallback
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try {
-        val fmt = ais.getFormat
-        // 16-bit signed PCM is what WAV/AIFF carry in practice; other
-        // encodings fall back rather than mis-read sample bytes.
-        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16) return fallback
-        val declared = ais.getFrameLength
-        val ch = fmt.getChannels
-        // Header-declared PCM size check BEFORE materializing the samples.
-        // A header may also declare UNKNOWN length (-1, AU streams): then
-        // the payload's own byte count is the bound — uncompressed PCM can
-        // never inflate past its container.
-        if (declared > 0 && fmt.getFrameSize > 0 &&
-          declared * fmt.getFrameSize > maxPcmBytes) return fallback
-        if (declared < 0 && n > maxPcmBytes) return fallback
-        val pcm = ais.readAllBytes()
-        val big = fmt.isBigEndian
-        var (sumSq, peak) = (0.0, 0.0)
-        var i = 0
-        while (i + 1 < pcm.length) {
-          val s = (if (big) (pcm(i) << 8) | (pcm(i + 1) & 0xFF)
-                   else (pcm(i + 1) << 8) | (pcm(i) & 0xFF)).toShort.toDouble
-          sumSq += s * s
-          val a = math.abs(s)
-          if (a > peak) peak = a
-          i += 2
-        }
-        val nSamples = pcm.length / 2
-        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
-        val rate = fmt.getSampleRate.toDouble
-        // Frame count from the PCM ACTUALLY READ, never the header: a
-        // truncated WAV's header can declare minutes of audio backed by a
-        // handful of samples, and an unknown-length (-1) header has nothing
-        // better to offer anyway — reporting header frames beside
-        // actually-read rms/peak would hand downstream duration filters
-        // mutually inconsistent fields.
-        val frames = if (ch > 0) nSamples.toLong / ch else 0L
-        Row(id, n, true, rate, ch, frames,
-          if (rate > 0) frames / rate else 0.0, rms, peak)
-      } finally ais.close()
+      readPcm16(payload) match {
+        case None => fallback
+        case Some((fmt, pcm)) =>
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          var (sumSq, peak) = (0.0, 0.0)
+          val nSamples = pcm.length / 2
+          var i = 0
+          while (i < nSamples) {
+            val s = pcm16Sample(pcm, i, big).toDouble
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+          val rate = fmt.getSampleRate.toDouble
+          // Frame count from the PCM ACTUALLY READ, never the header: a
+          // truncated WAV's header can declare minutes of audio backed by a
+          // handful of samples, and an unknown-length (-1) header has
+          // nothing better to offer anyway — reporting header frames beside
+          // actually-read rms/peak would hand downstream duration filters
+          // mutually inconsistent fields.
+          val frames = if (ch > 0) nSamples.toLong / ch else 0L
+          Row(id, n, true, rate, ch, frames,
+            if (rate > 0) frames / rate else 0.0, rms, peak)
+      }
     } catch { case scala.util.control.NonFatal(_) => fallback }
   }
 
@@ -387,26 +404,123 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Deterministic mono 16-bit little-endian square-wave WAV (+amp/-amp
-    * alternating): every sample's square is amp², so RMS == peak == amp
-    * EXACTLY for any frame count — the audio analog of [[constantPng]]. */
-  def squareWav(nFrames: Int, sampleRate: Float, amplitude: Short): Array[Byte] = {
+  /** Output schema of [[audioEnvelopes]]: the perceptual grouping features
+    * — format identity (rate, channels, frame count) plus a coarse
+    * amplitude envelope, `segments` quantized mean-|sample| values on a
+    * 0..256 full-scale-relative scale. Quantization makes the key exact
+    * (integers survive any container round trip) and full-scale-relative
+    * makes it bit-depth-agnostic by construction. */
+  val audioEnvelopeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("sample_rate", DoubleType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("envelope", ArrayType(IntegerType), nullable = true)))
+
+  private def envelopeOneAudio(id: Long, payload: Array[Byte], segments: Int): Row = {
+    def fallback = Row(id, false, 0.0, 0, 0L, null)
+    if (payload.isEmpty) return fallback
+    try {
+      readPcm16(payload) match {
+        case None => fallback
+        case Some((fmt, pcm)) =>
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val nSamples = pcm.length / 2
+          val frames = if (ch > 0) nSamples / ch else 0
+          if (frames == 0) return fallback
+          val sums = new Array[Double](segments)
+          val counts = new Array[Long](segments)
+          var i = 0
+          while (i < nSamples) {
+            // Segment by FRAME so channel interleaving can't smear a
+            // frame's samples across a segment boundary.
+            val seg = (((i / ch).toLong * segments) / frames).toInt
+            sums(seg) += math.abs(pcm16Sample(pcm, i, big))
+            counts(seg) += 1
+            i += 1
+          }
+          val env = Array.tabulate(segments) { s =>
+            if (counts(s) == 0) 0
+            else math.round(sums(s) / counts(s) * 256.0 / 32767.0).toInt
+          }
+          Row(id, true, fmt.getSampleRate.toDouble, ch, frames.toLong, env.toSeq)
+      }
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
+
+  /** Coarse PCM amplitude envelope per payload — the perceptual feature
+    * behind [[dedupAudioByEnvelope]], same per-partition batch shape as the
+    * other decode operators. */
+  def audioEnvelopes(media: DataFrame, segments: Int = 8): DataFrame = {
+    require(segments > 0, "segments must be positive")
+    val spark = media.sparkSession
+    val outSchema = audioEnvelopeSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { r =>
+        envelopeOneAudio(r.getLong(0),
+          Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray), segments)
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Perceptual audio dedup — the audio analog of [[dedupImagesByThumb]]:
+   * group by DECODED features (sample rate, channels, frame count, coarse
+   * quantized amplitude envelope), keeping the smallest id as canonical.
+   * The same clip stored as WAV vs AIFF vs AU (different containers,
+   * endianness, metadata) decodes to the same samples and collapses into
+   * one group — byte-level dedup cannot see that. Scale shape: decode is
+   * the map stage; the only shuffle is a groupBy on a small feature key.
+   */
+  def dedupAudioByEnvelope(media: DataFrame, segments: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    audioEnvelopes(media, segments)
+      .filter(col("decoded"))
+      .groupBy(col("sample_rate"), col("channels"), col("n_frames"), col("envelope"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+  }
+
+  /** Deterministic mono 16-bit square wave (+amp/-amp alternating) in a
+    * chosen container — WAV (little-endian PCM), AIFF or AU (big-endian):
+    * every sample's square is amp², so RMS == peak == amp EXACTLY for any
+    * frame count, and every segment's mean |sample| is amp — the audio
+    * analog of [[constantPng]], with the container a free variable for
+    * cross-container dedup oracles. */
+  def squareAudio(nFrames: Int, sampleRate: Float, amplitude: Short,
+      container: String): Array[Byte] = {
+    import javax.sound.sampled._
+    val big = container != "wav"
     val pcm = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) {
       val v: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
-      pcm(2 * i) = (v & 0xFF).toByte
-      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      val (lo, hi) = ((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      if (big) { pcm(2 * i) = hi; pcm(2 * i + 1) = lo }
+      else { pcm(2 * i) = lo; pcm(2 * i + 1) = hi }
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
+    val typ = container match {
+      case "wav" => AudioFileFormat.Type.WAVE
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case "au" => AudioFileFormat.Type.AU
+      case other => throw new IllegalArgumentException(
+        s"container must be wav|aiff|au, got $other")
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, big)
+    val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    AudioSystem.write(ais, typ, bos)
     bos.toByteArray
   }
+
+  /** [[squareAudio]] in its original WAV-only form (gate-corpus synthesis). */
+  def squareWav(nFrames: Int, sampleRate: Float, amplitude: Short): Array[Byte] =
+    squareAudio(nFrames, sampleRate, amplitude, "wav")
 
   // ------------------------------------------- frame sampling (multi-frame)
 

@@ -423,6 +423,29 @@ object LlmQueries {
           col("rms"), col("peak"))
     }),
 
+    // Multimodal: perceptual audio dedup ACROSS CONTAINERS. Each id group
+    // (period 12) synthesizes the same square-wave clip, alternating WAV
+    // (little-endian) and AIFF (big-endian) by id/12 parity — byte-distinct
+    // containers whose decoded samples are identical, so envelope grouping
+    // must collapse them while byte-dedup can't. Square-wave mean |sample|
+    // is exactly the amplitude, making every group feature closed-form.
+    "m_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val clips = ids.map { id =>
+        val g = (id % 12L).toInt
+        val amp = ((g % 6) + 1) * 3000
+        val frames = ((g % 4) + 1) * 16
+        val container = if ((id / 12L) % 2L == 0L) "wav" else "aiff"
+        (id, Multimodal.squareAudio(frames, 8000f, amp.toShort, container), "s")
+      }.toDF("doc_id", "clip", "src")
+      Multimodal.dedupAudioByEnvelope(
+        Multimodal.asMediaTable(clips, "doc_id", "clip", "src", mediaType = "audio"))
+        .select(col("sample_rate"), col("channels"), col("n_frames"),
+          try_element_at(col("envelope"), lit(1)).as("env1"),
+          col("canonical_id"), col("n_dups"))
+    }),
+
     // Multimodal: REAL frame sampling from multi-page TIFF containers —
     // every 2nd frame decoded and featurized; frame count, sampled indexes
     // and per-frame channel means are all analytic functions of the id.
@@ -737,6 +760,15 @@ object LlmQueries {
         |  CAST(doc_id % 2000 + 1 AS DOUBLE) AS rms,
         |  CAST(doc_id % 2000 + 1 AS DOUBLE) AS peak
         |FROM documents""".stripMargin,
+    // Envelope element = round(amp * 256 / 32767): the quantized
+    // full-scale-relative mean |sample| of a square wave IS the amplitude.
+    // Groups have period 12 (lcm of the amp period 6 and frame period 4).
+    "m_audio_dedup" ->
+      """SELECT CAST(8000 AS DOUBLE) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  (doc_id % 12 % 4 + 1) * 16 AS n_frames,
+        |  CAST(ROUND((doc_id % 12 % 6 + 1) * 3000 * 256.0 / 32767.0) AS INT) AS env1,
+        |  min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY doc_id % 12""".stripMargin,
     "m_frame_sample" ->
       """WITH f AS (SELECT doc_id,
         |             unnest(range(0, doc_id % 4 + 2, 2)) AS fi

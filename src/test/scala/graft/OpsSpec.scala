@@ -513,6 +513,28 @@ class OpsSpec extends AnyFunSuite {
       s"same pixels must collapse across formats: $groups")
   }
 
+  test("multimodal: perceptual audio dedup collapses the same clip across containers") {
+    // One clip in WAV (little-endian), AIFF and AU (big-endian) — three
+    // byte-distinct containers, identical decoded samples → ONE envelope
+    // group; a different-amplitude clip and a different-length clip each
+    // stay their own group.
+    val (wav, aiff, au) = (Multimodal.squareAudio(64, 8000f, 6000, "wav"),
+      Multimodal.squareAudio(64, 8000f, 6000, "aiff"),
+      Multimodal.squareAudio(64, 8000f, 6000, "au"))
+    assert(wav.toSeq != aiff.toSeq && aiff.toSeq != au.toSeq,
+      "the three containers must be byte-distinct")
+    val louder = Multimodal.squareAudio(64, 8000f, 12000, "wav")
+    val longer = Multimodal.squareAudio(128, 8000f, 6000, "wav")
+    val media = Multimodal.asMediaTable(
+      Seq((1L, wav), (2L, aiff), (3L, au), (4L, louder), (5L, longer))
+        .toDF("id", "bytes").withColumn("src", lit("t")),
+      "id", "bytes", "src", mediaType = "audio")
+    val groups = Multimodal.dedupAudioByEnvelope(media).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L, 5L -> 1L),
+      s"same samples must collapse across containers: $groups")
+  }
+
   test("multimodal: decompression bomb refused from the header, before pixel allocation") {
     // A valid PNG signature + IHDR declaring 50000x50000 (2.5G pixels) with
     // no pixel data: the guard must reject on the HEADER dims — a decoder
