@@ -12,9 +12,11 @@ import org.apache.spark.sql.DataFrame
  * reference's FastAPI app (`api_poc.py`), built on the JDK's own
  * `com.sun.net.httpserver` (no added dependencies). The endpoint logic all
  * lives in [[GraftSession]] / [[graft.catalog.GraftCatalog]]; this layer
- * only routes, decodes parameters, and renders JSON (where the reference
- * renders HTML dashboards, this serves the same rows as JSON — SURVEY §3.1
- * maps the serving boundary that way).
+ * only routes, decodes parameters, and renders JSON. The dashboard routes
+ * (`/view`, `/diff`) are content-negotiated: `Accept: text/html` returns
+ * the reference's dashboard rendering (row table + NEW/MODIFIED/DELETED
+ * highlighting, `api_poc.py:362-647`); every other client gets the same
+ * rows as JSON, unchanged.
  *
  * Endpoints (reference file:line in parens):
  *  - `GET /tables`                       — SHOW TABLES (`api_poc.py:274-284`)
@@ -138,11 +140,58 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    // Default to JSON; an HTML-negotiated handler sets its own type as its
+    // LAST step (so an error thrown mid-handler still reports as JSON).
+    if (!ex.getResponseHeaders.containsKey("Content-Type"))
+      ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
+
+  // ------------------------------------------------------- HTML rendering
+
+  /** Content negotiation: `Accept: text/html` opts into the dashboard
+    * rendering (`api_poc.py:362-647` returns HTML for these routes); the
+    * JSON API is the default and stays byte-identical for every existing
+    * client. */
+  private def wantsHtml(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept")).exists(_.contains("text/html"))
+
+  private def escHtml(v: Any): String =
+    String.valueOf(v).replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** Render rows as an HTML table. `classCol` (when present in the frame)
+    * becomes each row's CSS class — the NEW/MODIFIED/DELETED highlighting
+    * of the reference dashboard (`api_poc.py:534-545`). */
+  private def dfHtmlTable(df: DataFrame, limit: Int, classCol: Option[String]): String = {
+    val cols = df.columns
+    val head = cols.map(c => s"<th>${escHtml(c)}</th>").mkString
+    val body = df.limit(limit).collect().map { r =>
+      val cls = classCol.filter(cols.contains).flatMap(cc =>
+        Option(r.getAs[Any](cc)).map(_.toString.toLowerCase))
+        .map(c => s""" class="${escHtml(c)}"""").getOrElse("")
+      val tds = cols.map(c => s"<td>${escHtml(r.getAs[Any](c))}</td>").mkString
+      s"<tr$cls>$tds</tr>"
+    }.mkString("\n")
+    s"""<table><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"""
+  }
+
+  /** Minimal self-contained page: the reference's dashboard styling boiled
+    * down to the row-status highlights that carry meaning. */
+  private def htmlPage(title: String, banner: String, table: String): String =
+    s"""<!doctype html><html><head><meta charset="utf-8"><title>${escHtml(title)}</title>
+       |<style>
+       |body{font-family:sans-serif;margin:1.5rem}
+       |table{border-collapse:collapse;width:100%}
+       |th,td{border:1px solid #e2e8f0;padding:6px 10px;text-align:left}
+       |th{background:#f8fafc}
+       |tr.new td{background:#dcfce7}
+       |tr.modified td{background:#fffbeb}
+       |tr.deleted td{background:#fee2e2;text-decoration:line-through}
+       |.banner{background:#fff3cd;border:1px solid #ffeeba;padding:10px;border-radius:6px;margin-bottom:1rem}
+       |</style></head><body><h1>${escHtml(title)}</h1>$banner$table</body></html>""".stripMargin
 
   private def jsonErr(msg: String): String =
     """{"error":"""" + Option(msg).getOrElse("internal error")
@@ -214,8 +263,35 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val t = pathArg(ex, "/view")
     val p = qs(ex)
     val page = math.min(p.get("page_size").map(_.toInt).getOrElse(100), maxRows)
-    dfJson(session.view(t, search = p.get("search"),
-      snapshotId = p.get("snapshot").map(_.toLong), pageSize = page), maxRows)
+    val snapshot = p.get("snapshot").map(_.toLong)
+    val rows = session.view(t, search = p.get("search"),
+      snapshotId = snapshot, pageSize = page)
+    if (!wantsHtml(ex)) dfJson(rows, maxRows)
+    else {
+      // Dashboard rendering (`api_poc.py:362-647`): in time-travel mode,
+      // rows changed vs the snapshot's PARENT get a status column and a
+      // NEW/MODIFIED row highlight — the reference's manual parent-state
+      // comparison, expressed as the existing diff operator joined onto
+      // the page. No parent (first snapshot) = no status, like the
+      // reference's empty parent_map.
+      val table = session.catalog.table(t)
+      val withStatus = snapshot.flatMap(v2 => table.log.get(v2).flatMap(_.parentId)
+        .map { v1 =>
+          val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+          val d = table.diff(v2, v1, pk)
+            .withColumnRenamed("change_type", "status")
+            .select(org.apache.spark.sql.functions.col(pk),
+              org.apache.spark.sql.functions.col("status"))
+          rows.join(d, Seq(pk), "left")
+        })
+      val banner = snapshot.map(v =>
+        s"""<div class="banner">TIME TRAVEL ACTIVE: viewing snapshot <code>$v</code></div>""")
+        .getOrElse("")
+      val html = htmlPage(s"$t", banner,
+        dfHtmlTable(withStatus.getOrElse(rows), maxRows, classCol = Some("status")))
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      html
+    }
   }
 
   handle("/range") { ex =>
@@ -279,7 +355,15 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       .orElse(table.log.get(v2).flatMap(_.parentId))
       .getOrElse(throw new IllegalArgumentException(s"snapshot $v2 has no parent"))
     val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
-    dfJson(table.diff(v2, v1, pk), maxRows)
+    val d = table.diff(v2, v1, pk)
+    if (!wantsHtml(ex)) dfJson(d, maxRows)
+    else {
+      val html = htmlPage(s"$t: $v1 → $v2",
+        s"""<div class="banner">Snapshot diff <code>$v1</code> → <code>$v2</code></div>""",
+        dfHtmlTable(d, maxRows, classCol = Some("change_type")))
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      html
+    }
   }
 
   // DML endpoints re-register the table's SQL view after committing, so a

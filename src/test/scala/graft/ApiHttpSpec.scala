@@ -166,6 +166,34 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c9 == 404)
   }
 
+  test("Accept: text/html renders the dashboard view and diff with change highlighting") {
+    def getHtml(path: String): (Int, String, String) = {
+      val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+        .header("Accept", "text/html").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), Option(r.headers().firstValue("Content-Type").orElse("")).get,
+        r.body())
+    }
+    // /view renders rows as an HTML table
+    val (c1, ct1, b1) = getHtml("/view/orders_t?page_size=5")
+    assert(c1 == 200 && ct1.startsWith("text/html"), s"$c1 $ct1")
+    assert(b1.contains("<table>") && b1.contains("<th>o_orderkey</th>") &&
+      "<tr[ >]".r.findAllIn(b1).size >= 5, b1.take(400))
+    // /view in time-travel mode highlights rows changed vs the parent
+    val (c2, _, b2) = getHtml("/view/orders_t?snapshot=2")
+    assert(c2 == 200 && b2.contains("TIME TRAVEL ACTIVE") &&
+      b2.contains("class=\"new\""), b2.take(600))
+    // /diff renders change_type classes
+    val (c3, ct3, b3) = getHtml("/diff/orders_t?v2=2&v1=1")
+    assert(c3 == 200 && ct3.startsWith("text/html") &&
+      b3.contains("class=\"new\""), b3.take(600))
+    // without the Accept header the SAME routes stay JSON
+    val (c4, b4) = get("/view/orders_t?page_size=5")
+    assert(c4 == 200 && b4.startsWith("{\"columns\""), b4.take(100))
+    val (c5, b5) = get("/diff/orders_t?v2=2&v1=1")
+    assert(c5 == 200 && b5.startsWith("{\"columns\""), b5.take(100))
+  }
+
   test("errors map to JSON statuses") {
     val (c1, b1) = get("/data/no_such_table")
     assert(c1 == 400 && b1.contains("error"), s"$c1 $b1")
