@@ -170,7 +170,11 @@ object Bench {
         val batch = li.filter(col("l_orderkey") % 6 === 0)
           .withColumn("l_quantity", col("l_quantity") + 1)
         val nBatch = batch.count()
-        t.upsert(batch, "li_id") // warm-up: identical untimed merge
+        // Warm-up merge with the SAME PLAN SHAPE as the timed waves (the
+        // extra literal-add projection included): a bare-batch warm-up
+        // leaves the timed shape's codegen uncompiled and wave 1 pays it —
+        // r7 diagnosis read wave 1 at 2.9s vs a 1.3s steady state.
+        t.upsert(batch.withColumn("l_quantity", col("l_quantity") + 100), "li_id")
         // Five waves, not three: r6 read this metric 14% below r5 on
         // untouched operator code — more waves + the dispersion series make
         // environment noise distinguishable from a real regression.
@@ -196,7 +200,8 @@ object Bench {
         val batch = li.filter(col("l_orderkey") % 6 === 0)
           .withColumn("l_quantity", col("l_quantity") + 1)
         val nBatch = batch.count()
-        t.upsertDeferred(batch, "li_id") // warm-up delta append
+        // Same-shape warm-up as the merge metric (see above).
+        t.upsertDeferred(batch.withColumn("l_quantity", col("l_quantity") + 100), "li_id")
         morWaves = runsN(5) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()

@@ -57,11 +57,16 @@ object CurationQueries {
     // port, tracking params, unsorted query, trailing slash, fragment)
     // whose CANONICAL form is a closed-form function of the id — the
     // Spark side does the real normalization, the oracle is arithmetic.
+    // Suffixes rotate through a generic two-label (.co.uk), a ccTLD
+    // national two-label (.ne.jp — the extended heuristic set), and a
+    // plain gTLD (.com), so both keep-three-label paths are oracle-checked.
     "x_url_canon" -> ((s, d) => {
       val messy = concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
         lit("WWW.Site"), col("doc_id") % 20,
-        when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+        when(col("doc_id") % 3 === 0, lit(".CO.UK"))
+          .when(col("doc_id") % 3 === 1, lit(".NE.JP"))
+          .otherwise(lit(".COM")),
         when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
         lit("/Page"), col("doc_id"),
         when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
@@ -236,10 +241,12 @@ object CurationQueries {
       """SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
         |    || '://www.site' || (doc_id % 20)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+        |             WHEN doc_id % 3 = 1 THEN '.ne.jp' ELSE '.com' END)
         |    || '/Page' || doc_id
         |    || '?a=' || (doc_id % 7) || '&b=2' AS url_canonical,
         |  'site' || (doc_id % 20)
-        |    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END) AS domain
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+        |             WHEN doc_id % 3 = 1 THEN '.ne.jp' ELSE '.com' END) AS domain
         |FROM documents""".stripMargin)
 }
