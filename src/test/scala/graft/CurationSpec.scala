@@ -169,7 +169,15 @@ class CurationSpec extends AnyFunSuite {
       "https://www.example.co.uk/x" -> "example.co.uk",
       "https://a.b.site.com/x" -> "site.com",
       "http://localhost/x" -> "localhost",
-      "deep.sub.gov.uk" -> "sub.gov.uk")
+      "deep.sub.gov.uk" -> "sub.gov.uk",
+      // ccTLD national second levels (extended set): three labels kept
+      "https://b.a.ne.jp/x" -> "a.ne.jp",
+      "https://www.radio.or.at/x" -> "radio.or.at",
+      "http://shop.example.id.au/x" -> "example.id.au",
+      "https://www.ministry.go.kr/x" -> "ministry.go.kr",
+      // the extended set applies ONLY under a two-letter ccTLD: go.com is
+      // a registrable site, not a public suffix
+      "https://foo.go.com/x" -> "go.com")
     val gd = domains.map(_._1).toDF("u")
       .select(Curation.registeredDomain(col("u"))).as[String].collect().toSeq
     assert(gd == domains.map(_._2), s"got $gd")
