@@ -166,10 +166,14 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     * becomes each row's CSS class — the NEW/MODIFIED/DELETED highlighting
     * of the reference dashboard (`api_poc.py:534-545`). */
   private def dfHtmlTable(df: DataFrame, limit: Int, classCol: Option[String]): String = {
-    val cols = df.columns
+    // A dunder classCol is internal plumbing (e.g. /view's __change_status,
+    // named to never collide with a user column): it styles the row but is
+    // not itself rendered as a column.
+    val cols = df.columns.filterNot(c =>
+      c.startsWith("__") && classCol.contains(c))
     val head = cols.map(c => s"<th>${escHtml(c)}</th>").mkString
     val body = df.limit(limit).collect().map { r =>
-      val cls = classCol.filter(cols.contains).flatMap(cc =>
+      val cls = classCol.filter(df.columns.contains).flatMap(cc =>
         Option(r.getAs[Any](cc)).map(_.toString.toLowerCase))
         .map(c => s""" class="${escHtml(c)}"""").getOrElse("")
       val tds = cols.map(c => s"<td>${escHtml(r.getAs[Any](c))}</td>").mkString
@@ -278,17 +282,20 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       val withStatus = snapshot.flatMap(v2 => table.log.get(v2).flatMap(_.parentId)
         .map { v1 =>
           val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+          // Collision-proof internal name: a user table may itself have a
+          // `status` column, which would make the joined frame ambiguous
+          // and could highlight rows from the table's own data.
           val d = table.diff(v2, v1, pk)
-            .withColumnRenamed("change_type", "status")
+            .withColumnRenamed("change_type", "__change_status")
             .select(org.apache.spark.sql.functions.col(pk),
-              org.apache.spark.sql.functions.col("status"))
+              org.apache.spark.sql.functions.col("__change_status"))
           rows.join(d, Seq(pk), "left")
         })
       val banner = snapshot.map(v =>
         s"""<div class="banner">TIME TRAVEL ACTIVE: viewing snapshot <code>$v</code></div>""")
         .getOrElse("")
       val html = htmlPage(s"$t", banner,
-        dfHtmlTable(withStatus.getOrElse(rows), maxRows, classCol = Some("status")))
+        dfHtmlTable(withStatus.getOrElse(rows), maxRows, classCol = Some("__change_status")))
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
       html
     }
@@ -481,9 +488,13 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
       case "stop" =>
         require(ex.getRequestMethod == "POST", "POST required")
-        val q = Option(streams.remove(t)).getOrElse(
+        val q = Option(streams.get(t)).getOrElse(
           throw new NoSuchElementException(s"no CDC stream for $t"))
+        // Stop BEFORE untracking: if stop() throws, the still-running query
+        // stays in the map (status keeps reporting it, a second /start
+        // against the same checkpoint stays blocked).
         q.stop()
+        streams.remove(t, q)
         s"""{"status":"ok","table":${jstr(t)},"stopped":true}"""
 
       case other =>

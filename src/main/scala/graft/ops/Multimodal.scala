@@ -432,8 +432,13 @@ object Multimodal {
           if (frames == 0) return fallback
           val sums = new Array[Double](segments)
           val counts = new Array[Long](segments)
+          // Iterate only whole frames: a trailing partial frame (nSamples %
+          // ch != 0, e.g. a truncated unknown-length AU stream) would push
+          // i/ch to `frames` and the segment index past the array — ignore
+          // it instead of failing the whole clip into decoded=false.
           var i = 0
-          while (i < nSamples) {
+          val whole = frames * ch
+          while (i < whole) {
             // Segment by FRAME so channel interleaving can't smear a
             // frame's samples across a segment boundary.
             val seg = (((i / ch).toLong * segments) / frames).toInt

@@ -145,7 +145,12 @@ object Similarity {
   private def seedCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
     import org.apache.spark.sql.Row
-    val cents = KMeans.fit(corpus, idCol, vecCol, k = nCells, iters = 4).centroids
+    // KMeans.fit requires at least k vectors; a corpus smaller than nCells
+    // must not be a runtime failure (first-N seeding degraded gracefully
+    // here before) — cap k at the corpus size instead.
+    val k = math.min(nCells.toLong, corpus.count()).toInt
+    require(k > 0, "cannot seed IVF centroids from an empty corpus")
+    val cents = KMeans.fit(corpus, idCol, vecCol, k = k, iters = 4).centroids
     val spark = corpus.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -187,8 +192,11 @@ object Similarity {
    * `nCells` Voronoi cells around deterministic seed centroids; each query
    * probes only its `nProbe` nearest cells and exact-ranks inside them.
    * The cell assignment is one broadcast-centroid pass over the corpus,
-   * recomputed per call — use [[persistIvf]] + [[ivfTopKPersisted]] to
-   * write the layout once and reuse it across queries.
+   * recomputed per call — and since round 7 the seeding itself runs 4
+   * Lloyd iterations (several Spark jobs + small driver collects) per
+   * call, so the per-call cost is a short k-means fit, not just a scan.
+   * Use [[persistIvf]] + [[ivfTopKPersisted]] to pay both once and reuse
+   * the layout across queries.
    */
   def ivfTopK(
       corpus: DataFrame,

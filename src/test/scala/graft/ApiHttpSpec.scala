@@ -194,6 +194,28 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c5 == 200 && b5.startsWith("{\"columns\""), b5.take(100))
   }
 
+  test("time-travel /view works on a table whose OWN columns include `status`") {
+    // The diff-highlight join must not collide with a user column named
+    // `status` — the change class rides an internal __change_status column
+    // that is used for the row class but never rendered.
+    import spark.implicits._
+    val t = session.catalog.saveTable("statuscol_t",
+      Seq((1L, "open"), (2L, "closed")).toDF("id", "status"))
+    t.append(Seq((3L, "open")).toDF("id", "status"))
+    session.refreshViews()
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(base + "/view/statuscol_t?snapshot=2"))
+      .header("Accept", "text/html").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body().take(600))
+    val b = r.body()
+    assert(b.contains("class=\"new\""), b.take(600))
+    assert(b.contains("<th>status</th>"), "the user's own status column renders")
+    assert(!b.contains("__change_status"), "internal class column must not render")
+    // the table's own values must still appear untouched
+    assert(b.contains("open") && b.contains("closed"), b.take(600))
+  }
+
   test("errors map to JSON statuses") {
     val (c1, b1) = get("/data/no_such_table")
     assert(c1 == 400 && b1.contains("error"), s"$c1 $b1")

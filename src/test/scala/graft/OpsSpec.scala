@@ -567,4 +567,51 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getBoolean(2))).toSet
     assert(fr == Set((1L, false), (2L, true)))
   }
+
+  test("multimodal: a trailing partial PCM frame doesn't fail the envelope") {
+    // Unknown-length stereo AU whose PCM carries 3 whole frames plus ONE
+    // trailing sample (7 samples, 2 channels): the envelope must ignore the
+    // partial frame and still decode, consistently with decodeAudio — not
+    // silently degrade to decoded=false on an ArrayIndexOutOfBounds.
+    def rawAu(samples: Array[Short], rate: Int, channels: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24 + samples.length * 2)
+      bb.put(".snd".getBytes("US-ASCII"))
+      bb.putInt(24)  // data offset
+      bb.putInt(-1)  // unknown data size (streamed AU)
+      bb.putInt(3)   // 16-bit linear PCM
+      bb.putInt(rate)
+      bb.putInt(channels)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val ragged = rawAu(Array[Short](1000, 1000, 2000, 2000, 3000, 3000, 4000), 8000, 2)
+    val media = Multimodal.asMediaTable(
+      Seq((1L, ragged)).toDF("id", "bytes").withColumn("src", lit("t")),
+      "id", "bytes", "src", mediaType = "audio")
+    val dec = Multimodal.decodeAudio(media).collect().head
+    assert(dec.getAs[Boolean]("decoded"), "decodeAudio must accept the clip")
+    val env = Multimodal.audioEnvelopes(media, segments = 8).collect().head
+    assert(env.getAs[Boolean]("decoded"),
+      "envelope must decode despite the trailing partial frame")
+    assert(env.getAs[Long]("n_frames") == 3L)
+    assert(env.getAs[Int]("channels") == 2)
+    val e = env.getAs[scala.collection.Seq[Int]]("envelope")
+    assert(e.length == 8 && e.max > 0, s"envelope computed over whole frames: $e")
+  }
+
+  test("IVF top-k on a corpus smaller than nCells degrades gracefully") {
+    // 5 vectors vs the default 16 cells: seeding caps k at the corpus size
+    // instead of failing KMeans.fit's at-least-k require; probing every
+    // (existing) cell makes the result exactly the brute-force answer.
+    val tiny = embs.orderBy("vec_id").limit(5).cache()
+    val q = tiny.filter($"vec_id" === tiny.agg(min("vec_id")).head.getLong(0))
+    val ivf = Similarity.ivfTopK(tiny, q, "vec_id", "embedding",
+      k = 3, nCells = 16, nProbe = 16).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    val brute = Similarity.cosineTopK(tiny, q, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(ivf.sorted.toSeq == brute.sorted.toSeq,
+      s"all-cell probe must equal brute force: ivf=${ivf.toSeq} brute=${brute.toSeq}")
+    tiny.unpersist()
+  }
 }
