@@ -70,7 +70,38 @@ object Bench {
       ms
     }
     calibMs() // untimed: JIT-compile the loop so `start` measures load, not warm-up
+
+    // Multi-threaded ambient-load probe: `cpus` concurrent copies of a
+    // SHORTER version of the same loop, reporting the slowest thread's
+    // wall-clock. r7 showed why the single-threaded probe alone is blind:
+    // calib_ms sat at a quiet 103-113 ms while three independent 32-thread
+    // workloads (d_minhash_pairs, cluster_cc pairs, x_line_dedup) all read
+    // 2.1-2.3x slower on byte-identical code — co-tenant load that leaves
+    // one core idle enough for a 1-thread probe still halves a 32-thread
+    // stage. This probe contends for EVERY core the way Spark stages do.
+    def calibMtMs(): Double = {
+      val n = cpus.toInt
+      val times = new java.util.concurrent.atomic.AtomicLongArray(n)
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          var acc = 0L
+          var i = 0L
+          val t0 = System.nanoTime()
+          while (i < 25000000L) {
+            acc ^= java.lang.Long.rotateLeft(acc + i * 0x9E3779B97F4A7C15L, 13)
+            i += 1
+          }
+          times.set(t, System.nanoTime() - t0)
+          if (acc == 42L) println("calib-mt")
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (0 until n).map(times.get).max / 1e6
+    }
+    calibMtMs() // untimed JIT warm-up, same as the single-threaded probe
     val calibStart = calibMs()
+    val calibMtStart = calibMtMs()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Single-line, JSON-safe error text (multi-line Spark messages would
@@ -78,14 +109,6 @@ object Bench {
     def errText(e: Throwable): String =
       Option(e.getMessage).getOrElse(e.getClass.getName)
         .linesIterator.take(1).mkString.take(200)
-    def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => errors(name) = errText(e) }
-      name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
-    }
-    val results = time(headline)
 
     /** `n` timed runs, RAW — the median is the headline (single-shot timings
       * on a busy machine swing ±30%), and the full per-wave series is
@@ -94,14 +117,14 @@ object Bench {
     def runsN(n: Int)(run: Int => Double): Seq[Double] = (0 until n).map(run)
     def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
 
-    // Curation entries are timed in 3 waves each (median reported): the r5
-    // official run read d_cluster_cc at 9.1s where r4 said 3.1s on
-    // UNCHANGED operator code — a local phase probe showed the first
-    // (cold) execution pays ~5s of one-time codegen/JIT for the star-round
-    // loop while warm runs sit near 2s. Single-shot timing cannot tell
-    // that cold-start from a real regression; the wave series can (cold
-    // first wave + tight warm tail = startup, uniformly shifted series =
-    // regression).
+    // Every query entry is timed in 3 waves (median reported, raw series in
+    // `dispersion`): the r5 official run read d_cluster_cc at 9.1s where r4
+    // said 3.1s on UNCHANGED operator code (first-run codegen/JIT), and the
+    // r7 run read d_minhash_pairs at 9.5s vs 4.4s — both single-shot
+    // readings that could not be classified as code-vs-environment from the
+    // artifact. The wave series can (cold first wave + tight warm tail =
+    // startup; uniformly shifted series = regression or sustained load, and
+    // the multi-threaded calibration probe splits THOSE two).
     def timeWaves(names: Seq[String], n: Int): Seq[(String, Seq[Double])] =
       names.map { name =>
         val fn = SparkEntry.queries(name)
@@ -115,10 +138,14 @@ object Bench {
         }
         name -> waves
       }
+    def medians(waves: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      waves.map { case (name, ws) =>
+        name -> (if (ws.exists(_ < 0)) -1.0 else median(ws))
+      }
+    val headWaves = timeWaves(headline, 3)
+    val results = medians(headWaves)
     val curWaves = timeWaves(curation, 3)
-    val curResults = curWaves.map { case (name, ws) =>
-      name -> (if (ws.exists(_ < 0)) -1.0 else median(ws))
-    }
+    val curResults = medians(curWaves)
 
     // Pair-generation vs connected-components split for the cluster entry.
     // CC is timed DIRECTLY over a cached pair frame — the r6 shape derived
@@ -233,12 +260,13 @@ object Bench {
     var cdcBatchRows = -1L
     var cdcCowWaves: Seq[Double] = Seq.empty
     var cdcMorWaves: Seq[Double] = Seq.empty
-    // Per-micro-batch (batchId, foreachBatch-body wall sec, GC sec) traces
-    // for every wave incl. warm-up — zero-cost bracketing, see
-    // CdcPipeline.traces. Wave time minus body time = streaming machinery;
-    // gc_sec isolates collector pauses from merge work.
-    var cdcCowTrace: Seq[(Long, Double, Double)] = Seq.empty
-    var cdcMorTrace: Seq[(Long, Double, Double)] = Seq.empty
+    // Per-micro-batch traces for every wave incl. warm-up — zero-cost
+    // bracketing plus the merge's NAMED phase split (prepass / merge+write /
+    // footer listing / commit), see CdcPipeline.traces. Wave time minus
+    // body time = streaming machinery; gc_sec isolates collector pauses;
+    // the phase split lands whatever remains in a named stage.
+    var cdcCowTrace: Seq[graft.cdc.CdcPipeline.BatchTrace] = Seq.empty
+    var cdcMorTrace: Seq[graft.cdc.CdcPipeline.BatchTrace] = Seq.empty
     // Decode-vs-merge split of one instrumented COW wave (run AFTER the
     // timed ones — the instrumentation adds a cache-materializing count()).
     var cdcPhases: Option[(Long, Double, Double)] = None
@@ -393,16 +421,21 @@ object Bench {
     // figure): a loaded-machine official run shows up as high spread, a
     // code regression as a uniformly shifted series.
     def jarr(ts: Seq[Double]): String = ts.map(jnum).mkString("[", ",", "]")
+    val headDispersion = headWaves
+      .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val curDispersion = curWaves
       .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val dispersion =
-      s"""{"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"curation_secs":$curDispersion}"""
+      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"curation_secs":$curDispersion}"""
     val cdcStats =
       if (cdcCowWaves.isEmpty) "null"
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
-    def jtrace(ts: Seq[(Long, Double, Double)]): String =
-      ts.map { case (b, w, g) =>
-        s"""{"batch":$b,"body_sec":${jnum(w)},"gc_sec":${jnum(g)}}"""
+    def jtrace(ts: Seq[graft.cdc.CdcPipeline.BatchTrace]): String =
+      ts.map { t =>
+        val ph = t.phases.map { case (pre, mw, ft, cm) =>
+          s""","prepass_sec":${jnum(pre)},"merge_write_sec":${jnum(mw)},"footer_sec":${jnum(ft)},"commit_sec":${jnum(cm)}"""
+        }.getOrElse("")
+        s"""{"batch":${t.batchId},"body_sec":${jnum(t.bodySec)},"gc_sec":${jnum(t.gcSec)}$ph}"""
       }.mkString("[", ",", "]")
     val phases = cdcPhases.map { case (r, d, m) =>
       s"""{"rows":$r,"decode_sec":${jnum(d)},"merge_sec":${jnum(m)}}"""
@@ -411,7 +444,8 @@ object Bench {
       s"""{"pairs_sec":${jnum(p)},"cc_sec":${jnum(c)}}"""
     }.getOrElse("null")
     val calibEnd = calibMs()
-    val calib = s"""{"start_ms":${jnum(calibStart)},"end_ms":${jnum(calibEnd)}}"""
+    val calibMtEnd = calibMtMs()
+    val calib = s"""{"start_ms":${jnum(calibStart)},"end_ms":${jnum(calibEnd)},"mt_start_ms":${jnum(calibMtStart)},"mt_end_ms":${jnum(calibMtEnd)}}"""
     val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in

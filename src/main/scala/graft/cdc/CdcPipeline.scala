@@ -37,17 +37,27 @@ object CdcPipeline {
    */
   @volatile var lastTiming: Option[(Long, Double, Double)] = None
 
+  /** One micro-batch's trace row: foreachBatch body wall time, GC-time
+    * delta over the body, and (copy-on-write batches only) the merge's
+    * named phase split from [[GraftTable.lastMergePhases]] — prepass
+    * (where the cached envelope decode materializes), merge compute +
+    * bucketed write, footer/stat listing, log commit. */
+  final case class BatchTrace(batchId: Long, bodySec: Double, gcSec: Double,
+    phases: Option[(Double, Double, Double, Double)])
+
   /**
-   * Per-micro-batch trace — (batchId, bodyWallSec, gcSecDelta) — appended
-   * for every batch while `-Dgraft.cdc.trace=true`. Unlike [[lastTiming]]
-   * this costs nothing extra (no cache-materializing pass): it brackets the
-   * foreachBatch body with a wall clock and the JVM's cumulative GC-time
-   * counters. The bench keeps it on for every timed wave, so a slow wave is
-   * attributable — externally-timed wave minus bodyWallSec is streaming
-   * machinery (source listing, offset log, checkpoint), and gcSecDelta says
-   * how much of the body was collector pauses rather than merge work.
+   * Per-micro-batch trace appended for every batch while
+   * `-Dgraft.cdc.trace=true`. Unlike [[lastTiming]] this costs nothing
+   * extra (no cache-materializing pass): it brackets the foreachBatch body
+   * with a wall clock and the JVM's cumulative GC-time counters, and
+   * snapshots the merge-phase split the table records anyway. The bench
+   * keeps it on for every timed wave, so a slow wave is attributable —
+   * externally-timed wave minus bodySec is streaming machinery (source
+   * listing, offset log, checkpoint), gcSec says how much of the body was
+   * collector pauses, and the phase split names the stage the rest of the
+   * body went to.
    */
-  @volatile var traces: Vector[(Long, Double, Double)] = Vector.empty
+  @volatile var traces: Vector[BatchTrace] = Vector.empty
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -101,6 +111,7 @@ object CdcPipeline {
         val trace = sys.props.get("graft.cdc.trace").contains("true")
         val traceT0 = if (trace) System.nanoTime() else 0L
         val traceGc0 = if (trace) gcMillis() else 0L
+        if (trace) GraftTable.lastMergePhases = None // only THIS batch's merge counts
         if (!batch.isEmpty) { // ST8: skip empty micro-batches
           if (wrappedFmt.isEmpty) wrappedFmt = Some(Envelope.looksWrapped(batch))
           val spread =
@@ -149,7 +160,8 @@ object CdcPipeline {
         if (trace) {
           val wall = (System.nanoTime() - traceT0) / 1e9
           val gcSec = (gcMillis() - traceGc0) / 1e3
-          traces = traces :+ ((batchId, wall, gcSec))
+          traces = traces :+ BatchTrace(batchId, wall, gcSec,
+            GraftTable.lastMergePhases)
         }
       }
       .start()

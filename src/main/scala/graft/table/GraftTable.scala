@@ -429,7 +429,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         .sortWithinPartitions(col(BucketCol), col(key))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
     }
-    leafCounts(rel, statsKeep(Some(key)))
+    val tF = System.nanoTime()
+    val leaves = leafCounts(rel, statsKeep(Some(key)))
+    GraftTable.lastFooterSec = (System.nanoTime() - tF) / 1e9
+    leaves
   }
 
 
@@ -619,8 +622,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       mergeFn: (DataFrame, DataFrame, Option[Long]) => DataFrame,
       batchKey: Option[String]): Snapshot = {
     val head = log.latest().get
+    // Phase wall-clocks (a few nanoTime reads + one volatile write per
+    // commit — always on): pre-pass / merge+write / footer listing / log
+    // commit, published via [[GraftTable.lastMergePhases]] so a slow CDC
+    // micro-batch is attributable to a NAMED phase from the bench trace.
+    val tA = System.nanoTime()
     val bucketCounts = updates.select(bucketId(key, n).as("__b"))
       .groupBy("__b").count().collect()
+    val tB = System.nanoTime()
     val touched: Set[Int] = bucketCounts.map(_.getInt(0)).toSet
     val updateRows = bucketCounts.map(_.getLong(1)).sum
     val (touchedDirs, untouchedDirs) =
@@ -632,6 +641,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val merged = mergeFn(target, updates, Some(updateRows))
     val next = latestVersion + 1
     val newLeaves = writeBucketedDir(merged, key, n, newDataRel(next))
+    val tC = System.nanoTime()
     val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
     val allDirs = carried ++ newLeaves.map(l => l.rel -> l.rows)
     val total = allDirs.map(_._2).sum
@@ -645,11 +655,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // commitExpecting fails it; DML writers are expected to serialize (or
     // catch CommitConflictException and re-run the merge). Concurrent
     // appends remain safe: they retry against the new head.
-    log.commitExpecting(Some(head.snapshotId), operation, merged.schema.json,
+    val snap = log.commitExpecting(Some(head.snapshotId), operation, merged.schema.json,
       allDirs.map(_._1),
       Map("records" -> total.toString,
         "bucket_key" -> key, "bucket_count" -> n.toString),
       batchKey, allDirs.toMap, dirStats = allStats)
+    val tD = System.nanoTime()
+    val footer = GraftTable.lastFooterSec
+    GraftTable.lastMergePhases = Some((
+      (tB - tA) / 1e9, (tC - tB) / 1e9 - footer, footer, (tD - tC) / 1e9))
+    snap
   }
 
   // --------------------------------------------------------------- writes
@@ -1181,4 +1196,24 @@ object GraftTable {
     val l = name.toLowerCase(java.util.Locale.ROOT)
     l.endsWith("id") || l.endsWith("key")
   }
+
+  /**
+   * Phase wall-clock split of the most recent bucketed merge on this JVM —
+   * (prepassSec, mergeWriteSec, footerSec, commitSec):
+   *
+   *  - prepass: the touched-bucket pre-pass over the raw batch (for a CDC
+   *    micro-batch this is also where the cached envelope decode
+   *    materializes — its first action)
+   *  - mergeWrite: the merge compute + bucketed parquet write job
+   *  - footer: the post-write footer/stat harvesting pass (directory
+   *    listing + parquet footer reads — synchronous driver-side I/O, the
+   *    phase an OS page flush would stall)
+   *  - commit: the manifest/log commit
+   *
+   * Always on: the cost is a handful of nanoTime reads per commit. The CDC
+   * bench trace snapshots it after every micro-batch, so a sporadic slow
+   * wave lands in a NAMED phase instead of "body time, cause unknown".
+   */
+  @volatile var lastMergePhases: Option[(Double, Double, Double, Double)] = None
+  private[table] var lastFooterSec: Double = 0.0
 }
