@@ -19,6 +19,10 @@ import org.apache.spark.sql.DataFrame
  * rows as JSON, unchanged.
  *
  * Endpoints (reference file:line in parens):
+ *  - `GET /`                             — portal home page: table links into
+ *    the dashboard (`api_poc.py:125-206`); JSON clients get the /tables list
+ *  - `GET /edit/{t}/{id}`                — row edit form posting to /update
+ *    (`api_poc.py:648-702`); JSON clients get the row
  *  - `GET /tables`                       — SHOW TABLES (`api_poc.py:274-284`)
  *  - `GET /data/{t}?limit=n`             — preview (`api_poc.py:286-298`)
  *  - `GET /query?query=sql`              — SQL passthrough incl. `VERSION AS
@@ -32,11 +36,16 @@ import org.apache.spark.sql.DataFrame
  *  - `GET /diff/{t}?v2=&v1=`             — snapshot diff (`api_poc.py:420-487`)
  *  - `POST /insert/{t}` (JSON object of column → string) — single-row INSERT
  *    with form coercion (`api_poc.py:763-801`)
- *  - `POST /update/{t}/{id}` (JSON object) — UPDATE by id (`api_poc.py:728-761`)
+ *  - `POST /update/{t}/{id}` (JSON object) — UPDATE by id (`api_poc.py:728-761`).
+ *    Both DML writers also accept `application/x-www-form-urlencoded` bodies
+ *    and answer those with a 303 back to /view — the edit-form flow
+ *    (`api_poc.py:732,758`)
  *  - `POST /delete/{t}/{id}`             — DELETE by id (`api_poc.py:803-826`)
  *  - `POST /upload/{t}` (text/csv body; `?mode=replace|append|upsert`) — CSV
  *    ingest (`api_poc.py:300-320`; raw body instead of multipart — the
- *    transport simplification, same ingest path underneath)
+ *    transport simplification, same ingest path underneath); `?mode=cdc`
+ *    is the reference's one-call CDC onboarding (`api_poc.py:300-360`):
+ *    stages the rows as insert envelopes AND starts the resident merger
  *  - `POST /cdc/{t}/start?dir=&key=&mode=cow|mor&trigger_ms=&max_files=` —
  *    start the streaming CDC merger on envelope files in `dir`, merging
  *    into table `t` (the reference spawns its merger as a background task
@@ -117,6 +126,24 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     }
   }
 
+  private def isForm(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.contains("application/x-www-form-urlencoded"))
+
+  /** DML body → column map: JSON object by default, url-encoded form when
+    * the edit page posts (`request.form()`, `api_poc.py:732`). Form
+    * semantics follow `get_cast_val`: an empty input means NULL
+    * (`api_poc.py:706-707`), since a browser form has no way to send JSON
+    * null. */
+  private def bodyMap(ex: HttpExchange): Map[String, String] =
+    if (!isForm(ex)) jsonObjToMap(body(ex))
+    else body(ex).split("&").toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val k = java.net.URLDecoder.decode(if (i < 0) kv else kv.take(i), "UTF-8")
+      val v = if (i < 0) "" else java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+      k -> (if (v.isEmpty) null else v)
+    }.toMap
+
   /** `/prefix/{t}/{id}` → (table, id); missing id is a 400, not a crash.
     * Splits BEFORE percent-decoding: an id containing `%2F` must stay one
     * segment (`a%2Fb` → id `a/b`), not shift the table/id split. */
@@ -195,12 +222,27 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
        |tr.modified td{background:#fffbeb}
        |tr.deleted td{background:#fee2e2;text-decoration:line-through}
        |.banner{background:#fff3cd;border:1px solid #ffeeba;padding:10px;border-radius:6px;margin-bottom:1rem}
+       |.card{background:#f8fafc;border:1px solid #e2e8f0;border-radius:8px;padding:1rem 1.5rem;margin-bottom:1rem}
+       |ul.tables{list-style:none;padding:0}
+       |ul.tables li{margin:4px 0}
+       |.sub{color:#64748b;font-size:0.85em}
+       |form label{display:block;font-weight:600;margin-top:8px}
+       |form input{width:100%;max-width:28rem;padding:6px;border:1px solid #cbd5e1;border-radius:4px}
+       |form input[readonly]{background:#e2e8f0}
+       |form button{margin-top:12px;padding:8px 20px;border:none;border-radius:6px;background:#3b82f6;color:#fff;font-weight:600;cursor:pointer}
        |</style></head><body><h1>${escHtml(title)}</h1>$banner$table</body></html>""".stripMargin
 
   private def jsonErr(msg: String): String =
     """{"error":"""" + Option(msg).getOrElse("internal error")
       .replace("\\", "\\\\").replace("\"", "\\\"")
       .flatMap(c => if (c < ' ') "" else c.toString) + "\"}"
+
+  /** Thrown by a handler to answer 303 See Other instead of a 200 body —
+    * the browser-form flow (`RedirectResponse(url=f"/view/{t}", 303)`,
+    * `api_poc.py:758,800`). */
+  private final class Redirect(val location: String)
+    extends RuntimeException(location)
+  private def Redirect(location: String): Redirect = new Redirect(location)
 
   /** Route with uniform error mapping: bad input → 400, anything else → 500
     * (`safe_execute`'s error surface, `api_poc.py:54-63`). `exact` is for
@@ -221,6 +263,9 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
         respond(ex, 200, fn(ex))
       }
       catch {
+        case r: Redirect =>
+          ex.getResponseHeaders.set("Location", r.location)
+          respond(ex, 303, "")
         case e: IllegalArgumentException => respond(ex, 400, jsonErr(e.getMessage))
         case e: NoSuchElementException => respond(ex, 404, jsonErr(e.getMessage))
         case e: Throwable => respond(ex, 500, jsonErr(e.getMessage))
@@ -246,9 +291,64 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   // -------------------------------------------------------------- routes
 
-  handle("/tables", exact = true) { _ =>
+  private def tablesJson: String =
     session.catalog.listTables()
       .map(t => "\"" + t + "\"").mkString("""{"tables":[""", ",", "]}")
+
+  handle("/tables", exact = true) { _ => tablesJson }
+
+  // Portal home page (`api_poc.py:125-206`): the browser front door — every
+  // catalog table as a link into its dashboard view. Content-negotiated
+  // like /view: an API client GETting / sees the same JSON as /tables.
+  // Registered at "/" this context also receives every path no other
+  // context claims; `exact = true` 404s those, preserving the server's
+  // unknown-endpoint behavior.
+  handle("/", exact = true) { ex =>
+    if (!wantsHtml(ex)) tablesJson
+    else {
+      val links = session.catalog.listTables().map(t =>
+        s"""<li><a href="/view/${escHtml(t)}">${escHtml(t)}</a> <span class="sub">(<a href="/snapshots/${escHtml(t)}">snapshots</a> · <a href="/diff/${escHtml(t)}">diff</a>)</span></li>""")
+        .mkString("\n")
+      val bodyHtml =
+        s"""<div class="card"><h2>Data catalog</h2><ul class="tables">
+           |$links
+           |</ul></div>
+           |<div class="card"><h2>Ingest</h2>
+           |<p><code>POST /upload/{table}?mode=replace|append|upsert</code> with a CSV body,
+           |or <code>?mode=cdc</code> to stage the rows as CDC envelopes and start the
+           |streaming merger in one call.</p></div>""".stripMargin
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      htmlPage("Graft Data Lake", "", bodyHtml)
+    }
+  }
+
+  // Row edit form (`api_poc.py:648-702`): GET renders the record's columns
+  // as a form posting to /update/{t}/{id}; the id column is read-only. A
+  // non-HTML client gets the row as JSON (the same shape as /data).
+  handle("/edit") { ex =>
+    val (t, id) = tableAndId(ex, "/edit")
+    val table = session.catalog.table(t)
+    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
+    val rowDf = table.read()
+      .filter(org.apache.spark.sql.functions.col(pk) === idVal).limit(1)
+    if (!wantsHtml(ex)) dfJson(rowDf, 1)
+    else {
+      val row = rowDf.collect().headOption.getOrElse(
+        throw new NoSuchElementException(s"no row with $pk=$id in $t"))
+      val fields = table.schema.fieldNames.map { c =>
+        val v = Option(row.getAs[Any](c)).map(escHtml).getOrElse("")
+        val ro = if (c == pk) " readonly" else ""
+        s"""<label>${escHtml(c)}</label><input type="text" name="${escHtml(c)}" value="$v"$ro>"""
+      }.mkString("\n")
+      val form =
+        s"""<div class="card"><form method="POST" action="/update/${escHtml(t)}/${escHtml(id)}">
+           |$fields
+           |<button type="submit">Update</button>
+           |</form><p><a href="/view/${escHtml(t)}">Cancel and go back</a></p></div>""".stripMargin
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      htmlPage(s"Edit $t / $id", "", form)
+    }
   }
 
   handle("/data") { ex =>
@@ -380,8 +480,10 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
   handle("/insert") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
     val t = pathArg(ex, "/insert")
-    val snap = session.catalog.table(t).insertRow(jsonObjToMap(body(ex)))
+    val fromForm = isForm(ex)
+    val snap = session.catalog.table(t).insertRow(bodyMap(ex))
     session.registerView(t)
+    if (fromForm) throw Redirect(s"/view/$t") // browser flow, api_poc.py:800
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
   }
 
@@ -390,10 +492,13 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val (t, id) = tableAndId(ex, "/update")
     val table = session.catalog.table(t)
     val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val fromForm = isForm(ex)
     // Values arrive as strings and coerce per column type, exactly the
     // reference's get_cast_val form handling (`api_poc.py:704-726`); a JSON
-    // null sets the column to a typed NULL.
-    val sets = jsonObjToMap(body(ex)).map { case (c, v) =>
+    // null (or an emptied form input) sets the column to a typed NULL. The
+    // id column is never a SET target — the edit form posts its read-only
+    // pk input back, and the reference skips it too (`api_poc.py:748`).
+    val sets = (bodyMap(ex) - pk).map { case (c, v) =>
       val dt = table.schema(c).dataType
       c -> (if (v == null) org.apache.spark.sql.functions.lit(null).cast(dt)
             else org.apache.spark.sql.functions.lit(
@@ -403,6 +508,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val snap = table.updateWhere(
       org.apache.spark.sql.functions.col(pk) === idVal, sets)
     session.registerView(t)
+    if (fromForm) throw Redirect(s"/view/$t") // browser flow, api_poc.py:758
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
   }
 
@@ -509,11 +615,94 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val tmp = java.nio.file.Files.createTempFile("graft-upload-", ".csv")
     try {
       java.nio.file.Files.write(tmp, body(ex).getBytes(StandardCharsets.UTF_8))
-      val table = session.catalog.ingestCsv(tmp.toString, t, mode = mode)
-      session.registerView(t)
-      // The ingest commit already counted its rows — no read-back job.
-      val records = table.log.latest().flatMap(_.summary.get("records")).getOrElse("0")
-      s"""{"status":"ok","table":"$t","records":$records}"""
+      if (mode == "cdc") uploadCdc(ex, t, tmp)
+      else {
+        val table = session.catalog.ingestCsv(tmp.toString, t, mode = mode)
+        session.registerView(t)
+        // The ingest commit already counted its rows — no read-back job.
+        val records = table.log.latest().flatMap(_.summary.get("records")).getOrElse("0")
+        s"""{"status":"ok","table":"$t","records":$records}"""
+      }
     } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /**
+   * One-call CDC onboarding (`POST /upload/{t}?mode=cdc`) — the reference's
+   * single entry point that both loads the uploaded CSV into the source AND
+   * spawns the streaming merger as a background task
+   * (`api_poc.py:300-360`). Here the CSV rows are staged as Debezium-style
+   * insert envelopes in the table's `_cdc_in/` directory and the resident
+   * merger is started against it (idempotent: a later upload to an
+   * already-streaming table just stages more envelopes — the running query
+   * picks them up on its next trigger). The table is created on first
+   * upload, hash-bucketed by the detected key so every micro-batch merge is
+   * a partial rewrite. `?merge=mor` selects merge-on-read;
+   * `trigger_ms`/`max_files` tune the stream like `/cdc/{t}/start`.
+   */
+  private def uploadCdc(ex: HttpExchange, t: String,
+      csv: java.nio.file.Path): String = {
+    import org.apache.spark.sql.functions._
+    val p = qs(ex)
+    val spark = session.catalog.spark
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(csv.toString)
+    val df = raw.toDF(graft.functions.Identifiers.sanitizeAll(raw.columns.toSeq): _*)
+    require(df.columns.nonEmpty, "CSV body has no columns")
+    val key = p.getOrElse("key",
+      graft.functions.Identifiers.findIdCol(df.columns.toSeq))
+    val table =
+      if (session.catalog.tableExists(t)) session.catalog.table(t)
+      else session.catalog.createTable(t, df.schema, bucketBy = Some((key, 16)))
+    require(table.schema.fieldNames.contains(key), s"no such key column: $key")
+    // Align the CSV columns to the table schema (case-insensitive, typed —
+    // later uploads may arrive with a column subset or different order).
+    val have = df.columns
+      .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    val img = struct(table.schema.fields.toSeq.map { f =>
+      have.get(f.name.toLowerCase(java.util.Locale.ROOT))
+        .map(c => col(c).cast(f.dataType)).getOrElse(lit(null).cast(f.dataType))
+        .as(f.name)
+    }: _*)
+    // Debezium-style wrapped insert envelopes; the upload wall-clock is the
+    // ts_ms precombine, so a later upload's image of a key wins replays.
+    val env = df.select(to_json(struct(struct(
+      lit(null).cast(table.schema).as("before"), img.as("after"),
+      lit("c").as("op"),
+      lit(System.currentTimeMillis()).as("ts_ms")).as("payload"))).as("value"))
+    val inDir = table.root.resolve("_cdc_in")
+    java.nio.file.Files.createDirectories(inDir)
+    // Stage outside the watched dir, then move each part in with ONE atomic
+    // rename per file — the resident stream polls continuously and must
+    // never list a half-written file.
+    val stage = java.nio.file.Files.createTempDirectory("graft-cdc-upload-")
+    env.repartition(1).write.mode("overwrite").text(stage.toString)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val parts = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(stage)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      finally s.close()
+    }
+    parts.zipWithIndex.foreach { case (part, i) =>
+      java.nio.file.Files.move(part, inDir.resolve(s"upload-$uid-$i.json"))
+    }
+    val mor = p.getOrElse("merge", "cow") match {
+      case "cow" => false
+      case "mor" => true
+      case m => throw new IllegalArgumentException(s"merge must be cow|mor, got $m")
+    }
+    val triggerMs = p.get("trigger_ms").map(_.toLong).getOrElse(10000L)
+    val maxFiles = p.get("max_files").map(_.toInt).getOrElse(1000)
+    val q = streams.compute(t, (_, existing) => {
+      if (existing != null && existing.isActive) existing
+      else graft.cdc.CdcPipeline.start(spark, inDir.toString, table.schema,
+        table, key, table.root.resolve("_cdc_checkpoint").toString,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs),
+        maxFilesPerTrigger = maxFiles, mergeOnRead = mor,
+        decodeParallelism = spark.sparkContext.defaultParallelism)
+    })
+    session.registerView(t)
+    s"""{"status":"ok","table":${jstr(t)},"staged_files":${parts.size},"query_id":"${q.id}","key":${jstr(key)},"mode":"cdc"}"""
   }
 }

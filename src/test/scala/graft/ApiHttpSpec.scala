@@ -194,6 +194,85 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c5 == 200 && b5.startsWith("{\"columns\""), b5.take(100))
   }
 
+  test("portal home page renders table links; JSON clients get the tables list") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/"))
+      .header("Accept", "text/html").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body().take(400))
+    assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    assert(r.body().contains("""<a href="/view/orders_t">orders_t</a>"""),
+      r.body().take(800))
+    // without Accept: text/html the front door is the same JSON as /tables
+    val (c2, b2) = get("/")
+    assert(c2 == 200 && b2.startsWith("""{"tables":[""") &&
+      b2.contains("\"orders_t\""), b2.take(200))
+    // the "/" context receives every otherwise-unclaimed path — still 404s
+    val (c3, _) = get("/no-such-page")
+    assert(c3 == 404)
+  }
+
+  test("edit form round-trip: GET /edit renders the row, form POST mutates it") {
+    post("/insert/orders_t",
+      """{"o_orderkey":"777777","o_custkey":"3","o_totalprice":"10.5","o_orderstatus":"O"}""")
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(base + "/edit/orders_t/777777"))
+      .header("Accept", "text/html").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, r.body().take(600))
+    val b = r.body()
+    assert(b.contains("""name="o_totalprice" value="10.5""""), b.take(1200))
+    assert(b.contains("""name="o_orderkey" value="777777" readonly"""),
+      "id column must be read-only: " + b.take(1200))
+    assert(b.contains("""action="/update/orders_t/777777""""), b.take(1200))
+    // a JSON client GETs the row instead of a form
+    val (cj, bj) = get("/edit/orders_t/777777")
+    assert(cj == 200 && bj.contains("\"o_totalprice\":10.5"), bj)
+    // the browser form posts url-encoded (read-only pk included) and is
+    // answered with a redirect back to the table view, not a JSON body
+    val form = "o_orderkey=777777&o_custkey=3&o_totalprice=20.75&o_orderstatus=F"
+    val rr = client.send(HttpRequest.newBuilder(
+      URI.create(base + "/update/orders_t/777777"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(rr.statusCode() == 303, s"${rr.statusCode()} ${rr.body()}")
+    assert(rr.headers().firstValue("Location").orElse("") == "/view/orders_t")
+    val (c2, b2) = get("/view/orders_t?search=777777")
+    assert(c2 == 200 && b2.contains("20.75") && b2.contains("\"F\""), b2)
+    // an emptied form input means NULL, the only form-expressible null
+    val form2 = "o_orderkey=777777&o_orderstatus="
+    client.send(HttpRequest.newBuilder(
+      URI.create(base + "/update/orders_t/777777"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form2)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val (c3, b3) = get("/view/orders_t?search=777777")
+    assert(c3 == 200 && !b3.contains("\"F\""), b3)
+    post("/delete/orders_t/777777", "")
+  }
+
+  test("one-call CDC onboarding: POST /upload?mode=cdc stages envelopes and starts the merger") {
+    val csv = "id,name,amount\n1,alpha,1.5\n2,beta,2.5\n3,gamma,3.5\n"
+    val (c1, b1) = post("/upload/cdc_onboard_t?mode=cdc&trigger_ms=0", csv)
+    assert(c1 == 200 && b1.contains("\"mode\":\"cdc\"") &&
+      b1.contains("\"key\":\"id\"") && b1.contains("\"query_id\""), b1)
+    val (cs, bs) = get("/cdc/cdc_onboard_t/status")
+    assert(cs == 200 && bs.contains("\"active\":true"), bs)
+    post("/cdc/cdc_onboard_t/drain", "")
+    val (c2, b2) = get("/data/cdc_onboard_t?limit=10")
+    assert(c2 == 200 && b2.contains("alpha") && b2.contains("gamma"), b2)
+    // a second upload to the already-streaming table stages more envelopes
+    // against the SAME resident stream — updates win by ts_ms precombine
+    val csv2 = "id,name,amount\n2,beta2,20.5\n4,delta,4.5\n"
+    val (c3, b3) = post("/upload/cdc_onboard_t?mode=cdc&trigger_ms=0", csv2)
+    assert(c3 == 200, b3)
+    post("/cdc/cdc_onboard_t/drain", "")
+    val (c4, b4) = get("/data/cdc_onboard_t?limit=10")
+    assert(c4 == 200 && b4.contains("beta2") && b4.contains("delta") &&
+      !b4.contains("\"beta\""), b4)
+    post("/cdc/cdc_onboard_t/stop", "")
+  }
+
   test("time-travel /view works on a table whose OWN columns include `status`") {
     // The diff-highlight join must not collide with a user column named
     // `status` — the change class rides an internal __change_status column
