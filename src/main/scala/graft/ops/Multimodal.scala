@@ -706,6 +706,84 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Output schema of [[videoLumaSignatures]]: stream identity (geometry,
+    * fps, frame count) plus the per-sampled-frame QUANTIZED mean luma — the
+    * perceptual grouping key behind [[dedupVideoBySignature]]. */
+  val videoSignatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", DoubleType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("frame_sig", ArrayType(IntegerType), nullable = true)))
+
+  /**
+   * Per-payload video signature: every `stride`-th frame's mean luma,
+   * quantized to `lumaQuant`-wide buckets (`round(mean / lumaQuant)`).
+   * Quantization is what makes the key survive CODEC round trips, not just
+   * container ones: a raw BGR24 frame decodes exactly, but the same frame
+   * through MJPEG comes back with small DC-quantization error — a few luma
+   * units — that an exact key would split on. Same per-partition batch
+   * shape as the other decode operators.
+   */
+  def videoLumaSignatures(media: DataFrame, stride: Int = 1,
+      lumaQuant: Int = 8): DataFrame = {
+    require(stride >= 1, "stride must be at least 1")
+    require(lumaQuant >= 1, "lumaQuant must be at least 1")
+    val spark = media.sparkSession
+    val outSchema = videoSignatureSchema
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(decodeBatchSize).flatMap(_.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        try {
+          val avi = Riff.parseAvi(payload, maxFramePixels)
+          val sig = (0 until avi.nFrames by stride).map { f =>
+            val px = Riff.decodeFrame(avi, f, maxFramePixels).argb
+            var luma = 0L
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              luma += 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+                114L * (p & 0xFF)
+              i += 1
+            }
+            val mean = if (px.length == 0) 0.0 else luma / 1000.0 / px.length
+            math.round(mean / lumaQuant).toInt
+          }
+          Row(id, true, avi.width, avi.height, avi.fps, avi.nFrames.toLong,
+            sig.toSeq)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, false, 0, 0, 0.0, 0L, null)
+        }
+      })
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Perceptual video dedup — the video analog of [[dedupImagesByThumb]] /
+   * [[dedupAudioByEnvelope]]: group by DECODED stream identity (geometry,
+   * fps, frame count) plus the sampled-frame luma signature, keeping the
+   * smallest id as canonical. The same clip stored as raw BGR24 vs MJPEG
+   * (different containers AND codecs, byte-disjoint payloads) decodes to
+   * the same quantized signature and collapses into one group — byte-level
+   * dedup cannot see that. Scale shape: decode is the map stage; the only
+   * shuffle is a groupBy on a small feature key.
+   */
+  def dedupVideoBySignature(media: DataFrame, stride: Int = 1,
+      lumaQuant: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    videoLumaSignatures(media, stride, lumaQuant)
+      .filter(col("decoded"))
+      .groupBy(col("width"), col("height"), col("fps"), col("n_frames"),
+        col("frame_sig"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_dups"))
+  }
+
   /** Deterministic constant-color uncompressed AVI — the video analog of
     * [[constantPng]]: raw BGR24 frames, so decode is exact. */
   def constantAvi(width: Int, height: Int, fps: Int,
@@ -715,6 +793,25 @@ object Multimodal {
         Array.fill(width * height)(
           0xFF000000 | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF))
       })
+
+  /** Constant-gray MJPEG AVI: each frame is a real JDK-encoded JPEG inside
+    * a `00dc` chunk. A constant image has zero AC energy, so JPEG returns a
+    * constant frame whose gray differs from the painted level only by small
+    * DC-quantization error — inside [[videoLumaSignatures]]'s quantization
+    * bucket when the level sits on the `lumaQuant` lattice. The codec twin
+    * of [[constantAvi]] for cross-codec dedup oracles. */
+  def constantMjpegAvi(width: Int, height: Int, fps: Int,
+      grayLevels: Seq[Int]): Array[Byte] = {
+    val frames = grayLevels.map { l =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      fillConstant(img, ((l & 0xFF) << 16) | ((l & 0xFF) << 8) | (l & 0xFF))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      ("dc", bos.toByteArray)
+    }
+    Riff.writeAvi(width, height, fps, "MJPG", frames)
+  }
 
   /** Deterministic multi-page TIFF, one constant color per frame — the
     * multi-frame analog of [[constantPng]] for frame-sampling oracles. */

@@ -494,6 +494,34 @@ object LlmQueries {
           try_element_at(col("mean_rgb"), lit(3)).cast("long").as("mean_b"))
     }),
 
+    // Multimodal: perceptual video dedup ACROSS CODECS. Each id group
+    // (period 12) synthesizes the same gray clip, alternating raw-BGR24 and
+    // MJPEG containers by id/12 parity — byte-disjoint payloads (one holds
+    // real JPEG frames) whose decoded quantized signatures are identical.
+    // Gray levels sit on the lumaQuant=8 lattice ((g+f)%14+1)*16, so the
+    // DIB path is exact and the MJPEG path's DC-quantization error (a few
+    // luma units) stays inside the bucket: sig element = level/8 exactly.
+    "m_video_dedup" -> ((s, d) => {
+      import s.implicits._
+      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val clips = ids.map { id =>
+        val g = (id % 12L).toInt
+        val w = (g % 3) + 2
+        val h = (g % 2) + 2
+        val grays = (0 until (g % 3) + 1).map(f => ((g + f) % 14 + 1) * 16)
+        val bytes =
+          if ((id / 12L) % 2L == 0L)
+            Multimodal.constantAvi(w, h, fps = 10, grays.map(l => (l, l, l)))
+          else Multimodal.constantMjpegAvi(w, h, fps = 10, grays)
+        (id, bytes, "s")
+      }.toDF("doc_id", "avi", "src")
+      Multimodal.dedupVideoBySignature(
+        Multimodal.asMediaTable(clips, "doc_id", "avi", "src", mediaType = "video"))
+        .select(col("width"), col("height"), col("fps"), col("n_frames"),
+          try_element_at(col("frame_sig"), lit(1)).as("sig1"),
+          col("canonical_id"), col("n_dups"))
+    }),
+
     // Multimodal: REAL video frame sampling — every 2nd AVI frame with
     // per-frame colors; same analytic-oracle shape as m_frame_sample.
     "m_video_frames" -> ((s, d) => {
@@ -791,6 +819,16 @@ object LlmQueries {
         |  doc_id % 256 AS mean_r, (doc_id * 11) % 256 AS mean_g,
         |  (doc_id * 19) % 256 AS mean_b
         |FROM documents""".stripMargin,
+    // First-frame signature = ((g+0)%14+1)*16/8 = (g+1)*2 for g < 12; the
+    // group key has period 12 and both codec parities fold into it.
+    "m_video_dedup" ->
+      """SELECT CAST(doc_id % 12 % 3 + 2 AS INT) AS width,
+        |  CAST(doc_id % 12 % 2 + 2 AS INT) AS height,
+        |  CAST(10 AS DOUBLE) AS fps,
+        |  doc_id % 12 % 3 + 1 AS n_frames,
+        |  CAST((doc_id % 12 + 1) * 2 AS INT) AS sig1,
+        |  min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM documents GROUP BY doc_id % 12""".stripMargin,
     "m_video_frames" ->
       """WITH f AS (SELECT doc_id,
         |             unnest(range(0, doc_id % 4 + 2, 2)) AS fi

@@ -568,6 +568,32 @@ class OpsSpec extends AnyFunSuite {
     assert(fr == Set((1L, false), (2L, true)))
   }
 
+  test("multimodal: perceptual video dedup collapses the same clip across codecs") {
+    // One 3-frame gray clip as raw BGR24 and as MJPEG (real JPEG frames) —
+    // byte-disjoint payloads, same decoded signature → ONE group; a
+    // different-gray clip and a different-length clip stay separate. Gray
+    // levels sit on the lumaQuant=8 lattice so MJPEG's DC error is absorbed.
+    val grays = Seq(48, 96, 160)
+    val dib = Multimodal.constantAvi(6, 4, 10, grays.map(l => (l, l, l)))
+    val mjpeg = Multimodal.constantMjpegAvi(6, 4, 10, grays)
+    assert(dib.toSeq != mjpeg.toSeq, "codec variants must be byte-distinct")
+    val darker = Multimodal.constantAvi(6, 4, 10, grays.map(_ - 16).map(l => (l, l, l)))
+    val shorter = Multimodal.constantAvi(6, 4, 10, grays.take(2).map(l => (l, l, l)))
+    val media = Multimodal.asMediaTable(
+      Seq((1L, dib), (2L, mjpeg), (3L, darker), (4L, shorter))
+        .toDF("id", "bytes").withColumn("src", lit("t")),
+      "id", "bytes", "src", mediaType = "video")
+    val groups = Multimodal.dedupVideoBySignature(media).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(groups == Map(1L -> 2L, 3L -> 1L, 4L -> 1L),
+      s"same frames must collapse across codecs: $groups")
+    val sig = Multimodal.videoLumaSignatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Int]]("frame_sig")).toMap
+    assert(sig(1L) == Seq(6, 12, 20), s"lattice grays quantize exactly: ${sig(1L)}")
+    assert(sig(1L) == sig(2L), s"MJPEG must match DIB: ${sig(2L)}")
+  }
+
   test("multimodal: a trailing partial PCM frame doesn't fail the envelope") {
     // Unknown-length stereo AU whose PCM carries 3 whole frames plus ONE
     // trailing sample (7 samples, 2 channels): the envelope must ignore the
