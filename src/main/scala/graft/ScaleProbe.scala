@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale probe for the heaviest pipeline operators: runs the minhash-pairs,
+ * connected-components and line-dedup pipelines on a 1× and an F× (default
+ * 10×, ≈sf1) corpus and reports wall time, shuffle bytes, and the observed
+ * scaling exponent per op — grounding the "would this hold at 100×" design
+ * argument in a measured number instead of plan shape alone.
+ *
+ * The F× corpus is synthesized from the sf documents table: F copies with
+ * shifted ids and every word suffixed `_k` per copy. Within a copy the
+ * shingle structure is ISOMORPHIC to the original (same near-dup pairs,
+ * same line frequencies); across copies the shingle/line sets are disjoint
+ * (`w_3` never equals `w_7`), so candidate generation cannot create
+ * cross-copy pairs. Rows, true pairs, and boilerplate lines all scale
+ * EXACTLY linearly in F by construction — any super-linear wall-time or
+ * shuffle growth is therefore the operator's own, not the corpus's.
+ *
+ * Output: one JSON line (stdout + SPARK_GRAFT_SCALE_OUT, default
+ * SCALE_r08.json) — per factor per op {waves, median_sec, shuffle_mb,
+ * rows}, plus `exponents` = log(tF/t1)/log(F).
+ */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val waves = sys.env.getOrElse("SPARK_GRAFT_SCALE_WAVES", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Cumulative shuffle-byte counters over all completed stages; per-op
+    // deltas are read around each timed wave.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    def scaledCorpus(f: Int): DataFrame = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      (0 until f).map { k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_" + k).as("text"))
+      }.reduce(_ unionByName _)
+    }
+
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
+    def jnum(d: Double): String =
+      if (d.isNaN || d.isInfinite) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def jarr(ts: Seq[Double]): String = ts.map(jnum).mkString("[", ",", "]")
+
+    // name -> (factor -> (waves, medianSec, shuffleMb, resultRows))
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Seq[Double], Double, Double, Long)]]
+
+    def probe(name: String, f: Int)(op: DataFrame => Long): Unit = {
+      val corpus = scaledCorpus(f)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        corpus.count() // materialize the synthesis untimed: time the OP
+        var rows = 0L
+        var shufMb = 0.0
+        val ts = (0 until waves).map { _ =>
+          val (r0, w0) = (shufRead.get(), shufWrite.get())
+          val t0 = System.nanoTime()
+          rows = op(corpus)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Listener events drain async; give the last stage's a moment.
+          Thread.sleep(100L)
+          shufMb = (shufRead.get() - r0 + shufWrite.get() - w0) / 1e6
+          dt
+        }
+        results.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty)(f) =
+          ((ts, median(ts), shufMb, rows))
+        println(f"scaleprobe $name%-16s f=$f%-3d median=${median(ts)}%8.3fs " +
+          f"waves=${ts.map(t => f"$t%.2f").mkString(",")} shuffle=${shufMb}%.1fMB rows=$rows")
+      } finally corpus.unpersist(blocking = false)
+    }
+
+    for (f <- Seq(1, factor)) {
+      probe("d_minhash_pairs", f) { c =>
+        graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5).count()
+      }
+      probe("d_cluster_cc", f) { c =>
+        graft.ops.Cluster.clusterDocs(c, "doc_id",
+          graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5)).count()
+      }
+      probe("x_line_dedup", f) { c =>
+        // The gate entry's construction (CurationQueries x_line_dedup):
+        // 8-token windows re-joined to multi-line docs, then the corpus
+        // line-frequency drop.
+        val lines8 = graft.ops.Curation.chunkTokens(c, "doc_id", "text",
+          window = 8, overlap = 0)
+        val multi = lines8.groupBy("doc_id").agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            s2 => s2.getField("chunk_text")), "\n").as("text"))
+        graft.ops.Curation.dropRepeatedLines(multi, "doc_id", "text",
+          maxDocFreq = 5).count()
+      }
+    }
+
+    val perOp = results.map { case (name, byF) =>
+      val fs = byF.map { case (f, (ts, med, mb, rows)) =>
+        s""""f$f":{"waves":${jarr(ts)},"median_sec":${jnum(med)},"shuffle_mb":${jnum(mb)},"rows":$rows}"""
+      }.mkString(",")
+      val expo =
+        for { (_, m1, _, _) <- byF.get(1); (_, mf, _, _) <- byF.get(factor)
+              if m1 > 0 && factor > 1 }
+          yield math.log(mf / m1) / math.log(factor.toDouble)
+      val shufExpo =
+        for { (_, _, s1, _) <- byF.get(1); (_, _, sf, _) <- byF.get(factor)
+              if s1 > 0 && factor > 1 }
+          yield math.log(sf / s1) / math.log(factor.toDouble)
+      s""""$name":{$fs,"time_exponent":${expo.map(jnum).getOrElse("null")},"shuffle_exponent":${shufExpo.map(jnum).getOrElse("null")}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp}"""
+    println(json)
+    println("SCALE_JSON:" + json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r08.json")
+    try Files.write(Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => println(s"scale_out write failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

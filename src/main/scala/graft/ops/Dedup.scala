@@ -183,7 +183,18 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       n: Int = 3): DataFrame = {
+    // The candidate set is referenced THREE times below (both branches of
+    // the candidate-doc union, the final candidate-pair join), and Catalyst
+    // does not reuse the exchange across those differently-aliased
+    // subtrees — unpersisted, every reference replays the whole
+    // minhash+explode+self-join pipeline (a 10×-corpus probe measured the
+    // band-bucket shuffle executing ~12× per call, ~5× the bytes). The
+    // pairs are a tiny fraction of the corpus at any scale, so persist and
+    // materialize them ONCE, eagerly; the ContextCleaner reclaims the
+    // cache entry when the returned frame is released.
     val cands = lshCandidates(docs, idCol, textCol, numPerm, bands, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
     // Only documents that appear in some candidate pair enter the exact
     // verification — at scale this is a tiny fraction of the corpus, so
     // SHINGLE ONLY THOSE: the candidate-id semi join runs against the raw
@@ -194,7 +205,10 @@ object Dedup {
       .union(cands.select(col("id_b").as("__id"))).distinct()
     val docsC = docs.join(candDocs.withColumnRenamed("__id", idCol),
       Seq(idCol), "left_semi")
+    // Candidate shingles are referenced three times too (sizes, both sides
+    // of the intersection self-join) — same recompute trap, same cure.
     val dtC = hashShingleSets(docsC, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Set sizes are only ever joined back on candidate ids, so candidate
     // shingles suffice here too.
     val sizes = dtC.groupBy("__id").agg(count(lit(1)).as("__n"))
