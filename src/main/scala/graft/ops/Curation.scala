@@ -287,6 +287,14 @@ object Curation {
    * shuffles each document's own surviving lines once, keyed by the
    * document id — the same partitioning a downstream per-document write
    * wants.
+   *
+   * The exploded line frame is deliberately NOT persisted across its three
+   * references (phase-1 count, phase-2 recount, rebuild): it is
+   * corpus-sized, so caching it would spill the whole corpus to executor
+   * disk, while recomputing it is a two-column columnar re-scan plus a
+   * map-side split — the cheaper side of that trade at 100 TB (unlike
+   * [[graft.ops.Dedup.nearDupPairs]]'s candidate frames, which are tiny
+   * and ARE persisted).
    */
   def dropRepeatedLines(
       docs: DataFrame,
