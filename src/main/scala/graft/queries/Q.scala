@@ -33,26 +33,40 @@ object Q {
   def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
 
   /**
-   * `events.parquet` stores TIMESTAMP(NANOS), which Spark's TimestampType
-   * (µs) cannot hold — read the raw int64 nanos (`nanosAsLong`) and floor to
-   * micros, exactly matching DuckDB's ns→µs truncation on the oracle side.
+   * Loads `events.parquet` with `ts` normalized to TIMESTAMP_NTZ wall-clock
+   * micros, whatever physical encoding the corpus generation used. Seen in
+   * practice across driver testdata generations:
    *
-   * The result `ts` is TIMESTAMP_NTZ, not session-TZ TimestampType: the
-   * corpus column is wall-clock (parquet isAdjustedToUTC=false) and DuckDB
-   * reads it as naive TIMESTAMP, so every gate entry that materializes `ts`
-   * must write it back as naive too — an LTZ `ts` parquet-encodes as
+   *   - TIMESTAMP(NANOS): Spark's TimestampType (µs) cannot hold it — read
+   *     the raw int64 nanos (`nanosAsLong`) and floor to micros, exactly
+   *     matching DuckDB's ns→µs truncation on the oracle side.
+   *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark already infers
+   *     TIMESTAMP_NTZ — pass through.
+   *   - TIMESTAMP(MICROS, isAdjustedToUTC=true): rebuild NTZ from the UTC
+   *     micros, zone-free.
+   *
+   * The result `ts` is TIMESTAMP_NTZ, not session-TZ TimestampType: DuckDB
+   * reads a naive column as TIMESTAMP, so every gate entry that materializes
+   * `ts` must write it back as naive too — an LTZ `ts` parquet-encodes as
    * adjusted-to-UTC micros, which DuckDB types as TIMESTAMP WITH TIME ZONE
    * and the driver's schema compare rejects (the round-5 7-entry
    * regression). The NTZ value is built straight from the micros
    * ([[graft.plans.TimestampMicrosExprs.microsToNtz]]) — zone-free, no
    * session-TZ dependence and no session conf mutated beyond the
-   * `nanosAsLong` read flag this file needs to open the NANOS column at all.
+   * `nanosAsLong` read flag needed to open a NANOS column at all.
    */
   def events(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        graft.plans.TimestampMicrosExprs.microsToNtz(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // int64 nanos
+        raw.withColumn("ts",
+          graft.plans.TimestampMicrosExprs.microsToNtz(expr("ts div 1000")))
+      case TimestampNTZType => raw
+      case _ => // session-TZ TimestampType: unix_micros is zone-free
+        raw.withColumn("ts",
+          graft.plans.TimestampMicrosExprs.microsToNtz(unix_micros(col("ts"))))
+    }
   }
 
   /** A fresh single-use [[GraftTable]] in a temp warehouse dir. */
