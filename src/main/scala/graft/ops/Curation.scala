@@ -342,6 +342,95 @@ object Curation {
         count(when(col("__line").rlike("\\S"), 1)).as("n_lines_kept"))
   }
 
+  // ------------------------------------------------- stratified sampling
+
+  /**
+   * Stratified sample: keep a deterministic `frac` of each group (language
+   * / source balancing with exact per-group quotas, where
+   * [[sampleByHash]]'s global hash slice only hits the fraction in
+   * expectation). The quota is `ceil(frac * group_size)` and membership is
+   * decided by md5 order with id tie-break — the same stable ordering as
+   * [[capPerGroup]], so re-ingestion never flips membership and any SQL
+   * engine can reproduce the exact sample.
+   *
+   * Scale shape: one shuffle on the group key; both window functions share
+   * that single partitioning, and only (group, md5, id) triples ride the
+   * wire if the caller projects text away first.
+   */
+  def stratifiedSample(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    docs.withColumn("__rn", row_number().over(w))
+      .withColumn("__k", ceil(count(lit(1)).over(wg) * lit(frac)))
+      .filter(col("__rn") <= col("__k"))
+      .drop("__rn", "__k")
+  }
+
+  // -------------------------------------------------- sequence packing
+
+  /**
+   * Greedy sequence packing: place whole documents into fixed token-budget
+   * training sequences (the standard pretraining step that turns short
+   * documents into dense `budget`-token contexts instead of padding each
+   * one). Documents are assigned to `shards` by id; within a shard,
+   * documents are scanned in id order and a document opens a new sequence
+   * exactly when it no longer fits (`offset + n_tokens > budget` at a
+   * non-zero offset). A single document longer than the budget occupies
+   * its own sequence (training-side truncation is out of scope here).
+   *
+   * Output: one row per document — (id, shard, seq_id, seq_offset,
+   * n_tokens), with seq_id numbered per shard and seq_offset the token
+   * position where the document starts in its sequence.
+   *
+   * Scale shape: the greedy recurrence is a non-associative sequential
+   * fold, so it cannot be a window function — but it is embarrassingly
+   * parallel ACROSS shards, which is how packing actually runs at 100 TB
+   * (each worker packs its shards independently; shard count scales with
+   * the cluster). The implementation hash-repartitions on the shard key so
+   * every shard lands whole in one partition, sorts within partitions by
+   * (shard, id) — the standard secondary-sort idiom — and runs the fold in
+   * one `mapPartitions` pass over (id, shard, n_tokens) triples; document
+   * text never leaves the map side.
+   */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int = 256,
+      shards: Int = 8): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(shards > 0, "shard count must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).cast("long").as("__id"),
+      pmod(col(idCol).cast("long"), lit(shards.toLong)).as("__shard"),
+      size(tokens(col(textCol))).cast("long").as("__nt"))
+    toks.repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var shard = Long.MinValue
+        var seq = 0L
+        var off = 0L // next placement offset within the current sequence
+        it.map { case (id, sh, nt) =>
+          if (sh != shard) { shard = sh; seq = 0L; off = 0L }
+          else if (off > 0 && off + nt > budget) { seq += 1; off = 0L }
+          val placed = (id, sh, seq, off, nt)
+          off += nt
+          placed
+        }
+      }
+      .toDF(idCol, "shard", "seq_id", "seq_offset", "n_tokens")
+  }
+
   def chunkTokens(
       docs: DataFrame,
       idCol: String,

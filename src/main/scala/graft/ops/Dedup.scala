@@ -343,6 +343,50 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  // ------------------------------------------------- Bloom membership
+
+  /**
+   * Bloom filter over the corpus's exact-dedup fingerprints
+   * (xxhash64 of normalized text) — the approximate fast-path in front of
+   * [[dedupIncremental]]: probing the sketch is a map-side operation with
+   * no join at all, so an ingest batch can be triaged against a 100 TB
+   * corpus at memory-sketch cost. Bloom semantics give the useful one-sided
+   * guarantee: NO false negatives (a true duplicate is always flagged), a
+   * bounded false-positive rate `fpp` (a flagged doc may still be novel —
+   * route flagged docs to the exact path to confirm).
+   *
+   * The sketch is built by Spark's distributed `stat.bloomFilter`
+   * aggregation (partial sketches merged on the driver). `expectedItems`
+   * sizes the bit array; pass the corpus row count (from table stats at
+   * scale — counting here would bill an extra job to every build).
+   */
+  def corpusBloom(
+      corpus: DataFrame,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0 && fpp > 0.0 && fpp < 1.0)
+    corpus.select(xxhash64(normalize(col(textCol))).as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+  }
+
+  /**
+   * Flag each batch document whose normalized-text fingerprint the corpus
+   * sketch might contain (`maybe_dup`). The filter rides to executors in
+   * the closure (Spark broadcasts it once per stage); the probe itself has
+   * no Catalyst builtin, so this is the one deliberate UDF in the dedup
+   * path — a two-hash bit probe per row on a primitive long, far below the
+   * codegen-vs-UDF margin that matters for text-sized inputs.
+   */
+  def bloomFlag(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val might = udf((fp: Long) => bloom.mightContainLong(fp))
+    batch.withColumn("maybe_dup", might(xxhash64(normalize(col(textCol)))))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /**

@@ -111,6 +111,53 @@ object CurationQueries {
       Curation.capPerGroup(tbl(s, d, "documents"), "lang", "doc_id", "text", k = 30)
         .select("lang", "doc_id")),
 
+    // Stratified 25% sample per language: exact ceil(frac*n) quota per
+    // group, membership by md5 order — the oracle reproduces the sample
+    // row-for-row.
+    "x_stratified" -> ((s, d) =>
+      Curation.stratifiedSample(tbl(s, d, "documents"), "lang", "doc_id",
+          "text", frac = 0.25)
+        .select("lang", "doc_id")),
+
+    // Greedy sequence packing: whole documents into 256-token training
+    // sequences, 8 id-shards packed independently. The oracle replays the
+    // same greedy recurrence with a recursive CTE over (shard, id) order,
+    // so every (seq_id, seq_offset) assignment is hash-checked.
+    "x_pack" -> ((s, d) =>
+      Curation.packSequences(tbl(s, d, "documents"), "doc_id", "text",
+        budget = 256, shards = 8)),
+
+    // Bloom-membership triage of an ingest batch against the corpus
+    // sketch: even-id batch docs are true re-ingests (byte-identical
+    // text), odd-id docs get a novel suffix. The sketch's one-sided
+    // guarantee is the gate: zero false negatives (hard Bloom property),
+    // false positives under the sized-for bound. n_batch/n_exact_dup are
+    // recomputed exactly by the oracle; the booleans assert the sketch
+    // behavior the way the ANN recall gates do.
+    "x_bloom" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val batch = docs.select((col("doc_id") + 50000).as("bid"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("btext"))
+      // expectedItems plays the corpus-size hint that table stats supply
+      // at scale (counting here would bill an extra job per build).
+      val bloom = graft.ops.Dedup.corpusBloom(docs, "text",
+        expectedItems = 10000, fpp = 0.01)
+      val corpusNorm = docs
+        .select(graft.ops.Dedup.normalize(col("text")).as("__norm")).distinct()
+      val joined = graft.ops.Dedup.bloomFlag(batch, "bid", "btext", bloom)
+        .join(corpusNorm,
+          graft.ops.Dedup.normalize(col("btext")) === col("__norm"), "left")
+        .select(col("maybe_dup"), col("__norm").isNotNull.as("__is_dup"))
+      val fp = sum(when(col("maybe_dup") && !col("__is_dup"), 1L).otherwise(0L))
+      joined.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("__is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        bool_and(!col("__is_dup") || col("maybe_dup")).as("no_false_negatives"),
+        (fp <= lit(10L) ||
+          fp * 20 <= sum(when(!col("__is_dup"), 1L).otherwise(0L))).as("fp_rate_ok"))
+    }),
+
     // COMPOSITE end-to-end curation pipeline — the operators chained the
     // way a real training-data run chains them: exact dedup → benchmark
     // decontamination → quality filter → deterministic split → token
@@ -181,6 +228,53 @@ object CurationQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 30""".stripMargin,
+    "x_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(n * 0.25)""".stripMargin,
+    // Replays packSequences' greedy per-shard fold: rows ordered by
+    // (shard, id), one recursion step per row, a new sequence exactly when
+    // the next document no longer fits the 256-token budget at a non-zero
+    // offset (shard change resets both counters).
+    "x_pack" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, shard, nt, row_number() OVER (ORDER BY shard, doc_id) AS rn
+        |  FROM toks),
+        |pack AS (
+        |  SELECT rn, doc_id, shard, nt,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.doc_id, b.shard, b.nt,
+        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
+        |         WHEN p.seq_offset + p.nt + b.nt > 256 THEN p.seq_id + 1
+        |         ELSE p.seq_id END,
+        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
+        |         WHEN p.seq_offset + p.nt + b.nt > 256 THEN CAST(0 AS BIGINT)
+        |         ELSE p.seq_offset + p.nt END
+        |  FROM base b JOIN pack p ON b.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq_id, seq_offset, nt AS n_tokens FROM pack""".stripMargin,
+    "x_bloom" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 50000 AS bid,
+        |    CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' zz' || doc_id END AS btext
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_batch,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM corpus c
+        |    WHERE c.norm = regexp_replace(lower(trim(b.btext)), '\s+', ' ', 'g'))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        |  true AS no_false_negatives, true AS fp_rate_ok
+        |FROM batch b""".stripMargin,
     "p_curation_pipeline" ->
       (tokCte +
         """,dedup AS (SELECT min(doc_id) AS doc_id FROM documents

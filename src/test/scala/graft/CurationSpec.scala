@@ -182,5 +182,67 @@ class CurationSpec extends AnyFunSuite {
       .select(Curation.registeredDomain(col("u"))).as[String].collect().toSeq
     assert(gd == domains.map(_._2), s"got $gd")
   }
+
+  test("packSequences: greedy fill, oversized doc isolation, shard reset, partition invariance") {
+    // Shard 0 (ids 0,8,16,24): token counts 3,3,3,10 under budget 8 →
+    // 0 and 8 pack into seq 0 (offsets 0 and 3), 16 fits too (offset 6
+    // would exceed: 6+3>8, so 16 opens seq 1), and the oversized 24
+    // (10 tokens > budget) still gets its OWN seq 2 at offset 0.
+    // Shard 1 (ids 1,9): counters must reset — seq 0 again; 5+4 > 8 so
+    // id 9 opens shard 1's seq 1.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      0L -> words(3), 8L -> words(3), 16L -> words(3), 24L -> words(10),
+      1L -> words(5), 9L -> words(4)).toDF("doc_id", "text")
+    val got = Curation.packSequences(docs, "doc_id", "text", budget = 8, shards = 8)
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (0L, 0L, 0L, 0L, 3L), (8L, 0L, 0L, 3L, 3L), (16L, 0L, 1L, 0L, 3L),
+      (24L, 0L, 2L, 0L, 10L),
+      (1L, 1L, 0L, 0L, 5L), (9L, 1L, 1L, 0L, 4L))
+    assert(got == expected, s"got $got")
+    // Partition invariance: a differently-partitioned input packs identically
+    // (the op repartitions by shard internally).
+    val scrambled = Curation.packSequences(docs.repartition(7, col("text")),
+        "doc_id", "text", budget = 8, shards = 8)
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(scrambled == got)
+  }
+
+  test("stratifiedSample: exact ceil quota per group, frac edge cases") {
+    val docs = (0 until 30).map(i => (i.toLong, s"doc number $i", if (i < 21) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val kept = Curation.stratifiedSample(docs, "lang", "doc_id", "text", 0.25)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("en" -> 6L, "de" -> 3L), s"got $kept") // ceil(21*.25)=6, ceil(9*.25)=3
+    assert(Curation.stratifiedSample(docs, "lang", "doc_id", "text", 1.0).count() == 30)
+    assert(Curation.stratifiedSample(docs, "lang", "doc_id", "text", 0.0).count() == 0)
+    // Determinism: same sample row-for-row on re-evaluation.
+    val a = Curation.stratifiedSample(docs, "lang", "doc_id", "text", 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.stratifiedSample(docs.repartition(5), "lang", "doc_id", "text", 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("bloom membership: zero false negatives, novel texts mostly pass") {
+    val corpus = (0 until 400).map(i => (i.toLong, s"corpus document body $i"))
+      .toDF("doc_id", "text")
+    val bloom = graft.ops.Dedup.corpusBloom(corpus, "text",
+      expectedItems = 1000, fpp = 0.01)
+    val batch = (0 until 400).map { i =>
+      if (i % 2 == 0) (i + 1000L, s"corpus document body $i") // true dup
+      else (i + 1000L, s"novel text payload $i")
+    }.toDF("bid", "btext")
+    val flagged = graft.ops.Dedup.bloomFlag(batch, "bid", "btext", bloom)
+      .select(col("bid"), col("maybe_dup")).as[(Long, Boolean)].collect()
+    val dupIds = flagged.filter(r => (r._1 - 1000) % 2 == 0)
+    assert(dupIds.forall(_._2), "Bloom must never miss a true duplicate")
+    val novel = flagged.filter(r => (r._1 - 1000) % 2 == 1)
+    val falsePos = novel.count(_._2)
+    assert(falsePos <= 20, s"false positives $falsePos / ${novel.length} exceeds the sized bound")
+  }
 }
 
