@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /**
  * Scale probe for the heaviest pipeline operators: runs the minhash-pairs,
- * connected-components and line-dedup pipelines on a 1× and an F× (default
+ * connected-components, sequence-packing and line-dedup pipelines on a 1×
+ * and an F× (default
  * 10×, ≈sf1) corpus and reports wall time, shuffle bytes, and the observed
  * scaling exponent per op — grounding the "would this hold at 100×" design
  * argument in a measured number instead of plan shape alone.
@@ -80,6 +81,10 @@ object ScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         corpus.count() // materialize the synthesis untimed: time the OP
+        op(corpus) // untimed warm-up: codegen + JIT compile, exactly like
+        // the bench's same-shape warm-ups — without it the f=1 probe (runs
+        // first) absorbs all one-time compilation and the exponent skews
+        // negative (observed: minhash f1 median 5.8s vs f10 1.8s).
         var rows = 0L
         var shufMb = 0.0
         val ts = (0 until waves).map { _ =>
@@ -107,6 +112,10 @@ object ScaleProbe {
       probe("d_cluster_cc", f) { c =>
         graft.ops.Cluster.clusterDocs(c, "doc_id",
           graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5)).count()
+      }
+      probe("x_pack", f) { c =>
+        graft.ops.Curation.packSequences(c, "doc_id", "text",
+          budget = 256, shards = 64).count()
       }
       probe("x_line_dedup", f) { c =>
         // The gate entry's construction (CurationQueries x_line_dedup):
@@ -141,7 +150,7 @@ object ScaleProbe {
       s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp}"""
     println(json)
     println("SCALE_JSON:" + json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r08.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r09.json")
     try Files.write(Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => println(s"scale_out write failed: ${e.getMessage}") }

@@ -138,6 +138,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!qual.contains("Exchange"), s"quality metrics must not shuffle:\n$qual")
   }
 
+  test("stratified sample plans ONE shuffle — both windows share the group partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Curation.stratifiedSample(docs, "lang", "doc_id", "text", 0.25))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"row_number and the group count must reuse one hashpartitioning, saw $exchanges:\n$p")
+  }
+
+  test("sequence packing plans ONE shuffle on the shard key; text never leaves the map side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ops.Curation.packSequences(docs, "doc_id", "text", budget = 256, shards = 8)
+    val p = plan(df)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"packing is one repartition + in-partition fold, saw $exchanges:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__shard"),
+      s"the one shuffle must be on the shard key:\n$p")
+    // The shuffled row is the (id, shard, n_tokens) triple — the greedy
+    // fold deserializes a Tuple3 of longs, proving text was projected away
+    // before the exchange rather than carried through it.
+    assert(p.contains("newInstance(class scala.Tuple3)"),
+      s"only the 3-long triple may reach the packing fold:\n$p")
+  }
+
   test("merge broadcasts the update keys — target side has no shuffle") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val updates = orders.filter(col("o_orderkey") < 10)
