@@ -171,9 +171,24 @@ object Dedup {
   }
 
   /**
-   * Near-duplicate pairs, 100 TB shape: MinHash-LSH candidates, then exact
-   * shingle-Jaccard verification restricted to the candidate pairs (a semi
-   * join — the quadratic step never materializes).
+   * Near-duplicate pairs, 100 TB shape: exact-duplicate collapse, then
+   * MinHash-LSH candidates over the distinct shingle sets, then exact
+   * shingle-Jaccard verification restricted to the candidate pairs, then
+   * join-based expansion back to member ids.
+   *
+   * The collapse is the LSH path's skew guard: documents with identical
+   * shingle sets share EVERY band bucket, so a boilerplate document
+   * repeated K times would otherwise contribute K² candidate pairs to all
+   * `bands` buckets it lands in — the hot-key blowup that kills banded
+   * self-joins at corpus scale (K can be millions). Grouping by a
+   * fingerprint of the *shingle set* (not the raw text) makes the collapse
+   * exact: members of a group have identical MinHash signatures and
+   * identical Jaccard against every other document, and intra-group
+   * Jaccard is 1 (shingle sets are never empty — short docs contribute
+   * their whole text as one shingle), so expansion is pure join algebra:
+   * all intra-group pairs plus the member cross products of every
+   * verified representative pair. The output is exactly the un-collapsed
+   * answer; only the candidate join sees the collapsed corpus.
    */
   def nearDupPairs(
       docs: DataFrame,
@@ -183,6 +198,67 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       n: Int = 3): DataFrame = {
+    require(minJaccard <= 1.0, "intra-group pairs have Jaccard exactly 1")
+    val setFp = shingleSetFp(col(textCol), n)
+    // Narrow (id, set-fingerprint) membership — referenced four times by
+    // the expansion joins, so persist it; 16 bytes/row regardless of text
+    // width.
+    val members = docs.select(col(idCol).cast("long").as("__mid"), setFp.as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One representative (min id) per distinct shingle set. min_by keeps
+    // the choice deterministic; any member's text would do — identical
+    // sets shingle identically. Partial aggregation means only one text
+    // per set per partition reaches the shuffle: the wire volume IS the
+    // collapsed corpus.
+    val reps = docs.select(col(idCol).cast("long").as("__mid"),
+        col(textCol).as("__mtext"), setFp.as("__fp"))
+      .groupBy("__fp")
+      .agg(min("__mid").as("__rid"), min_by(col("__mtext"), col("__mid")).as("__rtext"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = nearDupPairsDistinct(
+      reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
+      idCol, textCol, minJaccard, numPerm, bands, n)
+    val intra = members.as("a").join(members.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__mid") < col("b.__mid"))
+      .select(col("a.__mid").as("id_a"), col("b.__mid").as("id_b"))
+    val repFp = reps.select("__rid", "__fp")
+    val cross = repPairs
+      .join(repFp.select(col("__rid").as("id_a"), col("__fp").as("__fpa")), "id_a")
+      .join(repFp.select(col("__rid").as("id_b"), col("__fp").as("__fpb")), "id_b")
+      .join(members.select(col("__mid").as("__xa"), col("__fp").as("__fpa")), "__fpa")
+      .join(members.select(col("__mid").as("__xb"), col("__fp").as("__fpb")), "__fpb")
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"))
+    // Intra pairs share a fingerprint, cross pairs span two — disjoint by
+    // construction, no distinct needed.
+    intra.unionByName(cross)
+  }
+
+  /**
+   * 64-bit fingerprint of a document's distinct shingle-hash SET — the
+   * collapse key for [[nearDupPairs]]. Fingerprinting the set (not the raw
+   * or normalized text) is what makes the collapse exact: tokenization
+   * differences that don't change the shingle set (leading whitespace,
+   * internal whitespace runs) land in the same group, and equal sets imply
+   * equal MinHash signatures and equal Jaccard against everything else.
+   */
+  private[graft] def shingleSetFp(text: Column, n: Int = 3): Column =
+    xxhash64(array_sort(array_distinct(
+      graft.plans.ShingleHashesExpr.shingleHashes(tokens(text), n))))
+
+  /**
+   * The candidate-generation + verification pipeline, assuming all input
+   * documents have DISTINCT shingle sets (callers go through
+   * [[nearDupPairs]], which collapses duplicates first).
+   */
+  private def nearDupPairsDistinct(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      numPerm: Int,
+      bands: Int,
+      n: Int): DataFrame = {
     // The candidate set is referenced THREE times below (both branches of
     // the candidate-doc union, the final candidate-pair join), and Catalyst
     // does not reuse the exchange across those differently-aliased

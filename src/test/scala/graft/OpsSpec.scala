@@ -33,6 +33,42 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH recall must be total on this corpus: ${exact -- lsh} missed")
   }
 
+  test("hot-group corpus: collapsed LSH equals exact, candidate join never sees the copies") {
+    import spark.implicits._
+    // 120 byte-identical copies of one boilerplate text (the hot set that
+    // would otherwise put 120 rows in every one of its band buckets →
+    // ~120²/2 × 16 candidate pairs), plus a small near-dup family and
+    // unrelated docs. Whitespace variants of the boilerplate land in the
+    // SAME group (identical shingle sets after tokenization).
+    val boiler = "subscribe to our newsletter for updates and offers every week"
+    val hot = (0 until 118).map(i => (i.toLong, boiler)) ++
+      Seq(118L -> s"  $boiler", 119L -> boiler.replace(" ", "  "))
+    val family = Seq(
+      200L -> "the quick brown fox jumps over the lazy dog today",
+      201L -> "the quick brown fox jumps over the lazy dog tonight")
+    val clean = (300 until 320).map(i =>
+      (i.toLong, s"completely unrelated document number $i with its own words $i"))
+    val corpus = (hot ++ family ++ clean).toDF("doc_id", "text")
+    val exact = Dedup.exactJaccardPairs(corpus, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 120 * 119 / 2, "hot group must dominate the exact answer")
+    assert(lsh == exact, s"missed ${exact.diff(lsh).size}, extra ${lsh.diff(exact).size}")
+    // The collapse key must see exactly 23 groups (1 hot + 2 family +
+    // 20 clean) — in particular the two whitespace VARIANTS of the
+    // boilerplate (ids 118/119) must fingerprint into the hot group, since
+    // their shingle sets are identical after tokenization. That is what
+    // bounds every band bucket by the distinct-set count instead of the
+    // raw row count.
+    val fps = corpus.select(col("doc_id"),
+      Dedup.shingleSetFp(col("text")).as("fp"))
+    assert(fps.select("fp").distinct().count() == 23L)
+    val hotFps = fps.filter(col("doc_id") < 120).select("fp").distinct()
+    assert(hotFps.count() == 1L,
+      "whitespace variants must share the boilerplate's shingle-set fingerprint")
+  }
+
   test("incremental dedup: batch vs persisted state equals batch vs corpus exact Jaccard") {
     val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir("dedupstate-"))
     val (bt, st) = Dedup.persistDedupState(cat, "sigs", docs, "doc_id", "text")
