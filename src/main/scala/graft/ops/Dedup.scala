@@ -199,22 +199,7 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     require(minJaccard <= 1.0, "intra-group pairs have Jaccard exactly 1")
-    val setFp = shingleSetFp(col(textCol), n)
-    // Narrow (id, set-fingerprint) membership — referenced four times by
-    // the expansion joins, so persist it; 16 bytes/row regardless of text
-    // width.
-    val members = docs.select(col(idCol).cast("long").as("__mid"), setFp.as("__fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One representative (min id) per distinct shingle set. min_by keeps
-    // the choice deterministic; any member's text would do — identical
-    // sets shingle identically. Partial aggregation means only one text
-    // per set per partition reaches the shuffle: the wire volume IS the
-    // collapsed corpus.
-    val reps = docs.select(col(idCol).cast("long").as("__mid"),
-        col(textCol).as("__mtext"), setFp.as("__fp"))
-      .groupBy("__fp")
-      .agg(min("__mid").as("__rid"), min_by(col("__mtext"), col("__mid")).as("__rtext"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
     val repPairs = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
       idCol, textCol, minJaccard, numPerm, bands, n)
@@ -245,6 +230,67 @@ object Dedup {
   private[graft] def shingleSetFp(text: Column, n: Int = 3): Column =
     xxhash64(array_sort(array_distinct(
       graft.plans.ShingleHashesExpr.shingleHashes(tokens(text), n))))
+
+  /**
+   * The exact-duplicate collapse: (members, reps), both persisted.
+   * `members` is the narrow (__mid, __fp) membership (16 bytes/row
+   * regardless of text width); `reps` keeps one representative (min id,
+   * min_by keeps the text choice deterministic — any member's text would
+   * do, identical sets shingle identically) per distinct shingle set.
+   * Partial aggregation means only one text per set per partition reaches
+   * the reps shuffle: the wire volume IS the collapsed corpus.
+   */
+  private def collapseByShingleSet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
+    val setFp = shingleSetFp(col(textCol), n)
+    val members = docs.select(col(idCol).cast("long").as("__mid"), setFp.as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = docs.select(col(idCol).cast("long").as("__mid"),
+        col(textCol).as("__mtext"), setFp.as("__fp"))
+      .groupBy("__fp")
+      .agg(min("__mid").as("__rid"), min_by(col("__mtext"), col("__mid")).as("__rtext"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (members, reps)
+  }
+
+  /**
+   * Near-duplicate CLUSTER labels without ever materializing the expanded
+   * pair list — the consumer-side half of the skew guard. [[nearDupPairs]]
+   * provably returns the un-collapsed pair answer, but that answer is
+   * itself quadratic in duplication (a 10M-copy document owns ~5·10¹³
+   * intra pairs): any pipeline that only needs per-document cluster labels
+   * must not route through it at scale. Here connected components run on
+   * the REPRESENTATIVE graph only, and members inherit their rep's label
+   * by join. Exact-duplicate groups are cliques hanging off their rep, so
+   * the component structure is identical to CC over the expanded pairs,
+   * and the canonical (minimum) id of a component equals the minimum rep
+   * id — reps are their group minima — making the labels equal row-for-row
+   * to `Cluster.clusterDocs(docs, nearDupPairs(docs, ...))`.
+   */
+  def nearDupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      n: Int = 3): DataFrame = {
+    require(minJaccard <= 1.0, "intra-group members share their rep's cluster")
+    val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
+    val repPairs = nearDupPairsDistinct(
+      reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
+      idCol, textCol, minJaccard, numPerm, bands, n)
+    val repCC = graft.ops.Cluster.clusterDocs(
+      reps.select(col("__rid").as(idCol)), idCol, repPairs)
+      .select(col(idCol).as("__rid"), col("cluster_id"))
+    members
+      .join(reps.select("__rid", "__fp"), "__fp")
+      .join(repCC, "__rid")
+      .select(col("__mid").as(idCol), col("cluster_id"))
+  }
 
   /**
    * The candidate-generation + verification pipeline, assuming all input

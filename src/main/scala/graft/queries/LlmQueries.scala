@@ -142,17 +142,18 @@ object LlmQueries {
       Dedup.dedupIncremental(batch, "doc_id", "text", bt, st, minJaccard = 0.5)
     }),
 
-    // Near-dup CLUSTERING: connected components over the near-dup pair
-    // graph (alternating large-star/small-star), every doc labeled with its
-    // cluster's canonical (minimum) id. Edges come from the 100 TB pair
-    // path (MinHash-LSH + restricted exact verification) — the oracle
-    // recomputes the closure of the EXACT pair graph with a recursive CTE,
-    // so the gate simultaneously re-proves LSH-vs-exact equality here.
-    "d_cluster_cc" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
-      Cluster.clusterDocs(docs, "doc_id",
-        Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.5))
-    }),
+    // Near-dup CLUSTERING: connected components over the near-dup graph
+    // (alternating large-star/small-star), every doc labeled with its
+    // cluster's canonical (minimum) id — via the COLLAPSED path
+    // (Dedup.nearDupClusters): CC runs on the distinct-shingle-set
+    // representative graph and members inherit labels by join, so the
+    // duplication-quadratic expanded pair list never materializes. The
+    // oracle recomputes the closure of the EXACT pair graph with a
+    // recursive CTE, so the gate proves rep-level CC ≡ full-graph CC ≡
+    // exact closure all at once.
+    "d_cluster_cc" -> ((s, d) =>
+      Dedup.nearDupClusters(tbl(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.5)),
 
     // Brute-force cosine top-5 for 10 query vectors (ranks are int-only).
     "e_cosine_topk" -> ((s, d) => {

@@ -67,6 +67,14 @@ class OpsSpec extends AnyFunSuite {
     val hotFps = fps.filter(col("doc_id") < 120).select("fp").distinct()
     assert(hotFps.count() == 1L,
       "whitespace variants must share the boilerplate's shingle-set fingerprint")
+    // Rep-level clustering must label identically to CC over the expanded
+    // pair list — without ever materializing the 120²/2 hot-group pairs.
+    val viaPairs = Cluster.clusterDocs(corpus, "doc_id",
+        Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5))
+      .as[(Long, Long)].collect().toSet
+    val viaReps = Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(viaReps == viaPairs)
   }
 
   test("incremental dedup: batch vs persisted state equals batch vs corpus exact Jaccard") {
