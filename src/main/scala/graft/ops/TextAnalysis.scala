@@ -120,6 +120,39 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
 
+  /**
+   * Vocabulary-coverage (out-of-vocabulary) statistics — the CCNet-style
+   * corpus-level quality signal: documents whose tokens mostly fall
+   * outside the corpus's top-`topK` vocabulary are gibberish, boilerplate
+   * code, or the wrong language. Per document: total token count, tokens
+   * outside the vocabulary, and their ratio.
+   *
+   * Two-phase at any scale: (1) the vocabulary is a word-count top-k —
+   * map-side partial aggregation, then one `TakeOrdered` (deterministic
+   * tie-break: count desc, word asc); (2) the per-doc scan joins tokens
+   * against the BROADCAST vocabulary (topK rows by construction), so the
+   * corpus-side token stream is never shuffled — the only wide exchange is
+   * the final per-doc groupBy on the id. Counts are integers and the ratio
+   * is one IEEE division, so an external engine reproduces the output
+   * bit-for-bit.
+   */
+  def oovStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK > 0)
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+    val vocab = tok.groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(topK)
+      .select(col("__w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Word n-grams WITH multiplicity; a doc shorter than `n` tokens has none
     * (repetition metrics count occurrences — no whole-text fallback here,
     * unlike the dedup shingles). */

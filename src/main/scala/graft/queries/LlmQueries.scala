@@ -306,6 +306,11 @@ object LlmQueries {
     "x_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Vocabulary-coverage stats: per-doc token / out-of-top-100-vocab
+    // counts (the CCNet-style corpus-level quality signal).
+    "x_oov" -> ((s, d) =>
+      TextAnalysis.oovStats(tbl(s, d, "documents"), "doc_id", "text", topK = 100)),
+
     // Gopher/FineWeb-style repetition filters: integer n-gram duplication
     // counts + most-frequent-2-gram count + the integer-arithmetic pass
     // boolean, all recomputed exactly by the oracle.
@@ -743,6 +748,14 @@ object LlmQueries {
         |      FROM tok)
         |SELECT ngram, count(*) AS n_occurrences FROM g
         |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "x_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents),
+        |vocab AS (SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 100)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_ratio
+        |FROM tok t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id""".stripMargin,
     "x_bpe_tokens" ->
       """SELECT source,
         |  CAST(sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS ws_tokens,

@@ -282,6 +282,22 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.distinct().count() == docs.count(), "distinct texts → distinct fingerprints")
   }
 
+  test("oov stats: hand-computed coverage; vocabulary joins broadcast") {
+    val d = Seq((1L, "the cat sat"), (2L, "the dog sat"), (3L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+    // Counts: the:2 sat:2 cat/dog/zzz/qqq/www:1 → top-2 vocab (count desc,
+    // word asc) = {sat, the}.
+    val stats = TextAnalysis.oovStats(d, "doc_id", "text", topK = 2)
+    val got = stats.as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 1.0 / 3)), // cat is OOV
+      2L -> ((3L, 1L, 1.0 / 3)), // dog is OOV
+      3L -> ((3L, 3L, 1.0))))
+    assert(stats.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the top-k vocabulary must broadcast — the token stream never shuffles for the join")
+  }
+
   test("repetition metrics: hand-computed counts, degenerate docs fail, short docs vacuous") {
     val df = Seq(
       (1L, "a b a b a b"), // looping text: 2-grams [ab,ba,ab,ba,ab] → 5 total, 2 distinct, top 3
