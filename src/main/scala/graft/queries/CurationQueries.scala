@@ -158,6 +158,24 @@ object CurationQueries {
           fp * 20 <= sum(when(!col("__is_dup"), 1L).otherwise(0L))).as("fp_rate_ok"))
     }),
 
+    // COMPOSITE training-sequence export — the tail of the pipeline a
+    // pretraining run actually ships: exact dedup → quality filter →
+    // 32-token chunking → greedy packing of the chunks into 128-token
+    // sequences. Chunk unit ids are doc_id*1000+chunk_id (chunk counts are
+    // bounded far below 1000 by the 32-token window against the corpus's
+    // doc lengths), so the oracle can replay the whole chain including the
+    // packing recurrence. Every sequence assignment is hash-checked.
+    "p_training_export" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val deduped = graft.ops.Dedup.exactDedup(docs, "doc_id", "text")
+      val quality = deduped.filter(graft.ops.TextAnalysis.passesQuality(col("text")))
+      val chunks = Curation.chunkTokens(quality, "doc_id", "text",
+        window = 32, overlap = 0)
+      val units = chunks.select(
+        (col("doc_id") * 1000 + col("chunk_id")).as("cid"), col("chunk_text"))
+      Curation.packSequences(units, "cid", "chunk_text", budget = 128, shards = 8)
+    }),
+
     // COMPOSITE end-to-end curation pipeline — the operators chained the
     // way a real training-data run chains them: exact dedup → benchmark
     // decontamination → quality filter → deterministic split → token
@@ -261,6 +279,43 @@ object CurationQueries {
         |         ELSE p.seq_offset + p.nt END
         |  FROM base b JOIN pack p ON b.rn = p.rn + 1)
         |SELECT doc_id, shard, seq_id, seq_offset, nt AS n_tokens FROM pack""".stripMargin,
+    // The whole export chain replayed: dedup + quality mirror
+    // p_curation_pipeline's fragments, chunking mirrors x_chunks (window
+    // 32, overlap 0), packing mirrors x_pack's recursive CTE over
+    // (shard, cid) order with budget 128.
+    "p_training_export" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+        |  FROM documents),
+        |dedup AS (SELECT min(doc_id) AS doc_id FROM documents
+        |          GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+        |kept AS (SELECT t.doc_id, t.ts FROM tok t JOIN dedup USING (doc_id)
+        |         WHERE length(t.text) >= 20
+        |           AND len(t.ts) >= 5
+        |           AND CAST(length(t.text) - length(regexp_replace(t.text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |               / greatest(length(t.text), 1) < 0.2),
+        |n AS (SELECT doc_id, ts, greatest(len(ts) - 1, 0) // 32 + 1 AS nc FROM kept),
+        |c AS (SELECT doc_id, ts, unnest(range(0, nc)) AS chunk_id FROM n),
+        |units AS (SELECT doc_id * 1000 + chunk_id AS cid,
+        |            CAST(len(ts[CAST(chunk_id*32+1 AS INT) : CAST(chunk_id*32+32 AS INT)]) AS BIGINT) AS nt
+        |          FROM c),
+        |base AS (SELECT cid, cid % 8 AS shard, nt,
+        |           row_number() OVER (ORDER BY cid % 8, cid) AS rn
+        |         FROM units),
+        |pack AS (
+        |  SELECT rn, cid, shard, nt,
+        |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.rn, b.cid, b.shard, b.nt,
+        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
+        |         WHEN p.seq_offset + p.nt + b.nt > 128 THEN p.seq_id + 1
+        |         ELSE p.seq_id END,
+        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
+        |         WHEN p.seq_offset + p.nt + b.nt > 128 THEN CAST(0 AS BIGINT)
+        |         ELSE p.seq_offset + p.nt END
+        |  FROM base b JOIN pack p ON b.rn = p.rn + 1)
+        |SELECT cid, shard, seq_id, seq_offset, nt AS n_tokens FROM pack""".stripMargin,
     "x_bloom" ->
       """WITH corpus AS (
         |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
