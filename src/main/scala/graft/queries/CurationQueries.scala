@@ -253,17 +253,20 @@ object CurationQueries {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |WHERE rn <= ceil(n * 0.25)""".stripMargin,
-    // Replays packSequences' greedy per-shard fold: rows ordered by
-    // (shard, id), one recursion step per row, a new sequence exactly when
-    // the next document no longer fits the 256-token budget at a non-zero
-    // offset (shard change resets both counters).
+    // Replays packSequences' greedy fold with one recursion chain PER
+    // SHARD, advanced in parallel (anchor = each shard's first row; every
+    // iteration joins the previous row of all live shards to their next) —
+    // iterations scale as rows-per-shard, not total rows, which keeps the
+    // oracle tractable at the 10× sweep scale. A new sequence opens
+    // exactly when the next document no longer fits the 256-token budget.
     "x_pack" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS nt
         |  FROM documents),
         |base AS (
-        |  SELECT doc_id, shard, nt, row_number() OVER (ORDER BY shard, doc_id) AS rn
+        |  SELECT doc_id, shard, nt,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
         |  FROM toks),
         |pack AS (
         |  SELECT rn, doc_id, shard, nt,
@@ -271,13 +274,11 @@ object CurationQueries {
         |  FROM base WHERE rn = 1
         |  UNION ALL
         |  SELECT b.rn, b.doc_id, b.shard, b.nt,
-        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
-        |         WHEN p.seq_offset + p.nt + b.nt > 256 THEN p.seq_id + 1
+        |    CASE WHEN p.seq_offset + p.nt + b.nt > 256 THEN p.seq_id + 1
         |         ELSE p.seq_id END,
-        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
-        |         WHEN p.seq_offset + p.nt + b.nt > 256 THEN CAST(0 AS BIGINT)
+        |    CASE WHEN p.seq_offset + p.nt + b.nt > 256 THEN CAST(0 AS BIGINT)
         |         ELSE p.seq_offset + p.nt END
-        |  FROM base b JOIN pack p ON b.rn = p.rn + 1)
+        |  FROM base b JOIN pack p ON b.shard = p.shard AND b.rn = p.rn + 1)
         |SELECT doc_id, shard, seq_id, seq_offset, nt AS n_tokens FROM pack""".stripMargin,
     // The whole export chain replayed: dedup + quality mirror
     // p_curation_pipeline's fragments, chunking mirrors x_chunks (window
@@ -300,7 +301,7 @@ object CurationQueries {
         |            CAST(len(ts[CAST(chunk_id*32+1 AS INT) : CAST(chunk_id*32+32 AS INT)]) AS BIGINT) AS nt
         |          FROM c),
         |base AS (SELECT cid, cid % 8 AS shard, nt,
-        |           row_number() OVER (ORDER BY cid % 8, cid) AS rn
+        |           row_number() OVER (PARTITION BY cid % 8 ORDER BY cid) AS rn
         |         FROM units),
         |pack AS (
         |  SELECT rn, cid, shard, nt,
@@ -308,13 +309,11 @@ object CurationQueries {
         |  FROM base WHERE rn = 1
         |  UNION ALL
         |  SELECT b.rn, b.cid, b.shard, b.nt,
-        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
-        |         WHEN p.seq_offset + p.nt + b.nt > 128 THEN p.seq_id + 1
+        |    CASE WHEN p.seq_offset + p.nt + b.nt > 128 THEN p.seq_id + 1
         |         ELSE p.seq_id END,
-        |    CASE WHEN b.shard <> p.shard THEN CAST(0 AS BIGINT)
-        |         WHEN p.seq_offset + p.nt + b.nt > 128 THEN CAST(0 AS BIGINT)
+        |    CASE WHEN p.seq_offset + p.nt + b.nt > 128 THEN CAST(0 AS BIGINT)
         |         ELSE p.seq_offset + p.nt END
-        |  FROM base b JOIN pack p ON b.rn = p.rn + 1)
+        |  FROM base b JOIN pack p ON b.shard = p.shard AND b.rn = p.rn + 1)
         |SELECT cid, shard, seq_id, seq_offset, nt AS n_tokens FROM pack""".stripMargin,
     "x_bloom" ->
       """WITH corpus AS (
