@@ -105,6 +105,28 @@ object ScaleProbe {
       } finally corpus.unpersist(blocking = false)
     }
 
+    // Duplication-skew probe: the same corpus plus ONE document repeated
+    // hotK times (ids shifted into their own range). Pre-collapse, that
+    // group put hotK rows into each of its 16 band buckets → ~hotK²/2
+    // candidates per band (7×10⁷ rows at hotK=3000); with the shingle-set
+    // collapse the banding sees ONE representative, so clustering the hot
+    // corpus must cost roughly the dup-free baseline. Labels (not pairs)
+    // are probed because the expanded pair LIST is quadratic in hotK by
+    // definition of the answer.
+    val hotK = sys.env.getOrElse("SPARK_GRAFT_SCALE_HOTK", "3000").toInt
+    def hotCorpus(): DataFrame = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val hot = spark.range(hotK).select(
+        (col("id") + 50000000L).as("doc_id"),
+        lit("subscribe to our newsletter for updates and offers every single week").as("text"))
+      docs.unionByName(hot)
+    }
+    probe("d_cluster_hot", 1) { _ =>
+      graft.ops.Dedup.nearDupClusters(hotCorpus(), "doc_id", "text",
+        minJaccard = 0.5).count()
+    }
+
     for (f <- Seq(1, factor)) {
       probe("d_minhash_pairs", f) { c =>
         graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5).count()
