@@ -31,7 +31,7 @@ object Bench {
     * over one synthetic asset per document. */
   private val curation =
     Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split", "x_repetition",
-      "x_line_dedup", "x_url_canon", "x_pack", "m_image_decode",
+      "x_line_dedup", "x_url_canon", "x_pack", "x_oov", "m_image_decode",
       "m_video_decode", "m_audio_dedup", "m_video_dedup")
 
   def main(args: Array[String]): Unit = {
