@@ -161,6 +161,32 @@ class PlanSpec extends AnyFunSuite {
       s"only the 3-long triple may reach the packing fold:\n$p")
   }
 
+  test("salted join equals the plain join and spreads a hot key across salts") {
+    import spark.implicits._
+    // 2000 rows of one hot key + a long tail; dim has one row per key.
+    val big = ((0 until 2000).map(i => (7L, s"payload-$i")) ++
+      (0 until 100).map(i => (100L + i, s"tail-$i"))).toDF("k", "payload")
+    val dim = ((7L +: (0 until 100).map(i => 100L + i)).map(k => (k, s"dim-$k")))
+      .toDF("k", "dimval")
+    val plain = big.join(dim, Seq("k")).select("k", "payload", "dimval")
+      .as[(Long, String, String)].collect().toSet
+    val salted = graft.ops.SkewJoin.saltedJoin(big, dim, "k", salts = 16)
+      .select("k", "payload", "dimval")
+      .as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+    // Left rows without a match survive exactly once.
+    val lonely = Seq((999L, "orphan")).toDF("k", "payload")
+    val left = graft.ops.SkewJoin.saltedJoin(big.union(lonely), dim, "k",
+      salts = 16, joinType = "left")
+    assert(left.count() == plain.size + 1)
+    // The hot key's rows really do carry many distinct salts (content-hash
+    // salting distributes varying payloads).
+    val hotSalts = big.filter($"k" === 7L)
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("payload")), lit(16L)))
+      .select("__salt").distinct().count()
+    assert(hotSalts == 16L, s"hot key spread over only $hotSalts salts")
+  }
+
   test("merge broadcasts the update keys — target side has no shuffle") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val updates = orders.filter(col("o_orderkey") < 10)
