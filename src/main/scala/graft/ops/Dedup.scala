@@ -359,6 +359,15 @@ object Dedup {
    *    doc_id — exact-verification reads only the candidate docs' rows.
    *
    * Both are snapshot tables: corpus growth appends new docs' rows.
+   *
+   * Build the state on the EXACT-DEDUPED corpus ([[exactDedup]], or the
+   * [[shingleSetFp]] representatives): the state tables store one row per
+   * (doc, bucket) / (doc, shingle), so a K-copy duplicate group inflates
+   * both tables K-fold and hands every future batch K identical candidate
+   * rows per probe where one would do — the persisted analog of the skew
+   * [[nearDupPairs]] collapses away. A batch hit against a representative
+   * expands to the group's members via [[exactDupGroups]] when member-level
+   * pairs are needed.
    */
   def persistDedupState(
       catalog: graft.catalog.GraftCatalog,
