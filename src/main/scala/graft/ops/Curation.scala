@@ -374,6 +374,49 @@ object Curation {
       .drop("__rn", "__k")
   }
 
+  /**
+   * Weighted training-mix construction: per-group epoch weights, the
+   * standard knob for balancing a pretraining mix (weight 1.5 = every doc
+   * once plus a deterministic half of the group again; 0.75 = a
+   * deterministic three-quarters sample). Integer part → that many full
+   * copies, tagged `epoch` 0..⌊w⌋-1; fractional part → a
+   * [[stratifiedSample]]-style md5-ordered ceil(frac·n) slice at epoch
+   * ⌊w⌋. Deterministic end to end: re-running, re-partitioning or
+   * re-ingesting never changes which documents repeat.
+   *
+   * Scale shape: the full copies are a map-side explode (no shuffle); the
+   * fractional slice is the stratified sample's single group-key shuffle.
+   */
+  def weightedMix(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "weights must be non-negative")
+    val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val fullN = floor(wcol).cast("long")
+    val fullCopies = docs.withColumn("__n", fullN)
+      .filter(col("__n") > 0) // guard BEFORE explode: sequence(0,-1) descends
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val fractional = docs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__k", ceil(count(lit(1)).over(wg) * (wcol - floor(wcol))))
+      .filter(col("__rn") <= col("__k"))
+      .drop("__rn", "__k")
+      .withColumn("epoch", fullN)
+    fullCopies.unionByName(fractional)
+  }
+
   // -------------------------------------------------- sequence packing
 
   /**

@@ -119,6 +119,15 @@ object CurationQueries {
           "text", frac = 0.25)
         .select("lang", "doc_id")),
 
+    // Weighted training mix: en at 1.5 epochs, de at 0.75, the rest at
+    // 1.0 — binary-exact weights so the fractional quota arithmetic is
+    // bit-identical across engines. The oracle reproduces every (doc,
+    // epoch) row.
+    "x_mix" -> ((s, d) =>
+      Curation.weightedMix(tbl(s, d, "documents"), "lang", "doc_id", "text",
+          weights = Map("en" -> 1.5, "de" -> 0.75))
+        .select("doc_id", "lang", "epoch")),
+
     // Greedy sequence packing: whole documents into 256-token training
     // sequences, 8 id-shards packed independently. The oracle replays the
     // same greedy recurrence with a recursive CTE over (shard, id) order,
@@ -246,6 +255,20 @@ object CurationQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 30""".stripMargin,
+    "x_mix" ->
+      """WITH w AS (SELECT doc_id, lang, text,
+        |    CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 0.75 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |fullc AS (SELECT doc_id, lang, unnest(range(0, CAST(floor(wt) AS BIGINT))) AS epoch FROM w),
+        |frac AS (SELECT doc_id, lang, CAST(floor(wt) AS BIGINT) AS epoch FROM (
+        |    SELECT doc_id, lang, wt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n
+        |    FROM w)
+        |  WHERE rn <= ceil(n * (wt - floor(wt))))
+        |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM fullc
+        |UNION ALL
+        |SELECT doc_id, lang, epoch FROM frac""".stripMargin,
     "x_stratified" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -227,6 +227,32 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("weightedMix: epoch copies, fractional slices, zero and default weights") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"mix doc $i", if (i < 8) "en" else if (i < 16) "de" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    val mix = Curation.weightedMix(docs, "lang", "doc_id", "text",
+      weights = Map("en" -> 2.5, "de" -> 0.5, "fr" -> 0.0))
+    val byLang = mix.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en: 8 docs × 2 full epochs + ceil(8·0.5)=4 fractional = 20;
+    // de: ceil(8·0.5)=4; fr: weight 0 → absent.
+    assert(byLang == Map("en" -> 20L, "de" -> 4L), s"got $byLang")
+    val enEpochs = mix.filter($"lang" === "en").groupBy("epoch").count()
+      .as[(Long, Long)].collect().toMap
+    assert(enEpochs == Map(0L -> 8L, 1L -> 8L, 2L -> 4L))
+    // Unlisted group takes the default weight (1.0 → exactly one epoch 0).
+    val dflt = Curation.weightedMix(docs, "lang", "doc_id", "text",
+      weights = Map("en" -> 1.0))
+    assert(dflt.count() == 20 &&
+      dflt.agg(max("epoch")).head.getLong(0) == 0L)
+    // Determinism under re-partitioning.
+    val a = mix.select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    val b = Curation.weightedMix(docs.repartition(7), "lang", "doc_id", "text",
+        weights = Map("en" -> 2.5, "de" -> 0.5, "fr" -> 0.0))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("bloom membership: zero false negatives, novel texts mostly pass") {
     val corpus = (0 until 400).map(i => (i.toLong, s"corpus document body $i"))
       .toDF("doc_id", "text")
