@@ -503,9 +503,11 @@ object Dedup {
 
   /**
    * Flag each batch document whose normalized-text fingerprint the corpus
-   * sketch might contain (`maybe_dup`). The filter rides to executors in
-   * the closure (Spark broadcasts it once per stage); the probe itself has
-   * no Catalyst builtin, so this is the one deliberate UDF in the dedup
+   * sketch might contain (`maybe_dup`). The filter ships via an EXPLICIT
+   * torrent broadcast — a corpus-sized sketch is hundreds of MB (100M
+   * items at 1% fpp ≈ 120 MB), which closure capture would re-deserialize
+   * per task instead of once per executor. The probe itself has no
+   * Catalyst builtin, so this is the one deliberate UDF in the dedup
    * path — a two-hash bit probe per row on a primitive long, far below the
    * codegen-vs-UDF margin that matters for text-sized inputs.
    */
@@ -514,7 +516,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
-    val might = udf((fp: Long) => bloom.mightContainLong(fp))
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((fp: Long) => bc.value.mightContainLong(fp))
     batch.withColumn("maybe_dup", might(xxhash64(normalize(col(textCol)))))
   }
 
