@@ -26,7 +26,14 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity; NULL (not an ANSI divide-by-zero error, not a
+    * NaN — which Spark compares GREATER than every number) when either
+    * vector has zero norm, so `cosine >= t` filters drop undefined pairs
+    * identically here and in any external SQL engine. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = l2norm(a) * l2norm(b)
+    when(den > 0, dot(a, b) / den)
+  }
 
   /**
    * Exact cosine top-k: every query vector against every corpus vector.
@@ -101,16 +108,28 @@ object Similarity {
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       l2norm(col(vecCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine", when(col("__na") * col("__nb") > 0,
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b")
   }
 
   /**
-   * Embedding-cosine near-dup pairs, 100 TB shape: banded random-hyperplane
-   * LSH — `tables` independent hash tables of `r` sign bits each; candidate
-   * pairs come from same-bucket joins only (recall `1-(1-p^r)^tables` where
-   * `p = 1 - angle/π`), then exact-cosine verification on candidates.
+   * Embedding-cosine near-dup pairs, 100 TB shape: exact-duplicate
+   * collapse, then banded random-hyperplane LSH over the distinct vectors,
+   * then join-based expansion back to member ids.
+   *
+   * The collapse is the same hot-key skew guard as the text path
+   * ([[graft.ops.Dedup.nearDupPairs]]): byte-identical vectors — which
+   * duplicate documents produce — share every LSH bucket in every table,
+   * so a K-copy embedding would contribute K² candidate pairs per table.
+   * Grouping on a fingerprint of the raw vector keeps the bucket join
+   * bounded by the distinct-vector count. Exactness is rigorous because
+   * cosine depends only on vector VALUES: cross-group pairs inherit the
+   * representative pair's verification verbatim, and intra-group pairs are
+   * included iff the group's self-cosine passes the threshold — computed,
+   * not assumed, so the zero-vector NaN case and float-rounding at
+   * `minCosine = 1.0` behave bit-identically to the un-collapsed join.
    */
   def cosineDupPairsLsh(
       corpus: DataFrame,
@@ -119,6 +138,49 @@ object Similarity {
       minCosine: Double,
       r: Int = 4,
       tables: Int = 16): DataFrame = {
+    val fpc = xxhash64(col(vecCol))
+    val members = corpus.select(col(idCol).cast("long").as("__mid"), fpc.as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = corpus.select(col(idCol).cast("long").as("__mid"),
+        col(vecCol).as("__rv"), fpc.as("__fp"))
+      .groupBy("__fp")
+      .agg(min("__mid").as("__rid"), min_by(col("__rv"), col("__mid")).as("__rv"),
+        count(lit(1)).as("__sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = cosineDupPairsLshDistinct(
+      reps.select(col("__rid").as(idCol), col("__rv").as(vecCol)),
+      idCol, vecCol, minCosine, r, tables)
+    val okGroups = reps.filter(col("__sz") > 1)
+      .filter(cosine(col("__rv"), col("__rv")) >= minCosine)
+      .select("__fp")
+    val intraMembers = members.join(okGroups, "__fp")
+    val intra = intraMembers.as("a").join(intraMembers.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__mid") < col("b.__mid"))
+      .select(col("a.__mid").as("id_a"), col("b.__mid").as("id_b"))
+    val repFp = reps.select("__rid", "__fp")
+    val cross = repPairs
+      .join(repFp.select(col("__rid").as("id_a"), col("__fp").as("__fpa")), "id_a")
+      .join(repFp.select(col("__rid").as("id_b"), col("__fp").as("__fpb")), "id_b")
+      .join(members.select(col("__mid").as("__xa"), col("__fp").as("__fpa")), "__fpa")
+      .join(members.select(col("__mid").as("__xb"), col("__fp").as("__fpb")), "__fpb")
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"))
+    intra.unionByName(cross)
+  }
+
+  /**
+   * The LSH candidate + verification pipeline over DISTINCT vectors —
+   * `tables` independent hash tables of `r` sign bits each; candidate
+   * pairs come from same-bucket joins only (recall `1-(1-p^r)^tables` where
+   * `p = 1 - angle/π`), then exact-cosine verification on candidates.
+   */
+  private def cosineDupPairsLshDistinct(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      r: Int,
+      tables: Int): DataFrame = {
     val sig = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       explode(array((0 until tables).map(l =>
         struct(lit(l).as("tbl"),

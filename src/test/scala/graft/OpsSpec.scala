@@ -171,6 +171,31 @@ class OpsSpec extends AnyFunSuite {
     assert(sim.subsetOf(exactLoose), s"false positives: ${sim -- exactLoose}")
   }
 
+  test("hot-embedding corpus: collapsed cosine LSH equals exact; zero-vector dups stay out") {
+    import spark.implicits._
+    // 80 byte-identical copies of one vector (duplicate docs → duplicate
+    // embeddings), a near-dup pair, spread-out singles, and a pair of
+    // IDENTICAL ZERO vectors whose self-cosine is NaN — the un-collapsed
+    // join excludes them (NaN >= t is false), so the collapse must too.
+    val hot = (0 until 80).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val near = Seq(200L -> Array(1.0f, 2.0f, 3.0f, 4.1f))
+    val singles = (300 until 320).map(i =>
+      (i.toLong, Array(math.cos(i).toFloat * 5, math.sin(i).toFloat * 5,
+        math.cos(i * 7).toFloat * 3, math.sin(i * 3).toFloat)))
+    val zeros = Seq(400L -> Array(0.0f, 0.0f, 0.0f, 0.0f),
+      401L -> Array(0.0f, 0.0f, 0.0f, 0.0f))
+    val corpus = (hot ++ near ++ singles ++ zeros).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupPairs(corpus, "vec_id", "embedding",
+        minCosine = 0.99, maxRows = 0)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineDupPairsLsh(corpus, "vec_id", "embedding",
+        minCosine = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 80 * 79 / 2, "hot group must dominate the exact answer")
+    assert(!exact.exists(p => p._1 >= 400L), "zero-vector pairs must not qualify")
+    assert(lsh == exact, s"missed ${exact.diff(lsh).size}, extra ${lsh.diff(exact).size}")
+  }
+
   test("cosine top-k: ranks dense 1..k, self excluded, cosine within [-1,1]") {
     val res = Similarity.cosineTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding", 3)
     val rows = res.collect()
