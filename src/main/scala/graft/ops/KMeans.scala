@@ -225,7 +225,8 @@ object KMeans {
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
       .dropDuplicates(Seq("id_a", "id_b"))
-      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine", when(col("__na") * col("__nb") > 0,
+        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b")
   }
