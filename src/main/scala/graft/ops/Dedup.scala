@@ -497,8 +497,16 @@ object Dedup {
       expectedItems: Long,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     require(expectedItems > 0 && fpp > 0.0 && fpp < 1.0)
-    corpus.select(xxhash64(normalize(col(textCol))).as("__fp"))
+    // On an EMPTY corpus the aggregate yields null and Spark's wrapper
+    // NPEs deserializing it (BloomFilter.readFrom(null)) — which would let
+    // a filtered-out partition or a fresh table kill the build. Substitute
+    // a genuinely empty filter: it flags nothing, which is the correct
+    // membership answer for an empty corpus.
+    try corpus.select(xxhash64(normalize(col(textCol))).as("__fp"))
       .stat.bloomFilter("__fp", expectedItems, fpp)
+    catch { case _: NullPointerException =>
+      org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    }
   }
 
   /**
