@@ -260,6 +260,15 @@ object Bench {
     var cdcBatchRows = -1L
     var cdcCowWaves: Seq[Double] = Seq.empty
     var cdcMorWaves: Seq[Double] = Seq.empty
+    // The MOR run's table, kept so the accumulated delta chain can be
+    // compacted — and that compaction TIMED — after the ingest waves.
+    var cdcMorTable: Option[GraftTable] = None
+    // Multi-threaded ambient-load reading bracketing each CDC section:
+    // r9's official run read cdc_mor at 21.4k rows/s on code that measures
+    // 140k on a quiet machine — the run-level mt calibration (start 40ms /
+    // end 127ms) showed co-tenant load ramping up, but couldn't say it hit
+    // the MOR section specifically. These per-section brackets can.
+    val cdcCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Per-micro-batch traces for every wave incl. warm-up — zero-cost
     // bracketing plus the merge's NAMED phase split (prepass / merge+write /
     // footer listing / commit), see CdcPipeline.traces. Wave time minus
@@ -294,6 +303,7 @@ object Bench {
           Files.createTempDirectory(s"bench-cdc-$tag-wh-"))
         val target = cat.createTable("cdc_bench", rowSchema,
           bucketBy = Some(("event_id", 16)))
+        if (mergeOnRead) cdcMorTable = Some(target)
         val ckpt = Files.createTempDirectory(s"bench-cdc-$tag-ckpt-").toString
         // compactEvery = 16 > the 4 waves, so the MOR figure measures pure
         // delta-append ingest (compaction is the amortized background cost,
@@ -364,8 +374,38 @@ object Bench {
     // (bucketed partial rewrite per batch — the apples-to-apples number vs
     // the reference's merger) and merge-on-read (delta append per batch —
     // the fast-ingest mode's end-to-end number).
+    cdcCalib("before_cow_ms") = calibMtMs()
     val cdcThroughput = cdcWaveThroughput(mergeOnRead = false, tag = "cow")
+    cdcCalib("before_mor_ms") = calibMtMs()
     val cdcMorThroughput = cdcWaveThroughput(mergeOnRead = true, tag = "mor")
+    cdcCalib("after_mor_ms") = calibMtMs()
+
+    // Price the MOR compaction: the ingest waves above deliberately stay
+    // below compactEvery so the throughput figure is pure delta-append —
+    // compaction is the amortized background cost, and an unpriced
+    // "amortized" is an assertion, not a number. The table now holds the
+    // base plus one 100k-row delta per wave; compact() resolves
+    // latest-per-key across the whole chain and rewrites the base. Input
+    // rows = base + all delta rows (what the resolution shuffle actually
+    // processes).
+    var compactSec = -1.0
+    var compactInputRows = -1L
+    val compactRowsPerSec =
+      try {
+        cdcMorTable.flatMap(t => t.log.latest().map(s => (t, s))) match {
+          case Some((t, head)) if head.deltaDirs.nonEmpty =>
+            val rootP = t.root
+            def dirRows(rel: String): Long =
+              spark.read.parquet(rootP.resolve(rel).toString).count()
+            compactInputRows = head.dirRecords.values.sum +
+              head.deltaDirs.map(dirRows).sum
+            val t0 = System.nanoTime()
+            t.compact()
+            compactSec = (System.nanoTime() - t0) / 1e9
+            compactInputRows / compactSec
+          case _ => -1.0
+        }
+      } catch { case e: Throwable => errors("compact_throughput") = errText(e); -1.0 }
 
     // Serving-path point-lookup latency, speaking to the reference's
     // "millisecond-latency" serving claim (`OZONE_ARCHITECTURE.md:87`):
@@ -387,9 +427,16 @@ object Bench {
         val keys = li.select("li_id").orderBy("li_id").limit(400)
           .collect().map(_.getLong(0))
         // lookupKeyRows is the serving call: rows to completion, like the
-        // reference's serving tier. Warm-up touches a DIFFERENT bucket than
+        // reference's serving tier. Warm-ups touch DIFFERENT buckets than
         // the timed keys, so each timed lookup pays its own cold footer.
+        // THREE warm-up lookups, not one: r9 read lookup_ms at 33.8 with a
+        // monotonically improving wave series (44/34/24 ms) — the
+        // signature of residual JIT/classloading warm-up, not I/O — where
+        // r8 read 16.5; extra warm-up calls compile the serving path fully
+        // before the first timed wave.
         t.lookupKeyRows(keys(0))
+        t.lookupKeyRows(keys(50))
+        t.lookupKeyRows(keys(399))
         lookupWaves = runsN(3) { i =>
           val key = keys(100 * (i + 1)) // distinct existing keys
           val t0 = System.nanoTime()
@@ -432,9 +479,9 @@ object Bench {
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
     def jtrace(ts: Seq[graft.cdc.CdcPipeline.BatchTrace]): String =
       ts.map { t =>
-        val ph = t.phases.map { case (pre, mw, ft, cm) =>
-          s""","prepass_sec":${jnum(pre)},"merge_write_sec":${jnum(mw)},"footer_sec":${jnum(ft)},"commit_sec":${jnum(cm)}"""
-        }.getOrElse("")
+        val ph = t.phases.map(_.map { case (name, sec) =>
+          s""","${name}_sec":${jnum(sec)}"""
+        }.mkString).getOrElse("")
         s"""{"batch":${t.batchId},"body_sec":${jnum(t.bodySec)},"gc_sec":${jnum(t.gcSec)}$ph}"""
       }.mkString("[", ",", "]")
     val phases = cdcPhases.map { case (r, d, m) =>
@@ -446,7 +493,9 @@ object Bench {
     val calibEnd = calibMs()
     val calibMtEnd = calibMtMs()
     val calib = s"""{"start_ms":${jnum(calibStart)},"end_ms":${jnum(calibEnd)},"mt_start_ms":${jnum(calibMtStart)},"mt_end_ms":${jnum(calibMtEnd)}}"""
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val cdcCalibJson = cdcCalib
+      .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the

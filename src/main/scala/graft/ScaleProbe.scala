@@ -76,32 +76,39 @@ object ScaleProbe {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Seq[Double], Double, Double, Long)]]
 
+    /** Shared timed-wave bookkeeping: runs `op` `waves` times after one
+      * untimed warm-up call, recording wall times, the shuffle-byte delta
+      * of the last wave, and the result rows under (name, f). */
+    def timedWaves(name: String, f: Int, warm: () => Unit)(op: Int => Long): Unit = {
+      warm() // untimed: codegen + JIT compile, exactly like the bench's
+      // same-shape warm-ups — without it the f=1 probe (runs first)
+      // absorbs all one-time compilation and the exponent skews negative
+      // (observed: minhash f1 median 5.8s vs f10 1.8s).
+      var rows = 0L
+      var shufMb = 0.0
+      val ts = (0 until waves).map { i =>
+        val (r0, w0) = (shufRead.get(), shufWrite.get())
+        val t0 = System.nanoTime()
+        rows = op(i)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Listener events drain async; give the last stage's a moment.
+        Thread.sleep(100L)
+        shufMb = (shufRead.get() - r0 + shufWrite.get() - w0) / 1e6
+        dt
+      }
+      results.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty)(f) =
+        ((ts, median(ts), shufMb, rows))
+      println(f"scaleprobe $name%-16s f=$f%-3d median=${median(ts)}%8.3fs " +
+        f"waves=${ts.map(t => f"$t%.2f").mkString(",")} shuffle=${shufMb}%.1fMB rows=$rows")
+    }
+
     def probe(name: String, f: Int)(op: DataFrame => Long): Unit = {
       val corpus = scaledCorpus(f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         corpus.count() // materialize the synthesis untimed: time the OP
-        op(corpus) // untimed warm-up: codegen + JIT compile, exactly like
-        // the bench's same-shape warm-ups — without it the f=1 probe (runs
-        // first) absorbs all one-time compilation and the exponent skews
-        // negative (observed: minhash f1 median 5.8s vs f10 1.8s).
-        var rows = 0L
-        var shufMb = 0.0
-        val ts = (0 until waves).map { _ =>
-          val (r0, w0) = (shufRead.get(), shufWrite.get())
-          val t0 = System.nanoTime()
-          rows = op(corpus)
-          val dt = (System.nanoTime() - t0) / 1e9
-          // Listener events drain async; give the last stage's a moment.
-          Thread.sleep(100L)
-          shufMb = (shufRead.get() - r0 + shufWrite.get() - w0) / 1e6
-          dt
-        }
-        results.getOrElseUpdate(name,
-          scala.collection.mutable.LinkedHashMap.empty)(f) =
-          ((ts, median(ts), shufMb, rows))
-        println(f"scaleprobe $name%-16s f=$f%-3d median=${median(ts)}%8.3fs " +
-          f"waves=${ts.map(t => f"$t%.2f").mkString(",")} shuffle=${shufMb}%.1fMB rows=$rows")
+        timedWaves(name, f, () => { op(corpus); () })(_ => op(corpus))
       } finally corpus.unpersist(blocking = false)
     }
 
@@ -154,6 +161,78 @@ object ScaleProbe {
       }
     }
 
+    // CDC merge scaling — the reference's core workload, not covered by
+    // the document probes above. Each wave is a full-update envelope
+    // image of EVERY key (the bench's steady diet) applied to a bucketed
+    // table of the same f× size: the probe therefore times the whole
+    // foreachBatch body shape — JSON envelope decode → flatten → in-batch
+    // dedup → merge — minus the streaming machinery. COW is the bucketed
+    // partial rewrite with all buckets touched (its worst case, and the
+    // honest one for a full-update wave); MOR is the O(batch) delta
+    // append (preDeduped, as the pipeline calls it). Both the base table
+    // and the batch scale by f, so time_exponent ≈ 1 is the "holds at
+    // 100×" answer for COW, and MOR's exponent measures pure batch-size
+    // scaling (its cost must not depend on the delta chain or table size).
+    {
+      import org.apache.spark.sql.types._
+      val rowSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      for (f <- Seq(1, factor)) {
+        val ev0 = graft.queries.Q.events(spark, sfDir)
+        val ev = (0 until f).map { k =>
+          ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+            col("ts"), col("user_id"), col("event_type"), col("value"),
+            col("props"))
+        }.reduce(_ unionByName _)
+        val img = struct(col("event_id"),
+          graft.plans.TimestampMicrosExprs.wallMicros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        // The envelope TEXT is the probe's input (persisted untimed, like
+        // a received micro-batch): the decode is part of every timed wave.
+        val rawEnv = ev.withColumn("value", col("value") + 1)
+          .select(to_json(struct(struct(
+            lit(null).cast(rowSchema).as("before"), img.as("after"),
+            lit("u").as("op"), (col("event_id") * 10 + 1).as("ts_ms"))
+            .as("payload"))).as("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nWave = rawEnv.count()
+        val base = ev.select(col("event_id"),
+          graft.plans.TimestampMicrosExprs.wallMicros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        def freshTable(tag: String): graft.table.GraftTable = {
+          val t = new graft.table.GraftTable(spark,
+            Files.createTempDirectory(s"scale-cdc-$tag-$f-").resolve("t"), "t")
+          t.overwriteBucketed(base, "event_id", 16)
+          t
+        }
+        def decoded(): DataFrame =
+          graft.cdc.Envelope.transformBatch(rawEnv, rowSchema, "event_id")
+            .drop("ts_ms")
+        def onWave(t: graft.table.GraftTable, mor: Boolean, tag: String)(i: Int): Long = {
+          val b = decoded()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (mor) t.upsertDeferred(b, "event_id", opCol = Some("op"),
+              batchKey = Some(s"scale-$tag-$f-$i"), preDeduped = true)
+            else t.upsert(b, "event_id", opCol = Some("op"),
+              batchKey = Some(s"scale-$tag-$f-$i"))
+            nWave
+          } finally b.unpersist(blocking = false)
+        }
+        val cowT = freshTable("cow")
+        timedWaves("cdc_cow_merge", f,
+          () => { onWave(cowT, mor = false, "cow-warm")(0); () })(
+          onWave(cowT, mor = false, "cow"))
+        val morT = freshTable("mor")
+        timedWaves("cdc_mor_append", f,
+          () => { onWave(morT, mor = true, "mor-warm")(0); () })(
+          onWave(morT, mor = true, "mor"))
+        rawEnv.unpersist(blocking = false)
+      }
+    }
+
     val perOp = results.map { case (name, byF) =>
       val fs = byF.map { case (f, (ts, med, mb, rows)) =>
         s""""f$f":{"waves":${jarr(ts)},"median_sec":${jnum(med)},"shuffle_mb":${jnum(mb)},"rows":$rows}"""
@@ -172,7 +251,7 @@ object ScaleProbe {
       s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp}"""
     println(json)
     println("SCALE_JSON:" + json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r09.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")
     try Files.write(Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => println(s"scale_out write failed: ${e.getMessage}") }

@@ -229,6 +229,9 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
        |form label{display:block;font-weight:600;margin-top:8px}
        |form input{width:100%;max-width:28rem;padding:6px;border:1px solid #cbd5e1;border-radius:4px}
        |form input[readonly]{background:#e2e8f0}
+       |form textarea{width:100%;max-width:40rem;height:8rem;padding:8px;border:1px solid #cbd5e1;border-radius:4px;font-family:monospace}
+       |form select{padding:6px;border:1px solid #cbd5e1;border-radius:4px}
+       |.error{background:#fee2e2;color:#b91c1c;padding:10px;border-radius:6px;margin-top:12px}
        |form button{margin-top:12px;padding:8px 20px;border:none;border-radius:6px;background:#3b82f6;color:#fff;font-weight:600;cursor:pointer}
        |</style></head><body><h1>${escHtml(title)}</h1>$banner$table</body></html>""".stripMargin
 
@@ -313,7 +316,10 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
         s"""<div class="card"><h2>Data catalog</h2><ul class="tables">
            |$links
            |</ul></div>
-           |<div class="card"><h2>Ingest</h2>
+           |<div class="card"><h2>Tools</h2>
+           |<p><a href="/sql-workspace">SQL workspace</a> — run a query in the browser ·
+           |<a href="/upload-ui">Upload CSV</a> — ingest a table from a form.</p></div>
+           |<div class="card"><h2>Ingest API</h2>
            |<p><code>POST /upload/{table}?mode=replace|append|upsert</code> with a CSV body,
            |or <code>?mode=cdc</code> to stage the rows as CDC envelopes and start the
            |streaming merger in one call.</p></div>""".stripMargin
@@ -361,6 +367,81 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val sql = qs(ex).getOrElse("query",
       throw new IllegalArgumentException("missing query parameter"))
     dfJson(session.sql(sql), maxRows)
+  }
+
+  // Browser SQL workspace (`api_poc.py:208-263`): GET renders a query
+  // textarea; with `?query=` present the executed result renders as a
+  // table below it, and a SQL error renders as an in-page error box (the
+  // reference shows the error div with a 200, not an HTTP error — the
+  // page, form included, must stay usable to fix the query). Content-
+  // negotiated like /view: a non-HTML client GETting /sql-workspace gets
+  // /query's JSON semantics, and /query itself is untouched.
+  handle("/sql-workspace", exact = true) { ex =>
+    val q = qs(ex).get("query").filter(_.trim.nonEmpty)
+    if (!wantsHtml(ex))
+      q.map(sql => dfJson(session.sql(sql), maxRows))
+        .getOrElse("""{"status":"ok","hint":"pass ?query={sql}"}""")
+    else {
+      val (errorHtml, tableHtml) = q match {
+        case None => ("", "")
+        case Some(sql) =>
+          try ("", dfHtmlTable(session.sql(sql), maxRows, classCol = None))
+          catch {
+            case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              (s"""<div class="error"><b>SQL Error:</b> ${escHtml(msg)}</div>""", "")
+          }
+      }
+      val example = escHtml(session.catalog.listTables().headOption
+        .map(t => s"SELECT * FROM $t LIMIT 10").getOrElse("SELECT 1"))
+      val form =
+        s"""<div class="card"><form action="/sql-workspace" method="GET">
+           |<label>SQL query</label>
+           |<textarea name="query" placeholder="$example">${q.map(escHtml).getOrElse("")}</textarea>
+           |<button type="submit">Execute Query</button>
+           |</form>$errorHtml</div>""".stripMargin
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      htmlPage("SQL Workspace", "", form + tableHtml)
+    }
+  }
+
+  // CSV upload form (`api_poc.py:177-183` renders it, `:265-272` handles
+  // the post): GET renders the form, POST takes url-encoded `table_name`
+  // / `mode` / `csv` fields, runs the SAME ingest as `POST /upload/{t}`,
+  // and answers 303 to the new table's view — the reference's
+  // RedirectResponse flow, and the same redirect-after-post shape as the
+  // repo's row-edit forms. A browser form cannot put a raw CSV body on
+  // the wire without multipart, so the form carries the CSV text in a
+  // textarea; programmatic clients keep using /upload/{t} directly.
+  handle("/upload-ui", exact = true) { ex =>
+    if (ex.getRequestMethod == "POST") {
+      val f = bodyMap(ex)
+      val t = Option(f.getOrElse("table_name", null)).getOrElse(
+        throw new IllegalArgumentException("missing table_name"))
+      val mode = Option(f.getOrElse("mode", null)).getOrElse("replace")
+      val csv = Option(f.getOrElse("csv", null)).getOrElse(
+        throw new IllegalArgumentException("missing csv"))
+      val tmp = java.nio.file.Files.createTempFile("graft-upload-ui-", ".csv")
+      try {
+        java.nio.file.Files.write(tmp, csv.getBytes(StandardCharsets.UTF_8))
+        session.catalog.ingestCsv(tmp.toString, t, mode = mode)
+        session.registerView(t)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+      throw Redirect("/view/" + java.net.URLEncoder.encode(t, "UTF-8"))
+    } else {
+      val modeOpts = Seq("replace", "append", "upsert")
+        .map(m => s"""<option value="$m">$m</option>""").mkString
+      val form =
+        s"""<div class="card"><form action="/upload-ui" method="POST">
+           |<label>Table name</label><input type="text" name="table_name">
+           |<label>Mode</label><select name="mode">$modeOpts</select>
+           |<label>CSV (header row first)</label>
+           |<textarea name="csv" placeholder="id,name&#10;1,alpha"></textarea>
+           |<button type="submit">Upload</button>
+           |</form><p><a href="/">Back to catalog</a></p></div>""".stripMargin
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      htmlPage("Upload CSV", "", form)
+    }
   }
 
   handle("/view") { ex =>

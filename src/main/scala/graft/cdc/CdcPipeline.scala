@@ -38,12 +38,12 @@ object CdcPipeline {
   @volatile var lastTiming: Option[(Long, Double, Double)] = None
 
   /** One micro-batch's trace row: foreachBatch body wall time, GC-time
-    * delta over the body, and (copy-on-write batches only) the merge's
-    * named phase split from [[GraftTable.lastMergePhases]] — prepass
-    * (where the cached envelope decode materializes), merge compute +
-    * bucketed write, footer/stat listing, log commit. */
+    * delta over the body, and the merge's ordered named-phase split from
+    * [[GraftTable.lastMergePhases]] — COW batches report prepass (where
+    * the cached envelope decode materializes) / merge_write / footer /
+    * commit; MOR batches report write / commit. */
   final case class BatchTrace(batchId: Long, bodySec: Double, gcSec: Double,
-    phases: Option[(Double, Double, Double, Double)])
+    phases: Option[Seq[(String, Double)]])
 
   /**
    * Per-micro-batch trace appended for every batch while
@@ -142,8 +142,10 @@ object CdcPipeline {
             val tDecode = (System.nanoTime() - t0) / 1e9
             val t1 = System.nanoTime()
             if (mergeOnRead) {
+              // preDeduped: Envelope.transformBatch ends in latest-per-key
+              // dedup, so the deferred append skips its own dedup shuffle.
               val snap = table.upsertDeferred(b, key, opCol = Some("op"),
-                batchKey = Some(s"cdc-$batchId"))
+                batchKey = Some(s"cdc-$batchId"), preDeduped = true)
               if (snap.deltaDirs.size >= compactEvery) table.compact()
             } else {
               table.upsert(b, key, opCol = Some("op"),

@@ -451,6 +451,7 @@ object Curation {
       shards: Int = 8): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(shards > 0, "shard count must be positive")
+    Dedup.requireIntegralId(docs, idCol, "packSequences")
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(col(idCol).cast("long").as("__id"),

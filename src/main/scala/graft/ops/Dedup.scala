@@ -15,6 +15,44 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /**
+   * The collapse-based operators ([[nearDupPairs]], [[nearDupClusters]],
+   * [[graft.ops.Similarity.cosineDupPairsLsh]],
+   * [[graft.ops.Curation.packSequences]]) key their internal joins /
+   * shard math on `idCol` cast to long. A non-numeric id (e.g. a string
+   * UUID) would cast to NULL and collapse every document into one bogus
+   * group — silently wrong output — so the requirement is enforced
+   * loudly at the operator entry instead.
+   */
+  private[ops] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+      dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+      s"$op requires an integral id column ($idCol is ${dt.simpleString}): " +
+        "its member/representative joins key on the id cast to long, and a " +
+        "non-numeric id would cast to NULL and merge unrelated documents. " +
+        "Map your ids to longs (e.g. xxhash64 of the string id plus a " +
+        "collision-checked sidecar) before calling, or use the exact-dedup " +
+        "operators, which accept any orderable id type.")
+  }
+
+  /**
+   * The Spark-ML `handlePersistence` idiom for lazy results built on
+   * persisted intermediates: materialize the (persisted) result with one
+   * eager count while the intermediates are still cached, then release
+   * the intermediates. The returned frame serves subsequent actions from
+   * its own cache; callers that are done with it may `.unpersist()` it.
+   * Without this, every call leaked the corpus-sized member/rep caches
+   * for the lifetime of the SparkContext.
+   */
+  private[ops] def materializedWith(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Canonical whitespace tokenizer — see [[graft.functions.Tokenize]]. */
   def tokens(text: Column): Column = graft.functions.Tokenize.tokens(text)
 
@@ -199,6 +237,7 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     require(minJaccard <= 1.0, "intra-group pairs have Jaccard exactly 1")
+    requireIntegralId(docs, idCol, "nearDupPairs")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
     val repPairs = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
@@ -216,7 +255,7 @@ object Dedup {
         greatest(col("__xa"), col("__xb")).as("id_b"))
     // Intra pairs share a fingerprint, cross pairs span two — disjoint by
     // construction, no distinct needed.
-    intra.unionByName(cross)
+    materializedWith(intra.unionByName(cross), members, reps)
   }
 
   /**
@@ -245,10 +284,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int): (DataFrame, DataFrame) = {
+    // NULL text is excluded up front: tokens(null) is a null array, and
+    // xxhash64 of a null array is the (non-null) seed constant — so every
+    // null-text doc would share one fingerprint and the intra-group
+    // expansion would emit pairs between them, where the un-collapsed LSH
+    // path and exactJaccardPairs emit none (null shingles join nothing).
+    // Filtering keeps the "exactly the un-collapsed answer" contract.
+    val nonNull = docs.filter(col(textCol).isNotNull)
     val setFp = shingleSetFp(col(textCol), n)
-    val members = docs.select(col(idCol).cast("long").as("__mid"), setFp.as("__fp"))
+    val members = nonNull.select(col(idCol).cast("long").as("__mid"), setFp.as("__fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = docs.select(col(idCol).cast("long").as("__mid"),
+    val reps = nonNull.select(col(idCol).cast("long").as("__mid"),
         col(textCol).as("__mtext"), setFp.as("__fp"))
       .groupBy("__fp")
       .agg(min("__mid").as("__rid"), min_by(col("__mtext"), col("__mid")).as("__rtext"))
@@ -279,6 +325,7 @@ object Dedup {
       bands: Int = 16,
       n: Int = 3): DataFrame = {
     require(minJaccard <= 1.0, "intra-group members share their rep's cluster")
+    requireIntegralId(docs, idCol, "nearDupClusters")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
     val repPairs = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
@@ -286,10 +333,17 @@ object Dedup {
     val repCC = graft.ops.Cluster.clusterDocs(
       reps.select(col("__rid").as(idCol)), idCol, repPairs)
       .select(col(idCol).as("__rid"), col("cluster_id"))
-    members
+    val labeled = members
       .join(reps.select("__rid", "__fp"), "__fp")
       .join(repCC, "__rid")
       .select(col("__mid").as(idCol), col("cluster_id"))
+    // Null-text docs are excluded from the collapse (see
+    // collapseByShingleSet) but clusterDocs labels EVERY input doc — they
+    // participate in no pair, so each is its own singleton cluster.
+    val nullSingletons = docs.filter(col(textCol).isNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(idCol).cast("long").as("cluster_id"))
+    materializedWith(labeled.unionByName(nullSingletons), members, reps)
   }
 
   /**
@@ -499,14 +553,15 @@ object Dedup {
     require(expectedItems > 0 && fpp > 0.0 && fpp < 1.0)
     // On an EMPTY corpus the aggregate yields null and Spark's wrapper
     // NPEs deserializing it (BloomFilter.readFrom(null)) — which would let
-    // a filtered-out partition or a fresh table kill the build. Substitute
-    // a genuinely empty filter: it flags nothing, which is the correct
-    // membership answer for an empty corpus.
-    try corpus.select(xxhash64(normalize(col(textCol))).as("__fp"))
-      .stat.bloomFilter("__fp", expectedItems, fpp)
-    catch { case _: NullPointerException =>
+    // a fresh table kill the build. Detect that case DIRECTLY (a limit-1
+    // existence probe, cheap at any scale) and substitute a genuinely
+    // empty filter — it flags nothing, the correct membership answer for
+    // an empty corpus. An actual NPE elsewhere in the corpus lineage now
+    // propagates instead of silently yielding a flag-nothing sketch.
+    val fps = corpus.select(xxhash64(normalize(col(textCol))).as("__fp"))
+    if (fps.isEmpty)
       org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-    }
+    else fps.stat.bloomFilter("__fp", expectedItems, fpp)
   }
 
   /**

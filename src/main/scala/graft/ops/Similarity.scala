@@ -138,6 +138,7 @@ object Similarity {
       minCosine: Double,
       r: Int = 4,
       tables: Int = 16): DataFrame = {
+    Dedup.requireIntegralId(corpus, idCol, "cosineDupPairsLsh")
     val fpc = xxhash64(col(vecCol))
     val members = corpus.select(col(idCol).cast("long").as("__mid"), fpc.as("__fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -165,7 +166,9 @@ object Similarity {
       .join(members.select(col("__mid").as("__xb"), col("__fp").as("__fpb")), "__fpb")
       .select(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"))
-    intra.unionByName(cross)
+    // Materialize-then-release (see Dedup.materializedWith): without this
+    // every call leaked the member/rep caches for the SparkContext's life.
+    Dedup.materializedWith(intra.unionByName(cross), members, reps)
   }
 
   /**

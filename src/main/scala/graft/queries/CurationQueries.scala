@@ -149,9 +149,12 @@ object CurationQueries {
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" zz"), col("doc_id"))).as("btext"))
       // expectedItems plays the corpus-size hint that table stats supply
-      // at scale (counting here would bill an extra job per build).
+      // at scale. Sized from the actual corpus count (cheap at gate
+      // scale, and floored for tiny corpora) rather than a hardcoded
+      // 10000 — the driver has regenerated testdata between rounds
+      // before, and an under-sized sketch would blow the fp_rate gate.
       val bloom = graft.ops.Dedup.corpusBloom(docs, "text",
-        expectedItems = 10000, fpp = 0.01)
+        expectedItems = math.max(docs.count(), 1000L), fpp = 0.01)
       val corpusNorm = docs
         .select(graft.ops.Dedup.normalize(col("text")).as("__norm")).distinct()
       val joined = graft.ops.Dedup.bloomFlag(batch, "bid", "btext", bloom)

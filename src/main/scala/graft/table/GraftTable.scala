@@ -662,8 +662,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       batchKey, allDirs.toMap, dirStats = allStats)
     val tD = System.nanoTime()
     val footer = GraftTable.lastFooterSec
-    GraftTable.lastMergePhases = Some((
-      (tB - tA) / 1e9, (tC - tB) / 1e9 - footer, footer, (tD - tC) / 1e9))
+    GraftTable.lastMergePhases = Some(Seq(
+      "prepass" -> (tB - tA) / 1e9, "merge_write" -> ((tC - tB) / 1e9 - footer),
+      "footer" -> footer, "commit" -> (tD - tC) / 1e9))
     snap
   }
 
@@ -823,13 +824,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * micro-batch is too much write amplification.
    *
    * Rows with `opCol = 'd'` become delete tombstones.
+   *
+   * `preDeduped = true` asserts the batch already holds AT MOST ONE row
+   * per key, skipping the in-batch dedup shuffle — the CDC pipeline's
+   * envelope transform ends in exactly that dedup, so re-deduplicating
+   * here would shuffle every hot-path micro-batch a second time for a
+   * no-op. The contract matters for correctness, not just speed: rows
+   * sharing a key inside ONE delta dir have the same chain sequence, so
+   * read-time resolution between them would be nondeterministic.
    */
   def upsertDeferred(
       updates: DataFrame,
       key: String,
       precombine: Option[String] = None,
       opCol: Option[String] = None,
-      batchKey: Option[String] = None): Snapshot = {
+      batchKey: Option[String] = None,
+      preDeduped: Boolean = false): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
     var written: Option[String] = None
     var attempts = 0
@@ -840,12 +850,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       require(head.summary.get("mor_key").forall(_ == key),
         s"table $name has pending deltas keyed by ${head.summary("mor_key")}, not $key")
       val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-      val deduped = precombine match {
-        case Some(p) => Merge.dedupLatest(updates, key, p)
-        case None => updates.dropDuplicates(Seq(key))
-      }
+      val deduped =
+        if (preDeduped) updates
+        else precombine match {
+          case Some(p) => Merge.dedupLatest(updates, key, p)
+          case None => updates.dropDuplicates(Seq(key))
+        }
+      // Opt-in diagnosis split (-Dgraft.mor.diag=true): an extra count()
+      // action separates "materialize + dedup" from "align + write" in the
+      // phase trace. Off by default — the count is a full extra pass.
+      val diag = sys.props.get("graft.mor.diag").contains("true")
+      val t0 = System.nanoTime()
+      val dedupSec = if (diag) { deduped.count(); (System.nanoTime() - t0) / 1e9 }
+        else 0.0
       val dataCols = deduped.drop(opCol.toSeq: _*)
       val evolved = Merge.unionSchema(headSchema, dataCols.schema)
+      val tW = System.nanoTime()
       val dir = written.getOrElse {
         val rel = s"data/m${head.snapshotId + 1}-${UUID.randomUUID().toString.take(8)}"
         val withOp = opCol match {
@@ -864,12 +884,18 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         written = Some(rel)
         rel
       }
+      val tC = System.nanoTime()
       try {
-        return log.commitExpecting(Some(head.snapshotId), "upsert-deferred",
+        val snap = log.commitExpecting(Some(head.snapshotId), "upsert-deferred",
           evolved.json, head.dataDirs,
           head.summary ++ Map("mor_key" -> key,
             "pending_deltas" -> (head.deltaDirs.size + 1).toString),
           batchKey, head.dirRecords, head.deltaDirs :+ dir, head.dirStats)
+        GraftTable.lastMergePhases = Some(
+          (if (diag) Seq("dedup" -> dedupSec) else Nil) ++ Seq(
+            "write" -> (tC - tW) / 1e9,
+            "commit" -> (System.nanoTime() - tC) / 1e9))
+        return snap
       } catch {
         case _: graft.log.CommitConflictException if attempts < 64 => // re-derive
       }
@@ -1198,22 +1224,24 @@ object GraftTable {
   }
 
   /**
-   * Phase wall-clock split of the most recent bucketed merge on this JVM —
-   * (prepassSec, mergeWriteSec, footerSec, commitSec):
+   * NAMED phase wall-clock split of the most recent merge-family commit on
+   * this JVM — an ordered (phaseName -> seconds) sequence rather than a
+   * positional tuple, because the copy-on-write and merge-on-read commit
+   * paths have different phase structures:
    *
-   *  - prepass: the touched-bucket pre-pass over the raw batch (for a CDC
+   *  - COW bucketed merge: `prepass` (touched-bucket pre-pass — for a CDC
    *    micro-batch this is also where the cached envelope decode
-   *    materializes — its first action)
-   *  - mergeWrite: the merge compute + bucketed parquet write job
-   *  - footer: the post-write footer/stat harvesting pass (directory
-   *    listing + parquet footer reads — synchronous driver-side I/O, the
-   *    phase an OS page flush would stall)
-   *  - commit: the manifest/log commit
+   *    materializes, its first action), `merge_write` (merge compute +
+   *    bucketed parquet write), `footer` (post-write footer/stat harvest —
+   *    synchronous driver-side I/O, the phase an OS page flush would
+   *    stall), `commit` (manifest/log commit)
+   *  - MOR deferred append: `write` (cache materialize + in-batch dedup +
+   *    align + delta parquet write — one action), `commit`
    *
    * Always on: the cost is a handful of nanoTime reads per commit. The CDC
    * bench trace snapshots it after every micro-batch, so a sporadic slow
    * wave lands in a NAMED phase instead of "body time, cause unknown".
    */
-  @volatile var lastMergePhases: Option[(Double, Double, Double, Double)] = None
+  @volatile var lastMergePhases: Option[Seq[(String, Double)]] = None
   private[table] var lastFooterSec: Double = 0.0
 }

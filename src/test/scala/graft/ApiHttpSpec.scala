@@ -348,4 +348,63 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c3 == 200 && !b3.contains("1-URGENT"), b3)
     post("/delete/orders_t/888888", "")
   }
+
+  test("SQL workspace: GET renders the form, ?query= renders results, bad SQL renders in-page") {
+    def getHtml(path: String): (Int, String) = {
+      val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+        .header("Accept", "text/html").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    // Bare GET: the query form, no result table, no error box.
+    val (c1, b1) = getHtml("/sql-workspace")
+    assert(c1 == 200 && b1.contains("""<form action="/sql-workspace" method="GET">""") &&
+      b1.contains("<textarea name=\"query\"") && !b1.contains("class=\"error\""),
+      b1.take(600))
+    // With a query: executed result renders as a table BELOW the form, and
+    // the textarea retains the submitted SQL.
+    val sql = "SELECT o_orderkey FROM orders_t WHERE o_orderkey = 42"
+    val (c2, b2) = getHtml("/sql-workspace?query=" +
+      java.net.URLEncoder.encode(sql, "UTF-8"))
+    assert(c2 == 200 && b2.contains("<th>o_orderkey</th>") && b2.contains("<td>42</td>"),
+      b2.take(800))
+    assert(b2.contains("SELECT o_orderkey FROM orders_t"), "textarea must retain the query")
+    // Broken SQL: a 200 page with an in-page error box (the form must stay
+    // usable to fix the query), not an HTTP error.
+    val (c3, b3) = getHtml("/sql-workspace?query=SELEKT%20nope")
+    assert(c3 == 200 && b3.contains("class=\"error\"") && b3.contains("SQL Error"),
+      s"$c3 ${b3.take(600)}")
+    // A JSON client gets /query semantics from the same path.
+    val (c4, b4) = get("/sql-workspace?query=" +
+      java.net.URLEncoder.encode("SELECT count(*) AS n FROM orders_t", "UTF-8"))
+    assert(c4 == 200 && b4.startsWith("{\"columns\"") && b4.contains("\"n\":"), b4.take(200))
+  }
+
+  test("upload form: GET renders it, POST ingests the CSV and redirects to the view") {
+    val r = client.send(HttpRequest.newBuilder(URI.create(base + "/upload-ui"))
+      .header("Accept", "text/html").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 &&
+      r.body().contains("""<form action="/upload-ui" method="POST">""") &&
+      r.body().contains("name=\"csv\""), r.body().take(600))
+    // The browser posts url-encoded fields; the handler runs the same
+    // ingest as POST /upload/{t} and answers 303 to the new table's view.
+    val csv = java.net.URLEncoder.encode("id,name\n1,alpha\n2,beta", "UTF-8")
+    val rr = client.send(HttpRequest.newBuilder(URI.create(base + "/upload-ui"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"table_name=form_up_t&mode=replace&csv=$csv")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(rr.statusCode() == 303, s"${rr.statusCode()} ${rr.body()}")
+    assert(rr.headers().firstValue("Location").orElse("") == "/view/form_up_t")
+    // ...and the table reads back through the existing surfaces.
+    val (c2, b2) = get("/data/form_up_t?limit=10")
+    assert(c2 == 200 && b2.contains("alpha") && b2.contains("beta"), b2.take(300))
+    // Missing fields are client errors, not 500s.
+    val r3 = client.send(HttpRequest.newBuilder(URI.create(base + "/upload-ui"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString("mode=replace")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r3.statusCode() == 400, s"${r3.statusCode()} ${r3.body()}")
+  }
 }

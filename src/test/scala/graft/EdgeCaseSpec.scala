@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Curation, Dedup, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /**
  * Degenerate-input behavior across the pipeline operators: empty corpus,
@@ -60,5 +60,47 @@ class EdgeCaseSpec extends AnyFunSuite {
     val oov = TextAnalysis.oovStats(docs, "doc_id", "text", topK = 2)
     assert(oov.count() == 3)
     assert(TextAnalysis.qualityMetrics(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("null texts: no pairs among null-text docs, singleton clusters") {
+    // xxhash64 of a null shingle array is the (non-null) seed constant, so
+    // without the explicit filter every null-text doc would share one
+    // collapse fingerprint and the intra-group expansion would pair them —
+    // where the un-collapsed LSH path and exactJaccardPairs emit nothing.
+    val docs = Seq((1L, null), (2L, null), (3L, "real words here again ok"),
+      (4L, "real words here again yes")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.3)
+      .as[(Long, Long)].collect().toSeq
+    assert(!pairs.exists(p => p._1 == 1L || p._1 == 2L || p._2 == 1L || p._2 == 2L),
+      s"null-text docs must pair with nothing: $pairs")
+    // ...but nearDupClusters still labels EVERY input doc — the null-text
+    // docs as their own singletons (clusterDocs-parity contract).
+    val cc = Dedup.nearDupClusters(docs, "doc_id", "text", 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == Set(1L, 2L, 3L, 4L), s"one label per doc: $cc")
+    assert(cc(1L) == 1L && cc(2L) == 2L, s"null-text docs are singletons: $cc")
+  }
+
+  test("non-integral id columns are rejected loudly, not silently collapsed") {
+    // The collapse operators key internal joins on the id cast to long; a
+    // string UUID would cast to NULL and merge unrelated docs. The guard
+    // turns that silent wrongness into an upfront error.
+    val docs = Seq(("a-1", "some text here"), ("b-2", "other text there"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.nearDupPairs(docs, "doc_id", "text", 0.5))
+    assert(e1.getMessage.contains("integral id"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.nearDupClusters(docs, "doc_id", "text", 0.5))
+    assert(e2.getMessage.contains("integral id"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Curation.packSequences(docs, "doc_id", "text"))
+    assert(e3.getMessage.contains("integral id"), e3.getMessage)
+    val vecs = Seq(("a-1", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.cosineDupPairsLsh(vecs, "vec_id", "embedding", 0.9))
+    assert(e4.getMessage.contains("integral id"), e4.getMessage)
+    // The EXACT paths keep accepting any orderable id type.
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 2)
   }
 }
