@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.api.GraftSession
+import graft.catalog.GraftCatalog
+
+/**
+ * Interactive terminal shell over a Graft warehouse — the native twin of
+ * the reference's `Data_Lake_System/lake_shell.py` (cmd.Cmd REPL) and
+ * `lake_cli.py`. The verbs mirror the reference shell's command set
+ * (`lake_shell.py`: do_insert/do_update/do_select/do_delete/do_get/
+ * do_sql/do_history/do_travel/do_load_csv), but execute IN-PROCESS
+ * against the library instead of through the HTTP portal — a Spark-native
+ * shell talks to the session it owns; the HTTP surface
+ * ([[graft.api.GraftHttpServer]]) remains the remote-client path.
+ *
+ * Command dispatch is a pure function ([[exec]]) so the ScalaTest spec
+ * drives every verb without a TTY; `main` is a thin readLine loop.
+ */
+object Shell {
+
+  private val usage: String =
+    """Commands (mirroring the reference lake shell):
+      |  tables                               list catalog tables
+      |  describe <table>                     show the table's schema
+      |  select <table> [limit]               preview rows (default 10)
+      |  get <table> <pk_col> <val>           point lookup (bucket-pruned when possible)
+      |  insert <table> <pk_col> <val> [c=v ...]   insert one row (typed coercion)
+      |  update <table> <pk_col> <val> <c=v ...>   update matching row's columns
+      |  delete <table> <pk_col> <val>        delete by key
+      |  sql <query>                          run SQL (incl. VERSION AS OF time travel)
+      |  history <table>                      commit history (time, operation, records)
+      |  travel <table> <version|timestamp>   read the table as of a snapshot
+      |  load_csv <path> <table> [mode] [pk]  ingest a CSV (replace|append|upsert)
+      |  help                                 this text
+      |  exit | quit                          leave the shell""".stripMargin
+
+  /** shlex-ish tokenizer: whitespace-separated, double or single quotes
+    * group (and are stripped); `k="two words"` stays one token. */
+  private[graft] def tokens(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var started = false
+    line.foreach { ch =>
+      if (quote != 0) {
+        if (ch == quote) quote = 0 else cur.append(ch)
+      } else if (ch == '"' || ch == '\'') { quote = ch; started = true }
+      else if (ch.isWhitespace) {
+        if (started || cur.nonEmpty) { out += cur.result(); cur.clear(); started = false }
+      } else cur.append(ch)
+    }
+    if (started || cur.nonEmpty) out += cur.result()
+    out.toSeq
+  }
+
+  /** Fixed-width text rendering of a frame (the shell's table face —
+    * `lake_shell.py` renders rich.Table; same information, plain text). */
+  private[graft] def render(df: DataFrame, limit: Int): String = {
+    val cols = df.columns
+    val rows = df.limit(limit).collect()
+      .map(r => cols.map(c => String.valueOf(r.getAs[Any](c))))
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: rows.map(_(i).length)).max
+    }
+    def line(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    (Seq(sep, line(cols.toSeq), sep) ++ rows.map(r => line(r.toSeq)) :+ sep)
+      .mkString("\n") + s"\n(${rows.length} rows)"
+  }
+
+  private def kvPairs(args: Seq[String]): Map[String, String] =
+    args.flatMap { a =>
+      val i = a.indexOf('=')
+      if (i <= 0) { println(s"skipping malformed argument (want col=val): $a"); None }
+      else Some(a.take(i) -> a.drop(i + 1))
+    }.toMap
+
+  /** Execute one command line. Returns None for exit, otherwise the text
+    * to print. Errors come back as `error: ...` text — the REPL survives
+    * every failure (the reference shell prints and re-prompts too). */
+  def exec(session: GraftSession, line: String): Option[String] = {
+    val toks = tokens(line)
+    if (toks.isEmpty) return Some("")
+    val cat = session.catalog
+    def table(name: String) = cat.table(name)
+    def coerced(t: String, c: String, v: String): Any = {
+      val st = table(t).schema
+      require(st.fieldNames.contains(c), s"no such column $c in $t")
+      graft.functions.Coerce.coerce(v, st(c).dataType)
+    }
+    try toks.head.toLowerCase match {
+      case "exit" | "quit" => None
+      case "help" | "?" => Some(usage)
+      case "tables" => Some(cat.listTables().mkString("\n"))
+      case "describe" =>
+        val Seq(t) = toks.tail: @unchecked
+        Some(cat.describe(t).fields
+          .map(f => s"${f.name}  ${f.dataType.simpleString}").mkString("\n"))
+      case "select" =>
+        val t = toks(1)
+        val limit = toks.lift(2).map(_.toInt).getOrElse(10)
+        Some(render(session.preview(t, limit), limit))
+      case "get" =>
+        val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
+        val tb = table(t)
+        val key = coerced(t, pk, v)
+        // The serving path when the table is bucketed by this key — the
+        // same bucket-pruned vectorized read the HTTP lookup uses.
+        if (tb.bucketSpec.exists(_._1 == pk)) {
+          val rows = tb.lookupKeyRows(key)
+          val df = tb.spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), tb.schema)
+          Some(render(df, rows.size.max(1)))
+        } else Some(render(tb.read().filter(col(pk) === lit(key)), 100))
+      case "insert" =>
+        val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
+        val values = Map(pk -> v) ++ kvPairs(toks.drop(4))
+        table(t).insertRow(values)
+        session.registerView(t)
+        Some(s"inserted 1 row into $t")
+      case "update" =>
+        val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
+        val sets = kvPairs(toks.drop(4))
+        require(sets.nonEmpty, "update needs at least one col=val")
+        table(t).updateWhere(col(pk) === lit(coerced(t, pk, v)),
+          sets.map { case (c, sv) => c -> lit(sv) })
+        session.registerView(t)
+        Some(s"updated $t where $pk=$v (${sets.keys.mkString(", ")})")
+      case "delete" =>
+        val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
+        val tb = table(t)
+        val keyDf = tb.spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(coerced(t, pk, v)))),
+          org.apache.spark.sql.types.StructType(Seq(tb.schema(pk))))
+        tb.deleteKeys(keyDf, pk)
+        session.registerView(t)
+        Some(s"deleted rows with $pk=$v from $t")
+      case "sql" =>
+        val q = line.trim.drop(3).trim
+        require(q.nonEmpty, "sql needs a query")
+        Some(render(session.sql(q), 100))
+      case "history" =>
+        val Seq(t) = toks.tail: @unchecked
+        Some(render(table(t).history, 100))
+      case "travel" =>
+        val Seq(t, at) = toks.slice(1, 3): @unchecked
+        val tb = table(t)
+        val df =
+          if (at.forall(_.isDigit)) tb.readAsOf(at.toLong)
+          else tb.readAsOfTimestamp(at)
+        Some(render(df, 100))
+      case "load_csv" =>
+        val path = toks(1)
+        val t = toks(2)
+        val mode = toks.lift(3).getOrElse("replace")
+        val pk = toks.lift(4)
+        val tb = cat.ingestCsv(path, t, mode = mode, key = pk)
+        session.registerView(t)
+        val records = tb.log.latest().flatMap(_.summary.get("records")).getOrElse("?")
+        Some(s"loaded $path into $t (mode=$mode, records=$records)")
+      case other => Some(s"unknown command: $other (try help)")
+    } catch {
+      case e: MatchError => Some("error: missing arguments (try help)")
+      case e: IndexOutOfBoundsException => Some("error: missing arguments (try help)")
+      case e: Throwable =>
+        Some("error: " + Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" "))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val warehouse = args.headOption
+      .orElse(sys.env.get("GRAFT_WAREHOUSE")).getOrElse("warehouse")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions()(_))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val session = new GraftSession(
+      new GraftCatalog(spark, java.nio.file.Paths.get(warehouse)))
+    session.refreshViews()
+    println(s"Graft data shell — warehouse: $warehouse. Type help to list commands.")
+    var going = true
+    while (going) {
+      print("(graft) ")
+      Console.out.flush()
+      val line = scala.io.StdIn.readLine()
+      if (line == null) going = false
+      else exec(session, line) match {
+        case None => going = false
+        case Some(out) => if (out.nonEmpty) println(out)
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftSession
+import graft.catalog.GraftCatalog
+
+/** The terminal shell's command dispatch (`lake_shell.py` twin), driven
+  * without a TTY via Shell.exec. */
+class ShellSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val session: GraftSession = {
+    val cat = new GraftCatalog(spark, TestSpark.tmpDir("shell-"))
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    cat.saveTable("orders_s", orders.filter(col("o_orderkey") < 200))
+    val s = new GraftSession(cat)
+    s.refreshViews()
+    s
+  }
+  private def run(line: String): String =
+    Shell.exec(session, line).getOrElse(fail(s"'$line' exited the shell"))
+
+  test("tokenizer: quotes group, k=v survives, whitespace splits") {
+    assert(Shell.tokens("""insert t id 1 name="two words" role=dev""") ==
+      Seq("insert", "t", "id", "1", "name=two words", "role=dev"))
+    assert(Shell.tokens("  a   'b c'  ") == Seq("a", "b c"))
+    assert(Shell.tokens("") == Nil)
+  }
+
+  test("tables / describe / select") {
+    assert(run("tables").linesIterator.contains("orders_s"))
+    val d = run("describe orders_s")
+    assert(d.contains("o_orderkey") && d.contains("bigint"), d)
+    val s = run("select orders_s 5")
+    assert(s.contains("o_orderkey") && s.contains("(5 rows)"), s)
+  }
+
+  test("insert / get / update / delete round-trip with typed coercion") {
+    assert(run("""insert orders_s o_orderkey 900001 o_orderstatus=O o_totalprice=12.5""")
+      .contains("inserted"))
+    val g1 = run("get orders_s o_orderkey 900001")
+    assert(g1.contains("900001") && g1.contains("12.5"), g1)
+    assert(run("update orders_s o_orderkey 900001 o_totalprice=99.25")
+      .contains("updated"))
+    val g2 = run("get orders_s o_orderkey 900001")
+    assert(g2.contains("99.25"), g2)
+    // ...and SQL sees the new snapshot through the refreshed view.
+    val q = run("sql SELECT o_totalprice AS p FROM orders_s WHERE o_orderkey = 900001")
+    assert(q.contains("99.25"), q)
+    assert(run("delete orders_s o_orderkey 900001").contains("deleted"))
+    assert(run("get orders_s o_orderkey 900001").contains("(0 rows)"))
+  }
+
+  test("history / travel reach the snapshot log") {
+    val h = run("history orders_s")
+    assert(h.contains("operation") && h.contains("overwrite"), h)
+    val t = run("travel orders_s 1")
+    assert(t.contains("o_orderkey"), t)
+  }
+
+  test("load_csv ingests through the catalog path") {
+    val csv = TestSpark.tmpDir("shell-csv-").resolve("in.csv")
+    java.nio.file.Files.writeString(csv, "id,name\n1,alpha\n2,beta\n")
+    val out = run(s"load_csv $csv shell_csv_t replace")
+    assert(out.contains("records=2"), out)
+    assert(run("select shell_csv_t").contains("alpha"))
+  }
+
+  test("errors come back as text, never exceptions; unknown commands hint help") {
+    assert(run("sql SELEKT nope").startsWith("error:"))
+    assert(run("get no_such_table id 1").startsWith("error:"))
+    assert(run("frobnicate").contains("unknown command"))
+    assert(run("describe").startsWith("error:"))
+    assert(Shell.exec(session, "exit").isEmpty)
+    assert(run("") == "")
+  }
+}
