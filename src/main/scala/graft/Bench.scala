@@ -155,13 +155,14 @@ object Bench {
     var ccPhases: Option[(Double, Double)] = None
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // eager = true does the pair work at construction (and returns the
+      // result persisted + already counted), so CONSTRUCTION is the
+      // pair-generation phase; CC then runs over the cached frame.
+      val t0 = System.nanoTime()
       val pairs = graft.ops.Dedup.nearDupPairs(docs, "doc_id", "text",
-        minJaccard = 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        minJaccard = 0.5, eager = true)
+      val tPairs = (System.nanoTime() - t0) / 1e9
       try {
-        val t0 = System.nanoTime()
-        pairs.count()
-        val tPairs = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         graft.ops.Cluster.clusterDocs(docs, "doc_id", pairs).count()
         val tCc = (System.nanoTime() - t1) / 1e9
@@ -422,23 +423,31 @@ object Bench {
         t.overwriteBucketed(li, "li_id", 32)
         // Timed keys come from the DATA (li_id is orderkey*10+linenumber,
         // a sparse domain — a guessed literal almost always misses, and an
-        // empty-result lookup understates real point-read cost). Four real
-        // keys collected up front: one for warm-up, three timed.
+        // empty-result lookup understates real point-read cost).
         val keys = li.select("li_id").orderBy("li_id").limit(400)
           .collect().map(_.getLong(0))
+        val timedKeys = Seq(keys(100), keys(200), keys(300))
         // lookupKeyRows is the serving call: rows to completion, like the
-        // reference's serving tier. Warm-ups touch DIFFERENT buckets than
-        // the timed keys, so each timed lookup pays its own cold footer.
-        // THREE warm-up lookups, not one: r9 read lookup_ms at 33.8 with a
-        // monotonically improving wave series (44/34/24 ms) — the
-        // signature of residual JIT/classloading warm-up, not I/O — where
-        // r8 read 16.5; extra warm-up calls compile the serving path fully
-        // before the first timed wave.
-        t.lookupKeyRows(keys(0))
-        t.lookupKeyRows(keys(50))
-        t.lookupKeyRows(keys(399))
+        // reference's serving tier. THREE warm-up lookups, not one: r9
+        // read lookup_ms at 33.8 with a monotonically improving wave
+        // series (44/34/24 ms) — the signature of residual JIT/
+        // classloading warm-up, not I/O — where r8 read 16.5; extra
+        // warm-up calls compile the serving path fully before the first
+        // timed wave. Warm keys are PROVABLY from different buckets than
+        // every timed key (same driver-side hash the pruning uses), so
+        // each timed lookup still pays its own cold footer — picked by
+        // scan, not by index guess (xxhash64 scatters neighbors).
+        val timedBuckets = timedKeys
+          .map(k => graft.plans.BucketHash.bucketId(k,
+            org.apache.spark.sql.types.LongType, 32, "UTC")).toSet
+        val warmKeys = keys.iterator
+          .filterNot(timedKeys.contains)
+          .filter(k => !timedBuckets.contains(graft.plans.BucketHash.bucketId(
+            k, org.apache.spark.sql.types.LongType, 32, "UTC")))
+          .take(3).toSeq
+        warmKeys.foreach(k => t.lookupKeyRows(k))
         lookupWaves = runsN(3) { i =>
-          val key = keys(100 * (i + 1)) // distinct existing keys
+          val key = timedKeys(i) // distinct existing keys
           val t0 = System.nanoTime()
           val n = t.lookupKeyRows(key).size
           val dt = (System.nanoTime() - t0) / 1e9

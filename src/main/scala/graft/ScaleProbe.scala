@@ -136,11 +136,13 @@ object ScaleProbe {
 
     for (f <- Seq(1, factor)) {
       probe("d_minhash_pairs", f) { c =>
-        graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5).count()
+        graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5,
+          eager = true).count()
       }
       probe("d_cluster_cc", f) { c =>
         graft.ops.Cluster.clusterDocs(c, "doc_id",
-          graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5)).count()
+          graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5,
+            eager = true)).count()
       }
       probe("x_pack", f) { c =>
         graft.ops.Curation.packSequences(c, "doc_id", "text",

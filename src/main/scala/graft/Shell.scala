@@ -109,13 +109,11 @@ object Shell {
         val tb = table(t)
         val key = coerced(t, pk, v)
         // The serving path when the table is bucketed by this key — the
-        // same bucket-pruned vectorized read the HTTP lookup uses.
-        if (tb.bucketSpec.exists(_._1 == pk)) {
-          val rows = tb.lookupKeyRows(key)
-          val df = tb.spark.createDataFrame(
-            new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), tb.schema)
-          Some(render(df, rows.size.max(1)))
-        } else Some(render(tb.read().filter(col(pk) === lit(key)), 100))
+        // same bucket-pruned read the HTTP lookup uses. lookupKey (not a
+        // hand-rolled rows→DataFrame bridge) so evolution-padded nulls
+        // keep the asNullable schema treatment it applies.
+        if (tb.bucketSpec.exists(_._1 == pk)) Some(render(tb.lookupKey(key), 100))
+        else Some(render(tb.read().filter(col(pk) === lit(key)), 100))
       case "insert" =>
         val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
         val values = Map(pk -> v) ++ kvPairs(toks.drop(4))
@@ -126,6 +124,12 @@ object Shell {
         val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
         val sets = kvPairs(toks.drop(4))
         require(sets.nonEmpty, "update needs at least one col=val")
+        // updateWhere silently skips set keys that aren't table columns —
+        // a typo'd column would report success while changing nothing, so
+        // reject unknown columns here (same contract as insertRow).
+        val fields = table(t).schema.fieldNames.toSet
+        val unknown = sets.keySet -- fields
+        require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
         table(t).updateWhere(col(pk) === lit(coerced(t, pk, v)),
           sets.map { case (c, sv) => c -> lit(sv) })
         session.registerView(t)

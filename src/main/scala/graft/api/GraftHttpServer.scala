@@ -421,10 +421,18 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       val mode = Option(f.getOrElse("mode", null)).getOrElse("replace")
       val csv = Option(f.getOrElse("csv", null)).getOrElse(
         throw new IllegalArgumentException("missing csv"))
+      // Upsert keys on this column; without it the id heuristic falls back
+      // to the FIRST column when nothing id-like exists, silently merging
+      // rows the user considers distinct — so the form collects it.
+      val key = Option(f.getOrElse("key", null)).map(_.trim).filter(_.nonEmpty)
+      require(mode != "upsert" || key.nonEmpty ||
+        graft.functions.Identifiers.hasIdCol(csv.linesIterator.nextOption()
+          .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil)),
+        "mode=upsert needs a key column: none given and no id-like CSV header found")
       val tmp = java.nio.file.Files.createTempFile("graft-upload-ui-", ".csv")
       try {
         java.nio.file.Files.write(tmp, csv.getBytes(StandardCharsets.UTF_8))
-        session.catalog.ingestCsv(tmp.toString, t, mode = mode)
+        session.catalog.ingestCsv(tmp.toString, t, mode = mode, key = key)
         session.registerView(t)
       } finally java.nio.file.Files.deleteIfExists(tmp)
       throw Redirect("/view/" + java.net.URLEncoder.encode(t, "UTF-8"))
@@ -435,6 +443,8 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
         s"""<div class="card"><form action="/upload-ui" method="POST">
            |<label>Table name</label><input type="text" name="table_name">
            |<label>Mode</label><select name="mode">$modeOpts</select>
+           |<label>Key column (for upsert; blank = id-like header)</label>
+           |<input type="text" name="key">
            |<label>CSV (header row first)</label>
            |<textarea name="csv" placeholder="id,name&#10;1,alpha"></textarea>
            |<button type="submit">Upload</button>

@@ -51,4 +51,16 @@ object Identifiers {
       .orElse(columns.find(_.toLowerCase(java.util.Locale.ROOT).endsWith("_id")))
       .getOrElse(columns.head)
   }
+
+  /** True when [[findIdCol]] would find a GENUINE id-like column — i.e.
+    * would not fall back to "first column". Callers that must not key on
+    * an arbitrary column (a form-driven upsert) gate on this. */
+  def hasIdCol(columns: Seq[String]): Boolean =
+    columns.nonEmpty && {
+      val found = findIdCol(columns)
+      found != columns.head ||
+        found.toLowerCase(java.util.Locale.ROOT).endsWith("_id") ||
+        Seq("id", "index", "internal_id", "uid", "uuid", "guid", "key", "pk")
+          .contains(found.toLowerCase(java.util.Locale.ROOT))
+    }
 }

@@ -27,8 +27,15 @@ object Dedup {
   private[ops] def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType
-    require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
-      dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+    val ok = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      // Scale-0 decimals that fit a long are exactly integral — this is
+      // how Spark surfaces parquet uint64 columns, and the driver has
+      // regenerated testdata physical schemas between rounds before.
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    }
+    require(ok,
       s"$op requires an integral id column ($idCol is ${dt.simpleString}): " +
         "its member/representative joins key on the id cast to long, and a " +
         "non-numeric id would cast to NULL and merge unrelated documents. " +
@@ -228,6 +235,17 @@ object Dedup {
    * verified representative pair. The output is exactly the un-collapsed
    * answer; only the candidate join sees the collapsed corpus.
    */
+  /**
+   * @param eager materialize the pair list once (persisted) and RELEASE
+   *   the corpus-sized member/rep caches before returning — for repeated
+   *   bounded-corpus calls (the gate/bench pattern), where the lazy
+   *   default would leak those caches for the SparkContext's lifetime.
+   *   Leave false at scale: the answer is quadratic in duplication by
+   *   definition (a K-copy document owns K²/2 intra pairs), and the lazy
+   *   plan lets a consumer STREAM through it (count, aggregate, write)
+   *   without a block-store copy; the cost is that the internal caches
+   *   stay resident until the session ends or the caller clears them.
+   */
   def nearDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -235,7 +253,8 @@ object Dedup {
       minJaccard: Double,
       numPerm: Int = 64,
       bands: Int = 16,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      eager: Boolean = false): DataFrame = {
     require(minJaccard <= 1.0, "intra-group pairs have Jaccard exactly 1")
     requireIntegralId(docs, idCol, "nearDupPairs")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
@@ -255,7 +274,8 @@ object Dedup {
         greatest(col("__xa"), col("__xb")).as("id_b"))
     // Intra pairs share a fingerprint, cross pairs span two — disjoint by
     // construction, no distinct needed.
-    materializedWith(intra.unionByName(cross), members, reps)
+    val out = intra.unionByName(cross)
+    if (eager) materializedWith(out, members, reps) else out
   }
 
   /**

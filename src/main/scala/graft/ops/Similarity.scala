@@ -131,13 +131,20 @@ object Similarity {
    * not assumed, so the zero-vector NaN case and float-rounding at
    * `minCosine = 1.0` behave bit-identically to the un-collapsed join.
    */
+  /**
+   * @param eager materialize + release internal caches (the gate/bench
+   *   repeated-call pattern); false (default) keeps the result LAZY so a
+   *   scale consumer can stream the — quadratic-in-duplication — pair
+   *   list without a block-store copy. See [[Dedup.nearDupPairs]].
+   */
   def cosineDupPairsLsh(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       minCosine: Double,
       r: Int = 4,
-      tables: Int = 16): DataFrame = {
+      tables: Int = 16,
+      eager: Boolean = false): DataFrame = {
     Dedup.requireIntegralId(corpus, idCol, "cosineDupPairsLsh")
     val fpc = xxhash64(col(vecCol))
     val members = corpus.select(col(idCol).cast("long").as("__mid"), fpc.as("__fp"))
@@ -166,9 +173,11 @@ object Similarity {
       .join(members.select(col("__mid").as("__xb"), col("__fp").as("__fpb")), "__fpb")
       .select(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"))
-    // Materialize-then-release (see Dedup.materializedWith): without this
-    // every call leaked the member/rep caches for the SparkContext's life.
-    Dedup.materializedWith(intra.unionByName(cross), members, reps)
+    val out = intra.unionByName(cross)
+    // Materialize-then-release (see Dedup.materializedWith): the eager
+    // mode for repeated bounded-corpus callers, who would otherwise leak
+    // the member/rep caches for the SparkContext's life.
+    if (eager) Dedup.materializedWith(out, members, reps) else out
   }
 
   /**

@@ -91,7 +91,7 @@ object LlmQueries {
     // output must equal the exact Jaccard answer (oracle recomputes that).
     "d_minhash_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(tbl(s, d, "documents"), "doc_id", "text",
-        minJaccard = 0.5)),
+        minJaccard = 0.5, eager = true)),
 
     // SimHash near-dup candidates, SELF-VERIFYING and fully hash-checked
     // (the pair list itself is hash-dependent, so the compared output is
@@ -193,7 +193,8 @@ object LlmQueries {
       val emb = tbl(s, d, "embeddings")
       val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.42,
         maxRows = 0) // deliberate oracle run
-      val lsh = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 0.42)
+      val lsh = Similarity.cosineDupPairsLsh(emb, "vec_id", "embedding", 0.42,
+        eager = true)
       val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
       val spurious = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
       exact.agg(count(lit(1)).as("n_exact"))

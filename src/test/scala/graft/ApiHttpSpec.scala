@@ -406,5 +406,22 @@ class ApiHttpSpec extends AnyFunSuite {
       .POST(HttpRequest.BodyPublishers.ofString("mode=replace")).build(),
       HttpResponse.BodyHandlers.ofString())
     assert(r3.statusCode() == 400, s"${r3.statusCode()} ${r3.body()}")
+    // mode=upsert with neither a key field nor an id-like header must 400
+    // (the id heuristic would silently key on the FIRST column), while an
+    // explicit key goes through.
+    val noId = java.net.URLEncoder.encode("name,qty\nwidget,5", "UTF-8")
+    val r4 = client.send(HttpRequest.newBuilder(URI.create(base + "/upload-ui"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"table_name=form_up2_t&mode=upsert&csv=$noId")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r4.statusCode() == 400 && r4.body().contains("key"),
+      s"${r4.statusCode()} ${r4.body()}")
+    val r5 = client.send(HttpRequest.newBuilder(URI.create(base + "/upload-ui"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"table_name=form_up2_t&mode=upsert&key=name&csv=$noId")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r5.statusCode() == 303, s"${r5.statusCode()} ${r5.body()}")
   }
 }

@@ -102,5 +102,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("integral id"), e4.getMessage)
     // The EXACT paths keep accepting any orderable id type.
     assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 2)
+    // ...and exact-integral decimals (how Spark surfaces parquet uint64)
+    // pass the guard: scale-0, precision <= 18 casts to long losslessly.
+    val dec = Seq((1L, "alpha text here"), (2L, "beta text there"))
+      .toDF("doc_id", "text")
+      .withColumn("doc_id", col("doc_id").cast(DecimalType(18, 0)))
+    assert(Dedup.nearDupPairs(dec, "doc_id", "text", 0.9).count() == 0)
   }
 }

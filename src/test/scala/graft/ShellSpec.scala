@@ -71,6 +71,9 @@ class ShellSpec extends AnyFunSuite {
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
+    // A typo'd set column must refuse loudly, not commit a no-op rewrite.
+    val e = run("update orders_s o_orderkey 1 o_totalpryce=9")
+    assert(e.startsWith("error:") && e.contains("unknown columns"), e)
     assert(run("frobnicate").contains("unknown command"))
     assert(run("describe").startsWith("error:"))
     assert(Shell.exec(session, "exit").isEmpty)
