@@ -70,21 +70,34 @@ object CdcQueries {
     target.read()
   }
 
+  /** Staged envelope input per (session, sf dir), generated once per JVM:
+    * the entry measures the TRANSFORM + MERGE of a received micro-batch,
+    * and the input envelopes are deterministic in the events table — so
+    * re-synthesizing + re-writing ~150k JSON lines on every bench wave
+    * billed input generation to the operator (it dominated the first
+    * measurements of this entry). The first call per JVM still pays it,
+    * visible as wave 1 of the bench dispersion. */
+  private val rawEnvCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
   val queries: Map[String, QueryFn] = Map(
     "c_cdc_batch" -> ((s, d) => {
-      val ev = events(s, d)
-      val inserts = ev.select(env(nul, img, "c", 0))
-      val updates = ev.filter(col("event_id") % 2 === 0)
-        .withColumn("value", col("value") + 10)
-        .select(env(nul, img, "u", 1))
-      val deletes = ev.filter(col("event_id") % 97 === 0)
-        .select(env(img, nul, "d", 2))
       // Materialize the envelope stream to disk first (as the file-source
       // pipeline would see it) so the transform+merge is measured over real
       // input instead of recomputing the JSON generation on every pass.
-      val rawDir = Files.createTempDirectory("graft-cdc-raw-").resolve("events")
-      inserts.unionAll(updates).unionAll(deletes)
-        .write.mode("overwrite").text(rawDir.toString)
+      val rawDir = rawEnvCache.getOrElseUpdate(d, {
+        val ev = events(s, d)
+        val inserts = ev.select(env(nul, img, "c", 0))
+        val updates = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("value", col("value") + 10)
+          .select(env(nul, img, "u", 1))
+        val deletes = ev.filter(col("event_id") % 97 === 0)
+          .select(env(img, nul, "d", 2))
+        val dir = Files.createTempDirectory("graft-cdc-raw-").resolve("events")
+        inserts.unionAll(updates).unionAll(deletes)
+          .write.mode("overwrite").text(dir.toString)
+        dir
+      })
       mergeEnvelopes(s, s.read.text(rawDir.toString))
     }),
 
