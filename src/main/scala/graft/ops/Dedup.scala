@@ -258,9 +258,10 @@ object Dedup {
     require(minJaccard <= 1.0, "intra-group pairs have Jaccard exactly 1")
     requireIntegralId(docs, idCol, "nearDupPairs")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
+    val innerCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     val repPairs = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
-      idCol, textCol, minJaccard, numPerm, bands, n)
+      idCol, textCol, minJaccard, numPerm, bands, n, innerCaches)
     val intra = members.as("a").join(members.as("b"),
         col("a.__fp") === col("b.__fp") && col("a.__mid") < col("b.__mid"))
       .select(col("a.__mid").as("id_a"), col("b.__mid").as("id_b"))
@@ -275,7 +276,8 @@ object Dedup {
     // Intra pairs share a fingerprint, cross pairs span two — disjoint by
     // construction, no distinct needed.
     val out = intra.unionByName(cross)
-    if (eager) materializedWith(out, members, reps) else out
+    if (eager) materializedWith(out, Seq(members, reps) ++ innerCaches: _*)
+    else out
   }
 
   /**
@@ -347,9 +349,10 @@ object Dedup {
     require(minJaccard <= 1.0, "intra-group members share their rep's cluster")
     requireIntegralId(docs, idCol, "nearDupClusters")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
+    val innerCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     val repPairs = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
-      idCol, textCol, minJaccard, numPerm, bands, n)
+      idCol, textCol, minJaccard, numPerm, bands, n, innerCaches)
     val repCC = graft.ops.Cluster.clusterDocs(
       reps.select(col("__rid").as(idCol)), idCol, repPairs)
       .select(col(idCol).as("__rid"), col("cluster_id"))
@@ -363,7 +366,8 @@ object Dedup {
     val nullSingletons = docs.filter(col(textCol).isNull)
       .select(col(idCol).cast("long").as(idCol),
         col(idCol).cast("long").as("cluster_id"))
-    materializedWith(labeled.unionByName(nullSingletons), members, reps)
+    materializedWith(labeled.unionByName(nullSingletons),
+      Seq(members, reps) ++ innerCaches: _*)
   }
 
   /**
@@ -371,6 +375,9 @@ object Dedup {
    * documents have DISTINCT shingle sets (callers go through
    * [[nearDupPairs]], which collapses duplicates first).
    */
+  /** `caches` collects the internal persisted frames (candidates,
+    * candidate shingles) so an eager caller can release them after
+    * materializing its result — without it they survive the session. */
   private def nearDupPairsDistinct(
       docs: DataFrame,
       idCol: String,
@@ -378,7 +385,8 @@ object Dedup {
       minJaccard: Double,
       numPerm: Int,
       bands: Int,
-      n: Int): DataFrame = {
+      n: Int,
+      caches: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     // The candidate set is referenced THREE times below (both branches of
     // the candidate-doc union, the final candidate-pair join), and Catalyst
     // does not reuse the exchange across those differently-aliased
@@ -386,10 +394,12 @@ object Dedup {
     // minhash+explode+self-join pipeline (a 10×-corpus probe measured the
     // band-bucket shuffle executing ~12× per call, ~5× the bytes). The
     // pairs are a tiny fraction of the corpus at any scale, so persist and
-    // materialize them ONCE, eagerly; the ContextCleaner reclaims the
-    // cache entry when the returned frame is released.
+    // materialize them ONCE, eagerly; the `caches` buffer is how an eager
+    // caller releases the entry afterwards (Dataset caches are held by the
+    // session's CacheManager — nothing GCs them implicitly).
     val cands = lshCandidates(docs, idCol, textCol, numPerm, bands, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += cands
     cands.count()
     // Only documents that appear in some candidate pair enter the exact
     // verification — at scale this is a tiny fraction of the corpus, so
@@ -405,6 +415,7 @@ object Dedup {
     // of the intersection self-join) — same recompute trap, same cure.
     val dtC = hashShingleSets(docsC, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += dtC
     // Set sizes are only ever joined back on candidate ids, so candidate
     // shingles suffice here too.
     val sizes = dtC.groupBy("__id").agg(count(lit(1)).as("__n"))

@@ -33,6 +33,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH recall must be total on this corpus: ${exact -- lsh} missed")
   }
 
+  test("eager nearDupPairs releases every internal cache once the result is unpersisted") {
+    // The eager mode's whole point: repeated bounded-corpus calls must not
+    // accumulate member/rep/candidate caches for the SparkContext's life.
+    // After the caller releases the returned frame, the persistent-RDD set
+    // must be back to where it started (unpersists are async — poll).
+    def cachedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCount
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5, eager = true)
+    pairs.count() // served from the result cache
+    pairs.unpersist(blocking = true)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedCount > before && System.nanoTime() < deadline)
+      Thread.sleep(100L)
+    assert(cachedCount <= before,
+      s"internal caches leaked: $before before, $cachedCount after release")
+  }
+
   test("hot-group corpus: collapsed LSH equals exact, candidate join never sees the copies") {
     import spark.implicits._
     // 120 byte-identical copies of one boilerplate text (the hot set that
