@@ -84,7 +84,13 @@ class CdcSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType))))
     Files.write(in.resolve("f1.json"),
       (1 to 5).map(i => wrapped(i, s"n$i", i * 1.0, "c", i)).mkString("\n").getBytes)
+    // TWO images for id 2 in one batch: the deferred append passes
+    // preDeduped = true (skipping its own dedup shuffle), so the envelope
+    // transform's latest-per-key dedup is the ONLY thing standing between
+    // an in-batch duplicate and two same-sequence rows in one delta dir —
+    // this pins that contract on the MOR path specifically.
     Files.write(in.resolve("f2.json"), Seq(
+      wrapped(2, "n2a", 21.0, "u", 99),
       wrapped(2, "n2x", 20.0, "u", 100),
       wrapped(3, "n3", 3.0, "d", 101, beforeOnly = true)).mkString("\n").getBytes)
 
