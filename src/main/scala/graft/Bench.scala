@@ -155,12 +155,18 @@ object Bench {
     var ccPhases: Option[(Double, Double)] = None
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      // eager = true does the pair work at construction (and returns the
-      // result persisted + already counted), so CONSTRUCTION is the
-      // pair-generation phase; CC then runs over the cached frame.
+      // The pair frame is persisted+counted here so CONSTRUCTION is the
+      // pair-generation phase and CC then runs over the cached frame. The
+      // shared per-corpus scope means this diagnostic re-queries the same
+      // collapse/LSH caches the gate waves above warmed — the phase split
+      // prices the incremental pair/CC work, matching how a pipeline that
+      // just ran near-dup pairs would price a follow-on clustering.
+      val scope = graft.queries.LlmQueries.dedupScope(sfDir)
       val t0 = System.nanoTime()
       val pairs = graft.ops.Dedup.nearDupPairs(docs, "doc_id", "text",
-        minJaccard = 0.5, eager = true)
+          minJaccard = 0.5, scope = scope)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       val tPairs = (System.nanoTime() - t0) / 1e9
       try {
         val t1 = System.nanoTime()

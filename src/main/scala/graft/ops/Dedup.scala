@@ -237,14 +237,20 @@ object Dedup {
    */
   /**
    * @param eager materialize the pair list once (persisted) and RELEASE
-   *   the corpus-sized member/rep caches before returning — for repeated
-   *   bounded-corpus calls (the gate/bench pattern), where the lazy
-   *   default would leak those caches for the SparkContext's lifetime.
-   *   Leave false at scale: the answer is quadratic in duplication by
-   *   definition (a K-copy document owns K²/2 intra pairs), and the lazy
-   *   plan lets a consumer STREAM through it (count, aggregate, write)
-   *   without a block-store copy; the cost is that the internal caches
-   *   stay resident until the session ends or the caller clears them.
+   *   the corpus-sized member/rep caches before returning — for a single
+   *   bounded-corpus call whose result is consumed repeatedly, where the
+   *   lazy default would leak those caches for the SparkContext's
+   *   lifetime. Leave false at scale: the answer is quadratic in
+   *   duplication by definition (a K-copy document owns K²/2 intra
+   *   pairs), and the lazy plan lets a consumer STREAM through it (count,
+   *   aggregate, write) without a block-store copy; the cost is that the
+   *   internal caches stay resident until the session ends or the caller
+   *   clears them.
+   * @param scope when non-null, overrides `eager`: the internal caches
+   *   register with the [[CacheScope]] and stay persisted, so REPEATED
+   *   calls over the same corpus (waves, pairs-then-clusters pipelines)
+   *   reuse them via plan-equal cache hits, and the caller releases them
+   *   all at once when the corpus is done. The result stays lazy.
    */
   def nearDupPairs(
       docs: DataFrame,
@@ -254,7 +260,8 @@ object Dedup {
       numPerm: Int = 64,
       bands: Int = 16,
       n: Int = 3,
-      eager: Boolean = false): DataFrame = {
+      eager: Boolean = false,
+      scope: CacheScope = null): DataFrame = {
     require(minJaccard <= 1.0, "intra-group pairs have Jaccard exactly 1")
     requireIntegralId(docs, idCol, "nearDupPairs")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
@@ -276,7 +283,9 @@ object Dedup {
     // Intra pairs share a fingerprint, cross pairs span two — disjoint by
     // construction, no distinct needed.
     val out = intra.unionByName(cross)
-    if (eager) materializedWith(out, Seq(members, reps) ++ innerCaches: _*)
+    val inner = Seq(members, reps) ++ innerCaches
+    if (scope != null) { scope.track(inner); out }
+    else if (eager) materializedWith(out, inner: _*)
     else out
   }
 
@@ -338,6 +347,10 @@ object Dedup {
    * id — reps are their group minima — making the labels equal row-for-row
    * to `Cluster.clusterDocs(docs, nearDupPairs(docs, ...))`.
    */
+  /** @param scope see [[nearDupPairs]] — non-null keeps the collapse/LSH
+    *   caches alive (and registered) for reuse by sibling calls over the
+    *   same corpus; the labels frame is returned lazy instead of
+    *   materialized. */
   def nearDupClusters(
       docs: DataFrame,
       idCol: String,
@@ -345,7 +358,8 @@ object Dedup {
       minJaccard: Double,
       numPerm: Int = 64,
       bands: Int = 16,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      scope: CacheScope = null): DataFrame = {
     require(minJaccard <= 1.0, "intra-group members share their rep's cluster")
     requireIntegralId(docs, idCol, "nearDupClusters")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
@@ -366,8 +380,10 @@ object Dedup {
     val nullSingletons = docs.filter(col(textCol).isNull)
       .select(col(idCol).cast("long").as(idCol),
         col(idCol).cast("long").as("cluster_id"))
-    materializedWith(labeled.unionByName(nullSingletons),
-      Seq(members, reps) ++ innerCaches: _*)
+    val result = labeled.unionByName(nullSingletons)
+    val inner = Seq(members, reps) ++ innerCaches
+    if (scope != null) { scope.track(inner); result }
+    else materializedWith(result, inner: _*)
   }
 
   /**

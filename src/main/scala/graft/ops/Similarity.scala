@@ -132,10 +132,13 @@ object Similarity {
    * `minCosine = 1.0` behave bit-identically to the un-collapsed join.
    */
   /**
-   * @param eager materialize + release internal caches (the gate/bench
-   *   repeated-call pattern); false (default) keeps the result LAZY so a
-   *   scale consumer can stream the — quadratic-in-duplication — pair
-   *   list without a block-store copy. See [[Dedup.nearDupPairs]].
+   * @param eager materialize + release internal caches (the one-shot
+   *   repeated-consumption pattern); false (default) keeps the result
+   *   LAZY so a scale consumer can stream the — quadratic-in-duplication
+   *   — pair list without a block-store copy. See [[Dedup.nearDupPairs]].
+   * @param scope non-null overrides `eager`: internal caches register
+   *   with the [[CacheScope]] for reuse across repeated same-corpus
+   *   calls; the result stays lazy. See [[Dedup.nearDupPairs]].
    */
   def cosineDupPairsLsh(
       corpus: DataFrame,
@@ -144,7 +147,8 @@ object Similarity {
       minCosine: Double,
       r: Int = 4,
       tables: Int = 16,
-      eager: Boolean = false): DataFrame = {
+      eager: Boolean = false,
+      scope: CacheScope = null): DataFrame = {
     Dedup.requireIntegralId(corpus, idCol, "cosineDupPairsLsh")
     val fpc = xxhash64(col(vecCol))
     val members = corpus.select(col(idCol).cast("long").as("__mid"), fpc.as("__fp"))
@@ -174,10 +178,12 @@ object Similarity {
       .select(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"))
     val out = intra.unionByName(cross)
-    // Materialize-then-release (see Dedup.materializedWith): the eager
-    // mode for repeated bounded-corpus callers, who would otherwise leak
-    // the member/rep caches for the SparkContext's life.
-    if (eager) Dedup.materializedWith(out, members, reps) else out
+    // Cache policy (see CacheScope): scoped reuse for repeated
+    // same-corpus callers, materialize-then-release for one-shot callers,
+    // lazy leak for stream-through consumers.
+    if (scope != null) { scope.track(Seq(members, reps)); out }
+    else if (eager) Dedup.materializedWith(out, members, reps)
+    else out
   }
 
   /**

@@ -33,6 +33,40 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH recall must be total on this corpus: ${exact -- lsh} missed")
   }
 
+  test("scoped near-dup calls share caches across calls and release together") {
+    // The repeated-same-corpus policy: a scope keeps the collapse/LSH
+    // intermediates persisted so sibling calls (pairs then clusters, or
+    // bench waves) hit them via plan-equal cache reuse; one release()
+    // returns the persistent-RDD set to its starting size.
+    def cachedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    // A corpus slice no other test touches: plan-equality is the cache
+    // key, so a shared corpus would hit entries leaked by lazy-mode tests
+    // and the growth assertions below would see a polluted baseline.
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val before = cachedCount
+    val scope = new graft.ops.CacheScope
+    Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5, scope = scope).count()
+    val afterFirst = cachedCount
+    assert(afterFirst > before, "scope mode must persist the intermediates")
+    // A plan-equal second call (and the clusters sibling) must NOT add new
+    // cache entries — CacheManager reuses the first call's.
+    Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5, scope = scope).count()
+    Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5, scope = scope).count()
+    // CC's internal checkpoint releases asynchronously — poll down to the
+    // first call's footprint, but no further growth is tolerated.
+    val reuseDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedCount > afterFirst && System.nanoTime() < reuseDeadline)
+      Thread.sleep(100L)
+    assert(cachedCount <= afterFirst,
+      s"plan-equal scoped calls must reuse cache entries: $afterFirst after first, $cachedCount after reuse")
+    scope.release()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedCount > before && System.nanoTime() < deadline)
+      Thread.sleep(100L)
+    assert(cachedCount <= before,
+      s"scope release leaked: $before before, $cachedCount after release")
+  }
+
   test("eager nearDupPairs releases every internal cache once the result is unpersisted") {
     // The eager mode's whole point: repeated bounded-corpus calls must not
     // accumulate member/rep/candidate caches for the SparkContext's life.
