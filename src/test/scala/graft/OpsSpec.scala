@@ -39,32 +39,42 @@ class OpsSpec extends AnyFunSuite {
     // bench waves) hit them via plan-equal cache reuse; one release()
     // returns the persistent-RDD set to its starting size.
     def cachedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    // Every unpersist in the codebase is blocking=false, so earlier tests'
+    // releases can land asynchronously DURING this one and shift the
+    // global count under the assertions. Settle first: wait until the
+    // count holds still, then compare settled readings only.
+    def settledCount(): Int = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var prev = cachedCount
+      var stable = 0
+      while (stable < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(200L)
+        val c = cachedCount
+        if (c == prev) stable += 1 else { stable = 0; prev = c }
+      }
+      prev
+    }
     // A corpus slice no other test touches: plan-equality is the cache
     // key, so a shared corpus would hit entries leaked by lazy-mode tests
     // and the growth assertions below would see a polluted baseline.
     val corpus = docs.filter($"doc_id" % 2 === 0)
-    val before = cachedCount
+    val before = settledCount()
     val scope = new graft.ops.CacheScope
     Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5, scope = scope).count()
-    val afterFirst = cachedCount
+    val afterFirst = settledCount()
     assert(afterFirst > before, "scope mode must persist the intermediates")
     // A plan-equal second call (and the clusters sibling) must NOT add new
-    // cache entries — CacheManager reuses the first call's.
+    // cache entries — CacheManager reuses the first call's. (CC's internal
+    // checkpoint also releases asynchronously; settling covers it.)
     Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5, scope = scope).count()
     Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5, scope = scope).count()
-    // CC's internal checkpoint releases asynchronously — poll down to the
-    // first call's footprint, but no further growth is tolerated.
-    val reuseDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (cachedCount > afterFirst && System.nanoTime() < reuseDeadline)
-      Thread.sleep(100L)
-    assert(cachedCount <= afterFirst,
-      s"plan-equal scoped calls must reuse cache entries: $afterFirst after first, $cachedCount after reuse")
+    val afterReuse = settledCount()
+    assert(afterReuse <= afterFirst,
+      s"plan-equal scoped calls must reuse cache entries: $afterFirst after first, $afterReuse after reuse")
     scope.release()
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (cachedCount > before && System.nanoTime() < deadline)
-      Thread.sleep(100L)
-    assert(cachedCount <= before,
-      s"scope release leaked: $before before, $cachedCount after release")
+    val afterRelease = settledCount()
+    assert(afterRelease <= before,
+      s"scope release leaked: $before before, $afterRelease after release")
   }
 
   test("eager nearDupPairs releases every internal cache once the result is unpersisted") {
