@@ -121,6 +121,49 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Per-document top-`k` terms by TF-IDF — the classic corpus-weighting
+   * signal (keyword extraction, boilerplate-vs-content separation, cheap
+   * topic features for curation mixes). Weight = tf · ln(N / df) with raw
+   * term frequency and unsmoothed idf; a term appearing in every document
+   * weighs 0 regardless of tf.
+   *
+   * The returned columns are integer/string ONLY — (doc_id, rank, term,
+   * tf, df): the float weight ORDERS the window but never leaves the
+   * plan, so an external engine reproduces the output exactly. (Ulp-level
+   * `ln` differences across engines cannot flip an ordering between
+   * distinct (tf, df) pairs, and exact ties — same tf and df, e.g. the
+   * all-docs idf-0 terms — break on the term itself.)
+   *
+   * Scale shape: the token stream is shuffled ONCE — the (doc, term)
+   * partial-aggregated tf count; df then aggregates the tf frame (already
+   * one row per (doc, term), so the second exchange carries the distinct
+   * postings, not the tokens), N is a 1-row scalar-aggregate cross join,
+   * the tf⋈df join shuffles postings by term (df is vocabulary-sized —
+   * unbounded at corpus scale, so it is NOT broadcast), and the top-k
+   * window repartitions by doc_id. No step is quadratic and nothing
+   * corpus-sized lands on the driver.
+   */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0)
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__wgt").desc, col("term"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("__wgt",
+        col("tf").cast("double") * log(col("__n").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  /**
    * Vocabulary-coverage (out-of-vocabulary) statistics — the CCNet-style
    * corpus-level quality signal: documents whose tokens mostly fall
    * outside the corpus's top-`topK` vocabulary are gibberish, boilerplate

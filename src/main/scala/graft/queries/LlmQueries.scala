@@ -323,6 +323,12 @@ object LlmQueries {
     "x_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Per-doc top-5 TF-IDF terms; the output is int/string-only (the
+    // float weight orders but never leaves the plan), so DuckDB
+    // recomputes it exactly.
+    "x_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(tbl(s, d, "documents"), "doc_id", "text", k = 5)),
+
     // Vocabulary-coverage stats: per-doc token / out-of-top-100-vocab
     // counts (the CCNet-style corpus-level quality signal).
     "x_oov" -> ((s, d) =>
@@ -765,6 +771,18 @@ object LlmQueries {
         |      FROM tok)
         |SELECT ngram, count(*) AS n_occurrences FROM g
         |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "x_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df.df) AS wgt
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wgt DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 5""".stripMargin,
     "x_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents),
         |vocab AS (SELECT w FROM tok GROUP BY w ORDER BY count(*) DESC, w LIMIT 100)

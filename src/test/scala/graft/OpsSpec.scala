@@ -63,16 +63,25 @@ class OpsSpec extends AnyFunSuite {
     Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5, scope = scope).count()
     val afterFirst = settledCount()
     assert(afterFirst > before, "scope mode must persist the intermediates")
-    // A plan-equal second call (and the clusters sibling) must NOT add new
-    // cache entries — CacheManager reuses the first call's. (CC's internal
-    // checkpoint also releases asynchronously; settling covers it.)
+    // A plan-equal second call must NOT add cache entries — CacheManager
+    // reuses the first call's. (The pairs path only; the clusters sibling
+    // below runs CC, whose localCheckpoint blocks are freed by the
+    // ContextCleaner only after a GC — nondeterministic timing that a
+    // count equality here would race against.)
     Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5, scope = scope).count()
-    Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5, scope = scope).count()
     val afterReuse = settledCount()
     assert(afterReuse <= afterFirst,
       s"plan-equal scoped calls must reuse cache entries: $afterFirst after first, $afterReuse after reuse")
+    Dedup.nearDupClusters(corpus, "doc_id", "text", 0.5, scope = scope).count()
     scope.release()
-    val afterRelease = settledCount()
+    // GC nudges the ContextCleaner to collect the now-unreferenced CC
+    // checkpoint blocks along with the released scope caches.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cachedCount > before && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(250L)
+    }
+    val afterRelease = cachedCount
     assert(afterRelease <= before,
       s"scope release leaked: $before before, $afterRelease after release")
   }
@@ -221,6 +230,27 @@ class OpsSpec extends AnyFunSuite {
     assert(top.length == 20)
     assert(top.sliding(2).forall { case Array((ga, ca), (gb, cb)) =>
       ca > cb || (ca == cb && ga < gb) })
+  }
+
+  test("tf-idf top terms: rare terms outrank common; everywhere-terms weigh zero") {
+    import spark.implicits._
+    // Hand-computable: "the" appears in all 3 docs (idf = ln 1 = 0), so any
+    // term missing from one doc must outrank it however often "the" repeats.
+    val corpus = Seq(
+      (1L, "the the the apple apple banana"),
+      (2L, "the banana banana cherry"),
+      (3L, "the cherry date date date")).toDF("doc_id", "text")
+    val top = graft.ops.TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(top.length == 6) // 2 per doc
+    val byDoc = top.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 1: apple (tf 2, df 1) beats banana (tf 1, df 2); "the" never places.
+    assert(byDoc(1L) == Seq("apple", "banana"))
+    // doc 3: date (tf 3, df 1) beats cherry (tf 1, df 2).
+    assert(byDoc(3L) == Seq("date", "cherry"))
+    assert(!top.exists(_._3 == "the"), "idf-0 terms must lose to any df<N term")
+    // tf/df carried through: apple in doc 1 is (tf=2, df=1).
+    assert(top.find(t => t._1 == 1L && t._3 == "apple").exists(t => t._4 == 2L && t._5 == 1L))
   }
 
   test("simhash pairs are near-dups (subset of exact Jaccard at a lower bar)") {
