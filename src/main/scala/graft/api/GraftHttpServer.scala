@@ -650,6 +650,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
         val triggerMs = p.get("trigger_ms").map(_.toLong).getOrElse(10000L)
         require(triggerMs >= 0, "trigger_ms must be >= 0")
         val maxFiles = p.get("max_files").map(_.toInt).getOrElse(1000)
+        val deltaParts = p.get("delta_partitions").map(_.toInt).getOrElse(0)
         val spark = table.spark
         val q = streams.compute(t, (_, existing) => {
           if (existing != null && existing.isActive)
@@ -661,7 +662,8 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
             table.root.resolve("_cdc_checkpoint").toString,
             trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs),
             maxFilesPerTrigger = maxFiles, mergeOnRead = mor,
-            decodeParallelism = spark.sparkContext.defaultParallelism)
+            decodeParallelism = spark.sparkContext.defaultParallelism,
+            deltaPartitions = deltaParts)
         })
         s"""{"status":"ok","table":${jstr(t)},"query_id":"${q.id}","mode":"${if (mor) "mor" else "cow"}","key":${jstr(key)}}"""
 

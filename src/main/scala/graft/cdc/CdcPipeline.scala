@@ -83,6 +83,11 @@ object CdcPipeline {
    *                    bytes of one micro-batch, the decode is the cost
    *                    that must be spread. 0 = trust source partitioning
    *                    (a Kafka-like source already arrives partitioned).
+   * @param deltaPartitions when > 0, each merge-on-read delta is written
+   *                    as this many files instead of one per batch
+   *                    partition — the small-files control for long
+   *                    streams (see [[GraftTable.upsertDeferred]]).
+   *                    Ignored in copy-on-write mode.
    */
   def start(
       spark: SparkSession,
@@ -95,7 +100,8 @@ object CdcPipeline {
       maxFilesPerTrigger: Int = 1000,
       mergeOnRead: Boolean = false,
       compactEvery: Int = 16,
-      decodeParallelism: Int = 0): StreamingQuery = {
+      decodeParallelism: Int = 0,
+      deltaPartitions: Int = 0): StreamingQuery = {
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(inputDir)
@@ -145,7 +151,8 @@ object CdcPipeline {
               // preDeduped: Envelope.transformBatch ends in latest-per-key
               // dedup, so the deferred append skips its own dedup shuffle.
               val snap = table.upsertDeferred(b, key, opCol = Some("op"),
-                batchKey = Some(s"cdc-$batchId"), preDeduped = true)
+                batchKey = Some(s"cdc-$batchId"), preDeduped = true,
+                deltaPartitions = deltaPartitions)
               if (snap.deltaDirs.size >= compactEvery) table.compact()
             } else {
               table.upsert(b, key, opCol = Some("op"),
@@ -185,8 +192,9 @@ object CdcPipeline {
       maxFilesPerTrigger: Int = 1000,
       mergeOnRead: Boolean = false,
       compactEvery: Int = 16,
-      decodeParallelism: Int = 0): StreamingQuery =
+      decodeParallelism: Int = 0,
+      deltaPartitions: Int = 0): StreamingQuery =
     start(spark, inputDir, DtypeSidecar.load(sidecarPath), table, key,
       checkpointDir, trigger, maxFilesPerTrigger, mergeOnRead, compactEvery,
-      decodeParallelism)
+      decodeParallelism, deltaPartitions)
 }

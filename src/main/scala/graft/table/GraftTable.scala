@@ -832,6 +832,18 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * no-op. The contract matters for correctness, not just speed: rows
    * sharing a key inside ONE delta dir have the same chain sequence, so
    * read-time resolution between them would be nondeterministic.
+   *
+   * `deltaPartitions > 0` repartitions the delta write to that many
+   * files — the small-files control. Left at 0, each delta lands with
+   * the batch's incoming partitioning (= total executor cores on a
+   * cluster), so a 10-second trigger writes cores×8640 files/day of
+   * kilobyte-sized deltas that every read-time resolution and compaction
+   * must open. Size it so batchRows/deltaPartitions rows make a
+   * reasonably-sized file. This is a deliberate `repartition`, not
+   * `coalesce`: the batch is usually an un-materialized cached decode,
+   * and a coalesce would pull the whole decode DOWN to this width (the
+   * write is its first action) — the narrow extra shuffle is bounded by
+   * the trigger size and preserves upstream parallelism.
    */
   def upsertDeferred(
       updates: DataFrame,
@@ -839,7 +851,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       precombine: Option[String] = None,
       opCol: Option[String] = None,
       batchKey: Option[String] = None,
-      preDeduped: Boolean = false): Snapshot = {
+      preDeduped: Boolean = false,
+      deltaPartitions: Int = 0): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
     var written: Option[String] = None
     var attempts = 0
@@ -877,7 +890,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val evolvedPlusOp = StructType(evolved.fields :+
           org.apache.spark.sql.types.StructField("__op",
             org.apache.spark.sql.types.StringType, nullable = true))
-        val aligned = align(withOp, evolvedPlusOp)
+        val aligned0 = align(withOp, evolvedPlusOp)
+        val aligned =
+          if (deltaPartitions > 0) aligned0.repartition(deltaPartitions)
+          else aligned0
         withMicrosFooters {
           aligned.write.mode("overwrite").parquet(root.resolve(rel).toString)
         }

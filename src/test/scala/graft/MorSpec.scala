@@ -12,6 +12,31 @@ class MorSpec extends AnyFunSuite {
 
   private def orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
 
+  test("deltaPartitions sizes the delta to N files; results identical") {
+    // The small-files control: a long stream writing one delta per trigger
+    // must not leave total-cores files per batch for every read/compaction
+    // to open. Same rows either way — only the file layout changes.
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor-dp-").resolve("t"), "t")
+    t.overwrite(orders)
+    val upd = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500)
+      .repartition(8) // a wide-arriving batch, as a real micro-batch would
+    assert(upd.rdd.getNumPartitions > 2, "fixture must arrive wider than the target")
+    val v = t.upsertDeferred(upd, "o_orderkey", deltaPartitions = 2)
+    val deltaDir = t.root.resolve(v.deltaDirs.last)
+    val files = {
+      val s = java.nio.file.Files.list(deltaDir)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(files == 2, s"delta must land as exactly 2 parquet files, got $files")
+    // Resolution unchanged: updated rows show the bumped price.
+    val dsum = sum(col("o_totalprice").cast("decimal(18,2)"))
+    val got = t.read().filter(col("o_orderkey") % 3 === 0).agg(dsum).head.getDecimal(0)
+    val want = upd.agg(dsum).head.getDecimal(0)
+    assert(got == want)
+  }
+
   test("deferred upserts leave base dirs untouched; reads resolve; compact folds") {
     val t = new GraftTable(spark, TestSpark.tmpDir("mor-").resolve("t"), "t")
     val v1 = t.overwrite(orders)
