@@ -62,6 +62,10 @@ object Merge {
    */
   val maxBroadcastKeys: Long = 4_000_000L
 
+  /** `preDeduped = true` asserts `updates` already holds at most one row
+    * per key and skips the internal dedup shuffle — for callers that just
+    * ran their own latest-per-key resolution (compaction resolves the
+    * delta chain by sequence before merging it into base buckets). */
   def merge(
       target: DataFrame,
       updates: DataFrame,
@@ -69,12 +73,15 @@ object Merge {
       precombine: Option[String] = None,
       opCol: Option[String] = None,
       broadcastUpdates: Boolean = false,
-      updatesRowsHint: Option[Long] = None): DataFrame = {
+      updatesRowsHint: Option[Long] = None,
+      preDeduped: Boolean = false): DataFrame = {
 
-    val deduped = precombine match {
-      case Some(p) => dedupLatest(updates, key, p)
-      case None => updates.dropDuplicates(Seq(key))
-    }
+    val deduped =
+      if (preDeduped) updates
+      else precombine match {
+        case Some(p) => dedupLatest(updates, key, p)
+        case None => updates.dropDuplicates(Seq(key))
+      }
 
     // Output schema = target columns, then any new update-side columns
     // (schema evolution during merge), excluding the op meta column.

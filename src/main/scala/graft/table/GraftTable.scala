@@ -126,6 +126,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def resolveDeltas(s: Snapshot, base: DataFrame,
       deltaSubset: Seq[String]): DataFrame = {
     val key = s.summary("mor_key")
+    val all = base
+      .withColumn("__op", lit(null).cast("string"))
+      .withColumn("__seq", lit(0L))
+      .unionByName(deltaFrame(s, deltaSubset))
+    Merge.dedupLatest(all, key, "__seq")
+      .filter(coalesce(col("__op") =!= "d", lit(true)))
+      .drop("__op", "__seq")
+  }
+
+  /** The delta chain as one frame — snapshot schema plus `__op` (Debezium
+    * op / null) and `__seq` (position in the chain, 1-based). Shared by
+    * read-time resolution and bucket-partial compaction. */
+  private def deltaFrame(s: Snapshot, deltaSubset: Seq[String]): DataFrame = {
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     val deltaSchema = StructType(st.fields :+
       org.apache.spark.sql.types.StructField("__op",
@@ -151,16 +164,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       element_at(typedLit(seqByDir),
         regexp_extract(input_file_name(), ".*/data/(.+)/[^/]+$", 1)),
       lit(0L))
-    val deltas = spark.read.schema(deltaSchema)
+    spark.read.schema(deltaSchema)
       .parquet(deltaSubset.map(d => root.resolve(d).toString): _*)
       .withColumn("__seq", seqExpr)
-    val all = base
-      .withColumn("__op", lit(null).cast("string"))
-      .withColumn("__seq", lit(0L))
-      .unionByName(deltas)
-    Merge.dedupLatest(all, key, "__seq")
-      .filter(coalesce(col("__op") =!= "d", lit(true)))
-      .drop("__op", "__seq")
   }
 
   /** Time-travel read. Throws on unknown snapshot id. */
@@ -1148,11 +1154,55 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * thousands of small files. Old dirs become unreferenced and are GC'd
    * when their manifests expire.
    */
+  /**
+   * Fold the merge-on-read delta chain back into base files.
+   *
+   * On a bucketed table whose bucket key IS the MOR key, compaction is a
+   * PARTIAL rewrite: the chain is resolved to one winning row per key
+   * (latest sequence; tombstones delete), and only the base buckets those
+   * keys hash into are merged and rewritten — the others carry forward
+   * untouched, files, manifest records and stats alike. This is what makes
+   * compaction affordable at scale: a chain of micro-batches touches the
+   * buckets its keys land in, not the table — a 100 TB table with a 1%-hot
+   * key space compacts 1% of its bytes, where the full-rewrite fallback
+   * would move all of them.
+   *
+   * Falls back to the full resolve-and-rewrite when the table is not
+   * bucketed by the MOR key (delta rows then cannot be mapped to base
+   * buckets without consulting every base row) or any base dir predates
+   * bucketing. With no pending deltas it stays the full rewrite on
+   * purpose: "compact" then means file consolidation — folding the
+   * small-file debt of many appends into one sized dir.
+   */
   def compact(): Snapshot = {
-    val head = log.latest()
-    require(head.isDefined, s"table $name has no snapshots")
-    commitRewrite(readResolved(head.get), "compact", batchKey = None,
-      parent = head.map(_.snapshotId))
+    val headOpt = log.latest()
+    require(headOpt.isDefined, s"table $name has no snapshots")
+    val head = headOpt.get
+    bucketSpec match {
+      case Some((bk, n)) if head.deltaDirs.nonEmpty &&
+          head.summary.get("mor_key").contains(bk) &&
+          head.dataDirs.forall(d => bucketOfDir(d).isDefined) =>
+        // Resolve the chain ONCE (latest __seq per key, one window over
+        // delta rows only — base never enters), then merge the winners
+        // into their buckets; Merge.merge skips its own dedup
+        // (preDeduped) and applies winning tombstones as deletes. The
+        // resolved set is cached across its two references (bucket
+        // pre-pass materializes it, the merge reads it back) — bounded by
+        // the chain, i.e. compactEvery micro-batches.
+        val resolved = Merge.dedupLatest(
+            deltaFrame(head, head.deltaDirs), bk, "__seq").drop("__seq")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          commitBucketedMerge(resolved, bk, n, "compact",
+            (t, u, hint) => Merge.merge(t, u, bk, None, Some("__op"),
+              broadcastUpdates = true, updatesRowsHint = hint,
+              preDeduped = true),
+            batchKey = None)
+        } finally resolved.unpersist(blocking = false)
+      case _ =>
+        commitRewrite(readResolved(head), "compact", batchKey = None,
+          parent = Some(head.snapshotId))
+    }
   }
 
   // ----------------------------------------------------------------- diff

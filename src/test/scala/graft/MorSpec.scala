@@ -37,6 +37,45 @@ class MorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bucketed compaction rewrites only touched buckets; tombstones apply") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor-pc-").resolve("t"), "t")
+    t.overwriteBucketed(orders, "o_orderkey", 8)
+    val before = t.log.latest().get.dataDirs.toSet
+    // A handful of keys → at most that many touched buckets; one delete.
+    val hot = Seq(1L, 2L, 3L)
+    val upd = orders.filter(col("o_orderkey").isin(hot: _*))
+      .withColumn("o_totalprice", col("o_totalprice") + 111)
+    t.upsertDeferred(upd, "o_orderkey")
+    t.upsertDeferred(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("op", lit("d")), "o_orderkey", opCol = Some("op"))
+    assert(t.log.latest().get.deltaDirs.size == 2)
+
+    val c = t.compact()
+    assert(c.operation == "compact" && c.deltaDirs.isEmpty)
+    val after = c.dataDirs.toSet
+    val carried = before.intersect(after)
+    val rewritten = after -- before
+    // 4 distinct keys hash into at most 4 of 8 buckets; the rest carry
+    // forward verbatim — dir names unchanged, no rewrite.
+    assert(rewritten.size <= 4,
+      s"at most 4 buckets may be rewritten, got ${rewritten.size}")
+    assert(carried.nonEmpty, "untouched buckets must carry forward as-is")
+    assert(carried.size + rewritten.size == after.size)
+
+    // Values: updates applied, tombstone deleted, row count consistent.
+    val res = t.read()
+    assert(res.count() == orders.count() - 1)
+    assert(res.filter(col("o_orderkey") === 7L).isEmpty)
+    val bumped = res.filter(col("o_orderkey").isin(hot: _*))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head.getDecimal(0)
+    val want = upd.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(bumped == want)
+    // Manifest bookkeeping: records match, MOR markers cleared.
+    assert(c.summary("records").toLong == orders.count() - 1)
+    assert(!c.summary.contains("mor_key"))
+  }
+
   test("deferred upserts leave base dirs untouched; reads resolve; compact folds") {
     val t = new GraftTable(spark, TestSpark.tmpDir("mor-").resolve("t"), "t")
     val v1 = t.overwrite(orders)
