@@ -194,6 +194,13 @@ object Bench {
     // one untimed warm-up merge absorbs the one-time codegen/JIT compile a
     // resident service amortizes; each timed merge then does every piece of
     // real per-batch work (scan, dedup, anti-join, bucketed write, commit).
+    // Ambient-load brackets for the TABLE-LEVEL merge/MOR sections too:
+    // this round's local validation read mor_rows_per_sec at 45k (waves
+    // 2.2/2.2/2.3/2.5/0.77s — four loaded waves, one quiet) on code that
+    // measures ~130k end-to-end seconds later in the same run, and only
+    // the CDC sections carried brackets to prove the co-tenant ramp.
+    val tblCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    tblCalib("before_table_merge_ms") = calibMtMs()
     var mergeWaves: Seq[Double] = Seq.empty
     val mergeThroughput =
       try {
@@ -224,6 +231,7 @@ object Bench {
 
     // Merge-on-read ingest throughput: the same 100k batch as a DELTA
     // append (no base rewrite) — the fast-ingest path's headline number.
+    tblCalib("before_table_mor_ms") = calibMtMs()
     var morWaves: Seq[Double] = Seq.empty
     val morThroughput =
       try {
@@ -508,7 +516,9 @@ object Bench {
     val calibEnd = calibMs()
     val calibMtEnd = calibMtMs()
     val calib = s"""{"start_ms":${jnum(calibStart)},"end_ms":${jnum(calibEnd)},"mt_start_ms":${jnum(calibMtStart)},"mt_end_ms":${jnum(calibMtEnd)}}"""
-    val cdcCalibJson = cdcCalib
+    // (No after_table_mor bracket: the CDC section's before_cow reading
+    // lands immediately after the table-level MOR waves and covers it.)
+    val cdcCalibJson = (tblCalib ++ cdcCalib)
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout

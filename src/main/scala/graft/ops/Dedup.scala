@@ -665,4 +665,119 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  // ---------------------------------------------- duplicate n-gram spans
+
+  /**
+   * Every n-token window of every document as (id, window index, 64-bit
+   * window hash, doc token count). Documents shorter than `n` tokens
+   * contribute ONE window (the whole token stream) at index 0 — the same
+   * fallback the shingle family uses, so a short document duplicated
+   * verbatim is still detectable.
+   */
+  private def windowHashes(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        size(tokens(col(textCol))).cast("long").as("__nt"),
+        posexplode(graft.plans.ShingleHashesExpr.shingleHashes(
+          tokens(col(textCol)), n)).as(Seq("__pos", "__h")))
+
+  /** Merge flagged windows (id, pos, end) into maximal spans per document:
+    * classic gaps-and-islands over the window start positions — a new
+    * island starts where a window begins past the running max end of
+    * everything before it. Two window passes plus one aggregation, all
+    * partitioned by document id; only the flagged subset shuffles. */
+  private def mergeSpans(flagged: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("__id").orderBy("__pos")
+    val runEnd = max(col("__end"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__brk",
+        when(col("__pos") > coalesce(runEnd, lit(-1L)), lit(1L)).otherwise(lit(0L)))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__pos")).as("span_start"), max(col("__end")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /**
+   * Cross-document duplicate n-gram span detection — substring-granularity
+   * exact dedup in the style of "Deduplicating Training Data Makes Language
+   * Models Better" (Lee et al., ACL 2022), at token-window resolution:
+   * every `n`-token window is hashed ([[graft.plans.ShingleHashesExpr]],
+   * one codegen'd pass per document); a window is DUPLICATED when its hash
+   * occurs in at least `minDocs` distinct documents; per document,
+   * overlapping duplicated windows merge into maximal half-open spans
+   * `[span_start, span_end)` in token coordinates.
+   *
+   * Returns one row per merged span: (id, span_start, span_end, n_windows).
+   *
+   * Scale shape: the documents themselves never shuffle. The document-
+   * frequency count shuffles only distinct (hash, id) pairs — 16 bytes per
+   * window; the span merge shuffles only the FLAGGED windows (typically a
+   * small fraction of the corpus) partitioned by document id. Window
+   * equality is 64-bit-hash equality, exact modulo xxhash64 collisions —
+   * the same trade every hash-keyed operator here makes.
+   */
+  def dupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, "need n > 0 and minDocs >= 2")
+    val win = windowHashes(docs, idCol, textCol, n)
+    val dupHashes = win.select("__h", "__id").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs).select("__h")
+    val flagged = win.join(dupHashes, "__h")
+      .select(col("__id"), col("__pos").cast("long").as("__pos"),
+        least(col("__pos") + n, col("__nt")).as("__end"))
+    mergeSpans(flagged, idCol)
+  }
+
+  /**
+   * Remove duplicated spans, keeping ONE copy corpus-wide: for each
+   * duplicated window hash the document with the MINIMUM id keeps its
+   * occurrences; every other document's occurrences are removed. Per
+   * document the removal windows merge into maximal spans ([[dupSpans]]
+   * algebra) and the surviving tokens are re-joined with single spaces —
+   * so `clean_text` is the normalized (lowercased, whitespace-collapsed)
+   * token stream minus removed spans, for EVERY document, span-stripped
+   * or not.
+   *
+   * Returns (id, clean_text). The span subtraction is a map-side
+   * higher-order filter against the document's own (joined) span list —
+   * token text never shuffles; only spans (small) move to their documents.
+   */
+  def stripDupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, "need n > 0 and minDocs >= 2")
+    val win = windowHashes(docs, idCol, textCol, n)
+    // Keeper = min id per duplicated hash: that document's occurrences
+    // stay; removal set = flagged windows of every OTHER document.
+    val keepers = win.select("__h", "__id").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"), min("__id").as("__keep"))
+      .filter(col("__df") >= minDocs).select("__h", "__keep")
+    val removal = win.join(keepers, "__h")
+      .filter(!(col("__id") <=> col("__keep")))
+      .select(col("__id"), col("__pos").cast("long").as("__pos"),
+        least(col("__pos") + n, col("__nt")).as("__end"))
+    val spans = mergeSpans(removal, idCol)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left").select(col(idCol),
+      array_join(filter(tokens(col(textCol)), (t, i) =>
+        !exists(coalesce(col("__spans"),
+            array().cast("array<struct<span_start:bigint,span_end:bigint>>")),
+          s => i.cast("long") >= s("span_start") && i.cast("long") < s("span_end"))),
+        " ").as("clean_text"))
+  }
 }

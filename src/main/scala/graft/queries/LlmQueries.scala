@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cluster, Dedup, KMeans, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cluster, Dedup, Importance, KMeans, Multimodal, Similarity, TextAnalysis}
 import Q._
 
 /**
@@ -94,6 +94,19 @@ object LlmQueries {
     "d_dup_groups" -> ((s, d) =>
       Dedup.exactDupGroups(withExactDups(s, d), "doc_id", "text")
         .select("canonical_id", "dup_count")),
+
+    // Cross-document duplicate 8-token-window spans (substring-granularity
+    // dedup, Lee et al. 2022): planted full-copy docs guarantee full-doc
+    // spans; natural near-dups contribute partial ones. Window identity is
+    // the 64-bit window hash engine-side, the gram string oracle-side.
+    "d_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(withExactDups(s, d), "doc_id", "text", n = 8)),
+
+    // Keep-one span stripping: for each duplicated window the min-id doc
+    // keeps its occurrence; other docs lose theirs, merged into spans and
+    // subtracted from the normalized token stream.
+    "d_strip_spans" -> ((s, d) =>
+      Dedup.stripDupSpans(withExactDups(s, d), "doc_id", "text", n = 8)),
 
     // Exact shingle-Jaccard near-dup pairs (small-scale verification path).
     "d_jaccard_pairs" -> ((s, d) =>
@@ -322,6 +335,17 @@ object LlmQueries {
     // Corpus-wide top-50 bigrams (vocabulary / boilerplate mining).
     "x_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
+
+    // DSIR importance resampling (Xie et al. 2023): top-100 documents by
+    // unigram+bigram importance weight against the English subset as the
+    // target distribution. Rank and id leave the plan; the float weight
+    // orders (rounded to 6 decimals against cross-engine ulp noise) but
+    // never leaves, so DuckDB recomputes the selection exactly.
+    "x_dsir_topk" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Importance.dsirTopK(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = 100)
+    }),
 
     // Per-doc top-5 TF-IDF terms; the output is int/string-only (the
     // float weight orders but never leaves the plan), so DuckDB
@@ -590,7 +614,76 @@ object LlmQueries {
     Multimodal.asMediaTable(payload, "doc_id", "png", "src")
   }
 
+  // Shared DuckDB CTE for the duplicate-span oracles: the planted-copy
+  // corpus, its 8-token windows with start positions (short docs fall back
+  // to one whole-token-stream window at 0, the token-joined twin of the
+  // engine's hash-chain fallback), and the per-window end = min(pos+8, nt).
+  // Window identity is the gram STRING here where the engine uses the
+  // 64-bit window hash — equal flag sets modulo xxhash64 collisions, the
+  // same trade every hash-keyed oracle in this file makes.
+  private val spanWinCte =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+      |tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM all_docs),
+      |win AS (SELECT doc_id, len(ts) AS nt,
+      |    unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+      |      ELSE list_transform(range(0, len(ts) - 7),
+      |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) END) AS gram,
+      |    unnest(CASE WHEN len(ts) < 8 THEN [CAST(0 AS BIGINT)] ELSE range(0, len(ts) - 7) END) AS pos
+      |  FROM tok),
+      |""".stripMargin
+
+  // Gaps-and-islands span merge over a flagged-window CTE named `fl`
+  // (doc_id, pos, e): island breaks where a window starts past the running
+  // max end; spans = per-island min start / max end.
+  private val spanMergeSql =
+    """brk AS (SELECT doc_id, pos, e,
+      |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+      |  FROM fl),
+      |isl AS (SELECT doc_id, pos, e, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d_dup_spans" ->
+      (spanWinCte +
+        """dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM win GROUP BY gram) WHERE df >= 2),
+          |fl AS (SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, CAST(least(w.pos + 8, w.nt) AS BIGINT) AS e
+          |       FROM win w JOIN dup USING (gram)),
+          |""".stripMargin + spanMergeSql +
+        """SELECT doc_id, min(pos) AS span_start, max(e) AS span_end, CAST(count(*) AS BIGINT) AS n_windows
+          |FROM isl GROUP BY doc_id, island""".stripMargin),
+    "d_strip_spans" ->
+      (spanWinCte +
+        """keep AS (SELECT gram, min(doc_id) AS keeper FROM win GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          |fl AS (SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, CAST(least(w.pos + 8, w.nt) AS BIGINT) AS e
+          |       FROM win w JOIN keep USING (gram) WHERE w.doc_id <> keep.keeper),
+          |""".stripMargin + spanMergeSql +
+        """, spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2 FROM isl GROUP BY doc_id, island),
+          |toks AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(0, len(ts))) AS p FROM tok),
+          |kept AS (SELECT t.doc_id, t.tk, t.p FROM toks t
+          |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+          |           WHERE sp.doc_id = t.doc_id AND t.p >= sp.s AND t.p < sp.e2))
+          |SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+          |FROM all_docs d LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
+          |                           FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
+    "x_dsir_topk" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |feat AS (SELECT doc_id, lang, unnest(list_concat(ts,
+        |    CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]) END)) AS f
+        |  FROM tok),
+        |rawc AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM feat GROUP BY f),
+        |tgtc AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM feat WHERE lang = 'en' GROUP BY f),
+        |j AS (SELECT rawc.f, cr, coalesce(ct, 0) AS ct FROM rawc LEFT JOIN tgtc USING (f)),
+        |tot AS (SELECT sum(cr) AS r, sum(ct) AS t, count(*) AS v FROM j),
+        |lr AS (SELECT f, ln((ct + 1.0) / CAST(t + v AS DOUBLE)) - ln((cr + 1.0) / CAST(r + v AS DOUBLE)) AS lr
+        |       FROM j CROSS JOIN tot),
+        |w AS (SELECT feat.doc_id, sum(lr) AS w FROM feat JOIN lr USING (f) GROUP BY feat.doc_id)
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY round(w, 6) DESC, doc_id) AS INT) AS rank
+        |FROM w ORDER BY rank LIMIT 100""".stripMargin,
     // Oracles group by normalized text (not by the planted-copy pattern)
     // so natural duplicates in the corpus are handled identically to the
     // engine — the sf0.1 corpus contains a few.

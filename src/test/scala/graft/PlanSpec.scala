@@ -116,6 +116,44 @@ class PlanSpec extends AnyFunSuite {
       assert(!in.contains("text#"), s"text must never shuffle: $in"))
   }
 
+  test("duplicate-span detection shuffles window hashes, never document text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val spans = graft.ops.Dedup.dupSpans(docs, "doc_id", "text", n = 8)
+    val fmt = spans.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = fmt.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, s"expected shuffles in:\n$fmt")
+    exchangeInputs.foreach(in =>
+      assert(!in.contains("text#"), s"text must never shuffle: $in"))
+  }
+
+  test("DSIR selection hashes features before any shuffle and top-ks without a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val top = graft.ops.Importance.dsirTopK(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 10)
+    val fmt = top.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = fmt.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.nonEmpty, s"expected shuffles in:\n$fmt")
+    // Feature strings are replaced by their xxhash64 before the count
+    // aggregations, so no exchange carries the raw feature or the text —
+    // every shuffled key is 8 bytes.
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("text#"), s"text must never shuffle: $in")
+      assert(!in.contains("__fs#"), s"raw feature strings must never shuffle: $in")
+    }
+    assert(fmt.contains("TakeOrderedAndProject"),
+      s"the k-selection must be TakeOrderedAndProject, not a global sort:\n$fmt")
+  }
+
   test("chunking and splitting are map-side only until their terminal agg") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def fmt(df: org.apache.spark.sql.DataFrame): String =
