@@ -47,6 +47,32 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /**
+   * WHERE a document overlaps the benchmark, not just whether: corpus
+   * n-token windows matching any benchmark window, merged into maximal
+   * `[span_start, span_end)` token spans per document ([[Dedup.mergeSpans]]
+   * algebra). The review surface for a decontamination pass — a doc with a
+   * one-line benchmark quote carries one small span; a wholesale copy
+   * carries a full-doc span. Same scale shape as [[contaminationHits]]:
+   * only 64-bit window hashes join; the flagged subset alone shuffles by
+   * doc for the merge.
+   */
+  def contaminationSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    val win = Dedup.windowHashes(corpus, idCol, textCol, n)
+    val benchHashes = benchmark.select(
+      explode(graft.plans.ShingleHashesExpr.shingleHashes(
+        tokens(col(textCol)), n)).as("__h")).distinct()
+    val flagged = win.join(benchHashes, "__h")
+      .select(col("__id"), col("__pos").cast("long").as("__pos"),
+        least(col("__pos") + n, col("__nt")).as("__end"))
+    Dedup.mergeSpans(flagged, idCol)
+  }
+
   /** Corpus minus contaminated documents (anti join on the hit set). */
   def decontaminate(
       corpus: DataFrame,

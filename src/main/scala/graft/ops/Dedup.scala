@@ -675,7 +675,7 @@ object Dedup {
    * fallback the shingle family uses, so a short document duplicated
    * verbatim is still detectable.
    */
-  private def windowHashes(
+  private[ops] def windowHashes(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("__id"),
         size(tokens(col(textCol))).cast("long").as("__nt"),
@@ -687,7 +687,7 @@ object Dedup {
     * island starts where a window begins past the running max end of
     * everything before it. Two window passes plus one aggregation, all
     * partitioned by document id; only the flagged subset shuffles. */
-  private def mergeSpans(flagged: DataFrame, idCol: String): DataFrame = {
+  private[ops] def mergeSpans(flagged: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("__id").orderBy("__pos")
     val runEnd = max(col("__end"))

@@ -78,6 +78,74 @@ object Importance {
       .join(logRatios(raw, target, textCol), "__f")
       .groupBy(col("__id").as(idCol)).agg(sum("__lr").as("dsir_log_weight"))
 
+  /** (prev-token, bigram-string) pairs of a text column — the unit the
+    * bigram LM conditions on. Documents with fewer than two tokens have
+    * no bigrams (empty array; NO whole-text fallback here — an LM score
+    * over zero events is undefined, and such docs simply drop out). */
+  private[ops] def bigramPairs(text: Column): Column = {
+    val t = Dedup.tokens(text)
+    when(size(t) < 2, array().cast("array<struct<prev:string,big:string>>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("prev"),
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("big"))))
+  }
+
+  /**
+   * Bigram-LM fluency scores under a REFERENCE corpus — the CCNet-style
+   * perplexity filter (Wenzek et al., LREC 2020), with an exactly-
+   * recomputable add-one-smoothed bigram model standing in for KenLM:
+   *
+   *   logP(d) = Σ_{i≥1} ln (c_ref(w_{i-1} w_i) + 1) / (c_ref(w_{i-1}) + V)
+   *
+   * where V is the reference's distinct-unigram count. Returns
+   * (id, n_bigrams, lm_log_prob, mean_log_prob); documents with fewer
+   * than two tokens are absent (no bigram events to score).
+   *
+   * Scale shape mirrors [[dsirLogWeights]]: every join key is a 64-bit
+   * xxhash64 (bigram and prev-unigram hashed at extraction), the
+   * reference count tables aggregate with map-side partials, the scalar
+   * vocabulary size broadcasts, and one groupBy on the doc id closes.
+   */
+  def bigramLmScores(
+      raw: DataFrame, reference: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docSide = raw.select(col(idCol).as("__id"),
+        explode(bigramPairs(col(textCol))).as("__p"))
+      .select(col("__id"), xxhash64(col("__p.prev")).as("__hu"),
+        xxhash64(col("__p.big")).as("__hb"))
+    val uniCnt = reference
+      .select(explode(Dedup.tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("__hu"))
+      .groupBy("__hu").agg(count(lit(1)).as("__cu"))
+    val bigCnt = reference
+      .select(explode(bigramPairs(col(textCol))).as("__p"))
+      .select(xxhash64(col("__p.big")).as("__hb"))
+      .groupBy("__hb").agg(count(lit(1)).as("__cb"))
+    val vocab = uniCnt.agg(count(lit(1)).as("__V"))
+    docSide.join(bigCnt, Seq("__hb"), "left").join(uniCnt, Seq("__hu"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        log((coalesce(col("__cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("__cu"), lit(0L)) + col("__V")).cast("double")).as("__lp"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("lm_log_prob"))
+      .withColumn("mean_log_prob", col("lm_log_prob") / col("n_bigrams"))
+  }
+
+  /** Top-k most-fluent documents under the reference bigram LM as
+    * (id, rank) — mean per-bigram log-prob ordering, same cross-engine
+    * discipline as [[dsirTopK]] (rounded float orders, never leaves). */
+  def bigramLmTopK(
+      raw: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = bigramLmScores(raw, reference, idCol, textCol)
+      .select(col(idCol), round(col("mean_log_prob"), 6).as("__wr"))
+    val top = w.orderBy(col("__wr").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("__wr").desc, col(idCol))))
+      .select(col(idCol), col("rank"))
+  }
+
   /**
    * Top-k raw documents by DSIR weight as (id, rank) — the resampling
    * step's selection, with the float weight kept INSIDE the plan (it

@@ -35,6 +35,16 @@ object CurationQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // WHERE the contamination sits: benchmark-overlap windows merged into
+    // per-doc token spans (the review surface behind the x_decontam flag).
+    "x_decontam_spans" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.contaminationSpans(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // Deterministic content-hash split (~80/10/10 by md5 prefix).
     "x_split" -> ((s, d) =>
       Curation.withSplit(tbl(s, d, "documents"), "text")
@@ -213,6 +223,28 @@ object CurationQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_decontam_spans" ->
+      (tokCte +
+        """,win AS (SELECT doc_id, len(ts) AS nt,
+          |    unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+          |      ELSE list_transform(range(0, len(ts) - 4),
+          |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')) END) AS gram,
+          |    unnest(CASE WHEN len(ts) < 5 THEN [CAST(0 AS BIGINT)] ELSE range(0, len(ts) - 4) END) AS pos
+          |  FROM tok WHERE doc_id % 5 <> 0),
+          |bench AS (SELECT DISTINCT
+          |    unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+          |      ELSE list_transform(range(0, len(ts) - 4),
+          |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')) END) AS gram
+          |  FROM tok WHERE doc_id % 5 = 0),
+          |fl AS (SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, CAST(least(w.pos + 5, w.nt) AS BIGINT) AS e
+          |       FROM win w JOIN bench USING (gram)),
+          |brk AS (SELECT doc_id, pos, e,
+          |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+          |  FROM fl),
+          |isl AS (SELECT doc_id, pos, e, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk)
+          |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end, CAST(count(*) AS BIGINT) AS n_windows
+          |FROM isl GROUP BY doc_id, island""".stripMargin),
     "x_decontam" ->
       (tokCte +
         """,g AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]

@@ -347,6 +347,16 @@ object LlmQueries {
         "doc_id", "text", k = 100)
     }),
 
+    // CCNet-style perplexity filtering: top-100 most-fluent documents
+    // under an add-one-smoothed bigram LM built from the English subset.
+    // Same cross-engine discipline as x_dsir_topk: rank+id leave the
+    // plan, the float mean log-prob only orders.
+    "x_lm_topk" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Importance.bigramLmTopK(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = 100)
+    }),
+
     // Per-doc top-5 TF-IDF terms; the output is int/string-only (the
     // float weight orders but never leaves the plan), so DuckDB
     // recomputes it exactly.
@@ -669,6 +679,24 @@ object LlmQueries {
           |SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
           |FROM all_docs d LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
           |                           FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
+    "x_lm_topk" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |big AS (SELECT doc_id, lang,
+        |    unnest(CASE WHEN len(ts) < 2 THEN [] ELSE ts[1:len(ts)-1] END) AS prev,
+        |    unnest(CASE WHEN len(ts) < 2 THEN [] ELSE list_transform(range(1, len(ts)),
+        |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]) END) AS bg
+        |  FROM tok),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM
+        |    (SELECT unnest(ts) AS w FROM tok WHERE lang = 'en') GROUP BY w),
+        |bigc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM big WHERE lang = 'en' GROUP BY bg),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |sc AS (SELECT b.doc_id,
+        |    sum(ln((coalesce(cb, 0) + 1.0) / CAST(coalesce(cu, 0) + v AS DOUBLE))) AS s,
+        |    count(*) AS nb
+        |  FROM big b LEFT JOIN bigc USING (bg) LEFT JOIN uni ON b.prev = uni.w CROSS JOIN v
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(row_number() OVER (ORDER BY round(s / nb, 6) DESC, doc_id) AS INT) AS rank
+        |FROM sc ORDER BY rank LIMIT 100""".stripMargin,
     "x_dsir_topk" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
         |feat AS (SELECT doc_id, lang, unnest(list_concat(ts,

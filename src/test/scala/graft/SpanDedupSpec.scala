@@ -73,6 +73,40 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(1L).nonEmpty && out(2L) == "")
   }
 
+  test("contaminationSpans localizes the benchmark overlap inside the doc") {
+    val corpus = Seq(
+      (1L, s"intro words here $boiler closing remarks follow"),
+      (2L, "completely unrelated content with no benchmark overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, boiler)).toDF("doc_id", "text")
+    val spans = graft.ops.Curation.contaminationSpans(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // boiler (12 tokens) sits at tokens [3, 15): 5-windows 3..10 merge.
+    assert(spans == Set((1L, 3L, 15L)))
+  }
+
+  test("bigram LM ranks reference-like prose above unseen-vocabulary docs") {
+    val raw = Seq(
+      (1L, "the cat sat on the mat and the dog sat too"),
+      (2L, "the cat sat on the mat quietly today"),
+      (3L, "zq wv xk jh qp zzkw vvnm hjkl qwer")
+    ).toDF("doc_id", "text")
+    val ref = raw.filter($"doc_id" === 1L)
+    val scores = Importance.bigramLmScores(raw, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("mean_log_prob")).toMap
+    assert(scores(2L) > scores(3L), s"reference-like doc must score higher: $scores")
+    val top = Importance.bigramLmTopK(raw, ref, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2).map(_._1)
+    assert(top.head == 1L, s"the reference doc itself is most fluent: ${top.toSeq}")
+  }
+
+  test("bigram LM: sub-2-token docs have no score rows") {
+    val raw = Seq((1L, "single"), (2L, "two tokens here")).toDF("doc_id", "text")
+    val ids = Importance.bigramLmScores(raw, raw, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L))
+  }
+
   test("dsir: target-vocabulary docs outweigh disjoint-vocabulary docs") {
     val raw = Seq(
       (1L, "physics energy quantum field theory lattice gauge symmetry"),
