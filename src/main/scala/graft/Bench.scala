@@ -32,7 +32,10 @@ object Bench {
   private val curation =
     Seq("d_cluster_cc", "x_decontam", "x_chunks", "x_split", "x_repetition",
       "x_line_dedup", "x_url_canon", "x_pack", "x_oov", "m_image_decode",
-      "m_video_decode", "m_audio_dedup", "m_video_dedup")
+      "m_video_decode", "m_audio_dedup", "m_video_dedup",
+      // round 10: substring-span dedup and the reference-distribution
+      // scorers (DSIR + bigram-LM fluency).
+      "d_dup_spans", "x_dsir_topk", "x_lm_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -148,6 +148,21 @@ object ScaleProbe {
         graft.ops.Curation.packSequences(c, "doc_id", "text",
           budget = 256, shards = 64).count()
       }
+      probe("d_dup_spans", f) { c =>
+        // Window df + flagged-subset span merge: shuffled bytes must stay
+        // ~linear in corpus size (only (hash, id) pairs and the flagged
+        // windows move), and the time exponent well under 1.
+        graft.ops.Dedup.dupSpans(
+          c.unionByName(c.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000000L)),
+          "doc_id", "text", n = 8).count()
+      }
+      probe("x_dsir", f) { c =>
+        // Reference-distribution scoring: two count aggs + one doc-feature
+        // join, every key an 8-byte hash. The target subset scales with f.
+        graft.ops.Importance.dsirTopK(c,
+          c.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 100).count()
+      }
       probe("x_line_dedup", f) { c =>
         // The gate entry's construction (CurationQueries x_line_dedup):
         // 8-token windows re-joined to multi-line docs, then the corpus

@@ -80,14 +80,18 @@ object Importance {
 
   /** (prev-token, bigram-string) pairs of a text column — the unit the
     * bigram LM conditions on. Documents with fewer than two tokens have
-    * no bigrams (empty array; NO whole-text fallback here — an LM score
-    * over zero events is undefined, and such docs simply drop out). */
+    * no bigrams (empty arrays zip to empty; NO whole-text fallback here —
+    * an LM score over zero events is undefined, and such docs simply drop
+    * out). Constant number of tokenize passes per row: prevs by one
+    * slice, bigrams by the codegen'd single-pass shingle expression — a
+    * per-element lambda over the tokens subtree would be O(m²) ([[
+    * graft.plans.WordShinglesExpr]]). */
   private[ops] def bigramPairs(text: Column): Column = {
     val t = Dedup.tokens(text)
-    when(size(t) < 2, array().cast("array<struct<prev:string,big:string>>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("prev"),
-          concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("big"))))
+    val prevs = slice(t, lit(1), size(t) - 1)
+    val bigs = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(graft.plans.WordShinglesExpr.shingles(t, 2))
+    arrays_zip(prevs.as("prev"), bigs.as("big"))
   }
 
   /**

@@ -213,6 +213,92 @@ object ShingleHashesExpr {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), ngram))
 }
 
+/**
+ * Codegen'd n-gram shingle STRINGS: token array → one space-joined string
+ * per n-gram window, in a single generated pass. The higher-order-function
+ * formulation (`transform(sequence(...), i => array_join(slice(tokens, ...)))`)
+ * re-evaluates the whole `tokens` subtree — regexp normalize + split — for
+ * EVERY element, making shingling O(m²) in document length; measured 15s
+ * for one corpus pass at sf0.1 where this expression does it in well under
+ * a second. Fewer than `ngram` tokens yield ONE whole-stream window (the
+ * same fallback [[ShingleHashesExpr]] hashes); callers that want a
+ * different short-document identity branch before calling.
+ */
+case class WordShinglesExpr(child: Expression, ngram: Int) extends UnaryExpression {
+
+  require(ngram > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val tk = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { tk(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
+    val nsh = if (m < ngram) 1 else m - ngram + 1
+    val sh = new Array[AnyRef](nsh)
+    if (m < ngram) sh(0) = UTF8String.concatWs(space, tk: _*)
+    else {
+      var j = 0
+      while (j < nsh) {
+        sh(j) = UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(tk, j, j + ngram): _*)
+        j += 1
+      }
+    }
+    new GenericArrayData(sh)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val gad = classOf[GenericArrayData].getName
+      val sep = ctx.addReferenceObj("shingleSep", space, utf8)
+      val m = ctx.freshName("m")
+      val tk = ctx.freshName("tk")
+      val nsh = ctx.freshName("nsh")
+      val sh = ctx.freshName("sh")
+      s"""
+         |final int $m = $c.numElements();
+         |final $utf8[] $tk = new $utf8[$m];
+         |for (int i = 0; i < $m; i++) {
+         |  $tk[i] = $c.isNullAt(i) ? null : $c.getUTF8String(i);
+         |}
+         |final int $nsh = ($m < $ngram) ? 1 : $m - $ngram + 1;
+         |final Object[] $sh = new Object[$nsh];
+         |if ($m < $ngram) {
+         |  $sh[0] = $utf8.concatWs($sep, $tk);
+         |} else {
+         |  for (int j = 0; j < $nsh; j++) {
+         |    $sh[j] = $utf8.concatWs($sep,
+         |      java.util.Arrays.copyOfRange($tk, j, j + $ngram));
+         |  }
+         |}
+         |${ev.value} = new $gad($sh);
+       """.stripMargin
+    })
+}
+
+object WordShinglesExpr {
+  /** Column wrapper: `shingles(tokensCol, n)`. */
+  def shingles(tokens: Column, ngram: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(tokens), ngram))
+}
+
 object MinHashSignatureExpr {
 
   /** Deterministic permutation constants (odd multipliers), fixed seed. */
