@@ -45,6 +45,23 @@ object CurationQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // Model-based quality filtering machinery (fasttext-style): logistic
+    // regression over hashed n-gram features, trained by in-engine
+    // Adagrad GD on the md5 train slice against a deterministic probe
+    // label (docs with >= 2 'the' tokens — balanced AND exactly linear in
+    // the feature space via the reciprocal-length meta feature, so the
+    // held-out gate measures the TRAINING machinery, not corpus
+    // semantics the synthetic data doesn't have). Split/class sizes are
+    // exactly reproducible integers; accuracy/separation leave the plan
+    // only as margin-robust booleans (float sums are order-sensitive).
+    "x_quality_clf" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val lbl = size(filter(graft.ops.Dedup.tokens(col("text")),
+        t => t === "the")) >= 2
+      graft.ops.QualityClassifier.trainEval(docs, "doc_id", "text", lbl,
+        numBuckets = 512, iters = 60, lr = 8.0, l2 = 1e-4)
+    }),
+
     // Deterministic content-hash split (~80/10/10 by md5 prefix).
     "x_split" -> ((s, d) =>
       Curation.withSplit(tbl(s, d, "documents"), "text")
@@ -223,6 +240,18 @@ object CurationQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_quality_clf" ->
+      """WITH lab AS (SELECT doc_id,
+        |  CASE WHEN len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    t -> t = 'the')) >= 2 THEN 1 ELSE 0 END AS y,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 1 ELSE 0 END AS tr
+        |  FROM documents)
+        |SELECT CAST(sum(tr) AS BIGINT) AS n_train,
+        |  CAST(sum(tr * y) AS BIGINT) AS n_pos_train,
+        |  CAST(sum(1 - tr) AS BIGINT) AS n_test,
+        |  CAST(sum((1 - tr) * y) AS BIGINT) AS n_pos_test,
+        |  true AS acc_ok, true AS sep_ok
+        |FROM lab""".stripMargin,
     "x_decontam_spans" ->
       (tokCte +
         """,win AS (SELECT doc_id, len(ts) AS nt,
