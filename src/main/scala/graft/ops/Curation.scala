@@ -73,6 +73,22 @@ object Curation {
     Dedup.mergeSpans(flagged, idCol)
   }
 
+  /**
+   * Surgical decontamination: remove only the benchmark-overlap spans and
+   * keep the rest of each document — the alternative to dropping whole
+   * documents ([[decontaminate]]) when the overlap is a quoted snippet
+   * inside otherwise-good text. Returns (id, clean_text) for EVERY corpus
+   * document (normalized token stream minus contaminated spans).
+   */
+  def stripContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame =
+    Dedup.subtractSpans(corpus,
+      contaminationSpans(corpus, benchmark, idCol, textCol, n), idCol, textCol)
+
   /** Corpus minus contaminated documents (anti join on the hit set). */
   def decontaminate(
       corpus: DataFrame,

@@ -793,14 +793,85 @@ object Dedup {
     val removal = flagWindows(docs, idCol, textCol, n, minDocs)
       .filter(!(col("__id") <=> col("__keep")))
       .select(col("__id"), col("__pos"), col("__end"))
-    val spans = mergeSpans(removal, idCol)
-      .groupBy(idCol)
+    subtractSpans(docs, mergeSpans(removal, idCol), idCol, textCol)
+  }
+
+  /** Tokens outside the given spans, rejoined with single spaces — the
+    * normalized clean text for EVERY document, span-stripped or not:
+    * (id, clean_text). Spans (small) join to their documents; the
+    * subtraction is a map-side indexed higher-order filter. */
+  private[ops] def subtractSpans(
+      docs: DataFrame, spans: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left").select(col(idCol),
+    docs.join(perDoc, Seq(idCol), "left").select(col(idCol),
       array_join(filter(tokens(col(textCol)), (t, i) =>
         !exists(coalesce(col("__spans"),
             array().cast("array<struct<span_start:bigint,span_end:bigint>>")),
           s => i.cast("long") >= s("span_start") && i.cast("long") < s("span_end"))),
         " ").as("clean_text"))
+  }
+
+  /**
+   * Persist the corpus's window-hash set so NEW batches can be span-checked
+   * without re-touching corpus text — the incremental form of [[dupSpans]],
+   * how substring dedup runs on a growing corpus: the corpus is scanned
+   * once; every ingest batch after that probes this table. One narrow
+   * column (the 64-bit window hash, distinct), bucketed by hash so batch
+   * probes join bucket-aligned. Growth = append the new docs' hashes
+   * ([[appendSpanState]]).
+   */
+  def persistSpanState(
+      catalog: graft.catalog.GraftCatalog,
+      name: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBuckets: Int = 64,
+      overwrite: Boolean = false): graft.table.GraftTable = {
+    val t = catalog.materialized(name, overwrite)
+    t.overwriteBucketed(
+      windowHashes(docs, idCol, textCol, n).select(col("__h").as("wh")).distinct(),
+      "wh", numBuckets)
+    t
+  }
+
+  /** Append a new batch's window hashes to the persisted state (only
+    * hashes the state does not already hold — the anti join keeps the
+    * table one-row-per-hash so probe joins never fan out). */
+  def appendSpanState(
+      state: graft.table.GraftTable,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): Unit = {
+    val fresh = windowHashes(docs, idCol, textCol, n)
+      .select(col("__h").as("wh")).distinct()
+      .join(state.read(), Seq("wh"), "left_anti")
+    state.append(fresh)
+    ()
+  }
+
+  /**
+   * Duplicate spans of a NEW batch against the persisted corpus state:
+   * batch windows whose hash exists in the state merge into maximal spans
+   * ([[mergeSpans]] algebra) — `(id, span_start, span_end, n_windows)`.
+   * Only the batch is tokenized; the state side contributes one narrow
+   * long column. Within-batch duplication is NOT flagged here (run
+   * [[dupSpans]] on the batch for that) — this is the corpus-membership
+   * check an ingest pipeline applies per batch.
+   */
+  def dupSpansIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      state: graft.table.GraftTable,
+      n: Int = 8): DataFrame = {
+    val flagged = windowHashes(batch, idCol, textCol, n)
+      .join(state.read().select(col("wh").as("__h")), Seq("__h"), "left_semi")
+      .select(col("__id"), col("__pos").cast("long").as("__pos"),
+        least(col("__pos") + n, col("__nt")).as("__end"))
+    mergeSpans(flagged, idCol)
   }
 }

@@ -62,6 +62,16 @@ object CurationQueries {
         numBuckets = 512, iters = 60, lr = 8.0, l2 = 1e-4)
     }),
 
+    // Surgical decontamination: benchmark-overlap SPANS removed, the rest
+    // of each document kept (vs x_decontam's whole-doc drop).
+    "x_decontam_strip" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.stripContamination(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // Deterministic content-hash split (~80/10/10 by md5 prefix).
     "x_split" -> ((s, d) =>
       Curation.withSplit(tbl(s, d, "documents"), "text")
@@ -252,6 +262,35 @@ object CurationQueries {
         |  CAST(sum((1 - tr) * y) AS BIGINT) AS n_pos_test,
         |  true AS acc_ok, true AS sep_ok
         |FROM lab""".stripMargin,
+    "x_decontam_strip" ->
+      (tokCte +
+        """,win AS (SELECT doc_id, len(ts) AS nt,
+          |    unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+          |      ELSE list_transform(range(0, len(ts) - 4),
+          |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')) END) AS gram,
+          |    unnest(CASE WHEN len(ts) < 5 THEN [CAST(0 AS BIGINT)] ELSE range(0, len(ts) - 4) END) AS pos
+          |  FROM tok WHERE doc_id % 5 <> 0),
+          |bench AS (SELECT DISTINCT
+          |    unnest(CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+          |      ELSE list_transform(range(0, len(ts) - 4),
+          |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')) END) AS gram
+          |  FROM tok WHERE doc_id % 5 = 0),
+          |fl AS (SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, CAST(least(w.pos + 5, w.nt) AS BIGINT) AS e
+          |       FROM win w JOIN bench USING (gram)),
+          |brk AS (SELECT doc_id, pos, e,
+          |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+          |  FROM fl),
+          |isl AS (SELECT doc_id, pos, e, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+          |spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e2 FROM isl GROUP BY doc_id, island),
+          |toks AS (SELECT doc_id, unnest(ts) AS tk, unnest(range(0, len(ts))) AS p FROM tok WHERE doc_id % 5 <> 0),
+          |kept AS (SELECT t.doc_id, t.tk, t.p FROM toks t
+          |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+          |           WHERE sp.doc_id = t.doc_id AND t.p >= sp.s AND t.p < sp.e2))
+          |SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+          |LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
+          |           FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
     "x_decontam_spans" ->
       (tokCte +
         """,win AS (SELECT doc_id, len(ts) AS nt,

@@ -171,6 +171,25 @@ object LlmQueries {
       Dedup.dedupIncremental(batch, "doc_id", "text", bt, st, minJaccard = 0.5)
     }),
 
+    // Incremental SPAN dedup against persisted corpus state: the corpus's
+    // distinct window hashes are written once (bucketed narrow table);
+    // the batch — re-ingested docs (full-overlap spans expected) plus
+    // token-reversed novel docs (no 8-run survives reversal) — probes it
+    // without re-touching corpus text.
+    "d_incr_spans" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val wh = java.nio.file.Files.createTempDirectory("graft-spanstate-")
+      wh.toFile.deleteOnExit()
+      val cat = new graft.catalog.GraftCatalog(s, wh)
+      val state = Dedup.persistSpanState(cat, "corpus_spans", docs, "doc_id", "text")
+      val dup = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val novel = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          array_join(reverse(Dedup.tokens(col("text"))), " ").as("text"))
+      Dedup.dupSpansIncremental(dup.unionByName(novel), "doc_id", "text", state)
+    }),
+
     // Near-dup CLUSTERING: connected components over the near-dup graph
     // (alternating large-star/small-star), every doc labeled with its
     // cluster's canonical (minimum) id — via the COLLAPSED path
@@ -734,6 +753,33 @@ object LlmQueries {
       (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
     "d_minhash_pairs" ->
       (jaccardCte + "SELECT id_a, id_b FROM jacs WHERE jaccard >= 0.5"),
+    "d_incr_spans" ->
+      """WITH ctok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |corpus AS (SELECT DISTINCT
+        |    unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_transform(range(0, len(ts) - 7),
+        |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) END) AS gram
+        |  FROM ctok),
+        |batch AS (
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, array_to_string(list_reverse(ts), ' ') FROM ctok WHERE doc_id % 7 = 0),
+        |tok AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM batch),
+        |win AS (SELECT doc_id, len(ts) AS nt,
+        |    unnest(CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_transform(range(0, len(ts) - 7),
+        |        i -> array_to_string(ts[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')) END) AS gram,
+        |    unnest(CASE WHEN len(ts) < 8 THEN [CAST(0 AS BIGINT)] ELSE range(0, len(ts) - 7) END) AS pos
+        |  FROM tok),
+        |fl AS (SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos, CAST(least(w.pos + 8, w.nt) AS BIGINT) AS e
+        |       FROM win w JOIN corpus USING (gram)),
+        |brk AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+        |  FROM fl),
+        |isl AS (SELECT doc_id, pos, e, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end, CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "d_incremental" ->
       """WITH bt AS (SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |ntok AS (SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM bt),

@@ -85,6 +85,36 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 3L, 15L)))
   }
 
+  test("stripContamination removes the quoted span, keeps the rest") {
+    val corpus = Seq((1L, s"intro words here $boiler closing remarks follow"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, boiler)).toDF("doc_id", "text")
+    val out = graft.ops.Curation.stripContamination(corpus, bench, "doc_id", "text", n = 5)
+      .head.getString(1)
+    assert(out == "intro words here closing remarks follow")
+  }
+
+  test("incremental span state: re-ingested docs flag, appended state extends") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-spanstate-spec-")
+    wh.toFile.deleteOnExit()
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val state = Dedup.persistSpanState(cat, "spans_spec", corpus, "doc_id", "text")
+    // Doc 1 re-ingested verbatim → full-stream span [0, 16); a reversed
+    // doc shares no 8-token run.
+    val batch = Seq(
+      (101L, s"alpha beta $boiler gamma delta"),
+      (102L, corpus.filter($"doc_id" === 3L).head.getString(1)
+        .split(" ").reverse.mkString(" "))).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansIncremental(batch, "doc_id", "text", state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((101L, 0L, 16L)))
+    // Append the reversed doc's windows; re-probing now flags it fully.
+    Dedup.appendSpanState(state, batch.filter($"doc_id" === 102L), "doc_id", "text")
+    val spans2 = Dedup.dupSpansIncremental(batch, "doc_id", "text", state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans2 == Set((101L, 0L, 16L), (102L, 0L, 12L)))
+  }
+
   test("bigram LM ranks reference-like prose above unseen-vocabulary docs") {
     val raw = Seq(
       (1L, "the cat sat on the mat and the dog sat too"),
