@@ -60,8 +60,16 @@ object Importance {
         coalesce(col("__ct"), lit(0L)).as("__ct"))
     // Totals and vocabulary size in ONE scalar row, broadcast onto the
     // vocabulary-sized ratio table (the repo's scalar-metric join shape).
+    // The in-plan assertion turns the empty-corpus case (V = 0, denominator
+    // 0) into a clear error instead of an ANSI divide-by-zero from the
+    // middle of the plan.
     val totals = joined.agg(sum("__cr").as("__R"), sum("__ct").as("__T"),
-      count(lit(1)).as("__V"))
+        count(lit(1)).as("__V"))
+      .select(col("__R"), col("__T"),
+        when(assert_true(col("__V") > 0,
+            lit("importance weighting requires non-empty corpora " +
+              "(no features found in raw/target)")).isNull,
+          col("__V")).as("__V"))
     joined.crossJoin(broadcast(totals))
       .select(col("__f"),
         (log((col("__ct") + 1).cast("double") / (col("__T") + col("__V")).cast("double"))
@@ -124,7 +132,12 @@ object Importance {
       .select(explode(bigramPairs(col(textCol))).as("__p"))
       .select(xxhash64(col("__p.big")).as("__hb"))
       .groupBy("__hb").agg(count(lit(1)).as("__cb"))
+    // Same empty-reference guard as [[logRatios]]: a clear error beats an
+    // ANSI divide-by-zero when the reference corpus has no tokens.
     val vocab = uniCnt.agg(count(lit(1)).as("__V"))
+      .select(when(assert_true(col("__V") > 0,
+          lit("bigram LM requires a non-empty reference corpus")).isNull,
+        col("__V")).as("__V"))
     docSide.join(bigCnt, Seq("__hb"), "left").join(uniCnt, Seq("__hu"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("__id"),

@@ -270,8 +270,13 @@ case class WordShinglesExpr(child: Expression, ngram: Int) extends UnaryExpressi
       val sep = ctx.addReferenceObj("shingleSep", space, utf8)
       val m = ctx.freshName("m")
       val tk = ctx.freshName("tk")
+      val win = ctx.freshName("win")
       val nsh = ctx.freshName("nsh")
       val sh = ctx.freshName("sh")
+      // One reused window buffer + arraycopy per window — deliberately NOT
+      // Arrays.copyOfRange: Janino resolves the generic copyOfRange as
+      // Object[] (no generics), the concatWs overload then fails to bind,
+      // and the whole stage silently falls back to interpreted evaluation.
       s"""
          |final int $m = $c.numElements();
          |final $utf8[] $tk = new $utf8[$m];
@@ -283,9 +288,10 @@ case class WordShinglesExpr(child: Expression, ngram: Int) extends UnaryExpressi
          |if ($m < $ngram) {
          |  $sh[0] = $utf8.concatWs($sep, $tk);
          |} else {
+         |  final $utf8[] $win = new $utf8[$ngram];
          |  for (int j = 0; j < $nsh; j++) {
-         |    $sh[j] = $utf8.concatWs($sep,
-         |      java.util.Arrays.copyOfRange($tk, j, j + $ngram));
+         |    System.arraycopy($tk, j, $win, 0, $ngram);
+         |    $sh[j] = $utf8.concatWs($sep, $win);
          |  }
          |}
          |${ev.value} = new $gad($sh);
