@@ -31,6 +31,30 @@ class EdgeCaseSpec extends AnyFunSuite {
       weights = Map.empty).count() == 0)
   }
 
+  test("empty/null corpora: the span and scoring family degrade cleanly") {
+    assert(Dedup.dupSpans(emptyDocs, "doc_id", "text", 8).count() == 0)
+    assert(Dedup.stripDupSpans(emptyDocs, "doc_id", "text", 8).count() == 0)
+    val one = Seq((1L, "one real document body here")).toDF("doc_id", "text")
+    assert(Curation.contaminationSpans(one, emptyDocs, "doc_id", "text").count() == 0)
+    // stripContamination with an empty benchmark is the identity on the
+    // normalized token stream.
+    assert(Curation.stripContamination(one, emptyDocs, "doc_id", "text")
+      .head.getString(1) == "one real document body here")
+    // Two null-text docs share a fingerprintable nothing — no spans.
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(nulls, "doc_id", "text", 8).count() == 0)
+    // Empty DSIR target is well-defined (smoothing over the raw vocab);
+    // an empty LM reference raises the clear in-plan error.
+    assert(graft.ops.Importance.dsirTopK(one, emptyDocs, "doc_id", "text", 5).count() == 1)
+    val e = intercept[Exception] {
+      graft.ops.Importance.bigramLmTopK(one, emptyDocs, "doc_id", "text", 5).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-empty reference")), s"got: ${msgs(e)}")
+  }
+
   test("empty corpus: bloom builds an empty sketch that flags nothing") {
     val bloom = Dedup.corpusBloom(emptyDocs, "text", expectedItems = 100)
     val batch = Seq((1L, "anything at all")).toDF("doc_id", "text")
