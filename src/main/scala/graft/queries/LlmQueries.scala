@@ -366,6 +366,15 @@ object LlmQueries {
         "doc_id", "text", k = 100)
     }),
 
+    // Distributed BPE vocabulary induction (Sennrich 2016): one corpus
+    // pass for word counts, then 30 merge rounds over the vocabulary-
+    // sized word table. The summary row's integers and the FIRST merge
+    // (one BPE step IS SQL-expressible) are oracle-checked; the full
+    // merge sequence is property-tested vs a sequential reference
+    // (BpeProps).
+    "x_bpe_train" -> ((s, d) =>
+      graft.ops.Bpe.trainSummary(tbl(s, d, "documents"), "text", numMerges = 30)),
+
     // CCNet-style perplexity filtering: top-100 most-fluent documents
     // under an add-one-smoothed bigram LM built from the English subset.
     // Same cross-engine discipline as x_dsir_topk: rank+id leave the
@@ -698,6 +707,19 @@ object LlmQueries {
           |SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
           |FROM all_docs d LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
           |                           FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
+    "x_bpe_train" ->
+      """WITH tok AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t),
+        |sy AS (SELECT w, n, list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) || ['</w>'] AS syms FROM w),
+        |pr AS (SELECT n,
+        |    unnest(list_transform(range(1, len(syms)), i -> syms[CAST(i AS INT)])) AS a,
+        |    unnest(list_transform(range(1, len(syms)), i -> syms[CAST(i AS INT) + 1])) AS b
+        |  FROM sy),
+        |first AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM pr GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_words, CAST(sum(len(w) + 1) AS BIGINT) AS n_start_symbols FROM w)
+        |SELECT tot.n_words, tot.n_start_symbols, first.a AS first_a, first.b AS first_b,
+        |  first.c AS first_count, 30 AS merges_done, true AS counts_bounded
+        |FROM tot CROSS JOIN first""".stripMargin,
     "x_lm_topk" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
         |big AS (SELECT doc_id, lang,
