@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.{Curation, Dedup, TextAnalysis}
+import graft.table.GraftTable
+
+/**
+ * Streaming ingest curation: the LLM-pipeline operators wired into
+ * Structured Streaming — the end-to-end shape a training-data intake runs
+ * (documents arrive continuously; the corpus must stay deduplicated and
+ * quality-filtered without ever re-touching what is already stored):
+ *
+ *   JSONL doc files → per-batch: quality filter (map-side predicate) →
+ *   in-batch exact dedup → near-dup check against the PERSISTED corpus
+ *   state (LSH buckets + shingle sets — only candidate rows are read) →
+ *   survivors appended to the corpus table AND their signature rows to the
+ *   state tables, all under ONE idempotent batch key per micro-batch, so a
+ *   foreachBatch retry never double-ingests or double-registers state.
+ *
+ * Everything per-batch is the operators' documented scale shape: the state
+ * probe shuffles narrow longs, the corpus table never rewrites, and the
+ * batch is cached once for its multiple uses.
+ */
+object CurationStream {
+
+  /** (doc_id long, text string) — the intake schema. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /**
+   * @param corpus    destination table (created by the caller; may be empty)
+   * @param buckets   persisted LSH band-bucket state ([[Dedup.persistDedupState]])
+   * @param shingles  persisted shingle-set state (same call)
+   * @param minJaccard near-dup threshold against the stored corpus
+   */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      corpus: GraftTable,
+      buckets: GraftTable,
+      shingles: GraftTable,
+      checkpointDir: String,
+      minJaccard: Double = 0.5,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val key = s"curate-$batchId"
+          // Quality gate + in-batch exact dedup, cached once for the
+          // near-dup probe, the corpus append and the state appends.
+          val exact = Dedup.exactDedup(
+            batch.filter(TextAnalysis.passesQuality(col("text"))),
+            "doc_id", "text")
+          // Within-batch NEAR-dedup too: two novel near-dups arriving in
+          // the same micro-batch must not both enter the corpus — cluster
+          // the batch and keep each cluster's canonical (min-id) doc.
+          val clean = Dedup.nearDupClusters(exact, "doc_id", "text", minJaccard)
+            .filter(col("doc_id") === col("cluster_id"))
+            .select("doc_id")
+            .join(exact, "doc_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val dupIds = Dedup.dedupIncremental(clean, "doc_id", "text",
+              buckets, shingles, minJaccard)
+              .select(col("id_a").as("doc_id")).distinct()
+            val fresh = clean.join(dupIds, Seq("doc_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // All three appends carry the SAME batch key: a retried
+              // micro-batch replays as three no-ops.
+              corpus.append(fresh, batchKey = Some(key))
+              buckets.append(
+                Dedup.bandBuckets(fresh, "doc_id", "text").toDF("doc_id", "bkey"),
+                batchKey = Some(s"$key-buckets"))
+              shingles.append(
+                Dedup.hashShingleSets(fresh, "doc_id", "text").toDF("doc_id", "sh"),
+                batchKey = Some(s"$key-shingles"))
+            } finally fresh.unpersist(blocking = false)
+          } finally clean.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+  }
+}

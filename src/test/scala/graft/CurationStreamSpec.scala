@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+import graft.streaming.CurationStream
+import graft.table.GraftTable
+
+/** Streaming ingest curation end-to-end: quality gate, in-batch exact +
+  * near dedup, incremental near-dedup against the persisted corpus state,
+  * and state growth so later waves see earlier waves' ingests. */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ~20-token base texts; variants share >50% of 3-gram shingles.
+  private val baseA = "the quick brown fox jumps over the lazy dog near the old stone bridge every single morning in spring"
+  private val baseStored = "data pipelines shuffle partition bucket merge commit snapshot manifest footer statistics pruning broadcast join skew salt spill memory executor"
+  private def nearOf(t: String, tail: String) =
+    t.split(" ").dropRight(1).mkString(" ") + " " + tail
+
+  private def jl(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text"}"""
+
+  test("curation stream: filter, dedup in-batch and vs corpus, grow state across waves") {
+    val wh = TestSpark.tmpDir("curation-wh-")
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val corpus = cat.materialized("corpus")
+    // Seed corpus with one stored doc + its dedup state.
+    val seed = Seq((1000L, baseStored)).toDF("doc_id", "text")
+    corpus.overwrite(seed)
+    val (buckets, shingles) =
+      Dedup.persistDedupState(cat, "corpus_state", seed, "doc_id", "text")
+
+    val in = TestSpark.tmpDir("curation-in-")
+    val ckpt = TestSpark.tmpDir("curation-ckpt-").toString
+
+    // Wave 1: A good+novel; B low quality (3 tokens); C near-dup of the
+    // STORED doc; D/E exact dups of each other; F/G near-dups of each
+    // other (both novel).
+    Files.write(in.resolve("w1.json"), Seq(
+      jl(1, baseA),
+      jl(2, "too short text"),
+      jl(3, nearOf(baseStored, "driver")),
+      jl(4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      jl(5, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      jl(6, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      jl(7, nearOf("one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty", "final"))
+    ).mkString("\n").getBytes)
+
+    val q = CurationStream.start(spark, in.toString, corpus, buckets, shingles,
+      ckpt, minJaccard = 0.5, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val after1 = corpus.read().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(1000L, 1L, 4L, 6L),
+      s"wave 1 must keep A, D(min), F(min): $after1")
+
+    // Wave 2: H near-dup of doc 6 (ingested in wave 1 — catches it only if
+    // the state grew); I novel.
+    Files.write(in.resolve("w2.json"), Seq(
+      jl(8, nearOf("one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty", "closing")),
+      jl(9, "completely different subject matter entirely about cooking pasta sauces tomatoes basil garlic olive oil parmesan oregano salt")
+    ).mkString("\n").getBytes)
+
+    val q2 = CurationStream.start(spark, in.toString, corpus, buckets, shingles,
+      ckpt, minJaccard = 0.5, trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val after2 = corpus.read().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(1000L, 1L, 4L, 6L, 9L),
+      s"wave 2 must reject the near-dup of the wave-1 ingest: $after2")
+
+    // Idempotence: replaying the stream from the same checkpoint ingests
+    // nothing new.
+    val q3 = CurationStream.start(spark, in.toString, corpus, buckets, shingles,
+      ckpt, minJaccard = 0.5, trigger = Trigger.AvailableNow())
+    q3.awaitTermination()
+    assert(corpus.read().count() == 5)
+  }
+}
