@@ -72,12 +72,17 @@ object Bpe {
             merges += BpeMerge(rank, a, b, c)
             val merged = a + b
             val prev = words
-            words = prev.map { case (syms, n) => (mergePair(syms, a, b, merged), n) }
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            // Cut the per-iteration map lineage periodically; materialize,
-            // then release the previous round's cache.
-            if (rank % 8 == 0) words = words.localCheckpoint(true)
-            else words.count()
+            val mapped = prev.map { case (syms, n) => (mergePair(syms, a, b, merged), n) }
+            // Cut the per-iteration map lineage periodically (localCheckpoint
+            // stores its own blocks — persisting the pre-checkpoint frame too
+            // would leak one cache entry per cut); otherwise materialize the
+            // round's cache before releasing the previous round's.
+            words =
+              if (rank % 8 == 0) mapped.localCheckpoint(true)
+              else {
+                val w = mapped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                w.count(); w
+              }
             prev.unpersist(blocking = false)
             rank += 1
         }

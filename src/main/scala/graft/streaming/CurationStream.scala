@@ -65,7 +65,11 @@ object CurationStream {
           // Within-batch NEAR-dedup too: two novel near-dups arriving in
           // the same micro-batch must not both enter the corpus — cluster
           // the batch and keep each cluster's canonical (min-id) doc.
-          val clean = Dedup.nearDupClusters(exact, "doc_id", "text", minJaccard)
+          // The clusters frame comes back MATERIALIZED (eager default);
+          // a resident stream must release it per batch or the block
+          // store grows one cache entry per micro-batch forever.
+          val clusters = Dedup.nearDupClusters(exact, "doc_id", "text", minJaccard)
+          val clean = clusters
             .filter(col("doc_id") === col("cluster_id"))
             .select("doc_id")
             .join(exact, "doc_id")
@@ -87,7 +91,10 @@ object CurationStream {
                 Dedup.hashShingleSets(fresh, "doc_id", "text").toDF("doc_id", "sh"),
                 batchKey = Some(s"$key-shingles"))
             } finally fresh.unpersist(blocking = false)
-          } finally clean.unpersist(blocking = false)
+          } finally {
+            clean.unpersist(blocking = false)
+            clusters.unpersist(blocking = false)
+          }
         }
         ()
       }
