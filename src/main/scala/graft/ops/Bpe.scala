@@ -172,6 +172,8 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val merges = train(docs, textCol, numMerges)
+    require(merges.nonEmpty,
+      "BPE training produced no merges — empty corpus or every pair below minCount")
     val wc = wordCounts(docs, textCol)
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("__w")) + 1).as("n_start_symbols"))
