@@ -160,6 +160,11 @@ object ScaleProbe {
       probe("x_dsir", f) { c =>
         // Reference-distribution scoring: two count aggs + one doc-feature
         // join, every key an 8-byte hash. The target subset scales with f.
+        // Expect a superlinear SHUFFLE-BYTES exponent across the broadcast
+        // threshold: at small f the vocabulary-sized ratio table broadcasts
+        // (zero shuffle bytes for the join), past it the join shuffles its
+        // linear 8-byte-key stream — a one-time plan transition, not
+        // quadratic work (see Importance.scala's scale-shape doc).
         graft.ops.Importance.dsirTopK(c,
           c.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 100).count()
       }

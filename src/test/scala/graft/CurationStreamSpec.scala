@@ -82,4 +82,55 @@ class CurationStreamSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(corpus.read().count() == 5)
   }
+
+  test("maintenance cadence bounds the state tables' dir count across many batches") {
+    val wh = TestSpark.tmpDir("curation-mnt-wh-")
+    val cat = new graft.catalog.GraftCatalog(spark, wh)
+    val corpus = cat.materialized("corpus")
+    val seed = Seq((1000L, baseStored)).toDF("doc_id", "text")
+    corpus.overwrite(seed)
+    val (buckets, shingles) = Dedup.persistDedupState(
+      cat, "corpus_state", seed, "doc_id", "text", numBuckets = 8)
+
+    val in = TestSpark.tmpDir("curation-mnt-in-")
+    val ckpt = TestSpark.tmpDir("curation-mnt-ckpt-").toString
+    // Nine single-file micro-batches of two fully-distinct docs each
+    // (disjoint token streams — nothing dedups against anything).
+    val nBatches = 9
+    for (b <- 0 until nBatches) {
+      val docs = Seq(0, 1).map { j =>
+        val id = 100L + b * 2 + j
+        jl(id, (0 until 20).map(t => s"w${b}x${j}t$t").mkString(" "))
+      }
+      Files.write(in.resolve(f"mb$b%02d.json"), docs.mkString("\n").getBytes)
+    }
+    // maxFilesPerTrigger=1 → one file per micro-batch, nine batches;
+    // maintenance fires inside batches 2, 5 and 8.
+    val q = CurationStream.start(spark, in.toString, corpus, buckets, shingles,
+      ckpt, minJaccard = 0.5, trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1, maintainEvery = 3)
+    q.awaitTermination()
+
+    assert(corpus.read().count() == 1 + nBatches * 2, "every doc ingested")
+    // The final batch (8) appended then folded: every small dir collapses
+    // into one commit — one dir for the unbucketed corpus, one leaf per
+    // bucket for the bucketed state tables. Without maintenance the counts
+    // would be ~nBatches (corpus) and ~nBatches×8 (state leaves).
+    val corpusDirs = corpus.log.latest().get.dataDirs.size
+    val bucketDirs = buckets.log.latest().get.dataDirs.size
+    val shingleDirs = shingles.log.latest().get.dataDirs.size
+    assert(corpusDirs <= 2, s"corpus dirs not folded: $corpusDirs")
+    assert(bucketDirs <= 8, s"bucket-state leaves not folded: $bucketDirs")
+    assert(shingleDirs <= 8, s"shingle-state leaves not folded: $shingleDirs")
+    // The folded state still rejects near-dups of folded-in docs.
+    Files.write(in.resolve("mb99.json"), Seq(
+      jl(999L, (0 until 19).map(t => s"w0x0t$t").mkString(" ") + " tail")
+    ).mkString("\n").getBytes)
+    val q2 = CurationStream.start(spark, in.toString, corpus, buckets, shingles,
+      ckpt, minJaccard = 0.5, trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1, maintainEvery = 3)
+    q2.awaitTermination()
+    val ids = corpus.read().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(999L), "near-dup of a folded-in doc must be rejected")
+  }
 }

@@ -101,6 +101,31 @@ class LocalReadSpec extends AnyFunSuite {
     }
   }
 
+  test("footer-stats row-group pruning bounds the serving decode") {
+    // Tiny row groups force a multi-group bucket file even at test scale;
+    // buckets are key-sorted at write, so groups hold disjoint key ranges
+    // and the eq(key) predicate must let the reader SKIP most of them.
+    sys.props("graft.bucket.rowGroupBytes") = "8192"
+    val t = new GraftTable(spark, TestSpark.tmpDir("lkp-rg-").resolve("t"), "t")
+    try t.overwriteBucketed(orders, "o_orderkey", 2)
+    finally sys.props.remove("graft.bucket.rowGroupBytes")
+    val bucketRows = orders.count() / 2 // ~rows per bucket (2 buckets)
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .collect().map(_.getLong(0))
+    Seq(keys(10), keys(keys.length / 2), keys(keys.length - 10)).foreach { k =>
+      val rows = t.lookupKeyRows(k)
+      assert(rows.nonEmpty, s"key $k must exist")
+      val decoded = LocalPointRead.lastRowsDecoded.get()
+      assert(decoded >= 0, "serving path must have been taken")
+      assert(decoded < bucketRows / 2,
+        s"key $k decoded $decoded rows of a ~$bucketRows-row bucket — " +
+          "row-group stats pruning is not engaging")
+    }
+    // Pruning must never change the answer: compare against distributed.
+    val k = keys(keys.length / 3)
+    assert(t.lookupKeyRows(k).map(_.toSeq).toSet == distributed(t, k))
+  }
+
   test("byte cap forces the distributed fallback; results identical") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lkp-cap-").resolve("t"), "t")
     t.overwriteBucketed(orders, "o_orderkey", 4)
