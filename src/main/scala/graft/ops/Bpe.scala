@@ -35,6 +35,12 @@ object Bpe {
     docs.select(explode(Dedup.tokens(col(textCol))).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__n"))
 
+  /** [[trainFull]]'s result: the merges plus the word-table summary
+    * numbers that were already materialized on the way (so callers never
+    * pay a second corpus scan to re-derive them). */
+  final case class BpeTraining(
+      merges: Seq[BpeMerge], nWords: Long, nStartSymbols: Long)
+
   /**
    * Learn `numMerges` merges from the corpus. Stops early when the best
    * remaining pair's weighted count falls below `minCount` (merging a
@@ -44,52 +50,130 @@ object Bpe {
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      minCount: Long = 2L): Seq[BpeMerge] = {
+      minCount: Long = 2L,
+      batchCandidates: Int = 64): Seq[BpeMerge] =
+    trainFull(docs, textCol, numMerges, minCount, batchCandidates).merges
+
+  /**
+   * [[train]] plus the vocabulary summary, and the engine underneath it:
+   * each Spark round collects the top `batchCandidates + 1` pairs and
+   * accepts a PROVABLY-SEQUENTIAL batch of merges from them
+   * ([[selectBatch]]), so a production vocabulary costs
+   * ~numMerges/batch-size scheduler round-trips instead of one per merge
+   * — the driver-paced-loop bound a 32k-merge training would otherwise
+   * hit. `BpeProps` holds the batched trainer merge-for-merge equal to
+   * the sequential reference.
+   */
+  def trainFull(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 2L,
+      batchCandidates: Int = 64): BpeTraining = {
+    require(batchCandidates >= 1, "batchCandidates must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     var words: Dataset[(Seq[String], Long)] = wordCounts(docs, textCol)
       .as[(String, Long)]
       .map { case (w, n) => (charSymbols(w) :+ EndOfWord, n) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count() // materialize the corpus pass before iterating
+    val nWords = words.count() // materialize the corpus pass before iterating
+    if (nWords == 0L) {
+      words.unpersist(blocking = false)
+      return BpeTraining(Seq.empty, 0L, 0L)
+    }
+    // Start-symbol total over the PERSISTED vocabulary table — an
+    // aggregation on cached vocab-sized data, not a corpus re-scan.
+    val nStartSymbols = words.map(_._1.size.toLong).reduce(_ + _)
     val merges = scala.collection.mutable.Buffer.empty[BpeMerge]
+    var round = 0
     try {
-      var rank = 1
       var exhausted = false
-      while (rank <= numMerges && !exhausted) {
+      while (merges.size < numMerges && !exhausted) {
+        val want = math.min(batchCandidates, numMerges - merges.size)
+        // want+1 rows: the first NON-accepted pair's count is the batch's
+        // correctness boundary (see selectBatch) and must be visible even
+        // when `want` pairs are all acceptable.
         val top = words.flatMap { case (syms, n) =>
             if (syms.size < 2) Iterator.empty
             else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, n) }
           }.toDF("__a", "__b", "__n")
           .groupBy("__a", "__b").agg(sum("__n").as("__c"))
           .orderBy(col("__c").desc, col("__a"), col("__b"))
-          .limit(1).collect()
-        val best = top.headOption.filter(_.getLong(2) >= minCount)
-        best match {
-          case None => exhausted = true
-          case Some(r) =>
-            val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
-            merges += BpeMerge(rank, a, b, c)
-            val merged = a + b
-            val prev = words
-            val mapped = prev.map { case (syms, n) => (mergePair(syms, a, b, merged), n) }
-            // Cut the per-iteration map lineage periodically (localCheckpoint
-            // stores its own blocks — persisting the pre-checkpoint frame too
-            // would leak one cache entry per cut); otherwise materialize the
-            // round's cache before releasing the previous round's.
-            words =
-              if (rank % 8 == 0) mapped.localCheckpoint(true)
-              else {
-                val w = mapped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                w.count(); w
-              }
-            prev.unpersist(blocking = false)
-            rank += 1
+          .limit(want + 1).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        if (top.isEmpty || top.head._3 < minCount) exhausted = true
+        else {
+          val accepted = selectBatch(top, want, minCount)
+          merges ++= accepted.zipWithIndex.map { case ((a, b, c), i) =>
+            BpeMerge(merges.size + i + 1, a, b, c)
+          }
+          val pairs = accepted.map { case (a, b, _) => (a, b) }
+          val prev = words
+          val mapped = prev.map { case (syms, n) => (mergeAll(syms, pairs), n) }
+          round += 1
+          // Cut the per-round map lineage periodically (localCheckpoint
+          // stores its own blocks — persisting the pre-checkpoint frame too
+          // would leak one cache entry per cut); otherwise materialize the
+          // round's cache before releasing the previous round's.
+          words =
+            if (round % 8 == 0) mapped.localCheckpoint(true)
+            else {
+              val w = mapped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              w.count(); w
+            }
+          prev.unpersist(blocking = false)
         }
       }
-      merges.toSeq
+      BpeTraining(merges.toSeq, nWords, nStartSymbols)
     } finally words.unpersist(blocking = false)
   }
+
+  /**
+   * The largest prefix of the round's sorted pair list (count desc, then
+   * pair ascending) that the SEQUENTIAL algorithm provably picks in that
+   * exact order, so applying it as one batch changes nothing:
+   *
+   *  - accepted pairs must be pairwise symbol-disjoint — then applying one
+   *    cannot change another's count (it only decrements pairs sharing its
+   *    symbols and creates pairs containing its brand-new merged symbol);
+   *  - let L be the count of the FIRST non-accepted row (conflict, count
+   *    < minCount, or the want-limit; -inf when the list is exhausted).
+   *    Every pair sharing a symbol with an accepted pair sits at or past
+   *    that row, so each NEW pair a batch merge creates — whose count is
+   *    bounded by a pre-merge pair sharing one of its symbols — counts
+   *    at most L. Accepting only pairs with count STRICTLY above L
+   *    (after the unconditional head) therefore keeps every accepted
+   *    pair ahead of anything a merge could surface, ties included;
+   *  - a self-pair (a,a) is its own symbol-sharing parent — the pairs it
+   *    creates are bounded by its OWN count, not L — so it can only be
+   *    accepted as the batch's last element.
+   */
+  private[ops] def selectBatch(
+      rows: Seq[(String, String, Long)],
+      want: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var open = true
+    while (open && i < rows.length) {
+      val (a, b, c) = rows(i)
+      if (acc.size >= want || c < minCount ||
+          (acc.nonEmpty && (used(a) || used(b)))) open = false
+      else {
+        acc += ((a, b, c)); used += a; used += b; i += 1
+        if (a == b) open = false
+      }
+    }
+    val boundary = if (i < rows.length) rows(i)._3 else Long.MinValue
+    (acc.head +: acc.tail.takeWhile(_._3 > boundary)).toSeq
+  }
+
+  /** Apply a batch of merges in rank order (each leftmost-first). */
+  private def mergeAll(
+      syms: Seq[String], pairs: Seq[(String, String)]): Seq[String] =
+    pairs.foldLeft(syms) { case (s, (a, b)) => mergePair(s, a, b, a + b) }
 
   /** CODEPOINT split (not UTF-16 chars): a non-BMP codepoint must stay one
     * symbol, matching how SQL engines index characters. */
@@ -171,18 +255,20 @@ object Bpe {
       docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = train(docs, textCol, numMerges)
+    // ONE corpus pass: the summary numbers ride out of trainFull's already-
+    // materialized word table instead of a second wordCounts aggregation
+    // (which used to double the only corpus-sized scan of the pipeline).
+    val training = trainFull(docs, textCol, numMerges)
+    val merges = training.merges
     require(merges.nonEmpty,
       "BPE training produced no merges — empty corpus or every pair below minCount")
-    val wc = wordCounts(docs, textCol)
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("__w")) + 1).as("n_start_symbols"))
     val first = merges.head
     val bounded = merges.forall(_.count <= first.count)
-    wc.select(col("n_words"), col("n_start_symbols"),
-      lit(first.a).as("first_a"), lit(first.b).as("first_b"),
-      lit(first.count).as("first_count"),
-      lit(merges.size).as("merges_done"),
-      lit(bounded).as("counts_bounded"))
+    Seq((training.nWords, training.nStartSymbols)).toDF("n_words", "n_start_symbols")
+      .select(col("n_words"), col("n_start_symbols"),
+        lit(first.a).as("first_a"), lit(first.b).as("first_b"),
+        lit(first.count).as("first_count"),
+        lit(merges.size).as("merges_done"),
+        lit(bounded).as("counts_bounded"))
   }
 }

@@ -250,6 +250,13 @@ object CurationQueries {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // CORPUS-COUPLED CONSTANTS: `true AS acc_ok, true AS sep_ok` assert
+    // that training converges (test accuracy / score separation above the
+    // gate body's thresholds) on THIS synthetic corpus + split — a learned
+    // outcome no one-shot SQL can recompute. Validated at sf0.001, sf0.01
+    // and sf0.1; if the corpus changes and the classifier stops separating,
+    // the Spark side emits false and the gate FAILS (the desired signal)
+    // rather than passing by construction.
     "x_quality_clf" ->
       """WITH lab AS (SELECT doc_id,
         |  CASE WHEN len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),

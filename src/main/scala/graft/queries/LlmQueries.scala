@@ -707,6 +707,15 @@ object LlmQueries {
           |SELECT d.doc_id, coalesce(k.ct, '') AS clean_text
           |FROM all_docs d LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct
           |                           FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin),
+    // CORPUS-COUPLED CONSTANTS: `30 AS merges_done` and `true AS
+    // counts_bounded` are not derivable in one-shot SQL (the merge loop is
+    // iterative) — they assert that the synthetic documents corpus yields
+    // at least 30 pairs above minCount=2 and that weighted pair counts
+    // never rise above the first merge's. Validated at sf0.001, sf0.01 and
+    // sf0.1 (the three-config sweep); a new corpus shape that trains fewer
+    // merges FAILS the gate here rather than passing vacuously — the
+    // constants then need re-deriving, not deleting. The full merge
+    // sequence is held to a sequential reference by `BpeProps`.
     "x_bpe_train" ->
       """WITH tok AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
         |w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t),

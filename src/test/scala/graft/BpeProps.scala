@@ -76,6 +76,32 @@ object BpeProps extends Properties("Bpe") {
       (got == want) :| s"got=$got want=$want docs=$docs"
     }
 
+  property("batched rounds are invisible: every batchCandidates gives the sequential answer") =
+    Prop.forAll(corpusGen) { docs =>
+      // The 3-letter alphabet maximizes pair interaction, ties and
+      // self-pairs (a,a) — exactly the cases where an unsound batch
+      // acceptance rule would diverge from one-merge-at-a-time.
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val want = refTrain(docs, 10, 1L)
+      Prop.all(Seq(1, 2, 5, 64).map { bc =>
+        val got = Bpe.train(df, "text", numMerges = 10, minCount = 1L,
+          batchCandidates = bc).map(m => (m.a, m.b, m.count))
+        (got == want) :| s"batchCandidates=$bc got=$got want=$want docs=$docs"
+      }: _*)
+    }
+
+  property("trainFull's summary numbers match the word table they summarize") =
+    Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val t = Bpe.trainFull(df, "text", numMerges = 3, minCount = 1L)
+      val distinctWords = docs.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+      val nStart = distinctWords.map(_.length + 1L).sum
+      (t.nWords == distinctWords.size.toLong && t.nStartSymbols == nStart) :|
+        s"got=(${t.nWords},${t.nStartSymbols}) want=(${distinctWords.size},$nStart)"
+    }
+
   property("encoder applies merges lowest-rank-first to a valid segmentation") =
     Prop.forAll(corpusGen) { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
