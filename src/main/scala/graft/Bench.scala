@@ -423,6 +423,35 @@ object Bench {
     val cdcMorThroughput = cdcWaveThroughput(mergeOnRead = true, tag = "mor")
     cdcCalib("after_mor_ms") = calibMtMs()
 
+    // Serving point lookup UNDER PENDING DELTAS — the state a CDC table is
+    // in almost all the time between compactions, and the one the
+    // "millisecond-latency" claim actually has to survive: the driver-side
+    // MOR path resolves the key's base bucket plus the whole delta chain
+    // (here ~9 waves' worth) without a Spark job. Timed BEFORE compact()
+    // folds the chain away.
+    var morLookupWaves: Seq[Double] = Seq.empty
+    val morLookupMs =
+      try {
+        cdcMorTable.filter(_.log.latest().exists(_.deltaDirs.nonEmpty)) match {
+          case Some(t) =>
+            val keys = spark.read.parquet(s"$sfDir/events.parquet")
+              .select("event_id").orderBy("event_id").limit(300)
+              .collect().map(_.getLong(0))
+            val timedKeys = Seq(keys(50), keys(150), keys(250))
+            keys.iterator.filterNot(timedKeys.contains).take(3)
+              .foreach(k => t.lookupKeyRows(k)) // warm-up: JIT + footers
+            morLookupWaves = runsN(3) { i =>
+              val t0 = System.nanoTime()
+              val n = t.lookupKeyRows(timedKeys(i)).size
+              val dt = (System.nanoTime() - t0) / 1e9
+              require(n > 0, s"MOR lookup key ${timedKeys(i)} must exist")
+              dt * 1000.0
+            }
+            median(morLookupWaves)
+          case None => -1.0
+        }
+      } catch { case e: Throwable => errors("mor_lookup_latency") = errText(e); -1.0 }
+
     // Price the MOR compaction: the ingest waves above deliberately stay
     // below compactEvery so the throughput figure is pure delta-append —
     // compaction is the amortized background cost, and an unpriced
@@ -540,7 +569,7 @@ object Bench {
     val curDispersion = curWaves
       .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val dispersion =
-      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"curation_secs":$curDispersion}"""
+      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"curation_secs":$curDispersion}"""
     val cdcStats =
       if (cdcCowWaves.isEmpty) "null"
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
@@ -569,7 +598,7 @@ object Bench {
     val droppedJson = cdcDroppedWaves
       .map { case (k, v) => s"\"$k\":${v.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_mor_ms":${jnum(morLookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the

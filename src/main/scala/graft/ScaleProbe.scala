@@ -134,6 +134,22 @@ object ScaleProbe {
         minJaccard = 0.5).count()
     }
 
+    // Boilerplate-skew probe for span dedup: EVERY document carries the
+    // same trailing boilerplate sentence, so its handful of window hashes
+    // reach document frequency = |corpus|. A window-function formulation
+    // (partitionBy hash) would sort every occurrence of those hashes in
+    // ONE task; the aggregate+join formulation keeps them in map-side
+    // partials — this probe's median vs d_dup_spans f=1 is the measured
+    // cost of corpus-wide boilerplate, and should be near-flat.
+    probe("d_span_hot", 1) { _ =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val boiler = docs.select(col("doc_id"), concat(col("text"),
+        lit(" subscribe to our newsletter for updates and offers every single week")
+      ).as("text"))
+      graft.ops.Dedup.dupSpans(boiler, "doc_id", "text", n = 8).count()
+    }
+
     for (f <- Seq(1, factor)) {
       probe("d_minhash_pairs", f) { c =>
         graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5,

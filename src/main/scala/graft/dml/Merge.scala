@@ -46,6 +46,25 @@ object Merge {
   }
 
   /**
+   * ALL rows tied at the key's highest `precombine` value — `rank()`, not
+   * `row_number()`. The difference matters when ties are possible: a
+   * row_number pick among tied rows depends on which competitors are IN
+   * the candidate set, so a bucket- or stats-pruned read could resolve a
+   * tied key to a different survivor than the full read (both
+   * "arbitrary", but observably divergent). A rank cut is deterministic
+   * as a SET and commutes with any pre-filter that the final predicate
+   * re-applies — the property merge-on-read resolution needs for its
+   * pruned lookups ([[graft.table.GraftTable]]'s resolveDeltas).
+   */
+  def latestAll(updates: DataFrame, key: String, precombine: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(precombine).desc)
+    updates
+      .withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /**
    * Merge `updates` into `target` on `key`.
    *
    * @param precombine column of `updates` ordering duplicate keys (desc wins)

@@ -726,16 +726,17 @@ object Dedup {
    *
    * Returns one row per merged span: (id, span_start, span_end, n_windows).
    *
-   * Scale shape: the documents themselves never shuffle. The document-
-   * frequency aggregation shuffles distinct (hash, id) pairs — 16 bytes
-   * per window after map-side combining — with no per-hash sort anywhere,
-   * so a boilerplate n-gram present in every document cannot pin one
-   * task (see [[flagWindows]]); window rows re-shuffle only if the
-   * duplicated-hash stats table outgrows broadcast range. The span merge
-   * shuffles only the FLAGGED windows (typically a small fraction of the
-   * corpus) partitioned by document id. Window equality is 64-bit-hash
-   * equality, exact modulo xxhash64 collisions — the same trade every
-   * hash-keyed operator here makes.
+   * Scale shape: the documents themselves never shuffle, and with no
+   * per-hash sort anywhere a boilerplate n-gram present in every document
+   * cannot pin one task (see [[flagWindows]]; `d_span_hot` in ScaleProbe
+   * measures it). The document-frequency aggregation shuffles distinct
+   * (hash, id) pairs — 16 bytes per window after map-side combining;
+   * while the duplicated-hash stats broadcast, the full-width window rows
+   * never enter an exchange at all. The span merge shuffles only the
+   * FLAGGED windows (typically a small fraction of the corpus)
+   * partitioned by document id. Window equality is 64-bit-hash equality,
+   * exact modulo xxhash64 collisions — the same trade every hash-keyed
+   * operator here makes.
    */
   def dupSpans(
       docs: DataFrame,
@@ -749,18 +750,20 @@ object Dedup {
   }
 
   /** Windows annotated with their cross-document duplication. The per-hash
-    * document frequency and keeper doc come from two MAP-SIDE-PARTIAL
+    * document frequency and keeper doc come from MAP-SIDE-PARTIAL
     * aggregations over distinct (hash, id) pairs — never from a window
     * function over `partitionBy(__h)`: a corpus-frequent boilerplate
     * n-gram would concentrate every one of its occurrences into a single
     * sort task (the exact hot-key shape [[nearDupPairs]] collapses), where
     * the hash-aggregate's partials spread them across input partitions.
     * The tiny surviving stats table (duplicated hashes only) then joins
-    * back to the window stream — broadcast when it fits, AQE-skew-split
-    * shuffle join when it doesn't. The price is one extra evaluation of
-    * the window-extraction subtree (stats branch + probe branch), a
-    * map-side codegen pass that measures cheaper than the window sort's
-    * full-corpus `(__id, __pos, __nt, __h)` exchange. Emits flagged
+    * back to the window stream — BROADCAST while it fits, so the
+    * full-width window rows never shuffle at all; past broadcast range it
+    * is an AQE-skew-split shuffle join. The price is one extra evaluation
+    * of the window-extraction subtree (the stats branch is column-pruned
+    * to (hash, id)) — map-side codegen CPU that parallelizes linearly,
+    * the correct trade against any formulation that must move every
+    * window row through an exchange keyed on the hash. Emits flagged
     * windows only: (__id, __pos, __end, __keep = min doc id of the hash
     * group). */
   private def flagWindows(

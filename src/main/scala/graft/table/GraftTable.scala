@@ -130,7 +130,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       .withColumn("__op", lit(null).cast("string"))
       .withColumn("__seq", lit(0L))
       .unionByName(deltaFrame(s, deltaSubset))
-    Merge.dedupLatest(all, key, "__seq")
+    // latestAll (rank), not dedupLatest (row_number): delta batches are
+    // pre-deduped per key, so sequences ≥ 1 never tie — but duplicate-key
+    // BASE rows (plain appends) all sit at sequence 0, and a row_number
+    // pick among them diverges between pruned and full candidate sets
+    // (LookupProps caught exactly that). Rank keeps every tied seq-0 row,
+    // which also matches what a copy-on-write read of the same appends
+    // shows: resolution collapses superseded images, not duplicates.
+    Merge.latestAll(all, key, "__seq")
       .filter(coalesce(col("__op") =!= "d", lit(true)))
       .drop("__op", "__seq")
   }
@@ -1022,6 +1029,80 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       read().filter(col(bk) === lit(value))
   }
 
+  /**
+   * Driver-side serving lookup under PENDING merge-on-read deltas — the
+   * state a CDC-ingesting table is in almost all the time between
+   * compactions, which previously demoted every point lookup to a Spark
+   * job (~90 ms scheduler floor) exactly when serving matters most. Reads
+   * the key's base bucket plus the (leaf-pruned where sound) delta chain
+   * with the same [[LocalPointRead]] machinery, then applies
+   * [[resolveDeltas]]'s algebra to the handful of materialized rows:
+   * highest chain sequence wins, a winning `__op = 'd'` tombstone deletes.
+   * Chain positions come from the FULL chain even for a pruned subset,
+   * mirroring the distributed subset resolution.
+   *
+   * None = fall back to the distributed resolving lookup: table not
+   * bucketed by the mor key (delta rows can't be bucket-matched), nested
+   * schema, aggregate byte cap exceeded (base + whole chain — deltas are
+   * bounded by compactEvery), or any read failure.
+   */
+  private def morServingRows(head: Snapshot, value: Any): Option[Seq[Row]] =
+    try {
+      if (!LocalPointRead.enabled) return None
+      bucketSpecOf(head) match {
+        case Some((bk, n)) if head.summary.get("mor_key").contains(bk) =>
+          val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+          if (!LocalPointRead.supports(st)) return None
+          val catNull = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(value),
+            st(bk).dataType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null) == null
+          if (catNull) return Some(Seq.empty) // `= NULL` matches nothing
+          val b = driverBucketId(value, st(bk).dataType, n)
+          val baseDirs = head.dataDirs.filter(d => bucketOfDir(d).contains(b))
+            .map(d => root.resolve(d).toString)
+          // Leaf delta dirs (appends made under pending deltas) prune to
+          // the key's bucket — sound here because mor_key IS the bucket
+          // key; flat upsertDeferred dirs are always read. Each kept dir
+          // retains its FULL-chain sequence.
+          val deltas = head.deltaDirs.zipWithIndex.collect {
+            case (d, i) if bucketOfDir(d).forall(_ == b) =>
+              (root.resolve(d).toString, (i + 1).toLong)
+          }
+          val total = LocalPointRead.totalBytes(
+            servingConf, baseDirs ++ deltas.map(_._1)).getOrElse(return None)
+          if (total > LocalPointRead.budgetBytes) return None
+          val deltaSt = StructType(st.fields :+
+            org.apache.spark.sql.types.StructField("__op",
+              org.apache.spark.sql.types.StringType, nullable = true))
+          // NEWEST delta first, stop at the first dir holding the key: the
+          // winner is the highest chain sequence, sequences are unique per
+          // dir, and a bucket-pruned-away leaf cannot hold the key — so
+          // the first hit IS the rank cut, and a full-update CDC chain
+          // (every key in every batch) costs ONE delta decode instead of
+          // the whole chain (measured 379 ms -> the newest batch only).
+          for ((dir, _) <- deltas.reverseIterator) {
+            LocalPointRead.lookupRows(
+                spark, servingConf, Seq(dir), deltaSt, bk, value) match {
+              case Some(rs) =>
+                if (rs.nonEmpty) {
+                  return Some(rs.collect {
+                    case r if r.get(st.fields.length).asInstanceOf[String] != "d" =>
+                      new org.apache.spark.sql.catalyst.expressions
+                        .GenericRowWithSchema(
+                          r.toSeq.dropRight(1).toArray[Any], st): Row
+                  })
+                }
+              case None => return None
+            }
+          }
+          // No delta image: every base row for the key survives (all at
+          // sequence 0 — resolveDeltas' rank cut keeps duplicates).
+          LocalPointRead.lookupRows(spark, servingConf, baseDirs, st, bk, value)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def lookupKey(value: Any): DataFrame = prunedLookupCtx(value) match {
     case Some((st, dirs, bk)) =>
       if (dirs.isEmpty) emptyDF(st)
@@ -1038,7 +1119,18 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         case None =>
           spark.read.schema(st).parquet(dirs: _*).filter(col(bk) === lit(value))
       }
-    case None => lookupViaRead(value)
+    case None =>
+      // ONE head read serves both the resolution and the result schema —
+      // a separate `schema` call could observe a different snapshot.
+      val headOpt = log.latest().filter(_.deltaDirs.nonEmpty)
+      headOpt.flatMap(h => morServingRows(h, value).map(h -> _)) match {
+        case Some((h, rows)) =>
+          import scala.jdk.CollectionConverters._
+          val st = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
+          spark.createDataFrame(rows.asJava,
+            StructType(st.fields.map(_.copy(nullable = true))))
+        case None => lookupViaRead(value)
+      }
   }
 
   /**
@@ -1054,7 +1146,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       else LocalPointRead.lookupRows(spark, servingConf, dirs, st, bk, value)
         .getOrElse(spark.read.schema(st).parquet(dirs: _*)
           .filter(col(bk) === lit(value)).collect().toSeq)
-    case None => lookupViaRead(value).collect().toSeq
+    case None =>
+      log.latest().filter(_.deltaDirs.nonEmpty)
+        .flatMap(morServingRows(_, value))
+        .getOrElse(lookupViaRead(value).collect().toSeq)
   }
 
   /**

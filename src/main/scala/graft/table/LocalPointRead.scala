@@ -57,6 +57,19 @@ object LocalPointRead {
   private def maxBytes: Long =
     sys.props.get(MaxBytesProp).flatMap(_.toLongOption).getOrElse(64L << 20)
 
+  /** The byte cap, for callers budgeting a MULTI-call serving read (the
+    * MOR path reads base + each delta dir in separate calls — each call
+    * checks its own dirs, so the aggregate must be checked by the caller). */
+  def budgetBytes: Long = maxBytes
+
+  /** Total parquet bytes under `dirs` via the cached listings; None on any
+    * listing failure (callers treat it as over-budget). */
+  def totalBytes(
+      conf: org.apache.hadoop.conf.Configuration,
+      dirs: Seq[String]): Option[Long] =
+    try Some(dirs.flatMap(listDir(_, conf)).map(_.getLen).sum)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   def enabled: Boolean = !sys.props.get(EnabledProp).contains("false")
 
   /** Flat schemas only: nested types take the distributed path (their
@@ -272,9 +285,11 @@ object LocalPointRead {
       if (catKey == null) return Some(Seq.empty) // `= NULL` matches nothing
       // One predicate serves every candidate file (same key column+value).
       val pred = if (statsFilter) eqPredicate(keyCol, dt, catKey) else None
-      var rowsDecoded = 0L
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      files.foreach { f =>
+      // (matching rows, rows decoded) of ONE file — self-contained so the
+      // multi-file case can fan out across threads.
+      def readFile(f: org.apache.hadoop.fs.FileStatus): (Seq[Row], Long) = {
+        var rowsDecoded = 0L
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         val plan = filePlan(f, conf)
         mark("filePlan")
         val keyIdx = plan.fileSt.fieldIndex(keyCol)
@@ -332,12 +347,31 @@ object LocalPointRead {
             val j = remap(i)
             if (j < 0 || m.isNullAt(j)) null
             else plan.converters(j)(m.get(j, plan.fileSt(j).dataType))
-          }
-          out += Row.fromSeq(vals)
+          }.toArray[Any]
+          // Schema-carrying rows: a serving caller reads fields BY NAME
+          // (`row.getAs[T]("col")`), exactly like collected scan rows.
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericRowWithSchema(vals, st)
         }
+        (out.toSeq, rowsDecoded)
       }
-      lastRowsDecoded.set(rowsDecoded)
-      Some(out.toSeq)
+      // Files are independent reads: fan out across threads when there are
+      // several (a delta batch writes deltaPartitions files; decoding them
+      // serially made the pending-delta lookup pay files × per-file cost —
+      // measured ~8 × 5-6 ms per MOR lookup). Result order stays the file
+      // listing order; a future's exception surfaces through Await into
+      // the fallback catch below.
+      val perFile: Seq[(Seq[Row], Long)] =
+        if (files.size <= 2 || dbg) files.map(readFile)
+        else {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.DurationInt
+          Await.result(
+            Future.sequence(files.map(f => Future(readFile(f)))), 60.seconds)
+        }
+      lastRowsDecoded.set(perFile.map(_._2).sum)
+      Some(perFile.flatMap(_._1))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 
 import graft.table.GraftTable
 
@@ -69,5 +70,32 @@ object LookupProps extends Properties("Lookup") {
       val t = buildTable("region", ops)
       canon(t.lookupKeys(regs)) ==
         canon(t.read().filter(col("region").isin(regs: _*)))
+    }
+
+  /** The serving rows call routes through the driver-side MOR resolution
+    * (base bucket + pruned delta chain, latest-seq-wins, tombstones) when
+    * the table is bucketed by the merge key and deltas pend — for ANY
+    * random chain it must return exactly the resolving filter's rows, in
+    * both bucket regimes (the rewritten-column regime exercises the
+    * fallback). */
+  property("serving lookupKeyRows == resolving filter under any delta chain") =
+    Prop.forAll(chainGen, Gen.listOfN(3, Gen.chooseNum(0L, 9L))) { (ops, keys) =>
+      val byKey = buildTable("id", ops)
+      val byRegion = buildTable("region", ops)
+      val rowsOf = (rs: Seq[org.apache.spark.sql.Row]) =>
+        rs.map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      val perKey = keys.distinct.map { k =>
+        val want = canon(byKey.read().filter(col("id") === k))
+        val got = rowsOf(byKey.lookupKeyRows(k))
+        (got == want) :| s"byKey k=$k got=$got want=$want ops=$ops"
+      }
+      // byRegion regime: mor_key (id) differs from the bucket key, so the
+      // driver MOR path must decline and the fallback still resolve right.
+      val perRegion = Seq("A", "B", "C").map { r =>
+        val want = canon(byRegion.read().filter(col("region") === r))
+        val got = rowsOf(byRegion.lookupKeyRows(r))
+        (got == want) :| s"byRegion r=$r got=$got want=$want ops=$ops"
+      }
+      Prop.all(perKey ++ perRegion: _*)
     }
 }

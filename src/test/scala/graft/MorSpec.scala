@@ -167,22 +167,31 @@ class MorSpec extends AnyFunSuite {
     val hit = t.lookupKey(7L).select("o_orderpriority").collect()
     assert(hit.length == 1 && hit(0).getString(0) == "NEW")
 
-    // ...and the lookup stays bucket-pruned on BOTH sides of the chain:
-    // only key 7's bucket leaf is scanned from the base AND from each
-    // pending delta (a serving lookup must not go O(table) the moment one
-    // delta batch pends).
-    val plan = t.lookupKey(7L)
-    val bucket = "__bucket=" + graft.plans.BucketHash.bucketId(7L,
-      org.apache.spark.sql.types.LongType, 4,
-      spark.sessionState.conf.sessionLocalTimeZone)
-    // Base files must come from key 7's bucket leaf only; delta dirs from
-    // upsertDeferred are flat (no bucket segment) and are conservatively
-    // read in full — they are the bounded small side of the resolution.
-    val (baseFiles, deltaFiles) = plan.inputFiles.partition(_.contains("__bucket="))
-    assert(baseFiles.nonEmpty && baseFiles.forall(_.contains(bucket + "/")),
-      s"base side must scan only $bucket: " +
-        plan.inputFiles.map(_.split("/data/").last).toSeq)
-    assert(deltaFiles.nonEmpty, "the pending delta must be read")
+    // With the driver-side MOR serving path ON (the default), lookupKey
+    // under pending deltas returns a LocalRelation — zero Spark jobs, so
+    // there is no file-scan plan to inspect. Assert THAT shape, then
+    // disable the local path and assert the distributed plan stays
+    // bucket-pruned on BOTH sides of the chain (a serving lookup must not
+    // go O(table) the moment one delta batch pends).
+    assert(t.lookupKey(7L).inputFiles.isEmpty,
+      "pending-delta lookup must serve from the driver-side MOR path")
+    sys.props(graft.table.LocalPointRead.EnabledProp) = "false"
+    try {
+      val plan = t.lookupKey(7L)
+      assert(plan.collect().map(_.getAs[String]("o_orderpriority")).toSeq ==
+        Seq("NEW"))
+      val bucket = "__bucket=" + graft.plans.BucketHash.bucketId(7L,
+        org.apache.spark.sql.types.LongType, 4,
+        spark.sessionState.conf.sessionLocalTimeZone)
+      // Base files must come from key 7's bucket leaf only; delta dirs from
+      // upsertDeferred are flat (no bucket segment) and are conservatively
+      // read in full — they are the bounded small side of the resolution.
+      val (baseFiles, deltaFiles) = plan.inputFiles.partition(_.contains("__bucket="))
+      assert(baseFiles.nonEmpty && baseFiles.forall(_.contains(bucket + "/")),
+        s"base side must scan only $bucket: " +
+          plan.inputFiles.map(_.split("/data/").last).toSeq)
+      assert(deltaFiles.nonEmpty, "the pending delta must be read")
+    } finally sys.props.remove(graft.table.LocalPointRead.EnabledProp)
     // rows-shaped serving call agrees
     val rows = t.lookupKeyRows(7L)
     assert(rows.length == 1 &&
