@@ -336,8 +336,13 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val table = session.catalog.table(t)
     val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
-    val rowDf = table.read()
-      .filter(org.apache.spark.sql.functions.col(pk) === idVal).limit(1)
+    // Serving path when the table is bucketed by the pk (same guard the
+    // shell uses): driver-side ms-class read, including under pending MOR
+    // deltas — a full resolving scan only for unbucketed/odd-keyed tables.
+    val rowDf =
+      if (table.bucketSpec.exists(_._1 == pk)) table.lookupKey(idVal).limit(1)
+      else table.read()
+        .filter(org.apache.spark.sql.functions.col(pk) === idVal).limit(1)
     if (!wantsHtml(ex)) dfJson(rowDf, 1)
     else {
       val row = rowDf.collect().headOption.getOrElse(
