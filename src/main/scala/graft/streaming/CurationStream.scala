@@ -66,76 +66,95 @@ object CurationStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val key = s"curate-$batchId"
-          // Quality gate + in-batch exact dedup, persisted: `exact` is
-          // read by the in-batch clustering AND re-read when `clean`
-          // materializes — unpersisted it would rescan the batch twice
-          // per micro-batch.
-          val exact = Dedup.exactDedup(
-            batch.filter(TextAnalysis.passesQuality(col("text"))),
-            "doc_id", "text")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // Within-batch NEAR-dedup too: two novel near-dups arriving in
-          // the same micro-batch must not both enter the corpus — cluster
-          // the batch and keep each cluster's canonical (min-id) doc.
-          // The clusters frame comes back MATERIALIZED (eager default);
-          // a resident stream must release it per batch or the block
-          // store grows one cache entry per micro-batch forever.
-          val clusters = Dedup.nearDupClusters(exact, "doc_id", "text", minJaccard)
-          val clean = clusters
-            .filter(col("doc_id") === col("cluster_id"))
-            .select("doc_id")
-            .join(exact, "doc_id")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val dupIds = Dedup.dedupIncremental(clean, "doc_id", "text",
-              buckets, shingles, minJaccard)
-              .select(col("id_a").as("doc_id")).distinct()
-            val fresh = clean.join(dupIds, Seq("doc_id"), "left_anti")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              // The three appends carry DISTINCT batch keys derived from
-              // the same micro-batch id (key / key-buckets / key-shingles),
-              // each idempotent on ITS table: a retried micro-batch replays
-              // every append it already landed as a no-op and lands only
-              // the missing ones. A crash BETWEEN the appends therefore
-              // leaves corpus and state momentarily out of sync, and
-              // convergence on the retry leans on two facts: (a) the
-              // batch's survivor set is recomputed deterministically from
-              // the same input files, and (b) `dedupIncremental` flags a
-              // batch doc only on an LSH-bucket hit VERIFIED against the
-              // shingle state via inner joins — a doc whose corpus append
-              // landed but whose state appends did not cannot see itself
-              // as a candidate (no bucket row yet), so the retry reaches
-              // the same survivor set and completes the missing appends
-              // under their original keys.
-              corpus.append(fresh, batchKey = Some(key))
-              buckets.append(
-                Dedup.bandBuckets(fresh, "doc_id", "text").toDF("doc_id", "bkey"),
-                batchKey = Some(s"$key-buckets"))
-              shingles.append(
-                Dedup.hashShingleSets(fresh, "doc_id", "text").toDF("doc_id", "sh"),
-                batchKey = Some(s"$key-shingles"))
-            } finally fresh.unpersist(blocking = false)
-          } finally {
-            clean.unpersist(blocking = false)
-            clusters.unpersist(blocking = false)
-            exact.unpersist(blocking = false)
-          }
-          // State-table maintenance on a cadence: fold the small append
-          // dirs this stream has accumulated. Failures are swallowed —
-          // a lost CAS race or transient I/O error just means the debt
-          // waits for the next cadence tick.
-          if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
-            Seq(corpus, buckets, shingles).foreach { t =>
-              try t.compactSmallDirs(maintainMaxRows)
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
-          }
-        }
+        processBatch(batch, batchId, corpus, buckets, shingles, minJaccard,
+          maintainEvery, maintainMaxRows)
         ()
       }
       .start()
+  }
+
+  /**
+   * One micro-batch of the curation pipeline — public so the
+   * partial-failure convergence argument below is TESTABLE (the spec
+   * replays a batch against tables where only some of its appends landed,
+   * exactly the state a crash between them leaves).
+   */
+  def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      corpus: GraftTable,
+      buckets: GraftTable,
+      shingles: GraftTable,
+      minJaccard: Double,
+      maintainEvery: Int = 16,
+      maintainMaxRows: Long = 1L << 20): Unit = {
+    if (batch.isEmpty) return
+    val key = s"curate-$batchId"
+    // Quality gate + in-batch exact dedup, persisted: `exact` is
+    // read by the in-batch clustering AND re-read when `clean`
+    // materializes — unpersisted it would rescan the batch twice
+    // per micro-batch.
+    val exact = Dedup.exactDedup(
+      batch.filter(TextAnalysis.passesQuality(col("text"))),
+      "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Within-batch NEAR-dedup too: two novel near-dups arriving in
+    // the same micro-batch must not both enter the corpus — cluster
+    // the batch and keep each cluster's canonical (min-id) doc.
+    // The clusters frame comes back MATERIALIZED (eager default);
+    // a resident stream must release it per batch or the block
+    // store grows one cache entry per micro-batch forever.
+    val clusters = Dedup.nearDupClusters(exact, "doc_id", "text", minJaccard)
+    val clean = clusters
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+      .join(exact, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = Dedup.dedupIncremental(clean, "doc_id", "text",
+        buckets, shingles, minJaccard)
+        .select(col("id_a").as("doc_id")).distinct()
+      val fresh = clean.join(dupIds, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // The three appends carry DISTINCT batch keys derived from
+        // the same micro-batch id (key / key-buckets / key-shingles),
+        // each idempotent on ITS table: a retried micro-batch replays
+        // every append it already landed as a no-op and lands only
+        // the missing ones. A crash BETWEEN the appends therefore
+        // leaves corpus and state momentarily out of sync, and
+        // convergence on the retry leans on two facts: (a) the
+        // batch's survivor set is recomputed deterministically from
+        // the same input files, and (b) `dedupIncremental` flags a
+        // batch doc only on an LSH-bucket hit VERIFIED against the
+        // shingle state via inner joins — a doc whose corpus append
+        // landed but whose state appends did not cannot see itself
+        // as a candidate (no bucket row yet), so the retry reaches
+        // the same survivor set and completes the missing appends
+        // under their original keys. `CurationStreamSpec` replays every
+        // crash point and asserts the converged state.
+        corpus.append(fresh, batchKey = Some(key))
+        buckets.append(
+          Dedup.bandBuckets(fresh, "doc_id", "text").toDF("doc_id", "bkey"),
+          batchKey = Some(s"$key-buckets"))
+        shingles.append(
+          Dedup.hashShingleSets(fresh, "doc_id", "text").toDF("doc_id", "sh"),
+          batchKey = Some(s"$key-shingles"))
+      } finally fresh.unpersist(blocking = false)
+    } finally {
+      clean.unpersist(blocking = false)
+      clusters.unpersist(blocking = false)
+      exact.unpersist(blocking = false)
+    }
+    // State-table maintenance on a cadence: fold the small append
+    // dirs this stream has accumulated. Failures are swallowed —
+    // a lost CAS race or transient I/O error just means the debt
+    // waits for the next cadence tick.
+    if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+      Seq(corpus, buckets, shingles).foreach { t =>
+        try t.compactSmallDirs(maintainMaxRows)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 }

@@ -83,6 +83,69 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(corpus.read().count() == 5)
   }
 
+  test("a retried micro-batch converges from every crash point between its appends") {
+    import graft.streaming.CurationStream
+    // Two novel docs that pass quality and don't dedup against each other.
+    def batchDf = Seq(
+      (10L, (0 until 20).map(t => s"crashdoc one tok$t").mkString(" ")),
+      (11L, (0 until 20).map(t => s"crashdoc two word$t").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    def freshTables(tag: String) = {
+      val cat = new graft.catalog.GraftCatalog(spark, TestSpark.tmpDir(s"crash-$tag-"))
+      val corpus = cat.materialized("corpus")
+      corpus.overwrite(Seq((1000L, baseStored)).toDF("doc_id", "text"))
+      val (b, s) = Dedup.persistDedupState(cat, "cstate",
+        Seq((1000L, baseStored)).toDF("doc_id", "text"), "doc_id", "text",
+        numBuckets = 8)
+      (corpus, b, s)
+    }
+    def stateOf(t: GraftTable, cols: Seq[String]) =
+      t.read().select(cols.head, cols.tail: _*).collect()
+        .map(_.toSeq.toString).sorted.toSeq
+
+    // Reference: the batch processed once, no crash.
+    val (c0, b0, s0) = freshTables("ref")
+    CurationStream.processBatch(batchDf, 0L, c0, b0, s0, minJaccard = 0.5)
+    val wantCorpus = stateOf(c0, Seq("doc_id"))
+    val wantBuckets = stateOf(b0, Seq("doc_id", "bkey"))
+    val wantShingles = stateOf(s0, Seq("doc_id", "sh"))
+    assert(wantCorpus.size == 3, s"both docs + seed ingest: $wantCorpus")
+
+    // The survivor set the pipeline would compute for this batch (both
+    // docs are novel and clean), appended manually with the SAME batch
+    // keys processBatch uses — each prefix is a crash point's table state.
+    val crashPoints: Seq[(String, (GraftTable, GraftTable, GraftTable) => Unit)] = Seq(
+      "before any append" -> ((_, _, _) => ()),
+      "after corpus append" -> ((c, _, _) =>
+        { c.append(batchDf, batchKey = Some("curate-0")); () }),
+      "after corpus + buckets appends" -> ((c, b, _) => {
+        c.append(batchDf, batchKey = Some("curate-0"))
+        b.append(Dedup.bandBuckets(batchDf, "doc_id", "text").toDF("doc_id", "bkey"),
+          batchKey = Some("curate-0-buckets"))
+        ()
+      }))
+    crashPoints.foreach { case (label, landPrefix) =>
+      val (c, b, s) = freshTables(label.take(8).replaceAll("\\W", ""))
+      landPrefix(c, b, s)
+      // The retry: Structured Streaming re-invokes foreachBatch with the
+      // same batch id and (by source replay) the same rows.
+      CurationStream.processBatch(batchDf, 0L, c, b, s, minJaccard = 0.5)
+      assert(stateOf(c, Seq("doc_id")) == wantCorpus,
+        s"corpus diverged after crash $label")
+      assert(stateOf(b, Seq("doc_id", "bkey")) == wantBuckets,
+        s"bucket state diverged after crash $label")
+      assert(stateOf(s, Seq("doc_id", "sh")) == wantShingles,
+        s"shingle state diverged after crash $label")
+      // ...and the converged state still rejects a near-dup of the batch.
+      CurationStream.processBatch(
+        Seq((99L, (0 until 19).map(t => s"crashdoc one tok$t").mkString(" ") + " tail"))
+          .toDF("doc_id", "text"), 1L, c, b, s, minJaccard = 0.5)
+      assert(!c.read().select("doc_id").collect().map(_.getLong(0)).contains(99L),
+        s"near-dup must be rejected after crash $label")
+    }
+  }
+
   test("maintenance cadence bounds the state tables' dir count across many batches") {
     val wh = TestSpark.tmpDir("curation-mnt-wh-")
     val cat = new graft.catalog.GraftCatalog(spark, wh)
