@@ -1169,6 +1169,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         if (values.isEmpty) return emptyDF(st)
         val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
         val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
+        // Serving fast path, multi-key form: with no pending deltas and the
+        // keys' buckets under the byte cap, the driver reads them itself —
+        // the search tier's postings fetch (a handful of token buckets) and
+        // an IVF probe's cell fetch drop from a Spark job to a local read.
+        // A bounded key count keeps the IN predicate + membership set sane;
+        // beyond it the distributed scan is the right plan anyway.
+        if (head.deltaDirs.isEmpty && values.size <= 1024) {
+          LocalPointRead.lookupRowsIn(spark, servingConf,
+            dirs.map(d => root.resolve(d).toString), st, bk, values) match {
+            case Some(rows) =>
+              import scala.jdk.CollectionConverters._
+              return spark.createDataFrame(rows.asJava,
+                StructType(st.fields.map(_.copy(nullable = true))))
+            case None => () // fall through to the distributed scan
+          }
+        }
         // Pending deltas: the lookup stays bucket-pruned on the BASE side
         // (the big one) and reads the bounded delta chain on top — falling
         // back to a full resolved scan would make every serving lookup

@@ -132,47 +132,50 @@ object LocalPointRead {
   }
 
   /**
-   * `key = value` as a parquet filter predicate, for the types whose
-   * physical parquet encoding is unambiguous from the Spark type. None
-   * (timestamp — INT96 vs INT64 depends on writer conf; decimal — int/
-   * long/binary depends on precision; dotted names — FilterApi parses
-   * dots as nested paths) means "no stats pruning", never a wrong answer:
-   * the reader then decodes everything and the row-level check filters.
+   * `key IN (values)` (eq for one value) as a parquet filter predicate,
+   * for the types whose physical parquet encoding is unambiguous from the
+   * Spark type. None (timestamp — INT96 vs INT64 depends on writer conf;
+   * decimal — int/long/binary depends on precision; dotted names —
+   * FilterApi parses dots as nested paths) means "no stats pruning",
+   * never a wrong answer: the reader then decodes everything and the
+   * row-level check filters.
    */
-  private def eqPredicate(
-      name: String, dt: DataType, catKey: Any)
+  private def valuesPredicate(
+      name: String, dt: DataType, catKeys: Seq[Any])
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
     import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.predicate.Operators
     import org.apache.parquet.io.api.Binary
     if (name.contains(".")) return None
+    def mk[T <: Comparable[T],
+           C <: Operators.Column[T] with Operators.SupportsEqNotEq](
+        col: C, vs: Seq[T]) =
+      if (vs.size == 1) FilterApi.eq(col, vs.head)
+      else {
+        val s = new java.util.HashSet[T]()
+        vs.foreach(s.add)
+        FilterApi.in(col, s)
+      }
     dt match {
-      case BooleanType =>
-        Some(FilterApi.eq(FilterApi.booleanColumn(name),
-          Boolean.box(catKey.asInstanceOf[Boolean])))
-      case ByteType =>
-        Some(FilterApi.eq(FilterApi.intColumn(name),
-          Int.box(catKey.asInstanceOf[Byte].toInt)))
-      case ShortType =>
-        Some(FilterApi.eq(FilterApi.intColumn(name),
-          Int.box(catKey.asInstanceOf[Short].toInt)))
-      case IntegerType | DateType =>
-        Some(FilterApi.eq(FilterApi.intColumn(name),
-          Int.box(catKey.asInstanceOf[Int])))
-      case LongType =>
-        Some(FilterApi.eq(FilterApi.longColumn(name),
-          Long.box(catKey.asInstanceOf[Long])))
-      case FloatType =>
-        Some(FilterApi.eq(FilterApi.floatColumn(name),
-          Float.box(catKey.asInstanceOf[Float])))
-      case DoubleType =>
-        Some(FilterApi.eq(FilterApi.doubleColumn(name),
-          Double.box(catKey.asInstanceOf[Double])))
-      case StringType =>
-        Some(FilterApi.eq(FilterApi.binaryColumn(name),
-          Binary.fromString(catKey.toString)))
-      case BinaryType =>
-        Some(FilterApi.eq(FilterApi.binaryColumn(name),
-          Binary.fromConstantByteArray(catKey.asInstanceOf[Array[Byte]])))
+      case BooleanType => Some(mk(FilterApi.booleanColumn(name),
+        catKeys.map(k => Boolean.box(k.asInstanceOf[Boolean]))))
+      case ByteType => Some(mk(FilterApi.intColumn(name),
+        catKeys.map(k => Int.box(k.asInstanceOf[Byte].toInt))))
+      case ShortType => Some(mk(FilterApi.intColumn(name),
+        catKeys.map(k => Int.box(k.asInstanceOf[Short].toInt))))
+      case IntegerType | DateType => Some(mk(FilterApi.intColumn(name),
+        catKeys.map(k => Int.box(k.asInstanceOf[Int]))))
+      case LongType => Some(mk(FilterApi.longColumn(name),
+        catKeys.map(k => Long.box(k.asInstanceOf[Long]))))
+      case FloatType => Some(mk(FilterApi.floatColumn(name),
+        catKeys.map(k => Float.box(k.asInstanceOf[Float]))))
+      case DoubleType => Some(mk(FilterApi.doubleColumn(name),
+        catKeys.map(k => Double.box(k.asInstanceOf[Double]))))
+      case StringType => Some(mk(FilterApi.binaryColumn(name),
+        catKeys.map(k => Binary.fromString(k.toString))))
+      case BinaryType => Some(mk(FilterApi.binaryColumn(name),
+        catKeys.map(k =>
+          Binary.fromConstantByteArray(k.asInstanceOf[Array[Byte]]))))
       case _ => None
     }
   }
@@ -267,7 +270,19 @@ object LocalPointRead {
       dirs: Seq[String],
       st: StructType,
       keyCol: String,
-      value: Any): Option[Seq[Row]] = {
+      value: Any): Option[Seq[Row]] =
+    lookupRowsIn(spark, conf, dirs, st, keyCol, Seq(value))
+
+  /** Multi-value form of [[lookupRows]]: rows whose `keyCol` equals ANY of
+    * `values` — one decode pass over the candidate files with an IN
+    * predicate, the driver-side analog of `filter(col.isin(values))`. */
+  def lookupRowsIn(
+      spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration,
+      dirs: Seq[String],
+      st: StructType,
+      keyCol: String,
+      values: Seq[Any]): Option[Seq[Row]] = {
     if (!enabled || !supports(st)) return None
     try {
       val dbg = sys.props.get("graft.lookup.debug").contains("true")
@@ -281,10 +296,22 @@ object LocalPointRead {
       if (files.map(_.getLen).sum > maxBytes) return None
       val dt = st(keyCol).dataType
       val tz = spark.sessionState.conf.sessionLocalTimeZone
-      val catKey = Cast(Literal(value), dt, Some(tz)).eval(null)
-      if (catKey == null) return Some(Seq.empty) // `= NULL` matches nothing
-      // One predicate serves every candidate file (same key column+value).
-      val pred = if (statsFilter) eqPredicate(keyCol, dt, catKey) else None
+      // `= NULL` matches nothing; null entries simply drop from the set.
+      val catKeys = values.map(v => Cast(Literal(v), dt, Some(tz)).eval(null))
+        .filter(_ != null).distinct
+      if (catKeys.isEmpty) return Some(Seq.empty)
+      // Binary keys can't sit in a hash set (Array[Byte] hashes by
+      // reference — `==` would silently match nothing); compare by value.
+      val keyMatches: Any => Boolean = dt match {
+        case BinaryType =>
+          val bs = catKeys.map(_.asInstanceOf[Array[Byte]])
+          v => bs.exists(java.util.Arrays.equals(_, v.asInstanceOf[Array[Byte]]))
+        case _ =>
+          val s = catKeys.toSet
+          v => s.contains(v)
+      }
+      // One predicate serves every candidate file (same key column+values).
+      val pred = if (statsFilter) valuesPredicate(keyCol, dt, catKeys) else None
       // (matching rows, rows decoded) of ONE file — self-contained so the
       // multi-file case can fan out across threads.
       def readFile(f: org.apache.hadoop.fs.FileStatus): (Seq[Row], Long) = {
@@ -333,7 +360,7 @@ object LocalPointRead {
           while (rdr.nextKeyValue()) {
             rowsDecoded += 1
             val r = rdr.getCurrentValue.asInstanceOf[InternalRow]
-            if (!r.isNullAt(keyIdx) && r.get(keyIdx, dt) == catKey) matches += r.copy()
+            if (!r.isNullAt(keyIdx) && keyMatches(r.get(keyIdx, dt))) matches += r.copy()
           }
         } finally {
           try rdr.close()

@@ -126,6 +126,36 @@ class LocalReadSpec extends AnyFunSuite {
     assert(t.lookupKeyRows(k).map(_.toSeq).toSet == distributed(t, k))
   }
 
+  test("multi-key serving lookup equals the distributed scan (hits + misses)") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("lkp-multi-").resolve("t"), "t")
+    t.overwriteBucketed(orders, "o_orderkey", 8)
+    val present = orders.select("o_orderkey").limit(6).collect().map(_.getLong(0)).toSeq
+    val keys = present ++ Seq(-1L, -2L) // two guaranteed misses
+    val viaLocal = t.lookupKeys(keys)
+    assert(viaLocal.inputFiles.isEmpty,
+      "no-delta multi-key lookup must serve from the driver-side read")
+    val localRows = viaLocal.collect().map(_.toSeq.toString).sorted.toSeq
+    val distRows = {
+      sys.props(LocalPointRead.EnabledProp) = "false"
+      try t.lookupKeys(keys).collect().map(_.toSeq.toString).sorted.toSeq
+      finally sys.props.remove(LocalPointRead.EnabledProp)
+    }
+    assert(localRows == distRows && localRows.size == present.size)
+  }
+
+  test("binary bucket keys match by value, not array reference") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("lkp-bin-").resolve("t"), "t")
+    val rows = (0 until 40).map(i => (Array(i.toByte, (i + 1).toByte), s"v$i"))
+    t.overwriteBucketed(rows.toDF("bkey", "payload"), "bkey", 4)
+    // A FRESH array instance with the same bytes: reference equality would
+    // silently return empty where the distributed filter returns the row.
+    val got = t.lookupKeyRows(Array(7.toByte, 8.toByte))
+    assert(got.map(_.getAs[String]("payload")) == Seq("v7"), s"got $got")
+    assert(t.lookupKeyRows(Array(99.toByte, 100.toByte)).isEmpty)
+  }
+
   test("byte cap forces the distributed fallback; results identical") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lkp-cap-").resolve("t"), "t")
     t.overwriteBucketed(orders, "o_orderkey", 4)
