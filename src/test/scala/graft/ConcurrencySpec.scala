@@ -252,4 +252,47 @@ class ConcurrencySpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("serving lookups stay correct against concurrent appends + minor compactions") {
+    // The driver-side serving read derives everything from ONE head
+    // snapshot and data files are immutable once committed, so a lookup
+    // racing appends and compactSmallDirs must always return a row that
+    // was true of SOME committed snapshot — never an error, never a torn
+    // read mixing two snapshots' images of the key.
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("conc-srv-").resolve("t"), "t")
+    val init = (0L until 64L).map(k => (k, 0L)).toDF("id", "rev")
+    t.overwriteBucketed(init, "id", 4)
+
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = Future {
+      (1L to 6L).foreach { rev =>
+        // upsert rewrites every key's rev; maintenance folds small dirs
+        t.upsert((0L until 64L).map(k => (k, rev)).toDF("id", "rev"), "id")
+        t.compactSmallDirs(maxRows = 1L << 20)
+      }
+      stop.set(true)
+    }
+    val readers = (0 until 3).map { r =>
+      Future {
+        var reads = 0
+        while (!stop.get()) {
+          val key = (r * 7L + reads) % 64L
+          val rows = t.lookupKeyRows(key)
+          assert(rows.size == 1, s"key $key must have exactly one image: $rows")
+          val rev = rows.head.getAs[Long]("rev")
+          assert(rev >= 0L && rev <= 6L, s"rev $rev out of committed range")
+          reads += 1
+        }
+        reads
+      }
+    }
+    Await.result(writer, 5.minutes)
+    val counts = Await.result(Future.sequence(readers), 5.minutes)
+    pool.shutdown()
+    assert(counts.forall(_ > 0), s"readers must have exercised the race: $counts")
+    assert(t.lookupKeyRows(5L).head.getAs[Long]("rev") == 6L)
+  }
 }
