@@ -1047,26 +1047,51 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * bounded by compactEvery), or any read failure.
    */
   private def morServingRows(head: Snapshot, value: Any): Option[Seq[Row]] =
+    morServingRowsIn(head, Seq(value))
+
+  /** Multi-key form of the pending-delta serving read: each key resolves
+    * independently — a key drops out of the probe set at its FIRST
+    * (newest) delta hit; keys no delta holds read their base buckets in
+    * one final call. The answer set matches `resolveDeltas`' rank cut
+    * filtered by `key IN (values)`. */
+  private def morServingRowsIn(head: Snapshot, values: Seq[Any]): Option[Seq[Row]] =
     try {
       if (!LocalPointRead.enabled) return None
       bucketSpecOf(head) match {
         case Some((bk, n)) if head.summary.get("mor_key").contains(bk) =>
           val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
           if (!LocalPointRead.supports(st)) return None
-          val catNull = org.apache.spark.sql.catalyst.expressions.Cast(
-            org.apache.spark.sql.catalyst.expressions.Literal(value),
-            st(bk).dataType,
-            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null) == null
-          if (catNull) return Some(Seq.empty) // `= NULL` matches nothing
-          val b = driverBucketId(value, st(bk).dataType, n)
-          val baseDirs = head.dataDirs.filter(d => bucketOfDir(d).contains(b))
+          val dt = st(bk).dataType
+          val tz = spark.sessionState.conf.sessionLocalTimeZone
+          // Canonical EXTERNAL form of every key (cast through the column
+          // type and back): row key values compare against these, so an
+          // Int probe finds a Long column's rows. Binary keys normalize to
+          // ArraySeq for value-equality set membership.
+          val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(dt)
+          def norm(v: Any): Any = v match {
+            case a: Array[Byte] =>
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+            case x => x
+          }
+          val extVals = values
+            .map(v => org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(v), dt,
+              Some(tz)).eval(null))
+            .filter(_ != null).map(conv) // `= NULL` matches nothing
+          val extByNorm = extVals.map(v => norm(v) -> v).toMap
+          var remaining = extByNorm.keySet
+          if (remaining.isEmpty) return Some(Seq.empty)
+          val buckets = extByNorm.values.map(driverBucketId(_, dt, n)).toSet
+          val baseDirs = head.dataDirs
+            .filter(d => bucketOfDir(d).exists(buckets.contains))
             .map(d => root.resolve(d).toString)
           // Leaf delta dirs (appends made under pending deltas) prune to
-          // the key's bucket — sound here because mor_key IS the bucket
+          // the keys' buckets — sound here because mor_key IS the bucket
           // key; flat upsertDeferred dirs are always read. Each kept dir
           // retains its FULL-chain sequence.
           val deltas = head.deltaDirs.zipWithIndex.collect {
-            case (d, i) if bucketOfDir(d).forall(_ == b) =>
+            case (d, i) if bucketOfDir(d).forall(buckets.contains) =>
               (root.resolve(d).toString, (i + 1).toLong)
           }
           val total = LocalPointRead.totalBytes(
@@ -1075,30 +1100,40 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           val deltaSt = StructType(st.fields :+
             org.apache.spark.sql.types.StructField("__op",
               org.apache.spark.sql.types.StringType, nullable = true))
-          // NEWEST delta first, stop at the first dir holding the key: the
-          // winner is the highest chain sequence, sequences are unique per
-          // dir, and a bucket-pruned-away leaf cannot hold the key — so
-          // the first hit IS the rank cut, and a full-update CDC chain
-          // (every key in every batch) costs ONE delta decode instead of
-          // the whole chain (measured 379 ms -> the newest batch only).
-          for ((dir, _) <- deltas.reverseIterator) {
-            LocalPointRead.lookupRows(
-                spark, servingConf, Seq(dir), deltaSt, bk, value) match {
+          val keyIdx = st.fieldIndex(bk)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // NEWEST delta first; a key leaves the probe set at its first
+          // hit — that dir holds its highest-sequence rows (sequences are
+          // unique per dir and a pruned-away leaf cannot hold a probed
+          // key), so the hit IS the rank cut. A full-update CDC chain
+          // resolves every key in ONE delta decode instead of the chain
+          // (measured 379 ms -> the newest batch only, single-key case).
+          for ((dir, _) <- deltas.reverseIterator if remaining.nonEmpty) {
+            LocalPointRead.lookupRowsIn(spark, servingConf, Seq(dir),
+                deltaSt, bk, remaining.toSeq.map(extByNorm)) match {
               case Some(rs) =>
-                if (rs.nonEmpty) {
-                  return Some(rs.collect {
-                    case r if r.get(st.fields.length).asInstanceOf[String] != "d" =>
-                      new org.apache.spark.sql.catalyst.expressions
+                rs.groupBy(r => norm(r.get(keyIdx))).foreach { case (k, rows) =>
+                  remaining -= k
+                  rows.foreach { r =>
+                    if (r.get(st.fields.length).asInstanceOf[String] != "d")
+                      out += new org.apache.spark.sql.catalyst.expressions
                         .GenericRowWithSchema(
-                          r.toSeq.dropRight(1).toArray[Any], st): Row
-                  })
+                          r.toSeq.dropRight(1).toArray[Any], st)
+                  }
                 }
               case None => return None
             }
           }
-          // No delta image: every base row for the key survives (all at
-          // sequence 0 — resolveDeltas' rank cut keeps duplicates).
-          LocalPointRead.lookupRows(spark, servingConf, baseDirs, st, bk, value)
+          // Keys no delta holds: every base row survives (all at sequence
+          // 0 — resolveDeltas' rank cut keeps duplicates).
+          if (remaining.nonEmpty) {
+            LocalPointRead.lookupRowsIn(spark, servingConf, baseDirs, st,
+                bk, remaining.toSeq.map(extByNorm)) match {
+              case Some(rs) => out ++= rs
+              case None => return None
+            }
+          }
+          Some(out.toSeq)
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1169,15 +1204,21 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         if (values.isEmpty) return emptyDF(st)
         val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
         val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
-        // Serving fast path, multi-key form: with no pending deltas and the
-        // keys' buckets under the byte cap, the driver reads them itself —
-        // the search tier's postings fetch (a handful of token buckets) and
-        // an IVF probe's cell fetch drop from a Spark job to a local read.
-        // A bounded key count keeps the IN predicate + membership set sane;
-        // beyond it the distributed scan is the right plan anyway.
-        if (head.deltaDirs.isEmpty && values.size <= 1024) {
-          LocalPointRead.lookupRowsIn(spark, servingConf,
-            dirs.map(d => root.resolve(d).toString), st, bk, values) match {
+        // Serving fast path, multi-key form: with the keys' buckets (plus,
+        // under pending deltas, the chain) inside the byte cap, the driver
+        // reads them itself — the search tier's postings fetch (a handful
+        // of token buckets) and an IVF probe's cell fetch drop from a
+        // Spark job to a local read, and a CDC-ingesting table keeps the
+        // same path between compactions. A bounded key count keeps the IN
+        // predicate + membership set sane; beyond it the distributed scan
+        // is the right plan anyway.
+        if (values.size <= 1024) {
+          val served =
+            if (head.deltaDirs.isEmpty)
+              LocalPointRead.lookupRowsIn(spark, servingConf,
+                dirs.map(d => root.resolve(d).toString), st, bk, values)
+            else morServingRowsIn(head, values)
+          served match {
             case Some(rows) =>
               import scala.jdk.CollectionConverters._
               return spark.createDataFrame(rows.asJava,
