@@ -491,7 +491,9 @@ object Bench {
     val lookupCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var lookupWaves: Seq[Double] = Seq.empty
     var lookupWarmWaves: Seq[Double] = Seq.empty
+    var lookupMultiWaves: Seq[Double] = Seq.empty
     var lookupWarmMs = -1.0
+    var lookupMultiMs = -1.0
     val lookupMs =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -539,6 +541,22 @@ object Bench {
         // cost from cold-file I/O — a cold/warm gap is the filesystem, a
         // high warm floor is the decode path.
         lookupWarmWaves = runsN(3)(timedWave)
+        // Multi-key serving form (the search tier's postings-fetch shape):
+        // six keys spanning several buckets, one driver-side IN read.
+        val multiKeys = Seq(keys(20), keys(80), keys(140), keys(220),
+          keys(280), keys(360))
+        t.lookupKeys(multiKeys).collect() // warm-up
+        lookupMultiWaves = runsN(3) { _ =>
+          val t0 = System.nanoTime()
+          val n = t.lookupKeys(multiKeys).collect().length
+          val dt = (System.nanoTime() - t0) / 1e9
+          // >= not ==: the synthetic lineitem can carry duplicate
+          // (orderkey, linenumber) pairs, so one key may match several rows.
+          require(n >= multiKeys.distinct.size,
+            s"multi lookup expected >= ${multiKeys.distinct.size}, got $n")
+          dt * 1000.0
+        }
+        lookupMultiMs = median(lookupMultiWaves)
         lookupCalib("after_lookup_ms") = calibMtMs()
         lookupWarmMs = median(lookupWarmWaves)
         median(lookupWaves)
@@ -569,7 +587,7 @@ object Bench {
     val curDispersion = curWaves
       .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val dispersion =
-      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"curation_secs":$curDispersion}"""
+      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"curation_secs":$curDispersion}"""
     val cdcStats =
       if (cdcCowWaves.isEmpty) "null"
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
@@ -598,7 +616,7 @@ object Bench {
     val droppedJson = cdcDroppedWaves
       .map { case (k, v) => s"\"$k\":${v.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_mor_ms":${jnum(morLookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the
