@@ -385,6 +385,50 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       s"snapshot commit for $tableRoot lost $attempts consecutive races")
   }
 
+  /**
+   * Explicit user-invoked retention (Iceberg's `expire_snapshots` /
+   * Delta `VACUUM` in one call): drop every manifest except the newest
+   * `keepLast`, then delete the data dirs those manifests referenced that
+   * no RETAINED manifest still references. Unlike the background orphan
+   * sweep, the reclaim here is IMMEDIATE — no GC grace: a dir referenced by
+   * an expired manifest was, by construction, committed (an in-flight
+   * writer's dir is referenced by NO manifest yet, so it stays protected by
+   * the grace-gated sweep as before). Returns the number of snapshots
+   * expired. A rollback snapshot carries its target's full dir set, so
+   * expiry after rollback never reclaims dirs the rolled-back head reads.
+   */
+  def expire(keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val ms = listManifests()
+    if (ms.size <= keepLast) return 0
+    val (dropPs, keepPs) = (ms.dropRight(keepLast), ms.takeRight(keepLast))
+    // Resolve both reference sets BEFORE deleting anything: the retained
+    // set defines what must survive; the dropped set minus it is garbage.
+    def refsOf(ps: Seq[Path]): Set[String] = ps.flatMap { p =>
+      try { val s = readManifest(p); s.dataDirs ++ s.deltaDirs }
+      catch { case e if isMissing(e) => Seq.empty } // raced another expiry
+    }.toSet
+    val keptRefs = refsOf(keepPs)
+    val deadRefs = refsOf(dropPs) -- keptRefs
+    // Manifest before detail, same ordering rule as the background expiry.
+    dropPs.foreach { p =>
+      val df = scala.util.Try(detailFileOf(p)).toOption.flatten
+      store.delete(p)
+      df.foreach(d => store.delete(logDir.resolve(d)))
+    }
+    deadRefs.foreach(rel => deleteRecursively(tableRoot.resolve(rel)))
+    // Leaf-granular deletes (bucketed layouts) can leave an empty commit-top
+    // shell behind — remove tops that now hold nothing.
+    val dataRoot = tableRoot.resolve("data")
+    if (Files.isDirectory(dataRoot)) {
+      Using.resource(Files.list(dataRoot))(_.iterator().asScala.toSeq)
+        .filter(p => Files.isDirectory(p))
+        .filter(p => Using.resource(Files.list(p))(!_.iterator().hasNext))
+        .foreach(Files.deleteIfExists(_))
+    }
+    dropPs.size
+  }
+
   private def expireOldManifests(): Unit = {
     val ms = listManifests()
     if (ms.size > retainVersions) {

@@ -385,6 +385,49 @@ object EngineQueries {
       t.diff(v3.snapshotId, v1.snapshotId, "o_orderkey")
         .withColumn("changed_cols", array_join(col("changed_columns"), ","))
         .drop("changed_columns")
+    }),
+
+    // Lifecycle: rollback to a pre-upsert snapshot — metadata-only commit,
+    // the head re-reads the target's exact dir set.
+    "t_rollback" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      val v1 = t.overwrite(o.filter(col("o_orderkey") <= 9999))
+      t.upsert(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000), "o_orderkey")
+      t.rollback(v1.snapshotId)
+      t.read()
+    }),
+
+    // Lifecycle: explicit snapshot expiry + immediate storage reclaim —
+    // the superseded v1 dir is deleted from disk (LifecycleSpec asserts the
+    // physical delete); the retained head still reads everything.
+    "t_expire" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 5000))
+      t.overwrite(o)
+      t.expireSnapshots(1)
+      t.read()
+    }),
+
+    // Layout: range clustering — rewrite as range-contiguous sorted dirs so
+    // a window read plans ~1/targetDirs of the table (LifecycleSpec asserts
+    // the dir pruning; this entry hash-checks the window's values).
+    "t_cluster_range" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwrite(events(s, d))
+      t.cluster(Seq("event_id"), 8)
+      t.readRange("event_id", 200L, 780L)
+    }),
+
+    // Layout: Z-ORDER clustering on two columns — the window here is on the
+    // SECOND dimension, which a single-column sort could not prune.
+    "t_zorder_range" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwrite(events(s, d))
+      t.cluster(Seq("user_id", "event_id"), 16)
+      t.readRange("user_id", 3L, 9L)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +516,16 @@ object EngineQueries {
     "t_range_pruned" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE event_id BETWEEN 1200 AND 1800""".stripMargin,
+    "t_rollback" ->
+      "SELECT * FROM orders WHERE o_orderkey <= 9999",
+    "t_expire" ->
+      "SELECT * FROM orders",
+    "t_cluster_range" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_id BETWEEN 200 AND 780""".stripMargin,
+    "t_zorder_range" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE user_id BETWEEN 3 AND 9""".stripMargin,
     "t_key_lookup_pruned" ->
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_key_multi_lookup" ->

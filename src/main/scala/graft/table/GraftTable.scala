@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.dml.Merge
-import graft.log.{Snapshot, SnapshotLog}
+import graft.log.{CommitConflictException, Snapshot, SnapshotLog}
 
 /**
  * A snapshot-versioned, keyed table: immutable Parquet data directories plus
@@ -581,14 +581,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * pays this per commit, and on an object store each sequential footer
    * round-trip would be tens of milliseconds.
    */
-  private def leafCounts(rel: String, keep: String => Boolean): Seq[DirInfo] = {
+  private def leafCounts(rel: String, keep: String => Boolean,
+      partCol: String = BucketCol): Seq[DirInfo] = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(root.resolve(rel).toString)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Seq.empty
     val leaves = fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BucketCol + "="))
-      .sortBy(s => s.getPath.getName.stripPrefix(BucketCol + "=").toInt)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .sortBy(s => s.getPath.getName.stripPrefix(partCol + "=").toInt)
     val futures = leaves.map { leaf =>
       scala.concurrent.Future {
         // blocking{}: footer opens are synchronous filesystem I/O, and the
@@ -1410,6 +1411,156 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     Some(log.commitExpecting(Some(head.snapshotId), "compact_minor",
       head.schemaJson, dataDirs, head.summary, None, dirRecords,
       head.deltaDirs, dirStats))
+  }
+
+  // ------------------------------------------------------ lifecycle / layout
+
+  /**
+   * Roll the table back to an earlier snapshot by committing a NEW snapshot
+   * whose content (schema, data dirs, pending deltas, statistics, layout
+   * summary) is the target's — history is preserved, the head moves back
+   * (Iceberg's `rollback_to_snapshot`). Metadata-only: no data is read or
+   * rewritten, so the cost is one manifest commit regardless of table size.
+   * The rollback manifest re-references the target's full dir set, which is
+   * exactly what keeps those dirs alive through later retention/expiry.
+   * Retries the CAS against a moving head — the commit's content derives
+   * from the TARGET, not the head, so a re-read is all a retry needs.
+   */
+  def rollback(snapshotId: Long): Snapshot = {
+    val target = log.get(snapshotId).getOrElse(throw new NoSuchElementException(
+      s"table $name has no snapshot $snapshotId"))
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val head = log.latest().get
+      if (head.snapshotId == snapshotId) return head // already there
+      try {
+        return log.commitExpecting(Some(head.snapshotId), "rollback",
+          target.schemaJson, target.dataDirs,
+          target.summary + ("rollback_of" -> snapshotId.toString),
+          None, target.dirRecords, target.deltaDirs, target.dirStats)
+      } catch { case _: CommitConflictException => } // head moved — re-read
+    }
+    throw new IllegalStateException(
+      s"rollback of $name to $snapshotId lost $attempts consecutive races")
+  }
+
+  /**
+   * Explicit snapshot retention + immediate storage reclaim: keep the newest
+   * `keepLast` snapshots, drop the rest, and DELETE data dirs no retained
+   * snapshot references (Iceberg `expire_snapshots` + Delta `VACUUM` in one
+   * call — see [[graft.log.SnapshotLog.expire]] for why this path can skip
+   * the orphan sweep's GC grace). Returns the number of snapshots expired.
+   * Time travel to an expired id throws; [[readAsOfOrLatest]] falls back.
+   */
+  def expireSnapshots(keepLast: Int): Int = log.expire(keepLast)
+
+  private val RangeCol = "__range"
+
+  /**
+   * Layout rewrite for RANGE locality — the OPTIMIZE ZORDER move: rewrite
+   * the table (pending MOR deltas folded, like [[compact]]) as `targetDirs`
+   * range-contiguous data dirs, sorted within each, and harvest per-dir
+   * min/max for the cluster columns into the manifest. [[readRange]] then
+   * plans ~1/targetDirs of the table for a narrow window instead of every
+   * dir — on the 100 TB table this is the difference between a window query
+   * listing a handful of dirs and scanning the full history, and inside each
+   * surviving file the sort makes parquet row-group stats selective too.
+   *
+   *  - ONE column: a straight range sort (equi-depth via Spark's range
+   *    partitioner sampling). Works for any orderable type.
+   *  - MULTIPLE columns: Z-ORDER — each column is equi-depth-quantized to
+   *    2^8 buckets (driver-side approxQuantile boundaries, numeric columns),
+   *    bucket ids bit-interleaved into a Z-value, rows range-partitioned and
+   *    sorted by it. Each dir's bounding box is then tight on EVERY cluster
+   *    column, so [[readRange]] prunes on any of them — the multi-dimensional
+   *    locality a single-column sort cannot give.
+   *
+   * The write is one shuffle (the range exchange) + one sort, the same cost
+   * shape as [[compact]]. Replaces a hash-bucket layout if one existed:
+   * clustering optimizes scans-by-range, bucketing optimizes point lookups —
+   * a table declares one primary layout at a time.
+   */
+  def cluster(columns: Seq[String], targetDirs: Int = 16): Snapshot = {
+    require(columns.nonEmpty, "cluster needs at least one column")
+    require(targetDirs >= 2, s"targetDirs must be >= 2, got $targetDirs")
+    val headOpt = log.latest()
+    require(headOpt.isDefined, s"table $name has no snapshots")
+    val head = headOpt.get
+    val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    columns.foreach(c =>
+      require(st.fieldNames.contains(c), s"table $name has no column $c"))
+    val df = readResolved(head)
+    val zk = "__zk"
+    val sortKey = if (columns.size == 1) col(columns.head) else zValue(df, columns)
+    val rel = newDataRel(head.snapshotId + 1)
+    val abs = root.resolve(rel).toString
+    withMicrosFooters {
+      // Sort AFTER adding the partition id: the partitioned write requires
+      // an ordering on RangeCol, and (RangeCol, zk) satisfies it as a
+      // prefix — no second writer-inserted sort to scramble the zk order
+      // that makes row-group stats tight inside each file.
+      df.withColumn(zk, sortKey)
+        .repartitionByRange(targetDirs, col(zk))
+        .withColumn(RangeCol, spark_partition_id())
+        .sortWithinPartitions(col(RangeCol), col(zk))
+        .drop(zk)
+        .write.partitionBy(RangeCol).mode("overwrite").parquet(abs)
+    }
+    val keep = statsKeep(None)
+    val leaves = leafCounts(rel, n => columns.contains(n) || keep(n), RangeCol)
+    val total = leaves.map(_.rows).sum
+    log.commitExpecting(Some(head.snapshotId), "cluster", head.schemaJson,
+      leaves.map(_.rel),
+      Map("records" -> total.toString,
+        "cluster_columns" -> columns.mkString(",")),
+      None, leaves.map(l => l.rel -> l.rows).toMap,
+      dirStats = leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats).toMap)
+  }
+
+  /**
+   * Z-value column: each column equi-depth-quantized against driver-side
+   * approxQuantile boundaries (one lightweight sample pass per column — the
+   * same "boundaries on the driver, assignment in the plan" split as
+   * KMeans' centroids), then the 8-bit bucket ids are bit-interleaved, bit i
+   * of column j landing at position `i*k + (k-1-j)`. The whole thing is a
+   * static tree of shiftleft/and/or over ONE projected bucket id per
+   * column — no UDF, fully codegen'd. NULL quantizes to bucket 0 (sorts
+   * first, standard NULLS FIRST locality).
+   */
+  private def zValue(df: DataFrame, columns: Seq[String]): Column = {
+    val bits = 8
+    val nb = 1 << bits // 256 equi-depth buckets per column
+    val k = columns.size
+    require(bits * k <= 62, s"too many Z-order columns: $k")
+    val bucketIds = columns.map { c =>
+      val probs = (1 until nb).map(_.toDouble / nb).toArray
+      // approxQuantile needs a numeric column; cast once in a throwaway
+      // projection (timestamps/dates quantize via their epoch value).
+      val bounds = df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.001)
+        .distinct.sorted
+      val v = col(c).cast("double")
+      // Bucket id = #boundaries <= v: a fold over a literal array. The HOF
+      // lambda closes over only a cast column ref, so the per-element
+      // re-evaluation pitfall (memory: HOF subtree re-eval) costs one cast.
+      val raw = aggregate(
+        array(bounds.map(lit(_)).toIndexedSeq: _*),
+        lit(0L),
+        (acc, b) => acc + when(v.isNotNull && v >= b, 1L).otherwise(0L))
+      // A low-cardinality column dedupes to few boundaries and would only
+      // occupy the LOW interleave bits, letting the other dimension dominate
+      // the Z-order entirely — rescale every column's id onto the full
+      // 2^bits range so each contributes at the same bit significance.
+      if (bounds.length + 1 >= nb) raw
+      else floor(raw * lit(nb.toLong) / lit((bounds.length + 1).toLong)).cast("long")
+    }
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      bucketIds.zipWithIndex.foldLeft(acc) { case (a, (bid, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bid, i).bitwiseAND(lit(1L)), i * k + (k - 1 - j)))
+      }
+    }
   }
 
   // ----------------------------------------------------------------- diff

@@ -3,91 +3,142 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.api.GraftSession
-import graft.catalog.GraftCatalog
-import graft.cdc.CdcPipeline
-import graft.search.Search
+import graft.table.GraftTable
 
 /**
- * The reference's full user journey (SURVEY §3) as ONE integration flow —
- * the "a user of the reference could switch" proof: CSV upload → SQL
- * serving → CDC stream into a versioned table → keyword search → time
- * travel → snapshot diff → keyed CRUD, all against the same catalog.
+ * Table lifecycle + layout operations: rollback, explicit snapshot expiry
+ * with immediate storage reclaim, and range / Z-order clustering.
+ *
+ * The correctness gates (`t_rollback`, `t_expire`, `t_cluster_range`,
+ * `t_zorder_range`) hash-check the VALUES against the DuckDB oracle; this
+ * spec asserts the parts a value check cannot see — physical file deletes,
+ * dir-level pruning, layout metadata, and interplay with bucketing/MOR.
  */
 class LifecycleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("upload → query → CDC stream → search → time travel → diff → CRUD") {
-    import spark.implicits._
-    val cat = new GraftCatalog(spark, TestSpark.tmpDir("life-wh-"))
-    val session = new GraftSession(cat)
+  private def orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
 
-    // 1. Batch CSV ingest (§3.3): products table with inference.
-    val csvDir = TestSpark.tmpDir("life-csv-")
-    Files.write(csvDir.resolve("products.csv"),
-      ("product_id,name,price\n" +
-        (1 to 50).map(i => s"$i,product_$i,${i * 1.5}").mkString("\n")).getBytes)
-    cat.ingestCsv(csvDir.resolve("products.csv").toString, "products", mode = "replace")
-    session.refreshViews()
+  test("rollback is metadata-only, preserves layout summary, and serves lookups") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-rb-").resolve("t"), "t")
+    t.overwriteBucketed(orders, "o_orderkey", 4)
+    val v1 = t.log.latest().get
+    t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500), "o_orderkey")
+    val snap = t.rollback(v1.snapshotId)
+    assert(snap.operation == "rollback")
+    assert(snap.summary.get("rollback_of").contains(v1.snapshotId.toString))
+    // content == v1, layout survives: bucket spec intact, lookup still pruned
+    assert(snap.dataDirs == v1.dataDirs && snap.dirStats == v1.dirStats)
+    assert(t.bucketSpec.contains(("o_orderkey", 4)))
+    val row = t.lookupKeyRows(7L)
+    assert(row.nonEmpty && row.head.getAs[Double]("o_totalprice") ==
+      orders.filter(col("o_orderkey") === 7).head.getAs[Double]("o_totalprice"))
+    // history is preserved — the upserted version is still travel-able
+    assert(t.readAsOf(v1.snapshotId + 1)
+      .filter(col("o_orderkey") === 2).head.getAs[Double]("o_totalprice") ==
+      orders.filter(col("o_orderkey") === 2).head.getAs[Double]("o_totalprice") + 500)
+  }
 
-    // 2. Interactive SQL (§3.1) — the postman example's shape.
-    val top = session.sql(
-      "SELECT * FROM products WHERE price > 50 ORDER BY price DESC").collect()
-    assert(top.nonEmpty && top.head.getAs[Double]("price") == 75.0)
+  test("rollback to the current head is a no-op") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-rb2-").resolve("t"), "t")
+    val v1 = t.overwrite(orders.limit(10))
+    assert(t.rollback(v1.snapshotId).snapshotId == v1.snapshotId)
+    assert(t.latestVersion == v1.snapshotId)
+  }
 
-    // 3. CDC pipeline (§3.2): Debezium envelopes stream-merged into a
-    //    bucketed versioned table.
-    val rowSchema = StructType(Seq(
-      StructField("id", LongType), StructField("sku", StringType),
-      StructField("qty", LongType)))
-    val orders = cat.createTable("cdc_orders", rowSchema, bucketBy = Some(("id", 4)))
-    val inDir = TestSpark.tmpDir("life-cdc-in-")
-    def env(id: Long, sku: String, qty: Long, op: String, ts: Long): String = {
-      val img = s"""{"id":$id,"sku":"$sku","qty":$qty}"""
-      val (b, a) = if (op == "d") (img, "null") else ("null", img)
-      s"""{"payload":{"before":$b,"after":$a,"op":"$op","ts_ms":$ts}}"""
-    }
-    Files.write(inDir.resolve("b1.json"),
-      (1L to 20L).map(i => env(i, s"sku$i", i, "c", i)).mkString("\n").getBytes)
-    Files.write(inDir.resolve("b2.json"), Seq(
-      env(2, "sku2-restock", 99, "u", 100),
-      env(3, "sku3", 0, "d", 101),
-      env(21, "sku21", 21, "c", 102)).mkString("\n").getBytes)
-    val q = CdcPipeline.start(spark, inDir.toString, rowSchema, orders, "id",
-      TestSpark.tmpDir("life-ckpt-").toString,
-      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1)
-    q.awaitTermination()
-    assert(orders.read().count() == 20) // 20 inserts + 1 insert - 1 delete
-    assert(orders.lookupKey(2L).head().getAs[Long]("qty") == 99L)
+  test("expireSnapshots reclaims superseded dirs immediately; retained reads survive") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-exp-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") <= 500))
+    val v1 = t.log.latest().get
+    t.overwrite(orders) // full replace — v1's dir becomes unreferenced by head
+    val v1Dir = t.root.resolve(v1.dataDirs.head)
+    assert(Files.isDirectory(v1Dir))
+    val n = t.expireSnapshots(1)
+    assert(n == 1)
+    assert(!Files.exists(v1Dir), s"expired dir must be deleted: $v1Dir")
+    // manifest gone too: time travel throws, OrLatest falls back
+    intercept[NoSuchElementException](t.readAsOf(v1.snapshotId))
+    assert(t.readAsOfOrLatest(v1.snapshotId).count() == orders.count())
+    assert(t.read().count() == orders.count())
+  }
 
-    // 4. Two-tier keyword search over the merged table.
-    val hits = Search.searchRanked(orders.read(), "id", "sku", "sku21")
-    assert(hits.collect().map(_.getAs[Long]("id")).toSeq == Seq(21L))
-    assert(Search.likeFallback(orders.read(), "id", "7").count() == 1) // digit → id
+  test("expiry after rollback keeps the re-referenced dirs alive") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-exprb-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") <= 500))
+    val v1 = t.log.latest().get
+    t.overwrite(orders)
+    t.rollback(v1.snapshotId)
+    // keep only the rollback head: v1's dir is referenced BY the head, the
+    // full-replace dir is the garbage
+    assert(t.expireSnapshots(1) == 2)
+    assert(Files.isDirectory(t.root.resolve(v1.dataDirs.head)))
+    assert(t.read().count() ==
+      orders.filter(col("o_orderkey") <= 500).count())
+  }
 
-    // 5. Time travel + history: the pre-b2 state is still queryable.
-    // (version 1 is the empty CREATE commit; version 2 is batch 1's merge)
-    val v1 = orders.log.versions()(1)
-    assert(orders.readAsOf(v1).count() == 20)
-    assert(orders.readAsOf(v1).filter(col("id") === 3).count() == 1,
-      "deleted row must still exist in the old snapshot")
-    assert(orders.history.count() == orders.log.versions().size)
+  test("expireSnapshots with nothing to expire returns 0") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-exp0-").resolve("t"), "t")
+    t.overwrite(orders.limit(10))
+    assert(t.expireSnapshots(5) == 0)
+  }
 
-    // 6. Snapshot diff: v2 vs v1 classifies the CDC batch's effect.
-    val d = orders.diff(orders.latestVersion, v1, "id").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(d(2L) == "MODIFIED" && d(3L) == "DELETED" && d(21L) == "NEW" &&
-      d(1L) == "UNCHANGED")
+  test("range clustering: window read plans only matching dirs, values match full filter") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-cl-").resolve("t"), "t")
+    // scrambled insert order — clustering must impose the range layout
+    t.overwrite(orders.orderBy(xxhash64(col("o_orderkey"))))
+    val snap = t.cluster(Seq("o_orderkey"), 8)
+    assert(snap.operation == "cluster")
+    assert(snap.summary.get("cluster_columns").contains("o_orderkey"))
+    assert(snap.dataDirs.size >= 2 && snap.dataDirs.size <= 8)
+    assert(snap.dataDirs.forall(d => snap.dirStats.contains(d)),
+      s"every clustered dir must carry stats: ${snap.dirStats.keySet}")
+    val lo = 1000L; val hi = 2000L
+    val pruned = t.readRange("o_orderkey", lo, hi)
+    val dirsRead = pruned.inputFiles.map(f =>
+      f.split('/').takeRight(2).head).distinct
+    assert(dirsRead.length < snap.dataDirs.size,
+      s"window must prune dirs: read ${dirsRead.length} of ${snap.dataDirs.size}")
+    assert(pruned.collect().map(_.getLong(0)).toSet ==
+      orders.filter(col("o_orderkey").between(lo, hi))
+        .collect().map(_.getLong(0)).toSet)
+  }
 
-    // 7. Keyed CRUD (the dashboard edit surface).
-    orders.insertRow(Map("id" -> "42", "sku" -> "sku42", "qty" -> "7"))
-    orders.updateWhere(col("id") === 42, Map("qty" -> lit(8L)))
-    assert(orders.lookupKey(42L).head().getAs[Long]("qty") == 8L)
-    orders.deleteWhere(col("id") === 42)
-    assert(orders.lookupKey(42L).isEmpty)
+  test("z-order clustering prunes on BOTH dimensions") {
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select("event_id", "user_id", "event_type", "value")
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-z-").resolve("t"), "t")
+    t.overwrite(ev)
+    val snap = t.cluster(Seq("event_id", "user_id"), 16)
+    val total = snap.dataDirs.size
+    assert(total >= 4, s"expected a multi-dir layout, got $total")
+    def dirsRead(df: org.apache.spark.sql.DataFrame): Int =
+      df.inputFiles.map(_.split('/').takeRight(2).head).distinct.length
+    // narrow window on EACH dimension must plan a strict subset of dirs
+    val byEvent = t.readRange("event_id", 100L, 180L)
+    val byUser = t.readRange("user_id", 2L, 4L)
+    assert(dirsRead(byEvent) < total,
+      s"event_id window read ${dirsRead(byEvent)}/$total dirs")
+    assert(dirsRead(byUser) < total,
+      s"user_id window read ${dirsRead(byUser)}/$total dirs")
+    // and both remain exact
+    assert(byEvent.count() ==
+      ev.filter(col("event_id").between(100, 180)).count())
+    assert(byUser.count() ==
+      ev.filter(col("user_id").between(2, 4)).count())
+  }
+
+  test("cluster folds pending MOR deltas first") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-mor-").resolve("t"), "t")
+    t.overwriteBucketed(orders, "o_orderkey", 4)
+    t.upsertDeferred(orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", lit(1.0)), "o_orderkey")
+    val snap = t.cluster(Seq("o_orderkey"), 4)
+    assert(snap.deltaDirs.isEmpty, "clustering must fold the delta chain")
+    val got = t.read().filter(col("o_orderkey") === 50).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("o_totalprice") == 1.0)
+    assert(t.read().count() == orders.count())
   }
 }
