@@ -173,6 +173,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * CORPUS-LEVEL overlap audit between document GROUPS (sources, splits,
+   * crawl snapshots — and the train-vs-benchmark contamination check, where
+   * the benchmark rides in as one more group): distinct-shingle
+   * intersection, Jaccard and containment per group pair. This is the
+   * dataset-auditing complement of the per-document dedup family: it
+   * answers "how much of source B is already in source A" before any
+   * mixing-weight or decontamination decision.
+   *
+   * Scale shape (G = #groups, single-to-double digits; corpus unbounded):
+   * one corpus pass to distinct (group, shingleHash) — shingles leave the
+   * map side as 8-byte xxhash64 keys, text never shuffles — then ONE
+   * groupBy(hash) collecting each shingle's group set (≤ G), pair expansion
+   * bounded by G² PER DISTINCT SHINGLE (never per occurrence), and one
+   * G²-sized final aggregate. Group sizes are a G-row broadcast. Hash-set
+   * semantics: counts equal string-set counts unless two distinct shingles
+   * collide in 64 bits (the [[hashShingleSets]] accepted risk).
+   *
+   * Output: (group_a, group_b, inter_shingles, n_a, n_b, jaccard,
+   * containment) for pairs sharing ≥ 1 shingle, group_a < group_b.
+   * Both ratios are single IEEE divisions of exact longs — deterministic
+   * cross-engine (the [[graft.queries.Q]] float discipline).
+   */
+  def corpusOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sets = docs.select(col(groupCol).cast("string").as("__g"),
+        explode(wordShingles(col(textCol), n)).as("__shs"))
+      .select(col("__g"), xxhash64(col("__shs")).as("__sh"))
+      .distinct()
+    val sizes = sets.groupBy("__g").agg(count(lit(1)).as("__n"))
+    // Sorted-array pair expansion: for each shingle's group set, emit every
+    // (a, b) with a < b via an indexed HOF over the (tiny) array — no
+    // self-join of the corpus-sized set against itself.
+    val gs = array_sort(collect_set(col("__g")))
+    val combos = flatten(transform(col("__gs"),
+      (a, i) => transform(slice(col("__gs"), i + lit(2), size(col("__gs"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val inter = sets.groupBy("__sh").agg(gs.as("__gs"))
+      .filter(size(col("__gs")) > 1)
+      .select(explode(combos).as("__p"))
+      .groupBy(col("__p.a").as("group_a"), col("__p.b").as("group_b"))
+      .agg(count(lit(1)).as("inter_shingles"))
+    inter
+      .join(broadcast(sizes.select(col("__g").as("group_a"), col("__n").as("n_a"))), "group_a")
+      .join(broadcast(sizes.select(col("__g").as("group_b"), col("__n").as("n_b"))), "group_b")
+      .select(col("group_a"), col("group_b"), col("inter_shingles"),
+        col("n_a"), col("n_b"),
+        (col("inter_shingles").cast("double") /
+          (col("n_a") + col("n_b") - col("inter_shingles"))).as("jaccard"),
+        (col("inter_shingles").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /**

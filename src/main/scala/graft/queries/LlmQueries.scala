@@ -108,6 +108,12 @@ object LlmQueries {
     "d_strip_spans" -> ((s, d) =>
       Dedup.stripDupSpans(withExactDups(s, d), "doc_id", "text", n = 8)),
 
+    // Corpus-pair overlap audit: distinct-shingle intersection / Jaccard /
+    // containment per SOURCE pair — the dataset-contamination view of the
+    // shingle machinery (how much of one corpus is inside another).
+    "x_corpus_overlap" -> ((s, d) =>
+      Dedup.corpusOverlap(tbl(s, d, "documents"), "source", "text")),
+
     // Exact shingle-Jaccard near-dup pairs (small-scale verification path).
     "d_jaccard_pairs" -> ((s, d) =>
       // maxRows = 0: this gate entry IS the documented deliberate oracle
@@ -780,6 +786,22 @@ object LlmQueries {
         |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM all_docs GROUP BY t HAVING count(*) > 1""".stripMargin,
+    "x_corpus_overlap" ->
+      """WITH tok AS (SELECT source, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |g AS (SELECT source, unnest(
+        |        CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
+        |             ELSE list_transform(range(1, len(ts) - 1),
+        |        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]) END) AS sh
+        |      FROM tok),
+        |dt AS (SELECT DISTINCT source, sh FROM g),
+        |sz AS (SELECT source, count(*) AS n FROM dt GROUP BY source),
+        |inter AS (SELECT a.source AS group_a, b.source AS group_b, CAST(count(*) AS BIGINT) AS inter_shingles
+        |          FROM dt a JOIN dt b ON a.sh = b.sh AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT group_a, group_b, inter_shingles, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(inter_shingles AS DOUBLE) / (sa.n + sb.n - inter_shingles) AS jaccard,
+        |  CAST(inter_shingles AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM inter JOIN sz sa ON sa.source = group_a JOIN sz sb ON sb.source = group_b""".stripMargin,
     "d_jaccard_pairs" ->
       (jaccardCte + "SELECT id_a, id_b, jaccard FROM jacs WHERE jaccard >= 0.5"),
     "d_minhash_pairs" ->
