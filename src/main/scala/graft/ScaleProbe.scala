@@ -199,6 +199,37 @@ object ScaleProbe {
       }
     }
 
+    // Layout probe: a FIXED-WIDTH window read over a range-clustered table
+    // that grows f× (disjoint id ranges per copy; the probed window lives
+    // in copy 0, so its content is identical at every f). The claim under
+    // test is the data-skipping one: with the manifest's per-dir min/max
+    // the window read plans ~window-many dirs regardless of table size —
+    // time exponent ≈ 0 — while the cluster() rewrite itself is the
+    // expected ~linear sort. An unclustered table would re-scan all f×
+    // dirs per window read (exponent ≈ 1).
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val ev = (0 until f).map { k =>
+        ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+      }.reduce(_ unionByName _)
+      val t = new graft.table.GraftTable(spark,
+        Files.createTempDirectory(s"scale-cluster-$f-").resolve("t"), "t")
+      t.overwrite(ev)
+      val tc0 = System.nanoTime()
+      t.cluster(Seq("event_id"), 16 * f) // dirs scale with data: fixed dir size
+      val clusterSec = (System.nanoTime() - tc0) / 1e9
+      results.getOrElseUpdate("t_cluster_rewrite",
+        scala.collection.mutable.LinkedHashMap.empty)(f) =
+        ((Seq(clusterSec), clusterSec, 0.0, ev.count()))
+      println(f"scaleprobe t_cluster_rewrite f=$f%-3d median=$clusterSec%8.3fs")
+      timedWaves("t_cluster_window", f,
+        () => { t.readRange("event_id", 10000L, 12000L).count(); () }) { _ =>
+        t.readRange("event_id", 10000L, 12000L).count()
+      }
+    }
+
     // CDC merge scaling — the reference's core workload, not covered by
     // the document probes above. Each wave is a full-update envelope
     // image of EVERY key (the bench's steady diet) applied to a bucketed

@@ -34,6 +34,9 @@ object Shell {
       |  history <table>                      commit history (time, operation, records)
       |  travel <table> <version|timestamp>   read the table as of a snapshot
       |  load_csv <path> <table> [mode] [pk]  ingest a CSV (replace|append|upsert)
+      |  rollback <table> <version>           move the head back to a snapshot
+      |  expire <table> <keep_last>           expire old snapshots, reclaim storage
+      |  cluster <table> <col[,col]> [dirs]   range/Z-order layout rewrite
       |  help                                 this text
       |  exit | quit                          leave the shell""".stripMargin
 
@@ -158,6 +161,22 @@ object Shell {
           if (at.forall(_.isDigit)) tb.readAsOf(at.toLong)
           else tb.readAsOfTimestamp(at)
         Some(render(df, 100))
+      case "rollback" =>
+        val Seq(t, v) = toks.slice(1, 3): @unchecked
+        val snap = table(t).rollback(v.toLong)
+        session.registerView(t)
+        Some(s"rolled $t back to snapshot $v (new head v${snap.snapshotId})")
+      case "expire" =>
+        val Seq(t, keep) = toks.slice(1, 3): @unchecked
+        val n = table(t).expireSnapshots(keep.toInt)
+        Some(s"expired $n snapshot(s) of $t (kept newest $keep)")
+      case "cluster" =>
+        val t = toks(1)
+        val cols = toks(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val dirs = toks.lift(3).map(_.toInt).getOrElse(16)
+        val snap = table(t).cluster(cols, dirs)
+        session.registerView(t)
+        Some(s"clustered $t by ${cols.mkString(",")} into ${snap.dataDirs.size} dirs (v${snap.snapshotId})")
       case "load_csv" =>
         val path = toks(1)
         val t = toks(2)

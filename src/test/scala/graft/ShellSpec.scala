@@ -68,6 +68,24 @@ class ShellSpec extends AnyFunSuite {
     assert(run("select shell_csv_t").contains("alpha"))
   }
 
+  test("rollback / expire / cluster lifecycle verbs") {
+    val cat = session.catalog
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select("event_id", "user_id", "value")
+    cat.saveTable("events_s", ev)
+    session.refreshViews()
+    val v1 = cat.table("events_s").latestVersion
+    assert(run("insert events_s event_id 900001 user_id=5").contains("inserted"))
+    assert(run(s"rollback events_s $v1").contains(s"rolled events_s back to snapshot $v1"))
+    assert(run("get events_s event_id 900001").contains("(0 rows)"))
+    val cl = run("cluster events_s event_id,user_id 4")
+    assert(cl.contains("clustered events_s by event_id,user_id"), cl)
+    val ex = run("expire events_s 1")
+    assert(ex.matches("expired \\d+ snapshot\\(s\\) of events_s .*"), ex)
+    // post-expiry the head still reads; select goes through the refreshed view
+    assert(run("select events_s 3").contains("(3 rows)"))
+  }
+
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
