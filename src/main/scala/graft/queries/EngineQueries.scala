@@ -428,6 +428,15 @@ object EngineQueries {
       t.overwrite(events(s, d))
       t.cluster(Seq("user_id", "event_id"), 16)
       t.readRange("user_id", 3L, 9L)
+    }),
+
+    // Layout: 2-D box read over the Z-ordered layout — manifest skipping on
+    // BOTH bounded columns at once (multiplicative pruning).
+    "t_zorder_box" -> ((s, d) => {
+      val t = tempTable(s)
+      t.overwrite(events(s, d))
+      t.cluster(Seq("user_id", "event_id"), 16)
+      t.readBox(Seq("user_id" -> (3L, 9L), "event_id" -> (200L, 800L)))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -526,6 +535,9 @@ object EngineQueries {
     "t_zorder_range" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE user_id BETWEEN 3 AND 9""".stripMargin,
+    "t_zorder_box" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE user_id BETWEEN 3 AND 9 AND event_id BETWEEN 200 AND 800""".stripMargin,
     "t_key_lookup_pruned" ->
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_key_multi_lookup" ->

@@ -227,26 +227,48 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * the resolving read. Numeric, string, timestamp and date columns prune;
    * other types read everything.
    */
-  def readRange(column: String, lower: Any, upper: Any): DataFrame = {
+  def readRange(column: String, lower: Any, upper: Any): DataFrame =
+    readBox(Seq(column -> (lower, upper)))
+
+  /**
+   * Multi-column box scan: the conjunction of per-column ranges, with
+   * manifest skipping on EVERY bounded column — a dir survives only if its
+   * recorded [min, max] intersects ALL the windows. This is the read shape
+   * Z-order clustering exists for: each clustered dir is a tight bounding
+   * box on every cluster column, so a 2-D box prunes multiplicatively
+   * where a single-column range read prunes on one dimension and filters
+   * the rest row-by-row. Same semantics as [[readRange]] otherwise
+   * (missing stats always read; NULL never matches; pending MOR deltas
+   * resolve on top of the pruned base).
+   */
+  def readBox(bounds: Seq[(String, (Any, Any))]): DataFrame = {
+    require(bounds.nonEmpty, "readBox needs at least one column range")
     val headOpt = log.latest()
     if (headOpt.isEmpty) return emptyDF(new StructType())
     val head = headOpt.get
     // The head manifest is already in hand — parse its schema directly
     // instead of re-listing and re-reading the log through `schema`.
     val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    require(st.fieldNames.contains(column), s"table $name has no column $column")
-    val between = col(column) >= lit(lower) && col(column) <= lit(upper)
-    val dt = st(column).dataType
-    val loB = statBound(lower, dt)
-    val hiB = statBound(upper, dt)
+    bounds.foreach { case (c, _) =>
+      require(st.fieldNames.contains(c), s"table $name has no column $c") }
+    val between = bounds.map { case (c, (lower, upper)) =>
+      col(c) >= lit(lower) && col(c) <= lit(upper)
+    }.reduce(_ && _)
+    // Per-column stat-domain windows, resolved once outside the dir loop.
+    val statWindows = bounds.map { case (c, (lower, upper)) =>
+      val dt = st(c).dataType
+      (c, dt, statBound(lower, dt), statBound(upper, dt))
+    }
     val dirs = head.dataDirs.filter { d =>
-      (for {
-        s <- head.dirStats.get(d)
-        mn <- s.get(s"$column:min").flatMap(parseStat(_, dt))
-        mx <- s.get(s"$column:max").flatMap(parseStat(_, dt))
-        lo <- loB
-        hi <- hiB
-      } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
+      statWindows.forall { case (c, dt, loB, hiB) =>
+        (for {
+          s <- head.dirStats.get(d)
+          mn <- s.get(s"$c:min").flatMap(parseStat(_, dt))
+          mx <- s.get(s"$c:max").flatMap(parseStat(_, dt))
+          lo <- loB
+          hi <- hiB
+        } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
+      }
     }
     // With pending merge-on-read deltas, base dirs STILL prune exactly like
     // the copy-on-write path — EVERY delta dir is read, and a delta image

@@ -128,6 +128,14 @@ class LifecycleSpec extends AnyFunSuite {
       ev.filter(col("event_id").between(100, 180)).count())
     assert(byUser.count() ==
       ev.filter(col("user_id").between(2, 4)).count())
+    // 2-D box: prunes at least as hard as either single-column window,
+    // stays exact
+    val box = t.readBox(Seq("event_id" -> (100L, 180L), "user_id" -> (2L, 4L)))
+    assert(dirsRead(box) <= math.min(dirsRead(byEvent), dirsRead(byUser)),
+      s"box read ${dirsRead(box)} dirs, single-dim reads " +
+        s"${dirsRead(byEvent)}/${dirsRead(byUser)}")
+    assert(box.count() == ev.filter(
+      col("event_id").between(100, 180) && col("user_id").between(2, 4)).count())
   }
 
   test("cluster folds pending MOR deltas first") {
