@@ -138,6 +138,36 @@ class LifecycleSpec extends AnyFunSuite {
       col("event_id").between(100, 180) && col("user_id").between(2, 4)).count())
   }
 
+  test("rollback retries through concurrent appends; expiry never strands the head") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-race-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") < 100)) // v1
+    t.append(orders.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200))
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // three appends race one rollback-to-v1: every commit must land exactly
+    // once (append re-derives on conflict, rollback's CAS retries), whatever
+    // the interleaving
+    val fs = (0 until 3).map { i =>
+      Future { t.append(orders.filter(col("o_orderkey") >= 200 + i * 50 &&
+        col("o_orderkey") < 250 + i * 50)); () }
+    } :+ Future { t.rollback(1L); () }
+    Await.result(Future.sequence(fs), 5.minutes)
+    pool.shutdown()
+    assert(t.log.versions() == (1L to 6L),
+      s"expected 6 contiguous commits, got ${t.log.versions()}")
+    // the one invariant that survives every interleaving: the head's
+    // records summary equals what a full read actually returns
+    val head = t.log.latest().get
+    assert(t.read().count() == head.summary("records").toLong)
+    // explicit expiry down to the head alone keeps it fully readable
+    t.expireSnapshots(1)
+    assert(t.log.versions() == Seq(head.snapshotId))
+    assert(t.read().count() == head.summary("records").toLong)
+  }
+
   test("cluster folds pending MOR deltas first") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lc-mor-").resolve("t"), "t")
     t.overwriteBucketed(orders, "o_orderkey", 4)
