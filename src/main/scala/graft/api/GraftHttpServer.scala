@@ -29,6 +29,8 @@ import org.apache.spark.sql.DataFrame
  *    OF` sugar (`api_poc.py:208-263`)
  *  - `GET /view/{t}?search=&snapshot=&page_size=` — dashboard page: optional
  *    keyword search + time travel, newest-first page (`api_poc.py:362-446`)
+ *  - `GET /box/{t}?cols=&lo=&hi=`        — multi-column box read (aligned
+ *                                          comma lists; per-dim skipping)
  *  - `GET /range/{t}?col=&lo=&hi=`       — range read with manifest-level
  *    min/max data skipping; bounds coerce per the column's type
  *  - `GET /snapshots/{t}`                — `$snapshots` metadata
@@ -541,6 +543,48 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val lo = bound("lo")
     val hi = bound("hi")
     dfJson(table.readRange(c, lo, hi), maxRows)
+  }
+
+  // Multi-column box read: `?cols=a,b&lo=1,10&hi=5,20` — aligned comma
+  // lists, one range per column, manifest skipping on EVERY bounded column
+  // (the readBox serving face; same per-column orderability and
+  // bound-coercion contract as /range, same 400 on any violation).
+  handle("/box") { ex =>
+    val t = pathArg(ex, "/box")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    def list(name: String): Seq[String] =
+      p.getOrElse(name, throw new IllegalArgumentException(s"missing $name"))
+        .split(',').toSeq.map(_.trim)
+    val cols = list("cols"); val los = list("lo"); val his = list("hi")
+    require(cols.nonEmpty && cols.size == los.size && cols.size == his.size,
+      "cols, lo and hi must be comma-separated lists of equal length")
+    val bounds = cols.zip(los.zip(his)).map { case (c, (loRaw, hiRaw)) =>
+      require(table.schema.fieldNames.contains(c), s"no such column $c")
+      val dt = table.schema(c).dataType
+      val orderable = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: NumericType | StringType | TimestampType | TimestampNTZType |
+            DateType => true
+          case _ => false
+        }
+      }
+      require(orderable,
+        s"column $c is ${dt.simpleString}: range windows need an orderable scalar column")
+      def bound(name: String, raw: String): Any = {
+        val v = graft.functions.Coerce.coerce(raw, dt)
+        val ok = dt match {
+          case org.apache.spark.sql.types.StringType => true
+          case _ => !v.isInstanceOf[String]
+        }
+        if (!ok) throw new IllegalArgumentException(
+          s"$name='$raw' is not a valid ${dt.simpleString} bound for column $c")
+        v
+      }
+      c -> (bound("lo", loRaw), bound("hi", hiRaw))
+    }
+    dfJson(table.readBox(bounds), maxRows)
   }
 
   handle("/snapshots") { ex =>

@@ -109,6 +109,19 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(b4.contains("orderable"), b4)
   }
 
+  test("GET /box reads a multi-column window; malformed lists and bounds 400") {
+    val (c1, b1) = get("/box/orders_t?cols=o_orderkey,o_totalprice&lo=100,0&hi=110,100000")
+    assert(c1 == 200, b1)
+    assert(b1.contains("\"o_orderkey\":10") && !b1.contains("\"o_orderkey\":99"), b1)
+    // misaligned lists are a client error
+    val (c2, b2) = get("/box/orders_t?cols=o_orderkey,o_totalprice&lo=100&hi=110,5")
+    assert(c2 == 400, s"$c2 $b2")
+    // a bad bound in ANY dimension 400s, same contract as /range
+    val (c3, b3) = get("/box/orders_t?cols=o_orderkey,o_totalprice&lo=100,abc&hi=110,5")
+    assert(c3 == 400, s"$c3 $b3")
+    assert(b3.contains("abc"), b3)
+  }
+
   test("POST /upload ingests a CSV body") {
     val csv = "item_id,name,price\n1,widget,2.5\n2,gadget,3.5\n"
     val (c1, b1) = post("/upload/uploads_t?mode=replace", csv)
