@@ -1555,14 +1555,38 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val nb = 1 << bits // 256 equi-depth buckets per column
     val k = columns.size
     require(bits * k <= 62, s"too many Z-order columns: $k")
+    // Z-order quantizes through a double cast; a non-castable column would
+    // silently quantize every row to bucket 0 (its dimension contributing
+    // nothing) — refuse loudly instead. Single-column clustering has no
+    // such restriction (a plain range sort orders any comparable type).
+    columns.foreach { c =>
+      val ok = df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      require(ok, s"Z-order column $c is ${df.schema(c).dataType.simpleString}: " +
+        "multi-column clustering needs numeric/timestamp/date columns " +
+        "(use a single-column cluster for string sort order)")
+    }
+    // Quantize input per type: timestamps/dates ride their (monotonic)
+    // epoch value — date and NTZ don't cast to double directly.
+    def asDouble(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast("timestamp").cast("double")
+      case _ => col(c).cast("double")
+    }
     val bucketIds = columns.map { c =>
       val probs = (1 until nb).map(_.toDouble / nb).toArray
       // approxQuantile needs a numeric column; cast once in a throwaway
       // projection (timestamps/dates quantize via their epoch value).
-      val bounds = df.select(col(c).cast("double").as(c))
+      val bounds = df.select(asDouble(c).as(c))
         .stat.approxQuantile(c, probs, 0.001)
         .distinct.sorted
-      val v = col(c).cast("double")
+      val v = asDouble(c)
       // Bucket id = #boundaries <= v: a fold over a literal array. The HOF
       // lambda closes over only a cast column ref, so the per-element
       // re-evaluation pitfall (memory: HOF subtree re-eval) costs one cast.

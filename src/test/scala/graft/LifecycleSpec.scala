@@ -168,6 +168,31 @@ class LifecycleSpec extends AnyFunSuite {
     assert(t.read().count() == head.summary("records").toLong)
   }
 
+  test("z-order on a timestamp dimension quantizes via epoch; strings refuse loudly") {
+    val ev = Q_events()
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-zts-").resolve("t"), "t")
+    t.overwrite(ev)
+    val snap = t.cluster(Seq("ts", "event_id"), 8)
+    assert(snap.dataDirs.size >= 2)
+    // the time dimension prunes: a narrow ts window plans a dir subset
+    val tsVals = ev.select(min("ts"), max("ts")).head()
+    val lo = tsVals.getAs[java.time.LocalDateTime](0)
+    val hi = lo.plusHours(2)
+    val w = t.readRange("ts", lo, hi)
+    val dirsRead = w.inputFiles.map(_.split('/').takeRight(2).head).distinct.length
+    assert(dirsRead < snap.dataDirs.size,
+      s"ts window read $dirsRead of ${snap.dataDirs.size} dirs")
+    assert(w.count() == ev.filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count())
+    // a string column in a MULTI-column cluster is a loud client error
+    val t2 = new GraftTable(spark, TestSpark.tmpDir("lc-zs-").resolve("t"), "t")
+    t2.overwrite(ev)
+    val e = intercept[IllegalArgumentException](t2.cluster(Seq("event_type", "event_id"), 4))
+    assert(e.getMessage.contains("event_type"), e.getMessage)
+  }
+
+  private def Q_events() =
+    graft.queries.Q.events(spark, TestSpark.sf0001)
+
   test("cluster folds pending MOR deltas first") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lc-mor-").resolve("t"), "t")
     t.overwriteBucketed(orders, "o_orderkey", 4)
