@@ -429,6 +429,21 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     dropPs.size
   }
 
+  /**
+   * Age-based form of [[expire]]: drop snapshots committed strictly BEFORE
+   * `cutoff` (an ISO-8601 instant), always retaining at least the newest
+   * one — the head must survive any retention policy. Same immediate
+   * storage-reclaim semantics as [[expire]]. Instants are PARSED before
+   * comparing (variable fractional-second precision breaks lexicographic
+   * order, same pitfall as readAsOfTimestamp).
+   */
+  def expireOlderThan(cutoff: String): Int = {
+    val cut = Instant.parse(cutoff)
+    val keep = snapshotsCore()
+      .count(s => !Instant.parse(s.committedAt).isBefore(cut))
+    expire(math.max(1, keep))
+  }
+
   private def expireOldManifests(): Unit = {
     val ms = listManifests()
     if (ms.size > retainVersions) {

@@ -1477,6 +1477,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   def expireSnapshots(keepLast: Int): Int = log.expire(keepLast)
 
+  /** Age-based retention: expire snapshots committed before `cutoff`
+    * (ISO-8601 instant), always keeping the head. Same immediate reclaim
+    * as [[expireSnapshots]]. */
+  def expireSnapshotsOlderThan(cutoff: String): Int = log.expireOlderThan(cutoff)
+
   private val RangeCol = "__range"
 
   /**

@@ -79,6 +79,21 @@ class LifecycleSpec extends AnyFunSuite {
       orders.filter(col("o_orderkey") <= 500).count())
   }
 
+  test("age-based expiry drops pre-cutoff snapshots but never the head") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-age-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") <= 300))
+    t.overwrite(orders.filter(col("o_orderkey") <= 600))
+    val v2 = t.log.latest().get
+    // cutoff right after v2: both snapshots pre-date it, but the head stays
+    val afterAll = java.time.Instant.parse(v2.committedAt).plusMillis(1).toString
+    assert(t.expireSnapshotsOlderThan(afterAll) == 1)
+    assert(t.log.versions() == Seq(v2.snapshotId))
+    assert(t.read().count() ==
+      orders.filter(col("o_orderkey") <= 600).count())
+    // a cutoff before everything expires nothing
+    assert(t.expireSnapshotsOlderThan("2000-01-01T00:00:00Z") == 0)
+  }
+
   test("expireSnapshots with nothing to expire returns 0") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lc-exp0-").resolve("t"), "t")
     t.overwrite(orders.limit(10))
