@@ -184,6 +184,13 @@ object ScaleProbe {
         graft.ops.Importance.dsirTopK(c,
           c.filter(col("doc_id") % 5 === 0), "doc_id", "text", k = 100).count()
       }
+      probe("x_corpus_overlap", f) { c =>
+        // Group-pair shingle overlap over 20 synthetic sources: expect
+        // ~linear shuffle (distinct 8-byte (group, hash) pairs) and a flat
+        // G²-bounded output regardless of corpus size.
+        graft.ops.Dedup.corpusOverlap(
+          c.withColumn("src", col("doc_id") % 20), "src", "text").count()
+      }
       probe("x_line_dedup", f) { c =>
         // The gate entry's construction (CurationQueries x_line_dedup):
         // 8-token windows re-joined to multi-line docs, then the corpus
