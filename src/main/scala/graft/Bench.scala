@@ -562,6 +562,39 @@ object Bench {
         median(lookupWaves)
       } catch { case e: Throwable => errors("lookup_latency") = errText(e); -1.0 }
 
+    // LAYOUT section: range clustering and the window read it exists for.
+    // One timed cluster() rewrite of the events table into 16 range-sorted
+    // dirs, then a fixed narrow window read — dirs-planned vs dirs-total
+    // puts the manifest data-skipping claim in the official artifact
+    // (SCALE_r11 shows the same window flat at 10× the table).
+    var clusterRewriteSec = -1.0
+    var clusterWindowWaves: Seq[Double] = Seq.empty
+    var clusterDirsRead = -1
+    var clusterDirsTotal = -1
+    val clusterWindowMs =
+      try {
+        val ev = graft.queries.Q.events(spark, sfDir)
+        val t = new GraftTable(spark,
+          Files.createTempDirectory("bench-cl-").resolve("t"), "t")
+        t.overwrite(ev)
+        val t0 = System.nanoTime()
+        val snap = t.cluster(Seq("event_id"), 16)
+        clusterRewriteSec = (System.nanoTime() - t0) / 1e9
+        clusterDirsTotal = snap.dataDirs.size
+        def win() = t.readRange("event_id", 1000L, 3000L)
+        clusterDirsRead = win().inputFiles
+          .map(_.split('/').takeRight(2).head).distinct.length
+        win().count() // warm-up: codegen for the pruned-scan shape
+        clusterWindowWaves = runsN(3) { _ =>
+          val s0 = System.nanoTime()
+          val n = win().count()
+          val dt = (System.nanoTime() - s0) / 1e6
+          require(n > 0, "clustered window must be non-empty")
+          dt
+        }
+        median(clusterWindowWaves)
+      } catch { case e: Throwable => errors("cluster_layout") = errText(e); -1.0 }
+
     def jnum(d: Double): String =
       if (d.isNaN || d.isInfinite) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -587,7 +620,7 @@ object Bench {
     val curDispersion = curWaves
       .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val dispersion =
-      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"curation_secs":$curDispersion}"""
+      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"cluster_window_ms":${jarr(clusterWindowWaves)},"curation_secs":$curDispersion}"""
     val cdcStats =
       if (cdcCowWaves.isEmpty) "null"
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
@@ -616,7 +649,7 @@ object Bench {
     val droppedJson = cdcDroppedWaves
       .map { case (k, v) => s"\"$k\":${v.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the

@@ -229,6 +229,65 @@ object Dedup {
           least(col("n_a"), col("n_b"))).as("containment"))
   }
 
+  /**
+   * Persisted form of the [[corpusOverlap]] audit for CONTINUOUS
+   * monitoring: each group's distinct shingle-hash set lands once as a
+   * narrow bucketed table (8-byte hash + group), and every later ingest
+   * batch is audited against ALL groups without re-touching corpus text —
+   * the state-table move [[persistDedupState]] makes for near-dup checks,
+   * applied to the contamination audit.
+   */
+  def persistOverlapState(
+      catalog: graft.catalog.GraftCatalog,
+      name: String,
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      numBuckets: Int = 64,
+      overwrite: Boolean = false): graft.table.GraftTable = {
+    val t = catalog.materialized(name, overwrite)
+    t.overwriteBucketed(
+      docs.select(col(groupCol).cast("string").as("grp"),
+          explode(wordShingles(col(textCol), n)).as("__shs"))
+        .select(col("grp"), xxhash64(col("__shs")).as("sh"))
+        .distinct(),
+      "sh", numBuckets)
+    t
+  }
+
+  /**
+   * Overlap of a NEW batch (one logical group — an incoming crawl shard, a
+   * benchmark to screen against) vs every group in the persisted state:
+   * distinct-shingle intersection, Jaccard, and containment per state
+   * group. One shuffle on the 8-byte hash; the batch's scalar set size is
+   * a 1-row broadcast (the [[Importance]] scalar-totals shape), so nothing
+   * leaves the plan until the G-row result.
+   */
+  def overlapIncremental(
+      batch: DataFrame,
+      textCol: String,
+      state: graft.table.GraftTable,
+      batchGroup: String = "batch",
+      n: Int = 3): DataFrame = {
+    val bsh = batch
+      .select(explode(wordShingles(col(textCol), n)).as("__shs"))
+      .select(xxhash64(col("__shs")).as("sh"))
+      .distinct()
+    val nA = bsh.agg(count(lit(1)).as("n_a"))
+    val sizes = state.read().groupBy("grp").agg(count(lit(1)).as("n_b"))
+    val inter = bsh.join(state.read(), "sh")
+      .groupBy("grp").agg(count(lit(1)).as("inter_shingles"))
+    inter.join(sizes, "grp")
+      .crossJoin(broadcast(nA))
+      .select(lit(batchGroup).as("group_a"), col("grp").as("group_b"),
+        col("inter_shingles"), col("n_a"), col("n_b"),
+        (col("inter_shingles").cast("double") /
+          (col("n_a") + col("n_b") - col("inter_shingles"))).as("jaccard"),
+        (col("inter_shingles").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   // -------------------------------------------------------------- MinHash
 
   /**

@@ -161,6 +161,20 @@ object LlmQueries {
           (col("__hit") * 2 >= col("n_strict_pairs")).as("recall_ok"))
     }),
 
+    // INCREMENTAL overlap audit: the per-source shingle state is written
+    // once (narrow bucketed table), then an ingest batch (every 10th doc)
+    // is screened against EVERY source without re-touching corpus text.
+    "x_overlap_incremental" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val wh = java.nio.file.Files.createTempDirectory("graft-ovstate-")
+      wh.toFile.deleteOnExit()
+      val cat = new graft.catalog.GraftCatalog(s, wh)
+      val state = Dedup.persistOverlapState(cat, "corpus_overlap", docs,
+        "source", "text")
+      Dedup.overlapIncremental(docs.filter(col("doc_id") % 10 === 0),
+        "text", state)
+    }),
+
     // INCREMENTAL dedup: a new batch (every 10th doc re-ingested under a
     // new id) checked against the PERSISTED corpus dedup state — band
     // buckets + shingle sets written once, batch verified against them
@@ -786,6 +800,30 @@ object LlmQueries {
         |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM all_docs GROUP BY t HAVING count(*) > 1""".stripMargin,
+    "x_overlap_incremental" ->
+      """WITH tok AS (SELECT source, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |g AS (SELECT source, unnest(
+        |        CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
+        |             ELSE list_transform(range(1, len(ts) - 1),
+        |        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]) END) AS sh
+        |      FROM tok),
+        |dt AS (SELECT DISTINCT source, sh FROM g),
+        |sz AS (SELECT source, count(*) AS n FROM dt GROUP BY source),
+        |btok AS (SELECT text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents WHERE doc_id % 10 = 0),
+        |bg AS (SELECT unnest(
+        |        CASE WHEN len(ts) < 3 THEN [lower(trim(text))]
+        |             ELSE list_transform(range(1, len(ts) - 1),
+        |        i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]) END) AS sh
+        |      FROM btok),
+        |bdt AS (SELECT DISTINCT sh FROM bg),
+        |na AS (SELECT count(*) AS n FROM bdt),
+        |inter AS (SELECT source, CAST(count(*) AS BIGINT) AS inter_shingles
+        |          FROM bdt JOIN dt USING (sh) GROUP BY source)
+        |SELECT 'batch' AS group_a, source AS group_b, inter_shingles,
+        |  na.n AS n_a, sz.n AS n_b,
+        |  CAST(inter_shingles AS DOUBLE) / (na.n + sz.n - inter_shingles) AS jaccard,
+        |  CAST(inter_shingles AS DOUBLE) / least(na.n, sz.n) AS containment
+        |FROM inter JOIN sz USING (source) CROSS JOIN na""".stripMargin,
     "x_corpus_overlap" ->
       """WITH tok AS (SELECT source, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
         |g AS (SELECT source, unnest(
