@@ -36,6 +36,9 @@ import org.apache.spark.sql.DataFrame
  *  - `GET /snapshots/{t}`                — `$snapshots` metadata
  *    (`api_poc.py:490-492`)
  *  - `GET /diff/{t}?v2=&v1=`             — snapshot diff (`api_poc.py:420-487`)
+ *  - `POST /rollback/{t}?v=` / `POST /expire/{t}?keep=|older_than=` /
+ *    `POST /cluster/{t}?cols=&dirs=` / `POST /compact/{t}` — the
+ *    table-lifecycle maintenance verbs over HTTP
  *  - `POST /insert/{t}` (JSON object of column → string) — single-row INSERT
  *    with form coercion (`api_poc.py:763-801`)
  *  - `POST /update/{t}/{id}` (JSON object) — UPDATE by id (`api_poc.py:728-761`).
@@ -617,6 +620,54 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
   // following /query sees the new snapshot — the reference's Trino always
   // plans against the current table; only explicitly pinned `VERSION AS OF`
   // reads stay historical.
+  // Maintenance surface: the table-lifecycle verbs over HTTP — the ops
+  // face of what the shell exposes as rollback/expire/cluster. All POST;
+  // all return the acting snapshot/count as JSON.
+  handle("/rollback") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/rollback")
+    val v = qs(ex).getOrElse("v",
+      throw new IllegalArgumentException("missing v (snapshot id)")).toLong
+    val snap = session.catalog.table(t).rollback(v)
+    session.registerView(t)
+    s"""{"status":"ok","rolled_back_to":$v,"snapshot_id":${snap.snapshotId}}"""
+  }
+
+  handle("/expire") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/expire")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    val n = (p.get("keep"), p.get("older_than")) match {
+      case (Some(k), _) => table.expireSnapshots(k.toInt)
+      case (None, Some(ts)) => table.expireSnapshotsOlderThan(ts)
+      case _ => throw new IllegalArgumentException(
+        "need keep=<n> or older_than=<ISO instant>")
+    }
+    s"""{"status":"ok","expired":$n}"""
+  }
+
+  handle("/cluster") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/cluster")
+    val p = qs(ex)
+    val cols = p.getOrElse("cols",
+      throw new IllegalArgumentException("missing cols"))
+      .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val dirs = p.get("dirs").map(_.toInt).getOrElse(16)
+    val snap = session.catalog.table(t).cluster(cols, dirs)
+    session.registerView(t)
+    s"""{"status":"ok","snapshot_id":${snap.snapshotId},"dirs":${snap.dataDirs.size}}"""
+  }
+
+  handle("/compact") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/compact")
+    val snap = session.catalog.table(t).compact()
+    session.registerView(t)
+    s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
+  }
+
   handle("/insert") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
     val t = pathArg(ex, "/insert")

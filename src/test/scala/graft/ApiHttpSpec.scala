@@ -109,6 +109,30 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(b4.contains("orderable"), b4)
   }
 
+  test("maintenance verbs over HTTP: rollback, expire, cluster, compact") {
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .select("event_id", "user_id", "value")
+    session.catalog.saveTable("maint_t", ev)
+    session.refreshViews()
+    val t = session.catalog.table("maint_t")
+    val v1 = t.latestVersion
+    t.append(ev.filter(col("event_id") < 10)
+      .withColumn("event_id", col("event_id") + 1000000))
+    val (rc, rb) = post(s"/rollback/maint_t?v=$v1", "")
+    assert(rc == 200 && rb.contains("\"rolled_back_to\""), s"$rc $rb")
+    assert(t.read().count() == ev.count())
+    val (cc, cb) = post("/cluster/maint_t?cols=event_id,user_id&dirs=4", "")
+    assert(cc == 200 && cb.contains("\"dirs\""), s"$cc $cb")
+    val (xc, xb) = post("/expire/maint_t?keep=1", "")
+    assert(xc == 200 && xb.contains("\"expired\""), s"$xc $xb")
+    assert(t.read().count() == ev.count())
+    val (pc, pb) = post("/compact/maint_t", "")
+    assert(pc == 200 && pb.contains("snapshot_id"), s"$pc $pb")
+    // parameter errors are 400s
+    assert(post("/expire/maint_t", "")._1 == 400)
+    assert(post("/rollback/maint_t", "")._1 == 400)
+  }
+
   test("GET /box reads a multi-column window; malformed lists and bounds 400") {
     val (c1, b1) = get("/box/orders_t?cols=o_orderkey,o_totalprice&lo=100,0&hi=110,100000")
     assert(c1 == 200, b1)
