@@ -502,18 +502,26 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     }
   }
 
-  handle("/range") { ex =>
-    val t = pathArg(ex, "/range")
-    val p = qs(ex)
-    val c = p.getOrElse("col", throw new IllegalArgumentException("missing col"))
-    val table = session.catalog.table(t)
+  // One validated (column → lo/hi) bound for the range-window endpoints.
+  //
+  // Only scalar ORDERABLE kinds take a range window. Boolean is excluded
+  // because Coerce's truthy parse cannot FAIL on it (nonsense bounds
+  // would 200); nested/binary kinds because a string bound against them
+  // either planner-errors into a 500 or silently filters nothing — both
+  // are client errors and must 400 up front.
+  //
+  // Bounds arrive as strings and coerce per the column's type — the same
+  // form-value rules as the DML endpoints; the manifest-level min/max
+  // skipping then plans only the dirs whose bounds intersect the window.
+  // Unlike the DML forms, an unparseable bound here can't be "cast later"
+  // — Coerce's raw-string fallback would defeat stat pruning and the
+  // engine-side cast would NULL the filter, silently returning zero rows
+  // with a 200. A bound that failed to coerce to the column's type is a
+  // client error: reject it as a 400, same as an unknown column.
+  private def rangeBound(table: graft.table.GraftTable, c: String,
+      loRaw: String, hiRaw: String): (String, (Any, Any)) = {
     require(table.schema.fieldNames.contains(c), s"no such column $c")
     val dt = table.schema(c).dataType
-    // Only scalar ORDERABLE kinds take a range window. Boolean is excluded
-    // because Coerce's truthy parse cannot FAIL on it (nonsense bounds
-    // would 200); nested/binary kinds because a string bound against them
-    // either planner-errors into a 500 or silently filters nothing — both
-    // are client errors and must 400 up front.
     val orderable = {
       import org.apache.spark.sql.types._
       dt match {
@@ -524,16 +532,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     }
     require(orderable,
       s"column $c is ${dt.simpleString}: range windows need an orderable scalar column")
-    // Bounds arrive as strings and coerce per the column's type — the same
-    // form-value rules as the DML endpoints; the manifest-level min/max
-    // skipping then plans only the dirs whose bounds intersect the window.
-    // Unlike the DML forms, an unparseable bound here can't be "cast later"
-    // — Coerce's raw-string fallback would defeat stat pruning and the
-    // engine-side cast would NULL the filter, silently returning zero rows
-    // with a 200. A bound that failed to coerce to the column's type is a
-    // client error: reject it as a 400, same as an unknown column.
-    def bound(name: String): Any = {
-      val raw = p.getOrElse(name, throw new IllegalArgumentException(s"missing $name"))
+    def bound(name: String, raw: String): Any = {
       val v = graft.functions.Coerce.coerce(raw, dt)
       val ok = dt match {
         case org.apache.spark.sql.types.StringType => true
@@ -543,8 +542,20 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
         s"$name='$raw' is not a valid ${dt.simpleString} bound for column $c")
       v
     }
-    val lo = bound("lo")
-    val hi = bound("hi")
+    c -> (bound("lo", loRaw), bound("hi", hiRaw))
+  }
+
+  // /range is the one-column special case of /box — one shared validation
+  // contract (rangeBound), one table-side plan (readRange delegates to
+  // readBox), so a coercion-rule change cannot make the two diverge.
+  handle("/range") { ex =>
+    val t = pathArg(ex, "/range")
+    val p = qs(ex)
+    val c = p.getOrElse("col", throw new IllegalArgumentException("missing col"))
+    def arg(name: String): String =
+      p.getOrElse(name, throw new IllegalArgumentException(s"missing $name"))
+    val table = session.catalog.table(t)
+    val (_, (lo, hi)) = rangeBound(table, c, arg("lo"), arg("hi"))
     dfJson(table.readRange(c, lo, hi), maxRows)
   }
 
@@ -563,29 +574,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     require(cols.nonEmpty && cols.size == los.size && cols.size == his.size,
       "cols, lo and hi must be comma-separated lists of equal length")
     val bounds = cols.zip(los.zip(his)).map { case (c, (loRaw, hiRaw)) =>
-      require(table.schema.fieldNames.contains(c), s"no such column $c")
-      val dt = table.schema(c).dataType
-      val orderable = {
-        import org.apache.spark.sql.types._
-        dt match {
-          case _: NumericType | StringType | TimestampType | TimestampNTZType |
-            DateType => true
-          case _ => false
-        }
-      }
-      require(orderable,
-        s"column $c is ${dt.simpleString}: range windows need an orderable scalar column")
-      def bound(name: String, raw: String): Any = {
-        val v = graft.functions.Coerce.coerce(raw, dt)
-        val ok = dt match {
-          case org.apache.spark.sql.types.StringType => true
-          case _ => !v.isInstanceOf[String]
-        }
-        if (!ok) throw new IllegalArgumentException(
-          s"$name='$raw' is not a valid ${dt.simpleString} bound for column $c")
-        v
-      }
-      c -> (bound("lo", loRaw), bound("hi", hiRaw))
+      rangeBound(table, c, loRaw, hiRaw)
     }
     dfJson(table.readBox(bounds), maxRows)
   }
@@ -640,7 +629,16 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val table = session.catalog.table(t)
     val n = (p.get("keep"), p.get("older_than")) match {
       case (Some(k), _) => table.expireSnapshots(k.toInt)
-      case (None, Some(ts)) => table.expireSnapshotsOlderThan(ts)
+      case (None, Some(ts)) =>
+        // DateTimeParseException is a RuntimeException but NOT an IAE, so
+        // without the rewrap a malformed older_than 500s while keep=abc
+        // 400s — both are client input errors on this surface.
+        try table.expireSnapshotsOlderThan(ts)
+        catch {
+          case e: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"older_than='$ts' is not an ISO-8601 instant", e)
+        }
       case _ => throw new IllegalArgumentException(
         "need keep=<n> or older_than=<ISO instant>")
     }

@@ -65,6 +65,23 @@ case class Snapshot(
   * re-derive its commit content against the new head and retry. */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+object SnapshotLog {
+  // Per-tableRoot maintenance mutex: serializes storage-RECLAIM passes
+  // (expire, orphan sweep) against the one commit type that re-references
+  // OLD dirs (rollback). Ordinary commits never take it — they only
+  // reference dirs they just wrote plus the current head's, both immune to
+  // reclaim. Deletion can't ride the optimistic CAS protocol (a delete has
+  // no claimable manifest), and maintenance verbs all flow through the one
+  // catalog process (driver / HTTP server), so a process-local mutex IS the
+  // coordination point; a multi-catalog deployment would hoist this to a
+  // catalog lock exactly as Iceberg's expire_snapshots does.
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def lockFor(tableRoot: Path): Object =
+    maintenanceLocks.computeIfAbsent(
+      tableRoot.toAbsolutePath.normalize.toString, _ => new Object)
+}
+
 /**
  * The O(dirs)-sized half of a commit, stored in a SIDE FILE next to the
  * manifest (Iceberg's manifest-list move): dir list, per-dir rows, per-dir
@@ -115,6 +132,14 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private implicit val fmts: Formats = DefaultFormats
 
   private val logDir: Path = tableRoot.resolve("_log")
+
+  /** Run `body` holding this table's maintenance mutex (reentrant — see
+    * [[SnapshotLog.lockFor]]). Reclaim passes hold it for their whole
+    * list→compute→delete span; [[graft.table.GraftTable.rollback]] holds it
+    * across re-reading its target and the CAS, so a rollback never publishes
+    * references to dirs a concurrent expiry is deleting. */
+  def withMaintenanceLock[T](body: => T): T =
+    SnapshotLog.lockFor(tableRoot).synchronized(body)
 
   private def manifestPath(id: Long): Path = logDir.resolve(f"v$id%016d.json")
 
@@ -395,9 +420,13 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
    * writer's dir is referenced by NO manifest yet, so it stays protected by
    * the grace-gated sweep as before). Returns the number of snapshots
    * expired. A rollback snapshot carries its target's full dir set, so
-   * expiry after rollback never reclaims dirs the rolled-back head reads.
+   * expiry after a COMMITTED rollback never reclaims dirs the rolled-back
+   * head reads; a rollback IN FLIGHT is ordered against this pass by the
+   * maintenance mutex (the listing below and the deletes happen under it,
+   * and rollback re-reads its target under it), so neither can a rollback
+   * publish references to dirs this pass is about to delete.
    */
-  def expire(keepLast: Int): Int = {
+  def expire(keepLast: Int): Int = withMaintenanceLock {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val ms = listManifests()
     if (ms.size <= keepLast) return 0
@@ -437,7 +466,10 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
    * comparing (variable fractional-second precision breaks lexicographic
    * order, same pitfall as readAsOfTimestamp).
    */
-  def expireOlderThan(cutoff: String): Int = {
+  def expireOlderThan(cutoff: String): Int = withMaintenanceLock {
+    // Counted under the same (reentrant) lock expire() deletes under, so a
+    // commit landing between the count and the delete can't shift which
+    // snapshots "newest keep" denotes.
     val cut = Instant.parse(cutoff)
     val keep = snapshotsCore()
       .count(s => !Instant.parse(s.committedAt).isBefore(cut))
@@ -504,7 +536,10 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   // so a freshly written dir is unreferenced-but-live. The default hour
   // dwarfs any write-to-commit window while bounding orphan lifetime.
 
-  def gcOrphanDataDirs(): Unit = {
+  def gcOrphanDataDirs(): Unit = withMaintenanceLock {
+    // Under the maintenance mutex: the referenced-set listing and the
+    // deletes below must not interleave with a rollback re-referencing a
+    // dir that is old enough to be past grace yet currently unreferenced.
     val referenced: Set[String] =
       snapshots().flatMap(s => s.dataDirs ++ s.deltaDirs).toSet
     val dataRoot = tableRoot.resolve("data")

@@ -201,10 +201,16 @@ object Dedup {
       groupCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
+    // `sets` feeds three consumers (sizes twice via the broadcast joins,
+    // inter once); unpersisted, each replays the full shingle+distinct
+    // subtree — three corpus passes for one audit. The G²-row result is
+    // tiny, so materialize it eagerly and release the corpus-sized cache
+    // before returning (the [[materializedWith]] idiom).
     val sets = docs.select(col(groupCol).cast("string").as("__g"),
         explode(wordShingles(col(textCol), n)).as("__shs"))
       .select(col("__g"), xxhash64(col("__shs")).as("__sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.groupBy("__g").agg(count(lit(1)).as("__n"))
     // Sorted-array pair expansion: for each shingle's group set, emit every
     // (a, b) with a < b via an indexed HOF over the (tiny) array — no
@@ -218,7 +224,7 @@ object Dedup {
       .select(explode(combos).as("__p"))
       .groupBy(col("__p.a").as("group_a"), col("__p.b").as("group_b"))
       .agg(count(lit(1)).as("inter_shingles"))
-    inter
+    val out = inter
       .join(broadcast(sizes.select(col("__g").as("group_a"), col("__n").as("n_a"))), "group_a")
       .join(broadcast(sizes.select(col("__g").as("group_b"), col("__n").as("n_b"))), "group_b")
       .select(col("group_a"), col("group_b"), col("inter_shingles"),
@@ -227,6 +233,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter_shingles"))).as("jaccard"),
         (col("inter_shingles").cast("double") /
           least(col("n_a"), col("n_b"))).as("containment"))
+    materializedWith(out, sets)
   }
 
   /**
@@ -270,15 +277,23 @@ object Dedup {
       state: graft.table.GraftTable,
       batchGroup: String = "batch",
       n: Int = 3): DataFrame = {
+    // The batch-side set feeds two consumers (its scalar size and the
+    // intersection join) — persist it rather than re-shingling the batch.
+    // The STATE is also read twice (group sizes, intersection), and that
+    // stays two scans ON PURPOSE: it's a narrow 16-byte-row columnar table,
+    // and pinning corpus-scale state in executor memory per probe is the
+    // worse trade at 100 TB. (A `grp → n` sizes sidecar maintained at
+    // append time would drop the first scan if it ever shows up in traces.)
     val bsh = batch
       .select(explode(wordShingles(col(textCol), n)).as("__shs"))
       .select(xxhash64(col("__shs")).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nA = bsh.agg(count(lit(1)).as("n_a"))
     val sizes = state.read().groupBy("grp").agg(count(lit(1)).as("n_b"))
     val inter = bsh.join(state.read(), "sh")
       .groupBy("grp").agg(count(lit(1)).as("inter_shingles"))
-    inter.join(sizes, "grp")
+    val out = inter.join(sizes, "grp")
       .crossJoin(broadcast(nA))
       .select(lit(batchGroup).as("group_a"), col("grp").as("group_b"),
         col("inter_shingles"), col("n_a"), col("n_b"),
@@ -286,6 +301,7 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter_shingles"))).as("jaccard"),
         (col("inter_shingles").cast("double") /
           least(col("n_a"), col("n_b"))).as("containment"))
+    materializedWith(out, bsh)
   }
 
   // -------------------------------------------------------------- MinHash

@@ -1066,8 +1066,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    *
    * None = fall back to the distributed resolving lookup: table not
    * bucketed by the mor key (delta rows can't be bucket-matched), nested
-   * schema, aggregate byte cap exceeded (base + whole chain — deltas are
-   * bounded by compactEvery), or any read failure.
+   * schema, byte cap exceeded (the delta chain up front — bounded by
+   * compactEvery — plus, later, only the still-unresolved keys' base
+   * buckets), or any read failure.
    */
   private def morServingRows(head: Snapshot, value: Any): Option[Seq[Row]] =
     morServingRowsIn(head, Seq(value))
@@ -1106,20 +1107,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           var remaining = extByNorm.keySet
           if (remaining.isEmpty) return Some(Seq.empty)
           val buckets = extByNorm.values.map(driverBucketId(_, dt, n)).toSet
-          val baseDirs = head.dataDirs
-            .filter(d => bucketOfDir(d).exists(buckets.contains))
-            .map(d => root.resolve(d).toString)
           // Leaf delta dirs (appends made under pending deltas) prune to
           // the keys' buckets — sound here because mor_key IS the bucket
-          // key; flat upsertDeferred dirs are always read. Each kept dir
-          // retains its FULL-chain sequence.
-          val deltas = head.deltaDirs.zipWithIndex.collect {
-            case (d, i) if bucketOfDir(d).forall(buckets.contains) =>
-              (root.resolve(d).toString, (i + 1).toLong)
+          // key; flat upsertDeferred dirs are always read. Chain ORDER is
+          // what resolution needs (newest-first iteration below); the
+          // per-dir sequence number itself never is.
+          val deltas = head.deltaDirs.collect {
+            case d if bucketOfDir(d).forall(buckets.contains) =>
+              root.resolve(d).toString
           }
-          val total = LocalPointRead.totalBytes(
-            servingConf, baseDirs ++ deltas.map(_._1)).getOrElse(return None)
-          if (total > LocalPointRead.budgetBytes) return None
+          // Budget in two installments: the delta chain is decoded
+          // unconditionally, so it must fit up front; the BASE side is
+          // priced later against only the still-unresolved keys' buckets —
+          // a probe where most keys resolve in the newest delta shouldn't
+          // be pushed to the distributed path by base bytes it never reads.
+          val deltaTotal = LocalPointRead.totalBytes(servingConf, deltas)
+            .getOrElse(return None)
+          if (deltaTotal > LocalPointRead.budgetBytes) return None
           val deltaSt = StructType(st.fields :+
             org.apache.spark.sql.types.StructField("__op",
               org.apache.spark.sql.types.StringType, nullable = true))
@@ -1131,7 +1135,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           // key), so the hit IS the rank cut. A full-update CDC chain
           // resolves every key in ONE delta decode instead of the chain
           // (measured 379 ms -> the newest batch only, single-key case).
-          for ((dir, _) <- deltas.reverseIterator if remaining.nonEmpty) {
+          for (dir <- deltas.reverseIterator if remaining.nonEmpty) {
             LocalPointRead.lookupRowsIn(spark, servingConf, Seq(dir),
                 deltaSt, bk, remaining.toSeq.map(extByNorm)) match {
               case Some(rs) =>
@@ -1148,10 +1152,20 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
             }
           }
           // Keys no delta holds: every base row survives (all at sequence
-          // 0 — resolveDeltas' rank cut keeps duplicates).
+          // 0 — resolveDeltas' rank cut keeps duplicates). Base dirs are
+          // recomputed from the REMAINING keys' buckets: keys already
+          // resolved in a delta never touch (or price) their base buckets.
           if (remaining.nonEmpty) {
+            val remVals = remaining.toSeq.map(extByNorm)
+            val remBuckets = remVals.map(driverBucketId(_, dt, n)).toSet
+            val baseDirs = head.dataDirs
+              .filter(d => bucketOfDir(d).exists(remBuckets.contains))
+              .map(d => root.resolve(d).toString)
+            val baseTotal = LocalPointRead.totalBytes(servingConf, baseDirs)
+              .getOrElse(return None)
+            if (deltaTotal + baseTotal > LocalPointRead.budgetBytes) return None
             LocalPointRead.lookupRowsIn(spark, servingConf, baseDirs, st,
-                bk, remaining.toSeq.map(extByNorm)) match {
+                bk, remVals) match {
               case Some(rs) => out ++= rs
               case None => return None
             }
@@ -1447,20 +1461,31 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * exactly what keeps those dirs alive through later retention/expiry.
    * Retries the CAS against a moving head — the commit's content derives
    * from the TARGET, not the head, so a re-read is all a retry needs.
+   *
+   * Each attempt runs under the table's maintenance mutex: the target is
+   * RE-READ and the CAS issued inside one locked span, so an expiry pass
+   * (which deletes under the same lock) can never reclaim the target's dirs
+   * between this commit deciding to reference them and publishing. A
+   * rollback racing an expiry that wins therefore fails with
+   * NoSuchElementException ("snapshot expired"), never with a head that
+   * points at deleted data.
    */
   def rollback(snapshotId: Long): Snapshot = {
-    val target = log.get(snapshotId).getOrElse(throw new NoSuchElementException(
-      s"table $name has no snapshot $snapshotId"))
     var attempts = 0
     while (attempts < 8) {
       attempts += 1
-      val head = log.latest().get
-      if (head.snapshotId == snapshotId) return head // already there
       try {
-        return log.commitExpecting(Some(head.snapshotId), "rollback",
-          target.schemaJson, target.dataDirs,
-          target.summary + ("rollback_of" -> snapshotId.toString),
-          None, target.dirRecords, target.deltaDirs, target.dirStats)
+        return log.withMaintenanceLock {
+          val target = log.get(snapshotId).getOrElse(
+            throw new NoSuchElementException(
+              s"table $name has no snapshot $snapshotId (missing or expired)"))
+          val head = log.latest().get
+          if (head.snapshotId == snapshotId) head // already there
+          else log.commitExpecting(Some(head.snapshotId), "rollback",
+            target.schemaJson, target.dataDirs,
+            target.summary + ("rollback_of" -> snapshotId.toString),
+            None, target.dirRecords, target.deltaDirs, target.dirStats)
+        }
       } catch { case _: CommitConflictException => } // head moved — re-read
     }
     throw new IllegalStateException(

@@ -131,6 +131,11 @@ class ApiHttpSpec extends AnyFunSuite {
     // parameter errors are 400s
     assert(post("/expire/maint_t", "")._1 == 400)
     assert(post("/rollback/maint_t", "")._1 == 400)
+    // a malformed instant is a client error too (DateTimeParseException is
+    // a RuntimeException, not an IAE — it must be rewrapped, not 500)
+    val (mc, mb) = post("/expire/maint_t?older_than=2026-13-99", "")
+    assert(mc == 400, s"$mc $mb")
+    assert(mb.contains("ISO-8601"), mb)
   }
 
   test("GET /box reads a multi-column window; malformed lists and bounds 400") {

@@ -79,6 +79,54 @@ class LifecycleSpec extends AnyFunSuite {
       orders.filter(col("o_orderkey") <= 500).count())
   }
 
+  test("rollback to an expired snapshot fails cleanly") {
+    val t = new GraftTable(spark, TestSpark.tmpDir("lc-rbexp-").resolve("t"), "t")
+    t.overwrite(orders.filter(col("o_orderkey") <= 500))
+    val v1 = t.log.latest().get
+    t.overwrite(orders)
+    t.expireSnapshots(1) // v1 manifest + dir reclaimed
+    // The target is re-read inside rollback's locked retry loop, so the
+    // answer is "snapshot expired" — never a head referencing deleted dirs.
+    intercept[NoSuchElementException](t.rollback(v1.snapshotId))
+    assert(t.read().count() == orders.count())
+  }
+
+  test("expire racing rollback never leaves the head pointing at deleted dirs") {
+    // The maintenance mutex serializes expire's list→compute→delete span
+    // against rollback's read-target→CAS span. Without it, this
+    // interleaving breaks: expire lists {v1,v2} and computes v1's dir dead;
+    // rollback commits v3 re-referencing v1's dir; expire deletes it —
+    // head v3 now reads deleted data. Race both ways a few times and
+    // assert the invariant: every dir the surviving head references exists.
+    val small = orders.filter(col("o_orderkey") <= 500)
+    for (i <- 1 to 6) {
+      val t = new GraftTable(spark,
+        TestSpark.tmpDir(s"lc-race$i-").resolve("t"), "t")
+      t.overwrite(small)
+      val v1 = t.log.latest().get
+      t.overwrite(orders)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val rb = pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            try { t.rollback(v1.snapshotId); "rolled-back" }
+            catch { case _: NoSuchElementException => "expired-first" }
+        })
+        val ex = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = t.expireSnapshots(1)
+        })
+        val outcome = rb.get(); ex.get()
+        val head = t.log.latest().get
+        (head.dataDirs ++ head.deltaDirs).foreach { d =>
+          assert(Files.isDirectory(t.root.resolve(d)),
+            s"[$outcome] head ${head.snapshotId} references deleted dir $d")
+        }
+        val n = t.read().count()
+        assert(n == small.count() || n == orders.count())
+      } finally pool.shutdown()
+    }
+  }
+
   test("age-based expiry drops pre-cutoff snapshots but never the head") {
     val t = new GraftTable(spark, TestSpark.tmpDir("lc-age-").resolve("t"), "t")
     t.overwrite(orders.filter(col("o_orderkey") <= 300))
