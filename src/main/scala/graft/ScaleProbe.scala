@@ -79,7 +79,15 @@ object ScaleProbe {
     /** Shared timed-wave bookkeeping: runs `op` `waves` times after one
       * untimed warm-up call, recording wall times, the shuffle-byte delta
       * of the last wave, and the result rows under (name, f). */
+    // SPARK_GRAFT_SCALE_ONLY=<op,op,...> re-probes a subset (e.g. after a
+    // targeted plan change) without paying the full ~20-min sweep; absent →
+    // all ops. The written JSON then holds only the probed subset — merge
+    // into the round's SCALE file by hand.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
     def timedWaves(name: String, f: Int, warm: () => Unit)(op: Int => Long): Unit = {
+      if (only.exists(!_.contains(name))) return
       warm() // untimed: codegen + JIT compile, exactly like the bench's
       // same-shape warm-ups — without it the f=1 probe (runs first)
       // absorbs all one-time compilation and the exponent skews negative
@@ -104,6 +112,7 @@ object ScaleProbe {
     }
 
     def probe(name: String, f: Int)(op: DataFrame => Long): Unit = {
+      if (only.exists(!_.contains(name))) return // skip synthesis too
       val corpus = scaledCorpus(f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -214,6 +223,7 @@ object ScaleProbe {
     // time exponent ≈ 0 — while the cluster() rewrite itself is the
     // expected ~linear sort. An unclustered table would re-scan all f×
     // dirs per window read (exponent ≈ 1).
+    if (only.forall(s => s("t_cluster_rewrite") || s("t_cluster_window")))
     for (f <- Seq(1, factor)) {
       val ev0 = graft.queries.Q.events(spark, sfDir)
       val ev = (0 until f).map { k =>
@@ -249,7 +259,7 @@ object ScaleProbe {
     // and the batch scale by f, so time_exponent ≈ 1 is the "holds at
     // 100×" answer for COW, and MOR's exponent measures pure batch-size
     // scaling (its cost must not depend on the delta chain or table size).
-    {
+    if (only.forall(s => s("cdc_cow_merge") || s("cdc_mor_append"))) {
       import org.apache.spark.sql.types._
       val rowSchema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts_us", LongType),

@@ -202,15 +202,19 @@ object Dedup {
       textCol: String,
       n: Int = 3): DataFrame = {
     // `sets` feeds three consumers (sizes twice via the broadcast joins,
-    // inter once); unpersisted, each replays the full shingle+distinct
-    // subtree — three corpus passes for one audit. The G²-row result is
-    // tiny, so materialize it eagerly and release the corpus-sized cache
-    // before returning (the [[materializedWith]] idiom).
+    // inter once) yet is deliberately NOT persisted: all three references
+    // live in ONE query, so Spark's ReusedExchange computes the distinct's
+    // shuffle once and the other references read the same exchange output —
+    // no recompute to cure. Persisting was MEASURED worse (scale probe f1:
+    // 1.19s/3.8MB shuffle lazy vs 2.19s/13.4MB persisted — the cache
+    // materialization breaks the pipelined reuse and pays block-manager
+    // writes for a corpus-sized intermediate). Contrast exactJaccardPairs,
+    // whose candidate-shingle frame IS persisted: measured the other way
+    // there.
     val sets = docs.select(col(groupCol).cast("string").as("__g"),
         explode(wordShingles(col(textCol), n)).as("__shs"))
       .select(col("__g"), xxhash64(col("__shs")).as("__sh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.groupBy("__g").agg(count(lit(1)).as("__n"))
     // Sorted-array pair expansion: for each shingle's group set, emit every
     // (a, b) with a < b via an indexed HOF over the (tiny) array — no
@@ -224,7 +228,7 @@ object Dedup {
       .select(explode(combos).as("__p"))
       .groupBy(col("__p.a").as("group_a"), col("__p.b").as("group_b"))
       .agg(count(lit(1)).as("inter_shingles"))
-    val out = inter
+    inter
       .join(broadcast(sizes.select(col("__g").as("group_a"), col("__n").as("n_a"))), "group_a")
       .join(broadcast(sizes.select(col("__g").as("group_b"), col("__n").as("n_b"))), "group_b")
       .select(col("group_a"), col("group_b"), col("inter_shingles"),
@@ -233,7 +237,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter_shingles"))).as("jaccard"),
         (col("inter_shingles").cast("double") /
           least(col("n_a"), col("n_b"))).as("containment"))
-    materializedWith(out, sets)
   }
 
   /**
@@ -277,23 +280,21 @@ object Dedup {
       state: graft.table.GraftTable,
       batchGroup: String = "batch",
       n: Int = 3): DataFrame = {
-    // The batch-side set feeds two consumers (its scalar size and the
-    // intersection join) — persist it rather than re-shingling the batch.
-    // The STATE is also read twice (group sizes, intersection), and that
-    // stays two scans ON PURPOSE: it's a narrow 16-byte-row columnar table,
-    // and pinning corpus-scale state in executor memory per probe is the
-    // worse trade at 100 TB. (A `grp → n` sizes sidecar maintained at
-    // append time would drop the first scan if it ever shows up in traces.)
+    // `bsh` (two references: scalar size, intersection join) and
+    // `state.read()` (two references: group sizes, intersection) are NOT
+    // persisted — both double references sit inside one query, where
+    // ReusedExchange / shared file scans already deduplicate the work (see
+    // the measured note in [[corpusOverlap]]); pinning corpus-scale state
+    // in executor memory per probe would be the worse trade at 100 TB.
     val bsh = batch
       .select(explode(wordShingles(col(textCol), n)).as("__shs"))
       .select(xxhash64(col("__shs")).as("sh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nA = bsh.agg(count(lit(1)).as("n_a"))
     val sizes = state.read().groupBy("grp").agg(count(lit(1)).as("n_b"))
     val inter = bsh.join(state.read(), "sh")
       .groupBy("grp").agg(count(lit(1)).as("inter_shingles"))
-    val out = inter.join(sizes, "grp")
+    inter.join(sizes, "grp")
       .crossJoin(broadcast(nA))
       .select(lit(batchGroup).as("group_a"), col("grp").as("group_b"),
         col("inter_shingles"), col("n_a"), col("n_b"),
@@ -301,7 +302,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter_shingles"))).as("jaccard"),
         (col("inter_shingles").cast("double") /
           least(col("n_a"), col("n_b"))).as("containment"))
-    materializedWith(out, bsh)
   }
 
   // -------------------------------------------------------------- MinHash
