@@ -536,4 +536,117 @@ object Curation {
         size(col("__c")).as("n_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
   }
+
+  // ------------------------------------------------ content-defined chunking
+
+  /** Deterministic 256-entry gear table (splitmix64 over a fixed seed) —
+    * the per-character randomness source of the rolling hash. Fixed seed =
+    * identical boundaries across sessions/executors, which is what makes
+    * chunk hashes joinable across independently-processed corpus shards. */
+  private[ops] val gearTable: Array[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    Array.fill(256) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Gear-hash CDC split (Xia et al., FastCDC'16 family): cut after any
+    * position where the rolling hash's low `mask` bits are zero and the
+    * chunk has reached `minSize`; force a cut at `maxSize`. The hash
+    * `h = (h << 1) + gear(c)` forgets a character after 64 shifts, so a
+    * boundary decision depends only on the trailing 64 characters — which
+    * is the whole point: an insertion re-aligns boundaries within ~one
+    * chunk instead of shifting every later boundary the way fixed-size
+    * chunking does (asserted by CdcChunkSpec). */
+  private[ops] def cdcSplit(
+      text: String, minSize: Int, mask: Long, maxSize: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = (h << 1) + gearTable(text.charAt(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        out += text.substring(start, i + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < text.length) out += text.substring(start)
+    out.toArray
+  }
+
+  /**
+   * Content-defined chunking of each document (FastCDC-style gear hash):
+   * one row per (doc, chunk), boundaries a pure local function of the text
+   * itself. This is the storage/dedup-grade splitter: where [[chunkTokens]]'
+   * fixed windows shift wholesale after any insertion, CDC boundaries
+   * re-align within about one chunk, so near-identical documents (crawl
+   * re-fetches, template pages, versioned shards) share almost all chunk
+   * hashes — the unit [[chunkDupStats]] and chunk-level dedup operate on.
+   *
+   * Scale shape: map-side only — the splitter is a per-row character scan
+   * (a deliberate UDF, the [[Dedup.bloomFlag]] precedent: no Catalyst
+   * equivalent exists for a stateful rolling hash) followed by posexplode;
+   * NO shuffle. Downstream consumers aggregate chunk hashes, not text.
+   * Expected chunk length ≈ minSize + 2^round(log2(avgSize - minSize))
+   * (the boundary test is geometric once past minSize); maxSize bounds the
+   * worst case on low-entropy text (a run of one repeated character never
+   * fires a hash boundary).
+   *
+   * Null/empty text yields zero chunks. Concatenating a doc's chunks in
+   * chunk_id order reproduces its text exactly (the x_cdc_chunks gate).
+   */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSize: Int = 64,
+      avgSize: Int = 256,
+      maxSize: Int = 1024): DataFrame = {
+    require(0 < minSize && minSize <= avgSize && avgSize <= maxSize,
+      s"need 0 < minSize <= avgSize <= maxSize, got $minSize/$avgSize/$maxSize")
+    val spread = math.max(1, avgSize - minSize)
+    val bits = 63 - java.lang.Long.numberOfLeadingZeros(spread.toLong)
+    val mask = (1L << bits) - 1
+    val split = udf((s: String) =>
+      if (s == null) Array.empty[String] else cdcSplit(s, minSize, mask, maxSize))
+    docs.select(col(idCol),
+      posexplode(split(col(textCol))).as(Seq("chunk_id", "chunk_text")))
+  }
+
+  /**
+   * Corpus-level chunk-dedup audit: how much storage chunk-level dedup
+   * would reclaim. One map-side [[cdcChunks]] pass reduced to 8-byte chunk
+   * hashes, one hash-keyed shuffle, one scalar row out: total/distinct
+   * chunk counts and character volumes, plus `dedup_ratio` = chars kept /
+   * chars stored (1.0 = nothing shared). Chunk text never shuffles; a
+   * 64-bit hash collision undercounts distinct chars by one chunk — the
+   * [[Dedup.hashShingleSets]] accepted risk.
+   */
+  def chunkDupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSize: Int = 64,
+      avgSize: Int = 256,
+      maxSize: Int = 1024): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
+      .select(xxhash64(col("chunk_text")).as("__h"),
+        length(col("chunk_text")).cast("long").as("__len"))
+    ch.groupBy("__h").agg(count(lit(1)).as("__c"), first(col("__len")).as("__len"))
+      .agg(sum("__c").as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("__len") * col("__c")).as("total_chars"),
+        sum("__len").as("distinct_chars"))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        col("total_chars"), col("distinct_chars"),
+        (col("distinct_chars").cast("double") / col("total_chars"))
+          .as("dedup_ratio"))
+  }
 }

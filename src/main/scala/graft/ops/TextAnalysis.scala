@@ -121,6 +121,76 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * EXACT corpus heavy hitters — the top-`k` word n-grams among those with
+   * total occurrence count >= `minCount` (count desc, gram asc) — computed
+   * the way the problem stays feasible at 100 TB: a two-pass
+   * sketch-filtered aggregation.
+   *
+   * [[topNgrams]]' single groupBy is exact but its exchange and final
+   * hash aggregate are sized by the DISTINCT-n-gram vocabulary — at web
+   * scale tens of billions of entries, dominated by a once-seen long tail
+   * that the answer never mentions. Here pass 1 folds the corpus into a
+   * fixed-size count-min sketch (Cormode & Muthukrishnan 2005; Spark's
+   * mergeable `count_min_sketch` aggregate — a few MB regardless of
+   * corpus size), and pass 2 re-streams the corpus keeping only n-grams
+   * the sketch estimates >= `minCount`. CMS never underestimates, so
+   * every true heavy hitter survives the filter — zero false negatives;
+   * sketch collisions only let extra tail grams through, and the exact
+   * count then culls them. The exact groupBy therefore shuffles the
+   * CANDIDATES' occurrences only; the long tail dies map-side against a
+   * broadcast sketch probe (the [[Dedup.bloomFlag]] precedent: a per-row
+   * primitive-long probe with no Catalyst builtin — the one deliberate
+   * UDF here). The final answer depends only on the exact counts, so it
+   * is deterministic and sketch-parameter-independent.
+   *
+   * `eps`/`confidence` size the sketch (~1/eps counters per depth row,
+   * ~ln(1/(1-confidence)) rows): an estimate overshoots the true count by
+   * more than eps·N (N = total n-gram occurrences) with probability at
+   * most 1-confidence; an overshooting tail gram costs one extra
+   * exact-count row, never a wrong answer. Pick eps ≲ minCount/N at scale
+   * so the overshoot can't promote the tail wholesale (eps=1e-5 ≈ a
+   * few-MB sketch). Grams are probed via xxhash64 (8-byte sketch entries,
+   * not strings); a 64-bit gram collision again only merges ESTIMATES
+   * upward — the exact pass keys on the string.
+   */
+  def heavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 50,
+      minCount: Long = 5L,
+      eps: Double = 1e-5,
+      confidence: Double = 0.999): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1")
+    val grams = docs.select(explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+    val skRow = grams
+      .select(count_min_sketch(xxhash64(col("ngram")), lit(eps),
+        lit(confidence), lit(42)).as("sk"))
+      .head()
+    // Empty corpus: the aggregate yields an empty sketch (not null —
+    // unlike bloomFilter), but guard the deserialize anyway.
+    val sketch = Option(skRow.getAs[Array[Byte]]("sk")) match {
+      case Some(bytes) => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      case None => return grams.sparkSession.createDataFrame(
+        grams.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ngram",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_occurrences",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val bc = grams.sparkSession.sparkContext.broadcast(sketch)
+    val maybeHeavy = udf((h: Long) => bc.value.estimateCount(h) >= minCount)
+    grams
+      .filter(maybeHeavy(xxhash64(col("ngram"))))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /**
    * Per-document top-`k` terms by TF-IDF — the classic corpus-weighting
    * signal (keyword extraction, boilerplate-vs-content separation, cheap
    * topic features for curation mixes). Weight = tf · ln(N / df) with raw

@@ -89,6 +89,22 @@ object CurationQueries {
     "x_chunks" -> ((s, d) =>
       Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text")),
 
+    // Content-defined chunking: the boundaries are a rolling-hash function
+    // SQL cannot reproduce, so the gate checks the property that IS
+    // SQL-expressible — chunks concatenated in chunk_id order reproduce
+    // every non-null document exactly (losslessness through the real
+    // split + posexplode + re-assemble plumbing). The content-defined
+    // properties a value check can't see (boundary re-alignment after an
+    // insertion, min/avg/max bounds, fixed-size contrast) are asserted by
+    // CdcChunkSpec.
+    "x_cdc_chunks" -> ((s, d) =>
+      Curation.cdcChunks(tbl(s, d, "documents"), "doc_id", "text",
+          minSize = 16, avgSize = 64, maxSize = 256)
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          c => c.getField("chunk_text")), "").as("text"))),
+
     // URL canonicalization + registered-domain extraction: each doc id
     // builds a deliberately messy URL (uppercase scheme/host, default
     // port, tracking params, unsorted query, trailing slash, fragment)
@@ -515,6 +531,11 @@ object CurationQueries {
           |  CAST(len(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)]) AS INT) AS n_tokens,
           |  array_to_string(ts[CAST(chunk_id*28+1 AS INT) : CAST(chunk_id*28+32 AS INT)], ' ') AS chunk_text
           |FROM c""".stripMargin),
+    // CDC chunking is gated on lossless reconstruction (see the queries
+    // entry): the oracle is the raw text of every document that yields at
+    // least one chunk — i.e. non-null, non-empty text.
+    "x_cdc_chunks" ->
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND len(text) > 0",
     // The canonical form of x_url_canon's synthetic URL, in closed form:
     // params sorted ('a=' < 'b='), trackers dropped, default port and the
     // fragment gone, trailing slash trimmed, scheme/host lowercased.

@@ -375,6 +375,15 @@ object LlmQueries {
     "x_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(tbl(s, d, "documents"), "text", n = 2, k = 50)),
 
+    // Sketch-filtered EXACT heavy hitters (the 100 TB form of
+    // x_top_ngrams, where the distinct-n-gram tail must die map-side):
+    // trigrams with corpus count >= 5, top-50. The count-min filter only
+    // PRUNES — the answer is the exact aggregate over survivors — so the
+    // oracle recomputes the selection directly with no sketch involved.
+    "x_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(tbl(s, d, "documents"), "text",
+        n = 3, k = 50, minCount = 5L)),
+
     // DSIR importance resampling (Xie et al. 2023): top-100 documents by
     // unigram+bigram importance weight against the English subset as the
     // target distribution. Rank and id leave the plan; the float weight
@@ -1029,6 +1038,15 @@ object LlmQueries {
         |      FROM tok)
         |SELECT ngram, count(*) AS n_occurrences FROM g
         |GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+    "x_heavy_hitters" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |        ELSE list_transform(range(1, len(ts) - 1),
+        |          i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] || ' ' || ts[CAST(i AS INT) + 2]) END) AS ngram
+        |      FROM tok)
+        |SELECT ngram, count(*) AS n_occurrences FROM g
+        |GROUP BY ngram HAVING count(*) >= 5
+        |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
     "x_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

@@ -232,6 +232,28 @@ class OpsSpec extends AnyFunSuite {
       ca > cb || (ca == cb && ga < gb) })
   }
 
+  test("heavy hitters: sketch filter is lossless vs the exact aggregate") {
+    import spark.implicits._
+    // The CMS pass may only PRUNE sub-minCount grams: the answer must be
+    // bit-identical to the brute exact computation restricted to minCount.
+    val hh = graft.ops.TextAnalysis.heavyHitters(docs, "text",
+      n = 3, k = 1000, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = graft.ops.TextAnalysis.topNgrams(docs, "text", n = 3, k = Int.MaxValue)
+      .filter(col("n_occurrences") >= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.nonEmpty, "corpus must contain >=3-count trigrams for this test")
+    assert(hh.toSeq == exact.toSeq.take(1000))
+    // A tight sketch must actually prune: with minCount above every true
+    // count, nothing survives (overshoot would need eps*N >= minCount).
+    assert(graft.ops.TextAnalysis.heavyHitters(docs, "text",
+      n = 3, k = 10, minCount = Long.MaxValue).isEmpty)
+    // Empty corpus yields an empty, correctly-shaped frame.
+    val empty = graft.ops.TextAnalysis.heavyHitters(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text")
+    assert(empty.columns.toSeq == Seq("ngram", "n_occurrences") && empty.isEmpty)
+  }
+
   test("tf-idf top terms: rare terms outrank common; everywhere-terms weigh zero") {
     import spark.implicits._
     // Hand-computable: "the" appears in all 3 docs (idf = ln 1 = 0), so any
