@@ -200,6 +200,27 @@ object ScaleProbe {
         graft.ops.Dedup.corpusOverlap(
           c.withColumn("src", col("doc_id") % 20), "src", "text").count()
       }
+      probe("x_heavy_hitters", f) { c =>
+        // Sketch-filtered exact heavy hitters: the scaled corpus suffixes
+        // every token per copy, so the distinct-trigram vocabulary grows
+        // f× while per-gram counts stay flat — the worst case for the
+        // exact aggregate (state ∝ vocabulary) and exactly where the CMS
+        // filter earns its keep: pass-2 shuffle carries only survivors'
+        // occurrences, the sketch itself is a fixed few MB at any f.
+        graft.ops.TextAnalysis.heavyHitters(c, "text",
+          n = 3, k = 50, minCount = 5L).count()
+      }
+      probe("x_top_ngrams_exact", f) { c =>
+        // The unfiltered exact aggregate over the same corpus — the
+        // baseline x_heavy_hitters' shuffle bytes are judged against.
+        graft.ops.TextAnalysis.topNgrams(c, "text", n = 3, k = 50).count()
+      }
+      probe("x_cdc_chunks", f) { c =>
+        // Content-defined chunking + the chunk-dedup audit: the split is
+        // map-side (zero shuffle of text); only 8-byte chunk hashes move.
+        graft.ops.Curation.chunkDupStats(c, "doc_id", "text").head()
+        1L
+      }
       probe("x_line_dedup", f) { c =>
         // The gate entry's construction (CurationQueries x_line_dedup):
         // 8-token windows re-joined to multi-line docs, then the corpus
