@@ -81,10 +81,13 @@ object Merge {
    */
   val maxBroadcastKeys: Long = 4_000_000L
 
-  /** `preDeduped = true` asserts `updates` already holds at most one row
-    * per key and skips the internal dedup shuffle — for callers that just
-    * ran their own latest-per-key resolution (compaction resolves the
-    * delta chain by sequence before merging it into base buckets). */
+  /** `preDeduped = true` asserts `updates` holds no SUPERSEDED image —
+    * every row is a winner of the caller's own latest-per-key resolution
+    * (compaction resolves the delta chain by sequence before merging it
+    * into base buckets) — and skips the internal dedup shuffle. Multiple
+    * tied winners per key are fine: the anti join removes the key's
+    * target rows once and the union keeps every winner, matching the
+    * rank-cut read semantics ([[latestAll]]). */
   def merge(
       target: DataFrame,
       updates: DataFrame,

@@ -447,13 +447,31 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     }
     deadRefs.foreach(rel => deleteRecursively(tableRoot.resolve(rel)))
     // Leaf-granular deletes (bucketed layouts) can leave an empty commit-top
-    // shell behind — remove tops that now hold nothing.
-    val dataRoot = tableRoot.resolve("data")
-    if (Files.isDirectory(dataRoot)) {
-      Using.resource(Files.list(dataRoot))(_.iterator().asScala.toSeq)
-        .filter(p => Files.isDirectory(p))
-        .filter(p => Using.resource(Files.list(p))(!_.iterator().hasNext))
-        .foreach(Files.deleteIfExists(_))
+    // shell behind — remove tops that now hold nothing. Scope: ONLY the
+    // parent tops of leaves THIS pass deleted, and best-effort. Ordinary
+    // writers don't take the maintenance lock, so a freshly-created commit
+    // dir elsewhere under data/ may be momentarily empty (about to receive
+    // its first file) — sweeping all of data/ could delete an in-flight
+    // writer's dir, or throw DirectoryNotEmptyException when the dir gains
+    // a file between the emptiness check and the delete, failing an expire
+    // whose reclaim already completed. A top this pass emptied can't be
+    // racing: its manifest references were dead in every retained snapshot.
+    val sweptTops = deadRefs.flatMap { rel =>
+      val p = tableRoot.resolve(rel).getParent
+      if (p != null && p.getFileName != null &&
+          p.getFileName.toString != "data" && p.startsWith(tableRoot)) Some(p)
+      else None
+    }
+    sweptTops.foreach { p =>
+      try {
+        if (Files.isDirectory(p) &&
+            Using.resource(Files.list(p))(!_.iterator().hasNext))
+          Files.deleteIfExists(p)
+      } catch {
+        // Best-effort: a race that refilled or removed the dir is fine.
+        case _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.NoSuchFileException => ()
+      }
     }
     dropPs.size
   }

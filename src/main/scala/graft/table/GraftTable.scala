@@ -1387,7 +1387,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         // resolved set is cached across its two references (bucket
         // pre-pass materializes it, the merge reads it back) — bounded by
         // the chain, i.e. compactEvery micro-batches.
-        val resolved = Merge.dedupLatest(
+        //
+        // latestAll (rank), not dedupLatest (row_number) — the SAME cut
+        // read-time resolution uses (resolveDeltas). Ties at one sequence
+        // are real: a plain append landing while deltas pend joins the
+        // chain as one dir, duplicate keys and all. A row_number pick
+        // would keep one arbitrary survivor where every read before the
+        // compact returned all of them — compaction must never change
+        // query results. Merge.merge tolerates the multi-row winning
+        // image (anti join removes the key's base rows once; the union
+        // adds every winner).
+        val resolved = Merge.latestAll(
             deltaFrame(head, head.deltaDirs), bk, "__seq").drop("__seq")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {

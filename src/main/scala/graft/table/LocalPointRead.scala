@@ -30,9 +30,15 @@ import org.apache.spark.sql.types._
  *
  * The decode is stats-pruned, not whole-file: a parquet `eq(key, value)`
  * predicate goes into the read conf, and the reader's own
- * `readNextFilteredRowGroup` path then (a) drops row groups whose footer
- * min/max exclude the key and (b) drops PAGES via the column index.
- * Buckets are written key-sorted precisely so these stats are selective —
+ * `readNextFilteredRowGroup` path drops row groups whose footer min/max
+ * exclude the key — stats that live in the ALREADY-CACHED footer, so the
+ * prune costs zero I/O. Every other parquet filter level is explicitly
+ * disabled (see the conf below): dictionary filtering decompresses the
+ * key column's dictionary page per row group (~20 ms under load) and
+ * column-index page filtering issues dozens of tiny reads per file —
+ * both measured SLOWER than decoding the one small row group the stats
+ * leave. Buckets are written key-sorted precisely so row-group stats are
+ * selective —
  * a point lookup decodes ~one page (a few thousand rows) per candidate
  * file instead of the whole bucket, which is what keeps the serving call
  * in the low-millisecond class even when the bucket holds dozens of MB.
@@ -387,15 +393,21 @@ object LocalPointRead {
       // serially made the pending-delta lookup pay files × per-file cost —
       // measured ~8 × 5-6 ms per MOR lookup). Result order stays the file
       // listing order; a future's exception surfaces through Await into
-      // the fallback catch below.
+      // the fallback catch below. Each body runs under blocking{} — it is
+      // synchronous open/decode I/O, and the global pool is sized to
+      // cores, so without the marker a few CONCURRENT serving lookups
+      // (the HTTP row-read path lands here) would occupy every worker and
+      // serialize each other; blocking{} lets the pool grow past the
+      // blocked threads (same guard the leafCounts footer reads use).
       val perFile: Seq[(Seq[Row], Long)] =
         if (files.size <= 2 || dbg) files.map(readFile)
         else {
-          import scala.concurrent.{Await, Future}
+          import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration.DurationInt
           Await.result(
-            Future.sequence(files.map(f => Future(readFile(f)))), 60.seconds)
+            Future.sequence(files.map(f => Future(blocking(readFile(f))))),
+            60.seconds)
         }
       lastRowsDecoded.set(perFile.map(_._2).sum)
       Some(perFile.flatMap(_._1))

@@ -223,4 +223,31 @@ class MorSpec extends AnyFunSuite {
     val b = t.lookupKeys(Seq("B")).collect().map(r => (r.getLong(0), r.getString(2)))
     assert(b.toSet == Set((1L, "v3"), (2L, "v2")), s"got ${b.toSeq}")
   }
+
+  test("compaction preserves tied duplicate-key rows a pending-delta append landed") {
+    // A plain append landing while deltas pend joins the delta chain as ONE
+    // dir — duplicate keys included, all at the same sequence. Read-time
+    // resolution is a rank cut (latestAll): every tied row survives. The
+    // invariant under test: compact() resolves the chain with the SAME cut,
+    // so a read before compaction equals the read after it — compaction
+    // must never change query results (a row_number resolution silently
+    // dropped all but one arbitrary tied row).
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("mor5-").resolve("t"), "t")
+    t.overwriteBucketed(Seq((1L, "base1"), (2L, "base2")).toDF("id", "v"), "id", 4)
+    t.upsertDeferred(Seq((2L, "upd2")).toDF("id", "v"), "id") // opens the chain
+    // duplicate-key append: two distinct images of id=3 in one chain dir
+    t.append(Seq((3L, "dupA"), (3L, "dupB"), (4L, "solo")).toDF("id", "v"))
+    val before = t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(before.count(_._1 == 3L) == 2,
+      s"pre-compact read must keep both tied images of id=3, got $before")
+    val c = t.compact()
+    assert(c.deltaDirs.isEmpty)
+    val after = t.read().collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before,
+      s"compaction changed query results: before=$before after=$after")
+    // and a pruned serving lookup agrees with the full read post-compact
+    val served = t.lookupKeys(Seq(3L)).collect().map(_.getString(1)).sorted.toSeq
+    assert(served == Seq("dupA", "dupB"), s"got $served")
+  }
 }
