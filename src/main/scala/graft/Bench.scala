@@ -120,6 +120,46 @@ object Bench {
     def runsN(n: Int)(run: Int => Double): Seq[Double] = (0 until n).map(run)
     def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
 
+    // Generalized bracket-attributed wave-drop protocol, for EVERY timed
+    // section (r11 proved it on the CDC sections, then published a 6.8 s
+    // official d_minhash_pairs for a 1.8 s quiet plan and a 115 ms
+    // lookup_mor_ms for a 21.5 ms quiet path purely because the other
+    // sections lacked it). Each wave is followed by a multi-threaded
+    // calibration bracket; a wave whose trailing bracket exceeds 2x the
+    // section's ENTRY bracket ran under a co-tenant spike and is dropped
+    // (largest brackets first, never below `minSurvivors`) before the
+    // median. The raw wave series, every bracket, the entry reading, and
+    // the dropped indices are all reported (`wave_calib_mt_ms`,
+    // `section_entry_mt_ms`, `dropped_waves`), so no official median can
+    // disagree with a quiet rerun without the artifact carrying the
+    // bracket that explains it.
+    val waveBrackets = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val droppedWaves = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Int]]
+    val sectionEntryMs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def robustWaves(name: String, n: Int, minSurvivors: Int, entryMs: Double)(
+        wave: Int => Double): (Seq[Double], Double) = {
+      sectionEntryMs(name) = entryMs
+      val brackets = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val waves = (0 until n).map { i => val w = wave(i); brackets += calibMtMs(); w }
+      // Baseline = min(entry, observed brackets): the entry reading can
+      // itself land on a spike (the first bench run of this rule read the
+      // headline entry at 103 ms vs the section's own 34-59 ms brackets —
+      // allocation/GC debt from session warm-up), and an inflated baseline
+      // silently disables the rule for its whole section. The probe's
+      // quiet time is a stable floor, so the minimum observed reading is
+      // the section's best estimate of "unloaded".
+      val baseline = (entryMs +: brackets.toSeq).min
+      val flagged = brackets.zipWithIndex
+        .collect { case (b, i) if b > 2.0 * baseline => i }
+      val dropped = flagged.sortBy(i => -brackets(i))
+        .take(waves.size - minSurvivors).sorted
+      waveBrackets(name) = brackets.toSeq
+      droppedWaves(name) = dropped.toSeq
+      val kept = waves.indices.filterNot(dropped.contains)
+      val med = if (waves.exists(_ < 0)) -1.0 else median(kept.map(waves))
+      (waves, med)
+    }
+
     // Every query entry is timed in 3 waves (median reported, raw series in
     // `dispersion`): the r5 official run read d_cluster_cc at 9.1s where r4
     // said 3.1s on UNCHANGED operator code (first-run codegen/JIT), and the
@@ -128,10 +168,14 @@ object Bench {
     // artifact. The wave series can (cold first wave + tight warm tail =
     // startup; uniformly shifted series = regression or sustained load, and
     // the multi-threaded calibration probe splits THOSE two).
-    def timeWaves(names: Seq[String], n: Int): Seq[(String, Seq[Double])] =
+    // One section-entry bracket per query GROUP (headline / curation); each
+    // query's waves then carry their own trailing brackets and the drop
+    // rule — 3 waves, at most 1 dropped (minSurvivors = 2).
+    def timeWaves(names: Seq[String], n: Int): Seq[(String, Seq[Double], Double)] = {
+      val entry = calibMtMs()
       names.map { name =>
         val fn = SparkEntry.queries(name)
-        val waves = (0 until n).map { _ =>
+        val (waves, med) = robustWaves(name, n, minSurvivors = 2, entry) { _ =>
           if (errors.contains(name)) -1.0
           else {
             val t0 = System.nanoTime()
@@ -139,16 +183,15 @@ object Bench {
             catch { case e: Throwable => errors(name) = errText(e); -1.0 }
           }
         }
-        name -> waves
+        (name, waves, med)
       }
-    def medians(waves: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
-      waves.map { case (name, ws) =>
-        name -> (if (ws.exists(_ < 0)) -1.0 else median(ws))
-      }
-    val headWaves = timeWaves(headline, 3)
-    val results = medians(headWaves)
-    val curWaves = timeWaves(curation, 3)
-    val curResults = medians(curWaves)
+    }
+    val headWavesAll = timeWaves(headline, 3)
+    val headWaves = headWavesAll.map { case (n, ws, _) => n -> ws }
+    val results = headWavesAll.map { case (n, _, m) => n -> m }
+    val curWavesAll = timeWaves(curation, 3)
+    val curWaves = curWavesAll.map { case (n, ws, _) => n -> ws }
+    val curResults = curWavesAll.map { case (n, _, m) => n -> m }
 
     // Pair-generation vs connected-components split for the cluster entry.
     // CC is timed DIRECTLY over a cached pair frame — the r6 shape derived
@@ -222,14 +265,17 @@ object Bench {
         t.upsert(batch.withColumn("l_quantity", col("l_quantity") + 100), "li_id")
         // Five waves, not three: r6 read this metric 14% below r5 on
         // untouched operator code — more waves + the dispersion series make
-        // environment noise distinguishable from a real regression.
-        mergeWaves = runsN(5) { i =>
+        // environment noise distinguishable from a real regression. Waves
+        // run under the bracket drop rule (keep >= 3 of 5).
+        val (ws, med) = robustWaves("table_merge", 5, minSurvivors = 3,
+            tblCalib("before_table_merge_ms")) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()
           t.upsert(b, "li_id")
           (System.nanoTime() - t0) / 1e9
         }
-        nBatch / median(mergeWaves)
+        mergeWaves = ws
+        nBatch / med
       } catch { case e: Throwable => errors("merge_throughput") = errText(e); -1.0 }
 
     // Merge-on-read ingest throughput: the same 100k batch as a DELTA
@@ -248,13 +294,15 @@ object Bench {
         val nBatch = batch.count()
         // Same-shape warm-up as the merge metric (see above).
         t.upsertDeferred(batch.withColumn("l_quantity", col("l_quantity") + 100), "li_id")
-        morWaves = runsN(5) { i =>
+        val (ws, med) = robustWaves("table_mor", 5, minSurvivors = 3,
+            tblCalib("before_table_mor_ms")) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()
           t.upsertDeferred(b, "li_id")
           (System.nanoTime() - t0) / 1e9
         }
-        nBatch / median(morWaves)
+        morWaves = ws
+        nBatch / med
       } catch { case e: Throwable => errors("mor_throughput") = errText(e); -1.0 }
 
     // End-to-end CDC streaming throughput: envelope JSON files → decode →
@@ -278,6 +326,9 @@ object Bench {
     var cdcBatchRows = -1L
     var cdcCowWaves: Seq[Double] = Seq.empty
     var cdcMorWaves: Seq[Double] = Seq.empty
+    // Point-lookup latencies measured WHILE the resident MOR stream commits
+    // (see the serving-under-ingest block below); p50/p99 in the artifact.
+    var lookupUnderIngest: Seq[Double] = Seq.empty
     // The MOR run's table, kept so the accumulated delta chain can be
     // compacted — and that compaction TIMED — after the ingest waves.
     var cdcMorTable: Option[GraftTable] = None
@@ -295,14 +346,10 @@ object Bench {
     var cdcCowTrace: Seq[graft.cdc.CdcPipeline.BatchTrace] = Seq.empty
     var cdcMorTrace: Seq[graft.cdc.CdcPipeline.BatchTrace] = Seq.empty
     // Per-WAVE mt-calibration brackets and the indices the robust median
-    // dropped: r9 and r10 both read the official MOR figure at roughly a
-    // third of its quiet-wave value because one or two load-spiked waves
-    // sat next to the median slot — the per-section bracket proved the
-    // load but could not repair the number. Now each wave carries its own
-    // bracket, and a wave whose bracket reads > 2x the section's entry
-    // bracket is dropped (at most down to 4 survivors) before the median.
-    val cdcWaveBrackets = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val cdcDroppedWaves = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Int]]
+    // dropped (see robustWaves above — r9 and r10 both read the official
+    // MOR figure at roughly a third of its quiet-wave value because one or
+    // two load-spiked waves sat next to the median slot; the 7-wave CDC
+    // sections drop at most down to 4 survivors).
     // Decode-vs-merge split of one instrumented COW wave (run AFTER the
     // timed ones — the instrumentation adds a cache-materializing count()).
     var cdcPhases: Option[(Long, Double, Double)] = None
@@ -389,18 +436,48 @@ object Bench {
           // artifact shows exactly which waves the median ignored and why.
           val entryBracket = calibMtMs()
           cdcCalib(s"${tag}_wave_entry_ms") = entryBracket
-          val brackets = scala.collection.mutable.ArrayBuffer.empty[Double]
-          val waves = runsN(7) { i =>
-            val w = oneWave(i); brackets += calibMtMs(); w
-          }
-          val flagged = brackets.zipWithIndex
-            .collect { case (b, i) if b > 2.0 * entryBracket => i }
-          val dropped = flagged.sortBy(i => -brackets(i))
-            .take(waves.size - 4).sorted
-          val kept = waves.indices.filterNot(dropped.contains)
-          cdcWaveBrackets(tag) = brackets.toSeq
-          cdcDroppedWaves(tag) = dropped.toSeq
+          val (waves, med) =
+            robustWaves(s"cdc_$tag", 7, minSurvivors = 4, entryBracket)(oneWave)
           if (mergeOnRead) cdcMorWaves = waves else cdcCowWaves = waves
+          if (mergeOnRead) {
+            // Serving latency UNDER ACTIVE INGEST: the reference's
+            // millisecond-serving claim is about a table a CDC merger is
+            // continuously committing into — ConcurrencySpec proves those
+            // races CORRECT, this measures what they COST. While three
+            // more (untimed) update waves land on the resident stream, a
+            // driver thread issues point lookups against the same table at
+            // a ~5 ms think-time cadence; the full latency distribution is
+            // summarized as p50/p99 in the artifact. Runs AFTER the timed
+            // waves so the official ingest figure stays probe-free, and is
+            // itself bracketed (before/after) for load attribution.
+            try {
+              val probeKeys = spark.read.parquet(s"$sfDir/events.parquet")
+                .select("event_id").orderBy("event_id").limit(200)
+                .collect().map(_.getLong(0))
+              cdcCalib("before_lookup_ingest_ms") = calibMtMs()
+              val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+              @volatile var ingesting = true
+              val probe = new Thread(() => {
+                var i = 0
+                while (ingesting) {
+                  val k = probeKeys(i % probeKeys.length)
+                  val t0 = System.nanoTime()
+                  val n = target.lookupKeyRows(k).size
+                  if (n > 0) lat.add((System.nanoTime() - t0) / 1e6)
+                  i += 1
+                  Thread.sleep(5L)
+                }
+              })
+              probe.start()
+              (40 until 43).foreach(oneWave) // untimed ingest, deltas accrue
+              ingesting = false
+              probe.join(10000L)
+              cdcCalib("after_lookup_ingest_ms") = calibMtMs()
+              import scala.jdk.CollectionConverters._
+              lookupUnderIngest = lat.asScala.map(_.doubleValue).toSeq
+            } catch { case e: Throwable =>
+              errors("lookup_under_ingest") = errText(e) }
+          }
           val trc = graft.cdc.CdcPipeline.traces
           if (mergeOnRead) cdcMorTrace = trc else cdcCowTrace = trc
           if (!mergeOnRead) {
@@ -409,7 +486,7 @@ object Bench {
             try { oneWave(30); cdcPhases = graft.cdc.CdcPipeline.lastTiming }
             finally sys.props.remove("graft.cdc.timing")
           }
-          nWave / median(kept.map(waves))
+          nWave / med
         } finally { q.stop(); sys.props.remove("graft.cdc.trace") }
       } catch { case e: Throwable => errors(s"cdc_${tag}_throughput") = errText(e); -1.0 }
 
@@ -438,16 +515,28 @@ object Bench {
               .select("event_id").orderBy("event_id").limit(300)
               .collect().map(_.getLong(0))
             val timedKeys = Seq(keys(50), keys(150), keys(250))
-            keys.iterator.filterNot(timedKeys.contains).take(3)
+            // Warm-up keys from buckets DISJOINT from every timed key's
+            // bucket (the CDC bench table is bucketed (event_id, 16)), same
+            // rule as the table-lookup section below: a warm key hashing
+            // into a timed key's bucket would pre-cache its footers and dir
+            // listing and understate the reported cold latency.
+            val timedBks = timedKeys.map(k => graft.plans.BucketHash.bucketId(
+              k, org.apache.spark.sql.types.LongType, 16, "UTC")).toSet
+            keys.iterator.filterNot(timedKeys.contains)
+              .filter(k => !timedBks.contains(graft.plans.BucketHash.bucketId(
+                k, org.apache.spark.sql.types.LongType, 16, "UTC")))
+              .take(3)
               .foreach(k => t.lookupKeyRows(k)) // warm-up: JIT + footers
-            morLookupWaves = runsN(3) { i =>
+            val (ws, med) = robustWaves("lookup_mor", 3, minSurvivors = 2,
+                calibMtMs()) { i =>
               val t0 = System.nanoTime()
               val n = t.lookupKeyRows(timedKeys(i)).size
               val dt = (System.nanoTime() - t0) / 1e9
               require(n > 0, s"MOR lookup key ${timedKeys(i)} must exist")
               dt * 1000.0
             }
-            median(morLookupWaves)
+            morLookupWaves = ws
+            med
           case None => -1.0
         }
       } catch { case e: Throwable => errors("mor_lookup_latency") = errText(e); -1.0 }
@@ -534,32 +623,39 @@ object Bench {
           require(n > 0, s"lookup key $key must exist")
           dt * 1000.0
         }
-        lookupCalib("before_lookup_ms") = calibMtMs()
-        lookupWaves = runsN(3)(timedWave)
+        val lookupEntry = calibMtMs()
+        lookupCalib("before_lookup_ms") = lookupEntry
+        val (coldWs, coldMed) =
+          robustWaves("lookup", 3, minSurvivors = 2, lookupEntry)(timedWave)
+        lookupWaves = coldWs
         // Warm repeat of the SAME keys: dir listings, footers, and the
         // serving-path JIT are all hot, so this series isolates the code
         // cost from cold-file I/O — a cold/warm gap is the filesystem, a
         // high warm floor is the decode path.
-        lookupWarmWaves = runsN(3)(timedWave)
+        val (warmWs, warmMed) =
+          robustWaves("lookup_warm", 3, minSurvivors = 2, lookupEntry)(timedWave)
+        lookupWarmWaves = warmWs
         // Multi-key serving form (the search tier's postings-fetch shape):
         // six keys spanning several buckets, one driver-side IN read.
         val multiKeys = Seq(keys(20), keys(80), keys(140), keys(220),
           keys(280), keys(360))
         t.lookupKeys(multiKeys).collect() // warm-up
-        lookupMultiWaves = runsN(3) { _ =>
-          val t0 = System.nanoTime()
-          val n = t.lookupKeys(multiKeys).collect().length
-          val dt = (System.nanoTime() - t0) / 1e9
-          // >= not ==: the synthetic lineitem can carry duplicate
-          // (orderkey, linenumber) pairs, so one key may match several rows.
-          require(n >= multiKeys.distinct.size,
-            s"multi lookup expected >= ${multiKeys.distinct.size}, got $n")
-          dt * 1000.0
-        }
-        lookupMultiMs = median(lookupMultiWaves)
+        val (multiWs, multiMed) =
+          robustWaves("lookup_multi", 3, minSurvivors = 2, lookupEntry) { _ =>
+            val t0 = System.nanoTime()
+            val n = t.lookupKeys(multiKeys).collect().length
+            val dt = (System.nanoTime() - t0) / 1e9
+            // >= not ==: the synthetic lineitem can carry duplicate
+            // (orderkey, linenumber) pairs, so one key may match several rows.
+            require(n >= multiKeys.distinct.size,
+              s"multi lookup expected >= ${multiKeys.distinct.size}, got $n")
+            dt * 1000.0
+          }
+        lookupMultiWaves = multiWs
+        lookupMultiMs = multiMed
         lookupCalib("after_lookup_ms") = calibMtMs()
-        lookupWarmMs = median(lookupWarmWaves)
-        median(lookupWaves)
+        lookupWarmMs = warmMed
+        coldMed
       } catch { case e: Throwable => errors("lookup_latency") = errText(e); -1.0 }
 
     // LAYOUT section: range clustering and the window read it exists for.
@@ -585,14 +681,16 @@ object Bench {
         clusterDirsRead = win().inputFiles
           .map(_.split('/').takeRight(2).head).distinct.length
         win().count() // warm-up: codegen for the pruned-scan shape
-        clusterWindowWaves = runsN(3) { _ =>
+        val (ws, med) = robustWaves("cluster_window", 3, minSurvivors = 2,
+            calibMtMs()) { _ =>
           val s0 = System.nanoTime()
           val n = win().count()
           val dt = (System.nanoTime() - s0) / 1e6
           require(n > 0, "clustered window must be non-empty")
           dt
         }
-        median(clusterWindowWaves)
+        clusterWindowWaves = ws
+        med
       } catch { case e: Throwable => errors("cluster_layout") = errText(e); -1.0 }
 
     def jnum(d: Double): String =
@@ -644,12 +742,21 @@ object Bench {
     // lands immediately after the table-level MOR waves and covers it.)
     val cdcCalibJson = (tblCalib ++ cdcCalib ++ lookupCalib)
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
-    val waveBracketJson = cdcWaveBrackets
+    val waveBracketJson = waveBrackets
       .map { case (k, v) => s"\"$k\":${jarr(v)}" }.mkString("{", ",", "}")
-    val droppedJson = cdcDroppedWaves
+    val droppedJson = droppedWaves.filter(_._2.nonEmpty)
       .map { case (k, v) => s"\"$k\":${v.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"cdc_wave_calib_mt_ms":$waveBracketJson,"cdc_dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val entryJson = sectionEntryMs
+      .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+    def pct(ts: Seq[Double], p: Double): Double = {
+      val s = ts.sorted
+      s(math.min(s.size - 1, (p * s.size).toInt))
+    }
+    val underIngestJson =
+      if (lookupUnderIngest.isEmpty) "null"
+      else s"""{"p50_ms":${jnum(pct(lookupUnderIngest, 0.50))},"p99_ms":${jnum(pct(lookupUnderIngest, 0.99))},"max_ms":${jnum(lookupUnderIngest.max)},"n":${lookupUnderIngest.size}}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"lookup_under_ingest":$underIngestJson,"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"wave_calib_mt_ms":$waveBracketJson,"section_entry_mt_ms":$entryJson,"dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the

@@ -41,6 +41,16 @@ object ScaleProbe {
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Diagnostic knob: SPARK_GRAFT_SCALE_NOBROADCAST=1 disables broadcast
+    // joins for the whole probe run. Purpose: shuffle-byte EXPONENTS from
+    // two scale points conflate real superlinear work with one-time plan
+    // transitions — a small side that broadcasts at f1 (zero shuffle
+    // bytes) and crosses the 10 MB threshold at f10 (its stream shuffles)
+    // reads as exponent >> 1 on bytes that are each linear in their own
+    // regime. With broadcast off at BOTH points the transition disappears;
+    // an exponent that stays >> 1 would then be genuinely superlinear work.
+    if (sys.env.get("SPARK_GRAFT_SCALE_NOBROADCAST").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     // Cumulative shuffle-byte counters over all completed stages; per-op
     // deltas are read around each timed wave.

@@ -37,6 +37,9 @@ object Shell {
       |  rollback <table> <version>           move the head back to a snapshot
       |  expire <table> <keep_last>           expire old snapshots, reclaim storage
       |  cluster <table> <col[,col]> [dirs]   range/Z-order layout rewrite
+      |  overlap <table> <group_col> [text_col] [n]   corpus-pair shingle overlap audit
+      |  heavy_hitters <table> [text_col] [n] [k]     top repeated n-grams (exact)
+      |  chunk_stats <table> [text_col]       content-defined chunk dedup stats
       |  help                                 this text
       |  exit | quit                          leave the shell""".stripMargin
 
@@ -177,6 +180,25 @@ object Shell {
         val snap = table(t).cluster(cols, dirs)
         session.registerView(t)
         Some(s"clustered $t by ${cols.mkString(",")} into ${snap.dataDirs.size} dirs (v${snap.snapshotId})")
+      case "overlap" =>
+        val t = toks(1)
+        val group = toks(2)
+        val text = toks.lift(3).getOrElse("text")
+        val n = toks.lift(4).map(_.toInt).getOrElse(3)
+        Some(render(graft.ops.Dedup.corpusOverlap(table(t).read(), group, text, n)
+          .orderBy(org.apache.spark.sql.functions.desc("jaccard")), 100))
+      case "heavy_hitters" =>
+        val t = toks(1)
+        val text = toks.lift(2).getOrElse("text")
+        val n = toks.lift(3).map(_.toInt).getOrElse(3)
+        val k = toks.lift(4).map(_.toInt).getOrElse(50)
+        Some(render(
+          graft.ops.TextAnalysis.heavyHitters(table(t).read(), text, n = n, k = k), 100))
+      case "chunk_stats" =>
+        val t = toks(1)
+        val text = toks.lift(2).getOrElse("text")
+        val pk = graft.functions.Identifiers.findIdCol(table(t).schema.fieldNames.toSeq)
+        Some(render(graft.ops.Curation.chunkDupStats(table(t).read(), pk, text), 10))
       case "load_csv" =>
         val path = toks(1)
         val t = toks(2)

@@ -666,6 +666,62 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
   }
 
+  // Corpus-audit surface: the round-11 audit ops as read-only GETs, so
+  // every capability is reachable from the API (the reference exposes even
+  // snapshot diffs over HTTP — library-only operators would be a tier the
+  // serving face silently lacks). Each validates its column args up front
+  // (400, not a planner 500, on a typo'd column).
+  private def auditCol(table: graft.table.GraftTable, p: Map[String, String],
+      name: String, default: Option[String] = None): String = {
+    val c = p.get(name).orElse(default).getOrElse(
+      throw new IllegalArgumentException(s"missing $name (column)"))
+    require(table.schema.fieldNames.contains(c),
+      s"no such column '$c' in table (have: ${table.schema.fieldNames.mkString(", ")})")
+    c
+  }
+
+  // Pairwise corpus-overlap audit: `?group=<col>[&text=<col>][&n=3]` —
+  // shingle-overlap matrix between the table's groups (sources, shards).
+  handle("/overlap") { ex =>
+    val t = pathArg(ex, "/overlap")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    val group = auditCol(table, p, "group")
+    val text = auditCol(table, p, "text", Some("text"))
+    val n = p.get("n").map(_.toInt).getOrElse(3)
+    dfJson(graft.ops.Dedup.corpusOverlap(table.read(), group, text, n)
+      .orderBy(org.apache.spark.sql.functions.desc("jaccard")), maxRows)
+  }
+
+  // Heavy n-grams: `[?text=<col>][&n=3][&k=50][&min_count=5]` — exact
+  // top-k repeated n-grams (count-min pre-filter, exact survivors).
+  handle("/heavy_hitters") { ex =>
+    val t = pathArg(ex, "/heavy_hitters")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    val text = auditCol(table, p, "text", Some("text"))
+    dfJson(graft.ops.TextAnalysis.heavyHitters(table.read(), text,
+      n = p.get("n").map(_.toInt).getOrElse(3),
+      k = p.get("k").map(_.toInt).getOrElse(50),
+      minCount = p.get("min_count").map(_.toLong).getOrElse(5L)), maxRows)
+  }
+
+  // Content-defined chunk dedup stats: `[?id=<col>][&text=<col>]
+  // [&min=64][&avg=256][&max=1024]` — one scalar row (chunk counts, char
+  // volumes, dedup_ratio = distinct chars / total chars).
+  handle("/chunk_stats") { ex =>
+    val t = pathArg(ex, "/chunk_stats")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    val id = auditCol(table, p, "id", Some(
+      graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)))
+    val text = auditCol(table, p, "text", Some("text"))
+    dfJson(graft.ops.Curation.chunkDupStats(table.read(), id, text,
+      minSize = p.get("min").map(_.toInt).getOrElse(64),
+      avgSize = p.get("avg").map(_.toInt).getOrElse(256),
+      maxSize = p.get("max").map(_.toInt).getOrElse(1024)), maxRows)
+  }
+
   handle("/insert") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
     val t = pathArg(ex, "/insert")

@@ -1627,13 +1627,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         .stat.approxQuantile(c, probs, 0.001)
         .distinct.sorted
       val v = asDouble(c)
-      // Bucket id = #boundaries <= v: a fold over a literal array. The HOF
-      // lambda closes over only a cast column ref, so the per-element
-      // re-evaluation pitfall (memory: HOF subtree re-eval) costs one cast.
-      val raw = aggregate(
-        array(bounds.map(lit(_)).toIndexedSeq: _*),
-        lit(0L),
-        (acc, b) => acc + when(v.isNotNull && v >= b, 1L).otherwise(0L))
+      // Bucket id = #boundaries <= v, found by a BINARY-SEARCH decision
+      // tree of when()s over the sorted literal boundaries: per-row cost is
+      // the depth (<= 8 comparisons for 255 bounds) instead of the O(256)
+      // per-row fold an `aggregate` over the literal array paid. The tree
+      // holds ~2n expression nodes, but codegen'd CaseWhen evaluates only
+      // the taken path. A NULL v fails every >= (null-valued predicate
+      // falls to otherwise), walks the left spine, and lands in bucket 0 —
+      // the documented NULLS FIRST behavior. Invariant: the answer is in
+      // [lo, hi]; v >= bounds(mid) puts it in [mid+1, hi], else [lo, mid].
+      def search(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(lo.toLong)
+        else {
+          val mid = (lo + hi) / 2
+          when(v >= lit(bounds(mid)), search(mid + 1, hi))
+            .otherwise(search(lo, mid))
+        }
+      val raw = search(0, bounds.length)
       // A low-cardinality column dedupes to few boundaries and would only
       // occupy the LOW interleave bits, letting the other dimension dominate
       // the Z-order entirely — rescale every column's id onto the full

@@ -86,6 +86,24 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(c7 == 200 && !b7.contains("99.5"), b7)
   }
 
+  test("corpus-audit endpoints: /overlap, /heavy_hitters, /chunk_stats") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter(col("doc_id") < 120)
+    session.catalog.saveTable("docs_t", docs)
+    session.refreshViews()
+    val (c1, b1) = get("/overlap/docs_t?group=source&text=text")
+    assert(c1 == 200 && b1.contains("\"jaccard\"") &&
+      b1.contains("\"group_a\""), b1)
+    val (c2, b2) = get("/heavy_hitters/docs_t?text=text&n=2&k=5&min_count=2")
+    assert(c2 == 200 && b2.contains("\"ngram\""), b2)
+    val (c3, b3) = get("/chunk_stats/docs_t")
+    assert(c3 == 200 && b3.contains("\"dedup_ratio\"") &&
+      b3.contains("\"n_chunks\""), b3)
+    // a typo'd column is a client error, not a planner 500
+    val (c4, b4) = get("/overlap/docs_t?group=nope")
+    assert(c4 == 400 && b4.contains("no such column"), b4)
+  }
+
   test("GET /range reads a typed window with manifest skipping") {
     val (c1, b1) = get("/range/orders_t?col=o_orderkey&lo=100&hi=105")
     assert(c1 == 200, b1)
