@@ -254,8 +254,14 @@ object ScaleProbe {
     // time exponent ≈ 0 — while the cluster() rewrite itself is the
     // expected ~linear sort. An unclustered table would re-scan all f×
     // dirs per window read (exponent ≈ 1).
+    // Three scale points (f1 / f10 / f30), not two: the flat f1→f10 window
+    // curve was round 11's 100 TB claim for the clustering operator, and a
+    // two-point "flat" could still hide a slow creep — the f30 point triples
+    // the extrapolation base at negligible probe cost (events is the small
+    // table). The exponent fields still derive from f1→factor; the f30
+    // entry is read directly off the artifact.
     if (only.forall(s => s("t_cluster_rewrite") || s("t_cluster_window")))
-    for (f <- Seq(1, factor)) {
+    for (f <- Seq(1, factor, 3 * factor)) {
       val ev0 = graft.queries.Q.events(spark, sfDir)
       val ev = (0 until f).map { k =>
         ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
@@ -273,6 +279,23 @@ object ScaleProbe {
         ((Seq(clusterSec), clusterSec, 0.0, ev.count()))
       println(f"scaleprobe t_cluster_rewrite f=$f%-3d median=$clusterSec%8.3fs")
       timedWaves("t_cluster_window", f,
+        () => { t.readRange("event_id", 10000L, 12000L).count(); () }) { _ =>
+        t.readRange("event_id", 10000L, 12000L).count()
+      }
+      // The same fixed window UNDER PENDING MOR DELTAS — the state a
+      // continuously-ingesting clustered table is in almost always.
+      // readBox's written soundness argument (base-dir pruning commutes
+      // with delta resolution) was argued, never measured: a small deferred
+      // upsert (~1% of keys, some inside the window) opens the chain, and
+      // the probed read must then plan the pruned base dirs PLUS the delta
+      // chain. Flat-vs-f here is the claim that pending deltas don't
+      // un-flatten the layout story (the delta chain is bounded by
+      // compaction cadence, not table size — the probe's chain is one
+      // batch at every f).
+      t.upsertDeferred(
+        ev.filter(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") + 1.0), "event_id")
+      timedWaves("t_cluster_window_mor", f,
         () => { t.readRange("event_id", 10000L, 12000L).count(); () }) { _ =>
         t.readRange("event_id", 10000L, 12000L).count()
       }
