@@ -98,4 +98,24 @@ object LookupProps extends Properties("Lookup") {
       }
       Prop.all(perKey ++ perRegion: _*)
     }
+
+  /** Compaction must never change query results: for ANY random chain —
+    * with a duplicate-key append forced on top, so tied rows at one chain
+    * sequence are always present — the resolved read before compact()
+    * equals the read after, as a MULTISET. Guards compact()'s rank-cut
+    * chain resolution (latestAll): a row_number pick keeps one arbitrary
+    * tied survivor where every pre-compaction read returned all of them
+    * (the r11-flagged divergence), and this property fails on exactly
+    * that. Covers both compaction paths: chains with pending deltas take
+    * the bucketed partial merge, delta-free runs take the full rewrite. */
+  property("compact() is read-invariant under any delta chain") =
+    Prop.forAll(chainGen) { ops =>
+      val t = buildTable("id", ops)
+      t.append(Seq((3L, "A", "dupA"), (3L, "B", "dupB"))
+        .toDF("id", "region", "payload"))
+      val before = canon(t.read())
+      t.compact()
+      val after = canon(t.read())
+      (after == before) :| s"before=$before after=$after ops=$ops"
+    }
 }
