@@ -37,6 +37,14 @@ object Shell {
       |  rollback <table> <version>           move the head back to a snapshot
       |  expire <table> <keep_last>           expire old snapshots, reclaim storage
       |  cluster <table> <col[,col]> [dirs]   range/Z-order layout rewrite
+      |  branch <table> [name]                list branches / create one at the head
+      |  publish <table> <branch> [force]     fast-forward main to a branch head (WAP)
+      |  drop_branch <table> <branch>         delete a branch
+      |  tag <table> [name] [version]         list tags / pin a snapshot under a name
+      |  drop_tag <table> <name>              remove a tag
+      |  read <table> branch|tag <name> [n]   preview a branch head or tagged snapshot
+      |  stats <table> [col,col]              count/min/max (metadata-only when exact)
+      |  constraint <table> [condition]       show / set the CHECK constraint
       |  overlap <table> <group_col> [text_col] [n]   corpus-pair shingle overlap audit
       |  heavy_hitters <table> [text_col] [n] [k]     top repeated n-grams (exact)
       |  chunk_stats <table> [text_col]       content-defined chunk dedup stats
@@ -180,6 +188,64 @@ object Shell {
         val snap = table(t).cluster(cols, dirs)
         session.registerView(t)
         Some(s"clustered $t by ${cols.mkString(",")} into ${snap.dataDirs.size} dirs (v${snap.snapshotId})")
+      case "branch" =>
+        val t = toks(1)
+        toks.lift(2) match {
+          case None => Some(table(t).branches().mkString("\n"))
+          case Some(b) =>
+            val snap = table(t).createBranch(b)
+            Some(s"created branch $b of $t at base v${snap.summary("branch_base")}")
+        }
+      case "publish" =>
+        val Seq(t, b) = toks.slice(1, 3): @unchecked
+        val force = toks.lift(3).contains("force")
+        val snap = table(t).publishBranch(b, force)
+        session.registerView(t)
+        Some(s"published branch $b of $t as snapshot v${snap.snapshotId}" +
+          (if (force) " (forced)" else ""))
+      case "drop_branch" =>
+        val Seq(t, b) = toks.slice(1, 3): @unchecked
+        table(t).dropBranch(b)
+        Some(s"dropped branch $b of $t")
+      case "tag" =>
+        val t = toks(1)
+        toks.lift(2) match {
+          case None => Some(table(t).tags().toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k -> v$v" }.mkString("\n"))
+          case Some(tag) =>
+            val id = table(t).createTag(tag, toks.lift(3).map(_.toLong))
+            Some(s"tagged $t v$id as $tag")
+        }
+      case "drop_tag" =>
+        val Seq(t, tag) = toks.slice(1, 3): @unchecked
+        table(t).dropTag(tag)
+        Some(s"dropped tag $tag of $t")
+      case "read" =>
+        // read <table> branch|tag <name> — pinned preview of a branch head
+        // or tagged snapshot (main preview stays `select`).
+        val Seq(t, kind, nm) = toks.slice(1, 4): @unchecked
+        val df = kind match {
+          case "branch" => table(t).branch(nm).read()
+          case "tag" => table(t).readTag(nm)
+          case other => throw new IllegalArgumentException(
+            s"read expects branch|tag, got '$other'")
+        }
+        Some(render(df, toks.lift(4).map(_.toInt).getOrElse(10)))
+      case "stats" =>
+        val t = toks(1)
+        val cols = toks.lift(2).map(_.split(',').toSeq.map(_.trim)
+          .filter(_.nonEmpty)).getOrElse(Seq.empty)
+        val meta = table(t).statsFromMetadata(cols).isDefined
+        Some(render(table(t).statsSummary(cols), 10) +
+          s"\n(${if (meta) "metadata-only" else "scan fallback"})")
+      case "constraint" =>
+        val t = toks(1)
+        toks.lift(2) match {
+          case None => Some(s"check: ${table(t).checkConstraint.getOrElse("(none)")}")
+          case Some(c) =>
+            table(t).setCheckConstraint(c)
+            Some(s"set CHECK constraint on $t: $c")
+        }
       case "overlap" =>
         val t = toks(1)
         val group = toks(2)

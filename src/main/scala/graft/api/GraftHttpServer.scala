@@ -170,6 +170,13 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     s"""{"columns":$cols,"rows":$rows}"""
   }
 
+  /** One JSON string literal, fully escaped (quotes, backslashes, control
+    * chars) — for splicing user-supplied text (constraint SQL) into
+    * hand-built response documents. */
+  private def jsonStr(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
+
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     // Default to JSON; an HTML-negotiated handler sets its own type as its
@@ -369,8 +376,16 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
 
   handle("/data") { ex =>
     val t = pathArg(ex, "/data")
-    val limit = qs(ex).get("limit").map(_.toInt).getOrElse(10)
-    dfJson(session.preview(t, math.min(limit, maxRows)), maxRows)
+    val p = qs(ex)
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(10), maxRows)
+    // ?branch= / ?tag= pin the read to a branch head or tagged snapshot —
+    // the governed-writes analog of /view's VERSION AS OF pinning.
+    val df = (p.get("branch"), p.get("tag")) match {
+      case (Some(b), _) => session.catalog.table(t).branch(b).read().limit(limit)
+      case (_, Some(tg)) => session.catalog.table(t).readTag(tg).limit(limit)
+      case _ => session.preview(t, limit)
+    }
+    dfJson(df, maxRows)
   }
 
   handle("/query", exact = true) { ex =>
@@ -664,6 +679,106 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val snap = session.catalog.table(t).compact()
     session.registerView(t)
     s"""{"status":"ok","snapshot_id":${snap.snapshotId}}"""
+  }
+
+  // Governed-writes surface: branches/tags/WAP control plane, metadata-only
+  // stats, and the CHECK-constraint DDL — same every-capability-on-the-API
+  // rule as the audit ops below. Branch/tag READS ride /data via ?branch= /
+  // ?tag= rather than new endpoints, mirroring how time travel rides /view.
+  handle("/branch") { ex =>
+    val t = pathArg(ex, "/branch")
+    val table = session.catalog.table(t)
+    if (ex.getRequestMethod == "GET")
+      s"""{"branches":[${table.branches().map("\"" + _ + "\"").mkString(",")}]}"""
+    else {
+      val name = qs(ex).getOrElse("name",
+        throw new IllegalArgumentException("missing name"))
+      val snap = table.createBranch(name)
+      s"""{"status":"ok","branch":"$name","base":${snap.summary("branch_base")}}"""
+    }
+  }
+
+  handle("/publish") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/publish")
+    val p = qs(ex)
+    val name = p.getOrElse("name",
+      throw new IllegalArgumentException("missing name"))
+    val force = p.get("force").contains("true")
+    // Non-fast-forward without force is a CLIENT protocol error (409-ish):
+    // report it as 400 with the explanation, not a 500.
+    val snap =
+      try session.catalog.table(t).publishBranch(name, force)
+      catch { case e: graft.log.CommitConflictException =>
+        throw new IllegalArgumentException(e.getMessage, e) }
+    session.registerView(t)
+    s"""{"status":"ok","published":"$name","snapshot_id":${snap.snapshotId}}"""
+  }
+
+  handle("/drop_branch") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/drop_branch")
+    val name = qs(ex).getOrElse("name",
+      throw new IllegalArgumentException("missing name"))
+    session.catalog.table(t).dropBranch(name)
+    s"""{"status":"ok","dropped":"$name"}"""
+  }
+
+  handle("/tag") { ex =>
+    val t = pathArg(ex, "/tag")
+    val table = session.catalog.table(t)
+    if (ex.getRequestMethod == "GET")
+      s"""{"tags":{${table.tags().toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+    else {
+      val p = qs(ex)
+      val name = p.getOrElse("name",
+        throw new IllegalArgumentException("missing name"))
+      val id = table.createTag(name, p.get("v").map(_.toLong))
+      s"""{"status":"ok","tag":"$name","snapshot_id":$id}"""
+    }
+  }
+
+  handle("/drop_tag") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/drop_tag")
+    val name = qs(ex).getOrElse("name",
+      throw new IllegalArgumentException("missing name"))
+    session.catalog.table(t).dropTag(name)
+    s"""{"status":"ok","dropped":"$name"}"""
+  }
+
+  handle("/stats") { ex =>
+    val t = pathArg(ex, "/stats")
+    val table = session.catalog.table(t)
+    val cols = qs(ex).get("cols").map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    cols.foreach(c => require(table.schema.fieldNames.contains(c),
+      s"no such column '$c' in table " +
+        s"(have: ${table.schema.fieldNames.mkString(", ")})"))
+    val metaOnly = table.statsFromMetadata(cols).isDefined
+    val body = dfJson(table.statsSummary(cols), maxRows)
+    // splice the path attribution in so ops can SEE when a table shape
+    // (pending deltas, unharvested column) forces the scan fallback
+    body.patch(1, s""""metadata_only":$metaOnly,""", 0)
+  }
+
+  handle("/constraint") { ex =>
+    val t = pathArg(ex, "/constraint")
+    val table = session.catalog.table(t)
+    if (ex.getRequestMethod == "GET")
+      table.checkConstraint
+        .map(c => s"""{"check":${jsonStr(c)}}""").getOrElse("""{"check":null}""")
+    else {
+      val c = qs(ex).getOrElse("check",
+        throw new IllegalArgumentException("missing check (SQL condition)"))
+      // a condition that doesn't resolve against the schema is CLIENT input
+      // error (the DDL-time validation), not a server fault
+      try table.setCheckConstraint(c)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(e.getMessage, e) }
+      s"""{"status":"ok","check":${jsonStr(c)}}"""
+    }
   }
 
   // Corpus-audit surface: the round-11 audit ops as read-only GETs, so

@@ -34,7 +34,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
    * `cdc_merger_optimized.py:189-203`).
    */
   def createTable(name: String, schema: StructType,
-      bucketBy: Option[(String, Int)] = None): GraftTable = {
+      bucketBy: Option[(String, Int)] = None,
+      constraint: Option[String] = None): GraftTable = {
     requireValid(name)
     val t = new GraftTable(spark, tableRoot(name), name)
     if (t.log.latest().isEmpty) {
@@ -43,6 +44,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
         Map("bucket_key" -> k, "bucket_count" -> n.toString)
       }.getOrElse(Map.empty)
       t.log.commit("create", schema.json, Seq.empty, Map("records" -> "0") ++ spec)
+      // After the create commit so the DDL-time validation resolves the
+      // condition against the declared schema.
+      constraint.foreach(t.setCheckConstraint)
     }
     t
   }

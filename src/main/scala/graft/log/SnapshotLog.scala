@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.JsonMethods.parse
 import org.json4s.jackson.Serialization
 
 /**
@@ -128,10 +129,23 @@ private[graft] case class ManifestCore(
  * kept; older ones are deleted after a successful commit.
  */
 final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
-    gcGraceMs: Long = 60L * 60 * 1000, store: LogStore = LocalLogStore) {
+    gcGraceMs: Long = 60L * 60 * 1000, store: LogStore = LocalLogStore,
+    val branch: Option[String] = None) {
   private implicit val fmts: Formats = DefaultFormats
 
-  private val logDir: Path = tableRoot.resolve("_log")
+  // A branch is a SEPARATE append-only log under the same table root
+  // (`_log/branches/<name>/`), versioned from 1 independently of main.
+  // Main's hot path (latest(), commit CAS) never sees branch manifests —
+  // the branch head is a self-contained snapshot (full dir list), so
+  // publishing a branch is ONE ordinary CAS commit on main carrying the
+  // branch head's content (the Iceberg refs / WAP shape, without a
+  // branch filter on every main read). Data dirs from all logs share
+  // `data/` (names carry a uuid, so ids can't collide); every reclaim
+  // pass below therefore unions referenced dirs across main AND all
+  // branch logs before deleting anything.
+  private val mainLogDir: Path = tableRoot.resolve("_log")
+  private val logDir: Path =
+    branch.fold(mainLogDir)(b => mainLogDir.resolve("branches").resolve(b))
 
   /** Run `body` holding this table's maintenance mutex (reentrant — see
     * [[SnapshotLog.lockFor]]). Reclaim passes hold it for their whole
@@ -150,6 +164,108 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
 
   def versions(): Seq[Long] =
     listManifests().map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+
+  // ---- branches & tags (stored under the MAIN log dir regardless of which
+  // log instance is asked — they are table-level, not per-branch, state) ----
+
+  /** Names of branches that currently have at least one committed snapshot. */
+  def branches(): Seq[String] = {
+    val d = mainLogDir.resolve("branches")
+    if (!store.exists(d)) Seq.empty
+    else store.list(d).filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(b => new SnapshotLog(tableRoot, retainVersions, gcGraceMs, store,
+        Some(b)).latest().isDefined)
+      .sorted
+  }
+
+  /** Open the log of a named branch of this table. */
+  def branchLog(name: String): SnapshotLog =
+    new SnapshotLog(tableRoot, retainVersions, gcGraceMs, store, Some(name))
+
+  /** Drop a branch: delete its whole log dir. Its data dirs become
+    * unreferenced and are reclaimed by the normal grace-gated orphan sweep
+    * (never inline — a reader mid-scan on the branch keeps its files). */
+  def dropBranch(name: String): Unit = withMaintenanceLock {
+    deleteRecursively(mainLogDir.resolve("branches").resolve(name))
+  }
+
+  /** The MAIN snapshot id a branch was created from: recorded in the branch's
+    * v1 ("branch") commit summary. None once branch retention has expired v1
+    * (a branch long-lived enough to cross retention has left the
+    * write-audit-publish window — publish then requires force). */
+  def branchBase(name: String): Option[Long] =
+    branchLog(name).snapshotsCore()
+      .flatMap(_.summary.get("branch_base")).headOption.map(_.toLong)
+
+  // Table-level properties (CHECK constraint, etc.) in a sidecar document:
+  // snapshot summaries would need every write path to carry them forward,
+  // and the create manifest expires under retention — a table-lifetime fact
+  // needs table-lifetime storage. Writes are DDL-time (create/alter), so the
+  // non-atomic delete+claim replace below is acceptable: two concurrent
+  // ALTERs race, concurrent READERS at worst see the pre-DDL document.
+  private def propsPath: Path = mainLogDir.resolve("props.json")
+
+  def props(): Map[String, String] =
+    if (!store.exists(propsPath)) Map.empty
+    else try {
+      parse(new String(store.read(propsPath), StandardCharsets.UTF_8))
+        .extract[Map[String, String]]
+    } catch { case e if isMissing(e) => Map.empty }
+
+  def putProp(key: String, value: String): Unit = {
+    store.mkdirs(mainLogDir)
+    val next = props() + (key -> value)
+    store.delete(propsPath)
+    store.tryClaim(propsPath,
+      Serialization.write(next).getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def tagPath(name: String): Path =
+    mainLogDir.resolve("tags").resolve(s"$name.json")
+
+  /** Immutable named pointer to a MAIN snapshot id (Iceberg tag): pins the
+    * manifest against retention and expiry, so `readAsOf(tags()(name))`
+    * keeps working no matter how far the log advances. Create-if-absent by
+    * construction — retargeting a tag is dropTag + addTag, never a silent
+    * overwrite. Returns false if the tag already exists. */
+  def addTag(name: String, snapshotId: Long): Boolean = {
+    require(get(snapshotId).isDefined,
+      s"cannot tag snapshot $snapshotId: not in the retained log")
+    store.mkdirs(mainLogDir.resolve("tags"))
+    store.tryClaim(tagPath(name),
+      s"""{"snapshotId":$snapshotId}""".getBytes(StandardCharsets.UTF_8))
+  }
+
+  def dropTag(name: String): Unit = store.delete(tagPath(name))
+
+  def tags(): Map[String, Long] = {
+    val d = mainLogDir.resolve("tags")
+    if (!store.exists(d)) Map.empty
+    else store.list(d).filter(_.getFileName.toString.endsWith(".json")).flatMap { p =>
+      try {
+        val id = (parse(new String(store.read(p), StandardCharsets.UTF_8))
+          \ "snapshotId").extract[Long]
+        Some(p.getFileName.toString.stripSuffix(".json") -> id)
+      } catch { case e if isMissing(e) => None } // raced a dropTag
+    }.toMap
+  }
+
+  /** Main-log snapshot ids pinned by tags — exempt from retention/expiry.
+    * Branch logs have no tags (tags name main snapshots only). */
+  private def taggedIds(): Set[Long] =
+    if (branch.isDefined) Set.empty else tags().values.toSet
+
+  /** Data dirs referenced by every OTHER log of this table (for the main
+    * log: all branches; for a branch: main + sibling branches). Reclaim
+    * passes subtract these so one log's expiry can never delete dirs
+    * another log's snapshots still read — branch creation copies the base
+    * snapshot's dir list verbatim, so shared references are the norm. */
+  private def externalRefs(): Set[String] = {
+    val others =
+      (None +: branches().map(Some(_))).filterNot(_ == branch)
+        .map(b => new SnapshotLog(tableRoot, retainVersions, gcGraceMs, store, b))
+    others.flatMap(_.snapshots().flatMap(s => s.dataDirs ++ s.deltaDirs)).toSet
+  }
 
   /** A file that vanished between listing and reading was expired by a
     * concurrent committer's retention pass — the snapshot is gone, not the
@@ -430,14 +546,26 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val ms = listManifests()
     if (ms.size <= keepLast) return 0
-    val (dropPs, keepPs) = (ms.dropRight(keepLast), ms.takeRight(keepLast))
+    // Tagged snapshots are exempt: a tag is a durable promise that
+    // `readAsOf` keeps working, so expiry counts "newest keepLast" over the
+    // untagged manifests and never drops a tagged one.
+    val tagged = taggedIds()
+    def idOf(p: Path): Long =
+      p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+    val (pinned, expirable) = ms.partition(p => tagged.contains(idOf(p)))
+    if (expirable.size <= keepLast) return 0
+    val (dropPs, keepPs) =
+      (expirable.dropRight(keepLast), expirable.takeRight(keepLast) ++ pinned)
     // Resolve both reference sets BEFORE deleting anything: the retained
     // set defines what must survive; the dropped set minus it is garbage.
     def refsOf(ps: Seq[Path]): Set[String] = ps.flatMap { p =>
       try { val s = readManifest(p); s.dataDirs ++ s.deltaDirs }
       catch { case e if isMissing(e) => Seq.empty } // raced another expiry
     }.toSet
-    val keptRefs = refsOf(keepPs)
+    // Dirs live in OTHER logs of this table (branches, or main when this is
+    // a branch log) must survive this log's expiry: branch creation copies
+    // the base snapshot's dir list, so cross-log sharing is the common case.
+    val keptRefs = refsOf(keepPs) ++ externalRefs()
     val deadRefs = refsOf(dropPs) -- keptRefs
     // Manifest before detail, same ordering rule as the background expiry.
     dropPs.foreach { p =>
@@ -502,7 +630,13 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       // MANIFEST is deleted FIRST: readers resolve detail files only
       // through a manifest they just read, so deleting the detail first
       // would leave a visible manifest pointing at nothing.
-      ms.dropRight(retainVersions).foreach { p =>
+      // Tagged manifests are exempt (same rule as expire()); the tag
+      // listing is only paid on the commits that actually cross retention.
+      val tagged = taggedIds()
+      ms.dropRight(retainVersions)
+        .filterNot(p => tagged.contains(
+          p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong))
+        .foreach { p =>
         val df = scala.util.Try(detailFileOf(p)).toOption.flatten
         store.delete(p)
         df.foreach(d => store.delete(logDir.resolve(d)))
@@ -559,7 +693,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     // deletes below must not interleave with a rollback re-referencing a
     // dir that is old enough to be past grace yet currently unreferenced.
     val referenced: Set[String] =
-      snapshots().flatMap(s => s.dataDirs ++ s.deltaDirs).toSet
+      snapshots().flatMap(s => s.dataDirs ++ s.deltaDirs).toSet ++
+        externalRefs() // branch logs share data/ — see externalRefs scaladoc
     val dataRoot = tableRoot.resolve("data")
     if (!Files.isDirectory(dataRoot)) return
     val cutoff = System.currentTimeMillis() - gcGraceMs

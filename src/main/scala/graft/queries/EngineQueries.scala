@@ -437,6 +437,62 @@ object EngineQueries {
       t.overwrite(events(s, d))
       t.cluster(Seq("user_id", "event_id"), 16)
       t.readBox(Seq("user_id" -> (3L, 9L), "event_id" -> (200L, 800L)))
+    }),
+
+    // Governed writes: branch at head, stage an upsert on the branch
+    // (main is isolated from it — BranchSpec asserts that), publish the
+    // branch back to main as one atomic fast-forward commit (WAP). The
+    // gate hash-checks the POST-publish main state.
+    "t_branch_wap" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val t = tempTable(s)
+      t.overwrite(o)
+      t.createBranch("audit")
+      t.branch("audit").upsert(
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderpriority", lit("8-BRANCH")), "o_orderkey")
+      t.publishBranch("audit")
+      t.read()
+    }),
+
+    // Governed writes: tag a snapshot, advance the table, expire every
+    // untagged snapshot — the tag pins its manifest AND its data dirs, so
+    // the tagged read still answers exactly.
+    "t_tag_read" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 8000))
+      t.createTag("release")
+      t.overwrite(o)
+      t.expireSnapshots(1)
+      t.readTag("release")
+    }),
+
+    // Metadata-only aggregates: count(*) + min/max answered from the
+    // manifest's per-dir records and column statistics — zero data I/O
+    // (MetaStatsSpec proves the path by deleting a data file first). The
+    // oracle recomputes the same aggregates by scanning.
+    "t_meta_stats" -> ((s, d) => {
+      val o = tbl(s, d, "orders")
+      val t = tempTable(s)
+      t.append(o.filter(col("o_orderkey") % 2 === 0))
+      t.append(o.filter(col("o_orderkey") % 2 =!= 0))
+      t.statsSummary(Seq("o_orderkey", "o_orderdate"))
+    }),
+
+    // Governed writes: CHECK-constraint ingest with quarantine — accepted
+    // rows land in the table, violating rows in the side quarantine table,
+    // nothing is dropped. ANSI CHECK semantics (NULL passes).
+    "t_expect_split" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val cat = new graft.catalog.GraftCatalog(
+        s, Files.createTempDirectory("graft-gov-"))
+      val t = cat.createTable("orders_gov", o.schema,
+        constraint = Some("o_totalprice <= 250000"))
+      t.appendExpect(o)
+      t.read().withColumn("disposition", lit("ok"))
+        .unionByName(t.quarantineTable.read().drop("__rule")
+          .withColumn("disposition", lit("quarantine")))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -538,6 +594,21 @@ object EngineQueries {
     "t_zorder_box" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE user_id BETWEEN 3 AND 9 AND event_id BETWEEN 200 AND 800""".stripMargin,
+    "t_branch_wap" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN '8-BRANCH' ELSE o_orderpriority END AS o_orderpriority
+         |FROM orders""".stripMargin,
+    "t_tag_read" ->
+      "SELECT * FROM orders WHERE o_orderkey <= 8000",
+    "t_meta_stats" ->
+      """SELECT count(*) AS cnt,
+        |  min(o_orderkey) AS o_orderkey_min, max(o_orderkey) AS o_orderkey_max,
+        |  min(o_orderdate) AS o_orderdate_min, max(o_orderdate) AS o_orderdate_max
+        |FROM orders""".stripMargin,
+    "t_expect_split" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |  CASE WHEN coalesce(o_totalprice <= 250000, TRUE) THEN 'ok' ELSE 'quarantine' END AS disposition
+        |FROM orders""".stripMargin,
     "t_key_lookup_pruned" ->
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_key_multi_lookup" ->

@@ -50,9 +50,11 @@ import graft.log.{CommitConflictException, Snapshot, SnapshotLog}
 final class GraftTable(val spark: SparkSession, val root: Path, val name: String,
     retainVersions: Int = 100, autoCompactAfter: Int = 0,
     gcGraceMs: Long = 60L * 60 * 1000,
-    statsColumns: Option[Set[String]] = None) {
+    statsColumns: Option[Set[String]] = None,
+    val branchName: Option[String] = None) {
 
-  val log = new SnapshotLog(root, retainVersions, gcGraceMs)
+  val log = new SnapshotLog(root, retainVersions, gcGraceMs,
+    branch = branchName)
 
   /**
    * Runs one of THIS table's data-directory writes with parquet timestamps
@@ -413,6 +415,116 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     snapshotsDF.orderBy(desc("snapshot_id"))
       .select("committed_at", "operation", "records")
 
+  // --------------------------------------------- metadata-only aggregates
+
+  /**
+   * Answer `count(*)` and per-column `min`/`max` from the MANIFEST alone —
+   * no data file is opened (Iceberg's metadata-only scan). The manifest
+   * already carries per-dir record counts and per-dir column min/max
+   * harvested from parquet footers at write time, so the whole computation
+   * is a driver-side fold over O(dirs) entries: on the 100 TB table this
+   * answers in milliseconds where a scan is a full-table job. Returns None
+   * when the metadata CANNOT give the exact answer, in which case callers
+   * fall back to the distributed scan ([[statsSummary]]); decline cases:
+   *
+   *  - pending MOR deltas (updates/tombstones change counts and extremes
+   *    in ways only resolution can see);
+   *  - any data dir missing its record count (older write paths);
+   *  - a requested column missing min/max stats on any non-empty dir
+   *    (all-null dirs, or columns outside the harvest set) — a dir
+   *    without the stat could hold the true extreme;
+   *  - string columns: parquet MAY truncate binary statistics, which is
+   *    sound for range PRUNING (bounds stay conservative) but not for
+   *    reporting an exact min/max value.
+   *
+   * Extremes come back as Spark EXTERNAL types (java.sql.Date/Timestamp,
+   * boxed numerics) matching the column's type, null for an empty table.
+   */
+  def statsFromMetadata(
+      columns: Seq[String] = Seq.empty): Option[(Long, Seq[(String, Any, Any)])] = {
+    import org.apache.spark.sql.types._
+    val head = log.latest().getOrElse(
+      return Some((0L, columns.map(c => (c, null, null)))))
+    if (head.deltaDirs.nonEmpty) return None
+    if (!head.dataDirs.forall(head.dirRecords.contains)) return None
+    val cnt = head.dataDirs.map(head.dirRecords).sum
+    val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val live = head.dataDirs.filter(d => head.dirRecords(d) > 0)
+    def colStat(c: String): Option[(String, Any, Any)] = {
+      val f = st.fields.find(_.name == c).getOrElse(return None)
+      if (f.dataType == StringType) return None
+      if (live.isEmpty) return Some((c, null, null))
+      val perDir = live.map { d =>
+        val stats = head.dirStats.getOrElse(d, Map.empty)
+        for {
+          mn <- stats.get(s"$c:min").flatMap(parseStat(_, f.dataType))
+          mx <- stats.get(s"$c:max").flatMap(parseStat(_, f.dataType))
+        } yield (mn, mx)
+      }
+      if (perDir.exists(_.isEmpty)) None
+      else {
+        val vs = perDir.flatten
+        val mn = vs.map(_._1).reduce((a, b) => if (statLt(b, a)) b else a)
+        val mx = vs.map(_._2).reduce((a, b) => if (statLt(a, b)) b else a)
+        Some((c, statExternal(mn, f.dataType), statExternal(mx, f.dataType)))
+      }
+    }
+    val cols = columns.map(colStat)
+    if (cols.exists(_.isEmpty)) None else Some((cnt, cols.flatten))
+  }
+
+  /** Stats domain (long / double) → the column's Spark EXTERNAL type. */
+  private def statExternal(v: Any, dt: DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => v.asInstanceOf[Long].toByte
+      case ShortType => v.asInstanceOf[Long].toShort
+      case IntegerType => v.asInstanceOf[Long].toInt
+      case LongType => v
+      case FloatType => v.asInstanceOf[Double].toFloat
+      case DoubleType => v
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long]))
+      case TimestampType =>
+        val l = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000))
+      case TimestampNTZType =>
+        val l = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000),
+          java.time.ZoneOffset.UTC)
+      case _ => v
+    }
+  }
+
+  /**
+   * One-row summary `(cnt, <col>_min, <col>_max, ...)`: metadata-only when
+   * [[statsFromMetadata]] can answer exactly, else the equivalent
+   * distributed aggregate over [[read]] — same schema, same values, so
+   * callers never need to know which path ran.
+   */
+  def statsSummary(columns: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.types._
+    statsFromMetadata(columns) match {
+      case Some((cnt, cols)) =>
+        val st = DataType.fromJson(log.latest().map(_.schemaJson)
+          .getOrElse(new StructType().json)).asInstanceOf[StructType]
+        val fields = StructField("cnt", LongType, nullable = false) +:
+          cols.flatMap { case (c, _, _) =>
+            val dt = st.fields.find(_.name == c).map(_.dataType).getOrElse(NullType)
+            Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt))
+          }
+        val row = Row.fromSeq(cnt +: cols.flatMap(c => Seq(c._2, c._3)))
+        spark.createDataFrame(
+          java.util.Collections.singletonList(row), StructType(fields))
+      case None =>
+        val aggs = count(lit(1)).as("cnt") +: columns.flatMap(c =>
+          Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+        read().agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   // ----------------------------------------------------- bucketed layout
 
   /** Hash-bucket spec `(key, numBuckets)` if this table is bucketed. */
@@ -749,6 +861,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val d = writeDataDir(df, next)
     log.commit("overwrite", df.schema.json, Seq(d.rel),
       Map("records" -> d.rows.toString),
+      dirRecords = Map(d.rel -> d.rows),
       dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
   }
 
@@ -1341,6 +1454,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val d = writeDataDir(df, next)
         log.commitExpecting(parent, operation, df.schema.json, Seq(d.rel),
           Map("records" -> d.rows.toString), batchKey,
+          dirRecords = Map(d.rel -> d.rows),
           dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
     }
   }
@@ -1516,6 +1630,205 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     * (ISO-8601 instant), always keeping the head. Same immediate reclaim
     * as [[expireSnapshots]]. */
   def expireSnapshotsOlderThan(cutoff: String): Int = log.expireOlderThan(cutoff)
+
+  // ------------------------------------------------- branches, tags, WAP
+
+  private def requireMain(verb: String): Unit =
+    require(branchName.isEmpty,
+      s"$verb must be called on the main table handle, not branch " +
+        s"'${branchName.getOrElse("")}'")
+
+  /**
+   * Handle onto a named branch of this table: same root, same data
+   * directory pool, but reads/writes/commits go to the branch's own
+   * snapshot log (`_log/branches/<name>/`). Every table verb — append,
+   * upsert, MOR, compact, time travel, serving lookups — works on the
+   * branch handle unchanged, because all of them only speak to `log`.
+   */
+  def branch(b: String): GraftTable = {
+    requireMain("branch()")
+    require(log.branches().contains(b), s"table $name has no branch '$b'")
+    new GraftTable(spark, root, name, retainVersions, autoCompactAfter,
+      gcGraceMs, statsColumns, Some(b))
+  }
+
+  /**
+   * Create a branch at the current head (Iceberg branch / the staging half
+   * of write-audit-publish): ONE metadata commit copying the head's
+   * self-contained state (schema, dir list, pending deltas, statistics)
+   * into the branch log's v1 — no data is read or copied, so the cost is
+   * O(manifest) regardless of table size. The base snapshot id is recorded
+   * in the v1 summary; [[publishBranch]] uses it for its fast-forward
+   * check. Create-if-absent via the commit CAS: racing creates of the same
+   * branch name resolve to one winner.
+   */
+  def createBranch(b: String): Snapshot = {
+    requireMain("createBranch")
+    require(graft.functions.Identifiers.isValidIdent(b),
+      s"invalid branch name '$b'")
+    val head = log.latest().getOrElse(
+      throw new IllegalArgumentException(s"cannot branch empty table $name"))
+    try {
+      log.branchLog(b).commitExpecting(None, "branch", head.schemaJson,
+        head.dataDirs,
+        head.summary + ("branch_base" -> head.snapshotId.toString),
+        None, head.dirRecords, head.deltaDirs, head.dirStats)
+    } catch {
+      case _: CommitConflictException =>
+        throw new IllegalArgumentException(
+          s"branch '$b' of table $name already exists")
+    }
+  }
+
+  /**
+   * Publish a branch to main — the commit half of write-audit-publish: one
+   * CAS commit on MAIN carrying the branch head's full content. Audited
+   * writes therefore become visible to main readers ATOMICALLY, after any
+   * validation ran against the branch, which is the whole point of WAP:
+   * bad batches never transit through a readable main state.
+   *
+   * Fast-forward rule: publish requires main's head to still be the
+   * branch's base snapshot. If main advanced since the branch was created,
+   * the branch content no longer includes those commits, and publishing it
+   * would silently drop them — that case throws [[CommitConflictException]]
+   * unless `force = true` (an explicit overwrite, recorded as such). The
+   * branch log is left intact; [[dropBranch]] is the caller's cleanup.
+   */
+  def publishBranch(b: String, force: Boolean = false): Snapshot = {
+    requireMain("publishBranch")
+    val bl = log.branchLog(b)
+    val bh = bl.latest().getOrElse(
+      throw new IllegalArgumentException(s"table $name has no branch '$b'"))
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      val head = log.latest()
+      val base = log.branchBase(b)
+      if (!force && (base.isEmpty || head.map(_.snapshotId) != base))
+        throw new CommitConflictException(
+          s"non-fast-forward publish of branch '$b': main is at " +
+            s"${head.map(_.snapshotId)}, branch base is $base; " +
+            "pass force = true to overwrite main")
+      try {
+        return log.commitExpecting(head.map(_.snapshotId), "publish",
+          bh.schemaJson, bh.dataDirs,
+          (bh.summary - "branch_base") + ("published_branch" -> b) ++
+            (if (force) Map("publish_forced" -> "true") else Map.empty),
+          None, bh.dirRecords, bh.deltaDirs, bh.dirStats)
+      } catch { case _: CommitConflictException if force => } // head moved
+    }
+    throw new IllegalStateException(
+      s"publish of branch '$b' lost $attempts consecutive races")
+  }
+
+  /** Delete a branch's log. Its exclusively-referenced data dirs become
+    * orphans and are reclaimed by the grace-gated background sweep. */
+  def dropBranch(b: String): Unit = { requireMain("dropBranch"); log.dropBranch(b) }
+
+  def branches(): Seq[String] = log.branches()
+
+  /**
+   * Pin a snapshot under an immutable name (Iceberg tag): the manifest is
+   * exempt from retention and [[expireSnapshots]], so [[readTag]] works
+   * no matter how far the log advances — the audit/repro handle ("the
+   * exact corpus release we trained on") that a bare snapshot id cannot
+   * give, because untagged ids expire.
+   */
+  def createTag(tag: String, snapshotId: Option[Long] = None): Long = {
+    requireMain("createTag")
+    require(graft.functions.Identifiers.isValidIdent(tag),
+      s"invalid tag name '$tag'")
+    val id = snapshotId.getOrElse(latestVersion)
+    require(log.addTag(tag, id), s"tag '$tag' of table $name already exists")
+    id
+  }
+
+  def dropTag(tag: String): Unit = { requireMain("dropTag"); log.dropTag(tag) }
+
+  def tags(): Map[String, Long] = log.tags()
+
+  def readTag(tag: String): DataFrame = {
+    requireMain("readTag")
+    val id = log.tags().getOrElse(tag,
+      throw new NoSuchElementException(s"table $name has no tag '$tag'"))
+    readAsOf(id)
+  }
+
+  // ------------------------------------------------ expectations (CHECK)
+
+  /** The table's CHECK constraint (a Spark/ANSI SQL boolean expression over
+    * the row), if one was declared. Stored in the log's props sidecar —
+    * table-lifetime, survives snapshot retention. */
+  def checkConstraint: Option[String] = log.props().get("check")
+
+  /** Declare (or replace) the CHECK constraint. Validated by resolving it
+    * against the current schema so a typo fails at DDL time, not mid-ingest. */
+  def setCheckConstraint(conditionSql: String): Unit = {
+    requireMain("setCheckConstraint")
+    if (log.latest().isDefined)
+      emptyDF(schema).filter(expr(conditionSql)) // analyzer-resolves or throws
+    log.putProp("check", conditionSql)
+  }
+
+  /** Side table collecting rows a guarded write rejected: same warehouse
+    * directory, `<name>__quarantine`, schema = data schema + `__rule`
+    * (the constraint text that rejected the row). Lazily created on the
+    * first rejected batch. */
+  def quarantineTable: GraftTable = {
+    requireMain("quarantineTable")
+    new GraftTable(spark, root.resolveSibling(name + "__quarantine"),
+      name + "__quarantine", retainVersions, autoCompactAfter, gcGraceMs)
+  }
+
+  /**
+   * Split a batch by the CHECK constraint with ANSI semantics: a row is
+   * rejected only when the condition is FALSE — NULL passes, exactly like
+   * a SQL CHECK constraint (`coalesce(cond, true)`). Returns
+   * (accepted, rejected); with no constraint declared, everything is
+   * accepted. Both sides are lazy single filters over `df`, so Catalyst
+   * pushes them into the source scan — the split adds no shuffle and no
+   * materialization at any scale.
+   */
+  def expectSplit(df: DataFrame): (DataFrame, DataFrame) = checkConstraint match {
+    case None => (df, emptyDF(df.schema))
+    case Some(c) =>
+      val pass = coalesce(expr(c), lit(true))
+      (df.filter(pass), df.filter(!pass))
+  }
+
+  /**
+   * Guarded append — the expectations ingest (Delta constraints + DLT
+   * expectations in one verb): rows passing the CHECK constraint are
+   * appended to this table; violating rows are appended to
+   * [[quarantineTable]] with the violated rule attached, so bad records
+   * are INSPECTABLE and replayable instead of silently dropped or batch-
+   * fatally rejected. Returns (data snapshot, rows quarantined). The
+   * quarantined count is read from the quarantine commit's own summary —
+   * no extra count job. Batch idempotence (`batchKey`) covers the DATA
+   * table; a retried batch re-quarantines nothing because its data commit
+   * is a no-op and the quarantine write only runs when the data commit
+   * was fresh.
+   */
+  def appendExpect(df: DataFrame,
+      batchKey: Option[String] = None): (Snapshot, Long) = {
+    requireMain("appendExpect")
+    checkConstraint match {
+      case None => (append(df, batchKey), 0L)
+      case Some(c) =>
+        val (ok, bad) = expectSplit(df)
+        val before = log.latest().map(_.snapshotId)
+        val snap = append(ok, batchKey)
+        val fresh = before != Some(snap.snapshotId) // idempotent replay check
+        val n =
+          if (!fresh) 0L
+          else {
+            val qs = quarantineTable
+              .append(bad.withColumn("__rule", lit(c)))
+            qs.summary.get("appended").map(_.toLong).getOrElse(0L)
+          }
+        (snap, n)
+    }
+  }
 
   private val RangeCol = "__range"
 

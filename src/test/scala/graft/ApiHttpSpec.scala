@@ -156,6 +156,46 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(mb.contains("ISO-8601"), mb)
   }
 
+  test("governed writes over HTTP: branch/publish/tag/stats/constraint") {
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .filter(col("o_orderkey") < 300)
+    session.catalog.saveTable("gov_t", orders)
+    session.refreshViews()
+    val t = session.catalog.table("gov_t")
+    // branch create + list
+    val (c1, b1) = post("/branch/gov_t?name=wap", "")
+    assert(c1 == 200 && b1.contains("\"branch\":\"wap\""), s"$c1 $b1")
+    assert(get("/branch/gov_t")._2.contains("\"wap\""))
+    // stage a write on the branch (library), read it via /data?branch=
+    t.branch("wap").upsert(
+      orders.withColumn("o_orderpriority", lit("AUDITED")), "o_orderkey")
+    val (c2, b2) = get("/data/gov_t?branch=wap&limit=2")
+    assert(c2 == 200 && b2.contains("AUDITED"), s"$c2 $b2")
+    assert(!get("/data/gov_t?limit=2")._2.contains("AUDITED")) // main isolated
+    // publish; unknown branch is a client error
+    val (c3, b3) = post("/publish/gov_t?name=wap", "")
+    assert(c3 == 200 && b3.contains("\"published\":\"wap\""), s"$c3 $b3")
+    assert(get("/data/gov_t?limit=2")._2.contains("AUDITED"))
+    assert(post("/publish/gov_t?name=nope", "")._1 == 400)
+    // tag + pinned read; duplicate tag is a client error
+    val (c4, b4) = post("/tag/gov_t?name=rel", "")
+    assert(c4 == 200 && b4.contains("\"tag\":\"rel\""), s"$c4 $b4")
+    assert(get("/tag/gov_t")._2.contains("\"rel\""))
+    assert(get("/data/gov_t?tag=rel&limit=1")._1 == 200)
+    assert(post("/tag/gov_t?name=rel", "")._1 == 400)
+    // stats: one-row summary with path attribution
+    val (c5, b5) = get("/stats/gov_t?cols=o_orderkey")
+    assert(c5 == 200 && b5.contains("\"metadata_only\"") &&
+      b5.contains("o_orderkey_min"), s"$c5 $b5")
+    assert(get("/stats/gov_t?cols=nope")._1 == 400)
+    // constraint DDL: set, read back, invalid column 400s at DDL time
+    val check = java.net.URLEncoder.encode("o_totalprice >= 0", "UTF-8")
+    assert(post(s"/constraint/gov_t?check=$check", "")._1 == 200)
+    assert(get("/constraint/gov_t")._2.contains("o_totalprice"))
+    val bad = java.net.URLEncoder.encode("no_col > 1", "UTF-8")
+    assert(post(s"/constraint/gov_t?check=$bad", "")._1 == 400)
+  }
+
   test("GET /box reads a multi-column window; malformed lists and bounds 400") {
     val (c1, b1) = get("/box/orders_t?cols=o_orderkey,o_totalprice&lo=100,0&hi=110,100000")
     assert(c1 == 200, b1)

@@ -86,6 +86,34 @@ class ShellSpec extends AnyFunSuite {
     assert(run("select events_s 3").contains("(3 rows)"))
   }
 
+  test("governed-writes verbs: branch/publish/tag/read/stats/constraint") {
+    assert(run("branch orders_s wap").contains("created branch wap"))
+    assert(run("branch orders_s").linesIterator.contains("wap"))
+    // stage on the branch via the library, then the WAP verbs
+    session.catalog.table("orders_s").branch("wap").upsert(
+      spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .filter(col("o_orderkey") < 200)
+        .withColumn("o_orderpriority", lit("AUD")), "o_orderkey")
+    assert(run("read orders_s branch wap 3").contains("AUD"))
+    assert(!run("select orders_s 3").contains("AUD")) // main isolated
+    assert(run("publish orders_s wap").contains("published branch wap"))
+    assert(run("select orders_s 3").contains("AUD"))
+    assert(run("tag orders_s rel").contains("tagged orders_s"))
+    assert(run("tag orders_s").contains("rel ->"))
+    assert(run("read orders_s tag rel 2").contains("o_orderkey"))
+    val st = run("stats orders_s o_orderkey")
+    assert(st.contains("o_orderkey_min") &&
+      (st.contains("metadata-only") || st.contains("scan fallback")), st)
+    assert(run("constraint orders_s").contains("(none)"))
+    assert(run("constraint orders_s 'o_totalprice >= 0'")
+      .contains("set CHECK constraint"))
+    assert(run("constraint orders_s").contains("o_totalprice >= 0"))
+    run("drop_tag orders_s rel")
+    assert(!run("tag orders_s").contains("rel ->"))
+    run("drop_branch orders_s wap")
+    assert(run("branch orders_s").trim.isEmpty)
+  }
+
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
