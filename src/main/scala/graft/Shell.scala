@@ -45,6 +45,10 @@ object Shell {
       |  read <table> branch|tag <name> [n]   preview a branch head or tagged snapshot
       |  stats <table> [col,col]              count/min/max (metadata-only when exact)
       |  constraint <table> [condition]       show / set the CHECK constraint
+      |  changes <table> <pk> <from> [to] [n] change feed over (from, to] commits
+      |  mv <table> [name] [n]                list materialized views / preview one
+      |  mv_create <table> <name> <pk> <groups> [sums]  create an incremental agg view
+      |  mv_refresh <table> <name>            fold the change feed into the view
       |  overlap <table> <group_col> [text_col] [n]   corpus-pair shingle overlap audit
       |  heavy_hitters <table> [text_col] [n] [k]     top repeated n-grams (exact)
       |  chunk_stats <table> [text_col]       content-defined chunk dedup stats
@@ -246,6 +250,35 @@ object Shell {
             table(t).setCheckConstraint(c)
             Some(s"set CHECK constraint on $t: $c")
         }
+      case "changes" =>
+        val Seq(t, pk, from) = toks.slice(1, 4): @unchecked
+        val to = toks.lift(4).map(_.toLong).getOrElse(table(t).latestVersion)
+        val df = table(t).changesBetween(from.toLong, to, pk)
+          .orderBy("_commit_version", pk)
+        Some(render(df, toks.lift(5).map(_.toInt).getOrElse(20)))
+      case "mv" =>
+        val t = toks(1)
+        toks.lift(2) match {
+          case None =>
+            val names = graft.table.MaterializedAgg.list(table(t))
+            Some(if (names.isEmpty) "(no materialized views)" else names.mkString("\n"))
+          case Some(nm) =>
+            val mv = graft.table.MaterializedAgg.of(table(t), nm)
+            Some(render(mv.read(), toks.lift(3).map(_.toInt).getOrElse(20)) +
+              s"\n(reflects ${t} v${mv.refreshedVersion})")
+        }
+      case "mv_create" =>
+        val Seq(t, nm, pk, groups) = toks.slice(1, 5): @unchecked
+        def split(s: String) = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val mv = new graft.table.MaterializedAgg(table(t), nm, pk,
+          split(groups), toks.lift(5).map(split).getOrElse(Seq.empty))
+        mv.create()
+        Some(s"created materialized view $nm over $t at v${mv.refreshedVersion}")
+      case "mv_refresh" =>
+        val Seq(t, nm) = toks.slice(1, 3): @unchecked
+        val mv = graft.table.MaterializedAgg.of(table(t), nm)
+        mv.refresh()
+        Some(s"refreshed $nm to $t v${mv.refreshedVersion}")
       case "overlap" =>
         val t = toks(1)
         val group = toks(2)

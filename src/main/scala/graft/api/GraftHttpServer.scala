@@ -781,6 +781,62 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     }
   }
 
+  // Incremental-consumption surface: the change feed and its derived
+  // materialized views — the endpoints a downstream consumer polls instead
+  // of re-reading the table.
+  handle("/changes") { ex =>
+    val t = pathArg(ex, "/changes")
+    val p = qs(ex)
+    val pk = p.getOrElse("pk", throw new IllegalArgumentException("missing pk"))
+    val from = p.getOrElse("from",
+      throw new IllegalArgumentException("missing from (snapshot id)")).toLong
+    val table = session.catalog.table(t)
+    val to = p.get("to").map(_.toLong).getOrElse(table.latestVersion)
+    val limit = math.min(p.get("limit").map(_.toInt).getOrElse(100), maxRows)
+    val df = table.changesBetween(from, to, pk)
+      .orderBy("_commit_version", pk).limit(limit)
+    val body = dfJson(df, maxRows)
+    body.patch(1, s""""from":$from,"to":$to,""", 0)
+  }
+
+  handle("/mv") { ex =>
+    val t = pathArg(ex, "/mv")
+    val table = session.catalog.table(t)
+    qs(ex).get("name") match {
+      case None =>
+        s"""{"views":[${graft.table.MaterializedAgg.list(table)
+          .map("\"" + _ + "\"").mkString(",")}]}"""
+      case Some(nm) =>
+        val mv = graft.table.MaterializedAgg.of(table, nm)
+        dfJson(mv.read(), maxRows)
+          .patch(1, s""""reflects_version":${mv.refreshedVersion},""", 0)
+    }
+  }
+
+  handle("/mv_create") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/mv_create")
+    val p = qs(ex)
+    def need(k: String) =
+      p.getOrElse(k, throw new IllegalArgumentException(s"missing $k"))
+    def split(s: String) = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    val mv = new graft.table.MaterializedAgg(session.catalog.table(t),
+      need("name"), need("pk"), split(need("groups")),
+      p.get("sums").map(split).getOrElse(Seq.empty))
+    mv.create()
+    s"""{"status":"ok","view":"${need("name")}","reflects_version":${mv.refreshedVersion}}"""
+  }
+
+  handle("/mv_refresh") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/mv_refresh")
+    val nm = qs(ex).getOrElse("name",
+      throw new IllegalArgumentException("missing name"))
+    val mv = graft.table.MaterializedAgg.of(session.catalog.table(t), nm)
+    mv.refresh()
+    s"""{"status":"ok","view":"$nm","reflects_version":${mv.refreshedVersion}}"""
+  }
+
   // Corpus-audit surface: the round-11 audit ops as read-only GETs, so
   // every capability is reachable from the API (the reference exposes even
   // snapshot diffs over HTTP — library-only operators would be a tier the

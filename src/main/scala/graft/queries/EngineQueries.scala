@@ -493,6 +493,64 @@ object EngineQueries {
       t.read().withColumn("disposition", lit("ok"))
         .unionByName(t.quarantineTable.read().drop("__rule")
           .withColumn("disposition", lit("quarantine")))
+    }),
+
+    // Change feed over copy-on-write history: append → pure inserts,
+    // keyed upsert → update_pre/update_post pairs (net effect only — the
+    // untouched rows the rewrite carried emit nothing), delete → preimages.
+    // The oracle reconstructs the exact expected change set per commit.
+    "t_changes_feed" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 8000)) // v1
+      t.append(o.filter(col("o_orderkey") > 8000 && col("o_orderkey") <= 9000)) // v2
+      t.upsert(o.filter(col("o_orderkey") <= 9000 && col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderpriority", lit("7-CHANGED")), "o_orderkey") // v3
+      t.deleteKeys(o.filter(col("o_orderkey") <= 9000 && col("o_orderkey") % 100 === 0)
+        .select("o_orderkey"), "o_orderkey") // v4
+      t.changesBetween(1, 4, "o_orderkey")
+    }),
+
+    // Change feed over a merge-on-read delta commit: post-images from the
+    // delta dir, pre-images resolved against the parent via broadcast-keys
+    // semi joins, tombstones (`op = 'd'`) as deletes — a tombstone for an
+    // absent key deletes nothing.
+    "t_changes_mor" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val t = tempTable(s)
+      t.overwriteBucketed(o.filter(col("o_orderkey") <= 8000), "o_orderkey", 4) // v1
+      val batch = o.filter(col("o_orderkey") <= 9000 && col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderpriority", lit("7-MOR"))
+        .withColumn("__action", when(col("o_orderkey") % 21 === 0, lit("d"))
+          .otherwise(lit(null).cast("string")))
+      t.upsertDeferred(batch, "o_orderkey", opCol = Some("__action")) // v2
+      t.changesSince(1, "o_orderkey")
+    }),
+
+    // Incrementally-refreshed materialized aggregate: count + sum per group
+    // maintained from the change feed (insert-only window, then a mixed
+    // upsert+delete window) — never recomputed from the base. The oracle is
+    // the full GROUP BY over the equivalent final state. Sums run over a
+    // DECIMAL(18,2) column so incremental and single-pass addition agree
+    // exactly; the final cast to double mirrors the oracle's.
+    "t_mv_refresh" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+        .withColumn("price_d", dec(col("o_totalprice")))
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 8000)) // v1
+      val mv = new graft.table.MaterializedAgg(t, "by_status", "o_orderkey",
+        Seq("o_orderstatus"), Seq("price_d"))
+      mv.create()
+      t.append(o.filter(col("o_orderkey") > 8000)) // v2
+      mv.refresh()
+      t.upsert(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("price_d", dec(col("o_totalprice"))), "o_orderkey") // v3
+      t.deleteKeys(o.filter(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey"), "o_orderkey") // v4
+      mv.refresh()
+      mv.read().select(col("o_orderstatus"), col("cnt"),
+        col("price_d_sum").cast("double").as("price_sum"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -609,6 +667,43 @@ object EngineQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
         |  CASE WHEN coalesce(o_totalprice <= 250000, TRUE) THEN 'ok' ELSE 'quarantine' END AS disposition
         |FROM orders""".stripMargin,
+    "t_changes_feed" ->
+      s"""SELECT $orderColsSql, CAST('insert' AS VARCHAR) AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version
+         |FROM orders WHERE o_orderkey > 8000 AND o_orderkey <= 9000
+         |UNION ALL
+         |SELECT $orderColsSql, 'update_pre', CAST(3 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 5 = 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  '7-CHANGED', 'update_post', CAST(3 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 5 = 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  '7-CHANGED', 'delete', CAST(4 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 100 = 0""".stripMargin,
+    "t_changes_mor" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  CAST('7-MOR' AS VARCHAR) AS o_orderpriority,
+         |  CAST('insert' AS VARCHAR) AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+         |FROM orders WHERE o_orderkey > 8000 AND o_orderkey <= 9000
+         |  AND o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+         |UNION ALL
+         |SELECT $orderColsSql, 'update_pre', CAST(2 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 8000 AND o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  '7-MOR', 'update_post', CAST(2 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 8000 AND o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+         |UNION ALL
+         |SELECT $orderColsSql, 'delete', CAST(2 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 8000 AND o_orderkey % 21 = 0""".stripMargin,
+    "t_mv_refresh" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |                     ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_orderstatus""".stripMargin,
     "t_key_lookup_pruned" ->
       "SELECT * FROM orders WHERE o_orderkey = 7777",
     "t_key_multi_lookup" ->

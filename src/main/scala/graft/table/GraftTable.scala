@@ -841,10 +841,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     DirInfo(rel, rows, stats)
   }
 
-  private def align(df: DataFrame, st: StructType): DataFrame = {
+  private def align(df: DataFrame, st: StructType,
+      keep: Seq[String] = Nil): DataFrame = {
     // Case-insensitive resolution (analyzer semantics, locale-free — see
     // Merge.unionSchema/lc): an incoming "ID" lands in the table's "id",
-    // written under the table's canonical spelling.
+    // written under the table's canonical spelling. `keep` columns ride
+    // along untouched (feed tag columns).
     val have = df.columns
       .map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     df.select(st.fields.toSeq.map { f =>
@@ -852,15 +854,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         case Some(c) => col(c).cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
-    }: _*)
+    } ++ keep.map(col): _*)
   }
 
-  /** Full replace (`writeTo(t).createOrReplace()` in the reference). */
-  def overwrite(df: DataFrame): Snapshot = {
+  /** Full replace (`writeTo(t).createOrReplace()` in the reference).
+    * `extraSummary` entries ride the commit's summary — state that must be
+    * atomic with the data lands in the same manifest (e.g. the base version
+    * a materialized-view refresh reflects). */
+  def overwrite(df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): Snapshot = {
     val next = latestVersion + 1
     val d = writeDataDir(df, next)
     log.commit("overwrite", df.schema.json, Seq(d.rel),
-      Map("records" -> d.rows.toString),
+      Map("records" -> d.rows.toString) ++ extraSummary,
       dirRecords = Map(d.rel -> d.rows),
       dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
   }
@@ -2039,6 +2045,233 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val c = side(cur, par, "__c")
     val p = side(par, cur, "__p")
     (c.join(p, Seq("__pk"), "full_outer"), dataCols)
+  }
+
+  // --------------------------------------------------------- change feed
+
+  /**
+   * Commit-granular change feed over `(fromSnapshotId, toSnapshotId]` — the
+   * incremental-consumption read (the Delta CDF / Hudi incremental-query
+   * capability): one row per changed row per commit, tagged `_change_type`
+   * (`insert` | `update_pre` | `update_post` | `delete`) and
+   * `_commit_version`. `update_pre`/`delete` rows carry the PRE-image,
+   * `insert`/`update_post` the post-image, so a consumer can replay the
+   * feed to reconstruct the table, or maintain any distributive aggregate
+   * with a signed weight (+1 for insert/update_post, −1 for
+   * update_pre/delete) — see [[MaterializedAgg]]. `pk` is the merge key
+   * change rows are identified by (same contract as [[diff]]).
+   *
+   * Cost is proportional to the CHANGES, not the table, on every hot path —
+   * the property that makes a downstream consumer at 100 TB incremental
+   * instead of a nightly full recompute:
+   *
+   *  - append/insert commits read only the commit's NEW dirs — no join;
+   *  - merge-on-read delta commits read the new delta dirs and resolve
+   *    pre-images with broadcast-keys semi joins against the parent view
+   *    (the parent scan shuffles nothing and only ≤|delta| rows survive);
+   *  - copy-on-write rewrites diff only the dirs the commit removed/added:
+   *    carried dirs are the SAME immutable files on both sides and cannot
+   *    produce a change, so they are skipped — for a bucketed upsert that
+   *    is exactly the touched buckets;
+   *  - compact/cluster are layout-only (read-equality is property-held by
+   *    MorSpec/LookupProps) and emit nothing.
+   *
+   * overwrite/rollback/publish replace content wholesale; their feed is the
+   * full old-vs-new diff, which is inherent to the operation, not a plan
+   * artifact. Rewrite-family changes are NET effects (a rewrite that lands
+   * an identical row emits nothing); merge-on-read delta commits record the
+   * WRITE, so an upsert that re-states the current image emits an
+   * update_pre/update_post pair with equal images — both conventions cancel
+   * in any signed-weight consumer.
+   *
+   * Row images are aligned to the `to` snapshot's schema (typed-null
+   * padding for columns that did not exist yet). Every manifest in the
+   * window must still be retained: a feed across expired history throws
+   * `IllegalStateException` (consumers fall back to a full recompute — see
+   * [[MaterializedAgg.refresh]]).
+   */
+  def changesBetween(fromSnapshotId: Long, toSnapshotId: Long,
+      pk: String): DataFrame = {
+    require(toSnapshotId >= fromSnapshotId,
+      s"change feed window is (from, to]: from=$fromSnapshotId to=$toSnapshotId")
+    // Driver-side lineage walk (metadata only): child-to-parent from `to`
+    // until `from`, oldest first. parentId — not version arithmetic —
+    // because rollback/publish commits parent onto whatever head they saw.
+    var chain = List.empty[Snapshot]
+    if (toSnapshotId > fromSnapshotId) {
+      var at = Option(log.get(toSnapshotId).getOrElse(throw new NoSuchElementException(
+        s"table $name has no snapshot $toSnapshotId")))
+      while (at.exists(_.snapshotId != fromSnapshotId)) {
+        val s = at.get
+        chain ::= s
+        at = s.parentId match {
+          case Some(p) => Some(log.get(p).getOrElse(throw new IllegalStateException(
+            s"change feed over table $name needs snapshot $p, but it has " +
+              "been expired — fall back to a full read/recompute")))
+          case None if fromSnapshotId <= 0 => None // reached table creation
+          case None => throw new NoSuchElementException(
+            s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId " +
+              s"in table $name")
+        }
+      }
+    }
+    val toSchema = chain.lastOption
+      .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .getOrElse(schema)
+    val tagged = chain.flatMap { s =>
+      commitChanges(s, pk).map { df =>
+        align(df, toSchema, keep = Seq("_change_type"))
+          .withColumn("_commit_version", lit(s.snapshotId))
+      }
+    }
+    if (tagged.isEmpty)
+      emptyDF(StructType(toSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    else tagged.reduce(_.unionByName(_))
+  }
+
+  /** [[changesBetween]] from `fromSnapshotId` to the current head. */
+  def changesSince(fromSnapshotId: Long, pk: String): DataFrame =
+    changesBetween(fromSnapshotId, latestVersion, pk)
+
+  /** One commit's changes: image columns plus a `_change_type` tag. Each
+    * source side appears ONCE in the returned plan — change types are
+    * fanned out by a per-row explode over when()-built entries, not by
+    * per-type filters that would re-scan the join (exchange reuse does not
+    * fire across differently-pruned consumers of one frame). */
+  private def commitChanges(s: Snapshot, pk: String): Option[DataFrame] = {
+    val p = s.parentId.flatMap(log.get)
+    val pData = p.map(_.dataDirs).getOrElse(Seq.empty)
+    val added = s.dataDirs.filterNot(pData.toSet)
+    val removed = pData.filterNot(s.dataDirs.toSet)
+    val newDeltas =
+      s.deltaDirs.filterNot(p.map(_.deltaDirs).getOrElse(Seq.empty).toSet)
+    s.operation match {
+      // Layout-only: logical content is unchanged by construction
+      // (compaction read-equality is property-held in MorSpec/LookupProps).
+      case "compact" | "cluster" => None
+      // Pure additive commit: the new dirs ARE the inserted rows.
+      case "append" | "insert" if removed.isEmpty && newDeltas.isEmpty =>
+        if (added.isEmpty) None
+        else Some(readDirsAs(s, added)
+          .withColumn("_change_type", lit("insert")))
+      case "upsert-deferred" if removed.isEmpty && newDeltas.nonEmpty =>
+        require(s.summary.get("mor_key").contains(pk),
+          s"change feed pk '$pk' must equal the MOR merge key " +
+            s"'${s.summary.getOrElse("mor_key", "?")}' for delta commits")
+        Some(morChanges(s, p.get, newDeltas, pk))
+      // Rewrite family (upsert/update/delete/overwrite/create/rollback/
+      // publish, and anything unrecognized — correctness never depends on
+      // the operation label): old-vs-new keyed diff, dir-restricted when
+      // no delta chains are involved on either side.
+      case _ => Some(rewriteChanges(s, p, added, removed, pk))
+    }
+  }
+
+  /** Subset-of-dataDirs read with the snapshot's schema (typed-null pad
+    * for pre-evolution files, same as [[readSnapshot]]). */
+  private def readDirsAs(s: Snapshot, dirs: Seq[String]): DataFrame = {
+    val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    if (dirs.isEmpty) emptyDF(st)
+    else spark.read.schema(st)
+      .parquet(dirs.map(d => root.resolve(d).toString): _*)
+  }
+
+  /** Pack a side's data columns (union of both sides, typed-null padding —
+    * the diffJoin evolution rule) into one struct, keyed by `__pk`. */
+  private def packSide(df: DataFrame, other: DataFrame, pk: String,
+      dataCols: Seq[String], as: String, extra: Seq[String] = Nil): DataFrame = {
+    val have = df.columns.toSet
+    df.select(Seq(col(pk).as("__pk"), struct(dataCols.map { cc =>
+      if (have.contains(cc)) col(cc).as(cc)
+      else {
+        val dt = other.schema.find(_.name == cc).map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        lit(null).cast(dt).as(cc)
+      }
+    }: _*).as(as)) ++ extra.map(col): _*)
+  }
+
+  /** Explode `(change type, image struct)` entries into tagged rows —
+    * the single-plan fan-out shared by both feed join shapes. `entries`
+    * elements are null for non-applicable types; array_compact drops them,
+    * and a row with no applicable entry (e.g. rewritten unchanged) emits
+    * nothing. */
+  private def explodeChanges(j: DataFrame, pk: String,
+      entries: Column): DataFrame =
+    j.select(col("__pk"), explode(array_compact(entries)).as("__e"))
+      .select(Seq(col("__pk").as(pk), col("__e.__img.*"),
+        col("__e.__ct").as("_change_type")): _*)
+
+  /** Changes carried by a merge-on-read delta commit: the delta rows are
+    * the post-images (plus `__op = 'd'` tombstones); pre-images resolve
+    * against the PARENT view via ONE broadcast-keys semi join — the parent
+    * scan shuffles nothing, appears once in the plan, and only ≤|delta|
+    * rows survive it. The surviving pre rows then join the delta batch
+    * (both small) and one explode classifies each pair. Tied duplicate-key
+    * parent rows each emit their own update_pre/delete, but only the
+    * first emits the (single) update_post — superseding N images is one
+    * write. */
+  private def morChanges(s: Snapshot, p: Snapshot, newDeltas: Seq[String],
+      pk: String): DataFrame = {
+    val d0 = deltaFrame(s, newDeltas).drop("__seq")
+    val pre0 = readResolved(p)
+      .join(broadcast(d0.select(col(pk)).distinct()), Seq(pk), "left_semi")
+    val dataCols =
+      (d0.columns ++ pre0.columns).distinct
+        .filterNot(c => c == pk || c == "__op").toSeq
+    val d = packSide(d0, pre0, pk, dataCols, "__post", extra = Seq("__op"))
+    val pre = packSide(pre0, d0, pk, dataCols, "__pre")
+      .withColumn("__pn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pk")).orderBy(col("__pre"))))
+    val j = d.join(pre, Seq("__pk"), "left")
+    val isDel = coalesce(col("__op") === "d", lit(false))
+    val hasPre = col("__pre").isNotNull
+    val first = coalesce(col("__pn") === 1, lit(true))
+    explodeChanges(j, pk, array(
+      when(isDel && hasPre,
+        struct(lit("delete").as("__ct"), col("__pre").as("__img"))),
+      when(!isDel && hasPre,
+        struct(lit("update_pre").as("__ct"), col("__pre").as("__img"))),
+      when(!isDel && hasPre && first,
+        struct(lit("update_post").as("__ct"), col("__post").as("__img"))),
+      when(!isDel && !hasPre,
+        struct(lit("insert").as("__ct"), col("__post").as("__img")))))
+  }
+
+  /** Changes carried by a rewrite commit: keyed full-outer diff of the
+    * removed dirs against the added dirs — rows rewritten unchanged match
+    * themselves and emit nothing, so only the touched content is read when
+    * neither side has pending delta chains (the fast path; for a bucketed
+    * upsert that is exactly the touched buckets). With deltas in play, dir
+    * restriction is unsound (the logical view is not a dir union) and the
+    * diff runs over the two RESOLVED views. Assumes pk-unique content on
+    * rewrite commits, the same contract as [[diff]]. */
+  private def rewriteChanges(s: Snapshot, p: Option[Snapshot],
+      added: Seq[String], removed: Seq[String], pk: String): DataFrame = {
+    val noDeltas = s.deltaDirs.isEmpty && p.forall(_.deltaDirs.isEmpty)
+    val cur = if (noDeltas) readDirsAs(s, added) else readResolved(s)
+    val par = p match {
+      case Some(pp) => if (noDeltas) readDirsAs(pp, removed) else readResolved(pp)
+      case None => emptyDF(
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+    }
+    val dataCols = (cur.columns ++ par.columns).distinct.filterNot(_ == pk).toSeq
+    val j = packSide(cur, par, pk, dataCols, "__c")
+      .join(packSide(par, cur, pk, dataCols, "__p"), Seq("__pk"), "full_outer")
+    val changed = col("__c").isNotNull && col("__p").isNotNull &&
+      !(col("__c") <=> col("__p"))
+    explodeChanges(j, pk, array(
+      when(col("__p").isNull,
+        struct(lit("insert").as("__ct"), col("__c").as("__img"))),
+      when(col("__c").isNull,
+        struct(lit("delete").as("__ct"), col("__p").as("__img"))),
+      when(changed, struct(lit("update_pre").as("__ct"), col("__p").as("__img"))),
+      when(changed, struct(lit("update_post").as("__ct"), col("__c").as("__img")))))
   }
 }
 

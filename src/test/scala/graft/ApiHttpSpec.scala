@@ -524,4 +524,23 @@ class ApiHttpSpec extends AnyFunSuite {
       HttpResponse.BodyHandlers.ofString())
     assert(r5.statusCode() == 303, s"${r5.statusCode()} ${r5.body()}")
   }
+
+  test("change feed and materialized views over HTTP") {
+    val (c, b) = get("/changes/orders_t?pk=o_orderkey&from=1&limit=5")
+    assert(c == 200 && b.contains("\"_change_type\""), b.take(300))
+    val (c1, b1) = post(
+      "/mv_create/orders_t?name=st&pk=o_orderkey&groups=o_orderstatus&sums=o_custkey", "")
+    assert(c1 == 200 && b1.contains("\"view\":\"st\""), b1)
+    val (c2, b2) = get("/mv/orders_t?name=st")
+    assert(c2 == 200 && b2.contains("reflects_version") && b2.contains("cnt"),
+      b2.take(300))
+    val (c3, b3) = get("/mv/orders_t")
+    assert(c3 == 200 && b3.contains("\"st\""), b3)
+    val (c4, b4) = post("/mv_refresh/orders_t?name=st", "")
+    assert(c4 == 200 && b4.contains("reflects_version"), b4)
+    // missing params are client errors, not 500s
+    assert(get("/changes/orders_t?from=1")._1 == 400)
+    assert(post("/mv_refresh/orders_t?name=nope", "")._1 == 400 ||
+      post("/mv_refresh/orders_t?name=nope", "")._1 == 404)
+  }
 }

@@ -114,6 +114,21 @@ class ShellSpec extends AnyFunSuite {
     assert(run("branch orders_s").trim.isEmpty)
   }
 
+  test("change-feed and materialized-view verbs") {
+    val ch = run("changes orders_s o_orderkey 0")
+    assert(ch.contains("_change_type") && ch.contains("_commit_version"), ch.take(300))
+    assert(run("mv orders_s").contains("no materialized views"))
+    assert(run("mv_create orders_s bystat o_orderkey o_orderstatus o_custkey")
+      .contains("created materialized view bystat"))
+    assert(run("mv orders_s").linesIterator.contains("bystat"))
+    session.catalog.table("orders_s").append(
+      spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .filter(col("o_orderkey") >= 200 && col("o_orderkey") < 260))
+    assert(run("mv_refresh orders_s bystat").contains("refreshed bystat"))
+    val view = run("mv orders_s bystat")
+    assert(view.contains("cnt") && view.contains("reflects orders_s v"), view)
+  }
+
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
