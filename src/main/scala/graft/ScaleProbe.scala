@@ -96,7 +96,8 @@ object ScaleProbe {
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
-    def timedWaves(name: String, f: Int, warm: () => Unit)(op: Int => Long): Unit = {
+    def timedWaves(name: String, f: Int, warm: () => Unit,
+        setup: Int => Unit = _ => ())(op: Int => Long): Unit = {
       if (only.exists(!_.contains(name))) return
       warm() // untimed: codegen + JIT compile, exactly like the bench's
       // same-shape warm-ups — without it the f=1 probe (runs first)
@@ -105,6 +106,8 @@ object ScaleProbe {
       var rows = 0L
       var shufMb = 0.0
       val ts = (0 until waves).map { i =>
+        setup(i) // untimed per-wave state advance (e.g. the ingest write
+        //          whose cost the probe wants OUT of the timed op)
         val (r0, w0) = (shufRead.get(), shufWrite.get())
         val t0 = System.nanoTime()
         rows = op(i)
@@ -370,6 +373,72 @@ object ScaleProbe {
           () => { onWave(morT, mor = true, "mor-warm")(0); () })(
           onWave(morT, mor = true, "mor"))
         rawEnv.unpersist(blocking = false)
+      }
+    }
+
+    // Change-feed + materialized-view maintenance scaling — the
+    // incremental-consumption claim: feed and refresh cost track the
+    // CHANGES, not the table. Base and bucket count BOTH scale with f
+    // (a real table is bucket-sized to its data), the change batch stays
+    // FIXED, so exponent ≈ 0 is "a downstream consumer's tick costs the
+    // same on the 100 TB table as on the 10 TB one".
+    //  - feed_append: insert-only window — reads only the commit's new dir.
+    //  - feed_mor_delta: a 16-key deferred-upsert window — pre-images come
+    //    from the delta keys' buckets only (bucket-pruned semi join), and
+    //    those buckets are fixed-size because nb grows with f.
+    //  - mv_refresh: the full maintenance tick (append a fixed batch +
+    //    fold the feed into the view) — O(batch) + O(groups).
+    if (only.forall(s =>
+      s("feed_append") || s("feed_mor_delta") || s("mv_refresh"))) {
+      for (f <- Seq(1, factor)) {
+        val ev0 = graft.queries.Q.events(spark, sfDir)
+        val base = (0 until f).map { k =>
+          ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+            graft.plans.TimestampMicrosExprs.wallMicros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+        val t = new graft.table.GraftTable(spark,
+          Files.createTempDirectory(s"scale-feed-$f-").resolve("t"), "t")
+        t.overwriteBucketed(base, "event_id", 16 * f)
+        val v1 = t.latestVersion
+        val batch = base.filter(col("event_id") < 20000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.count() // materialize untimed; the batch is the fixed change
+        t.append(batch) // v2: the insert-only window
+        val v2 = t.latestVersion
+        timedWaves("feed_append", f,
+          () => { t.changesBetween(v1, v2, "event_id").count(); () })(
+          _ => t.changesBetween(v1, v2, "event_id").count())
+        t.upsertDeferred(base.filter(col("event_id") < 16)
+          .withColumn("value", col("value") + 1.0), "event_id") // v3
+        val v3 = t.latestVersion
+        timedWaves("feed_mor_delta", f,
+          () => { t.changesBetween(v2, v3, "event_id").count(); () })(
+          _ => t.changesBetween(v2, v3, "event_id").count())
+        val mv = new graft.table.MaterializedAgg(t, "by_type", "event_id",
+          Seq("event_type"), Seq("value"))
+        mv.create() // untimed setup: the one-off full recompute
+        def tick(i: Int): Long = {
+          t.append(batch, batchKey = Some(s"scale-mv-$f-$i"))
+          mv.refresh()
+          batch.count()
+        }
+        var w = -1
+        timedWaves("mv_refresh", f, () => { w += 1; tick(1000 + w); () }) { i =>
+          tick(i)
+        }
+        // Attribution twin: the same tick with the APPEND untimed (per-wave
+        // setup) — times only the view's fold of the feed, separating the
+        // ingest write's own O(bucket-count) footer/commit cost from the
+        // refresh claim.
+        var w2 = -1
+        timedWaves("mv_refresh_only", f, () => (),
+          setup = _ => { w2 += 1
+            t.append(batch, batchKey = Some(s"scale-mvo-$f-$w2")) }) { _ =>
+          mv.refresh()
+          batch.count()
+        }
+        batch.unpersist(blocking = false)
       }
     }
 

@@ -2158,7 +2158,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         if (added.isEmpty) None
         else Some(readDirsAs(s, added)
           .withColumn("_change_type", lit("insert")))
-      case "upsert-deferred" if removed.isEmpty && newDeltas.nonEmpty =>
+      // Keyed delta commit: a deferred upsert, or an append that landed on
+      // a pending chain (its rows join the chain and supersede same-key
+      // images, so it is semantically a keyed batch too, and the O(batch)
+      // path applies — NOT the full-view diff).
+      case "upsert-deferred" | "append" | "insert"
+          if removed.isEmpty && newDeltas.nonEmpty && added.isEmpty =>
         require(s.summary.get("mor_key").contains(pk),
           s"change feed pk '$pk' must equal the MOR merge key " +
             s"'${s.summary.getOrElse("mor_key", "?")}' for delta commits")
@@ -2218,26 +2223,70 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private def morChanges(s: Snapshot, p: Snapshot, newDeltas: Seq[String],
       pk: String): DataFrame = {
     val d0 = deltaFrame(s, newDeltas).drop("__seq")
-    val pre0 = readResolved(p)
-      .join(broadcast(d0.select(col(pk)).distinct()), Seq(pk), "left_semi")
+    // Pre-image source, restricted to the delta's keys BEFORE resolution:
+    //  - dir level: when the parent is bucketed by pk, a key's rows can
+    //    only live in its hash bucket's dirs, so the scan plans just the
+    //    delta keys' buckets (the serving-lookup prune applied to the
+    //    feed); one tiny distinct-bucket-ids job over the delta decides
+    //    the dir list, unmarked dirs are kept conservatively.
+    //  - row level: the broadcast-keys semi join lands on the BASE side
+    //    before any delta resolution — the per-key rank window then
+    //    shuffles O(batch + chain) rows, never the table (a semi join
+    //    does not push through a window, so joining after resolution
+    //    would shuffle everything).
+    val keys = broadcast(d0.select(col(pk)).distinct())
+    val touched: Option[Set[Int]] = bucketSpecOf(p) match {
+      case Some((bk, nb)) if bk == pk =>
+        Some(d0.select(pmod(xxhash64(col(pk)), lit(nb)).cast("int").as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet)
+      case _ => None
+    }
+    def prune(dirs: Seq[String]): Seq[String] = touched match {
+      case Some(ts) => dirs.filter(d => bucketOfDir(d).forall(ts.contains))
+      case None => dirs
+    }
+    // Row-group-level prune: every pre-image key lies in the delta's
+    // [min, max] key range, and bucketed dirs are written KEY-SORTED, so a
+    // pushed between() lets parquet footer stats skip the row groups a
+    // semi join alone would decode (a broadcast semi join pushes nothing
+    // into the scan). Key-local batches — CDC bursts, backfills, point
+    // fixes — then decode a sliver of each touched bucket; a uniformly
+    // scattered batch degrades gracefully to the full bucket scan this
+    // replaces. One tiny min/max job over the delta pays for it.
+    val kb = d0.agg(min(col(pk)).as("__lo"), max(col(pk)).as("__hi")).head
+    val rBase = readDirsAs(p, prune(p.dataDirs))
+      .filter(col(pk).between(lit(kb.get(0)), lit(kb.get(1))))
+      .join(keys, Seq(pk), "left_semi")
+    val pre0 =
+      if (p.deltaDirs.isEmpty) rBase
+      // resolve over the restricted base plus the (bucket-pruned) chain,
+      // then drop chain rows whose keys the batch does not touch
+      else resolveDeltas(p, rBase, prune(p.deltaDirs))
+        .join(keys, Seq(pk), "left_semi")
     val dataCols =
       (d0.columns ++ pre0.columns).distinct
         .filterNot(c => c == pk || c == "__op").toSeq
+    // Both sides carry a per-key row_number so ties stay exact: N batch
+    // rows superseding M tied parent rows must emit M update_pre (from the
+    // first batch row) and N update_post (against the first parent row),
+    // not N×M of each (the join pairs them all). Both windows run over
+    // BATCH-sized frames.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__pk"))
     val d = packSide(d0, pre0, pk, dataCols, "__post", extra = Seq("__op"))
+      .withColumn("__dn", row_number().over(w.orderBy(col("__post"))))
     val pre = packSide(pre0, d0, pk, dataCols, "__pre")
-      .withColumn("__pn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__pk")).orderBy(col("__pre"))))
+      .withColumn("__pn", row_number().over(w.orderBy(col("__pre"))))
     val j = d.join(pre, Seq("__pk"), "left")
     val isDel = coalesce(col("__op") === "d", lit(false))
     val hasPre = col("__pre").isNotNull
-    val first = coalesce(col("__pn") === 1, lit(true))
+    val firstPre = coalesce(col("__pn") === 1, lit(true))
+    val firstPost = col("__dn") === 1
     explodeChanges(j, pk, array(
-      when(isDel && hasPre,
+      when(isDel && hasPre && firstPost,
         struct(lit("delete").as("__ct"), col("__pre").as("__img"))),
-      when(!isDel && hasPre,
+      when(!isDel && hasPre && firstPost,
         struct(lit("update_pre").as("__ct"), col("__pre").as("__img"))),
-      when(!isDel && hasPre && first,
+      when(!isDel && hasPre && firstPre,
         struct(lit("update_post").as("__ct"), col("__post").as("__img"))),
       when(!isDel && !hasPre,
         struct(lit("insert").as("__ct"), col("__post").as("__img")))))

@@ -66,7 +66,12 @@ class ChangeFeedSpec extends AnyFunSuite {
       .withColumn("o_totalprice", lit(1.0)), "o_orderkey") // v2: upd + ins
     t.upsertDeferred(orders.filter(k % 20 === 0)
       .withColumn("__a", lit("d")), "o_orderkey", opCol = Some("__a")) // v3: deletes
-    t.compact() // v4 — folds the chain, emits nothing
+    // v4: an append landing ON the pending chain — it rides the chain and
+    // supersedes same-key images (keys ≤ 800 collide with the base; the
+    // rest are new), so the feed must classify it as a keyed batch
+    t.append(orders.filter(k >= 700 && k < 1100)
+      .withColumn("o_orderpriority", lit("LATE")))
+    t.compact() // v5 — folds the chain, emits nothing
     val got = replay(t, 1, t.latestVersion, "o_orderkey", t.readAsOf(1))
     assert(rowsOf(got) == rowsOf(t.read()))
   }
@@ -95,6 +100,24 @@ class ChangeFeedSpec extends AnyFunSuite {
     m.overwrite(orders.limit(50))
     m.upsertDeferred(orders.limit(10), "o_orderkey")
     intercept[IllegalArgumentException] { m.changesSince(1, "o_custkey") }
+  }
+
+  test("MOR feed pre-image scan is bucket-pruned to the delta keys' buckets") {
+    val t = fresh("cf-prune-")
+    t.overwriteBucketed(orders, "o_orderkey", 8) // v1: 8 bucket dirs
+    t.upsertDeferred(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_totalprice", lit(1.0)), "o_orderkey") // v2: one key
+    val ch = t.changesSince(1, "o_orderkey")
+    // the parent (v1) base files in the plan must be ONLY the key's bucket
+    val baseBuckets = ch.inputFiles.filter(_.contains("/data/s1-"))
+      .flatMap(f => "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1)))
+      .toSet
+    assert(baseBuckets.size == 1, s"expected one pruned bucket, got " +
+      s"$baseBuckets from ${ch.inputFiles.mkString("\n")}")
+    // and the pruned feed still answers exactly
+    assert(ch.filter(col("_change_type") === "update_pre").count() == 1)
+    assert(ch.filter(col("_change_type") === "update_post")
+      .head.getDouble(3) == 1.0)
   }
 
   test("feed works on a branch handle (log-driven end to end)") {
