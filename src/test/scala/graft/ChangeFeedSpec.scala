@@ -222,6 +222,33 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(rowsOf(mv.read()) == rowsOf(recomputed(t)))
   }
 
+  test("continuous aggregate: streaming ticks are exactly-once end to end") {
+    import spark.implicits._
+    // The foreachBatch body of a continuously-maintained aggregate is pure
+    // composition: idempotent ingest (batchKey) + crash-idempotent refresh
+    // (mv_base_version rides the view's own commit). Whatever prefix of
+    // the tick survived a crash, the replay converges — no new machinery.
+    val t = fresh("mv-stream-")
+    t.overwrite(Seq((0L, "a", 0L)).toDF("o_orderkey", "o_orderstatus", "o_custkey"))
+    val mv = mvOn(t)
+    mv.create()
+    def tick(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      t.append(batch, batchKey = Some(s"cagg-$id")); mv.refresh(); ()
+    }
+    val b0 = Seq((1L, "a", 5L), (2L, "b", 7L))
+      .toDF("o_orderkey", "o_orderstatus", "o_custkey")
+    tick(b0, 0)
+    val want = rowsOf(recomputed(t))
+    tick(b0, 0) // full replay after everything committed — both halves no-op
+    assert(rowsOf(mv.read()) == want)
+    // crash BETWEEN ingest and refresh: the append committed, refresh lost
+    val b1 = Seq((3L, "b", 9L)).toDF("o_orderkey", "o_orderstatus", "o_custkey")
+    t.append(b1, batchKey = Some("cagg-1")) // first attempt died here
+    tick(b1, 1) // the streaming retry
+    assert(rowsOf(mv.read()) == rowsOf(recomputed(t)))
+    assert(mv.read().filter(col("o_orderstatus") === "b").head.getLong(1) == 2L)
+  }
+
   test("views reopen by name from the persisted spec") {
     val t = fresh("mv-spec-")
     t.overwrite(orders.limit(100))
