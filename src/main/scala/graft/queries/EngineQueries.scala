@@ -527,6 +527,49 @@ object EngineQueries {
       t.changesSince(1, "o_orderkey")
     }),
 
+    // Bloom-filter skipping index: equality read on a NON-layout column
+    // (o_custkey is neither the bucket key nor range-clustered) through
+    // per-dir blooms — one dir indexed at build time, one covered by an
+    // incremental refresh. BloomIndexSpec asserts the pruning; the oracle
+    // hash-checks that pruning never loses a row.
+    "t_bloom_point" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") % 3 === 0))
+      t.append(o.filter(col("o_orderkey") % 3 === 1))
+      t.buildBloomIndex("o_custkey")
+      t.append(o.filter(col("o_orderkey") % 3 === 2))
+      t.refreshBloomIndex("o_custkey")
+      t.readPoint("o_custkey", 41L)
+    }),
+
+    // The `graft-changes` STREAMING source driven through the real
+    // micro-batch engine: the stream starts at version 1, then three
+    // commits land while it runs, consumed incrementally into a memory
+    // sink (two ticks — ChangeFeedStreamSpec asserts per-commit batch
+    // boundaries; here the oracle hash-checks that what the STREAM
+    // delivered is exactly the batch feed's change set).
+    "t_feed_stream" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val t = tempTable(s)
+      t.overwrite(o.filter(col("o_orderkey") <= 8000)) // v1
+      val sink = "feed_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.format("graft-changes")
+        .option("path", t.root.toString).option("pk", "o_orderkey")
+        .option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        t.append(o.filter(col("o_orderkey") > 8000 && col("o_orderkey") <= 9000)) // v2
+        q.processAllAvailable()
+        t.upsert(o.filter(col("o_orderkey") <= 9000 && col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderpriority", lit("7-STREAM")), "o_orderkey") // v3
+        t.deleteKeys(o.filter(col("o_orderkey") <= 9000 && col("o_orderkey") % 100 === 0)
+          .select("o_orderkey"), "o_orderkey") // v4
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+
     // Incrementally-refreshed materialized aggregate: count + sum per group
     // maintained from the change feed (insert-only window, then a mixed
     // upsert+delete window) — never recomputed from the base. The oracle is
@@ -698,6 +741,23 @@ object EngineQueries {
          |UNION ALL
          |SELECT $orderColsSql, 'delete', CAST(2 AS BIGINT)
          |FROM orders WHERE o_orderkey <= 8000 AND o_orderkey % 21 = 0""".stripMargin,
+    "t_bloom_point" ->
+      s"SELECT $orderColsSql FROM orders WHERE o_custkey = 41",
+    "t_feed_stream" ->
+      s"""SELECT $orderColsSql, CAST('insert' AS VARCHAR) AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version
+         |FROM orders WHERE o_orderkey > 8000 AND o_orderkey <= 9000
+         |UNION ALL
+         |SELECT $orderColsSql, 'update_pre', CAST(3 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 5 = 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  '7-STREAM', 'update_post', CAST(3 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 5 = 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |  '7-STREAM', 'delete', CAST(4 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 100 = 0""".stripMargin,
     "t_mv_refresh" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -256,22 +256,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val between = bounds.map { case (c, (lower, upper)) =>
       col(c) >= lit(lower) && col(c) <= lit(upper)
     }.reduce(_ && _)
-    // Per-column stat-domain windows, resolved once outside the dir loop.
-    val statWindows = bounds.map { case (c, (lower, upper)) =>
-      val dt = st(c).dataType
-      (c, dt, statBound(lower, dt), statBound(upper, dt))
-    }
-    val dirs = head.dataDirs.filter { d =>
-      statWindows.forall { case (c, dt, loB, hiB) =>
-        (for {
-          s <- head.dirStats.get(d)
-          mn <- s.get(s"$c:min").flatMap(parseStat(_, dt))
-          mx <- s.get(s"$c:max").flatMap(parseStat(_, dt))
-          lo <- loB
-          hi <- hiB
-        } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
-      }
-    }
+    val dirs = statPrunedDirs(head, st, bounds)
     // With pending merge-on-read deltas, base dirs STILL prune exactly like
     // the copy-on-write path — EVERY delta dir is read, and a delta image
     // always outranks a base row for its key, so dropping a base dir whose
@@ -287,6 +272,30 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         .parquet(dirs.map(d => root.resolve(d).toString): _*)
     (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
       .filter(between)
+  }
+
+  /** Manifest-level data skipping shared by [[readBox]] and [[readPoint]]:
+    * the head's data dirs whose recorded per-column [min, max] can
+    * intersect EVERY bound. Dirs without stats always survive — skipping
+    * is an optimization, never a filter. */
+  private def statPrunedDirs(head: Snapshot, st: StructType,
+      bounds: Seq[(String, (Any, Any))]): Seq[String] = {
+    // Per-column stat-domain windows, resolved once outside the dir loop.
+    val statWindows = bounds.map { case (c, (lower, upper)) =>
+      val dt = st(c).dataType
+      (c, dt, statBound(lower, dt), statBound(upper, dt))
+    }
+    head.dataDirs.filter { d =>
+      statWindows.forall { case (c, dt, loB, hiB) =>
+        (for {
+          s <- head.dirStats.get(d)
+          mn <- s.get(s"$c:min").flatMap(parseStat(_, dt))
+          mx <- s.get(s"$c:max").flatMap(parseStat(_, dt))
+          lo <- loB
+          hi <- hiB
+        } yield !(statLt(mx, lo) || statLt(hi, mn))).getOrElse(true)
+      }
+    }
   }
 
   /** User-supplied range bound → the stats domain (long / double / string). */
@@ -366,6 +375,182 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
     case _ => false
+  }
+
+  // ------------------------------------------- bloom-filter skipping index
+
+  /**
+   * Per-dir bloom-filter index on `column` — equality skipping where
+   * min/max stats cannot help (the Delta bloom-index / Hudi
+   * metadata-bloom capability). The bucket layout prunes point reads on
+   * the ONE bucket key; manifest min/max prunes columns the layout is
+   * ordered/clustered by. A high-cardinality column that is neither (a
+   * user id inside event payloads, a document hash, a URL) hits every dir
+   * on both — at 10^5 dirs that is a full-table scan for a needle. A
+   * per-dir bloom answers "definitely not in this dir" for ~10 bits per
+   * distinct value, and [[readPoint]] reads only the dirs that might.
+   *
+   * Entries are DIR facts, not snapshot facts: a data dir is immutable
+   * once committed, so `(dir, bloom-of-column-values)` can never go
+   * stale — rewrites (compact/cluster/upsert) produce NEW dirs, which are
+   * simply uncovered until the next [[refreshBloomIndex]] and are always
+   * read meanwhile (skipping degrades, never lies). That also makes the
+   * index branch-agnostic: branch reads prune with main's entries, because
+   * both reference the same immutable dirs. Entries for dead dirs are
+   * ignored (reads intersect with the head) and swept by [[buildBloomIndex]]
+   * rebuilds.
+   *
+   * The index lives as a narrow parquet sidecar
+   * (`_log/index/bloom_<col>/`: dir, items, bloom bytes) — O(dirs) rows.
+   * Build is one distributed pass over the UNCOVERED dirs only: per-task
+   * blooms via `mapPartitions` keyed by the row's dir (the input is
+   * dir-partitioned parquet, so a task nearly always holds exactly one
+   * dir), merged with `reduceByKey` — bloom bytes shuffle, values never
+   * do. Values are xxhash64'd on the EXECUTOR by the same Spark expression
+   * the probe side uses, so build and probe agree bit-for-bit by
+   * construction. Expected items per dir come from the manifest's
+   * `dirRecords` (no counting job), capped so one dir's bloom stays
+   * shuffle-friendly; a capped bloom over-admits (higher fpp) but never
+   * excludes a present value.
+   *
+   * Returns the number of dirs (re)indexed.
+   */
+  def buildBloomIndex(column: String, fpp: Double = 0.01,
+      maxItemsPerDir: Long = 20_000_000L): Int =
+    writeBloomEntries(column, fpp, maxItemsPerDir, rebuild = true)
+
+  /** Extend the index to head dirs not yet covered (post-append/compact
+    * maintenance) — covered dirs are immutable, so they are never re-read. */
+  def refreshBloomIndex(column: String, fpp: Double = 0.01,
+      maxItemsPerDir: Long = 20_000_000L): Int =
+    writeBloomEntries(column, fpp, maxItemsPerDir, rebuild = false)
+
+  /** Columns with a bloom index, from the table-lifetime props sidecar. */
+  def bloomIndexedColumns: Seq[String] =
+    log.props().get("bloom.columns")
+      .map(_.split(",").iterator.filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+
+  private def bloomIndexPath(column: String): Path =
+    root.resolve("_log").resolve("index").resolve(s"bloom_$column")
+
+  private def writeBloomEntries(column: String, fpp: Double,
+      maxItemsPerDir: Long, rebuild: Boolean): Int = {
+    val headOpt = log.latest()
+    if (headOpt.isEmpty) return 0
+    val head = headOpt.get
+    val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    require(st.fieldNames.contains(column), s"table $name has no column $column")
+    val path = bloomIndexPath(column)
+    val covered: Set[String] =
+      if (rebuild || !Files.exists(path)) Set.empty
+      else spark.read.parquet(path.toString)
+        .select("dir").collect().map(_.getString(0)).toSet
+    val todo = head.dataDirs.filterNot(covered)
+    if (todo.nonEmpty) {
+      val expected = todo.map { d =>
+        d.stripPrefix("data/") ->
+          math.min(math.max(head.dirRecords.getOrElse(d, 65536L), 1024L),
+            maxItemsPerDir)
+      }.toMap
+      val bExpected = spark.sparkContext.broadcast(expected)
+      val hashed = spark.read.schema(st)
+        .parquet(todo.map(d => root.resolve(d).toString): _*)
+        .select(
+          regexp_extract(input_file_name(), ".*/data/(.+)/[^/]+$", 1).as("__dir"),
+          xxhash64(col(column)).as("__h"))
+      val entries = hashed.rdd
+        .map(r => (r.getString(0), r.getLong(1)))
+        .mapPartitions { it =>
+          val perDir = scala.collection.mutable.HashMap
+            .empty[String, org.apache.spark.util.sketch.BloomFilter]
+          it.foreach { case (d, h) =>
+            perDir.getOrElseUpdate(d, org.apache.spark.util.sketch.BloomFilter
+              .create(bExpected.value.getOrElse(d, 65536L), fpp)).putLong(h)
+          }
+          perDir.iterator.map { case (d, bf) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            (d, (bos.toByteArray, 0L))
+          }
+        }
+        .reduceByKey { (a, b) =>
+          val fa = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(a._1))
+          fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b._1)))
+          val bos = new java.io.ByteArrayOutputStream()
+          fa.writeTo(bos)
+          (bos.toByteArray, 0L)
+        }
+        .map { case (d, (bytes, _)) => Row("data/" + d, bytes) }
+      val idxSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("dir",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bloom",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))
+      spark.createDataFrame(entries, idxSchema).write
+        .mode(if (rebuild) "overwrite" else "append").parquet(path.toString)
+    } else if (rebuild && Files.exists(path)) {
+      // nothing to index but a rebuild was asked: drop dead-dir entries
+      spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+        org.apache.spark.sql.types.StructField("dir",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bloom",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+        .write.mode("overwrite").parquet(path.toString)
+    }
+    val cols = (bloomIndexedColumns :+ column).distinct
+    log.putProp("bloom.columns", cols.mkString(","))
+    todo.size
+  }
+
+  /**
+   * Equality read with BOTH skipping tiers: manifest min/max first (free,
+   * driver-side), then the bloom index — one narrow job over the O(dirs)
+   * sidecar that transfers a (dir, hit) boolean per entry, never the bloom
+   * bytes. Only dirs that survive both are scanned; dirs the index does
+   * not cover are always read. The probe hashes `lit(value)` CAST TO THE
+   * COLUMN'S TYPE with the same `xxhash64` expression the build used, so
+   * probe and build agree on the hash domain by construction (an int
+   * probed against a long column would otherwise hash differently and
+   * silently disable the index). Pending MOR deltas resolve on top of the
+   * pruned base — sound for the same reason as [[readBox]]: every delta
+   * dir is read, and a pruned base dir holds no row equal to `value`, so
+   * its base-only keys fail the filter anyway and its delta'd keys resolve
+   * from the delta scan.
+   */
+  def readPoint(column: String, value: Any): DataFrame = {
+    require(value != null, "readPoint probes equality; NULL never matches")
+    val headOpt = log.latest()
+    if (headOpt.isEmpty) return emptyDF(new StructType())
+    val head = headOpt.get
+    val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    require(st.fieldNames.contains(column), s"table $name has no column $column")
+    val dt = st(column).dataType
+    val statDirs = statPrunedDirs(head, st, Seq(column -> (value, value)))
+    val path = bloomIndexPath(column)
+    val dirs =
+      if (!Files.exists(path)) statDirs
+      else {
+        // Deserializing the bloom per entry is one readFrom per DIR — the
+        // udf is justified like the corpus-bloom probe (Dedup.scala): no
+        // Catalyst expression evaluates an arbitrary serialized sketch.
+        val probe = udf((bytes: Array[Byte], h: Long) =>
+          bytes == null || org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(h))
+        val definiteMiss = spark.read.parquet(path.toString)
+          .select(col("dir"),
+            probe(col("bloom"), xxhash64(lit(value).cast(dt))).as("hit"))
+          .collect().iterator
+          .filter(!_.getBoolean(1)).map(_.getString(0)).toSet
+        statDirs.filterNot(definiteMiss)
+      }
+    val base =
+      if (dirs.isEmpty) emptyDF(st)
+      else spark.read.schema(st)
+        .parquet(dirs.map(d => root.resolve(d).toString): _*)
+    (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
+      .filter(col(column) === lit(value).cast(dt))
   }
 
   private def readSnapshot(s: Snapshot): DataFrame = {
