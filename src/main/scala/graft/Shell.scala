@@ -51,6 +51,8 @@ object Shell {
       |  mv_refresh <table> <name>            fold the change feed into the view
       |  overlap <table> <group_col> [text_col] [n]   corpus-pair shingle overlap audit
       |  heavy_hitters <table> [text_col] [n] [k]     top repeated n-grams (exact)
+      |  bloom <table> <col> [rebuild]        build/refresh the per-dir bloom index
+      |  point <table> <col> <val>            equality read, stats+bloom dir skipping
       |  chunk_stats <table> [text_col]       content-defined chunk dedup stats
       |  help                                 this text
       |  exit | quit                          leave the shell""".stripMargin
@@ -131,7 +133,9 @@ object Shell {
         // hand-rolled rows→DataFrame bridge) so evolution-padded nulls
         // keep the asNullable schema treatment it applies.
         if (tb.bucketSpec.exists(_._1 == pk)) Some(render(tb.lookupKey(key), 100))
-        else Some(render(tb.read().filter(col(pk) === lit(key)), 100))
+        // non-bucket column: the stats+bloom-pruned equality read (falls
+        // back to a plain filtered scan when neither tier can prune)
+        else Some(render(tb.readPoint(pk, key), 100))
       case "insert" =>
         val Seq(t, pk, v) = toks.slice(1, 4): @unchecked
         val values = Map(pk -> v) ++ kvPairs(toks.drop(4))
@@ -293,6 +297,16 @@ object Shell {
         val k = toks.lift(4).map(_.toInt).getOrElse(50)
         Some(render(
           graft.ops.TextAnalysis.heavyHitters(table(t).read(), text, n = n, k = k), 100))
+      case "bloom" =>
+        val Seq(t, c) = toks.slice(1, 3): @unchecked
+        val rebuild = toks.lift(3).contains("rebuild")
+        val n = if (rebuild) table(t).buildBloomIndex(c)
+                else table(t).refreshBloomIndex(c)
+        Some(s"bloom-indexed $n dir(s) of $t on $c" +
+          (if (rebuild) " (rebuilt)" else ""))
+      case "point" =>
+        val Seq(t, c, v) = toks.slice(1, 4): @unchecked
+        Some(render(table(t).readPoint(c, coerced(t, c, v)), 100))
       case "chunk_stats" =>
         val t = toks(1)
         val text = toks.lift(2).getOrElse("text")

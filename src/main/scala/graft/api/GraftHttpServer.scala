@@ -594,6 +594,35 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     dfJson(table.readBox(bounds), maxRows)
   }
 
+  // Equality read on ANY column with both skipping tiers (manifest
+  // min/max + the per-dir bloom index when one covers the column):
+  // `/point/<table>?col=c&value=v`. The serving face of readPoint — the
+  // non-bucket-column answer to /data's key lookup.
+  handle("/point") { ex =>
+    val t = pathArg(ex, "/point")
+    val p = qs(ex)
+    val c = p.getOrElse("col", throw new IllegalArgumentException("missing col"))
+    val raw = p.getOrElse("value", throw new IllegalArgumentException("missing value"))
+    val table = session.catalog.table(t)
+    require(table.schema.fieldNames.contains(c), s"no such column $c")
+    val v = graft.functions.Coerce.coerce(raw, table.schema(c).dataType)
+    dfJson(table.readPoint(c, v), maxRows)
+  }
+
+  // Build (`?rebuild=true`) or incrementally refresh the per-dir bloom
+  // index on a column — the maintenance verb behind /point's pruning.
+  handle("/bloom") { ex =>
+    require(ex.getRequestMethod == "POST", "POST required")
+    val t = pathArg(ex, "/bloom")
+    val p = qs(ex)
+    val c = p.getOrElse("col", throw new IllegalArgumentException("missing col"))
+    val n =
+      if (p.get("rebuild").contains("true"))
+        session.catalog.table(t).buildBloomIndex(c)
+      else session.catalog.table(t).refreshBloomIndex(c)
+    s"""{"status":"ok","indexed_dirs":$n}"""
+  }
+
   handle("/snapshots") { ex =>
     val t = pathArg(ex, "/snapshots")
     dfJson(session.catalog.table(t).snapshotsDF

@@ -127,6 +127,23 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(b4.contains("orderable"), b4)
   }
 
+  test("POST /bloom builds the index; GET /point serves the pruned equality read") {
+    val (cb, bb) = post("/bloom/orders_t?col=o_custkey", "")
+    assert(cb == 200 && bb.contains("\"indexed_dirs\""), bb)
+    val k = session.catalog.table("orders_t").read()
+      .select("o_custkey").head.getLong(0)
+    val (c1, b1) = get(s"/point/orders_t?col=o_custkey&value=$k")
+    assert(c1 == 200 && b1.contains(s"\"o_custkey\":$k"), b1)
+    val want = session.catalog.table("orders_t").read()
+      .filter(col("o_custkey") === k).count()
+    assert(s"\"o_custkey\":$k\\b".r.findAllIn(b1).size == want, b1)
+    // unknown column and a GET on the POST-only verb are client errors
+    val (c2, _) = get("/point/orders_t?col=nope&value=1")
+    assert(c2 == 400)
+    val (c3, _) = get("/bloom/orders_t?col=o_custkey")
+    assert(c3 == 400)
+  }
+
   test("maintenance verbs over HTTP: rollback, expire, cluster, compact") {
     val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
       .select("event_id", "user_id", "value")

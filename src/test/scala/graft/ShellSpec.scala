@@ -129,6 +129,19 @@ class ShellSpec extends AnyFunSuite {
     assert(view.contains("cnt") && view.contains("reflects orders_s v"), view)
   }
 
+  test("bloom / point index verbs") {
+    val b = run("bloom orders_s o_custkey")
+    assert(b.contains("bloom-indexed") && b.contains("o_custkey"), b)
+    assert(run("bloom orders_s o_custkey") == "bloom-indexed 0 dir(s) of orders_s on o_custkey")
+    val k = session.catalog.table("orders_s").read()
+      .select("o_custkey").head.getLong(0)
+    val p = run(s"point orders_s o_custkey $k")
+    assert(p.contains("o_custkey"), p)
+    val want = session.catalog.table("orders_s").read()
+      .filter(col("o_custkey") === k).count()
+    assert(p.contains(s"($want rows)"), p)
+  }
+
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
