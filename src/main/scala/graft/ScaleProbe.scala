@@ -304,6 +304,34 @@ object ScaleProbe {
       }
     }
 
+    // Bloom point-read scaling: f× data in f× dirs (4 user-disjoint dirs
+    // per data copy, copies shifted so a copy-0 user_id exists ONLY in
+    // copy 0), probe a FIXED user_id. Manifest min/max prunes the shifted
+    // copies (per-copy user ranges are disjoint); the bloom prunes the 4
+    // interleaved slices WITHIN the copy (identical min/max — stats are
+    // blind there). Flat-vs-f is the 100 TB claim for the index: the probe
+    // job is one narrow O(dirs) sidecar scan, the data read is the one dir
+    // that holds the value, regardless of table size.
+    if (only.forall(_("t_bloom_point")))
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val t = new graft.table.GraftTable(spark,
+        Files.createTempDirectory(s"scale-bloom-$f-").resolve("t"), "t")
+      for (k <- 0 until f; s <- 0 until 4) {
+        val slice = ev0.filter(col("user_id") % 4 === s)
+          .select(col("event_id"), col("ts"),
+            (col("user_id") + lit(k * 100000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        if (k == 0 && s == 0) t.overwrite(slice) else t.append(slice)
+      }
+      t.buildBloomIndex("user_id")
+      val uid = ev0.select("user_id").head.getLong(0)
+      timedWaves("t_bloom_point", f,
+        () => { t.readPoint("user_id", uid).count(); () }) { _ =>
+        t.readPoint("user_id", uid).count()
+      }
+    }
+
     // CDC merge scaling — the reference's core workload, not covered by
     // the document probes above. Each wave is a full-update envelope
     // image of EVERY key (the bench's steady diet) applied to a bucketed
