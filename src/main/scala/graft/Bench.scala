@@ -583,6 +583,9 @@ object Bench {
     var lookupMultiWaves: Seq[Double] = Seq.empty
     var lookupWarmMs = -1.0
     var lookupMultiMs = -1.0
+    var pointWaves: Seq[Double] = Seq.empty
+    var pointMs = -1.0
+    var pointScanMs = -1.0
     val lookupMs =
       try {
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -653,6 +656,34 @@ object Bench {
           }
         lookupMultiWaves = multiWs
         lookupMultiMs = multiMed
+        // Bloom-indexed SERVING equality read on a NON-bucket column
+        // (l_suppkey): readPointRows prunes on the driver (manifest stats
+        // + cached bloom sidecar) and decodes with the cached-footer
+        // reader — zero Spark jobs steady-state, the non-key sibling of
+        // lookup_ms. The companion full-scan filter read prices what the
+        // index saves; both share the wave-drop brackets.
+        val suppVals = li.select("l_suppkey").orderBy("li_id").limit(20)
+          .collect().map(_.getLong(0)).distinct
+        t.buildBloomIndex("l_suppkey") // untimed maintenance pass
+        t.readPointRows("l_suppkey", suppVals(0)) // warm-up: JIT + caches
+        val pv = suppVals(1)
+        val (pWs, pMed) =
+          robustWaves("point", 3, minSurvivors = 2, lookupEntry) { _ =>
+            val t0 = System.nanoTime()
+            val n = t.readPointRows("l_suppkey", pv).size
+            val dt = (System.nanoTime() - t0) / 1e9
+            require(n > 0, s"point value $pv must exist")
+            dt * 1000.0
+          }
+        pointWaves = pWs
+        pointMs = pMed
+        val (_, pScanMed) =
+          robustWaves("point_scan", 3, minSurvivors = 2, lookupEntry) { _ =>
+            val t0 = System.nanoTime()
+            t.read().filter(col("l_suppkey") === pv).count()
+            (System.nanoTime() - t0) / 1e9 * 1000.0
+          }
+        pointScanMs = pScanMed
         lookupCalib("after_lookup_ms") = calibMtMs()
         lookupWarmMs = warmMed
         coldMed
@@ -718,7 +749,7 @@ object Bench {
     val curDispersion = curWaves
       .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val dispersion =
-      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"cluster_window_ms":${jarr(clusterWindowWaves)},"curation_secs":$curDispersion}"""
+      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"point_ms":${jarr(pointWaves)},"cluster_window_ms":${jarr(clusterWindowWaves)},"curation_secs":$curDispersion}"""
     val cdcStats =
       if (cdcCowWaves.isEmpty) "null"
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
@@ -756,7 +787,7 @@ object Bench {
     val underIngestJson =
       if (lookupUnderIngest.isEmpty) "null"
       else s"""{"p50_ms":${jnum(pct(lookupUnderIngest, 0.50))},"p99_ms":${jnum(pct(lookupUnderIngest, 0.99))},"max_ms":${jnum(lookupUnderIngest.max)},"n":${lookupUnderIngest.size}}"""
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"lookup_under_ingest":$underIngestJson,"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"wave_calib_mt_ms":$waveBracketJson,"section_entry_mt_ms":$entryJson,"dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"point_ms":${jnum(pointMs)},"point_scan_ms":${jnum(pointScanMs)},"lookup_under_ingest":$underIngestJson,"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"wave_calib_mt_ms":$waveBracketJson,"section_entry_mt_ms":$entryJson,"dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the

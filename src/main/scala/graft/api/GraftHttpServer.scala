@@ -606,7 +606,14 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val table = session.catalog.table(t)
     require(table.schema.fieldNames.contains(c), s"no such column $c")
     val v = graft.functions.Coerce.coerce(raw, table.schema(c).dataType)
-    dfJson(table.readPoint(c, v), maxRows)
+    // serving path: materialized rows, zero jobs steady-state (driver-side
+    // stats + cached-bloom pruning + footer-cached decode); the JSON face
+    // is a LocalRelation — no distributed work either way
+    val rows = table.readPointRows(c, v)
+    import scala.jdk.CollectionConverters._
+    val st = org.apache.spark.sql.types.StructType(
+      table.schema.fields.map(_.copy(nullable = true)))
+    dfJson(table.spark.createDataFrame(rows.take(maxRows).asJava, st), maxRows)
   }
 
   // Build (`?rebuild=true`) or incrementally refresh the per-dir bloom

@@ -33,45 +33,62 @@ final class GraftSession(val catalog: GraftCatalog) {
 
   private val VersionAsOf = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
 
+  // TABLE_CHANGES('t', from[, to[, 'pk']]) — Delta's CDF table-valued
+  // function shape over our change feed. `to` defaults to the head, `pk`
+  // to the table's id-like column (the feed needs a merge key; Delta
+  // stores change files instead and has no such argument).
+  private val TableChanges =
+    """(?i)\bTABLE_CHANGES\s*\(\s*'([A-Za-z_][A-Za-z0-9_]*)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?(?:,\s*'([A-Za-z_][A-Za-z0-9_]*)'\s*)?\)""".r
+
   /**
-   * Apply `f` to the segments of `s` OUTSIDE string literals (single- or
-   * double-quoted, with backslash escapes — Spark's default dialect treats
-   * both as strings), outside `--` line comments, and outside `/* */`
-   * block comments (nested, as Spark's lexer accepts), copying protected
-   * content verbatim. SQL's doubled-quote escape (`''`) falls out of the
-   * scan naturally: the second quote re-enters literal state over an empty
-   * outside segment.
+   * Per-character mask of `s`: true where the character is OUTSIDE string
+   * literals (single- or double-quoted, with backslash escapes — Spark's
+   * default dialect treats both as strings), `--` line comments, and
+   * `/* */` block comments (nested, as Spark's lexer accepts). SQL's
+   * doubled-quote escape (`''`) falls out of the scan naturally: the
+   * second quote re-enters literal state over an empty outside run.
    */
-  private def mapOutsideLiterals(s: String, f: String => String): String = {
-    val out = new StringBuilder
-    val buf = new StringBuilder
+  private def outsideMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
     var quote: Char = 0 // current literal delimiter, 0 = outside
     var inComment = false
     var blockDepth = 0 // nested /* */ depth
-    var blockPrev: Char = 0 // previous char inside a block comment
     var escaped = false
-    def flush(): Unit = { out.append(f(buf.toString())); buf.clear() }
-    for (c <- s) {
-      if (inComment) { out.append(c); if (c == '\n') inComment = false }
+    var i = 0
+    def pair(): Unit = { i += 1 } // second char of a two-char token
+    while (i < s.length) {
+      val c = s(i)
+      if (inComment) { if (c == '\n') inComment = false }
       else if (blockDepth > 0) {
-        out.append(c)
-        if (blockPrev == '*' && c == '/') { blockDepth -= 1; blockPrev = 0 }
-        else if (blockPrev == '/' && c == '*') { blockDepth += 1; blockPrev = 0 }
-        else blockPrev = c
+        if (c == '*' && i + 1 < s.length && s(i + 1) == '/') { blockDepth -= 1; pair() }
+        else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { blockDepth += 1; pair() }
       } else if (quote != 0) {
-        out.append(c)
         if (escaped) escaped = false
         else if (c == '\\') escaped = true
         else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"') { flush(); out.append(c); quote = c }
-      else if (c == '-' && buf.nonEmpty && buf.last == '-') {
-        buf.deleteCharAt(buf.length - 1); flush(); out.append("--"); inComment = true
-      } else if (c == '*' && buf.nonEmpty && buf.last == '/') {
-        buf.deleteCharAt(buf.length - 1); flush(); out.append("/*")
-        blockDepth = 1; blockPrev = 0
-      } else buf.append(c)
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') { inComment = true; pair() }
+      else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') { blockDepth = 1; pair() }
+      else mask(i) = true
+      i += 1
     }
-    flush()
+    mask
+  }
+
+  /** Apply `f` to each maximal run of `s` outside literals/comments
+    * (per [[outsideMask]]), copying protected content verbatim. */
+  private def mapOutsideLiterals(s: String, f: String => String): String = {
+    val mask = outsideMask(s)
+    val out = new StringBuilder
+    val buf = new StringBuilder
+    for (i <- 0 until s.length) {
+      if (mask(i)) buf.append(s(i))
+      else {
+        if (buf.nonEmpty) { out.append(f(buf.toString())); buf.clear() }
+        out.append(s(i))
+      }
+    }
+    out.append(f(buf.toString())) // trailing run (f may act on empty too)
     out.toString()
   }
 
@@ -87,7 +104,28 @@ final class GraftSession(val catalog: GraftCatalog) {
    */
   def sql(query: String): DataFrame = {
     val clean = query.trim.stripSuffix(";")
-    val rewritten = mapOutsideLiterals(clean, seg =>
+    // TABLE_CHANGES takes its table/pk arguments as string LITERALS, so a
+    // match necessarily spans protected runs — it can't be rewritten
+    // segment-wise like VERSION AS OF. Match on the full text instead and
+    // accept only matches whose keyword STARTS outside literals/comments
+    // (`WHERE c = 'TABLE_CHANGES(...)'` passes through untouched).
+    val mask = outsideMask(clean)
+    val sugared = TableChanges.replaceAllIn(clean, m => {
+      val t = m.group(1)
+      if (!mask(m.start) || !catalog.tableExists(t))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val tb = catalog.table(t)
+        val from = m.group(2).toLong
+        val to = Option(m.group(3)).map(_.toLong).getOrElse(tb.latestVersion)
+        val pk = Option(m.group(4)).getOrElse(
+          graft.functions.Identifiers.findIdCol(tb.schema.fieldNames.toSeq))
+        val view = s"${t}__ch_${from}_$to"
+        tb.changesBetween(from, to, pk).createOrReplaceTempView(view)
+        view
+      }
+    })
+    val rewritten = mapOutsideLiterals(sugared, seg =>
       VersionAsOf.replaceAllIn(seg, m => {
         val (t, v) = (m.group(1), m.group(2).toLong)
         if (catalog.tableExists(t)) {

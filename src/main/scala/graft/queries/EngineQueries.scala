@@ -527,6 +527,21 @@ object EngineQueries {
       t.changesSince(1, "o_orderkey")
     }),
 
+    // TABLE_CHANGES SQL sugar (Delta's CDF table-valued-function shape):
+    // the change feed reached from plain SQL through GraftSession.sql's
+    // outside-literals rewrite, composing with ordinary projections.
+    "t_sql_changes" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(orderCols.map(col): _*)
+      val cat = new graft.catalog.GraftCatalog(
+        s, Files.createTempDirectory("graft-sqlch-"))
+      val t = cat.saveTable("orders_ch", o.filter(col("o_orderkey") <= 8000)) // v1
+      t.append(o.filter(col("o_orderkey") > 8000 && col("o_orderkey") <= 9000)) // v2
+      t.deleteKeys(o.filter(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey"), "o_orderkey") // v3
+      new graft.api.GraftSession(cat).sql(
+        "SELECT * FROM TABLE_CHANGES('orders_ch', 1, 3, 'o_orderkey')")
+    }),
+
     // Bloom-filter skipping index: equality read on a NON-layout column
     // (o_custkey is neither the bucket key nor range-clustered) through
     // per-dir blooms — one dir indexed at build time, one covered by an
@@ -743,6 +758,13 @@ object EngineQueries {
          |FROM orders WHERE o_orderkey <= 8000 AND o_orderkey % 21 = 0""".stripMargin,
     "t_bloom_point" ->
       s"SELECT $orderColsSql FROM orders WHERE o_custkey = 41",
+    "t_sql_changes" ->
+      s"""SELECT $orderColsSql, CAST('insert' AS VARCHAR) AS _change_type,
+         |  CAST(2 AS BIGINT) AS _commit_version
+         |FROM orders WHERE o_orderkey > 8000 AND o_orderkey <= 9000
+         |UNION ALL
+         |SELECT $orderColsSql, 'delete', CAST(3 AS BIGINT)
+         |FROM orders WHERE o_orderkey <= 9000 AND o_orderkey % 100 = 0""".stripMargin,
     "t_feed_stream" ->
       s"""SELECT $orderColsSql, CAST('insert' AS VARCHAR) AS _change_type,
          |  CAST(2 AS BIGINT) AS _commit_version

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions._
@@ -128,19 +128,28 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     // metadata dir: under `latest`, a restart that still has to re-run its
     // first batch (offset committed, sink not) must plan the ORIGINAL
     // window, not "latest as of the restart" — re-resolving would silently
-    // drop the commits that raced the crash.
-    val pinFile = Paths.get(metadataPath, "graft-start-version")
+    // drop the commits that raced the crash. `metadataPath` arrives as a
+    // URI string ("file:/..." locally, hdfs/s3 on a cluster), so the pin
+    // goes through Hadoop's FileSystem — java.nio would treat the URI as
+    // a RELATIVE path and strand the pin under the driver's cwd, losing
+    // it on any restart with a different working directory.
+    val pinFile = new org.apache.hadoop.fs.Path(metadataPath, "graft-start-version")
+    val fs = pinFile.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
     val start =
-      if (Files.exists(pinFile))
-        new String(Files.readAllBytes(pinFile), StandardCharsets.UTF_8).trim.toLong
-      else {
+      if (fs.exists(pinFile)) {
+        val in = fs.open(pinFile)
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else {
         val v = parameters.get("startingVersion") match {
           case Some("latest") => table.latestVersion
           case Some(s) => s.toLong
           case None => 0L
         }
-        Files.createDirectories(pinFile.getParent)
-        Files.write(pinFile, v.toString.getBytes(StandardCharsets.UTF_8))
+        val outS = fs.create(pinFile, false)
+        try outS.write(v.toString.getBytes(StandardCharsets.UTF_8))
+        finally outS.close()
         v
       }
     new ChangeFeedSource(table, pk, start,

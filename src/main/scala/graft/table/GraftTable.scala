@@ -553,6 +553,69 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       .filter(col(column) === lit(value).cast(dt))
   }
 
+  /**
+   * SERVING form of [[readPoint]]: materialized rows with ZERO Spark jobs
+   * on the steady-state path — the non-bucket-column sibling of
+   * [[lookupKeyRows]]. Dir pruning runs entirely on the driver: manifest
+   * min/max from the head already in hand, then the bloom sidecar from a
+   * driver-side cache (one small load job per sidecar version, then pure
+   * in-memory probes — [[BloomIndexCache]]); the surviving dirs decode
+   * through the same cached-footer stats-pruned reader the key-lookup
+   * serving path uses. The driver-side probe hash is computed by the SAME
+   * Catalyst expressions the build ran on executors (`Cast` to the column
+   * type, then `XxHash64`), so serving, distributed probe and build agree
+   * bit-for-bit. Falls back to the distributed [[readPoint]] whenever the
+   * serving preconditions fail — pending MOR deltas (resolution needs the
+   * rank cut), unsupported schema, byte budget exceeded — never silently
+   * narrowing semantics.
+   */
+  def readPointRows(column: String, value: Any): Seq[Row] = {
+    val fast: Option[Seq[Row]] =
+      try {
+        val headOpt = log.latest()
+        if (headOpt.isEmpty) return Seq.empty
+        val head = headOpt.get
+        if (head.deltaDirs.nonEmpty || !LocalPointRead.enabled) None
+        else {
+          val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+          require(st.fieldNames.contains(column),
+            s"table $name has no column $column")
+          if (!LocalPointRead.supports(st)) None
+          else {
+            val dt = st(column).dataType
+            val tz = spark.sessionState.conf.sessionLocalTimeZone
+            import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+            val catKey = Cast(Literal(value), dt, Some(tz)).eval(null)
+            if (catKey == null) Some(Seq.empty) // `= NULL` matches nothing
+            else {
+              val statDirs = statPrunedDirs(head, st, Seq(column -> (value, value)))
+              val dirs = BloomIndexCache.bloomsFor(spark,
+                  bloomIndexPath(column), LocalPointRead.budgetBytes) match {
+                case Some(blooms) =>
+                  val h = new XxHash64(Seq(Literal(catKey, dt)))
+                    .eval(null).asInstanceOf[Long]
+                  // uncovered dirs always survive — skipping never lies
+                  statDirs.filter(d =>
+                    blooms.get(d).forall(_.mightContainLong(h)))
+                case None => statDirs
+              }
+              if (dirs.isEmpty) Some(Seq.empty)
+              else {
+                val abs = dirs.map(d => root.resolve(d).toString)
+                LocalPointRead.totalBytes(servingConf, abs) match {
+                  case Some(total) if total <= LocalPointRead.budgetBytes =>
+                    LocalPointRead.lookupRows(spark, servingConf, abs, st,
+                      column, value)
+                  case _ => None
+                }
+              }
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fast.getOrElse(readPoint(column, value).collect().toSeq)
+  }
+
   private def readSnapshot(s: Snapshot): DataFrame = {
     val st = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     if (s.dataDirs.isEmpty) emptyDF(st)

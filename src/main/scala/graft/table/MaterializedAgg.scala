@@ -90,6 +90,53 @@ final class MaterializedAgg(val base: GraftTable, val name: String,
     val ch =
       try base.changesBetween(from, to, pk)
       catch { case _: IllegalStateException => return recompute() }
+    fold(ch, to)
+  }
+
+  /**
+   * Continuous maintenance: a streaming query over the base's
+   * `graft-changes` source that folds every micro-batch into the view as
+   * it lands — [[refresh]] without the polling, at whatever freshness the
+   * stream trigger gives. Starts from the view's CURRENT reflected
+   * version, so create → maintainStream never misses or re-folds a
+   * window; [[foldBatch]]'s version filter makes replayed batches
+   * (restart re-running its last committed window) no-ops, so the
+   * checkpointed stream is exactly-once into the view. One maintainer at
+   * a time per view (stream OR manual refresh), same single-writer
+   * contract as every maintenance verb.
+   */
+  def maintainStream(checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    base.spark.readStream.format("graft-changes")
+      .option("path", base.root.toString)
+      .option("pk", pk)
+      .option("startingVersion", refreshedVersion.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) => foldBatch(batch); () }
+      .start()
+
+  /** Fold ONE feed micro-batch into the view. Rows at or below the
+    * reflected version are already folded and drop out (the idempotence
+    * that makes stream-batch replay safe); the commit reflects the
+    * batch's own max version — one tiny O(changes) agg, no base-table
+    * metadata round-trip. */
+  def foldBatch(feedBatch: DataFrame): Unit = {
+    // persist: the max-version probe and the fold both consume the batch,
+    // and a v1 streaming batch re-runs its plan per action; unpersist per
+    // batch so a long-running maintainer does not accumulate cache entries
+    val fresh = feedBatch.filter(col("_commit_version") > refreshedVersion)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val to = fresh.agg(org.apache.spark.sql.functions.max("_commit_version"))
+        .head.getAs[Any](0)
+      if (to != null) { fold(fresh, to.asInstanceOf[Long]); () }
+    } finally { fresh.unpersist(blocking = false); () }
+  }
+
+  /** The signed-weight fold shared by [[refresh]] and [[foldBatch]]. */
+  private def fold(ch: DataFrame, to: Long): Snapshot = {
     val w = when(col("_change_type").isin("insert", "update_post"), lit(1L))
       .otherwise(lit(-1L))
     val deltas = ch.groupBy(groupCols.map(col): _*)

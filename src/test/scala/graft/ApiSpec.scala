@@ -78,6 +78,33 @@ class ApiSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("nosuch__v1"))
   }
 
+  test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {
+    val s = freshSession()
+    // v1 → v2 appended 100 rows: the feed is 100 inserts.
+    val full = s.sql(
+      "SELECT count(*) AS n FROM TABLE_CHANGES('orders_t', 1, 2, 'o_orderkey')")
+      .head().getLong(0)
+    assert(full == 100)
+    // `to` defaults to the head, `pk` to the id-like column — and the
+    // sugar composes with ordinary SQL around it.
+    val defaulted = s.sql(
+      "SELECT _change_type, count(*) AS n FROM TABLE_CHANGES('orders_t', 1) GROUP BY 1")
+      .head()
+    assert(defaulted.getString(0) == "insert" && defaulted.getLong(1) == 100)
+    // The pattern spans string literals (its own arguments), so the
+    // protection is positional: a match STARTING inside a literal must
+    // survive verbatim while a real call in the same query fires.
+    val lit = s.sql(
+      "SELECT 'TABLE_CHANGES(''orders_t'', 1)' AS lit, count(*) AS n " +
+        "FROM TABLE_CHANGES('orders_t', 1, 2, 'o_orderkey') GROUP BY 1").head()
+    assert(lit.getString(0) == "TABLE_CHANGES('orders_t', 1)")
+    assert(lit.getLong(1) == 100)
+    // Unknown table: passed through for Catalyst to report, no view leaked.
+    val e = intercept[Exception] { s.sql("SELECT * FROM TABLE_CHANGES('nosuch', 1)") }
+    assert(!e.isInstanceOf[IllegalArgumentException], s"catalog require leaked: $e")
+    assert(!spark.catalog.tableExists("nosuch__ch_1_1"))
+  }
+
   test("snapshots metadata view is queryable by SQL") {
     val s = freshSession()
     val ops = s.sql("SELECT operation FROM orders_t__snapshots ORDER BY snapshot_id")

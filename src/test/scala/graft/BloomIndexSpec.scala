@@ -89,6 +89,38 @@ class BloomIndexSpec extends AnyFunSuite {
       s"expected full prune, scanned ${got.inputFiles.toSeq}")
   }
 
+  test("serving readPointRows equals the distributed read, jobs-free steady-state") {
+    val t = fresh("bloom-serve-")
+    (0 until 4).foreach { i =>
+      val slice = orders.filter(col("o_custkey") % 4 === i)
+      if (i == 0) t.overwrite(slice) else t.append(slice)
+    }
+    t.buildBloomIndex("o_custkey")
+    val keys = orders.select("o_custkey").distinct().limit(6)
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val rows = t.readPointRows("o_custkey", k)
+      val want = t.readPoint("o_custkey", k).collect().toSeq
+      assert(rows.sortBy(_.getLong(0)) === want.sortBy(_.getLong(0)), s"key $k")
+      // rows come back schema'd (serving contract — getAs by name works)
+      assert(rows.head.getAs[Long]("o_custkey") === k)
+    }
+    // absent value: in-memory bloom veto, empty without touching data
+    assert(t.readPointRows("o_custkey", -42L).isEmpty)
+    // steady state is jobs-free (suites run sequentially in the forked
+    // test JVM, so the app-wide job counter is ours): the earlier calls
+    // above warmed the bloom-sidecar cache and the footer caches, so this
+    // call must not plan any Spark job at all
+    def jobCount(): Int = {
+      Thread.sleep(500) // let the async status listener drain
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    }
+    val before = jobCount()
+    t.readPointRows("o_custkey", keys.head)
+    assert(jobCount() === before,
+      "serving point read must launch no Spark jobs")
+  }
+
   test("pending MOR deltas resolve on top of the bloom-pruned base") {
     val t = fresh("bloom-mor-")
     t.overwriteBucketed(orders.filter(col("o_orderkey") <= 1000), "o_orderkey", 4)

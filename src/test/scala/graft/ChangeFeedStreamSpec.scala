@@ -82,6 +82,14 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
     }
 
     run() // pins `latest` = v1; consumes nothing
+    // The pin must live INSIDE the checkpoint (metadataPath arrives as a
+    // "file:/..." URI — resolved via java.nio it would strand under the
+    // driver's cwd and a restart elsewhere would lose it).
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-start-version")),
+      s"start-version pin not in checkpoint $ckpt")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("file:")),
+      "URI-shaped junk dir created under the working directory")
     t.append(orders.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 1200)) // v2
     t.append(orders.filter(col("o_orderkey") > 1200 && col("o_orderkey") <= 1300)) // v3
     run() // consumes (1, 3]
@@ -142,6 +150,53 @@ class ChangeFeedStreamSpec extends AnyFunSuite {
       val have = replica.read().orderBy("o_orderkey").collect().toSeq
       assert(have === want)
     } finally q.stop()
+  }
+
+  test("maintainStream keeps a materialized aggregate continuously fresh") {
+    import graft.table.MaterializedAgg
+    // decimal sums: incremental folds and one-pass recomputes must agree
+    // bit-for-bit (double addition is order-sensitive)
+    val o = orders.withColumn("price_d",
+      col("o_totalprice").cast("decimal(18,2)"))
+    val t = fresh("feed-mv-")
+    t.overwrite(o.filter(col("o_orderkey") <= 600)) // v1
+    val mv = new MaterializedAgg(t, "by_status", "o_orderkey",
+      Seq("o_orderstatus"), Seq("price_d"))
+    mv.create()
+    val ckpt = TestSpark.tmpDir("mv-ckpt-").toString
+
+    def viewRows() = mv.read()
+      .select(col("o_orderstatus"), col("cnt"),
+        col("price_d_sum").cast("decimal(28,2)"))
+      .orderBy("o_orderstatus").collect().toSeq
+    def expectRows() = t.read().groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("price_d").cast("decimal(28,2)").as("price_d_sum"))
+      .orderBy("o_orderstatus").collect().toSeq
+
+    val q = mv.maintainStream(ckpt)
+    try {
+      t.append(o.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 800)) // v2
+      q.processAllAvailable()
+      assert(viewRows() === expectRows())
+      assert(mv.refreshedVersion === 2)
+      t.upsert(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("Z")), "o_orderkey") // v3
+      t.deleteKeys(o.filter(col("o_orderkey") % 9 === 0)
+        .select("o_orderkey"), "o_orderkey") // v4
+      q.processAllAvailable()
+      assert(viewRows() === expectRows())
+      assert(mv.refreshedVersion === 4)
+    } finally q.stop()
+
+    // restart after more commits: picks up from the reflected version
+    t.append(o.filter(col("o_orderkey") > 800 && col("o_orderkey") <= 900)) // v5
+    val q2 = mv.maintainStream(ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(viewRows() === expectRows())
+      assert(mv.refreshedVersion === 5)
+    } finally q2.stop()
   }
 
   test("source schema is the head schema plus the two feed columns") {
