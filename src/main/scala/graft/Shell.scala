@@ -310,7 +310,7 @@ object Shell {
       case "chunk_stats" =>
         val t = toks(1)
         val text = toks.lift(2).getOrElse("text")
-        val pk = graft.functions.Identifiers.findIdCol(table(t).schema.fieldNames.toSeq)
+        val pk = table(t).defaultPk
         Some(render(graft.ops.Curation.chunkDupStats(table(t).read(), pk, text), 10))
       case "load_csv" =>
         val path = toks(1)

@@ -346,7 +346,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
   handle("/edit") { ex =>
     val (t, id) = tableAndId(ex, "/edit")
     val table = session.catalog.table(t)
-    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val pk = table.defaultPk
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
     // Serving path when the table is bucketed by the pk (same guard the
     // shell uses): driver-side ms-class read, including under pending MOR
@@ -497,7 +497,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       val table = session.catalog.table(t)
       val withStatus = snapshot.flatMap(v2 => table.log.get(v2).flatMap(_.parentId)
         .map { v1 =>
-          val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+          val pk = table.defaultPk
           // Collision-proof internal name: a user table may itself have a
           // `status` column, which would make the joined frame ambiguous
           // and could highlight rows from the table's own data.
@@ -644,7 +644,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val v1 = p.get("v1").map(_.toLong)
       .orElse(table.log.get(v2).flatMap(_.parentId))
       .getOrElse(throw new IllegalArgumentException(s"snapshot $v2 has no parent"))
-    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val pk = table.defaultPk
     val d = table.diff(v2, v1, pk)
     if (!wantsHtml(ex)) dfJson(d, maxRows)
     else {
@@ -921,7 +921,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val p = qs(ex)
     val table = session.catalog.table(t)
     val id = auditCol(table, p, "id", Some(
-      graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)))
+      table.defaultPk))
     val text = auditCol(table, p, "text", Some("text"))
     dfJson(graft.ops.Curation.chunkDupStats(table.read(), id, text,
       minSize = p.get("min").map(_.toInt).getOrElse(64),
@@ -943,7 +943,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     require(ex.getRequestMethod == "POST", "POST required")
     val (t, id) = tableAndId(ex, "/update")
     val table = session.catalog.table(t)
-    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val pk = table.defaultPk
     val fromForm = isForm(ex)
     // Values arrive as strings and coerce per column type, exactly the
     // reference's get_cast_val form handling (`api_poc.py:704-726`); a JSON
@@ -968,7 +968,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     require(ex.getRequestMethod == "POST", "POST required")
     val (t, id) = tableAndId(ex, "/delete")
     val table = session.catalog.table(t)
-    val pk = graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq)
+    val pk = table.defaultPk
     val idVal = graft.functions.Coerce.coerce(id, table.schema(pk).dataType)
     val snap = table.deleteWhere(
       org.apache.spark.sql.functions.col(pk) === idVal)
@@ -1001,7 +1001,7 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
           s"table $t has no committed schema to merge into")
         // Key defaults like the DML endpoints: the id-looking column.
         val key = p.getOrElse("key",
-          graft.functions.Identifiers.findIdCol(table.schema.fieldNames.toSeq))
+          table.defaultPk)
         require(table.schema.fieldNames.contains(key), s"no such key column: $key")
         val mor = p.getOrElse("mode", "cow") match {
           case "cow" => false

@@ -118,8 +118,7 @@ final class GraftSession(val catalog: GraftCatalog) {
         val tb = catalog.table(t)
         val from = m.group(2).toLong
         val to = Option(m.group(3)).map(_.toLong).getOrElse(tb.latestVersion)
-        val pk = Option(m.group(4)).getOrElse(
-          graft.functions.Identifiers.findIdCol(tb.schema.fieldNames.toSeq))
+        val pk = Option(m.group(4)).getOrElse(tb.defaultPk)
         val view = s"${t}__ch_${from}_$to"
         tb.changesBetween(from, to, pk).createOrReplaceTempView(view)
         view

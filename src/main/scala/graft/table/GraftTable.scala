@@ -778,6 +778,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   /** Hash-bucket spec `(key, numBuckets)` if this table is bucketed. */
   def bucketSpec: Option[(String, Int)] = log.latest().flatMap(bucketSpecOf)
 
+  /** Default merge key for surfaces that identify rows without an explicit
+    * pk (DML endpoints, `TABLE_CHANGES`, diff views): the DECLARED bucket
+    * key when the table has one — it IS the table's merge key, and feeds
+    * over delta commits reject any other pk — else the id-looking column.
+    * The name heuristic alone is a trap on tables carrying several
+    * `*_id` columns (an events table keyed `event_id` but carrying
+    * `user_id` would default to the non-unique `user_id`). */
+  def defaultPk: String = bucketSpec.map(_._1)
+    .filter(schema.fieldNames.contains)
+    .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
+
   private def bucketSpecOf(s: Snapshot): Option[(String, Int)] =
     for {
       k <- s.summary.get("bucket_key")
@@ -2307,7 +2318,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * feed to reconstruct the table, or maintain any distributive aggregate
    * with a signed weight (+1 for insert/update_post, −1 for
    * update_pre/delete) — see [[MaterializedAgg]]. `pk` is the merge key
-   * change rows are identified by (same contract as [[diff]]).
+   * change rows are identified by (same contract as [[diff]]). The signed
+   * net is exact even when `pk` is NOT unique: rewrite commits diff as a
+   * per-(pk, image) multiset (see [[rewriteChanges]]), with the
+   * `update_pre`/`update_post` tagging reserved for the unambiguous
+   * one-pre/one-post case and everything else degrading to insert/delete
+   * images of identical net effect.
    *
    * Cost is proportional to the CHANGES, not the table, on every hot path —
    * the property that makes a downstream consumer at 100 TB incremental
@@ -2540,14 +2556,30 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         struct(lit("insert").as("__ct"), col("__post").as("__img")))))
   }
 
-  /** Changes carried by a rewrite commit: keyed full-outer diff of the
-    * removed dirs against the added dirs — rows rewritten unchanged match
-    * themselves and emit nothing, so only the touched content is read when
-    * neither side has pending delta chains (the fast path; for a bucketed
-    * upsert that is exactly the touched buckets). With deltas in play, dir
-    * restriction is unsound (the logical view is not a dir union) and the
-    * diff runs over the two RESOLVED views. Assumes pk-unique content on
-    * rewrite commits, the same contract as [[diff]]. */
+  /** Changes carried by a rewrite commit: MULTISET diff of the removed
+    * dirs against the added dirs — rows rewritten unchanged cancel and
+    * emit nothing, so only the touched content is read when neither side
+    * has pending delta chains (the fast path; for a bucketed upsert that
+    * is exactly the touched buckets). With deltas in play, dir restriction
+    * is unsound (the logical view is not a dir union) and the diff runs
+    * over the two RESOLVED views.
+    *
+    * Why a multiset diff and not a pk full-outer join: a join on a
+    * NON-unique pk pairs every pre-row with every post-row of the key —
+    * c×c' "update" pairs whose signed-weight net (`+post −pre` per pair)
+    * is WRONG (pre {A} → post {A, B} would feed −A +A +B... as −A +B +A
+    * pairs netting −A +B +unchanged-A churn instead of the true +B), and
+    * the blow-up is quadratic in the key's multiplicity. Counting
+    * distinct (pk, image) groups on each side and emitting the COUNT
+    * DIFFERENCE is exact for any multiplicity, costs one map-side-partial
+    * aggregation per side (identical rows collapse before the shuffle —
+    * strictly less data than the join it replaces moved), and the join
+    * keys are null-safe, so unchanged rows with a NULL pk no longer emit
+    * spurious delete+insert churn. The `update_pre`/`update_post` tagging
+    * is kept exactly where it is unambiguous — a key with ONE pre image
+    * and ONE post image that differ; any other multiplicity degrades to
+    * insert/delete images, which every signed-weight consumer
+    * ([[MaterializedAgg]], feed replay) treats identically. */
   private def rewriteChanges(s: Snapshot, p: Option[Snapshot],
       added: Seq[String], removed: Seq[String], pk: String): DataFrame = {
     val noDeltas = s.deltaDirs.isEmpty && p.forall(_.deltaDirs.isEmpty)
@@ -2558,17 +2590,37 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
     }
     val dataCols = (cur.columns ++ par.columns).distinct.filterNot(_ == pk).toSeq
-    val j = packSide(cur, par, pk, dataCols, "__c")
-      .join(packSide(par, cur, pk, dataCols, "__p"), Seq("__pk"), "full_outer")
-    val changed = col("__c").isNotNull && col("__p").isNotNull &&
-      !(col("__c") <=> col("__p"))
-    explodeChanges(j, pk, array(
-      when(col("__p").isNull,
-        struct(lit("insert").as("__ct"), col("__c").as("__img"))),
-      when(col("__c").isNull,
-        struct(lit("delete").as("__ct"), col("__p").as("__img"))),
-      when(changed, struct(lit("update_pre").as("__ct"), col("__p").as("__img"))),
-      when(changed, struct(lit("update_post").as("__ct"), col("__c").as("__img")))))
+    val c1 = packSide(cur, par, pk, dataCols, "__img")
+      .groupBy(col("__pk"), col("__img")).agg(count(lit(1)).as("__cn"))
+    val p1 = packSide(par, cur, pk, dataCols, "__img")
+      .groupBy(col("__pk"), col("__img")).agg(count(lit(1)).as("__pn"))
+    val m = c1.as("c").join(p1.as("p"),
+        col("c.__pk") <=> col("p.__pk") && col("c.__img") <=> col("p.__img"),
+        "full_outer")
+      .select(
+        coalesce(col("c.__pk"), col("p.__pk")).as("__pk"),
+        coalesce(col("c.__img"), col("p.__img")).as("__img"),
+        coalesce(col("c.__cn"), lit(0L)).as("__cn"),
+        coalesce(col("p.__pn"), lit(0L)).as("__pn"))
+    // Per-key totals decide whether the 1-pre/1-post update classification
+    // applies. A window, not a second join: the frame at this point holds
+    // DISTINCT images only, so the extra pk shuffle moves at most the
+    // changed content once more — and only the changed dirs' content is
+    // in the plan at all.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__pk"))
+    val k = m.withColumn("__kc", sum(col("__cn")).over(w))
+      .withColumn("__kp", sum(col("__pn")).over(w))
+    val uniquePair = col("__kc") === 1 && col("__kp") === 1 &&
+      col("__cn") =!= col("__pn") // same single image on both sides ⇒ cn=pn=1 ⇒ no change
+    def tagged(ct: String) =
+      struct(lit(ct).as("__ct"), col("__img").as("__img"))
+    val net = col("__cn") - col("__pn")
+    explodeChanges(k, pk,
+      when(uniquePair && col("__pn") === 1, array(tagged("update_pre")))
+        .when(uniquePair && col("__cn") === 1, array(tagged("update_post")))
+        .when(net > 0, array_repeat(tagged("insert"), net.cast("int")))
+        .when(net < 0, array_repeat(tagged("delete"), (-net).cast("int")))
+        .otherwise(array_repeat(tagged("insert"), lit(0))))
   }
 }
 
