@@ -1,0 +1,443 @@
+package graft.connector
+
+import java.nio.file.Paths
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.ParquetInputFormat
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.log.Snapshot
+import graft.table.GraftTable
+
+/**
+ * A graft table as a Spark DataSource-v2 [[Table]] (loaded through
+ * [[GraftSparkCatalog]]). Read-only by design: every write verb (append,
+ * upsert, MOR, DDL, lifecycle) stays on the [[GraftTable]] API, whose
+ * commit protocol a v2 writer would merely wrap.
+ *
+ * What the v2 surface adds over `GraftTable.read()` is PLANNER knowledge:
+ *
+ *  - the scan reports the `__bucket=k` dir layout as a
+ *    [[KeyGroupedPartitioning]] over `bucket(n, key)` with one input
+ *    partition per bucket, so joins/aggregations keyed on the bucket key
+ *    between co-bucketed graft tables skip BOTH exchanges (Spark's
+ *    storage-partitioned join, gated on
+ *    `spark.sql.sources.v2.bucketing.enabled`). A shuffle of two 100 TB
+ *    fact tables is the single largest cost such a join has — this
+ *    removes it by contract rather than by runtime luck.
+ *  - filters push down to parquet row-group stats (the pushed predicate
+ *    is advisory: Spark re-evaluates every filter above the scan, so a
+ *    conservative translation can skip I/O but never change results).
+ *  - column pruning reaches the parquet reader via the requested-schema
+ *    projection (wide tables decode only the selected columns).
+ *
+ * Pending MOR deltas make a plain file scan WRONG (a delta may hold a
+ * newer image or tombstone), and the resolving rank-window belongs to
+ * `GraftTable.read()` — so `newScanBuilder` refuses loudly instead of
+ * silently narrowing semantics, mirroring the serving paths' fallback
+ * contract ([[graft.table.LocalPointRead]]).
+ */
+final class GraftSparkTable(rootPath: String, tableName: String) extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+  private lazy val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
+  // One head per loadTable: the v2 Table is a snapshot-consistent handle
+  // (Spark may plan several scans from one loadTable; they must agree).
+  private lazy val head: Snapshot = gt.log.latest().getOrElse(
+    throw new IllegalStateException(s"table $tableName has no committed snapshot"))
+
+  private lazy val tableSchema =
+    DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+  private lazy val bucketSpec: Option[(String, Int)] =
+    for {
+      k <- head.summary.get("bucket_key")
+      n <- head.summary.get("bucket_count")
+    } yield (k, n.toInt)
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] =
+    bucketSpec.map { case (k, n) => Expressions.bucket(n, k) }.toArray
+
+  override def properties(): util.Map[String, String] = {
+    val p = new util.HashMap[String, String]()
+    p.put("format", "graft/parquet")
+    p.put("snapshot", head.snapshotId.toString)
+    bucketSpec.foreach { case (k, n) =>
+      p.put("bucket_key", k); p.put("bucket_count", n.toString)
+    }
+    p
+  }
+
+  override def version(): String = head.snapshotId.toString
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(head.deltaDirs.isEmpty,
+      s"table $tableName has ${head.deltaDirs.size} pending merge-on-read delta " +
+        "commits; a bare file scan would miss newer images/tombstones. " +
+        "compact() first, or read through GraftTable.read()/GraftSession.sql.")
+    new GraftScanBuilder(spark, rootPath, tableName, head, tableSchema, bucketSpec)
+  }
+}
+
+object GraftSparkTable {
+  /** Parse a v2 transform as `bucket(n, col)` if that is what it is. */
+  def asBucketTransform(t: Transform): Option[(String, Int)] =
+    if (t.name != "bucket") None
+    else {
+      val ns = t.arguments.collect {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.dataType == IntegerType =>
+          lit.value.asInstanceOf[Int]
+      }
+      val cols = t.references.flatMap(_.fieldNames())
+      (ns.toSeq, cols.toSeq) match {
+        case (Seq(n), Seq(c)) => Some((c, n))
+        case _ => None
+      }
+    }
+}
+
+/**
+ * Scan builder: column pruning lands in the parquet requested schema;
+ * filter pushdown translates the equality/range shapes parquet row-group
+ * stats can act on. Everything pushed is ALSO returned as residual — the
+ * scan may skip row groups but never takes responsibility for exact
+ * evaluation (same division of labor as Spark's own parquet source with
+ * `spark.sql.parquet.filterPushdown`).
+ */
+final class GraftScanBuilder(
+    spark: SparkSession,
+    rootPath: String,
+    tableName: String,
+    head: Snapshot,
+    tableSchema: StructType,
+    bucketSpec: Option[(String, Int)])
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var readSchema: StructType = tableSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    readSchema = requiredSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(f => ParquetPredicate.translate(f, tableSchema).isDefined)
+    filters // all residual: the translation is advisory, Spark re-filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val predicate = pushed.flatMap(ParquetPredicate.translate(_, tableSchema))
+      .reduceOption(FilterApi.and)
+    new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec, predicate)
+  }
+}
+
+/** One file of a scan partition. */
+private[connector] case class FileSlice(path: String, len: Long)
+
+/**
+ * Scan/Batch: one input partition per `__bucket=k` (all commits' leaf dirs
+ * of that bucket together — co-located by the write path's
+ * `pmod(xxhash64(key), n)`), reported as [[KeyGroupedPartitioning]] so the
+ * planner can elide exchanges. Unbucketed tables fall back to one
+ * partition per data dir with unknown partitioning.
+ */
+final class GraftScan(
+    spark: SparkSession,
+    rootPath: String,
+    tableName: String,
+    head: Snapshot,
+    override val readSchema: StructType,
+    bucketSpec: Option[(String, Int)],
+    predicate: Option[FilterPredicate])
+  extends Scan with Batch with SupportsReportPartitioning {
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft $tableName snapshot=${head.snapshotId} " +
+      bucketSpec.map { case (k, n) => s"bucketed($k,$n) " }.getOrElse("") +
+      s"pushed=[${predicate.getOrElse("")}]"
+
+  private val hadoopConf =
+    new SerializableConfiguration(spark.sessionState.newHadoopConf())
+
+  private def listFiles(dir: String): Seq[FileSlice] = {
+    val p = new Path(Paths.get(rootPath).resolve(dir).toString)
+    val fs = p.getFileSystem(hadoopConf.value)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => FileSlice(f.getPath.toString, f.getLen))
+  }
+
+  private val BucketMarker = "__bucket="
+
+  private def bucketOfDir(dir: String): Option[Int] = {
+    val i = dir.lastIndexOf(BucketMarker)
+    if (i < 0) None else Some(dir.substring(i + BucketMarker.length).toInt)
+  }
+
+  /** (partitions, keyGrouped?): bucket-grouped only when EVERY data dir is
+    * a bucket leaf — one foreign dir (pre-layout history) and the claim
+    * would be a lie, so the scan degrades to unknown partitioning. */
+  private lazy val planned: (Array[InputPartition], Boolean) = bucketSpec match {
+    case Some((_, n)) if head.dataDirs.nonEmpty &&
+        head.dataDirs.forall(bucketOfDir(_).isDefined) =>
+      val byBucket = head.dataDirs.groupBy(d => bucketOfDir(d).get)
+      val parts = byBucket.toSeq.sortBy(_._1).flatMap { case (b, dirs) =>
+        val files = dirs.flatMap(listFiles)
+        if (files.isEmpty) None
+        else Some(GraftInputPartition(files.toArray, b): InputPartition)
+      }
+      (parts.toArray, true)
+    case _ =>
+      val parts = head.dataDirs.flatMap { d =>
+        val files = listFiles(d)
+        if (files.isEmpty) None
+        else Some(GraftInputPartition(files.toArray, -1): InputPartition)
+      }
+      (parts.toArray, false)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
+
+  override def outputPartitioning(): Partitioning = bucketSpec match {
+    case Some((k, n)) if planned._2 =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, k)), planned._1.length)
+    case _ => new UnknownPartitioning(planned._1.length)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(readSchema.json, predicate, hadoopConf)
+}
+
+private[connector] case class GraftInputPartition(
+    files: Array[FileSlice], bucketId: Int)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
+/**
+ * Executor-side reader: Spark's own vectorized parquet decoder
+ * ([[VectorizedParquetRecordReader]] — the same decode path a built-in
+ * parquet scan and [[graft.table.LocalPointRead]] use), fed the pruned
+ * requested schema and the pushed row-group predicate through the reader
+ * conf. Columns requested but absent from an old file (pre-evolution
+ * commits) null-fill inside the reader, which is exactly the table's
+ * append-time evolution semantics.
+ */
+final class GraftReaderFactory(
+    readSchemaJson: String,
+    predicate: Option[FilterPredicate],
+    hadoopConf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.files, readSchemaJson, predicate, hadoopConf.value)
+  }
+}
+
+private final class GraftPartitionReader(
+    files: Array[FileSlice],
+    readSchemaJson: String,
+    predicate: Option[FilterPredicate],
+    base: Configuration)
+  extends PartitionReader[InternalRow] {
+
+  // One conf for the whole partition: requested schema + converter flags,
+  // the same recipe as LocalPointRead.filePlan (which documents why each
+  // flag is set); row-group filtering levels keep parquet defaults here —
+  // a throughput scan amortizes index reads that a millisecond point read
+  // cannot.
+  private val conf = {
+    val c = new Configuration(base)
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", readSchemaJson)
+    c.set("spark.sql.parquet.binaryAsString", "false")
+    c.set("spark.sql.parquet.int96AsTimestamp", "true")
+    c.set("spark.sql.caseSensitive", "false")
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    predicate.foreach(ParquetInputFormat.setFilterPredicate(c, _))
+    c
+  }
+
+  private var idx = 0
+  private var current: VectorizedParquetRecordReader = _
+
+  private def openNext(): Boolean = {
+    if (idx >= files.length) return false
+    val f = files(idx); idx += 1
+    // Rebase CORRECTED: every graft file is written by this library on
+    // Spark 4 (proleptic calendar) — see LocalPointRead.
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    // mapred (old-API) FileSplit: the reader's initialize downcasts to it.
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(f.path), 0, f.len, null.asInstanceOf[Array[String]])
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    try { rdr.initialize(split, ctx); current = rdr; true }
+    catch { case e: Throwable => rdr.close(); throw e }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) { if (!openNext()) return false }
+      else if (current.nextKeyValue()) return true
+      else { current.close(); current = null }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow =
+    current.getCurrentValue.asInstanceOf[InternalRow]
+
+  override def close(): Unit =
+    if (current != null) { current.close(); current = null }
+}
+
+/**
+ * `sources.Filter` → parquet [[FilterPredicate]] for the shapes row-group
+ * min/max stats can act on, over the primitive physical types graft
+ * writes (timestamps are INT64 micros via the table's footer rewrite,
+ * dates INT32 days). Unsupported shapes translate to None and simply
+ * aren't pushed — never guessed.
+ */
+private[connector] object ParquetPredicate {
+  import FilterApi._
+
+  private def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+  }
+
+  private def days(v: Any): Int = v match {
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    case d: java.time.LocalDate =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d)
+    case other => throw new IllegalArgumentException(s"not a date: $other")
+  }
+
+  /** Typed single-column comparison dispatch; None = don't push. */
+  private def cmp(
+      dt: DataType, name: String,
+      op: String, v: Any): Option[FilterPredicate] = {
+    try {
+      dt match {
+        case IntegerType =>
+          val c = intColumn(name); val x = v.asInstanceOf[Number].intValue(): Integer
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case LongType =>
+          val c = longColumn(name); val x = v.asInstanceOf[Number].longValue(): java.lang.Long
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case DoubleType =>
+          val c = doubleColumn(name); val x = v.asInstanceOf[Number].doubleValue(): java.lang.Double
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case FloatType =>
+          val c = floatColumn(name); val x = v.asInstanceOf[Number].floatValue(): java.lang.Float
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case StringType =>
+          val c = binaryColumn(name); val x = Binary.fromString(v.asInstanceOf[String])
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case TimestampType =>
+          val c = longColumn(name); val x = micros(v): java.lang.Long
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case DateType =>
+          val c = intColumn(name); val x = days(v): Integer
+          Some(op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "lt" => FilterApi.lt(c, x); case "le" => FilterApi.ltEq(c, x)
+            case "gt" => FilterApi.gt(c, x); case "ge" => FilterApi.gtEq(c, x)
+          })
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  def translate(f: sources.Filter, schema: StructType): Option[FilterPredicate] = {
+    def dtOf(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+    f match {
+      case sources.EqualTo(a, v) if v != null =>
+        dtOf(a).flatMap(cmp(_, a, "eq", v))
+      case sources.LessThan(a, v) if v != null =>
+        dtOf(a).flatMap(cmp(_, a, "lt", v))
+      case sources.LessThanOrEqual(a, v) if v != null =>
+        dtOf(a).flatMap(cmp(_, a, "le", v))
+      case sources.GreaterThan(a, v) if v != null =>
+        dtOf(a).flatMap(cmp(_, a, "gt", v))
+      case sources.GreaterThanOrEqual(a, v) if v != null =>
+        dtOf(a).flatMap(cmp(_, a, "ge", v))
+      case sources.In(a, vs) if vs.nonEmpty && vs.forall(_ != null) && vs.length <= 32 =>
+        dtOf(a).flatMap { dt =>
+          val parts = vs.toSeq.map(cmp(dt, a, "eq", _))
+          if (parts.forall(_.isDefined)) parts.flatten.reduceOption(FilterApi.or)
+          else None
+        }
+      case sources.And(l, r) =>
+        for (lp <- translate(l, schema); rp <- translate(r, schema))
+          yield FilterApi.and(lp, rp)
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/**
+ * Gate entries for the DataSource-v2 connector
+ * ([[graft.connector.GraftSparkCatalog]]): every query routes its read
+ * through Spark's v2 `BATCH_READ` path — catalog resolution, the
+ * executor-side vectorized reader, column pruning, filter pushdown, and
+ * the reported bucket partitioning — and the DuckDB oracle checks the
+ * values against plain SQL over the same parquet. The SHUFFLE-ELISION
+ * claim (storage-partitioned join: co-bucketed joins/aggregations with no
+ * exchange) is a plan property a value gate cannot see; `SpjSpec` asserts
+ * it on `.queryExecution.executedPlan`.
+ */
+object ConnectorQueries {
+
+  /** Fresh v2 catalog over a temp warehouse. Catalog instances are cached
+    * by name in the session's CatalogManager with the conf they were FIRST
+    * loaded under, so a per-call warehouse needs a per-call catalog name. */
+  def tempCatalog(s: SparkSession): String = {
+    val name = "gv2_" + UUID.randomUUID().toString.replace("-", "").take(8)
+    val wh = Files.createTempDirectory("graft-v2-")
+    s.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.connector.GraftSparkCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", wh.toString)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    name
+  }
+
+  /** Ingest `df` hash-bucketed into catalog `cat` as `name`. */
+  def ingestBucketed(s: SparkSession, cat: String, name: String,
+      df: DataFrame, key: String, n: Int): Unit = {
+    val wh = java.nio.file.Paths.get(s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+    new graft.catalog.GraftCatalog(s, wh).materialized(name)
+      .overwriteBucketed(df, key, n)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    // Storage-partitioned join shape: orders ⋈ lineitem on the orderkey
+    // both tables are bucketed by (8 buckets each side). With
+    // spark.sql.sources.v2.bucketing.enabled the planner elides BOTH
+    // exchanges (asserted in SpjSpec); the gate verifies the joined VALUES
+    // survive the whole v2 read path.
+    "t_spj_join" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders", tbl(s, d, "orders"), "o_orderkey", 8)
+      ingestBucketed(s, cat, "lineitem",
+        tbl(s, d, "lineitem"), "l_orderkey", 8)
+      s.table(s"$cat.orders").join(s.table(s"$cat.lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Bucket-key aggregation through the v2 scan: KeyGroupedPartitioning
+    // satisfies the aggregate's clustering, so no exchange (SpjSpec); the
+    // gate checks the grouped values.
+    "t_spj_agg" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "lineitem",
+        tbl(s, d, "lineitem"), "l_orderkey", 8)
+      s.table(s"$cat.lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
+    // v2 filter + projection pushdown: predicate and pruned columns reach
+    // the parquet reader (row-group stats + requested schema); values
+    // must equal the plain filtered projection.
+    "t_v2_filter" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders", tbl(s, d, "orders"), "o_orderkey", 8)
+      s.table(s"$cat.orders")
+        .filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // v2 SQL surface end-to-end: CREATE TABLE ... PARTITIONED BY
+    // (bucket(n, col)) through the catalog, INSERT via the table API,
+    // SELECT through spark.sql over the catalog-qualified name.
+    "t_v2_sql" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val n = tbl(s, d, "nation")
+      s.sql(s"CREATE TABLE $cat.nation (n_nationkey BIGINT, n_name STRING, " +
+        s"n_regionkey BIGINT) PARTITIONED BY (bucket(4, n_nationkey))")
+      new graft.catalog.GraftCatalog(s, wh).table("nation")
+        .append(n.select("n_nationkey", "n_name", "n_regionkey"))
+      s.sql(s"SELECT n_regionkey, count(*) AS cnt FROM $cat.nation " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_spj_join" ->
+      """SELECT o_orderstatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "t_spj_agg" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "t_v2_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+    "t_v2_sql" ->
+      // BIGINT cast: the DDL above declares n_regionkey BIGINT (append
+      // casts on ingest), while the raw parquet stores int32.
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS cnt
+         FROM nation GROUP BY 1 ORDER BY 1"""
+  )
+}

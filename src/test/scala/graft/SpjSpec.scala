@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ConnectorQueries
+import graft.table.GraftTable
+
+/**
+ * DataSource-v2 connector + storage-partitioned join guards: the shuffle
+ * ELISION the gate's value compare cannot see. A join or bucket-key
+ * aggregation between co-bucketed graft tables read through
+ * [[graft.connector.GraftSparkCatalog]] must plan with ZERO shuffle
+ * exchanges — at 100 TB per side the exchange IS the join's cost, and the
+ * connector's whole reason to exist is removing it by layout contract.
+ */
+class SpjSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  /** Runs `body` with broadcast joins and AQE coalescing pinned off so the
+    * executed plan exposes exchanges deterministically. */
+  private def noBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Exchange nodes in the FINAL adaptive plan (collect() first). */
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect()
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    fmt.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+  }
+
+  private def freshCat(): (String, java.nio.file.Path) = {
+    val cat = ConnectorQueries.tempCatalog(spark)
+    (cat, java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse")))
+  }
+
+  test("co-bucketed join through the v2 catalog plans with zero shuffles") {
+    val (cat, _) = freshCat()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    ConnectorQueries.ingestBucketed(spark, cat, "lineitem", li, "l_orderkey", 8)
+    noBroadcast {
+      val joined = spark.table(s"$cat.orders")
+        .join(spark.table(s"$cat.lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "l_quantity")
+      assert(shuffleCount(joined) == 0,
+        s"storage-partitioned join must elide both exchanges:\n" +
+          joined.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      // And the elided plan returns exactly the plain join's rows.
+      val expected = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "l_quantity")
+      assert(joined.count() == expected.count())
+      assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
+    }
+  }
+
+  test("bucket-key aggregation through the v2 scan plans with zero shuffles") {
+    val (cat, _) = freshCat()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "li", li, "l_orderkey", 8)
+    noBroadcast {
+      val agg = spark.table(s"$cat.li")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      assert(shuffleCount(agg) == 0,
+        "bucket-key aggregation must not exchange:\n" +
+          agg.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val expected = li.groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      assert(agg.exceptAll(expected).isEmpty && expected.exceptAll(agg).isEmpty)
+    }
+  }
+
+  test("mismatched bucket counts fall back to a correct shuffled join") {
+    val (cat, _) = freshCat()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "o8", orders, "o_orderkey", 8)
+    ConnectorQueries.ingestBucketed(spark, cat, "l16", li, "l_orderkey", 16)
+    noBroadcast {
+      val joined = spark.table(s"$cat.o8")
+        .join(spark.table(s"$cat.l16"), col("o_orderkey") === col("l_orderkey"))
+      val expected = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      assert(joined.count() == expected.count())
+    }
+  }
+
+  test("filter and projection push into the v2 scan") {
+    val (cat, _) = freshCat()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    val df = spark.table(s"$cat.orders")
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a v2 BatchScan")
+    // Projection reached the reader: the scan outputs only the 2 columns.
+    assert(scans.head.output.map(_.name).toSet == Set("o_orderkey", "o_totalprice"))
+    // Predicate reached the scan (reported through Scan.description).
+    assert(scans.head.scan.description().contains("o_totalprice"),
+      s"pushed filter missing from: ${scans.head.scan.description()}")
+    // Values match the plain read.
+    val expected = orders.filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+  }
+
+  test("schema evolution: old files null-fill through the v2 reader") {
+    val (cat, wh) = freshCat()
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("cust")
+    t.overwriteBucketed(c.select("c_custkey", "c_name"), "c_custkey", 4)
+    t.append(c.filter(col("c_custkey") <= 100)
+      .select("c_custkey", "c_name", "c_acctbal"))
+    val viaV2 = spark.table(s"$cat.cust")
+    val viaTable = t.read()
+    assert(viaV2.schema.fieldNames.toSeq == viaTable.schema.fieldNames.toSeq)
+    assert(viaV2.exceptAll(viaTable).isEmpty && viaTable.exceptAll(viaV2).isEmpty)
+    // Old rows carry NULL for the evolved column on both paths.
+    assert(viaV2.filter(col("c_acctbal").isNull).count() ==
+      viaTable.filter(col("c_acctbal").isNull).count())
+  }
+
+  test("pending MOR deltas refuse a bare v2 scan loudly") {
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("mor")
+    t.overwriteBucketed(o, "o_orderkey", 4)
+    t.upsertDeferred(o.limit(10).withColumn("o_totalprice", lit(1.0)), "o_orderkey")
+    val e = intercept[Exception] {
+      spark.table(s"$cat.mor").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("merge-on-read")), s"got: $e")
+    // compact() folds the chain; the v2 scan then serves the merged state.
+    t.compact()
+    val merged = spark.table(s"$cat.mor")
+    assert(merged.filter(col("o_totalprice") === 1.0).count() == 10)
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY (bucket(n, col)) round-trips via SQL") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.n (n_nationkey BIGINT, n_name STRING) " +
+      "PARTITIONED BY (bucket(4, n_nationkey))")
+    val gt = new graft.catalog.GraftCatalog(spark, wh).table("n")
+    assert(gt.bucketSpec.contains(("n_nationkey", 4)))
+    gt.append(spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.n").head().getLong(0) ==
+      spark.read.parquet(s"$sf/nation.parquet").count())
+    // SHOW TABLES surfaces it; DROP removes it.
+    val listed = spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1))
+    assert(listed.contains("n"))
+    spark.sql(s"DROP TABLE $cat.n")
+    assert(!Files.isDirectory(wh.resolve("n").resolve("_log")))
+  }
+
+  test("v2 bucket function agrees bit-for-bit with the write path") {
+    import org.apache.spark.sql.types._
+    val f = graft.connector.GraftBucketFunction
+      .bind(StructType(Seq(
+        StructField("n", IntegerType), StructField("k", LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map(_ => rnd.nextLong()).foreach { k =>
+      val viaV2 = f.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](16, k)))
+      val viaWrite = graft.plans.BucketHash.bucketId(k, LongType, 16, "UTC")
+      assert(viaV2 == viaWrite, s"key $k: v2=$viaV2 write=$viaWrite")
+    }
+  }
+}
