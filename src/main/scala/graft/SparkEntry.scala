@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EngineQueries.queries ++
       SearchQueries.queries ++ LlmQueries.queries ++ CdcQueries.queries ++
-      CurationQueries.queries ++ ConnectorQueries.queries
+      CurationQueries.queries ++ ConnectorQueries.queries ++ TimeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EngineQueries.oracles ++
       SearchQueries.oracles ++ LlmQueries.oracles ++ CdcQueries.oracles ++
-      CurationQueries.oracles ++ ConnectorQueries.oracles
+      CurationQueries.oracles ++ ConnectorQueries.oracles ++ TimeQueries.oracles
 }

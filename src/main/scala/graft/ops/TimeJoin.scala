@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TimestampMicrosExprs.wallMicros
+
+/**
+ * Time-series joins the relational operator set lacks, built as
+ * SINGLE-SHUFFLE plans — the property that decides whether they survive
+ * 100 TB. The naive formulations are inequality joins, which Spark can
+ * only execute as broadcast-nested-loop (O(|L|·|R|) per key); both
+ * operators here reduce to one hash exchange plus per-partition
+ * sequential work.
+ *
+ *  - [[asofBackward]]: the union-window formulation — tag both inputs,
+ *    union, ONE window over (key, time) carrying the running latest right
+ *    row forward (`last(_, ignoreNulls)` over rows-unbounded-preceding).
+ *    Cost: one shuffle of |L|+|R| rows on the key, one per-key in-memory
+ *    sweep. No per-pair work ever materializes, so a key with a million
+ *    events costs a million rows, not a trillion pairs.
+ *  - [[intervalJoin]]: point-in-interval equi-join via time binning —
+ *    intervals explode into the fixed-width bins they cover, points land
+ *    in exactly one bin, the join runs on (key, bin) and re-checks exact
+ *    bounds. Each qualifying pair is emitted exactly ONCE (the point's
+ *    single bin), so no dedup pass. The explode factor is
+ *    span/binWidth — pick binWidth near the typical span so the blowup
+ *    is a small constant while each bin's candidate set stays tiny.
+ *
+ * Skew note (100 TB): both plans serialize a single hot KEY into one
+ * task. For as-of that is inherent to the running-state sweep (the
+ * remedy is time-range sub-partitioning with boundary carry-over — a
+ * second pass over per-range last states); intervalJoin's (key, bin)
+ * clustering already splits a hot key across its time bins, which is the
+ * built-in salt.
+ */
+object TimeJoin {
+
+  /**
+   * Backward as-of join (kdb `aj` / pandas `merge_asof` semantics): for
+   * every left row, the single LATEST right row of the same `key` with
+   * `right.rightTs <= left.leftTs` (inclusive). Unmatched left rows keep
+   * NULL right columns (left-outer; `inner = true` drops them).
+   *
+   * @param rightPayload right columns carried onto the match, emitted as
+   *                     `prefix<name>`; `rightTs` is always carried.
+   * @param tieBreak     right column ordering equal-timestamp candidates —
+   *                     the LARGEST value wins, making ties deterministic
+   *                     (pass the right side's unique id).
+   * @param tolerance    max lookback: a candidate older than
+   *                     `leftTs - tolerance` does not match. Equivalent to
+   *                     restricting candidates before the argmax, since
+   *                     the latest candidate is out of tolerance iff all
+   *                     are.
+   */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_",
+      tieBreak: Option[String] = None,
+      tolerance: Option[Column] = None,
+      inner: Boolean = false): DataFrame = {
+    val payload = (rightTs +: rightPayload.filterNot(_ == rightTs))
+    val tieCol = tieBreak.map(col).getOrElse(lit(null))
+    val r2 = right.select(
+      col(key).as("__k"),
+      col(rightTs).as("__t"),
+      struct(payload.map(col): _*).as("__r"),
+      lit(0).as("__src"),
+      tieCol.as("__tie"))
+    val l2 = left.select(
+      col(key).as("__k"),
+      col(leftTs).as("__t"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(1).as("__src"),
+      lit(null).cast(r2.schema("__tie").dataType).as("__tie"))
+      .withColumn("__r", lit(null).cast(r2.schema("__r").dataType))
+    val u = l2.unionByName(
+      r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType)),
+      allowMissingColumns = false)
+    // Rights sort before lefts at the same instant (src 0 < 1), so an
+    // equal-timestamp right IS visible — the inclusive <= contract. Among
+    // equal-timestamp rights the largest tieBreak sorts last and wins.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = u.withColumn("__m", last("__r", ignoreNulls = true).over(w))
+    val matched = tolerance match {
+      case Some(tol) =>
+        // NULL-safe: a NULL __m stays NULL through the comparison.
+        swept.withColumn("__m",
+          when(col("__m")(rightTs) >= col("__t") - tol, col("__m")))
+      case None => swept
+    }
+    // SQL join semantics: a NULL key matches nothing (the window would
+    // happily group NULL keys together).
+    val nullKeyed = matched.withColumn("__m",
+      when(col("__k").isNull, lit(null).cast(r2.schema("__r").dataType))
+        .otherwise(col("__m")))
+    val lefts =
+      if (inner) nullKeyed.filter(col("__src") === 1 && col("__m").isNotNull)
+      else nullKeyed.filter(col("__src") === 1)
+    val leftCols = left.columns.map(c => col("__l")(c).as(c))
+    val rightCols = payload.map(c => col("__m")(c).as(prefix + c))
+    lefts.select(leftCols ++ rightCols: _*)
+  }
+
+  /**
+   * Point-in-interval join: rows of `points` paired with every row of
+   * `intervals` of the same `key` whose `[startTs, endTs]` (inclusive)
+   * contains `pointTs`. Timestamp columns may be TIMESTAMP or
+   * TIMESTAMP_NTZ; binning runs on their wall-clock micros.
+   *
+   * @param binWidthMicros bin granularity. Correct for ANY positive value;
+   *                       choose near the typical interval span (explode
+   *                       factor ≈ span/binWidth + 1, candidate precision
+   *                       ≈ binWidth).
+   * @param prefix         interval columns are emitted as `prefix<name>`.
+   */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      key: String,
+      pointTs: String,
+      startTs: String,
+      endTs: String,
+      binWidthMicros: Long,
+      intervalPayload: Seq[String],
+      prefix: String = "iv_"): DataFrame = {
+    require(binWidthMicros > 0, "binWidthMicros must be positive")
+    val p2 = points.select(
+      struct(points.columns.map(col): _*).as("__p"),
+      col(key).as("__k"),
+      wallMicros(col(pointTs)).as("__tp"))
+      .withColumn("__bin", floor(col("__tp") / binWidthMicros))
+    val i2 = intervals.select(
+      struct(intervals.columns.map(col): _*).as("__i"),
+      col(key).as("__k"),
+      wallMicros(col(startTs)).as("__ts"),
+      wallMicros(col(endTs)).as("__te"))
+      .filter(col("__ts") <= col("__te"))
+      .withColumn("__bin", explode(sequence(
+        floor(col("__ts") / binWidthMicros),
+        floor(col("__te") / binWidthMicros))))
+    val joined = p2.join(i2, Seq("__k", "__bin"))
+      .filter(col("__tp") >= col("__ts") && col("__tp") <= col("__te"))
+    val pointCols = points.columns.map(c => col("__p")(c).as(c))
+    val ivCols = intervalPayload.map(c => col("__i")(c).as(prefix + c))
+    joined.select(pointCols ++ ivCols: _*)
+  }
+}

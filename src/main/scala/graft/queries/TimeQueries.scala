@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/**
+ * Gate entries for the time-series join tier ([[graft.ops.TimeJoin]]):
+ * as-of and point-in-interval joins over the events stream table, each
+ * checked against the naive inequality-join formulation in DuckDB (which
+ * the Spark plans must MATCH in values while never executing as a
+ * nested-loop pair blowup — TimeJoinSpec asserts the plan shapes).
+ */
+object TimeQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    events(s, d).select("event_id", "user_id", "ts", "event_type")
+
+  val queries: Map[String, QueryFn] = Map(
+    // Backward as-of: every event annotated with the user's latest signup
+    // at-or-before it (ties broken by highest signup event_id).
+    "j_asof" -> ((s, d) => {
+      val e = ev(s, d)
+      graft.ops.TimeJoin.asofBackward(
+        e, e.filter(col("event_type") === "signup"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id"), prefix = "signup_",
+        tieBreak = Some("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // Tolerance + inner: only signups within the last 2 days count, and
+    // events with no qualifying signup drop.
+    "j_asof_tol" -> ((s, d) => {
+      val e = ev(s, d)
+      graft.ops.TimeJoin.asofBackward(
+        e, e.filter(col("event_type") === "signup"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightPayload = Seq("event_id"), prefix = "signup_",
+        tieBreak = Some("event_id"),
+        tolerance = Some(expr("INTERVAL 2 DAYS")), inner = true)
+        .orderBy("event_id")
+    }),
+
+    // Point-in-interval: error events inside ±1 hour of any purchase by
+    // the same user (binned equi-join, 1-hour bins).
+    "j_interval" -> ((s, d) => {
+      val e = ev(s, d)
+      val points = e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val intervals = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      graft.ops.TimeJoin.intervalJoin(
+        points, intervals, key = "user_id", pointTs = "ts",
+        startTs = "start_ts", endTs = "end_ts",
+        binWidthMicros = 3600L * 1000 * 1000,
+        intervalPayload = Seq("event_id"), prefix = "iv_")
+        .orderBy("event_id", "iv_event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         signups AS (SELECT * FROM ev WHERE event_type = 'signup')
+         SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                  l.ts AS signup_ts, l.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY l.ts DESC, l.event_id DESC) AS rn
+           FROM ev e LEFT JOIN signups l
+             ON e.user_id = l.user_id AND l.ts <= e.ts
+         ) WHERE rn = 1 ORDER BY event_id""",
+    "j_asof_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         signups AS (SELECT * FROM ev WHERE event_type = 'signup')
+         SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                  l.ts AS signup_ts, l.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY l.ts DESC, l.event_id DESC) AS rn
+           FROM ev e JOIN signups l
+             ON e.user_id = l.user_id AND l.ts <= e.ts
+            AND l.ts >= e.ts - INTERVAL 2 DAY
+         ) WHERE rn = 1 ORDER BY event_id""",
+    "j_interval" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+         i AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, i.event_id AS iv_event_id
+         FROM p JOIN i ON p.user_id = i.user_id
+          AND p.ts >= i.ts - INTERVAL 1 HOUR
+          AND p.ts <= i.ts + INTERVAL 1 HOUR
+         ORDER BY 1, 4"""
+  )
+}
