@@ -88,6 +88,33 @@ final class GraftSparkCatalog extends TableCatalog with FunctionCatalog {
     new GraftSparkTable(warehouse.resolve(ident.name).toString, ident.name)
   }
 
+  /** `VERSION AS OF <id>` — the version string is a graft snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val id =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a numeric snapshot id, got '$version'")
+      }
+    new GraftSparkTable(warehouse.resolve(ident.name).toString, ident.name, Some(id))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; resolve to
+    * the newest snapshot committed at or before it (same cutoff rule as
+    * `GraftTable.readAsOfTimestamp`, parsed not lexicographic). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val cutoff = java.time.Instant.EPOCH.plus(timestamp,
+      java.time.temporal.ChronoUnit.MICROS)
+    val gt = cat.table(ident.name)
+    val id = gt.log.snapshotsCore()
+      .filter(s => !java.time.Instant.parse(s.committedAt).isAfter(cutoff))
+      .map(_.snapshotId).maxOption
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSparkTable(warehouse.resolve(ident.name).toString, ident.name, Some(id))
+  }
+
   /** `CREATE TABLE g.t (...) PARTITIONED BY (bucket(16, id))` — the bucket
     * transform becomes the graft bucket spec; any other transform is
     * rejected (the format has exactly one layout primitive). */

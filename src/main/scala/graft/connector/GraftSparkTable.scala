@@ -56,14 +56,22 @@ import graft.table.GraftTable
  * silently narrowing semantics, mirroring the serving paths' fallback
  * contract ([[graft.table.LocalPointRead]]).
  */
-final class GraftSparkTable(rootPath: String, tableName: String) extends Table with SupportsRead {
+final class GraftSparkTable(
+    rootPath: String, tableName: String, pinned: Option[Long] = None)
+  extends Table with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
   private lazy val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
   // One head per loadTable: the v2 Table is a snapshot-consistent handle
   // (Spark may plan several scans from one loadTable; they must agree).
-  private lazy val head: Snapshot = gt.log.latest().getOrElse(
-    throw new IllegalStateException(s"table $tableName has no committed snapshot"))
+  // `pinned` is the catalog's VERSION/TIMESTAMP AS OF handle.
+  private lazy val head: Snapshot = pinned match {
+    case Some(id) => gt.log.get(id).getOrElse(
+      throw new IllegalStateException(
+        s"table $tableName has no snapshot $id (expired or never committed)"))
+    case None => gt.log.latest().getOrElse(
+      throw new IllegalStateException(s"table $tableName has no committed snapshot"))
+  }
 
   private lazy val tableSchema =
     DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
@@ -146,16 +154,39 @@ final class GraftScanBuilder(
     readSchema = requiredSchema
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    pushed = filters.filter(f => ParquetPredicate.translate(f, tableSchema).isDefined)
+    pushed = filters.filter(f => ParquetPredicate.translate(f, tableSchema).isDefined ||
+      bucketsOf(f).isDefined)
     filters // all residual: the translation is advisory, Spark re-filters
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
+  /** Bucket ids a conjunct pins the bucket key to (`key = v`, `key IN`),
+    * via the same driver-side hash the write path used — the v2 form of
+    * [[graft.plans.BucketPruneRule]]: a point predicate plans 1/n of the
+    * table's partitions instead of all of them. */
+  private def bucketsOf(f: sources.Filter): Option[Set[Int]] = bucketSpec.flatMap {
+    case (bk, n) =>
+      val dt = tableSchema.fields.find(_.name == bk).map(_.dataType)
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      def bucket(v: Any): Int = graft.plans.BucketHash.bucketId(v, dt.get, n, tz)
+      f match {
+        case sources.EqualTo(a, v) if a == bk && v != null && dt.isDefined =>
+          try Some(Set(bucket(v))) catch { case _: Exception => None }
+        case sources.In(a, vs) if a == bk && vs.nonEmpty &&
+            vs.forall(_ != null) && dt.isDefined =>
+          try Some(vs.map(bucket).toSet) catch { case _: Exception => None }
+        case _ => None
+      }
+  }
+
   override def build(): Scan = {
     val predicate = pushed.flatMap(ParquetPredicate.translate(_, tableSchema))
       .reduceOption(FilterApi.and)
-    new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec, predicate)
+    // Conjuncts AND together, so the bucket sets intersect.
+    val keptBuckets = pushed.flatMap(bucketsOf).reduceOption(_ intersect _)
+    new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec,
+      predicate, keptBuckets)
   }
 }
 
@@ -176,7 +207,8 @@ final class GraftScan(
     head: Snapshot,
     override val readSchema: StructType,
     bucketSpec: Option[(String, Int)],
-    predicate: Option[FilterPredicate])
+    predicate: Option[FilterPredicate],
+    keptBuckets: Option[Set[Int]] = None)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def toBatch: Batch = this
@@ -212,6 +244,7 @@ final class GraftScan(
     case Some((_, n)) if head.dataDirs.nonEmpty &&
         head.dataDirs.forall(bucketOfDir(_).isDefined) =>
       val byBucket = head.dataDirs.groupBy(d => bucketOfDir(d).get)
+        .filter { case (b, _) => keptBuckets.forall(_.contains(b)) }
       val parts = byBucket.toSeq.sortBy(_._1).flatMap { case (b, dirs) =>
         val files = dirs.flatMap(listFiles)
         if (files.isEmpty) None

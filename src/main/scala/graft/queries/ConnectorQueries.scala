@@ -87,6 +87,21 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Time travel through the v2 catalog: VERSION AS OF pins the scan to
+    // the pre-append snapshot, so the delta rows must be absent.
+    "t_v2_timetravel" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val o = tbl(s, d, "orders")
+      val t = new graft.catalog.GraftCatalog(s, wh).materialized("orders")
+      t.overwriteBucketed(o.filter(col("o_orderkey") <= 2000), "o_orderkey", 4)
+      val v1 = t.latestVersion
+      t.append(o.filter(col("o_orderkey") > 2000))
+      s.sql(s"SELECT o_orderkey, o_totalprice FROM $cat.orders " +
+        s"VERSION AS OF $v1 ORDER BY o_orderkey")
+    }),
+
     // v2 SQL surface end-to-end: CREATE TABLE ... PARTITIONED BY
     // (bucket(n, col)) through the catalog, INSERT via the table API,
     // SELECT through spark.sql over the catalog-qualified name.
@@ -120,6 +135,9 @@ object ConnectorQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+    "t_v2_timetravel" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
     "t_v2_sql" ->
       // BIGINT cast: the DDL above declares n_regionkey BIGINT (append
       // casts on ingest), while the raw parquet stores int32.

@@ -169,6 +169,57 @@ class SpjSpec extends AnyFunSuite {
     assert(!Files.isDirectory(wh.resolve("n").resolve("_log")))
   }
 
+  test("a bucket-key point filter prunes the v2 scan to one partition") {
+    val (cat, _) = freshCat()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    val df = spark.table(s"$cat.orders").filter(col("o_orderkey") === 777L)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputPartitions.length == 1,
+      s"point filter must plan ONE bucket partition, got ${scans.head.inputPartitions.length}")
+    assert(df.count() == orders.filter(col("o_orderkey") === 777L).count())
+    // IN-list prunes to the union; a non-key filter keeps all 8.
+    val in = spark.table(s"$cat.orders")
+      .filter(col("o_orderkey").isin(777L, 7777L))
+    in.collect()
+    val inParts = in.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.length
+    assert(inParts <= 2 && inParts >= 1)
+    val all = spark.table(s"$cat.orders").filter(col("o_totalprice") > 0)
+    all.collect()
+    val allParts = all.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.length
+    assert(allParts == 8, s"non-key predicates must not prune, got $allParts")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin v2 reads to a snapshot") {
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("tt")
+    t.overwriteBucketed(o.filter(col("o_orderkey") <= 1000), "o_orderkey", 4)
+    val v1 = t.latestVersion
+    val tsAfterV1 = java.time.Instant.now().toString
+    Thread.sleep(5)
+    t.append(o.filter(col("o_orderkey") > 1000))
+    val n1 = o.filter(col("o_orderkey") <= 1000).count()
+    assert(spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF $v1").count() == n1)
+    assert(spark.sql(s"SELECT * FROM $cat.tt").count() == o.count())
+    assert(spark.sql(
+      s"SELECT * FROM $cat.tt TIMESTAMP AS OF '$tsAfterV1'").count() == n1)
+    // Unknown snapshot id fails loudly, not empty.
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF 999").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("999")), s"got: $e")
+  }
+
   test("v2 bucket function agrees bit-for-bit with the write path") {
     import org.apache.spark.sql.types._
     val f = graft.connector.GraftBucketFunction
