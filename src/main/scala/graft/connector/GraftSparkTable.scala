@@ -58,7 +58,8 @@ import graft.table.GraftTable
  */
 final class GraftSparkTable(
     rootPath: String, tableName: String, pinned: Option[Long] = None)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
   private lazy val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
@@ -84,7 +85,8 @@ final class GraftSparkTable(
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (k, n) => Expressions.bucket(n, k) }.toArray
@@ -107,6 +109,41 @@ final class GraftSparkTable(
         "commits; a bare file scan would miss newer images/tombstones. " +
         "compact() first, or read through GraftTable.read()/GraftSession.sql.")
     new GraftScanBuilder(spark, rootPath, tableName, head, tableSchema, bucketSpec)
+  }
+
+  /**
+   * Writes ride Spark's sanctioned v1 bridge (`V1_BATCH_WRITE` →
+   * [[org.apache.spark.sql.sources.InsertableRelation]]): the planned
+   * input DataFrame is handed to the GraftTable verbs, so `INSERT INTO`
+   * appends through the same schema-evolving commit protocol every other
+   * write path uses, and `INSERT OVERWRITE` / `writeTo(...).truncate`
+   * replaces while PRESERVING the table's bucket layout. A v2
+   * `BatchWrite` would only re-implement the distributed parquet write
+   * GraftTable already performs — the bridge adds the SQL surface without
+   * a second write path to keep correct.
+   */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to $tableName pinned at VERSION AS OF ${pinned.get}")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): this.type = { replace = true; this }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              if (replace) bucketSpec match {
+                case Some((k, n)) => gt.overwriteBucketed(data, k, n)
+                case None => gt.overwrite(data)
+              }
+              else gt.append(data)
+            }
+        }
+    }
   }
 }
 

@@ -87,6 +87,20 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SQL INSERT INTO through the v1 write bridge: both inserts land as
+    // schema-aligned append commits; the final SELECT reads them back
+    // through the v2 scan.
+    "t_v2_insert" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders",
+        tbl(s, d, "orders").filter(col("o_orderkey") <= 1000), "o_orderkey", 4)
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM " +
+        s"parquet.`$d/orders.parquet` WHERE o_orderkey BETWEEN 1001 AND 1500")
+      s.sql(s"INSERT INTO $cat.orders SELECT * FROM " +
+        s"parquet.`$d/orders.parquet` WHERE o_orderkey > 1500")
+      s.table(s"$cat.orders").orderBy("o_orderkey")
+    }),
+
     // Time travel through the v2 catalog: VERSION AS OF pins the scan to
     // the pre-append snapshot, so the delta rows must be absent.
     "t_v2_timetravel" -> ((s, d) => {
@@ -135,6 +149,8 @@ object ConnectorQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+    "t_v2_insert" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
     "t_v2_timetravel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",

@@ -220,6 +220,34 @@ class SpjSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m.contains("999")), s"got: $e")
   }
 
+  test("INSERT INTO / INSERT OVERWRITE / writeTo flow through the v1 bridge") {
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "w",
+      o.filter(col("o_orderkey") <= 1000), "o_orderkey", 4)
+    val gt = new graft.catalog.GraftCatalog(spark, wh).table("w")
+    val base = spark.table(s"$cat.w").count()
+    // SQL INSERT INTO appends through the commit protocol.
+    spark.sql(s"INSERT INTO $cat.w SELECT * FROM parquet.`$sf/orders.parquet` " +
+      "WHERE o_orderkey BETWEEN 1001 AND 1200")
+    val afterInsert = spark.table(s"$cat.w").count()
+    assert(afterInsert == base + o.filter(
+      col("o_orderkey").between(1001, 1200)).count())
+    // DataFrame writeTo(...).append().
+    o.filter(col("o_orderkey").between(1201, 1300)).writeTo(s"$cat.w").append()
+    assert(spark.table(s"$cat.w").count() ==
+      afterInsert + o.filter(col("o_orderkey").between(1201, 1300)).count())
+    // INSERT OVERWRITE replaces and PRESERVES the bucket layout.
+    spark.sql(s"INSERT OVERWRITE $cat.w SELECT * FROM parquet.`$sf/orders.parquet`")
+    assert(spark.table(s"$cat.w").count() == o.count())
+    assert(gt.bucketSpec.contains(("o_orderkey", 4)),
+      s"overwrite must keep the bucket spec, got ${gt.bucketSpec}")
+    // A snapshot-pinned handle refuses writes.
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.w VERSION AS OF 1 SELECT * FROM parquet.`$sf/orders.parquet`"))
+    assert(e != null)
+  }
+
   test("v2 bucket function agrees bit-for-bit with the write path") {
     import org.apache.spark.sql.types._
     val f = graft.connector.GraftBucketFunction
