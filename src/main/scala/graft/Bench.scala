@@ -44,6 +44,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
@@ -724,6 +725,58 @@ object Bench {
         med
       } catch { case e: Throwable => errors("cluster_layout") = errText(e); -1.0 }
 
+    // STORAGE-PARTITIONED JOIN section: the same co-bucketed orders ⋈
+    // lineitem aggregation priced through the v2 catalog (zero exchanges —
+    // SpjSpec asserts the plan; this measures what the elision buys) and
+    // through the plain parquet path (both sides exchange). Broadcast is
+    // pinned off in BOTH arms so the comparison is exchange-vs-no-exchange,
+    // not exchange-vs-broadcast; at 100 TB neither side broadcasts anyway.
+    var spjWaves: Seq[Double] = Seq.empty
+    var spjShuffleWaves: Seq[Double] = Seq.empty
+    var spjJoinSec = -1.0
+    val spjShuffleSec =
+      try {
+        val cat = graft.queries.ConnectorQueries.tempCatalog(spark)
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        graft.queries.ConnectorQueries.ingestBucketed(
+          spark, cat, "orders", orders, "o_orderkey", 16)
+        graft.queries.ConnectorQueries.ingestBucketed(
+          spark, cat, "lineitem", li, "l_orderkey", 16)
+        // The shuffled twin reads the SAME graft-table files through the
+        // plain scan path — the arms differ only in exchange-vs-elision.
+        val wh = java.nio.file.Paths.get(
+          spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+        val gcat = new graft.catalog.GraftCatalog(spark, wh)
+        val (ot, lt) = (gcat.table("orders"), gcat.table("lineitem"))
+        def agg(l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame): Long =
+          l.join(r, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(sum("l_quantity"), count(lit(1))).count()
+        val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          agg(spark.table(s"$cat.orders"), spark.table(s"$cat.lineitem")) // warm-up
+          val entry = calibMtMs()
+          val (ws, med) = robustWaves("spj_join", 3, minSurvivors = 2, entry) { _ =>
+            val t0 = System.nanoTime()
+            require(agg(spark.table(s"$cat.orders"),
+              spark.table(s"$cat.lineitem")) > 0)
+            (System.nanoTime() - t0) / 1e9
+          }
+          spjWaves = ws; spjJoinSec = med
+          agg(ot.read(), lt.read()) // warm-up the shuffled shape
+          val (sws, smed) = robustWaves("spj_shuffle", 3, minSurvivors = 2, entry) { _ =>
+            val t0 = System.nanoTime()
+            require(agg(ot.read(), lt.read()) > 0)
+            (System.nanoTime() - t0) / 1e9
+          }
+          spjShuffleWaves = sws
+          smed
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      } catch { case e: Throwable => errors("spj_join") = errText(e); -1.0 }
+
     def jnum(d: Double): String =
       if (d.isNaN || d.isInfinite) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -749,7 +802,7 @@ object Bench {
     val curDispersion = curWaves
       .map { case (k, ws) => s"\"$k\":${jarr(ws)}" }.mkString("{", ",", "}")
     val dispersion =
-      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"point_ms":${jarr(pointWaves)},"cluster_window_ms":${jarr(clusterWindowWaves)},"curation_secs":$curDispersion}"""
+      s"""{"headline_secs":$headDispersion,"merge_secs":${jarr(mergeWaves)},"mor_secs":${jarr(morWaves)},"cdc_cow_secs":${jarr(cdcCowWaves)},"cdc_mor_secs":${jarr(cdcMorWaves)},"lookup_ms":${jarr(lookupWaves)},"lookup_warm_ms":${jarr(lookupWarmWaves)},"lookup_multi_ms":${jarr(lookupMultiWaves)},"lookup_mor_ms":${jarr(morLookupWaves)},"point_ms":${jarr(pointWaves)},"cluster_window_ms":${jarr(clusterWindowWaves)},"spj_join_secs":${jarr(spjWaves)},"spj_shuffle_secs":${jarr(spjShuffleWaves)},"curation_secs":$curDispersion}"""
     val cdcStats =
       if (cdcCowWaves.isEmpty) "null"
       else s"""{"min":${jnum(cdcCowWaves.min)},"median":${jnum(median(cdcCowWaves))},"max":${jnum(cdcCowWaves.max)}}"""
@@ -787,7 +840,7 @@ object Bench {
     val underIngestJson =
       if (lookupUnderIngest.isEmpty) "null"
       else s"""{"p50_ms":${jnum(pct(lookupUnderIngest, 0.50))},"p99_ms":${jnum(pct(lookupUnderIngest, 0.99))},"max_ms":${jnum(lookupUnderIngest.max)},"n":${lookupUnderIngest.size}}"""
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"point_ms":${jnum(pointMs)},"point_scan_ms":${jnum(pointScanMs)},"lookup_under_ingest":$underIngestJson,"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"wave_calib_mt_ms":$waveBracketJson,"section_entry_mt_ms":$entryJson,"dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"point_ms":${jnum(pointMs)},"point_scan_ms":${jnum(pointScanMs)},"lookup_under_ingest":$underIngestJson,"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"spj_join_sec":${jnum(spjJoinSec)},"spj_shuffle_join_sec":${jnum(spjShuffleSec)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"cdc_section_calib_mt_ms":$cdcCalibJson,"wave_calib_mt_ms":$waveBracketJson,"section_entry_mt_ms":$entryJson,"dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // With `run / outputStrategy := StdoutOutput` the forked JVM's stdout
     // passes through sbt verbatim, so this line is bare, parseable JSON in
     // the driver's capture. The sentinel-prefixed copy is for grep; the

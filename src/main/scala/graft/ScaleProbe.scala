@@ -332,6 +332,78 @@ object ScaleProbe {
       }
     }
 
+    // Storage-partitioned-join scaling — the v2 connector's 100 TB claim:
+    // the co-bucketed join's SHUFFLE bytes stay ~ZERO at every f (only the
+    // final scalar agg exchanges a handful of partials), while the SAME
+    // join over the same data read as plain parquet shuffles both sides
+    // linearly. Both tables and the bucket count scale with f (a real
+    // table is bucket-sized to its data), so per-partition work is
+    // constant and wall time tracks total data. Broadcast is pinned off in
+    // both arms: the comparison is exchange-vs-no-exchange, and at 100 TB
+    // neither side broadcasts.
+    if (only.forall(s => s("spj_join") || s("spj_shuffle_join")))
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val ev = (0 until f).map { k =>
+        ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val right = ev.select(col("event_id"), (col("value") * 2).as("v2"))
+      val cat = graft.queries.ConnectorQueries.tempCatalog(spark)
+      graft.queries.ConnectorQueries.ingestBucketed(
+        spark, cat, "l", ev, "event_id", 16 * f)
+      graft.queries.ConnectorQueries.ingestBucketed(
+        spark, cat, "r", right, "event_id", 16 * f)
+      // The shuffled twin reads the SAME graft-table files through the
+      // plain scan path, so the two arms differ ONLY in exchange-vs-elision
+      // (a twin over the original parquet would also compare file layouts).
+      val wh = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val gcat = new graft.catalog.GraftCatalog(spark, wh)
+      val (lt, rt) = (gcat.table("l"), gcat.table("r"))
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def spj(): Long = {
+          val d = spark.table(s"$cat.l").join(spark.table(s"$cat.r"), "event_id")
+            .agg(sum("value"), sum("v2")).count()
+          d
+        }
+        timedWaves("spj_join", f, () => { spj(); () })(_ => spj())
+        def shuffled(): Long =
+          lt.read().join(rt.read(), "event_id")
+            .agg(sum("value"), sum("v2")).count()
+        timedWaves("spj_shuffle_join", f, () => { shuffled(); () })(_ => shuffled())
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+
+    // As-of join scaling: the union-window plan's one exchange carries
+    // |L|+|R| rows, so time AND shuffle exponents ≈ 1. Copies shift BOTH
+    // ids and user ids — growth adds keys, never per-key depth — matching
+    // how an events corpus actually grows.
+    if (only.forall(_("j_asof")))
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val ev = (0 until f).map { k =>
+        ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("ts"), col("event_type"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        ev.count()
+        // count(s_event_id), not count(): a bare row count lets Catalyst
+        // prune the unreferenced window column and the whole sweep with it
+        // (first probe read 0 MB shuffle and flat time — it measured a
+        // filtered union count, not the join).
+        def aj(): Long = graft.ops.TimeJoin.asofBackward(
+          ev, ev.filter(col("event_type") === "signup"),
+          "user_id", "ts", "ts", Seq("event_id"), prefix = "s_",
+          tieBreak = Some("event_id"))
+          .agg(count("s_event_id"), count(lit(1))).head.getLong(1)
+        timedWaves("j_asof", f, () => { aj(); () })(_ => aj())
+      } finally ev.unpersist(blocking = false)
+    }
+
     // CDC merge scaling — the reference's core workload, not covered by
     // the document probes above. Each wave is a full-update envelope
     // image of EVERY key (the bench's steady diet) applied to a bucketed

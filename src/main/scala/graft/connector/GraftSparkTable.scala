@@ -332,10 +332,94 @@ final class GraftReaderFactory(
     hadoopConf: SerializableConfiguration)
   extends PartitionReaderFactory {
 
+  // Columnar whenever every requested column is atomic: the vectorized
+  // reader then hands whole ColumnarBatches to the scan and the query
+  // stays inside whole-stage codegen — measured 2× over the row path on
+  // the f10 SPJ probe (per-row InternalRow hand-off was the bottleneck,
+  // not the join). Nested/array schemas fall back to rows.
+  private val columnar = {
+    val st = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+    st.fields.nonEmpty && st.fields.forall(_.dataType match {
+      case _: ArrayType | _: MapType | _: StructType |
+           _: UserDefinedType[_] | NullType | CalendarIntervalType => false
+      case _ => true
+    })
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.files, readSchemaJson, predicate, hadoopConf.value)
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarPartitionReader(p.files, readSchemaJson, predicate, hadoopConf.value)
+  }
+}
+
+/** Shared per-partition reader conf (see GraftPartitionReader's doc). */
+private[connector] object GraftReaderConf {
+  def build(
+      base: Configuration,
+      readSchemaJson: String,
+      predicate: Option[FilterPredicate]): Configuration = {
+    val c = new Configuration(base)
+    c.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", readSchemaJson)
+    c.set("spark.sql.parquet.binaryAsString", "false")
+    c.set("spark.sql.parquet.int96AsTimestamp", "true")
+    c.set("spark.sql.caseSensitive", "false")
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    predicate.foreach(ParquetInputFormat.setFilterPredicate(c, _))
+    c
+  }
+}
+
+private final class GraftColumnarPartitionReader(
+    files: Array[FileSlice],
+    readSchemaJson: String,
+    predicate: Option[FilterPredicate],
+    base: Configuration)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val conf = GraftReaderConf.build(base, readSchemaJson, predicate)
+  private var idx = 0
+  private var current: VectorizedParquetRecordReader = _
+
+  private def openNext(): Boolean = {
+    if (idx >= files.length) return false
+    val f = files(idx); idx += 1
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(f.path), 0, f.len, null.asInstanceOf[Array[String]])
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    try {
+      rdr.initialize(split, ctx)
+      rdr.enableReturningBatches()
+      current = rdr; true
+    } catch { case e: Throwable => rdr.close(); throw e }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) { if (!openNext()) return false }
+      else if (current.nextKeyValue()) return true
+      else { current.close(); current = null }
+    }
+    false // unreachable
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    current.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+
+  override def close(): Unit =
+    if (current != null) { current.close(); current = null }
 }
 
 private final class GraftPartitionReader(
@@ -350,19 +434,7 @@ private final class GraftPartitionReader(
   // flag is set); row-group filtering levels keep parquet defaults here —
   // a throughput scan amortizes index reads that a millisecond point read
   // cannot.
-  private val conf = {
-    val c = new Configuration(base)
-    c.set("parquet.read.support.class",
-      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    c.set("org.apache.spark.sql.parquet.row.requested_schema", readSchemaJson)
-    c.set("spark.sql.parquet.binaryAsString", "false")
-    c.set("spark.sql.parquet.int96AsTimestamp", "true")
-    c.set("spark.sql.caseSensitive", "false")
-    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    predicate.foreach(ParquetInputFormat.setFilterPredicate(c, _))
-    c
-  }
+  private val conf = GraftReaderConf.build(base, readSchemaJson, predicate)
 
   private var idx = 0
   private var current: VectorizedParquetRecordReader = _
