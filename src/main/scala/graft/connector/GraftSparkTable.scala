@@ -182,10 +182,72 @@ final class GraftScanBuilder(
     bucketSpec: Option[(String, Int)])
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var readSchema: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Seq[Any])] = None
+
+  /**
+   * COMPLETE aggregate pushdown from table metadata — `SELECT count(*)`,
+   * `min(c)`, `max(c)` (no GROUP BY, no surviving filters) answered by the
+   * driver-side manifest fold [[GraftTable.statsFromMetadataAt]]: O(dirs)
+   * work and ZERO data I/O, where the normal plan scans the whole table.
+   * Every decline case (pending deltas, missing per-dir counts/stats,
+   * string columns whose parquet stats may be truncated) returns None and
+   * the aggregation runs as a plain scan — the metadata path answers
+   * exactly or not at all, the same contract as `statsSummary`.
+   */
+  private def evalAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            tableSchema.fieldNames.contains(r.fieldNames()(0)) =>
+          Some(r.fieldNames()(0))
+        case _ => None
+      }
+    // Column each aggregate needs stats for (None = count). Any shape
+    // outside {count(*), min(col), max(col)} declines the whole push.
+    val shapes: Seq[Option[String]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => None
+      case m: Min => Some(colOf(m.column).getOrElse(return None))
+      case m: Max => Some(colOf(m.column).getOrElse(return None))
+      case _ => return None
+    }
+    val cols = shapes.flatten.distinct
+    val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
+    gt.statsFromMetadataAt(head, cols).map { case (cnt, stats) =>
+      val byCol = stats.map(s => s._1 -> s).toMap
+      val out = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false), cnt: Any)
+        case m: Min =>
+          val c = colOf(m.column).get
+          (StructField(s"min($c)", tableSchema(c).dataType), byCol(c)._2)
+        case m: Max =>
+          val c = colOf(m.column).get
+          (StructField(s"max($c)", tableSchema(c).dataType), byCol(c)._3)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      (StructType(out.map(_._1)), out.map(_._2))
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    evalAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = evalAgg(agg)
+    pushedAgg.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
@@ -217,18 +279,68 @@ final class GraftScanBuilder(
       }
   }
 
-  override def build(): Scan = {
-    val predicate = pushed.flatMap(ParquetPredicate.translate(_, tableSchema))
-      .reduceOption(FilterApi.and)
-    // Conjuncts AND together, so the bucket sets intersect.
-    val keptBuckets = pushed.flatMap(bucketsOf).reduceOption(_ intersect _)
-    new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec,
-      predicate, keptBuckets)
+  override def build(): Scan = pushedAgg match {
+    case Some((aggSchema, values)) =>
+      new GraftAggScan(tableName, head.snapshotId, aggSchema, values)
+    case None =>
+      val predicate = pushed.flatMap(ParquetPredicate.translate(_, tableSchema))
+        .reduceOption(FilterApi.and)
+      // Conjuncts AND together, so the bucket sets intersect.
+      val keptBuckets = pushed.flatMap(bucketsOf).reduceOption(_ intersect _)
+      new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec,
+        predicate, keptBuckets)
   }
 }
 
 /** One file of a scan partition. */
 private[connector] case class FileSlice(path: String, len: Long)
+
+/**
+ * The completely-pushed-aggregate scan: ONE partition whose reader emits
+ * the single pre-computed result row (values were folded from the
+ * manifest on the driver at plan time — the scan ships answers, not
+ * work). External (java) values ride serialization; the reader converts
+ * to Catalyst on arrival.
+ */
+private[connector] final class GraftAggScan(
+    tableName: String,
+    snapshotId: Long,
+    aggSchema: StructType,
+    values: Seq[Any])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $tableName snapshot=$snapshotId metadata-aggregate " +
+      s"PushedAggregates=[${aggSchema.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(aggSchema.json, values.toArray))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val ap = p.asInstanceOf[GraftAggPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val st = DataType.fromJson(ap.schemaJson).asInstanceOf[StructType]
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = {
+            val catalyst = st.fields.zip(ap.values).map { case (f, v) =>
+              org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .createToCatalystConverter(f.dataType)(v)
+            }
+            new GenericInternalRow(catalyst.asInstanceOf[Array[Any]])
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[connector] case class GraftAggPartition(
+    schemaJson: String, values: Array[Any]) extends InputPartition
 
 /**
  * Scan/Batch: one input partition per `__bucket=k` (all commits' leaf dirs

@@ -87,6 +87,22 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Metadata-only aggregate pushdown: count(*)/min/max on a stats-covered
+    // column answered from the manifest fold — SpjSpec asserts the plan has
+    // no aggregate and no file scan; this gate checks the VALUES over a
+    // multi-commit table.
+    "t_v2_agg_push" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val o = tbl(s, d, "orders")
+      val t = new graft.catalog.GraftCatalog(s, wh).materialized("orders")
+      t.overwriteBucketed(o.filter(col("o_orderkey") <= 5000), "o_orderkey", 4)
+      t.append(o.filter(col("o_orderkey") > 5000))
+      s.sql(s"SELECT count(*) AS cnt, min(o_orderkey) AS mn, " +
+        s"max(o_orderkey) AS mx FROM $cat.orders")
+    }),
+
     // SQL INSERT INTO through the v1 write bridge: both inserts land as
     // schema-aligned append commits; the final SELECT reads them back
     // through the v2 scan.
@@ -149,6 +165,9 @@ object ConnectorQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+    "t_v2_agg_push" ->
+      """SELECT count(*) AS cnt, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+         FROM orders""",
     "t_v2_insert" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "t_v2_timetravel" ->

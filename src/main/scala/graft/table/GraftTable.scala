@@ -690,9 +690,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   def statsFromMetadata(
       columns: Seq[String] = Seq.empty): Option[(Long, Seq[(String, Any, Any)])] = {
-    import org.apache.spark.sql.types._
     val head = log.latest().getOrElse(
       return Some((0L, columns.map(c => (c, null, null)))))
+    statsFromMetadataAt(head, columns)
+  }
+
+  /** [[statsFromMetadata]] folded at a SPECIFIC snapshot — the form the v2
+    * connector's aggregate pushdown uses, so a scan pinned by
+    * `VERSION AS OF` (or planned moments before a concurrent commit)
+    * answers for ITS snapshot, never a newer head. */
+  def statsFromMetadataAt(
+      head: Snapshot,
+      columns: Seq[String]): Option[(Long, Seq[(String, Any, Any)])] = {
+    import org.apache.spark.sql.types._
     if (head.deltaDirs.nonEmpty) return None
     if (!head.dataDirs.forall(head.dirRecords.contains)) return None
     val cnt = head.dataDirs.map(head.dirRecords).sum

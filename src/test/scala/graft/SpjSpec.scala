@@ -248,6 +248,33 @@ class SpjSpec extends AnyFunSuite {
     assert(e != null)
   }
 
+  test("count/min/max push down to the manifest — no aggregate, no file scan") {
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("o")
+    t.overwriteBucketed(o.filter(col("o_orderkey") <= 1000), "o_orderkey", 4)
+    t.append(o.filter(col("o_orderkey") > 1000)) // multi-commit stat fold
+    val df = spark.sql(s"SELECT count(*) AS cnt, min(o_orderkey) AS mn, " +
+      s"max(o_orderkey) AS mx FROM $cat.o")
+    val row = df.head()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("metadata-aggregate") && !p.contains("HashAggregate"),
+      s"aggregate must complete-push to metadata:\n$p")
+    assert(row.getLong(0) == o.count())
+    assert(row.getLong(1) == o.agg(min("o_orderkey")).head.getLong(0))
+    assert(row.getLong(2) == o.agg(max("o_orderkey")).head.getLong(0))
+    // A column outside the stats harvest declines: the fallback plan
+    // aggregates a real scan and stays correct.
+    val fb = spark.sql(s"SELECT max(o_totalprice) AS mx FROM $cat.o")
+    assert(fb.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(fb.head.getDouble(0) == o.agg(max("o_totalprice")).head.getDouble(0))
+    // A filter above the aggregate declines the metadata path too.
+    val filt = spark.sql(
+      s"SELECT count(*) AS c FROM $cat.o WHERE o_orderkey > 1000")
+    assert(filt.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(filt.head.getLong(0) == o.filter(col("o_orderkey") > 1000).count())
+  }
+
   test("v2 bucket function agrees bit-for-bit with the write path") {
     import org.apache.spark.sql.types._
     val f = graft.connector.GraftBucketFunction
