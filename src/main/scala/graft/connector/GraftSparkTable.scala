@@ -51,10 +51,14 @@ import graft.table.GraftTable
  *    projection (wide tables decode only the selected columns).
  *
  * Pending MOR deltas make a plain file scan WRONG (a delta may hold a
- * newer image or tombstone), and the resolving rank-window belongs to
- * `GraftTable.read()` — so `newScanBuilder` refuses loudly instead of
- * silently narrowing semantics, mirroring the serving paths' fallback
- * contract ([[graft.table.LocalPointRead]]).
+ * newer image or tombstone). On tables bucketed by the mor key the scan
+ * resolves the chain itself, per bucket, with the same algebra as
+ * `GraftTable.resolveDeltas` ([[GraftMorPartitionReader]]) — keys never
+ * leave their bucket, so storage-partitioned joins hold even mid-ingest.
+ * Anything the in-scan resolver cannot handle (unbucketed chain key,
+ * over-cap chain, exotic key type) refuses loudly instead of silently
+ * narrowing semantics, mirroring the serving paths' fallback contract
+ * ([[graft.table.LocalPointRead]]).
  */
 final class GraftSparkTable(
     rootPath: String, tableName: String, pinned: Option[Long] = None)
@@ -104,11 +108,21 @@ final class GraftSparkTable(
   override def version(): String = head.snapshotId.toString
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(head.deltaDirs.isEmpty,
-      s"table $tableName has ${head.deltaDirs.size} pending merge-on-read delta " +
-        "commits; a bare file scan would miss newer images/tombstones. " +
-        "compact() first, or read through GraftTable.read()/GraftSession.sql.")
-    new GraftScanBuilder(spark, rootPath, tableName, head, tableSchema, bucketSpec)
+    // Pending MOR deltas: resolvable in-scan when the chain is
+    // bucket-co-located with the base (see GraftMorPartitionReader) —
+    // otherwise refuse loudly rather than serve stale images.
+    val morKey: Option[String] =
+      if (head.deltaDirs.isEmpty) None
+      else {
+        val reason = GraftSparkTable.morUnresolvable(head, tableSchema, bucketSpec)
+        require(reason.isEmpty,
+          s"table $tableName has ${head.deltaDirs.size} pending merge-on-read delta " +
+            s"commits the v2 scan cannot resolve (${reason.get}); compact() first, " +
+            "or read through GraftTable.read()/GraftSession.sql.")
+        Some(head.summary("mor_key"))
+      }
+    new GraftScanBuilder(spark, rootPath, tableName, head, tableSchema, bucketSpec,
+      morKey)
   }
 
   /**
@@ -148,6 +162,51 @@ final class GraftSparkTable(
 }
 
 object GraftSparkTable {
+
+  /** Delta-chain byte cap for the in-scan MOR resolver: every bucket task
+    * re-reads the (unbucketed) chain and keeps only its bucket's keys, so
+    * the cap bounds BOTH the n× chain re-read and the per-task map. The
+    * chain is bounded by compaction cadence, not table size — same
+    * argument as the serving path's cap. */
+  val MorDeltaMaxBytesProp = "graft.v2.morDeltaMaxBytes"
+  def morDeltaMaxBytes: Long =
+    sys.props.get(MorDeltaMaxBytesProp).map(_.toLong).getOrElse(256L << 20)
+
+  /** The write path's bucket assignment on a CATALYST value (see
+    * [[GraftBucketFunction]] — null folds to the xxhash64 seed). Shared by
+    * the v2 bucket function and the MOR reader's chain filter. */
+  def bucketIdOf(v: Any, dt: DataType, n: Int): Int = {
+    val h =
+      if (v == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, dt, 42L)
+    (((h % n) + n) % n).toInt
+  }
+
+  /** None = the pending chain CAN resolve inside the v2 scan; Some(why)
+    * otherwise. Resolvable needs: the table bucketed BY the mor key (so a
+    * key's delta images belong to exactly one bucket partition — delta
+    * DIRS themselves are unbucketed, the ingest path deliberately writes
+    * without a shuffle), every base dir a `__bucket=k` leaf, and a
+    * map-friendly key type. The chain byte cap is checked at plan time
+    * where file sizes are already listed. */
+  def morUnresolvable(
+      head: Snapshot,
+      tableSchema: StructType,
+      bucketSpec: Option[(String, Int)]): Option[String] = {
+    val morKey = head.summary.get("mor_key")
+      .getOrElse(return Some("chain carries no mor_key"))
+    if (!bucketSpec.exists(_._1 == morKey))
+      return Some(s"table is not bucketed by the mor key $morKey")
+    if (!head.dataDirs.forall(_.contains("__bucket=")))
+      return Some("a base data dir is not a bucket leaf")
+    tableSchema.fields.find(_.name == morKey).map(_.dataType) match {
+      case Some(BinaryType) | None =>
+        Some(s"mor key $morKey type unsupported for in-scan resolution")
+      case Some(dt) if !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] => None
+      case _ => Some(s"mor key $morKey type unsupported for in-scan resolution")
+    }
+  }
+
   /** Parse a v2 transform as `bucket(n, col)` if that is what it is. */
   def asBucketTransform(t: Transform): Option[(String, Int)] =
     if (t.name != "bucket") None
@@ -179,7 +238,8 @@ final class GraftScanBuilder(
     tableName: String,
     head: Snapshot,
     tableSchema: StructType,
-    bucketSpec: Option[(String, Int)])
+    bucketSpec: Option[(String, Int)],
+    morKey: Option[String] = None)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -288,7 +348,7 @@ final class GraftScanBuilder(
       // Conjuncts AND together, so the bucket sets intersect.
       val keptBuckets = pushed.flatMap(bucketsOf).reduceOption(_ intersect _)
       new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec,
-        predicate, keptBuckets)
+        predicate, keptBuckets, morKey)
   }
 }
 
@@ -357,7 +417,8 @@ final class GraftScan(
     override val readSchema: StructType,
     bucketSpec: Option[(String, Int)],
     predicate: Option[FilterPredicate],
-    keptBuckets: Option[Set[Int]] = None)
+    keptBuckets: Option[Set[Int]] = None,
+    morKey: Option[String] = None)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def toBatch: Batch = this
@@ -388,19 +449,46 @@ final class GraftScan(
 
   /** (partitions, keyGrouped?): bucket-grouped only when EVERY data dir is
     * a bucket leaf — one foreign dir (pre-layout history) and the claim
-    * would be a lie, so the scan degrades to unknown partitioning. */
+    * would be a lie, so the scan degrades to unknown partitioning. With a
+    * pending MOR chain (morKey set — validated bucket-co-located at
+    * loadTable), each bucket's partition also carries ITS slice of the
+    * chain in sequence order; partitioning stays key-grouped because
+    * resolution never moves a row across its key's bucket. */
   private lazy val planned: (Array[InputPartition], Boolean) = bucketSpec match {
-    case Some((_, n)) if head.dataDirs.nonEmpty &&
-        head.dataDirs.forall(bucketOfDir(_).isDefined) =>
+    case Some((_, n)) if (head.dataDirs ++ head.deltaDirs).nonEmpty &&
+        head.dataDirs.forall(bucketOfDir(_).isDefined) &&
+        (morKey.isDefined || head.deltaDirs.isEmpty) =>
+      // Delta dirs are UNBUCKETED (the ingest path appends without a
+      // shuffle): every bucket partition carries the whole chain and its
+      // reader keeps only the rows hashing into its bucket. The plan-time
+      // cap bounds the n× re-read and the per-task map together.
+      val chain: Array[DeltaSlice] = head.deltaDirs.zipWithIndex
+        .flatMap { case (d, i) =>
+          listFiles(d).map(f => DeltaSlice((i + 1).toLong, f.path, f.len))
+        }.toArray
+      if (morKey.isDefined) {
+        val chainBytes = chain.map(_.len).sum
+        require(chainBytes <= GraftSparkTable.morDeltaMaxBytes,
+          s"pending delta chain is $chainBytes bytes " +
+            s"(cap ${GraftSparkTable.morDeltaMaxBytes}); compact() first")
+      }
       val byBucket = head.dataDirs.groupBy(d => bucketOfDir(d).get)
-        .filter { case (b, _) => keptBuckets.forall(_.contains(b)) }
-      val parts = byBucket.toSeq.sortBy(_._1).flatMap { case (b, dirs) =>
-        val files = dirs.flatMap(listFiles)
-        if (files.isEmpty) None
-        else Some(GraftInputPartition(files.toArray, b): InputPartition)
+      val allBuckets =
+        (byBucket.keySet ++ (if (chain.nonEmpty) (0 until n).toSet else Set.empty))
+          .toSeq.sorted
+          .filter(b => keptBuckets.forall(_.contains(b)))
+      val parts = allBuckets.flatMap { b =>
+        val files = byBucket.getOrElse(b, Seq.empty).flatMap(listFiles)
+        if (files.isEmpty && chain.isEmpty) None
+        else Some(GraftInputPartition(files.toArray, b, chain): InputPartition)
       }
       (parts.toArray, true)
     case _ =>
+      // Unreachable with a pending chain (newScanBuilder only admits
+      // deltas on all-leaf bucketed tables) — belt and suspenders against
+      // ever planning a stale bare scan.
+      require(head.deltaDirs.isEmpty,
+        s"internal: unpartitioned plan cannot resolve ${head.deltaDirs.size} deltas")
       val parts = head.dataDirs.flatMap { d =>
         val files = listFiles(d)
         if (files.isEmpty) None
@@ -419,11 +507,18 @@ final class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readSchema.json, predicate, hadoopConf)
+    new GraftReaderFactory(readSchema.json, predicate, hadoopConf,
+      morKey.map(k => (k,
+        DataType.fromJson(head.schemaJson).asInstanceOf[StructType](k).dataType.json,
+        bucketSpec.get._2)))
 }
 
+/** One delta-chain file of a bucket partition: chain sequence + location. */
+private[connector] case class DeltaSlice(seq: Long, path: String, len: Long)
+
 private[connector] case class GraftInputPartition(
-    files: Array[FileSlice], bucketId: Int)
+    files: Array[FileSlice], bucketId: Int,
+    deltaFiles: Array[DeltaSlice] = Array.empty)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
@@ -441,15 +536,17 @@ private[connector] case class GraftInputPartition(
 final class GraftReaderFactory(
     readSchemaJson: String,
     predicate: Option[FilterPredicate],
-    hadoopConf: SerializableConfiguration)
+    hadoopConf: SerializableConfiguration,
+    morInfo: Option[(String, String, Int)] = None) // (mor key, key type json, n)
   extends PartitionReaderFactory {
 
   // Columnar whenever every requested column is atomic: the vectorized
   // reader then hands whole ColumnarBatches to the scan and the query
   // stays inside whole-stage codegen — measured 2× over the row path on
   // the f10 SPJ probe (per-row InternalRow hand-off was the bottleneck,
-  // not the join). Nested/array schemas fall back to rows.
-  private val columnar = {
+  // not the join). Nested/array schemas — and partitions that must merge
+  // a pending delta chain row-by-row — fall back to rows.
+  private val columnar = morInfo.isEmpty && {
     val st = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
     st.fields.nonEmpty && st.fields.forall(_.dataType match {
       case _: ArrayType | _: MapType | _: StructType |
@@ -462,7 +559,13 @@ final class GraftReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.files, readSchemaJson, predicate, hadoopConf.value)
+    morInfo match {
+      case Some((key, keyDtJson, numBuckets)) =>
+        new GraftMorPartitionReader(p, readSchemaJson, key, keyDtJson,
+          numBuckets, predicate, hadoopConf.value)
+      case None =>
+        new GraftPartitionReader(p.files, readSchemaJson, predicate, hadoopConf.value)
+    }
   }
 
   override def createColumnarReader(partition: InputPartition)
@@ -580,6 +683,161 @@ private final class GraftPartitionReader(
 
   override def close(): Unit =
     if (current != null) { current.close(); current = null }
+}
+
+/**
+ * In-scan merge-on-read resolution, one bucket per task — the same
+ * algebra as `GraftTable.resolveDeltas` (base rows at sequence 0, each
+ * delta batch at its chain position, latest sequence per key wins — ALL
+ * rows tied at the top, matching the rank cut — and a winning
+ * `__op = 'd'` tombstone deletes), executed as a hash merge instead of a
+ * window: the task materializes ITS bucket's delta chain into a key map
+ * (bounded by compaction cadence / bucket count — plan-time byte cap, see
+ * [[GraftSparkTable.morDeltaMaxBytes]]), then streams base files emitting
+ * rows whose key the chain does not supersede, then the surviving chain
+ * images. Keys never cross buckets, so the scan's KeyGroupedPartitioning
+ * claim — and storage-partitioned joins — hold even mid-ingest.
+ *
+ * The pushed parquet predicate applies to BASE files only: a filtered-out
+ * delta row would un-supersede its stale base image (the map must see the
+ * whole chain); winning delta rows are re-filtered by Spark above the
+ * scan, so skipping nothing on the chain costs correctness nothing.
+ */
+private final class GraftMorPartitionReader(
+    p: GraftInputPartition,
+    readSchemaJson: String,
+    keyCol: String,
+    keyDtJson: String,
+    numBuckets: Int,
+    predicate: Option[FilterPredicate],
+    base: Configuration)
+  extends PartitionReader[InternalRow] {
+
+  private val readSt = DataType.fromJson(readSchemaJson).asInstanceOf[StructType]
+  private val keyDt = DataType.fromJson(keyDtJson)
+  private val keyInRead = readSt.fieldNames.contains(keyCol)
+  // Base request = readSchema (+ key if pruned away); delta request adds
+  // __op (append-born chain files lack the column physically — the reader
+  // null-fills, which IS the upsert/append distinction the algebra wants).
+  private val baseSt =
+    if (keyInRead) readSt
+    else StructType(readSt.fields :+ StructField(keyCol, keyDt))
+  private val deltaSt = StructType(baseSt.fields :+
+    StructField("__op", StringType))
+  private val keyIdx = baseSt.fieldIndex(keyCol)
+  private val opIdx = deltaSt.length - 1
+  private val n = readSt.length
+
+  /** NULL keys group like a window's null partition. */
+  private object NullKey
+
+  private def keyOf(r: InternalRow): Any =
+    if (r.isNullAt(keyIdx)) NullKey
+    else keyDt match {
+      case StringType => r.getUTF8String(keyIdx).copy() // view → owned bytes
+      case dt => r.get(keyIdx, dt)
+    }
+
+  /** Project a baseSt/deltaSt-layout row to readSchema (leading n fields). */
+  private def project(r: InternalRow, sameLayout: Boolean): InternalRow =
+    if (sameLayout) r
+    else {
+      val a = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        a(i) = if (r.isNullAt(i)) null else r.get(i, readSt(i).dataType)
+        i += 1
+      }
+      new GenericInternalRow(a)
+    }
+
+  private def eachRow(
+      conf: Configuration, path: String, len: Long)(f: InternalRow => Unit): Unit = {
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(path), 0, len, null.asInstanceOf[Array[String]])
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    try {
+      rdr.initialize(split, ctx)
+      while (rdr.nextKeyValue()) f(rdr.getCurrentValue.asInstanceOf[InternalRow])
+    } finally rdr.close()
+  }
+
+  // key -> (winning seq, all rows AT that seq — copied, deltaSt layout).
+  private lazy val winners: java.util.HashMap[Any, (Long, scala.collection.mutable.ArrayBuffer[InternalRow])] = {
+    val m = new java.util.HashMap[Any, (Long, scala.collection.mutable.ArrayBuffer[InternalRow])]()
+    val conf = GraftReaderConf.build(base, deltaSt.json, None)
+    p.deltaFiles.foreach { d =>
+      eachRow(conf, d.path, d.len) { r =>
+        // The chain is unbucketed: keep only THIS bucket's keys (same
+        // hash as the base layout, so a key's base and chain images meet
+        // in exactly one partition).
+        val kv = if (r.isNullAt(keyIdx)) null else r.get(keyIdx, keyDt)
+        if (GraftSparkTable.bucketIdOf(kv, keyDt, numBuckets) != p.bucketId)
+          ()
+        else {
+        val k = keyOf(r)
+        val cur = m.get(k)
+        if (cur == null || d.seq > cur._1) {
+          val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](1)
+          buf += r.copy()
+          m.put(k, (d.seq, buf))
+        } else if (d.seq == cur._1) cur._2 += r.copy()
+        }
+      }
+    }
+    m
+  }
+
+  private var deltaIter: java.util.Iterator[InternalRow] = _
+  private var cur: InternalRow = _
+  private var fileIdx = 0
+  private var baseRdr: VectorizedParquetRecordReader = _
+  private lazy val baseConf = GraftReaderConf.build(base, baseSt.json, predicate)
+
+  private def openNextBase(): Boolean = {
+    if (fileIdx >= p.files.length) return false
+    val f = p.files(fileIdx); fileIdx += 1
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(f.path), 0, f.len, null.asInstanceOf[Array[String]])
+    val ctx = new TaskAttemptContextImpl(baseConf, new TaskAttemptID())
+    try { rdr.initialize(split, ctx); baseRdr = rdr; true }
+    catch { case e: Throwable => rdr.close(); throw e }
+  }
+
+  override def next(): Boolean = {
+    if (deltaIter == null) {
+      // Surviving chain images first: winners minus tombstones.
+      val out = new java.util.ArrayList[InternalRow]()
+      winners.values().forEach { case (_, rows) =>
+        rows.foreach { r =>
+          val del = !r.isNullAt(opIdx) && r.getUTF8String(opIdx).toString == "d"
+          if (!del) out.add(project(r, sameLayout = false))
+        }
+      }
+      deltaIter = out.iterator()
+    }
+    if (deltaIter.hasNext) { cur = deltaIter.next(); return true }
+    while (true) {
+      if (baseRdr == null) { if (!openNextBase()) return false }
+      else if (baseRdr.nextKeyValue()) {
+        val r = baseRdr.getCurrentValue.asInstanceOf[InternalRow]
+        if (!winners.containsKey(keyOf(r))) {
+          cur = project(r, sameLayout = keyInRead)
+          return true
+        }
+      } else { baseRdr.close(); baseRdr = null }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = cur
+
+  override def close(): Unit =
+    if (baseRdr != null) { baseRdr.close(); baseRdr = null }
 }
 
 /**

@@ -87,6 +87,27 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // In-scan MOR resolution: the v2 read under a pending three-commit
+    // delta chain (updates + tombstones + a chain-landing re-update) must
+    // equal the resolved state the oracle computes from the raw parquet.
+    "t_v2_mor_read" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val o = tbl(s, d, "orders")
+      val t = new graft.catalog.GraftCatalog(s, wh).materialized("orders")
+      t.overwriteBucketed(o, "o_orderkey", 8)
+      t.upsertDeferred(o.filter(col("o_orderkey") <= 500)
+        .withColumn("o_totalprice", lit(1.0)), "o_orderkey")
+      t.upsertDeferred(o.filter(col("o_orderkey").between(501, 600))
+        .withColumn("op", lit("d")), "o_orderkey", opCol = Some("op"))
+      t.upsertDeferred(o.filter(col("o_orderkey").between(100, 200))
+        .withColumn("o_totalprice", lit(2.0)), "o_orderkey")
+      s.table(s"$cat.orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // Metadata-only aggregate pushdown: count(*)/min/max on a stats-covered
     // column answered from the manifest fold — SpjSpec asserts the plan has
     // no aggregate and no file scan; this gate checks the VALUES over a
@@ -164,6 +185,13 @@ object ConnectorQueries {
     "t_v2_filter" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+    "t_v2_mor_read" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey BETWEEN 100 AND 200 THEN 2.0
+              WHEN o_orderkey <= 500 THEN 1.0
+              ELSE o_totalprice END AS o_totalprice
+         FROM orders WHERE o_orderkey NOT BETWEEN 501 AND 600
          ORDER BY o_orderkey""",
     "t_v2_agg_push" ->
       """SELECT count(*) AS cnt, min(o_orderkey) AS mn, max(o_orderkey) AS mx

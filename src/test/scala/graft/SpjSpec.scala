@@ -134,22 +134,50 @@ class SpjSpec extends AnyFunSuite {
       viaTable.filter(col("c_acctbal").isNull).count())
   }
 
-  test("pending MOR deltas refuse a bare v2 scan loudly") {
+  test("the v2 scan resolves pending MOR deltas exactly like GraftTable.read") {
     val (cat, wh) = freshCat()
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val t = new graft.catalog.GraftCatalog(spark, wh).materialized("mor")
     t.overwriteBucketed(o, "o_orderkey", 4)
-    t.upsertDeferred(o.limit(10).withColumn("o_totalprice", lit(1.0)), "o_orderkey")
-    val e = intercept[Exception] {
-      spark.table(s"$cat.mor").collect()
+    // A three-commit chain: updates, tombstones, and an append landing on
+    // the pending chain (duplicate-capable seq ties).
+    t.upsertDeferred(o.filter(col("o_orderkey") <= 50)
+      .withColumn("o_totalprice", lit(1.0)), "o_orderkey")
+    t.upsertDeferred(o.filter(col("o_orderkey").between(51, 60))
+      .withColumn("op", lit("d")), "o_orderkey", opCol = Some("op"))
+    t.upsertDeferred(o.filter(col("o_orderkey").between(20, 30))
+      .withColumn("o_totalprice", lit(2.0)), "o_orderkey")
+    val viaV2 = spark.table(s"$cat.mor")
+    val viaTable = t.read()
+    assert(viaV2.count() == viaTable.count())
+    assert(viaV2.exceptAll(viaTable).isEmpty && viaTable.exceptAll(viaV2).isEmpty)
+    assert(viaV2.filter(col("o_totalprice") === 2.0).count() == 11)
+    assert(viaV2.filter(col("o_orderkey").between(51, 60)).count() == 0)
+    // The chain stays key-grouped: the co-bucketed self-join is still
+    // exchange-free UNDER pending deltas.
+    noBroadcast {
+      ConnectorQueries.ingestBucketed(spark, cat, "dim",
+        o.select("o_orderkey", "o_orderpriority"), "o_orderkey", 4)
+      val joined = spark.table(s"$cat.mor")
+        .join(spark.table(s"$cat.dim"), "o_orderkey")
+      assert(shuffleCount(joined) == 0,
+        "SPJ must hold mid-ingest:\n" + joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      assert(joined.count() == viaTable.count())
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("merge-on-read")), s"got: $e")
-    // compact() folds the chain; the v2 scan then serves the merged state.
+    // Over the per-bucket byte cap the scan refuses loudly, never stale.
+    sys.props(graft.connector.GraftSparkTable.MorDeltaMaxBytesProp) = "10"
+    try {
+      val e = intercept[Exception](spark.table(s"$cat.mor").collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("compact") || m.contains("delta")), s"got: $e")
+    } finally sys.props.remove(graft.connector.GraftSparkTable.MorDeltaMaxBytesProp)
+    // compact() folds the chain; the plain columnar scan serves the result.
     t.compact()
     val merged = spark.table(s"$cat.mor")
-    assert(merged.filter(col("o_totalprice") === 1.0).count() == 10)
+    assert(merged.filter(col("o_totalprice") === 2.0).count() == 11)
+    assert(merged.count() == viaTable.count())
   }
 
   test("CREATE TABLE ... PARTITIONED BY (bucket(n, col)) round-trips via SQL") {
