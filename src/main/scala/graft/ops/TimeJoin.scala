@@ -28,10 +28,12 @@ import graft.plans.TimestampMicrosExprs.wallMicros
  *    span/binWidth — pick binWidth near the typical span so the blowup
  *    is a small constant while each bin's candidate set stays tiny.
  *
- * Skew note (100 TB): both plans serialize a single hot KEY into one
- * task. For as-of that is inherent to the running-state sweep (the
- * remedy is time-range sub-partitioning with boundary carry-over — a
- * second pass over per-range last states); intervalJoin's (key, bin)
+ * Skew note (100 TB): the plain sweep serializes a single hot KEY into
+ * one task. [[asofBackward]]'s `timeSplits > 1` engages the remedy —
+ * time-range sub-partitioning with boundary carry-over: each (key,
+ * range) sweeps in its own task, seeded by the key's winning right image
+ * from earlier ranges (a tiny keys × splits side computation), exactly
+ * reproducing the monolithic result. intervalJoin's (key, bin)
  * clustering already splits a hot key across its time bins, which is the
  * built-in salt.
  */
@@ -64,10 +66,14 @@ object TimeJoin {
       prefix: String = "asof_",
       tieBreak: Option[String] = None,
       tolerance: Option[Column] = None,
-      inner: Boolean = false): DataFrame = {
+      inner: Boolean = false,
+      timeSplits: Int = 1): DataFrame = {
     val payload = (rightTs +: rightPayload.filterNot(_ == rightTs))
     val tieCol = tieBreak.map(col).getOrElse(lit(null))
-    val r2 = right.select(
+    // A NULL-timestamp right can never match (SQL: `r.ts <= l.ts` is never
+    // TRUE); dropped here so the nulls-first window order can't smuggle
+    // one in as "earliest".
+    val r2 = right.filter(col(rightTs).isNotNull).select(
       col(key).as("__k"),
       col(rightTs).as("__t"),
       struct(payload.map(col): _*).as("__r"),
@@ -80,16 +86,76 @@ object TimeJoin {
       lit(1).as("__src"),
       lit(null).cast(r2.schema("__tie").dataType).as("__tie"))
       .withColumn("__r", lit(null).cast(r2.schema("__r").dataType))
-    val u = l2.unionByName(
-      r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType)),
-      allowMissingColumns = false)
+    val r2l = r2.withColumn("__l", lit(null).cast(l2.schema("__l").dataType))
     // Rights sort before lefts at the same instant (src 0 < 1), so an
     // equal-timestamp right IS visible — the inclusive <= contract. Among
     // equal-timestamp rights the largest tieBreak sorts last and wins.
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = u.withColumn("__m", last("__r", ignoreNulls = true).over(w))
+    val swept =
+      if (timeSplits <= 1) {
+        val u = l2.unionByName(r2l, allowMissingColumns = false)
+        val w = Window.partitionBy("__k")
+          .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__m", last("__r", ignoreNulls = true).over(w))
+      } else {
+        // HOT-KEY path: the running sweep serializes each key into one
+        // task, so a key holding 10% of a 100 TB corpus is a straggler by
+        // construction. Splitting TIME into fixed ranges parallelizes the
+        // key timeSplits-ways: each (key, split) sweeps independently,
+        // seeded with the key's winning right image from all EARLIER
+        // splits (computed over the tiny per-(key, split) winner set — at
+        // most keys × splits rows). A seed's timestamp is strictly below
+        // its split's range, so it sorts first and any in-split right
+        // supersedes it, reproducing the monolithic sweep exactly.
+        import graft.plans.TimestampMicrosExprs.wallMicros
+        val bounds = l2.select(wallMicros(col("__t")).as("m"))
+          .unionByName(r2.select(wallMicros(col("__t")).as("m")))
+          .agg(min("m"), max("m")).head()
+        if (bounds.isNullAt(0)) {
+          // No timestamped rows at all: the mono plan handles it.
+          val u = l2.unionByName(r2l, allowMissingColumns = false)
+          val w = Window.partitionBy("__k")
+            .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          u.withColumn("__m", last("__r", ignoreNulls = true).over(w))
+        } else {
+          val mn = bounds.getLong(0)
+          val width = math.max(1L, (bounds.getLong(1) - mn) / timeSplits + 1)
+          def splitId(c: Column): Column =
+            floor((wallMicros(c) - mn) / width).cast("int")
+          val l3 = l2.withColumn("__s", splitId(col("__t")))
+          val r3 = r2l.withColumn("__s", splitId(col("__t")))
+          // Winner per (key, split) among rights: argmax by (ts, tie) —
+          // the same cut the sweep's ordering makes.
+          val winners = r3.groupBy("__k", "__s").agg(
+            max_by(struct(col("__t"), col("__tie"), col("__r")),
+              struct(col("__t"), col("__tie"))).as("__w"))
+          // Carry-in per (key, split): the last winner over EARLIER
+          // splits, materialized for every split a left row occupies
+          // (splits with no rights still need their carry).
+          val domain = l3.select("__k", "__s").distinct()
+            .unionByName(winners.select("__k", "__s")).distinct()
+          val carry = domain.join(winners, Seq("__k", "__s"), "left")
+            .withColumn("__c", last(col("__w"), ignoreNulls = true).over(
+              Window.partitionBy("__k").orderBy("__s")
+                .rowsBetween(Window.unboundedPreceding, -1)))
+            .filter(col("__c").isNotNull)
+          val seeds = carry.select(
+            col("__k"),
+            col("__c").getField("__t").as("__t"),
+            col("__c").getField("__r").as("__r"),
+            lit(0).as("__src"),
+            col("__c").getField("__tie").as("__tie"),
+            lit(null).cast(l2.schema("__l").dataType).as("__l"),
+            col("__s"))
+          val u = l3.unionByName(r3, allowMissingColumns = false)
+            .unionByName(seeds, allowMissingColumns = false)
+          val w = Window.partitionBy("__k", "__s")
+            .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          u.withColumn("__m", last("__r", ignoreNulls = true).over(w))
+        }
+      }
     val matched = tolerance match {
       case Some(tol) =>
         // NULL-safe: a NULL __m stays NULL through the comparison.

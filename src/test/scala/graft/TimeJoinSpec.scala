@@ -132,6 +132,36 @@ class TimeJoinSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("time-split asof equals the monolithic sweep, hot key included") {
+    val rnd = new scala.util.Random(41)
+    // One hot key carries half of both sides; ties and tolerance edges in.
+    def keyFor(): java.lang.Long =
+      if (rnd.nextBoolean()) 7L else rnd.nextInt(6).toLong
+    val lefts = (1 to 600).map { i =>
+      (i.toLong, keyFor(), new Timestamp(1700000000000L + rnd.nextInt(2000) * 500L))
+    }
+    val rights = (1 to 300).map { i =>
+      (i.toLong, keyFor(), new Timestamp(1700000000000L + rnd.nextInt(100) * 10000L),
+        rnd.nextDouble())
+    }
+    val l = lefts.toDF("lid", "k", "t")
+    val r = rights.toDF("rid", "k", "t", "v")
+    for (tol <- Seq(None, Some(expr("INTERVAL 1 HOUR")))) {
+      val mono = TimeJoin.asofBackward(l, r, "k", "t", "t", Seq("rid", "v"),
+        prefix = "m_", tieBreak = Some("rid"), tolerance = tol)
+      val split = TimeJoin.asofBackward(l, r, "k", "t", "t", Seq("rid", "v"),
+        prefix = "m_", tieBreak = Some("rid"), tolerance = tol, timeSplits = 16)
+      assert(split.count() == mono.count())
+      assert(split.exceptAll(mono).isEmpty && mono.exceptAll(split).isEmpty,
+        s"split != mono for tolerance $tol")
+    }
+    // The split plan's window partitions by (key, split): the hot key's
+    // sweep spreads over many partitions instead of one.
+    val plan = TimeJoin.asofBackward(l, r, "k", "t", "t", Seq("v"),
+      timeSplits = 16).queryExecution.optimizedPlan.toString
+    assert(plan.contains("__s"), s"expected a split column in:\n$plan")
+  }
+
   test("asof with an empty right side keeps all lefts unmatched") {
     val l = Seq((1L, 1L, ts("2024-01-10 00:00:00"))).toDF("lid", "k", "t")
     val r = Seq.empty[(Long, Long, Timestamp, String)].toDF("rid", "k", "t", "v")
