@@ -404,6 +404,38 @@ object ScaleProbe {
       } finally ev.unpersist(blocking = false)
     }
 
+    // Hot-key as-of probe: EVERY row carries one key — the monolithic
+    // sweep is fully serialized (one task sorts and sweeps the lot) while
+    // timeSplits=32 spreads it over 32 (key, range) partitions with
+    // carry-over seeds. Two depths bracket the measured crossover on this
+    // box: at 100k-1M rows per key the mono sweep still wins (a single
+    // task sorts that in ~0.2 s; the split path pays ~0.4 s of bounds/
+    // winners/carry machinery), at 5M rows per key the split sweep wins
+    // ~2× (3.1-3.6 s vs 5.8-6.3 s measured) and the gap widens with
+    // depth. timeSplits is therefore a deliberate knob for the
+    // millions-of-rows-per-entity regime, not a default.
+    if (only.forall(s => s("j_asof_hot") || s("j_asof_hot_mono")))
+    for (f <- Seq(1, 5 * factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val hot = (0 until f).map { k =>
+        ev0.select(
+          (col("event_id") + lit(k * 100000000L)).as("event_id"),
+          lit(777L).as("user_id"),
+          col("ts"), col("event_type"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        hot.count()
+        def aj(splits: Int): Long = graft.ops.TimeJoin.asofBackward(
+          hot, hot.filter(col("event_type") === "signup"),
+          "user_id", "ts", "ts", Seq("event_id"), prefix = "s_",
+          tieBreak = Some("event_id"), timeSplits = splits)
+          .agg(count("s_event_id"), count(lit(1))).head.getLong(1)
+        timedWaves("j_asof_hot_mono", f, () => { aj(1); () })(_ => aj(1))
+        timedWaves("j_asof_hot", f, () => { aj(32); () })(_ => aj(32))
+      } finally hot.unpersist(blocking = false)
+    }
+
     // CDC merge scaling — the reference's core workload, not covered by
     // the document probes above. Each wave is a full-update envelope
     // image of EVERY key (the bench's steady diet) applied to a bucketed
