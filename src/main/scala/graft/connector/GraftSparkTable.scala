@@ -419,7 +419,8 @@ final class GraftScan(
     predicate: Option[FilterPredicate],
     keptBuckets: Option[Set[Int]] = None,
     morKey: Option[String] = None)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   override def toBatch: Batch = this
 
@@ -497,7 +498,103 @@ final class GraftScan(
       (parts.toArray, false)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = planned._1
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeKept match {
+      case Some(kept) => planned._1.filter {
+        case p: GraftInputPartition => p.bucketId < 0 || kept.contains(p.bucketId)
+        case _ => true
+      }
+      case None => planned._1
+    }
+
+  /**
+   * Manifest-backed size/row statistics: per-dir record counts sum to
+   * numRows (exact when complete; deltas add their file-size share), file
+   * lengths — already listed for planning — to sizeInBytes. Reporting
+   * them lets Catalyst make the SAME broadcast/join-strategy calls
+   * through the connector it would make on a native scan; without them a
+   * v2 relation defaults to "unknown, huge" and a small dim table read
+   * through the catalog never broadcasts.
+   */
+  override def estimateStatistics(): Statistics = {
+    val bytes = planned._1.collect {
+      case p: GraftInputPartition =>
+        p.files.map(_.len).sum + p.deltaFiles.map(_.len).sum
+    }.sum
+    val rows: Option[Long] =
+      if (head.deltaDirs.isEmpty && keptBuckets.isEmpty &&
+          head.dataDirs.forall(head.dirRecords.contains))
+        Some(head.dataDirs.map(head.dirRecords).sum)
+      else None
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  // ---- runtime (join-derived) bucket pruning: Spark hands the scan the
+  // build side's key values mid-execution; equality/IN shapes on the
+  // bucket key drop whole bucket partitions before any task launches —
+  // dynamic partition pruning over the hash layout.
+  private var runtimeKept: Option[Set[Int]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    bucketSpec match {
+      case Some((k, _)) => Array(Expressions.column(k))
+      case None => Array.empty
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    if (sys.props.get("graft.v2.debug").contains("true"))
+      println(s"GRAFTDBG filter() called with ${predicates.length}: " +
+        predicates.map(p => p.name() + ":" + p.describe()).mkString(" | "))
+    bucketSpec.foreach { case (bk, n) =>
+    val dt = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      .fields.find(_.name == bk).map(_.dataType)
+    // Catalyst-representation literal of EXACTLY the column's type: the
+    // bucket hash is type-width-sensitive, so a differently-typed runtime
+    // value (coercion artifacts) must not prune.
+    def litVal(e: org.apache.spark.sql.connector.expressions.Expression): Option[Any] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if dt.contains(l.dataType) => Option(l.value)
+        case _ => None
+      }
+    def refIs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.sameElements(Array(bk))
+        case _ => false
+      }
+    val sets = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && refIs(kids.head) =>
+          val vs = kids.tail.map(litVal)
+          if (vs.forall(_.isDefined) && dt.isDefined)
+            Some(vs.flatten.map(v =>
+              GraftSparkTable.bucketIdOf(v, dt.get, n)).toSet)
+          else None
+        case "=" if kids.length == 2 && dt.isDefined =>
+          (if (refIs(kids(0))) litVal(kids(1))
+           else if (refIs(kids(1))) litVal(kids(0))
+           else None)
+            .map(v => Set(GraftSparkTable.bucketIdOf(v, dt.get, n)))
+        case _ => None
+      }
+    }
+    // Runtime predicates AND together; an untranslatable one simply
+    // doesn't prune (Spark re-evaluates every filter above the scan).
+    if (sets.nonEmpty) runtimeKept = Some(sets.reduce(_ intersect _))
+    GraftScan.lastRuntimeKept = runtimeKept
+    }
+  }
 
   override def outputPartitioning(): Partitioning = bucketSpec match {
     case Some((k, n)) if planned._2 =>
@@ -511,6 +608,12 @@ final class GraftScan(
       morKey.map(k => (k,
         DataType.fromJson(head.schemaJson).asInstanceOf[StructType](k).dataType.json,
         bucketSpec.get._2)))
+}
+
+object GraftScan {
+  /** Observability/test hook: the bucket set the most recent runtime
+    * `filter()` call kept (None = untranslatable, no pruning). */
+  @volatile var lastRuntimeKept: Option[Set[Int]] = None
 }
 
 /** One delta-chain file of a bucket partition: chain sequence + location. */

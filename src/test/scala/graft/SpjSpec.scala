@@ -303,6 +303,60 @@ class SpjSpec extends AnyFunSuite {
     assert(filt.head.getLong(0) == o.filter(col("o_orderkey") > 1000).count())
   }
 
+  test("join-derived runtime filtering prunes fact buckets dynamically") {
+    val (cat, _) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "fact", o, "o_orderkey", 8)
+    // Two keys KNOWN to share a bucket, written to an opaque parquet dim so
+    // the optimizer cannot fold them into a static pushdown — only the
+    // runtime (DPP) path can prune.
+    import org.apache.spark.sql.types.LongType
+    val keys = o.select("o_orderkey").limit(500).collect().map(_.getLong(0))
+    val b0 = graft.plans.BucketHash.bucketId(keys.head, LongType, 8, "UTC")
+    val k2 = keys.tail.find(k =>
+      graft.plans.BucketHash.bucketId(k, LongType, 8, "UTC") == b0).get
+    val dimPath = TestSpark.tmpDir("dpp-").resolve("dim").toString
+    import spark.implicits._
+    Seq(keys.head, k2).toDF("k").write.parquet(dimPath)
+    // DPP only inserts when the build side carries a selective predicate.
+    val dim = spark.read.parquet(dimPath).filter(col("k") > Long.MinValue)
+    val df = spark.table(s"$cat.fact").join(dim, col("o_orderkey") === col("k"))
+    assert(df.count() == 2)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b } ++
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+        }.flatten
+    val bs = scans(df.queryExecution.executedPlan)
+    assert(bs.nonEmpty && bs.head.runtimeFilters.nonEmpty,
+      "expected a runtime (dynamic pruning) filter on the v2 scan")
+    // The scan's runtime filter() translated the join keys to exactly the
+    // one shared bucket (BatchScanExec replans partitions through it; the
+    // public `partitions` accessor predates the filter, hence the hook).
+    assert(graft.connector.GraftScan.lastRuntimeKept.contains(Set(b0)),
+      s"runtime prune kept ${graft.connector.GraftScan.lastRuntimeKept}, expected Set($b0)")
+    // (BatchScanExec replans input partitions through filter() — Spark's
+    // own machinery from here; values were asserted above.)
+  }
+
+  test("the v2 scan reports manifest statistics so small tables broadcast") {
+    val (cat, _) = freshCat()
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "nation_v2",
+      nation, "n_nationkey", 2)
+    val o = spark.read.parquet(s"$sf/customer.parquet")
+    // Catalog-read dim joined to a big plain frame: with manifest stats the
+    // planner sees a KB-sized relation and broadcasts it (no sort-merge).
+    val joined = o.join(spark.table(s"$cat.nation_v2"),
+      col("c_nationkey") === col("n_nationkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"v2 dim with reported stats must broadcast:\n$p")
+  }
+
   test("v2 bucket function agrees bit-for-bit with the write path") {
     import org.apache.spark.sql.types._
     val f = graft.connector.GraftBucketFunction
