@@ -344,6 +344,14 @@ object Shell {
       .withExtensions(new graft.plans.GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The process's ONE warehouse doubles as a native Spark catalog: the
+    // sql verb (and any spark.sql) can address `lake.<table>` — v2 scans
+    // with storage-partitioned joins, VERSION/TIMESTAMP AS OF, INSERT
+    // INTO, and metadata-aggregate pushdown, alongside the classic views.
+    spark.conf.set("spark.sql.catalog.lake",
+      classOf[graft.connector.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lake.warehouse",
+      java.nio.file.Paths.get(warehouse).toAbsolutePath.toString)
     val session = new GraftSession(
       new GraftCatalog(spark, java.nio.file.Paths.get(warehouse)))
     session.refreshViews()

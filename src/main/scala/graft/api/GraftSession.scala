@@ -31,7 +31,11 @@ final class GraftSession(val catalog: GraftCatalog) {
   def registerView(name: String): Unit =
     catalog.table(name).read().createOrReplaceTempView(name)
 
-  private val VersionAsOf = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+  // The leading lookbehind skips qualified names (`lake.t VERSION AS OF 1`
+  // is a CATALOG reference — Spark's own time travel resolves it through
+  // GraftSparkCatalog.loadTable(ident, version); rewriting its last
+  // segment to a view name would break it).
+  private val VersionAsOf = """(?i)(?<![\w.])([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
 
   // TABLE_CHANGES('t', from[, to[, 'pk']]) — Delta's CDF table-valued
   // function shape over our change feed. `to` defaults to the head, `pk`

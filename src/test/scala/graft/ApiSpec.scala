@@ -32,6 +32,24 @@ class ApiSpec extends AnyFunSuite {
     assert(n == 500)
   }
 
+  test("VERSION AS OF on a catalog-QUALIFIED name is left to Spark's catalog") {
+    val s = freshSession()
+    val wh = s.catalog.warehouse
+    val cat = "apiq_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.connector.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    // The session's sugar must NOT rewrite `cat.orders_t` (its last segment
+    // names a session table) — Spark's loadTable(ident, version) owns it.
+    val v1 = s.sql(s"SELECT count(*) AS c FROM $cat.orders_t VERSION AS OF 1")
+      .head.getLong(0)
+    val all = s.sql(s"SELECT count(*) AS c FROM $cat.orders_t").head.getLong(0)
+    assert(v1 < all, s"v1=$v1 all=$all")
+    // The bare-name sugar still pins session views.
+    assert(s.sql("SELECT count(*) AS c FROM orders_t VERSION AS OF 1")
+      .head.getLong(0) == v1)
+  }
+
   test("VERSION AS OF inside a string literal is NOT rewritten") {
     val s = freshSession()
     // The literal must survive verbatim while the real sugar still fires.
