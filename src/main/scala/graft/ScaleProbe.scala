@@ -263,7 +263,8 @@ object ScaleProbe {
     // the extrapolation base at negligible probe cost (events is the small
     // table). The exponent fields still derive from f1→factor; the f30
     // entry is read directly off the artifact.
-    if (only.forall(s => s("t_cluster_rewrite") || s("t_cluster_window")))
+    if (only.forall(s => s("t_cluster_rewrite") || s("t_cluster_window") ||
+        s("t_cluster_window_mor")))
     for (f <- Seq(1, factor, 3 * factor)) {
       val ev0 = graft.queries.Q.events(spark, sfDir)
       val ev = (0 until f).map { k =>
@@ -277,10 +278,12 @@ object ScaleProbe {
       val tc0 = System.nanoTime()
       t.cluster(Seq("event_id"), 16 * f) // dirs scale with data: fixed dir size
       val clusterSec = (System.nanoTime() - tc0) / 1e9
-      results.getOrElseUpdate("t_cluster_rewrite",
-        scala.collection.mutable.LinkedHashMap.empty)(f) =
-        ((Seq(clusterSec), clusterSec, 0.0, ev.count()))
-      println(f"scaleprobe t_cluster_rewrite f=$f%-3d median=$clusterSec%8.3fs")
+      if (only.forall(_("t_cluster_rewrite"))) {
+        results.getOrElseUpdate("t_cluster_rewrite",
+          scala.collection.mutable.LinkedHashMap.empty)(f) =
+          ((Seq(clusterSec), clusterSec, 0.0, ev.count()))
+        println(f"scaleprobe t_cluster_rewrite f=$f%-3d median=$clusterSec%8.3fs")
+      }
       timedWaves("t_cluster_window", f,
         () => { t.readRange("event_id", 10000L, 12000L).count(); () }) { _ =>
         t.readRange("event_id", 10000L, 12000L).count()

@@ -7,7 +7,6 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
@@ -194,12 +193,10 @@ object GraftBucketFunction extends UnboundFunction {
     override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
     override def isDeterministic: Boolean = true
     override def produceResult(input: InternalRow): Integer = {
-      val n = input.getInt(0)
-      // Catalyst hash expressions fold a null child to the running seed.
-      val h =
-        if (input.isNullAt(1)) 42L
-        else XxHash64Function.hash(input.get(1, dt), dt, 42L)
-      (((h % n) + n) % n).toInt
+      // ONE implementation of the bucket assignment (bit-for-bit parity
+      // with the write path is a correctness requirement — never fork it).
+      GraftSparkTable.bucketIdOf(
+        if (input.isNullAt(1)) null else input.get(1, dt), dt, input.getInt(0))
     }
   }
 }

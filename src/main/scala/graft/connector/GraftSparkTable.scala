@@ -197,14 +197,29 @@ object GraftSparkTable {
       .getOrElse(return Some("chain carries no mor_key"))
     if (!bucketSpec.exists(_._1 == morKey))
       return Some(s"table is not bucketed by the mor key $morKey")
-    if (!head.dataDirs.forall(_.contains("__bucket=")))
+    if (!head.dataDirs.forall(bucketOfDir(_).isDefined))
       return Some("a base data dir is not a bucket leaf")
+    // Key-type WHITELIST: the resolver's hash map needs value equality on
+    // the catalyst representation. Binary (arrays compare by identity) and
+    // every nested/exotic type are refused — admitting one would silently
+    // violate the algebra instead of refusing loudly.
     tableSchema.fields.find(_.name == morKey).map(_.dataType) match {
-      case Some(BinaryType) | None =>
+      case Some(ByteType | ShortType | IntegerType | LongType | FloatType |
+                DoubleType | StringType | BooleanType | DateType |
+                TimestampType | TimestampNTZType) => None
+      case Some(_: DecimalType) => None
+      case _ =>
         Some(s"mor key $morKey type unsupported for in-scan resolution")
-      case Some(dt) if !dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] => None
-      case _ => Some(s"mor key $morKey type unsupported for in-scan resolution")
     }
+  }
+
+  private val BucketLeaf = """.*__bucket=(\d+)$""".r
+
+  /** Anchored bucket-leaf parse (None on any malformed suffix — a foreign
+    * dir must degrade the layout claim, never crash planning). */
+  def bucketOfDir(dir: String): Option[Int] = dir match {
+    case BucketLeaf(b) => Some(b.toInt)
+    case _ => None
   }
 
   /** Parse a v2 transform as `bucket(n, col)` if that is what it is. */
@@ -299,13 +314,23 @@ final class GraftScanBuilder(
     }
   }
 
+  // Spark calls supportCompletePushDown then pushAggregation with the same
+  // Aggregation; memoize so the O(dirs) manifest fold runs once per plan.
+  private var lastAgg: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation, Option[(StructType, Seq[Any])])] = None
+  private def evalAggCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    if (!lastAgg.exists(_._1 eq agg)) lastAgg = Some((agg, evalAgg(agg)))
+    lastAgg.get._2
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    evalAgg(agg).isDefined
+    evalAggCached(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    pushedAgg = evalAgg(agg)
+    pushedAgg = evalAggCached(agg)
     pushedAgg.isDefined
   }
 
@@ -441,12 +466,8 @@ final class GraftScan(
       .map(f => FileSlice(f.getPath.toString, f.getLen))
   }
 
-  private val BucketMarker = "__bucket="
-
-  private def bucketOfDir(dir: String): Option[Int] = {
-    val i = dir.lastIndexOf(BucketMarker)
-    if (i < 0) None else Some(dir.substring(i + BucketMarker.length).toInt)
-  }
+  private def bucketOfDir(dir: String): Option[Int] =
+    GraftSparkTable.bucketOfDir(dir)
 
   /** (partitions, keyGrouped?): bucket-grouped only when EVERY data dir is
     * a bucket leaf — one foreign dir (pre-layout history) and the claim
@@ -551,9 +572,6 @@ final class GraftScan(
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
-    if (sys.props.get("graft.v2.debug").contains("true"))
-      println(s"GRAFTDBG filter() called with ${predicates.length}: " +
-        predicates.map(p => p.name() + ":" + p.describe()).mkString(" | "))
     bucketSpec.foreach { case (bk, n) =>
     val dt = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       .fields.find(_.name == bk).map(_.dataType)
@@ -680,6 +698,25 @@ final class GraftReaderFactory(
 
 /** Shared per-partition reader conf (see GraftPartitionReader's doc). */
 private[connector] object GraftReaderConf {
+  /** The one copy of the vectorized-reader open recipe (rebase CORRECTED:
+    * every graft file is written by this library on Spark 4 — see
+    * LocalPointRead; mapred FileSplit: the reader's initialize downcasts
+    * to it); close-on-throw so a failed initialize leaks nothing. */
+  def openReader(
+      conf: Configuration, path: String, len: Long,
+      columnar: Boolean = false): VectorizedParquetRecordReader = {
+    val rdr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(path), 0, len, null.asInstanceOf[Array[String]])
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    try {
+      rdr.initialize(split, ctx)
+      if (columnar) rdr.enableReturningBatches()
+      rdr
+    } catch { case e: Throwable => rdr.close(); throw e }
+  }
+
   def build(
       base: Configuration,
       readSchemaJson: String,
@@ -712,16 +749,8 @@ private final class GraftColumnarPartitionReader(
   private def openNext(): Boolean = {
     if (idx >= files.length) return false
     val f = files(idx); idx += 1
-    val rdr = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(f.path), 0, f.len, null.asInstanceOf[Array[String]])
-    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
-    try {
-      rdr.initialize(split, ctx)
-      rdr.enableReturningBatches()
-      current = rdr; true
-    } catch { case e: Throwable => rdr.close(); throw e }
+    current = GraftReaderConf.openReader(conf, f.path, f.len, columnar = true)
+    true
   }
 
   override def next(): Boolean = {
@@ -760,16 +789,8 @@ private final class GraftPartitionReader(
   private def openNext(): Boolean = {
     if (idx >= files.length) return false
     val f = files(idx); idx += 1
-    // Rebase CORRECTED: every graft file is written by this library on
-    // Spark 4 (proleptic calendar) — see LocalPointRead.
-    val rdr = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    // mapred (old-API) FileSplit: the reader's initialize downcasts to it.
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(f.path), 0, f.len, null.asInstanceOf[Array[String]])
-    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
-    try { rdr.initialize(split, ctx); current = rdr; true }
-    catch { case e: Throwable => rdr.close(); throw e }
+    current = GraftReaderConf.openReader(conf, f.path, f.len)
+    true
   }
 
   override def next(): Boolean = {
@@ -856,13 +877,8 @@ private final class GraftMorPartitionReader(
 
   private def eachRow(
       conf: Configuration, path: String, len: Long)(f: InternalRow => Unit): Unit = {
-    val rdr = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(path), 0, len, null.asInstanceOf[Array[String]])
-    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    val rdr = GraftReaderConf.openReader(conf, path, len)
     try {
-      rdr.initialize(split, ctx)
       while (rdr.nextKeyValue()) f(rdr.getCurrentValue.asInstanceOf[InternalRow])
     } finally rdr.close()
   }
@@ -902,13 +918,8 @@ private final class GraftMorPartitionReader(
   private def openNextBase(): Boolean = {
     if (fileIdx >= p.files.length) return false
     val f = p.files(fileIdx); fileIdx += 1
-    val rdr = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-    val split = new org.apache.hadoop.mapred.FileSplit(
-      new Path(f.path), 0, f.len, null.asInstanceOf[Array[String]])
-    val ctx = new TaskAttemptContextImpl(baseConf, new TaskAttemptID())
-    try { rdr.initialize(split, ctx); baseRdr = rdr; true }
-    catch { case e: Throwable => rdr.close(); throw e }
+    baseRdr = GraftReaderConf.openReader(baseConf, f.path, f.len)
+    true
   }
 
   override def next(): Boolean = {

@@ -357,6 +357,24 @@ class SpjSpec extends AnyFunSuite {
       s"v2 dim with reported stats must broadcast:\n$p")
   }
 
+  test("a non-atomic MOR key refuses the in-scan resolver loudly") {
+    // A struct key hashes fine at write time but has no value equality in
+    // the resolver's map — admitting it would emit stale rows SILENTLY, so
+    // the scan must refuse (the review-caught failure mode).
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet").limit(100)
+      .withColumn("sk", struct(col("o_orderkey")))
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("structmor")
+    t.overwriteBucketed(o, "sk", 4)
+    t.upsertDeferred(o.limit(5).withColumn("o_totalprice", lit(1.0)), "sk")
+    val e = intercept[Exception](spark.table(s"$cat.structmor").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unsupported")), s"got: $e")
+    // The table API still resolves it (window algebra needs no hash map).
+    assert(t.read().filter(col("o_totalprice") === 1.0).count() == 5)
+  }
+
   test("v2 bucket function agrees bit-for-bit with the write path") {
     import org.apache.spark.sql.types._
     val f = graft.connector.GraftBucketFunction
