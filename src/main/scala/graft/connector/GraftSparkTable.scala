@@ -63,7 +63,8 @@ import graft.table.GraftTable
 final class GraftSparkTable(
     rootPath: String, tableName: String, pinned: Option[Long] = None)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   private lazy val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
@@ -136,6 +137,25 @@ final class GraftSparkTable(
    * GraftTable already performs — the bridge adds the SQL surface without
    * a second write path to keep correct.
    */
+  /** `DELETE FROM cat.t WHERE ...`: the pushed conjunction routes to
+    * `GraftTable.deleteWhere`, which keeps SQL three-valued semantics
+    * (NULL-evaluating rows survive) and resolves pending MOR chains
+    * through the table read. Untranslatable predicates refuse the WHOLE
+    * delete via `canDeleteWhere` — a partial translation would delete the
+    * wrong rows. `TRUNCATE TABLE` rides the same path (AlwaysTrue). */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinned.isEmpty && filters.forall(GraftSparkTable.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(pinned.isEmpty,
+      s"cannot delete from $tableName pinned at VERSION AS OF ${pinned.get}")
+    val cond = filters.toSeq.map(f => GraftSparkTable.filterToColumn(f)
+        .getOrElse(throw new UnsupportedOperationException(s"cannot push $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    gt.deleteWhere(cond)
+  }
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -162,6 +182,36 @@ final class GraftSparkTable(
 }
 
 object GraftSparkTable {
+
+  /** `sources.Filter` → Catalyst [[org.apache.spark.sql.Column]] for the
+    * SQL DELETE path. None = untranslatable; `canDeleteWhere` then refuses
+    * the whole delete (Spark reports it — a partial translation would
+    * delete the wrong rows). */
+  def filterToColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(not)
+      case _: sources.AlwaysTrue => Some(lit(true))
+      case _: sources.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 
   /** Delta-chain byte cap for the in-scan MOR resolver: every bucket task
     * re-reads the (unbucketed) chain and keeps only its bucket's keys, so

@@ -87,6 +87,18 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SQL DELETE through the catalog: the pushed conjunction routes to the
+    // table's deleteWhere (3VL semantics); the read-back must equal the
+    // complement the oracle computes.
+    "t_v2_delete" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders", tbl(s, d, "orders"), "o_orderkey", 4)
+      s.sql(s"DELETE FROM $cat.orders " +
+        "WHERE o_orderkey <= 3000 OR o_orderstatus = 'F'")
+      s.table(s"$cat.orders").select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // In-scan MOR resolution: the v2 read under a pending three-commit
     // delta chain (updates + tombstones + a chain-landing re-update) must
     // equal the resolved state the oracle computes from the raw parquet.
@@ -185,6 +197,10 @@ object ConnectorQueries {
     "t_v2_filter" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+         ORDER BY o_orderkey""",
+    "t_v2_delete" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT (o_orderkey <= 3000 OR o_orderstatus = 'F')
          ORDER BY o_orderkey""",
     "t_v2_mor_read" ->
       """SELECT o_orderkey,

@@ -357,6 +357,25 @@ class SpjSpec extends AnyFunSuite {
       s"v2 dim with reported stats must broadcast:\n$p")
   }
 
+  test("DELETE FROM and TRUNCATE TABLE route through the table's delete verb") {
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "del", o, "o_orderkey", 4)
+    val gt = new graft.catalog.GraftCatalog(spark, wh).table("del")
+    spark.sql(s"DELETE FROM $cat.del WHERE o_orderkey <= 500 OR o_orderstatus = 'F'")
+    val expected = o.filter(!(col("o_orderkey") <= 500 || col("o_orderstatus") === "F"))
+    assert(spark.table(s"$cat.del").count() == expected.count())
+    assert(gt.latestVersion == 2) // one delete commit
+    // Untranslatable predicate refuses the WHOLE delete, deleting nothing.
+    val before = spark.table(s"$cat.del").count()
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.del WHERE o_orderkey % 2 = 0"))
+    assert(e != null && spark.table(s"$cat.del").count() == before)
+    // TRUNCATE rides the AlwaysTrue path.
+    spark.sql(s"TRUNCATE TABLE $cat.del")
+    assert(spark.table(s"$cat.del").count() == 0)
+  }
+
   test("a non-atomic MOR key refuses the in-scan resolver loudly") {
     // A struct key hashes fine at write time but has no value equality in
     // the resolver's map — admitting it would emit stale rows SILENTLY, so
