@@ -138,9 +138,23 @@ final class GraftSparkCatalog extends TableCatalog with FunctionCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the GraftTable API (schema evolves on append/upsert)")
+  /** `ALTER TABLE cat.t ADD COLUMNS (...)` — a metadata-only schema
+    * widening ([[graft.table.GraftTable.addColumns]]); anything else
+    * (renames, drops, type changes) would need a data rewrite the format
+    * deliberately refuses. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: org.apache.spark.sql.connector.catalog.TableChange.AddColumn
+          if a.fieldNames.length == 1 =>
+        StructField(a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports only top-level ADD COLUMNS, got $other")
+    }
+    cat.table(ident.name).addColumns(adds)
+    invalidateTable(ident)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (tableExists(ident)) { cat.dropTable(ident.name); true } else false

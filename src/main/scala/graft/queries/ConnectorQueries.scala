@@ -87,6 +87,20 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ALTER TABLE ADD COLUMNS: metadata-only widening, then an insert into
+    // the widened schema — old rows read back with NULLs, new with values.
+    "t_v2_alter" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders",
+        tbl(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey", 4)
+      s.sql(s"ALTER TABLE $cat.orders ADD COLUMNS (note STRING)")
+      s.sql(s"INSERT INTO $cat.orders " +
+        s"SELECT o_orderkey + 100000, o_totalprice, 'x' AS note " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey <= 500")
+      s.table(s"$cat.orders").orderBy("o_orderkey")
+    }),
+
     // SQL DELETE through the catalog: the pushed conjunction routes to the
     // table's deleteWhere (3VL semantics); the read-back must equal the
     // complement the oracle computes.
@@ -198,6 +212,14 @@ object ConnectorQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+    "t_v2_alter" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS note
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 100000, o_totalprice, 'x' AS note
+           FROM orders WHERE o_orderkey <= 500
+         ) ORDER BY o_orderkey""",
     "t_v2_delete" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE NOT (o_orderkey <= 3000 OR o_orderstatus = 'F')

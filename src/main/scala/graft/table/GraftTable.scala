@@ -1869,6 +1869,37 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * NoSuchElementException ("snapshot expired"), never with a head that
    * points at deleted data.
    */
+  /**
+   * `ALTER TABLE ... ADD COLUMNS` as a METADATA-ONLY commit: the schema
+   * widens, every data dir (and any pending delta chain) carries forward
+   * verbatim — existing files simply null-fill the new columns on read,
+   * which is identical to how append-time evolution already treats
+   * pre-evolution files, so no data moves at any table size. New columns
+   * must be nullable (old rows have no value to give) and must not
+   * collide case-insensitively with existing ones.
+   */
+  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField]): Snapshot = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(cols.forall(_.nullable), "added columns must be nullable")
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      try {
+        val head = log.latest().getOrElse(
+          throw new IllegalStateException(s"table $name has no snapshots"))
+        val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val existing = st.fieldNames.map(_.toLowerCase).toSet
+        val dup = cols.find(c => existing.contains(c.name.toLowerCase))
+        require(dup.isEmpty, s"column ${dup.map(_.name).getOrElse("")} already exists")
+        return log.commitExpecting(Some(head.snapshotId), "add-columns",
+          StructType(st.fields ++ cols).json, head.dataDirs, head.summary,
+          None, head.dirRecords, head.deltaDirs, head.dirStats)
+      } catch { case _: CommitConflictException => } // head moved — re-read
+    }
+    throw new IllegalStateException(
+      s"addColumns on $name lost $attempts consecutive races")
+  }
+
   def rollback(snapshotId: Long): Snapshot = {
     var attempts = 0
     while (attempts < 8) {

@@ -376,6 +376,28 @@ class SpjSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.del").count() == 0)
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema without moving data") {
+    val (cat, wh) = freshCat()
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "alt", o, "o_orderkey", 4)
+    val gt = new graft.catalog.GraftCatalog(spark, wh).table("alt")
+    val dirsBefore = gt.log.latest().get.dataDirs
+    spark.sql(s"ALTER TABLE $cat.alt ADD COLUMNS (note STRING, score DOUBLE)")
+    val head = gt.log.latest().get
+    assert(head.dataDirs == dirsBefore, "metadata-only: no data may move")
+    val df = spark.table(s"$cat.alt")
+    assert(df.schema.fieldNames.takeRight(2).toSeq == Seq("note", "score"))
+    assert(df.filter(col("note").isNull).count() == o.count())
+    // The widened schema is immediately writable and mergeable.
+    spark.sql(s"INSERT INTO $cat.alt SELECT o.*, 'x' AS note, 1.5 AS score " +
+      s"FROM parquet.`$sf/orders.parquet` o LIMIT 10")
+    assert(spark.table(s"$cat.alt").filter(col("note") === "x").count() == 10)
+    // Duplicate and non-top-level adds refuse.
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.alt ADD COLUMNS (note STRING)"))
+    assert(e != null)
+  }
+
   test("a non-atomic MOR key refuses the in-scan resolver loudly") {
     // A struct key hashes fine at write time but has no value equality in
     // the resolver's map — admitting it would emit stale rows SILENTLY, so
