@@ -407,6 +407,34 @@ object ScaleProbe {
       } finally ev.unpersist(blocking = false)
     }
 
+    // v2 in-scan MOR resolution probe: the base table (and bucket count)
+    // grow f×, the pending chain stays a FIXED 20k-row deferred upsert.
+    // `v2_read` prices the plain columnar catalog scan; `v2_mor_read` the
+    // same scan with the chain resolving inside it (row path + per-bucket
+    // chain filter + hash merge). The claim is attribution: the resolve
+    // overhead tracks the CHAIN, so (mor − read) stays ~flat while both
+    // absolute times grow with the base.
+    if (only.forall(s => s("v2_read") || s("v2_mor_read")))
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val ev = (0 until f).map { k =>
+        ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+      }.reduce(_ unionByName _)
+      val cat = graft.queries.ConnectorQueries.tempCatalog(spark)
+      graft.queries.ConnectorQueries.ingestBucketed(
+        spark, cat, "t", ev, "event_id", 16 * f)
+      def rd(): Long =
+        spark.table(s"$cat.t").agg(count("value"), count(lit(1))).head.getLong(1)
+      timedWaves("v2_read", f, () => { rd(); () })(_ => rd())
+      val wh = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val gt = new graft.catalog.GraftCatalog(spark, wh).table("t")
+      gt.upsertDeferred(ev.filter(col("event_id") % 100 === 0).limit(20000)
+        .withColumn("value", col("value") + 1.0), "event_id")
+      timedWaves("v2_mor_read", f, () => { rd(); () })(_ => rd())
+    }
+
     // Hot-key as-of probe: EVERY row carries one key — the monolithic
     // sweep is fully serialized (one task sorts and sweeps the lot) while
     // timeSplits=32 spreads it over 32 (key, range) partitions with
