@@ -35,7 +35,10 @@ object Bench {
       "m_video_decode", "m_audio_dedup", "m_video_dedup",
       // round 10: substring-span dedup and the reference-distribution
       // scorers (DSIR + bigram-LM fluency).
-      "d_dup_spans", "x_dsir_topk", "x_lm_topk")
+      "d_dup_spans", "x_dsir_topk", "x_lm_topk",
+      // round 13: the time-series joins (as-of union-window sweep and the
+      // binned interval join) — tracked officially per round.
+      "j_asof", "j_interval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
