@@ -129,7 +129,18 @@ object Relational {
     // streaming path emits exactly these sessions).
     "q14_sessions" -> ((s, d) =>
       graft.streaming.EventWindows.sessionizeBatch(
-        events(s, d), "ts", "user_id", gapSeconds = 86400L)))
+        events(s, d), "ts", "user_id", gapSeconds = 86400L)),
+
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`; both interpolate linearly and the
+    // arithmetic is bit-identical — hash-verified, not approximate).
+    "x_quantiles" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+        .orderBy("l_returnflag")))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -190,5 +201,13 @@ object Relational {
         |s AS (SELECT user_id, ts,
         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin)
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "x_quantiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS q25,
+         quantile_cont(l_quantity, 0.5) AS q50,
+         quantile_cont(l_quantity, 0.75) AS q75,
+         quantile_cont(l_extendedprice, 0.5) AS price_p50
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
