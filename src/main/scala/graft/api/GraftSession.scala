@@ -37,6 +37,47 @@ final class GraftSession(val catalog: GraftCatalog) {
   // segment to a view name would break it).
   private val VersionAsOf = """(?i)(?<![\w.])([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
 
+  // MERGE INTO — the Hudi/Delta upsert idiom, accepted in exactly its two
+  // canonical whole-statement shapes (UPDATE SET * + INSERT * = keyed
+  // upsert; DELETE = keyed delete). Spark's parser would otherwise reject
+  // MERGE against a temp view outright, so this is a pre-parse on the FULL
+  // statement — anything shaped differently passes through for Catalyst to
+  // report, never a silent partial merge.
+  private val MergeUpsert =
+    ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+([A-Za-z_]\w*)\s+""" +
+      """ON\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""").r
+  private val MergeDelete =
+    ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+([A-Za-z_]\w*)\s+""" +
+      """ON\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+DELETE\s*$""").r
+
+  /** The USING side: a catalog table's resolved read, or any temp view. */
+  private def mergeSource(name: String): DataFrame =
+    if (catalog.tableExists(name)) catalog.table(name).read()
+    else catalog.spark.table(name)
+
+  /** Validates the ON clause names both sides with ONE shared key and
+    * returns it: `t.k = s.k` (either order). */
+  private def mergeKey(t: String, src: String,
+      a: (String, String), b: (String, String)): String = {
+    val sides = Map(a, b)
+    require(sides.keySet == Set(t, src),
+      s"MERGE ON must reference $t and $src, got ${sides.keySet.mkString(", ")}")
+    require(sides(t) == sides(src),
+      s"MERGE ON must equate one shared key, got ${sides(t)} vs ${sides(src)}")
+    sides(t)
+  }
+
+  /** One-row result of a rewritten MERGE: what ran and where it landed. */
+  private def mergeResult(table: String, op: String, snapId: Long): DataFrame = {
+    import catalog.spark.implicits._
+    val df = Seq((table, op, snapId)).toDF("table", "operation", "snapshot_id")
+    registerView(table) // the view must show the post-merge state
+    df
+  }
+
   // TABLE_CHANGES('t', from[, to[, 'pk']]) — Delta's CDF table-valued
   // function shape over our change feed. `to` defaults to the head, `pk`
   // to the table's id-like column (the feed needs a merge key; Delta
@@ -108,6 +149,20 @@ final class GraftSession(val catalog: GraftCatalog) {
    */
   def sql(query: String): DataFrame = {
     val clean = query.trim.stripSuffix(";")
+    // MERGE pre-parse (whole statement, so literals cannot hide a match):
+    // both shapes route to the engine's keyed merge verbs.
+    clean match {
+      case MergeUpsert(t, src, a1, k1, a2, k2) if catalog.tableExists(t) =>
+        val key = mergeKey(t, src, (a1, k1), (a2, k2))
+        val snap = catalog.table(t).upsert(mergeSource(src), key)
+        return mergeResult(t, "merge-upsert", snap.snapshotId)
+      case MergeDelete(t, src, a1, k1, a2, k2) if catalog.tableExists(t) =>
+        val key = mergeKey(t, src, (a1, k1), (a2, k2))
+        val snap = catalog.table(t).deleteKeys(
+          mergeSource(src).select(key), key)
+        return mergeResult(t, "merge-delete", snap.snapshotId)
+      case _ => ()
+    }
     // TABLE_CHANGES takes its table/pk arguments as string LITERALS, so a
     // match necessarily spans protected runs — it can't be rewritten
     // segment-wise like VERSION AS OF. Match on the full text instead and

@@ -313,6 +313,26 @@ object EngineQueries {
       session.sql("SELECT * FROM products WHERE p_retailprice > 50 ORDER BY p_retailprice DESC;")
     }),
 
+    // MERGE INTO SQL sugar (the Hudi/Delta upsert idiom): UPDATE SET * +
+    // INSERT * routes to the engine's keyed upsert; the gate reads the
+    // post-merge table state.
+    "t_sql_merge" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-merge-"))
+      val o = tbl(s, d, "orders").select(orderCols.head, orderCols.tail: _*)
+      cat.saveTable("orders_m", o.filter(col("o_orderkey") % 3 =!= 0))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("o_orderpriority", lit("9-MERGED"))
+        .createOrReplaceTempView("upd")
+      session.sql("MERGE INTO orders_m USING upd " +
+        "ON orders_m.o_orderkey = upd.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      session.sql("SELECT * FROM orders_m ORDER BY o_orderkey")
+    }),
+
     // P1/P2/O3: the typed read API — projection + equality filter + limit.
     "t_read_api" -> ((s, d) => {
       val cat = new graft.catalog.GraftCatalog(s,
@@ -792,6 +812,19 @@ object EngineQueries {
       "SELECT * FROM orders WHERE o_orderkey IN (42, 777, 7777, 9999)",
     "t_sql_passthrough" ->
       "SELECT * FROM part WHERE p_retailprice > 50",
+    "t_sql_merge" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000 AS o_totalprice, o_orderdate,
+                  '9-MERGED' AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT * FROM upd
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
     "t_read_api" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
     "t_view_page" ->

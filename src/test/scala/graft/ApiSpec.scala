@@ -96,6 +96,43 @@ class ApiSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("nosuch__v1"))
   }
 
+  test("MERGE INTO sugar: upsert and delete shapes; malformed shapes pass through") {
+    val s = freshSession()
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val before = s.sql("SELECT count(*) AS c FROM orders_t").head.getLong(0)
+    orders.filter(col("o_orderkey").between(550, 650))
+      .withColumn("o_orderpriority", lit("9-M"))
+      .createOrReplaceTempView("src_m")
+    val res = s.sql("MERGE INTO orders_t USING src_m " +
+      "ON orders_t.o_orderkey = src_m.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(res.columns.toSeq == Seq("table", "operation", "snapshot_id"))
+    // 550-599 existed (updated in place), 600-650 are new inserts.
+    val after = s.sql("SELECT count(*) AS c FROM orders_t").head.getLong(0)
+    assert(after == before + orders.filter(
+      col("o_orderkey").between(600, 650)).count())
+    assert(s.sql("SELECT count(*) AS c FROM orders_t " +
+      "WHERE o_orderpriority = '9-M'").head.getLong(0) ==
+      orders.filter(col("o_orderkey").between(550, 650)).count())
+    // Reversed ON order resolves the same shared key.
+    s.sql("MERGE INTO orders_t USING src_m " +
+      "ON src_m.o_orderkey = orders_t.o_orderkey WHEN MATCHED THEN DELETE")
+    assert(s.sql("SELECT count(*) AS c FROM orders_t " +
+      "WHERE o_orderkey BETWEEN 550 AND 650").head.getLong(0) == 0)
+    // A shape outside the two canonical forms goes to Catalyst, which
+    // reports it — never a silent partial merge.
+    val e = intercept[Exception](s.sql("MERGE INTO orders_t USING src_m " +
+      "ON orders_t.o_orderkey = src_m.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET o_totalprice = 0"))
+    assert(e != null)
+    // Mismatched ON keys refuse loudly.
+    val e2 = intercept[IllegalArgumentException](s.sql(
+      "MERGE INTO orders_t USING src_m " +
+        "ON orders_t.o_orderkey = src_m.o_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e2.getMessage.contains("shared key"))
+  }
+
   test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {
     val s = freshSession()
     // v1 → v2 appended 100 rows: the feed is 100 inserts.
