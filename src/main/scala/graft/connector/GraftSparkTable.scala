@@ -64,7 +64,8 @@ final class GraftSparkTable(
     rootPath: String, tableName: String, pinned: Option[Long] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
   private lazy val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
@@ -154,6 +155,23 @@ final class GraftSparkTable(
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     gt.deleteWhere(cond)
+  }
+
+  /** SQL `UPDATE`/`MERGE`/`DELETE <untranslatable>` — group-based
+    * copy-on-write rewrite, group = bucket dir ([[GraftRowLevelOperation]]).
+    * Built eagerly by the analyzer for EVERY row-level statement, so the
+    * only check here is the pin (a time-travel handle can never be a write
+    * target); rewrite-path refusals (pending MOR deltas) live on the
+    * operation's scan/write builders, after
+    * OptimizeMetadataOnlyDeleteFromTable has had its chance to route a
+    * translatable DELETE to the metadata-only path. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot ${info.command} $tableName pinned at VERSION AS OF ${pinned.get}")
+    () => new GraftRowLevelOperation(
+      rootPath, tableName, head, tableSchema, bucketSpec, info.command)
   }
 
   override def newWriteBuilder(
@@ -270,6 +288,28 @@ object GraftSparkTable {
   def bucketOfDir(dir: String): Option[Int] = dir match {
     case BucketLeaf(b) => Some(b.toInt)
     case _ => None
+  }
+
+  /** Bucket ids a conjunct pins the bucket key to (`key = v`, `key IN`),
+    * via the same driver-side hash the write path used — shared by the
+    * normal scan builder (plan-time pruning) and the copy-on-write scan
+    * builder (group selection). None = the filter pins nothing. */
+  def bucketsOfFilter(
+      f: sources.Filter,
+      bucketSpec: Option[(String, Int)],
+      tableSchema: StructType,
+      tz: String): Option[Set[Int]] = bucketSpec.flatMap {
+    case (bk, n) =>
+      val dt = tableSchema.fields.find(_.name == bk).map(_.dataType)
+      def bucket(v: Any): Int = graft.plans.BucketHash.bucketId(v, dt.get, n, tz)
+      f match {
+        case sources.EqualTo(a, v) if a == bk && v != null && dt.isDefined =>
+          try Some(Set(bucket(v))) catch { case _: Exception => None }
+        case sources.In(a, vs) if a == bk && vs.nonEmpty &&
+            vs.forall(_ != null) && dt.isDefined =>
+          try Some(vs.map(bucket).toSet) catch { case _: Exception => None }
+        case _ => None
+      }
   }
 
   /** Parse a v2 transform as `bucket(n, col)` if that is what it is. */
@@ -395,24 +435,12 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  /** Bucket ids a conjunct pins the bucket key to (`key = v`, `key IN`),
-    * via the same driver-side hash the write path used — the v2 form of
+  /** Bucket ids a conjunct pins the bucket key to — the v2 form of
     * [[graft.plans.BucketPruneRule]]: a point predicate plans 1/n of the
     * table's partitions instead of all of them. */
-  private def bucketsOf(f: sources.Filter): Option[Set[Int]] = bucketSpec.flatMap {
-    case (bk, n) =>
-      val dt = tableSchema.fields.find(_.name == bk).map(_.dataType)
-      val tz = spark.sessionState.conf.sessionLocalTimeZone
-      def bucket(v: Any): Int = graft.plans.BucketHash.bucketId(v, dt.get, n, tz)
-      f match {
-        case sources.EqualTo(a, v) if a == bk && v != null && dt.isDefined =>
-          try Some(Set(bucket(v))) catch { case _: Exception => None }
-        case sources.In(a, vs) if a == bk && vs.nonEmpty &&
-            vs.forall(_ != null) && dt.isDefined =>
-          try Some(vs.map(bucket).toSet) catch { case _: Exception => None }
-        case _ => None
-      }
-  }
+  private def bucketsOf(f: sources.Filter): Option[Set[Int]] =
+    GraftSparkTable.bucketsOfFilter(f, bucketSpec, tableSchema,
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   override def build(): Scan = pushedAgg match {
     case Some((aggSchema, values)) =>
@@ -493,7 +521,8 @@ final class GraftScan(
     bucketSpec: Option[(String, Int)],
     predicate: Option[FilterPredicate],
     keptBuckets: Option[Set[Int]] = None,
-    morKey: Option[String] = None)
+    morKey: Option[String] = None,
+    planListener: Option[Option[Set[Int]] => Unit] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
@@ -569,14 +598,24 @@ final class GraftScan(
       (parts.toArray, false)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    runtimeKept match {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = runtimeKept match {
       case Some(kept) => planned._1.filter {
         case p: GraftInputPartition => p.bucketId < 0 || kept.contains(p.bucketId)
         case _ => true
       }
       case None => planned._1
     }
+    // Copy-on-write scans report what they ACTUALLY planned (post static
+    // AND runtime pruning) so the replacement commit swaps exactly those
+    // groups: Some(bucket ids) when bucket-grouped, None = read everything.
+    planListener.foreach { f =>
+      f(if (planned._2)
+        Some(parts.collect { case p: GraftInputPartition => p.bucketId }.toSet)
+      else None)
+    }
+    parts
+  }
 
   /**
    * Manifest-backed size/row statistics: per-dir record counts sum to

@@ -1735,6 +1735,63 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /**
+   * Commit a group replacement produced by the v2 row-level-operation write
+   * ([[graft.connector.GraftRowLevelOperation]] — SQL DELETE/UPDATE/MERGE
+   * through the catalog). `stagedRel` holds the REPLACEMENT content for the
+   * groups the copy-on-write scan read: `scanned = Some(buckets)` replaces
+   * exactly those `__bucket=k` dirs, carrying every untouched bucket's dirs
+   * forward verbatim — files, manifest records and stats alike, the same
+   * partial-rewrite contract as [[commitBucketedMerge]]; `scanned = None`
+   * means the scan was not bucket-grouped (unbucketed table, or a stray
+   * pre-layout dir) and read EVERYTHING, so all data dirs are replaced.
+   * MERGE-inserted rows may hash into buckets the scan never read — their
+   * staged leaves land ALONGSIDE the carried dirs, the layout's normal
+   * many-dirs-per-bucket shape.
+   *
+   * CAS against the head the scan planned from: a commit landing between
+   * plan and write fails this one ([[graft.log.CommitConflictException]])
+   * instead of being silently merged over.
+   */
+  private[graft] def replaceGroups(
+      expectedHeadId: Long,
+      operation: String,
+      stagedRel: String,
+      scanned: Option[Set[Int]]): Snapshot = {
+    val head = log.get(expectedHeadId).getOrElse(throw new IllegalStateException(
+      s"table $name has no snapshot $expectedHeadId to replace groups against"))
+    require(head.deltaDirs.isEmpty,
+      s"row-level rewrite over ${head.deltaDirs.size} pending merge-on-read " +
+        "delta commits would strand their images; compact() first")
+    val spec = bucketSpecOf(head)
+    val leaves: Seq[DirInfo] = spec match {
+      case Some((k, _)) => leafCounts(stagedRel, statsKeep(Some(k)))
+      case None =>
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(root.resolve(stagedRel).toString)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val (rows, stats) = dirFooterInfo(fs, conf, p, statsKeep(None))
+          if (rows == 0L) Seq.empty else Seq(DirInfo(stagedRel, rows, stats))
+        }
+    }
+    val untouched: Seq[String] = scanned match {
+      case None => Seq.empty
+      case Some(bs) => head.dataDirs.filterNot(d => bucketOfDir(d).exists(bs.contains))
+    }
+    val carried = untouched.map(d => d -> head.dirRecords.getOrElse(d, 0L))
+    val allDirs = carried ++ leaves.map(l => l.rel -> l.rows)
+    val total = allDirs.map(_._2).sum
+    val allStats = head.dirStats.view.filterKeys(untouched.toSet).toMap ++
+      leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats)
+    val summary = Map("records" -> total.toString) ++
+      spec.map { case (k, n) =>
+        Map("bucket_key" -> k, "bucket_count" -> n.toString) }.getOrElse(Map.empty)
+    log.commitExpecting(Some(expectedHeadId), operation, head.schemaJson,
+      allDirs.map(_._1), summary, None, allDirs.toMap, dirStats = allStats)
+  }
+
+  /**
    * Compaction for append-heavy tables: rewrite the current state into one
    * fresh commit (one dir, or one leaf per bucket on bucketed tables),
    * collapsing the one-dir-per-append accumulation that degrades scans with

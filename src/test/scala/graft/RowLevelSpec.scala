@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ConnectorQueries
+import graft.table.GraftTable
+
+/**
+ * SQL row-level operations through the v2 catalog
+ * ([[graft.connector.GraftRowLevelOperation]] — group-based copy-on-write,
+ * group = bucket dir): UPDATE, the reference's literal 3-clause conditional
+ * CDC MERGE (`cdc_merger_optimized.py:176-183`), and DELETE with a
+ * predicate `canDeleteWhere` cannot translate. Value checks against plain
+ * DataFrame recomputation plus the PARTIAL-REWRITE guarantee the gates
+ * cannot see: untouched buckets' dirs must be carried forward verbatim.
+ */
+class RowLevelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def freshCat(): (String, java.nio.file.Path) = {
+    val cat = ConnectorQueries.tempCatalog(spark)
+    (cat, java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse")))
+  }
+
+  private def orders: DataFrame = spark.read.parquet(s"$sf/orders.parquet")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).toIndexedSeq
+
+  test("SQL UPDATE through the catalog rewrites only the matched rows") {
+    val (cat, wh) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 4)
+    spark.sql(s"UPDATE $cat.orders SET o_totalprice = o_totalprice * 2.0, " +
+      "o_orderstatus = 'U' WHERE o_orderkey <= 200")
+    val got = spark.table(s"$cat.orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val want = orders.select(col("o_orderkey"),
+      when(col("o_orderkey") <= 200, col("o_totalprice") * 2.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") <= 200, lit("U"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+    assert(sortedRows(got) == sortedRows(want))
+    val t = new GraftTable(spark, wh.resolve("orders"), "orders")
+    assert(t.log.latest().get.operation == "update")
+  }
+
+  test("UPDATE pinned by a bucket-key equality rewrites ONE bucket") {
+    val (cat, wh) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    val t = new GraftTable(spark, wh.resolve("orders"), "orders")
+    val before = t.log.latest().get.dataDirs.toSet
+    spark.sql(s"UPDATE $cat.orders SET o_totalprice = 0.0 WHERE o_orderkey = 7")
+    val after = t.log.latest().get
+    val carried = after.dataDirs.toSet.intersect(before)
+    // 7 of 8 bucket dirs carried verbatim; exactly one replaced.
+    assert(carried.size == before.size - 1,
+      s"expected a single-bucket rewrite; before=$before after=${after.dataDirs}")
+    assert(t.read().filter(col("o_orderkey") === 7)
+      .select("o_totalprice").collect().forall(_.getDouble(0) == 0.0))
+    assert(t.read().count() == orders.count())
+  }
+
+  test("the reference's literal 3-clause conditional CDC MERGE runs via SQL") {
+    val (cat, _) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    val o = orders
+    // CDC batch: updates (price 1.0), deletes, inserts (shifted keys), and
+    // a delete of ABSENT keys that the conditional INSERT must ignore.
+    val src = o.filter(col("o_orderkey") <= 50)
+      .withColumn("o_totalprice", lit(1.0)).withColumn("op", lit("u"))
+      .unionByName(o.filter(col("o_orderkey").between(51, 80))
+        .withColumn("op", lit("d")))
+      .unionByName(o.filter(col("o_orderkey").between(81, 110))
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+        .withColumn("op", lit("c")))
+      .unionByName(o.filter(col("o_orderkey").between(111, 130))
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000)
+        .withColumn("op", lit("d")))
+    src.createOrReplaceTempView("updates")
+    // The statement shape of cdc_merger_optimized.py:172-183, SET/INSERT
+    // lists generated from the column list exactly as the reference does.
+    val dataCols = o.columns.toSeq
+    val updateSet =
+      dataCols.filter(_ != "o_orderkey").map(c => s"t.$c = s.$c").mkString(", ")
+    val insertCols = dataCols.mkString(", ")
+    val insertVals = dataCols.map(c => s"s.$c").mkString(", ")
+    spark.sql(s"""
+      MERGE INTO $cat.orders t
+      USING updates s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET $updateSet
+      WHEN NOT MATCHED AND s.op != 'd' THEN INSERT ($insertCols) VALUES ($insertVals)
+    """)
+    val got = spark.table(s"$cat.orders").select("o_orderkey", "o_totalprice")
+    val want = o.select(col("o_orderkey"),
+        when(col("o_orderkey") <= 50, lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(!col("o_orderkey").between(51, 80))
+      .unionByName(o.filter(col("o_orderkey").between(81, 110))
+        .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+          col("o_totalprice")))
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("DELETE with an untranslatable predicate falls back to the rewrite") {
+    val (cat, wh) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 4)
+    // Modulo is not a sources.Filter shape: canDeleteWhere refuses it, so
+    // this must route through the copy-on-write rewrite instead of failing
+    // the statement.
+    spark.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 2 = 0")
+    val got = spark.table(s"$cat.orders").select("o_orderkey")
+    val want = orders.filter(!(col("o_orderkey") % 2 === 0))
+      .select("o_orderkey")
+    assert(sortedRows(got) == sortedRows(want))
+    val t = new GraftTable(spark, wh.resolve("orders"), "orders")
+    assert(t.log.latest().get.operation == "delete")
+  }
+
+  test("DELETE everything via rewrite leaves an empty readable table") {
+    val (cat, _) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders",
+      orders.limit(100), "o_orderkey", 4)
+    spark.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 1 = 0")
+    assert(spark.table(s"$cat.orders").count() == 0)
+  }
+
+  test("row-level ops on an UNBUCKETED table rewrite the whole table") {
+    val (cat, wh) = freshCat()
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("plain")
+    t.overwrite(orders.limit(500))
+    spark.sql(s"UPDATE $cat.plain SET o_totalprice = 9.0 WHERE o_orderkey <= 10")
+    val got = spark.table(s"$cat.plain")
+      .select("o_orderkey", "o_totalprice")
+    val want = orders.limit(500).select(col("o_orderkey"),
+      when(col("o_orderkey") <= 10, lit(9.0))
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("row-level ops refuse a pending MOR delta chain loudly") {
+    val (cat, wh) = freshCat()
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("orders")
+    t.overwriteBucketed(orders, "o_orderkey", 4)
+    t.upsertDeferred(orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_totalprice", lit(1.0)), "o_orderkey")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.orders SET o_totalprice = 0.0 WHERE o_orderkey = 7")
+    }
+    assert(e.getMessage.contains("compact"),
+      s"expected the compact-first refusal, got: ${e.getMessage}")
+  }
+
+  test("MERGE-inserted rows land in buckets the scan never read") {
+    val (cat, wh) = freshCat()
+    val base = orders.filter(col("o_orderkey") <= 800) // deterministic subset
+    val baseN = base.count()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", base, "o_orderkey", 8)
+    val t = new GraftTable(spark, wh.resolve("orders"), "orders")
+    val inserts = base
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+      .withColumn("op", lit("c"))
+    inserts.createOrReplaceTempView("updates")
+    val dataCols = orders.columns.toSeq
+    spark.sql(s"""
+      MERGE INTO $cat.orders t USING updates s ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET ${dataCols.filter(_ != "o_orderkey")
+        .map(c => s"t.$c = s.$c").mkString(", ")}
+      WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${dataCols.mkString(", ")})
+        VALUES (${dataCols.map(c => s"s.$c").mkString(", ")})
+    """)
+    assert(spark.table(s"$cat.orders").count() == 2 * baseN)
+    assert(t.read().filter(col("o_orderkey") >= 10000000).count() == baseN)
+    assert(t.read().filter(col("o_orderkey") <= 800).count() == baseN)
+  }
+}
