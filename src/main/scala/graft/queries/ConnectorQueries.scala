@@ -179,6 +179,68 @@ object ConnectorQueries {
         s"VERSION AS OF $v1 ORDER BY o_orderkey")
     }),
 
+    // SQL UPDATE through the catalog (SupportsRowLevelOperations,
+    // group-based copy-on-write): the modulo predicate is untranslatable,
+    // so this exercises the full rewrite — COW scan, replacement write,
+    // group-swap commit — not a metadata shortcut.
+    "t_v2_update" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders", tbl(s, d, "orders"), "o_orderkey", 4)
+      s.sql(s"UPDATE $cat.orders SET o_totalprice = o_totalprice * 2.0, " +
+        "o_orderstatus = 'U' WHERE o_orderkey % 10 < 3")
+      s.table(s"$cat.orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // The reference's literal 3-clause conditional CDC MERGE
+    // (cdc_merger_optimized.py:176-183) as SQL through the catalog:
+    // WHEN MATCHED AND s.op='d' THEN DELETE / WHEN MATCHED THEN UPDATE
+    // SET <all cols> / WHEN NOT MATCHED AND s.op != 'd' THEN INSERT —
+    // SET/INSERT lists generated from the column list exactly as the
+    // reference generates them (:172-174). The batch carries updates,
+    // deletes, inserts, and deletes of ABSENT keys the conditional
+    // INSERT clause must ignore.
+    "t_sql_merge_cdc" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val o = tbl(s, d, "orders")
+      ingestBucketed(s, cat, "orders", o, "o_orderkey", 8)
+      val src = o.filter(col("o_orderkey") <= 500)
+        .withColumn("o_totalprice", lit(1.0)).withColumn("op", lit("u"))
+        .unionByName(o.filter(col("o_orderkey").between(501, 700))
+          .withColumn("op", lit("d")))
+        .unionByName(o.filter(col("o_orderkey").between(701, 900))
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+          .withColumn("op", lit("c")))
+        .unionByName(o.filter(col("o_orderkey").between(901, 1000))
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000)
+          .withColumn("op", lit("d")))
+      src.createOrReplaceTempView("cdc_updates")
+      val cols = o.columns.toSeq
+      s.sql(s"""MERGE INTO $cat.orders t
+        USING cdc_updates s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "o_orderkey")
+          .map(c => s"t.$c = s.$c").mkString(", ")}
+        WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+          VALUES (${cols.map(c => s"s.$c").mkString(", ")})""")
+      s.table(s"$cat.orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    // SQL DELETE whose predicate canDeleteWhere cannot translate: must
+    // fall back to the copy-on-write rewrite instead of failing, and keep
+    // exactly the complement.
+    "t_v2_delete_cow" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      ingestBucketed(s, cat, "orders", tbl(s, d, "orders"), "o_orderkey", 4)
+      s.sql(s"DELETE FROM $cat.orders WHERE o_orderkey % 3 = 0")
+      s.table(s"$cat.orders").select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // v2 SQL surface end-to-end: CREATE TABLE ... PARTITIONED BY
     // (bucket(n, col)) through the catalog, INSERT via the table API,
     // SELECT through spark.sql over the catalog-qualified name.
@@ -236,6 +298,27 @@ object ConnectorQueries {
          FROM orders""",
     "t_v2_insert" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "t_v2_update" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 10 < 3 THEN 'U'
+              ELSE o_orderstatus END AS o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
+    "t_sql_merge_cdc" ->
+      """SELECT * FROM (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey <= 500 THEN 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+           FROM orders WHERE o_orderkey NOT BETWEEN 501 AND 700
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice, o_orderdate
+           FROM orders WHERE o_orderkey BETWEEN 701 AND 900
+         ) ORDER BY o_orderkey""",
+    "t_v2_delete_cow" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT (o_orderkey % 3 = 0) ORDER BY o_orderkey""",
     "t_v2_timetravel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
