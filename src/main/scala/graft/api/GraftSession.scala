@@ -59,15 +59,20 @@ final class GraftSession(val catalog: GraftCatalog) {
     else catalog.spark.table(name)
 
   /** Validates the ON clause names both sides with ONE shared key and
-    * returns it: `t.k = s.k` (either order). */
+    * returns it: `t.k = s.k` (either order). The two sides are validated
+    * as an explicit PAIR, never through a Map — a Map collapses duplicate
+    * qualifiers, so the degenerate self-merge `MERGE INTO t USING t ON
+    * t.a = t.b` would slip through both checks and silently run an upsert
+    * keyed on `b`, against the refuse-loudly contract. */
   private def mergeKey(t: String, src: String,
       a: (String, String), b: (String, String)): String = {
-    val sides = Map(a, b)
-    require(sides.keySet == Set(t, src),
-      s"MERGE ON must reference $t and $src, got ${sides.keySet.mkString(", ")}")
-    require(sides(t) == sides(src),
-      s"MERGE ON must equate one shared key, got ${sides(t)} vs ${sides(src)}")
-    sides(t)
+    val (q1, k1) = a
+    val (q2, k2) = b
+    require(Set(q1, q2) == Set(t, src),
+      s"MERGE ON must reference $t and $src, got $q1, $q2")
+    require(k1 == k2,
+      s"MERGE ON must equate one shared key, got $q1.$k1 vs $q2.$k2")
+    k1
   }
 
   /** One-row result of a rewritten MERGE: what ran and where it landed. */

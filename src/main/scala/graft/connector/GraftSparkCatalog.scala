@@ -147,6 +147,13 @@ final class GraftSparkCatalog extends TableCatalog with FunctionCatalog {
     val adds = changes.map {
       case a: org.apache.spark.sql.connector.catalog.TableChange.AddColumn
           if a.fieldNames.length == 1 =>
+        // Metadata-only widening can never backfill existing rows, so a
+        // NOT NULL add must be REJECTED (GraftTable.addColumns refuses
+        // non-nullable adds loudly) — silently widening it to nullable
+        // would hand back a schema the user didn't ask for.
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"graft ADD COLUMNS cannot add NOT NULL column ${a.fieldNames()(0)}: " +
+            "existing rows have no value for it; declare it nullable")
         StructField(a.fieldNames()(0), a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports only top-level ADD COLUMNS, got $other")

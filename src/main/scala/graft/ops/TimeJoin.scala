@@ -182,11 +182,19 @@ object TimeJoin {
    * contains `pointTs`. Timestamp columns may be TIMESTAMP or
    * TIMESTAMP_NTZ; binning runs on their wall-clock micros.
    *
-   * @param binWidthMicros bin granularity. Correct for ANY positive value;
-   *                       choose near the typical interval span (explode
-   *                       factor ≈ span/binWidth + 1, candidate precision
+   * @param binWidthMicros bin granularity. Correct for ANY positive value
+   *                       within the per-interval bin cap below; choose
+   *                       near the typical interval span (explode factor
+   *                       ≈ span/binWidth + 1, candidate precision
    *                       ≈ binWidth).
    * @param prefix         interval columns are emitted as `prefix<name>`.
+   * @param maxBinsPerInterval per-interval explode cap. One corrupt wide
+   *                       interval (an end_ts of year 9999 against hour
+   *                       bins) would otherwise blow past Spark's sequence
+   *                       element limit and fail the whole job with an
+   *                       opaque error — instead the row fails LOUDLY with
+   *                       its own span in the message, naming the fix
+   *                       (filter the corrupt row or widen the bins).
    */
   def intervalJoin(
       points: DataFrame,
@@ -197,8 +205,10 @@ object TimeJoin {
       endTs: String,
       binWidthMicros: Long,
       intervalPayload: Seq[String],
-      prefix: String = "iv_"): DataFrame = {
+      prefix: String = "iv_",
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidthMicros > 0, "binWidthMicros must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val p2 = points.select(
       struct(points.columns.map(col): _*).as("__p"),
       col(key).as("__k"),
@@ -210,9 +220,19 @@ object TimeJoin {
       wallMicros(col(startTs)).as("__ts"),
       wallMicros(col(endTs)).as("__te"))
       .filter(col("__ts") <= col("__te"))
-      .withColumn("__bin", explode(sequence(
-        floor(col("__ts") / binWidthMicros),
-        floor(col("__te") / binWidthMicros))))
+      .withColumn("__b0", floor(col("__ts") / binWidthMicros))
+      .withColumn("__b1", floor(col("__te") / binWidthMicros))
+      .withColumn("__bin", explode(
+        when(col("__b1") - col("__b0") < maxBinsPerInterval,
+          sequence(col("__b0"), col("__b1")))
+          .otherwise(raise_error(concat(
+            lit("intervalJoin: interval spans "),
+            (col("__b1") - col("__b0") + 1).cast("string"),
+            lit(s" bins of $binWidthMicros micros (cap $maxBinsPerInterval)" +
+              "; filter the corrupt interval or widen binWidthMicros")))
+            .cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+      .drop("__b0", "__b1")
     val joined = p2.join(i2, Seq("__k", "__bin"))
       .filter(col("__tp") >= col("__ts") && col("__tp") <= col("__te"))
     val pointCols = points.columns.map(c => col("__p")(c).as(c))

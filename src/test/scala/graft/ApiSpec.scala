@@ -131,6 +131,14 @@ class ApiSpec extends AnyFunSuite {
         "ON orders_t.o_orderkey = src_m.o_custkey " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
     assert(e2.getMessage.contains("shared key"))
+    // The degenerate self-merge `ON t.a = t.b` must refuse too — a Map of
+    // the two sides would collapse the duplicate qualifier and silently
+    // run an upsert keyed on b.
+    val e3 = intercept[IllegalArgumentException](s.sql(
+      "MERGE INTO orders_t USING orders_t " +
+        "ON orders_t.o_orderkey = orders_t.o_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e3.getMessage.contains("shared key"))
   }
 
   test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {

@@ -366,11 +366,14 @@ class SpjSpec extends AnyFunSuite {
     val expected = o.filter(!(col("o_orderkey") <= 500 || col("o_orderstatus") === "F"))
     assert(spark.table(s"$cat.del").count() == expected.count())
     assert(gt.latestVersion == 2) // one delete commit
-    // Untranslatable predicate refuses the WHOLE delete, deleting nothing.
-    val before = spark.table(s"$cat.del").count()
-    val e = intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.del WHERE o_orderkey % 2 = 0"))
-    assert(e != null && spark.table(s"$cat.del").count() == before)
+    // Untranslatable predicate: canDeleteWhere refuses the metadata path,
+    // and the statement falls back to the row-level copy-on-write rewrite
+    // (RowLevelSpec covers it in depth) instead of failing — never a
+    // partial translation either way.
+    val beforeOdd = spark.table(s"$cat.del")
+      .filter(col("o_orderkey") % 2 =!= 0).count()
+    spark.sql(s"DELETE FROM $cat.del WHERE o_orderkey % 2 = 0")
+    assert(spark.table(s"$cat.del").count() == beforeOdd)
     // TRUNCATE rides the AlwaysTrue path.
     spark.sql(s"TRUNCATE TABLE $cat.del")
     assert(spark.table(s"$cat.del").count() == 0)
@@ -396,6 +399,15 @@ class SpjSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.alt ADD COLUMNS (note STRING)"))
     assert(e != null)
+    // NOT NULL adds refuse too — a metadata-only widening cannot backfill
+    // existing rows, so silently storing the column as nullable would hand
+    // back a schema the user didn't declare.
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.alt ADD COLUMNS (mandatory INT NOT NULL)"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e2).contains("NOT NULL"), msgs(e2))
+    assert(!spark.table(s"$cat.alt").schema.fieldNames.contains("mandatory"))
   }
 
   test("a non-atomic MOR key refuses the in-scan resolver loudly") {

@@ -132,6 +132,27 @@ class TimeJoinSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("intervalJoin refuses a corrupt über-wide interval loudly") {
+    val p = Seq((1L, 1L, ts("2024-01-01 05:00:00"))).toDF("pid", "k", "t")
+    // end_ts in year 9999 against hour bins: ~70M bins — far past the cap,
+    // and past Spark's own sequence element limit. The failure must name
+    // the span and the fix, not die inside sequence().
+    val iv = Seq((7L, 1L, ts("2024-01-01 00:00:00"), ts("9999-01-01 00:00:00")))
+      .toDF("ivid", "k", "s", "e")
+    val e = intercept[Exception] {
+      TimeJoin.intervalJoin(p, iv, "k", "t", "s", "e",
+        binWidthMicros = 3600L * 1000 * 1000, Seq("ivid")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("intervalJoin") || msg.contains("bins"), s"got: $e")
+    // And a wide-but-sane interval under a RAISED cap still works.
+    val ok = TimeJoin.intervalJoin(p, iv, "k", "t", "s", "e",
+      binWidthMicros = 3600L * 1000 * 1000, Seq("ivid"),
+      maxBinsPerInterval = 100_000_000L)
+    assert(ok.count() == 1)
+  }
+
   test("time-split asof equals the monolithic sweep, hot key included") {
     val rnd = new scala.util.Random(41)
     // One hot key carries half of both sides; ties and tolerance edges in.
