@@ -57,6 +57,11 @@ object Shell {
       |  bloom <table> <col> [rebuild]        build/refresh the per-dir bloom index
       |  point <table> <col> <val>            equality read, stats+bloom dir skipping
       |  chunk_stats <table> [text_col]       content-defined chunk dedup stats
+      |  asof <l> <r> <key> <lts> <rts> [tol_sec] [n]   backward as-of join (latest
+      |                                       right row at or before each left ts)
+      |  interval_join <pts> <ivs> <key> <pts_ts> <start> <end> [bin_sec] [n]
+      |                                       point-in-interval join (binned equi-join)
+      |  quantiles <table> <value_col> [group_col] [p,p,p]   exact percentiles
       |  help                                 this text
       |  exit | quit                          leave the shell""".stripMargin
 
@@ -315,6 +320,40 @@ object Shell {
         val text = toks.lift(2).getOrElse("text")
         val pk = table(t).defaultPk
         Some(render(graft.ops.Curation.chunkDupStats(table(t).read(), pk, text), 10))
+      case "asof" =>
+        // asof <left> <right> <key> <left_ts> <right_ts> [tol_sec] [n]
+        val Seq(l, r, key, lts, rts) = toks.slice(1, 6): @unchecked
+        val tol = toks.lift(6).map(s =>
+          org.apache.spark.sql.functions.expr(s"INTERVAL ${s.toLong} SECONDS"))
+        val rt = table(r)
+        val payload = rt.schema.fieldNames.toSeq
+          .filterNot(c => c == key || c == rts)
+        Some(render(graft.ops.TimeJoin.asofBackward(table(l).read(), rt.read(),
+          key, lts, rts, payload, tolerance = tol),
+          toks.lift(7).map(_.toInt).getOrElse(20)))
+      case "interval_join" =>
+        // interval_join <points> <intervals> <key> <pt_ts> <start> <end> [bin_sec] [n]
+        val Seq(pt, iv, key, pts, sts, ets) = toks.slice(1, 7): @unchecked
+        val binSec = toks.lift(7).map(_.toLong).getOrElse(3600L)
+        val ivt = table(iv)
+        val payload = ivt.schema.fieldNames.toSeq
+          .filterNot(c => c == key || c == sts || c == ets)
+        Some(render(graft.ops.TimeJoin.intervalJoin(table(pt).read(), ivt.read(),
+          key, pts, sts, ets, binWidthMicros = binSec * 1000000L,
+          intervalPayload = payload), toks.lift(8).map(_.toInt).getOrElse(20)))
+      case "quantiles" =>
+        // quantiles <table> <value_col> [group_col] [p,p,p]
+        val Seq(t, v) = toks.slice(1, 3): @unchecked
+        val probs = toks.lift(4).orElse(toks.lift(3).filter(_.contains("0.")))
+          .map(_.split(',').toSeq.map(_.trim.toDouble))
+          .getOrElse(Seq(0.25, 0.5, 0.75))
+        val aggs = probs.map(q => org.apache.spark.sql.functions
+          .expr(s"percentile($v, $q)").as(s"q${(q * 100).round}"))
+        val df = toks.lift(3).filterNot(_.contains("0.")) match {
+          case Some(g) => table(t).read().groupBy(g).agg(aggs.head, aggs.tail: _*).orderBy(g)
+          case None => table(t).read().agg(aggs.head, aggs.tail: _*)
+        }
+        Some(render(df, 100))
       case "load_csv" =>
         val path = toks(1)
         val t = toks(2)

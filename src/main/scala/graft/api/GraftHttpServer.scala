@@ -929,6 +929,84 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
       maxSize = p.get("max").map(_.toInt).getOrElse(1024)), maxRows)
   }
 
+  // Backward as-of join between two catalog tables (kdb `aj` semantics):
+  // `/asof/<left>?right=<table>&key=k&left_ts=lt&right_ts=rt
+  // [&payload=a,b][&tolerance_sec=N][&inner=true][&splits=N]` — for every
+  // left row, the latest right row of the same key at or before the left
+  // timestamp ([[graft.ops.TimeJoin.asofBackward]]; single-shuffle plan,
+  // `splits` engages the hot-key time-split regime).
+  handle("/asof") { ex =>
+    val lt = pathArg(ex, "/asof")
+    val p = qs(ex)
+    def arg(name: String): String =
+      p.getOrElse(name, throw new IllegalArgumentException(s"missing $name"))
+    val left = session.catalog.table(lt)
+    val right = session.catalog.table(arg("right"))
+    val key = auditCol(left, p, "key")
+    require(right.schema.fieldNames.contains(key), s"no such column $key in right")
+    val leftTs = auditCol(left, p, "left_ts")
+    val rightTs = arg("right_ts")
+    require(right.schema.fieldNames.contains(rightTs), s"no such column $rightTs in right")
+    val payload = p.get("payload").map(_.split(',').toSeq.map(_.trim))
+      .getOrElse(right.schema.fieldNames.toSeq.filterNot(c => c == key || c == rightTs))
+    val tol = p.get("tolerance_sec").map(s =>
+      org.apache.spark.sql.functions.expr(s"INTERVAL ${s.toLong} SECONDS"))
+    dfJson(graft.ops.TimeJoin.asofBackward(left.read(), right.read(), key,
+      leftTs, rightTs, payload,
+      tolerance = tol,
+      inner = p.get("inner").contains("true"),
+      timeSplits = p.get("splits").map(_.toInt).getOrElse(1)), maxRows)
+  }
+
+  // Point-in-interval join: `/interval/<points>?intervals=<table>&key=k&
+  // point_ts=pt&start_ts=st&end_ts=et[&bin_sec=N][&payload=a,b]` — each
+  // point row paired with every same-key interval containing it
+  // ([[graft.ops.TimeJoin.intervalJoin]]; binned equi-join, never a BNL).
+  handle("/interval") { ex =>
+    val pt = pathArg(ex, "/interval")
+    val p = qs(ex)
+    def arg(name: String): String =
+      p.getOrElse(name, throw new IllegalArgumentException(s"missing $name"))
+    val points = session.catalog.table(pt)
+    val ivs = session.catalog.table(arg("intervals"))
+    val key = auditCol(points, p, "key")
+    val pointTs = auditCol(points, p, "point_ts")
+    val startTs = arg("start_ts"); val endTs = arg("end_ts")
+    require(ivs.schema.fieldNames.contains(startTs) &&
+      ivs.schema.fieldNames.contains(endTs),
+      s"intervals table needs $startTs and $endTs")
+    val payload = p.get("payload").map(_.split(',').toSeq.map(_.trim))
+      .getOrElse(ivs.schema.fieldNames.toSeq
+        .filterNot(c => c == key || c == startTs || c == endTs))
+    val binSec = p.get("bin_sec").map(_.toLong).getOrElse(3600L)
+    dfJson(graft.ops.TimeJoin.intervalJoin(points.read(), ivs.read(), key,
+      pointTs, startTs, endTs, binWidthMicros = binSec * 1000000L,
+      intervalPayload = payload), maxRows)
+  }
+
+  // Exact per-group quantiles: `/quantiles/<table>?value=<col>
+  // [&group=<col>][&probs=0.25,0.5,0.75]` — Spark `percentile` (exact
+  // linear interpolation, the hash-verified twin of DuckDB quantile_cont).
+  handle("/quantiles") { ex =>
+    val t = pathArg(ex, "/quantiles")
+    val p = qs(ex)
+    val table = session.catalog.table(t)
+    val value = auditCol(table, p, "value")
+    val probs = p.get("probs").map(_.split(',').toSeq.map(_.trim.toDouble))
+      .getOrElse(Seq(0.25, 0.5, 0.75))
+    require(probs.nonEmpty && probs.forall(q => q >= 0.0 && q <= 1.0),
+      "probs must be fractions in [0, 1]")
+    val aggs = probs.map(q => org.apache.spark.sql.functions
+      .expr(s"percentile($value, $q)").as(s"q${(q * 100).round}"))
+    val df = p.get("group") match {
+      case Some(_) =>
+        val g = auditCol(table, p, "group")
+        table.read().groupBy(g).agg(aggs.head, aggs.tail: _*).orderBy(g)
+      case None => table.read().agg(aggs.head, aggs.tail: _*)
+    }
+    dfJson(df, maxRows)
+  }
+
   handle("/insert") { ex =>
     require(ex.getRequestMethod == "POST", "POST required")
     val t = pathArg(ex, "/insert")

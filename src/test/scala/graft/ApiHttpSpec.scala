@@ -560,4 +560,49 @@ class ApiHttpSpec extends AnyFunSuite {
     assert(post("/mv_refresh/orders_t?name=nope", "")._1 == 400 ||
       post("/mv_refresh/orders_t?name=nope", "")._1 == 404)
   }
+
+  test("time-series joins and quantiles over HTTP") {
+    import spark.implicits._
+    val cat = session.catalog
+    cat.saveTable("px_t", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 11.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 20.0))
+      .toDF("sym", "ts", "px"))
+    cat.saveTable("trd_t", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:12"), 100),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:25"), 200),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:09"), 300),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:09"), 400))
+      .toDF("sym", "ts", "qty"))
+    // asof: trade at :12 sees the :05 quote; :25 sees :20; sym 3 unmatched.
+    val (c1, b1) = get("/asof/trd_t?right=px_t&key=sym&left_ts=ts&right_ts=ts")
+    // Unmatched lefts survive with NULL right columns (the JSON face omits
+    // null fields, so the sym-3 row carries qty but no asof_px).
+    assert(c1 == 200 && b1.contains("\"asof_px\":10.0") &&
+      b1.contains("\"asof_px\":11.0") && b1.contains("\"qty\":400"), b1)
+    // inner drops the unmatched trade.
+    val (c2, b2) = get(
+      "/asof/trd_t?right=px_t&key=sym&left_ts=ts&right_ts=ts&inner=true")
+    assert(c2 == 200 && !b2.contains("\"qty\":400"), b2)
+    // interval join: sessions table containing the trades.
+    cat.saveTable("sess_t", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:15"), "a"))
+      .toDF("sym", "s", "e", "tag"))
+    val (c3, b3) = get("/interval/trd_t?intervals=sess_t&key=sym&" +
+      "point_ts=ts&start_ts=s&end_ts=e&bin_sec=10")
+    assert(c3 == 200 && b3.contains("\"iv_tag\":\"a\"") &&
+      b3.contains("\"qty\":100") && !b3.contains("\"qty\":200"), b3)
+    // quantiles: exact percentile over a known series, grouped + global.
+    val (c4, b4) = get("/quantiles/orders_t?value=o_orderkey&probs=0.5")
+    assert(c4 == 200 && b4.contains("\"q50\""), b4)
+    val (c5, b5) = get(
+      "/quantiles/orders_t?value=o_orderkey&group=o_orderstatus")
+    assert(c5 == 200 && b5.contains("\"q25\"") && b5.contains("\"q75\"") &&
+      b5.contains("o_orderstatus"), b5)
+    // missing params are 400s.
+    assert(get("/asof/trd_t?key=sym")._1 == 400)
+    assert(get("/quantiles/orders_t?value=nope")._1 == 400)
+  }
 }

@@ -142,6 +142,32 @@ class ShellSpec extends AnyFunSuite {
     assert(p.contains(s"($want rows)"), p)
   }
 
+  test("time-series join and quantiles verbs") {
+    import spark.implicits._
+    val cat = session.catalog
+    cat.saveTable("px_s", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 11.0))
+      .toDF("sym", "ts", "px"))
+    cat.saveTable("trd_s", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:12"), 100),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:25"), 200))
+      .toDF("sym", "ts", "qty"))
+    val a = run("asof trd_s px_s sym ts ts")
+    assert(a.contains("asof_px") && a.contains("10.0") && a.contains("11.0"), a)
+    cat.saveTable("sess_s", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:15"), "a"))
+      .toDF("sym", "s", "e", "tag"))
+    val iv = run("interval_join trd_s sess_s sym ts s e 10")
+    assert(iv.contains("iv_tag") && iv.contains("(1 rows)"), iv)
+    val q = run("quantiles orders_s o_totalprice o_orderstatus")
+    assert(q.contains("q25") && q.contains("q75") && q.contains("o_orderstatus"), q)
+    val q2 = run("quantiles orders_s o_totalprice 0.5")
+    assert(q2.contains("q50") && q2.contains("(1 rows)"), q2)
+    assert(run("asof trd_s px_s sym").startsWith("error:"))
+  }
+
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
