@@ -56,6 +56,7 @@ object ScaleProbe {
     // deltas are read around each timed wave.
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val inputRead = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -63,6 +64,7 @@ object ScaleProbe {
         if (m != null) {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inputRead.addAndGet(m.inputMetrics.bytesRead)
         }
       }
     })
@@ -435,6 +437,65 @@ object ScaleProbe {
       timedWaves("v2_mor_read", f, () => { rd(); () })(_ => rd())
     }
 
+    // In-scan MOR chain amplification probe (v2_mor_chain): every bucket
+    // task re-reads the WHOLE unbucketed chain and keeps its bucket's keys
+    // (GraftSparkTable.scala, GraftMorPartitionReader), so total chain
+    // bytes read scale as buckets × chainBytes — the deliberate price of
+    // a shuffle-free ingest path that keeps storage-partitioned joins
+    // valid mid-stream. This probe PRICES that product: bucket count ×
+    // chain length sweep, recording measured task input bytes against the
+    // base+chain floor, the scan wall-clock, and the compact() escape
+    // hatch's cost at the same state — the numbers that say where the
+    // amplification crosses "just compact".
+    val chainAmp = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (only.forall(_.contains("v2_mor_chain")))
+    for (b <- Seq(16, 64); c <- Seq(1, 4, 8)) {
+      val ev = graft.queries.Q.events(spark, sfDir)
+      val cat = graft.queries.ConnectorQueries.tempCatalog(spark)
+      graft.queries.ConnectorQueries.ingestBucketed(
+        spark, cat, "t", ev, "event_id", b)
+      val wh = Paths.get(spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val gt = new graft.catalog.GraftCatalog(spark, wh).table("t")
+      (0 until c).foreach { k =>
+        gt.upsertDeferred(ev.filter(col("event_id") % 50 === k).limit(20000)
+          .withColumn("value", col("value") + 1.0), "event_id")
+      }
+      val head = gt.log.latest().get
+      def dirBytes(rels: Seq[String]): Long = rels.map { rel =>
+        val dir = wh.resolve("t").resolve(rel).toFile
+        Option(dir.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum).getOrElse(0L)
+      }.sum
+      val chainMb = dirBytes(head.deltaDirs) / 1e6
+      val baseMb = dirBytes(head.dataDirs) / 1e6
+      // One real data column in the read schema: a bare count would prune
+      // to zero columns and understate both base and chain bytes.
+      def rd(): Long =
+        spark.table(s"$cat.t").agg(count("value"), count(lit(1))).head.getLong(1)
+      rd() // untimed warm-up
+      var inputMb = 0.0
+      val ts = (0 until waves).map { _ =>
+        val i0 = inputRead.get()
+        val t0 = System.nanoTime()
+        rd()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(100L)
+        inputMb = (inputRead.get() - i0) / 1e6
+        dt
+      }
+      val t1 = System.nanoTime()
+      gt.compact()
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val predictedMb = baseMb + b * chainMb
+      println(f"scaleprobe v2_mor_chain b=$b%-3d c=$c%-2d base=${baseMb}%.1fMB " +
+        f"chain=${chainMb}%.1fMB scan=${median(ts)}%.3fs input=${inputMb}%.1fMB " +
+        f"predicted=${predictedMb}%.1fMB compact=${compactSec}%.3fs")
+      chainAmp += (s"""{"buckets":$b,"chain_commits":$c,"base_mb":${jnum(baseMb)},""" +
+        s""""chain_mb":${jnum(chainMb)},"scan_sec":${jnum(median(ts))},""" +
+        s""""scan_waves":${jarr(ts)},"input_mb":${jnum(inputMb)},""" +
+        s""""predicted_mb":${jnum(predictedMb)},"compact_sec":${jnum(compactSec)}}""")
+    }
+
     // Hot-key as-of probe: EVERY row carries one key — the monolithic
     // sweep is fully serialized (one task sorts and sweeps the lot) while
     // timeSplits=32 spreads it over 32 (key, range) partitions with
@@ -619,8 +680,10 @@ object ScaleProbe {
           yield math.log(sf / s1) / math.log(factor.toDouble)
       s""""$name":{$fs,"time_exponent":${expo.map(jnum).getOrElse("null")},"shuffle_exponent":${shufExpo.map(jnum).getOrElse("null")}}"""
     }.mkString("{", ",", "}")
+    val chainJson =
+      if (chainAmp.isEmpty) "null" else chainAmp.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp}"""
+      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp,"mor_chain_amplification":$chainJson}"""
     println(json)
     println("SCALE_JSON:" + json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")

@@ -235,7 +235,21 @@ object GraftSparkTable {
     * re-reads the (unbucketed) chain and keeps only its bucket's keys, so
     * the cap bounds BOTH the n× chain re-read and the per-task map. The
     * chain is bounded by compaction cadence, not table size — same
-    * argument as the serving path's cap. */
+    * argument as the serving path's cap.
+    *
+    * The amplification is PRICED, not assumed (ScaleProbe `v2_mor_chain`,
+    * SCALE_r14: buckets {16,64} × chain {1,4,8} commits): measured task
+    * input bytes track `base + buckets × chainColumnBytes` linearly —
+    * 64 buckets re-reading a 0.4 MB chain added ~1.1 MB of input per scan
+    * (the reader requests only key/__op/projected columns off the chain,
+    * so the factor applies to the chain's COLUMN SUBSET, not its full
+    * width) — while compact() at the same state cost a one-time ~1.5 s.
+    * Rule of thumb before raising the cap: in-scan resolution reads
+    * ~scansPerCompactionCycle × buckets × chainBytes extra; once that
+    * product rivals the touched-bucket rewrite compact() performs, compact
+    * instead. At the 256 MB cap and 4096 buckets a single full-width scan
+    * could re-read up to ~1 TB of chain — the cap is deliberately sized
+    * for compaction cadences that keep chains in the tens of MB. */
   val MorDeltaMaxBytesProp = "graft.v2.morDeltaMaxBytes"
   def morDeltaMaxBytes: Long =
     sys.props.get(MorDeltaMaxBytesProp).map(_.toLong).getOrElse(256L << 20)
