@@ -30,9 +30,10 @@ object Shell {
       |  insert <table> <pk_col> <val> [c=v ...]   insert one row (typed coercion)
       |  update <table> <pk_col> <val> <c=v ...>   update matching row's columns
       |  delete <table> <pk_col> <val>        delete by key
-      |  sql <query>                          run SQL (VERSION AS OF travel, MERGE INTO
-      |                                       upsert/delete sugar, and the lake.<table>
-      |                                       v2 catalog: SPJ joins, INSERT/DELETE/ALTER,
+      |  sql <query>                          run SQL (VERSION AS OF travel; MERGE INTO
+      |                                       upsert/delete/conditional-CDC sugar; and the
+      |                                       lake.<table> v2 catalog: SPJ joins, INSERT,
+      |                                       UPDATE/DELETE/MERGE row-level ops, ALTER,
       |                                       metadata count/min/max, time travel)
       |  history <table>                      commit history (time, operation, records)
       |  travel <table> <version|timestamp>   read the table as of a snapshot

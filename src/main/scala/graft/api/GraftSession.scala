@@ -53,6 +53,89 @@ final class GraftSession(val catalog: GraftCatalog) {
       """ON\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
       """WHEN\s+MATCHED\s+THEN\s+DELETE\s*$""").r
 
+  // The reference's literal 3-clause conditional CDC MERGE
+  // (`cdc_merger_optimized.py:176-183`):
+  //   WHEN MATCHED AND s.op = 'd' THEN DELETE
+  //   WHEN MATCHED THEN UPDATE SET t.c = s.c, ...
+  //   WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (...) VALUES (s....)
+  // with optional [AS] aliases on both relations. Accepted ONLY when the
+  // SET covers every non-key source data column as the identity t.c = s.c
+  // and the INSERT lists every data column against s.<same> — that shape
+  // is exactly the engine's op-aware full-replace merge
+  // (`Merge.merge(opCol)`); anything narrower passes through for Catalyst
+  // to report rather than running a silently different merge. (Against
+  // the `lake` catalog the SAME statement needs no sugar — the v2
+  // connector's row-level operations execute it natively.)
+  private val MergeCdc =
+    ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+""" +
+      """USING\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+""" +
+      """ON\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
+      """WHEN\s+MATCHED\s+AND\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*'([^']*)'\s+THEN\s+DELETE\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+AND\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(?:!=|<>)\s*'([^']*)'\s+THEN\s+""" +
+      """INSERT\s*\(([^()]*)\)\s*VALUES\s*\(([^()]*)\)\s*$""").r
+
+  private val Ident = """^[A-Za-z_]\w*$""".r
+  private val QualIdent = """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
+
+  /** Validates the 3-clause CDC merge's column lists against the source's
+    * actual data columns and runs the op-aware keyed merge. Any deviation
+    * from the full-replace shape refuses loudly (never a partial merge). */
+  private def runCdcMerge(t: String, tAliasOpt: Option[String],
+      src: String, sAliasOpt: Option[String],
+      on: ((String, String), (String, String)),
+      delQ: String, delCol: String, delVal: String,
+      setSql: String,
+      insQ: String, insCol: String, insVal: String,
+      insertCols: String, insertVals: String): DataFrame = {
+    val tA = tAliasOpt.getOrElse(t)
+    val sA = sAliasOpt.getOrElse(src)
+    require(tA != sA, s"MERGE aliases must be distinct, got $tA twice")
+    val key = mergeKey(tA, sA, on._1, on._2)
+    require(delQ == sA && insQ == sA && delCol == insCol && delVal == insVal,
+      s"MERGE op conditions must test one source column against one value, " +
+        s"got $delQ.$delCol='$delVal' vs $insQ.$insCol!='$insVal'")
+    require(delVal == "d",
+      s"MERGE op-aware sugar serves the Debezium op code 'd', got '$delVal'")
+    val source = mergeSource(src)
+    val dataCols = source.columns.toSeq.filterNot(_ == delCol)
+    require(dataCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      dataCols.size, s"source $src carries duplicate-modulo-case columns")
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // SET must be the identity map over every non-key data column.
+    val setPairs = setSql.split(',').map(_.trim).toSeq
+    val setCols = setPairs.map { p =>
+      p.split('=') match {
+        case Array(l, r) => (l.trim, r.trim) match {
+          case (QualIdent(lq, lcn), QualIdent(rq, rcn))
+              if lq == tA && rq == sA && lc(lcn) == lc(rcn) => lcn
+          case other => throw new IllegalArgumentException(
+            s"MERGE SET supports only $tA.c = $sA.c assignments, got $p")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"malformed MERGE SET assignment: $p")
+      }
+    }
+    require(setCols.map(lc).toSet == dataCols.filterNot(_ == key).map(lc).toSet,
+      s"MERGE SET must cover every non-key source column " +
+        s"(${dataCols.filterNot(_ == key).mkString(", ")}), got ${setCols.mkString(", ")}")
+    // INSERT (cols) VALUES (s.cols): identity-aligned, full column list.
+    val iCols = insertCols.split(',').map(_.trim).toSeq
+    val iVals = insertVals.split(',').map(_.trim).toSeq
+    require(iCols.size == iVals.size && iCols.forall(Ident.matches),
+      "MERGE INSERT column list and VALUES must align")
+    iCols.zip(iVals).foreach {
+      case (c, QualIdent(q, v)) if q == sA && lc(v) == lc(c) => ()
+      case (c, v) => throw new IllegalArgumentException(
+        s"MERGE INSERT supports only identity values, got $c <- $v")
+    }
+    require(iCols.map(lc).toSet == dataCols.map(lc).toSet,
+      s"MERGE INSERT must list every source data column " +
+        s"(${dataCols.mkString(", ")}), got ${iCols.mkString(", ")}")
+    val snap = catalog.table(t).upsert(source, key, opCol = Some(delCol))
+    mergeResult(t, "merge-cdc", snap.snapshotId)
+  }
+
   /** The USING side: a catalog table's resolved read, or any temp view. */
   private def mergeSource(name: String): DataFrame =
     if (catalog.tableExists(name)) catalog.table(name).read()
@@ -157,6 +240,11 @@ final class GraftSession(val catalog: GraftCatalog) {
     // MERGE pre-parse (whole statement, so literals cannot hide a match):
     // both shapes route to the engine's keyed merge verbs.
     clean match {
+      case MergeCdc(t, tAl, src, sAl, q1, k1, q2, k2, delQ, delCol, delVal,
+          setSql, insQ, insCol, insVal, iCols, iVals) if catalog.tableExists(t) =>
+        return runCdcMerge(t, Option(tAl), src, Option(sAl),
+          ((q1, k1), (q2, k2)), delQ, delCol, delVal, setSql,
+          insQ, insCol, insVal, iCols, iVals)
       case MergeUpsert(t, src, a1, k1, a2, k2) if catalog.tableExists(t) =>
         val key = mergeKey(t, src, (a1, k1), (a2, k2))
         val snap = catalog.table(t).upsert(mergeSource(src), key)

@@ -141,6 +141,54 @@ class ApiSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("shared key"))
   }
 
+  test("the reference's 3-clause conditional CDC MERGE runs on the session surface") {
+    val s = freshSession()
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val table = s.catalog.table("orders_t")
+    val before = table.read()
+    val cols = before.columns.toSeq
+    // updates: price rewrite on 100-150, deletes of 151-200, inserts of
+    // shifted keys, and an absent-key delete the conditional INSERT ignores.
+    val src = orders.filter(col("o_orderkey").between(100, 150))
+      .withColumn("o_totalprice", lit(1.0)).withColumn("op", lit("u"))
+      .unionByName(orders.filter(col("o_orderkey").between(151, 200))
+        .withColumn("op", lit("d")))
+      .unionByName(orders.filter(col("o_orderkey").between(201, 230))
+        .withColumn("o_orderkey", col("o_orderkey") + 7000000)
+        .withColumn("op", lit("c")))
+      .unionByName(orders.filter(col("o_orderkey").between(231, 240))
+        .withColumn("o_orderkey", col("o_orderkey") + 9000000)
+        .withColumn("op", lit("d")))
+    src.createOrReplaceTempView("cdc_src")
+    val setSql = cols.filterNot(_ == "o_orderkey")
+      .map(c => s"t.$c = s.$c").mkString(", ")
+    val res = s.sql(s"""MERGE INTO orders_t t USING cdc_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET $setSql
+      WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+        VALUES (${cols.map(c => s"s.$c").mkString(", ")})""")
+    assert(res.head.getString(1) == "merge-cdc")
+    val after = table.read()
+    assert(after.filter(col("o_orderkey").between(151, 200)).count() == 0)
+    assert(after.filter(col("o_orderkey").between(100, 150) &&
+      col("o_totalprice") === 1.0).count() ==
+      before.filter(col("o_orderkey").between(100, 150)).count())
+    assert(after.filter(col("o_orderkey") >= 7000000).count() ==
+      orders.filter(col("o_orderkey").between(201, 230)).count())
+    assert(after.filter(col("o_orderkey") >= 9000000).count() == 0)
+    // A SET that covers only a subset of columns is NOT the full-replace
+    // shape: refuse loudly rather than run a silently different merge.
+    val e = intercept[IllegalArgumentException](s.sql(
+      s"""MERGE INTO orders_t t USING cdc_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+          VALUES (${cols.map(c => s"s.$c").mkString(", ")})"""))
+    assert(e.getMessage.contains("every non-key source column"), e.getMessage)
+  }
+
   test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {
     val s = freshSession()
     // v1 → v2 appended 100 rows: the feed is 100 inserts.
