@@ -538,7 +538,8 @@ final class GraftScan(
     morKey: Option[String] = None,
     planListener: Option[Option[Set[Int]] => Unit] = None)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+  with SupportsReportStatistics with SupportsRuntimeV2Filtering
+  with SupportsReportOrdering {
 
   override def toBatch: Batch = this
 
@@ -723,6 +724,35 @@ final class GraftScan(
         Array(Expressions.bucket(n, k)), planned._1.length)
     case _ => new UnknownPartitioning(planned._1.length)
   }
+
+  /**
+   * Per-partition ordering report: the bucketed write path sorts every
+   * bucket file by the bucket key (`sortWithinPartitions(bucket, key)`,
+   * ascending nulls-first — see GraftTable.writeBucketedDir), so a
+   * partition holding EXACTLY ONE base file streams its rows key-sorted
+   * and the planner can elide the per-partition sorts a sort-merge join
+   * or sort-based aggregation would otherwise insert — the ordering twin
+   * of the SPJ exchange elision, priced the same way (at 100 TB the sort
+   * spills before it sorts). Claimed conservatively: any multi-file
+   * bucket (appended commits — concatenating sorted files is NOT sorted),
+   * any pending MOR chain (chain images stream first, unsorted), or a
+   * non-bucket-grouped plan reports NO ordering rather than a lie.
+   * Compaction restores the one-file-per-bucket shape, and with it the
+   * claim.
+   */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketSpec match {
+      case Some((k, _)) if planned._2 && morKey.isEmpty &&
+          readSchema.fieldNames.contains(k) &&
+          planned._1.forall {
+            case p: GraftInputPartition => p.files.length <= 1
+            case _ => false
+          } =>
+        Array(Expressions.sort(Expressions.column(k),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(readSchema.json, predicate, hadoopConf,

@@ -410,6 +410,42 @@ class SpjSpec extends AnyFunSuite {
     assert(!spark.table(s"$cat.alt").schema.fieldNames.contains("mandatory"))
   }
 
+  test("reported ordering elides the sort-merge join's per-partition sorts") {
+    val (cat, wh) = freshCat()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "o_srt", orders, "o_orderkey", 8)
+    ConnectorQueries.ingestBucketed(spark, cat, "l_srt", li, "l_orderkey", 8)
+    def sortCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.count(_.matches("""\(\d+\) Sort\b.*"""))
+    }
+    noBroadcast {
+      val joined = spark.table(s"$cat.o_srt")
+        .join(spark.table(s"$cat.l_srt"), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_quantity")
+      // One file per bucket (fresh overwrite): the SPJ elides the
+      // exchanges AND the reported key order elides both SMJ sorts.
+      assert(shuffleCount(joined) == 0)
+      assert(sortCount(joined) == 0,
+        "reported ordering must elide the SMJ sorts:\n" +
+          joined.queryExecution.executedPlan.toString)
+      // An APPEND makes a bucket multi-file — concatenated sorted files
+      // are not sorted, so the claim must retract and sorts come back.
+      new graft.catalog.GraftCatalog(spark, wh).table("o_srt")
+        .append(orders.limit(50))
+      val joined2 = spark.table(s"$cat.o_srt")
+        .join(spark.table(s"$cat.l_srt"), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_quantity")
+      assert(sortCount(joined2) > 0,
+        "multi-file bucket must NOT claim ordering:\n" +
+          joined2.queryExecution.executedPlan.toString)
+      assert(joined2.count() >= joined.count())
+    }
+  }
+
   test("a non-atomic MOR key refuses the in-scan resolver loudly") {
     // A struct key hashes fine at write time but has no value equality in
     // the resolver's map — admitting it would emit stale rows SILENTLY, so
