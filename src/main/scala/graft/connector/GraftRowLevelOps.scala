@@ -170,11 +170,52 @@ final class GraftReplaceGroupsWrite(
     head: Snapshot,
     writeSchema: StructType,
     bucketSpec: Option[(String, Int)])
-  extends Write with BatchWrite {
+  extends Write with BatchWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   override def toBatch: BatchWrite = this
   override def description(): String =
     s"graft $tableName replace-groups (${op.command()})"
+
+  // Layout contract on the REPLACEMENT rows, resolved through the
+  // catalog's own bucket function (the same v2 machinery SPJ trusts):
+  //
+  //  - ordering (bucket, key) for every command: rows stream bucket-by-
+  //    bucket with each bucket's slice key-sorted, so the staged files get
+  //    the write path's tight non-overlapping row-group ranges (the
+  //    serving lookups' pruning depends on them) — a per-partition sort,
+  //    never a shuffle.
+  //  - clustered distribution on bucket(n, key) for MERGE only: its query
+  //    ends in a join whose output is shuffled anyway, and clustering
+  //    collapses the would-be tasks × buckets file fan-out to ONE sorted
+  //    file per bucket (which also keeps the scan's single-file ordering
+  //    claim alive). DELETE/UPDATE read one task per bucket and already
+  //    write one file each — demanding a distribution there would add a
+  //    full shuffle of the survivors for nothing.
+  private def bucketed: Boolean =
+    bucketSpec.exists { case (k, _) =>
+      writeSchema.fieldNames.exists(_.equalsIgnoreCase(k)) }
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    bucketSpec match {
+      case Some((k, n)) if bucketed &&
+          op.command() == RowLevelOperation.Command.MERGE =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)))
+      case _ =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    bucketSpec match {
+      case Some((k, n)) if bucketed =>
+        import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+        Array(E.sort(E.bucket(n, k), SortDirection.ASCENDING),
+          E.sort(E.column(k), SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   private val stagedRel =
     s"data/s${head.snapshotId + 1}-rl${UUID.randomUUID().toString.take(8)}"

@@ -179,5 +179,14 @@ class RowLevelSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.orders").count() == 2 * baseN)
     assert(t.read().filter(col("o_orderkey") >= 10000000).count() == baseN)
     assert(t.read().filter(col("o_orderkey") <= 800).count() == baseN)
+    // The write's clustered distribution collapses the post-join fan-out:
+    // every staged bucket dir holds ONE key-sorted file, not one per task.
+    val staged = t.log.latest().get.dataDirs.filter(_.contains("-rl"))
+    assert(staged.nonEmpty)
+    staged.foreach { rel =>
+      val files = Option(wh.resolve("orders").resolve(rel).toFile.listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      assert(files == 1, s"$rel has $files files, want 1")
+    }
   }
 }
