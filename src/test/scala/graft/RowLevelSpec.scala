@@ -144,6 +144,28 @@ class RowLevelSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE clauses runs through the rewrite") {
+    val (cat, _) = freshCat()
+    val base = orders.filter(col("o_orderkey") <= 400)
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", base, "o_orderkey", 4)
+    // Source covers keys <= 200; target rows the source does NOT cover are
+    // deleted — the syncing-merge shape (reconcile a table to a feed).
+    base.filter(col("o_orderkey") <= 200).withColumn("o_totalprice", lit(5.0))
+      .createOrReplaceTempView("sync_src")
+    val cols = orders.columns.toSeq
+    spark.sql(s"""MERGE INTO $cat.orders t USING sync_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "o_orderkey")
+        .map(c => s"t.$c = s.$c").mkString(", ")}
+      WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+        VALUES (${cols.map(c => s"s.$c").mkString(", ")})
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = spark.table(s"$cat.orders")
+    assert(sortedRows(got.select("o_orderkey", "o_totalprice")) ==
+      sortedRows(base.filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), lit(5.0).as("o_totalprice"))))
+  }
+
   test("row-level ops refuse a pending MOR delta chain loudly") {
     val (cat, wh) = freshCat()
     val t = new graft.catalog.GraftCatalog(spark, wh).materialized("orders")
