@@ -437,6 +437,53 @@ object ScaleProbe {
       timedWaves("v2_mor_read", f, () => { rd(); () })(_ => rd())
     }
 
+    // SQL MERGE through the row-level operation (v2_sql_merge): the base
+    // table AND its bucket count grow f×; the CDC batch stays FIXED at 50
+    // keys chosen (driver-side, the layout's own hash) to hash into ONE
+    // bucket. Runtime group filtering should then rewrite exactly that
+    // bucket — whose size is ~constant when buckets scale with the table —
+    // so the merge wall-clock stays ~flat while the table grows 10×. The
+    // fixed-bucket batch is the partial-rewrite claim; a full-spread batch
+    // touches every bucket by construction and is priced by the bench's
+    // CDC sections instead.
+    if (only.forall(_.contains("v2_sql_merge")))
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val ev = (0 until f).map { k =>
+        ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+      val n = 16 * f
+      val cat = graft.queries.ConnectorQueries.tempCatalog(spark)
+      graft.queries.ConnectorQueries.ingestBucketed(
+        spark, cat, "t", ev, "event_id", n)
+      // 50 existing keys all hashing into bucket 0 of n.
+      val keys = ev0.select("event_id").limit(20000).collect()
+        .map(_.getLong(0))
+        .filter(k => graft.plans.BucketHash.bucketId(
+          k, org.apache.spark.sql.types.LongType, n, "UTC") == 0)
+        .take(50).toSeq
+      require(keys.size == 50, s"need 50 bucket-0 keys, got ${keys.size}")
+      val batch = ev.filter(col("event_id").isin(keys: _*))
+        .withColumn("value", col("value") + 1.0)
+        .withColumn("op", lit("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      batch.createOrReplaceTempView("sql_merge_batch")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val stmt = s"""MERGE INTO $cat.t t USING sql_merge_batch s
+        ON t.event_id = s.event_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "event_id")
+          .map(c => s"t.$c = s.$c").mkString(", ")}
+        WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+          VALUES (${cols.map(c => s"s.$c").mkString(", ")})"""
+      timedWaves("v2_sql_merge", f, () => ()) { _ =>
+        spark.sql(stmt); keys.size.toLong
+      }
+      batch.unpersist(blocking = false)
+    }
+
     // In-scan MOR chain amplification probe (v2_mor_chain): every bucket
     // task re-reads the WHOLE unbucketed chain and keeps its bucket's keys
     // (GraftSparkTable.scala, GraftMorPartitionReader), so total chain

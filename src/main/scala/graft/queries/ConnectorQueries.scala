@@ -241,6 +241,18 @@ object ConnectorQueries {
         .orderBy("o_orderkey")
     }),
 
+    // CTAS + literal INSERT VALUES through the catalog: CREATE TABLE ...
+    // PARTITIONED BY (bucket(n, col)) AS SELECT lands bucketed in one
+    // statement; a VALUES row rides the same schema-aligned append.
+    "t_v2_ctas" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      s.sql(s"CREATE TABLE $cat.orders PARTITIONED BY (bucket(4, o_orderkey)) " +
+        s"AS SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO $cat.orders VALUES (99999999, 'Z', 42.5)")
+      s.table(s"$cat.orders").orderBy("o_orderkey")
+    }),
+
     // v2 SQL surface end-to-end: CREATE TABLE ... PARTITIONED BY
     // (bucket(n, col)) through the catalog, INSERT via the table API,
     // SELECT through spark.sql over the catalog-qualified name.
@@ -319,6 +331,11 @@ object ConnectorQueries {
     "t_v2_delete_cow" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
          WHERE NOT (o_orderkey % 3 = 0) ORDER BY o_orderkey""",
+    "t_v2_ctas" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           UNION ALL SELECT 99999999, 'Z', 42.5
+         ) ORDER BY o_orderkey""",
     "t_v2_timetravel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
