@@ -166,6 +166,22 @@ class RowLevelSpec extends AnyFunSuite {
         .select(col("o_orderkey"), lit(5.0).as("o_totalprice"))))
   }
 
+  test("a commit landing between plan and write fails the replace (CAS)") {
+    val (cat, wh) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders",
+      orders.limit(100), "o_orderkey", 4)
+    val t = new GraftTable(spark, wh.resolve("orders"), "orders")
+    val plannedHead = t.latestVersion
+    // A concurrent writer moves the head after the COW scan planned.
+    t.append(orders.limit(10))
+    val e = intercept[graft.log.CommitConflictException] {
+      t.replaceGroups(plannedHead, "update", "data/nonexistent", Some(Set(0)))
+    }
+    assert(e.getMessage.contains("expected"), e.getMessage)
+    // Nothing replaced: the append's state is intact.
+    assert(t.read().count() == 110)
+  }
+
   test("row-level ops refuse a pending MOR delta chain loudly") {
     val (cat, wh) = freshCat()
     val t = new graft.catalog.GraftCatalog(spark, wh).materialized("orders")

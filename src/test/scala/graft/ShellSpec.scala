@@ -168,6 +168,24 @@ class ShellSpec extends AnyFunSuite {
     assert(run("asof trd_s px_s sym").startsWith("error:"))
   }
 
+  test("sql verb reaches the v2 catalog's row-level operations") {
+    // The shell's main registers the warehouse as `lake`; the spec's shared
+    // session needs its own uniquely-named catalog (catalog instances
+    // cache their FIRST conf by name).
+    val wh = session.catalog.warehouse
+    val cat = "lakesh_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.connector.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh.toString)
+    session.catalog.table("orders_s") // ensure exists
+    val out = run(s"sql UPDATE $cat.orders_s SET o_totalprice = 0.5 " +
+      "WHERE o_orderkey = 3")
+    assert(!out.startsWith("error:"), out)
+    val check = run(s"sql SELECT o_totalprice FROM $cat.orders_s " +
+      "WHERE o_orderkey = 3")
+    assert(check.contains("0.5"), check)
+  }
+
   test("errors come back as text, never exceptions; unknown commands hint help") {
     assert(run("sql SELEKT nope").startsWith("error:"))
     assert(run("get no_such_table id 1").startsWith("error:"))
