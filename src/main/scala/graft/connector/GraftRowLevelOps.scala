@@ -221,37 +221,12 @@ final class GraftReplaceGroupsWrite(
     s"data/s${head.snapshotId + 1}-rl${UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val spark = SparkSession.active
-    val conf = new Configuration(spark.sessionState.newHadoopConf())
-    // ParquetWriteSupport.init asserts these SQL keys are PRESENT in the
-    // conf (sessionState.newHadoopConf carries only explicitly-set ones):
-    // modern format, micros timestamps, no rebase — the same recipe the
-    // table's write path pins (withMicrosFooters) and its readers assume.
-    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, writeSchema.json)
-    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
-    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    conf.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
-    conf.set("parquet.compression", "snappy")
     val stagedAbs = Paths.get(rootPath).resolve(stagedRel).toString
-    val keyInfo = bucketSpec.map { case (k, n) =>
-      (k, tableSchemaOf(writeSchema, k).json, n)
-    }
-    new GraftReplaceWriterFactory(stagedAbs, writeSchema.json, keyInfo,
-      new SerializableConfiguration(conf))
+    new GraftReplaceWriterFactory(stagedAbs, writeSchema.json,
+      GraftParquetWrite.keyInfo(writeSchema, bucketSpec),
+      new SerializableConfiguration(
+        GraftParquetWrite.conf(SparkSession.active, writeSchema)))
   }
-
-  /** The key column's type from the WRITE schema (Spark aligns the
-    * replacement rows to the table schema, but resolve by name anyway —
-    * refusing loudly beats writing rows into the wrong bucket). */
-  private def tableSchemaOf(st: StructType, key: String): DataType =
-    st.fields.find(_.name.equalsIgnoreCase(key)).map(_.dataType).getOrElse(
-      throw new IllegalStateException(
-        s"replacement rows carry no bucket key column '$key' " +
-          s"(write schema: ${st.fieldNames.mkString(", ")})"))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val scanned: Option[Set[Int]] = op.scannedGroups.getOrElse(
@@ -273,6 +248,105 @@ final class GraftReplaceGroupsWrite(
     val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
   }
+}
+
+/** The one copy of the executor-side parquet write recipe, shared by the
+  * row-level replacement write and the streaming append sink. */
+private[connector] object GraftParquetWrite {
+
+  /** ParquetWriteSupport.init asserts these SQL keys are PRESENT in the
+    * conf (sessionState.newHadoopConf carries only explicitly-set ones):
+    * modern format, micros timestamps, no rebase — the same recipe the
+    * table's write path pins (withMicrosFooters) and its readers assume. */
+  def conf(spark: SparkSession, writeSchema: StructType): Configuration = {
+    val c = new Configuration(spark.sessionState.newHadoopConf())
+    c.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, writeSchema.json)
+    c.set("spark.sql.parquet.writeLegacyFormat", "false")
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    c.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    c.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    c.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
+    c.set("parquet.compression", "snappy")
+    c
+  }
+
+  /** (key col, key type json, n) from the WRITE schema — resolved by name
+    * (Spark aligns rows to the table schema, but refusing loudly beats
+    * writing rows into the wrong bucket). */
+  def keyInfo(writeSchema: StructType,
+      bucketSpec: Option[(String, Int)]): Option[(String, String, Int)] =
+    bucketSpec.map { case (k, n) =>
+      val dt = writeSchema.fields.find(_.name.equalsIgnoreCase(k))
+        .map(_.dataType).getOrElse(throw new IllegalStateException(
+          s"rows carry no bucket key column '$k' " +
+            s"(write schema: ${writeSchema.fieldNames.mkString(", ")})"))
+      (k, dt.json, n)
+    }
+}
+
+/**
+ * The streaming append sink (`df.writeStream.toTable("lake.t")` /
+ * `.format(...)` through the catalog): each epoch's tasks stream rows to a
+ * staged dir (bucket leaves on bucketed tables, the same per-bucket
+ * key-split as every other write), and the epoch commit appends it through
+ * [[graft.table.GraftTable]]'s shared CAS loop under the batch key
+ * `stream-<queryId>-<epochId>` — EXACTLY-ONCE by the same idempotent-
+ * batch-key mechanism the CdcPipeline uses: a replayed epoch (restart)
+ * stages into a fresh token'd dir, the commit sees the key and returns the
+ * committed head, and the replay's dir is the orphan GC's normal diet.
+ * Pending MOR chains stay correct for free: the staged dir joins the
+ * DELTA chain (sequenced last) exactly like a batch append.
+ */
+private[connector] final class GraftStreamingAppend(
+    rootPath: String,
+    tableName: String,
+    writeSchema: StructType,
+    bucketSpec: Option[(String, Int)],
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // Fresh per (re)start: replayed epochs never write into a committed dir.
+  private val token = UUID.randomUUID().toString.take(8)
+  private def relFor(epochId: Long) = s"data/st$token-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(
+      Paths.get(rootPath).resolve(s"data/st$token").toString,
+      writeSchema.json, GraftParquetWrite.keyInfo(writeSchema, bucketSpec),
+      new SerializableConfiguration(
+        GraftParquetWrite.conf(SparkSession.active, writeSchema)))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: GraftReplaceMessage => m.rows }.sum
+    if (rows == 0L) return // empty epoch: the offset log alone advances
+    val gt = new GraftTable(SparkSession.active, Paths.get(rootPath), tableName)
+    gt.appendStaged(relFor(epochId), writeSchema,
+      Some(s"stream-$queryId-$epochId"))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(Paths.get(rootPath).resolve(relFor(epochId)).toString)
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+private[connector] final class GraftStreamingWriterFactory(
+    stagedBase: String, // absolute prefix; epoch appended per writer
+    writeSchemaJson: String,
+    keyInfo: Option[(String, String, Int)],
+    conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftReplaceDataWriter(s"$stagedBase-e$epochId", writeSchemaJson,
+      keyInfo, conf.value, partitionId, taskId)
 }
 
 private[connector] final class GraftReplaceWriterFactory(
@@ -311,6 +385,7 @@ private[connector] final class GraftReplaceDataWriter(
   }
   private val writers =
     scala.collection.mutable.HashMap.empty[Int, ParquetOutputWriter]
+  private val paths = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rows = 0L
   private var closed = false
 
@@ -338,6 +413,7 @@ private[connector] final class GraftReplaceDataWriter(
   private def open(b: Int): ParquetOutputWriter = {
     val leaf = if (b >= 0) s"$stagedAbs/__bucket=$b" else stagedAbs
     val path = s"$leaf/part-$partitionId-$taskId.snappy.parquet"
+    paths += path
     new ParquetOutputWriter(path,
       new TaskAttemptContextImpl(conf, new TaskAttemptID()))
   }
@@ -365,8 +441,17 @@ private[connector] final class GraftReplaceDataWriter(
   }
 
   override def abort(): Unit = {
-    // Best-effort: the driver's abort removes the whole staged dir anyway.
+    // A failed/speculative attempt MUST remove its own files: a task-level
+    // retry that succeeds later leaves the JOB successful, so the driver's
+    // whole-dir abort never runs — an orphaned attempt file in the staged
+    // dir would be counted by the commit's footer pass as duplicate rows.
     try closeAll() catch { case scala.util.control.NonFatal(_) => () }
+    paths.foreach { p =>
+      try {
+        val hp = new Path(p)
+        hp.getFileSystem(conf).delete(hp, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   override def close(): Unit = closeAll()

@@ -92,7 +92,8 @@ final class GraftSparkTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (k, n) => Expressions.bucket(n, k) }.toArray
@@ -194,6 +195,18 @@ final class GraftSparkTable(
               }
               else gt.append(data)
             }
+          /** `df.writeStream.toTable("lake.t")` — exactly-once epoch
+            * appends through the table's idempotent batch keys
+            * ([[GraftStreamingAppend]]). Append mode only: complete mode
+            * would truncate the table every epoch. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!replace,
+              s"streaming writes to $tableName support append mode only " +
+                "(complete mode would truncate the table every epoch)")
+            new GraftStreamingAppend(rootPath, tableName, info.schema(),
+              bucketSpec, info.queryId())
+          }
         }
     }
   }

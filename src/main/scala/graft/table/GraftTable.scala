@@ -1146,31 +1146,44 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * nulls for historical columns; existing files are NOT rewritten.
    */
   def append(df: DataFrame, batchKey: Option[String] = None): Snapshot = {
-    // The data is written ONCE; only the head-derived commit content (dir
-    // list, evolved schema, totals) is re-derived if a concurrent writer
-    // wins the commit race (compare-and-swap via commitExpecting).
-    var written: Option[(Seq[DirInfo], StructType)] = None
+    // The data is written ONCE (against the head's evolved schema); only
+    // the head-derived commit content (dir list, evolved schema, totals)
+    // is re-derived if a concurrent writer wins the commit race
+    // (compare-and-swap via commitExpecting — see commitAppendDirs).
+    if (batchKey.exists(log.contains)) return log.latest().get
+    val head = log.latest()
+    val evolved = head.map(s => Merge.unionSchema(
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
+      .getOrElse(df.schema)
+    val next = latestVersion + 1
+    val aligned = align(df, evolved)
+    val newDirs = bucketSpec match {
+      // Bucketed table: appended rows must land in bucket leaf dirs, or
+      // they would escape later partial-rewrite merges.
+      case Some((bk, n)) if evolved.fieldNames.contains(bk) =>
+        writeBucketedDir(aligned, bk, n, newDataRel(next))
+      case _ =>
+        Seq(writeDataDir(aligned, next))
+    }
+    commitAppendDirs(newDirs, evolved, batchKey)
+  }
+
+  /**
+   * Commit already-written data dirs as an append — the metadata half of
+   * [[append]], shared with writers that produced their files on the
+   * executors (the v2 streaming sink's [[appendStaged]]): the CAS retry
+   * loop, schema union, totals, and the pending-MOR-chain rule (a dir
+   * appended while deltas pend joins the CHAIN, sequenced last, so its
+   * rows win read-time resolution over earlier delta images).
+   */
+  private def commitAppendDirs(
+      newDirs: Seq[DirInfo],
+      writtenSchema: StructType,
+      batchKey: Option[String]): Snapshot = {
     var attempts = 0
     while (true) {
       attempts += 1
       val head = log.latest()
-      val evolved = head.map(s => Merge.unionSchema(
-        DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
-        .getOrElse(df.schema)
-      val (newDirs, writtenSchema) = written.getOrElse {
-        val next = latestVersion + 1
-        val aligned = align(df, evolved)
-        val w = bucketSpec match {
-          // Bucketed table: appended rows must land in bucket leaf dirs, or
-          // they would escape later partial-rewrite merges.
-          case Some((bk, n)) if evolved.fieldNames.contains(bk) =>
-            writeBucketedDir(aligned, bk, n, newDataRel(next))
-          case _ =>
-            Seq(writeDataDir(aligned, next))
-        }
-        written = Some((w, evolved))
-        (w, evolved)
-      }
       val appended = newDirs.map(_.rows).sum
       val prior = head.flatMap(_.summary.get("records")).map(_.toLong).getOrElse(0L)
       val dirs = head.map(_.dataDirs).getOrElse(Seq.empty) ++ newDirs.map(_.rel)
@@ -1216,6 +1229,39 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * Commit an EXECUTOR-WRITTEN staged dir as an append — the v2 streaming
+   * sink's epoch commit ([[graft.connector]]): the tasks already wrote
+   * `stagedRel` (bucket leaves on a bucketed table, plain files
+   * otherwise); this runs the same footer pass every write path uses for
+   * counts/stats and the shared [[commitAppendDirs]] CAS loop. Idempotent
+   * under `batchKey`: an epoch replayed after a restart re-stages into a
+   * fresh dir, the commit sees the key and returns the committed head, and
+   * the replay's unreferenced dir is the orphan GC's normal diet.
+   */
+  private[graft] def appendStaged(
+      stagedRel: String,
+      writeSchema: StructType,
+      batchKey: Option[String]): Snapshot = {
+    if (batchKey.exists(log.contains)) return log.latest().get
+    val newDirs: Seq[DirInfo] = bucketSpec match {
+      case Some((k, _)) => leafCounts(stagedRel, statsKeep(Some(k)))
+      case None =>
+        val conf = spark.sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(root.resolve(stagedRel).toString)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq.empty
+        else {
+          val (rows, stats) = dirFooterInfo(fs, conf, p, statsKeep(None))
+          if (rows == 0L) Seq.empty else Seq(DirInfo(stagedRel, rows, stats))
+        }
+    }
+    if (newDirs.isEmpty)
+      return log.latest().getOrElse(throw new IllegalStateException(
+        s"table $name has no snapshots to append onto"))
+    commitAppendDirs(newDirs, writeSchema, batchKey)
   }
 
   /**

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.ConnectorQueries
+import graft.table.GraftTable
+
+/**
+ * The v2 streaming append sink: `df.writeStream.toTable("lake.t")` —
+ * epoch-staged executor parquet writes committed through the table's
+ * idempotent batch keys ([[graft.connector.GraftStreamingAppend]]).
+ * Exactly-once is the same mechanism CdcPipeline relies on: one batch key
+ * per epoch, replays return the committed head.
+ */
+class StreamWriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshCat(): (String, java.nio.file.Path) = {
+    val cat = ConnectorQueries.tempCatalog(spark)
+    (cat, java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse")))
+  }
+
+  test("writeStream.toTable appends micro-batches into a bucketed table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sw-").toString
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(s"$cat.ev")
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      assert(spark.table(s"$cat.ev").count() == 3)
+      in.addData((4L, "d"), (5L, "e"))
+      q.processAllAvailable()
+      val got = spark.table(s"$cat.ev").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      // Bucketed layout held: every data dir is a bucket leaf, so keyed
+      // reads stay pruned and SPJ claims stay valid.
+      val t = new GraftTable(spark, wh.resolve("ev"), "ev")
+      val head = t.log.latest().get
+      assert(head.dataDirs.forall(_.contains("__bucket=")),
+        head.dataDirs.mkString(", "))
+      assert(head.operation == "append")
+      // Epoch commits carry idempotent batch keys.
+      assert(head.batchKey.exists(_.startsWith("stream-")), head.batchKey)
+      // A keyed lookup through the pruned serving path sees streamed rows.
+      assert(t.lookupKeyRows(4L).map(_.getString(1)) == Seq("d"))
+    } finally q.stop()
+  }
+
+  test("restart with the same checkpoint does not duplicate committed epochs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.ev2 (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(2, id))")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sw2-").toString
+    val in = MemoryStream[(Long, String)]
+    val q1 = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"$cat.ev2")
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.table(s"$cat.ev2").count() == 2)
+    // Second run, same checkpoint: committed offsets are not re-run, new
+    // data lands once.
+    val q2 = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"$cat.ev2")
+    try {
+      in.addData((3L, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table(s"$cat.ev2").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("complete output mode refuses loudly (append-only sink)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.agg (v STRING, n BIGINT)")
+    val in = MemoryStream[(Long, String)]
+    val counts = in.toDF().toDF("id", "v").groupBy("v")
+      .agg(count(lit(1)).as("n"))
+    val e = intercept[Exception] {
+      val q = counts.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sw3-").toString)
+        .outputMode("complete").toTable(s"$cat.agg")
+      try { in.addData((1L, "a")); q.processAllAvailable() } finally q.stop()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("append mode only") ||
+      msgs(e).toLowerCase.contains("complete"), msgs(e).take(300))
+  }
+}
