@@ -78,6 +78,62 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val Ident = """^[A-Za-z_]\w*$""".r
   private val QualIdent = """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
 
+  // UPDATE / DELETE as SQL TEXT against a session (temp-view) table — the
+  // reference's row update (`api_poc.py:755`) on the surface Spark's own
+  // parser refuses for views. Expressions parse through Catalyst's
+  // `expr()` (full SQL expression grammar); only the statement SKELETON is
+  // pre-parsed, whole-statement anchored. Catalog-qualified names
+  // (lake.t) intentionally do NOT match — the v2 row-level operations
+  // serve those natively.
+  private val UpdateStmt =
+    """(?is)^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+  private val DeleteStmt =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*$""".r
+
+  /** Split on TOP-LEVEL commas only: an assignment value may itself carry
+    * commas inside function calls or string literals. */
+  private def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur.append(ch); if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur.append(ch)
+        case '(' => depth += 1; cur.append(ch)
+        case ')' => depth -= 1; cur.append(ch)
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur.append(c)
+      }
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def runUpdate(t: String, setSql: String, whereSql: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val table = catalog.table(t)
+    val cols = table.schema.fieldNames.toSet
+    val set: Map[String, org.apache.spark.sql.Column] =
+      splitAssignments(setSql).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"malformed SET assignment: $a")
+        val c = a.take(i).trim
+        require(Ident.matches(c) && cols.contains(c),
+          s"UPDATE SET column '$c' does not exist in $t")
+        c -> expr(a.drop(i + 1).trim)
+      }.toMap
+    val snap = table.updateWhere(expr(whereSql), set)
+    mergeResult(t, "update", snap.snapshotId)
+  }
+
+  private def runDelete(t: String, whereSql: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val snap = catalog.table(t).deleteWhere(expr(whereSql))
+    mergeResult(t, "delete", snap.snapshotId)
+  }
+
   /** Validates the 3-clause CDC merge's column lists against the source's
     * actual data columns and runs the op-aware keyed merge. Any deviation
     * from the full-replace shape refuses loudly (never a partial merge). */
@@ -245,6 +301,10 @@ final class GraftSession(val catalog: GraftCatalog) {
         return runCdcMerge(t, Option(tAl), src, Option(sAl),
           ((q1, k1), (q2, k2)), delQ, delCol, delVal, setSql,
           insQ, insCol, insVal, iCols, iVals)
+      case UpdateStmt(t, setSql, whereSql) if catalog.tableExists(t) =>
+        return runUpdate(t, setSql, whereSql)
+      case DeleteStmt(t, whereSql) if catalog.tableExists(t) =>
+        return runDelete(t, whereSql)
       case MergeUpsert(t, src, a1, k1, a2, k2) if catalog.tableExists(t) =>
         val key = mergeKey(t, src, (a1, k1), (a2, k2))
         val snap = catalog.table(t).upsert(mergeSource(src), key)

@@ -333,6 +333,25 @@ object EngineQueries {
       session.sql("SELECT * FROM orders_m ORDER BY o_orderkey")
     }),
 
+    // UPDATE / DELETE as SQL TEXT on the session surface (the reference's
+    // row update, api_poc.py:755, via /query-style SQL): the statement
+    // skeleton is pre-parsed, SET/WHERE expressions go through Catalyst's
+    // full expression grammar, and the verbs are the engine's
+    // updateWhere/deleteWhere (3VL semantics).
+    "t_sql_update" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-squp-"))
+      val o = tbl(s, d, "orders").select(orderCols.head, orderCols.tail: _*)
+      cat.saveTable("orders_u", o)
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      session.sql("UPDATE orders_u SET o_totalprice = o_totalprice * 2, " +
+        "o_orderstatus = 'U' WHERE o_orderkey % 5 = 0")
+      session.sql("DELETE FROM orders_u WHERE o_orderkey % 7 = 0")
+      session.sql("SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders_u ORDER BY o_orderkey")
+    }),
+
     // P1/P2/O3: the typed read API — projection + equality filter + limit.
     "t_read_api" -> ((s, d) => {
       val cat = new graft.catalog.GraftCatalog(s,
@@ -812,6 +831,14 @@ object EngineQueries {
       "SELECT * FROM orders WHERE o_orderkey IN (42, 777, 7777, 9999)",
     "t_sql_passthrough" ->
       "SELECT * FROM part WHERE p_retailprice > 50",
+    "t_sql_update" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus
+         FROM orders WHERE NOT (o_orderkey % 7 = 0)
+         ORDER BY o_orderkey""",
     "t_sql_merge" ->
       """WITH upd AS (
            SELECT o_orderkey, o_custkey, o_orderstatus,

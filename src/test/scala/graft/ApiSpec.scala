@@ -141,6 +141,31 @@ class ApiSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("shared key"))
   }
 
+  test("UPDATE and DELETE as SQL text on the session surface") {
+    val s = freshSession()
+    val table = s.catalog.table("orders_t")
+    val before = table.read()
+    val n99 = before.filter(col("o_orderkey") % 7 === 0).count()
+    // Full expression grammar in SET and WHERE (expr-parsed), commas
+    // inside function calls survive the assignment split.
+    val res = s.sql("UPDATE orders_t SET o_totalprice = round(o_totalprice, 0) " +
+      "+ 0.25, o_orderstatus = upper(concat('u', 'x')) WHERE o_orderkey % 7 = 0")
+    assert(res.head.getString(1) == "update")
+    val after = table.read()
+    assert(after.filter(col("o_orderstatus") === "UX").count() == n99)
+    // The rewritten view serves the post-update state.
+    assert(s.sql("SELECT count(*) AS n FROM orders_t WHERE o_orderstatus = 'UX'")
+      .head.getLong(0) == n99)
+    // Unknown SET column refuses loudly.
+    val e = intercept[IllegalArgumentException](
+      s.sql("UPDATE orders_t SET nope = 1 WHERE o_orderkey = 1"))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // DELETE FROM ... WHERE with 3VL semantics via the engine verb.
+    val keep = after.filter(!(col("o_orderkey") % 3 === 0)).count()
+    s.sql("DELETE FROM orders_t WHERE o_orderkey % 3 = 0")
+    assert(table.read().count() == keep)
+  }
+
   test("the reference's 3-clause conditional CDC MERGE runs on the session surface") {
     val s = freshSession()
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
