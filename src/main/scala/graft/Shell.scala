@@ -343,18 +343,22 @@ object Shell {
           key, pts, sts, ets, binWidthMicros = binSec * 1000000L,
           intervalPayload = payload), toks.lift(8).map(_.toInt).getOrElse(20)))
       case "quantiles" =>
-        // quantiles <table> <value_col> [group_col] [p,p,p]
+        // quantiles <table> <value_col> [group_col] [p,p,p] — the third
+        // positional is a prob list iff it parses as one ("1", ".5,.9"),
+        // a group column otherwise. Shared impl: graft.ops.Quantiles.
         val Seq(t, v) = toks.slice(1, 3): @unchecked
-        val probs = toks.lift(4).orElse(toks.lift(3).filter(_.contains("0.")))
-          .map(_.split(',').toSeq.map(_.trim.toDouble))
-          .getOrElse(Seq(0.25, 0.5, 0.75))
-        val aggs = probs.map(q => org.apache.spark.sql.functions
-          .expr(s"percentile($v, $q)").as(s"q${(q * 100).round}"))
-        val df = toks.lift(3).filterNot(_.contains("0.")) match {
-          case Some(g) => table(t).read().groupBy(g).agg(aggs.head, aggs.tail: _*).orderBy(g)
-          case None => table(t).read().agg(aggs.head, aggs.tail: _*)
+        val (group, probs) = (toks.lift(3), toks.lift(4)) match {
+          case (Some(a), Some(b)) =>
+            (Some(a), graft.ops.Quantiles.parseProbs(b).getOrElse(
+              throw new IllegalArgumentException(
+                s"probs must be comma-separated fractions in [0, 1], got '$b'")))
+          case (Some(a), None) => graft.ops.Quantiles.parseProbs(a) match {
+            case Some(ps) => (None, ps)
+            case None => (Some(a), Seq(0.25, 0.5, 0.75))
+          }
+          case _ => (None, Seq(0.25, 0.5, 0.75))
         }
-        Some(render(df, 100))
+        Some(render(graft.ops.Quantiles.of(table(t).read(), v, group, probs), 100))
       case "load_csv" =>
         val path = toks(1)
         val t = toks(2)

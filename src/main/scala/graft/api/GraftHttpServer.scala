@@ -985,26 +985,20 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
   }
 
   // Exact per-group quantiles: `/quantiles/<table>?value=<col>
-  // [&group=<col>][&probs=0.25,0.5,0.75]` — Spark `percentile` (exact
-  // linear interpolation, the hash-verified twin of DuckDB quantile_cont).
+  // [&group=<col>][&probs=0.25,0.5,0.75]` — [[graft.ops.Quantiles]], the
+  // same implementation the shell verb uses.
   handle("/quantiles") { ex =>
     val t = pathArg(ex, "/quantiles")
     val p = qs(ex)
     val table = session.catalog.table(t)
     val value = auditCol(table, p, "value")
-    val probs = p.get("probs").map(_.split(',').toSeq.map(_.trim.toDouble))
+    val probs = p.get("probs")
+      .map(s => graft.ops.Quantiles.parseProbs(s).getOrElse(
+        throw new IllegalArgumentException(
+          s"probs must be comma-separated fractions in [0, 1], got '$s'")))
       .getOrElse(Seq(0.25, 0.5, 0.75))
-    require(probs.nonEmpty && probs.forall(q => q >= 0.0 && q <= 1.0),
-      "probs must be fractions in [0, 1]")
-    val aggs = probs.map(q => org.apache.spark.sql.functions
-      .expr(s"percentile($value, $q)").as(s"q${(q * 100).round}"))
-    val df = p.get("group") match {
-      case Some(_) =>
-        val g = auditCol(table, p, "group")
-        table.read().groupBy(g).agg(aggs.head, aggs.tail: _*).orderBy(g)
-      case None => table.read().agg(aggs.head, aggs.tail: _*)
-    }
-    dfJson(df, maxRows)
+    val group = p.get("group").map(_ => auditCol(table, p, "group"))
+    dfJson(graft.ops.Quantiles.of(table.read(), value, group, probs), maxRows)
   }
 
   handle("/insert") { ex =>

@@ -86,9 +86,38 @@ final class GraftSession(val catalog: GraftCatalog) {
   // (lake.t) intentionally do NOT match — the v2 row-level operations
   // serve those natively.
   private val UpdateStmt =
-    """(?is)^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+    """(?is)^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+)$""".r
   private val DeleteStmt =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*$""".r
+
+  /** Split at the LAST top-level `WHERE` keyword — outside string
+    * literals and parentheses, so a literal `'x where y'` in a SET value
+    * or a scalar subquery's own WHERE never splits the statement. */
+  private def splitLastTopLevelWhere(s: String): Option[(String, String)] = {
+    var depth = 0
+    var quote: Char = 0
+    var at = -1
+    var i = 0
+    def boundary(j: Int): Boolean =
+      j < 0 || j >= s.length || (!s(j).isLetterOrDigit && s(j) != '_')
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            s.regionMatches(true, i, "WHERE", 0, 5) &&
+            boundary(i - 1) && boundary(i + 5) =>
+          at = i
+        case _ => ()
+      }
+      i += 1
+    }
+    if (at < 0) None
+    else Some((s.take(at).trim, s.drop(at + 5).trim))
+  }
 
   /** Split on TOP-LEVEL commas only: an assignment value may itself carry
     * commas inside function calls or string literals. */
@@ -301,7 +330,10 @@ final class GraftSession(val catalog: GraftCatalog) {
         return runCdcMerge(t, Option(tAl), src, Option(sAl),
           ((q1, k1), (q2, k2)), delQ, delCol, delVal, setSql,
           insQ, insCol, insVal, iCols, iVals)
-      case UpdateStmt(t, setSql, whereSql) if catalog.tableExists(t) =>
+      case UpdateStmt(t, rest) if catalog.tableExists(t) =>
+        val (setSql, whereSql) = splitLastTopLevelWhere(rest).getOrElse(
+          throw new IllegalArgumentException(
+            s"UPDATE $t needs a WHERE clause (use WHERE true to update every row)"))
         return runUpdate(t, setSql, whereSql)
       case DeleteStmt(t, whereSql) if catalog.tableExists(t) =>
         return runDelete(t, whereSql)

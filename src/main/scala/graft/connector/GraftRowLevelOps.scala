@@ -151,10 +151,38 @@ final class GraftCowScanBuilder(
       planListener = Some(groups => op.scannedGroups = Some(groups)))
 }
 
-/** Per-task result of the replacement write: row count (files are derived
-  * from the staged dir listing at commit, same as every other commit). */
-private[connector] case class GraftReplaceMessage(rows: Long)
+/** Per-task result of a staged write: row count + the attempt's files.
+  * The driver prunes the staged dir to EXACTLY the committed attempts'
+  * files before the commit's footer pass — a zombie attempt (executor
+  * died after close, its abort never ran) leaves a complete-looking file
+  * the dir listing would otherwise double-count, and a crash mid-write
+  * leaves a footer-less partial the pass would choke on. */
+private[connector] case class GraftReplaceMessage(rows: Long, files: Seq[String])
   extends WriterCommitMessage
+
+private[connector] object GraftStagedDir {
+  /** Delete every parquet file under `stagedAbs` that no COMMITTED task
+    * attempt claims (recursive over bucket leaves). */
+  def pruneToCommitted(
+      stagedAbs: String,
+      conf: Configuration,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val committed: Set[String] = messages.collect {
+      case m: GraftReplaceMessage => m.files
+    }.flatten.map(new Path(_).toUri.getPath).toSet
+    val root = new Path(stagedAbs)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      if (f.isFile && p.getName.endsWith(".parquet") &&
+          !committed.contains(p.toUri.getPath))
+        fs.delete(p, false)
+    }
+  }
+}
 
 /**
  * The replacement write: tasks stream rows into per-bucket parquet files
@@ -237,7 +265,11 @@ final class GraftReplaceGroupsWrite(
     // Nothing scanned and nothing written: the condition statically/
     // dynamically matched no groups — no snapshot to commit.
     if (scanned.exists(_.isEmpty) && rows == 0L) return
-    val gt = new GraftTable(SparkSession.active, Paths.get(rootPath), tableName)
+    val spark = SparkSession.active
+    GraftStagedDir.pruneToCommitted(
+      Paths.get(rootPath).resolve(stagedRel).toString,
+      spark.sessionState.newHadoopConf(), messages)
+    val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
     gt.replaceGroups(head.snapshotId,
       op.command().toString.toLowerCase(java.util.Locale.ROOT),
       stagedRel, scanned)
@@ -323,7 +355,11 @@ private[connector] final class GraftStreamingAppend(
       messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.collect { case m: GraftReplaceMessage => m.rows }.sum
     if (rows == 0L) return // empty epoch: the offset log alone advances
-    val gt = new GraftTable(SparkSession.active, Paths.get(rootPath), tableName)
+    val spark = SparkSession.active
+    GraftStagedDir.pruneToCommitted(
+      Paths.get(rootPath).resolve(relFor(epochId)).toString,
+      spark.sessionState.newHadoopConf(), messages)
+    val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
     gt.appendStaged(relFor(epochId), writeSchema,
       Some(s"stream-$queryId-$epochId"))
   }
@@ -437,7 +473,7 @@ private[connector] final class GraftReplaceDataWriter(
 
   override def commit(): WriterCommitMessage = {
     closeAll()
-    GraftReplaceMessage(rows)
+    GraftReplaceMessage(rows, paths.toSeq)
   }
 
   override def abort(): Unit = {

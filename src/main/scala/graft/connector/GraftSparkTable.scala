@@ -185,7 +185,8 @@ final class GraftSparkTable(
       private var replace = false
       override def truncate(): this.type = { replace = true; this }
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
+        new org.apache.spark.sql.connector.write.V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
@@ -207,6 +208,30 @@ final class GraftSparkTable(
             new GraftStreamingAppend(rootPath, tableName, info.schema(),
               bucketSpec, info.queryId())
           }
+          // (bucket, key) ordering on the STREAMING path (Spark honors
+          // distribution/ordering for DSv2 micro-batch sinks): each
+          // epoch's per-bucket files land key-sorted — a CORRECTNESS
+          // requirement, not a nicety, because the scan's
+          // SupportsReportOrdering claims ascending key order for any
+          // single-file bucket and an unsorted streamed file would make
+          // that claim a lie under an elided sort-merge-join sort. The
+          // v1 batch path ignores this (its verbs sort in
+          // writeBucketedDir); no distribution — a per-epoch shuffle
+          // would tax every micro-batch for file-count alone.
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            bucketSpec match {
+              case Some((k, n))
+                  if info.schema().fieldNames.exists(_.equalsIgnoreCase(k)) =>
+                import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+                Array(E.sort(E.bucket(n, k), SortDirection.ASCENDING),
+                  E.sort(E.column(k), SortDirection.ASCENDING))
+              case _ => Array.empty
+            }
         }
     }
   }

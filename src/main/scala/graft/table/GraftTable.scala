@@ -1246,18 +1246,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       writeSchema: StructType,
       batchKey: Option[String]): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
-    val newDirs: Seq[DirInfo] = bucketSpec match {
-      case Some((k, _)) => leafCounts(stagedRel, statsKeep(Some(k)))
-      case None =>
-        val conf = spark.sessionState.newHadoopConf()
-        val p = new org.apache.hadoop.fs.Path(root.resolve(stagedRel).toString)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) Seq.empty
-        else {
-          val (rows, stats) = dirFooterInfo(fs, conf, p, statsKeep(None))
-          if (rows == 0L) Seq.empty else Seq(DirInfo(stagedRel, rows, stats))
-        }
-    }
+    val newDirs: Seq[DirInfo] = stagedDirInfos(stagedRel, bucketSpec)
     if (newDirs.isEmpty)
       return log.latest().getOrElse(throw new IllegalStateException(
         s"table $name has no snapshots to append onto"))
@@ -1798,18 +1787,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * plan and write fails this one ([[graft.log.CommitConflictException]])
    * instead of being silently merged over.
    */
-  private[graft] def replaceGroups(
-      expectedHeadId: Long,
-      operation: String,
-      stagedRel: String,
-      scanned: Option[Set[Int]]): Snapshot = {
-    val head = log.get(expectedHeadId).getOrElse(throw new IllegalStateException(
-      s"table $name has no snapshot $expectedHeadId to replace groups against"))
-    require(head.deltaDirs.isEmpty,
-      s"row-level rewrite over ${head.deltaDirs.size} pending merge-on-read " +
-        "delta commits would strand their images; compact() first")
-    val spec = bucketSpecOf(head)
-    val leaves: Seq[DirInfo] = spec match {
+  /** [[DirInfo]]s for an EXECUTOR-WRITTEN staged dir: the footer pass over
+    * bucket leaves when `spec` declares a layout, one flat-dir entry
+    * otherwise (empty when nothing landed) — shared by [[replaceGroups]]
+    * and [[appendStaged]] so their counting rules cannot diverge. */
+  private def stagedDirInfos(
+      stagedRel: String, spec: Option[(String, Int)]): Seq[DirInfo] =
+    spec match {
       case Some((k, _)) => leafCounts(stagedRel, statsKeep(Some(k)))
       case None =>
         val conf = spark.sessionState.newHadoopConf()
@@ -1821,6 +1805,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           if (rows == 0L) Seq.empty else Seq(DirInfo(stagedRel, rows, stats))
         }
     }
+
+  private[graft] def replaceGroups(
+      expectedHeadId: Long,
+      operation: String,
+      stagedRel: String,
+      scanned: Option[Set[Int]]): Snapshot = {
+    val head = log.get(expectedHeadId).getOrElse(throw new IllegalStateException(
+      s"table $name has no snapshot $expectedHeadId to replace groups against"))
+    require(head.deltaDirs.isEmpty,
+      s"row-level rewrite over ${head.deltaDirs.size} pending merge-on-read " +
+        "delta commits would strand their images; compact() first")
+    val spec = bucketSpecOf(head)
+    val leaves: Seq[DirInfo] = stagedDirInfos(stagedRel, spec)
     val untouched: Seq[String] = scanned match {
       case None => Seq.empty
       case Some(bs) => head.dataDirs.filterNot(d => bucketOfDir(d).exists(bs.contains))

@@ -160,6 +160,13 @@ class ApiSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       s.sql("UPDATE orders_t SET nope = 1 WHERE o_orderkey = 1"))
     assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // A ' where ' INSIDE a string literal must not split the statement.
+    s.sql("UPDATE orders_t SET o_orderpriority = 'x where y' WHERE o_orderkey = 5")
+    assert(table.read().filter(col("o_orderkey") === 5)
+      .select("o_orderpriority").collect().forall(_.getString(0) == "x where y"))
+    // A scalar subquery's own WHERE inside SET must not split either.
+    s.sql("UPDATE orders_t SET o_custkey = (SELECT max(o_custkey) FROM " +
+      "orders_t WHERE o_orderkey < 100) WHERE o_orderkey = 5")
     // DELETE FROM ... WHERE with 3VL semantics via the engine verb.
     val keep = after.filter(!(col("o_orderkey") % 3 === 0)).count()
     s.sql("DELETE FROM orders_t WHERE o_orderkey % 3 = 0")

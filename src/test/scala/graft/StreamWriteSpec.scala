@@ -57,6 +57,39 @@ class StreamWriteSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed bucket files are key-sorted (the scan's ordering claim holds)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.srt (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(2, id))")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sw4-").toString)
+      .toTable(s"$cat.srt")
+    try {
+      // Deliberately reverse-ordered batch: without the write's required
+      // (bucket, key) ordering the file would land in arrival order and
+      // the single-file-bucket ordering report would be a LIE under an
+      // elided sort-merge-join sort.
+      in.addData((20L to 1L by -1).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = new GraftTable(spark, wh.resolve("srt"), "srt")
+    val dirs = t.log.latest().get.dataDirs
+    assert(dirs.nonEmpty && dirs.forall(_.contains("__bucket=")))
+    dirs.foreach { rel =>
+      val files = Option(wh.resolve("srt").resolve(rel).toFile.listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty)
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.toString)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"$rel/${f.getName} not key-sorted: $ids")
+      }
+    }
+  }
+
   test("restart with the same checkpoint does not duplicate committed epochs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
