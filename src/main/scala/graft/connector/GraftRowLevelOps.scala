@@ -157,10 +157,10 @@ final class GraftCowScanBuilder(
   * died after close, its abort never ran) leaves a complete-looking file
   * the dir listing would otherwise double-count, and a crash mid-write
   * leaves a footer-less partial the pass would choke on. */
-private[connector] case class GraftReplaceMessage(rows: Long, files: Seq[String])
+private[graft] case class GraftReplaceMessage(rows: Long, files: Seq[String])
   extends WriterCommitMessage
 
-private[connector] object GraftStagedDir {
+private[graft] object GraftStagedDir {
   /** Delete every parquet file under `stagedAbs` that no COMMITTED task
     * attempt claims (recursive over bucket leaves). */
   def pruneToCommitted(

@@ -117,6 +117,25 @@ class StreamWriteSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("staged-dir prune keeps only committed attempts' files") {
+    // A zombie attempt's complete-looking file and a mid-write partial
+    // both sit in the staged dir; only the committed attempt's survives.
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-")
+    val leaf = dir.resolve("__bucket=0")
+    java.nio.file.Files.createDirectories(leaf)
+    val good = leaf.resolve("part-0-1.snappy.parquet")
+    val zombie = leaf.resolve("part-0-7.snappy.parquet")
+    val partial = leaf.resolve("part-1-9.snappy.parquet")
+    Seq(good, zombie, partial).foreach(p =>
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3)))
+    graft.connector.GraftStagedDir.pruneToCommitted(dir.toString,
+      spark.sessionState.newHadoopConf(),
+      Array(graft.connector.GraftReplaceMessage(3L, Seq(good.toString))))
+    assert(java.nio.file.Files.exists(good))
+    assert(!java.nio.file.Files.exists(zombie))
+    assert(!java.nio.file.Files.exists(partial))
+  }
+
   test("complete output mode refuses loudly (append-only sink)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
