@@ -166,6 +166,28 @@ class RowLevelSpec extends AnyFunSuite {
         .select(col("o_orderkey"), lit(5.0).as("o_totalprice"))))
   }
 
+  test("a NULL-key source row inserts through MERGE (hashes to the null bucket)") {
+    val (cat, wh) = freshCat()
+    val base = orders.filter(col("o_orderkey") <= 100)
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", base, "o_orderkey", 4)
+    val cols = orders.columns.toSeq
+    // ON t.k = s.k never matches a NULL key (SQL equality), so the row is
+    // NOT MATCHED and must INSERT — landing in the null hash bucket, not
+    // crashing the writer's bucket assignment.
+    base.limit(1).withColumn("o_orderkey", lit(null).cast("bigint"))
+      .withColumn("op", lit("c")).createOrReplaceTempView("null_src")
+    spark.sql(s"""MERGE INTO $cat.orders t USING null_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "o_orderkey")
+        .map(c => s"t.$c = s.$c").mkString(", ")}
+      WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+        VALUES (${cols.map(c => s"s.$c").mkString(", ")})""")
+    val t = new GraftTable(spark, wh.resolve("orders"), "orders")
+    assert(t.read().filter(col("o_orderkey").isNull).count() == 1)
+    assert(t.read().count() == base.count() + 1)
+  }
+
   test("a commit landing between plan and write fails the replace (CAS)") {
     val (cat, wh) = freshCat()
     ConnectorQueries.ingestBucketed(spark, cat, "orders",
