@@ -92,6 +92,7 @@ final class GraftSparkTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
@@ -797,6 +798,14 @@ final class GraftScan(
       morKey.map(k => (k,
         DataType.fromJson(head.schemaJson).asInstanceOf[StructType](k).dataType.json,
         bucketSpec.get._2)))
+
+  /** `spark.readStream.table("lake.t")` — micro-batch append stream
+    * ([[GraftAppendStream]]): initial snapshot = this scan's pinned head,
+    * then exactly the appended dirs per window, through the same reader
+    * factory the batch scan uses. Column pruning applies (readSchema). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftAppendStream(spark, rootPath, tableName, readSchema, head)
 }
 
 object GraftScan {

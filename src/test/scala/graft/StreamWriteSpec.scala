@@ -136,6 +136,61 @@ class StreamWriteSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(partial))
   }
 
+  test("readStream.table streams the initial snapshot then appends only") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t0 = new graft.catalog.GraftCatalog(spark, wh).materialized("rs")
+    t0.overwriteBucketed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id", 2)
+    val q = spark.readStream.table(s"$cat.rs")
+      .writeStream.format("memory").queryName("rs_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-rs-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // Initial snapshot: the whole table as of stream start.
+      assert(spark.table("rs_sink").count() == 2)
+      // Appends stream incrementally.
+      t0.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+      q.processAllAvailable()
+      val got = spark.table("rs_sink").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      // A rewrite commit refuses the stream loudly instead of silently
+      // re-emitting rewritten rows.
+      t0.upsert(Seq((1L, "A")).toDF("id", "v"), "id")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(x: Throwable): String =
+        if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+      assert(msgs(e).contains("graft-changes") || msgs(e).contains("upsert"),
+        msgs(e).take(300))
+    } finally q.stop()
+  }
+
+  test("streaming read-write loop: readStream.table into writeStream.toTable") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val c = new graft.catalog.GraftCatalog(spark, wh)
+    val src = c.materialized("loop_src")
+    src.overwriteBucketed(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), "id", 2)
+    spark.sql(s"CREATE TABLE $cat.loop_dst (id BIGINT, x DOUBLE) " +
+      "PARTITIONED BY (bucket(2, id))")
+    val q = spark.readStream.table(s"$cat.loop_src")
+      .withColumn("x", col("x") * 2)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-loop-").toString)
+      .toTable(s"$cat.loop_dst")
+    try {
+      q.processAllAvailable()
+      src.append(Seq((3L, 30.0)).toDF("id", "x"))
+      q.processAllAvailable()
+      val got = spark.table(s"$cat.loop_dst").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((1L, 20.0), (2L, 40.0), (3L, 60.0)))
+    } finally q.stop()
+  }
+
   test("complete output mode refuses loudly (append-only sink)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
