@@ -58,14 +58,17 @@ final class GraftSession(val catalog: GraftCatalog) {
   //   WHEN MATCHED AND s.op = 'd' THEN DELETE
   //   WHEN MATCHED THEN UPDATE SET t.c = s.c, ...
   //   WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (...) VALUES (s....)
-  // with optional [AS] aliases on both relations. Accepted ONLY when the
-  // SET covers every non-key source data column as the identity t.c = s.c
-  // and the INSERT lists every data column against s.<same> — that shape
-  // is exactly the engine's op-aware full-replace merge
-  // (`Merge.merge(opCol)`); anything narrower passes through for Catalyst
-  // to report rather than running a silently different merge. (Against
-  // the `lake` catalog the SAME statement needs no sugar — the v2
-  // connector's row-level operations execute it natively.)
+  // with optional [AS] aliases on both relations. When the SET covers
+  // every non-key source data column as the identity t.c = s.c and the
+  // INSERT lists every data column against s.<same>, the statement IS the
+  // engine's op-aware full-replace merge (`Merge.merge(opCol)`) and runs
+  // through that verb. Anything narrower (partial SET, non-identity
+  // values, a different op code) routes through Catalyst instead: the
+  // target re-resolves through a scratch v2 catalog over this session's
+  // warehouse ([[catalystMerge]]) so `RewriteMergeIntoTable` + the
+  // connector's row-level operations execute it natively — exactly what
+  // the same statement gets against the `lake` catalog — and Catalyst
+  // reports genuinely malformed statements with its own errors.
   private val MergeCdc =
     ("""(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+""" +
       """USING\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+""" +
@@ -77,6 +80,12 @@ final class GraftSession(val catalog: GraftCatalog) {
 
   private val Ident = """^[A-Za-z_]\w*$""".r
   private val QualIdent = """^([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""".r
+
+  // Catch-all for MERGE statements the engine-verb sugars above don't
+  // match: an UNQUALIFIED target name (qualified ones — lake.t — already
+  // resolve through their own catalog) routed to [[catalystMerge]].
+  private val MergeAny =
+    """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?!\s*\.)\b.*$""".r
 
   // UPDATE / DELETE as SQL TEXT against a session (temp-view) table — the
   // reference's row update (`api_poc.py:755`) on the surface Spark's own
@@ -102,7 +111,12 @@ final class GraftSession(val catalog: GraftCatalog) {
       j < 0 || j >= s.length || (!s(j).isLetterOrDigit && s(j) != '_')
     while (i < s.length) {
       val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      // Inside a literal, a backslash escapes the next character (Spark's
+      // default parser accepts 'it\'s' alongside SQL-standard 'it''s') —
+      // skip it so the escape can't close the quote early.
+      if (quote != 0) {
+        if (c == '\\') i += 1 else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' => quote = c
         case '(' => depth += 1
@@ -126,8 +140,16 @@ final class GraftSession(val catalog: GraftCatalog) {
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0
-    s.foreach { ch =>
-      if (quote != 0) { cur.append(ch); if (ch == quote) quote = 0 }
+    var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (quote != 0) {
+        cur.append(ch)
+        // Backslash escapes the next char inside a literal (see
+        // splitLastTopLevelWhere) — copy it through without closing.
+        if (ch == '\\' && i + 1 < s.length) { i += 1; cur.append(s(i)) }
+        else if (ch == quote) quote = 0
+      }
       else ch match {
         case '\'' | '"' => quote = ch; cur.append(ch)
         case '(' => depth += 1; cur.append(ch)
@@ -135,6 +157,7 @@ final class GraftSession(val catalog: GraftCatalog) {
         case ',' if depth == 0 => out += cur.result(); cur.clear()
         case c => cur.append(c)
       }
+      i += 1
     }
     out += cur.result()
     out.toSeq.map(_.trim).filter(_.nonEmpty)
@@ -166,59 +189,105 @@ final class GraftSession(val catalog: GraftCatalog) {
   /** Validates the 3-clause CDC merge's column lists against the source's
     * actual data columns and runs the op-aware keyed merge. Any deviation
     * from the full-replace shape refuses loudly (never a partial merge). */
-  private def runCdcMerge(t: String, tAliasOpt: Option[String],
+  private def runCdcMerge(stmt: String, t: String, tAliasOpt: Option[String],
       src: String, sAliasOpt: Option[String],
       on: ((String, String), (String, String)),
       delQ: String, delCol: String, delVal: String,
       setSql: String,
       insQ: String, insCol: String, insVal: String,
       insertCols: String, insertVals: String): DataFrame = {
-    val tA = tAliasOpt.getOrElse(t)
-    val sA = sAliasOpt.getOrElse(src)
-    require(tA != sA, s"MERGE aliases must be distinct, got $tA twice")
-    val key = mergeKey(tA, sA, on._1, on._2)
-    require(delQ == sA && insQ == sA && delCol == insCol && delVal == insVal,
-      s"MERGE op conditions must test one source column against one value, " +
-        s"got $delQ.$delCol='$delVal' vs $insQ.$insCol!='$insVal'")
-    require(delVal == "d",
-      s"MERGE op-aware sugar serves the Debezium op code 'd', got '$delVal'")
-    val source = mergeSource(src)
-    val dataCols = source.columns.toSeq.filterNot(_ == delCol)
-    require(dataCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
-      dataCols.size, s"source $src carries duplicate-modulo-case columns")
-    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    // SET must be the identity map over every non-key data column.
-    val setPairs = setSql.split(',').map(_.trim).toSeq
-    val setCols = setPairs.map { p =>
-      p.split('=') match {
-        case Array(l, r) => (l.trim, r.trim) match {
-          case (QualIdent(lq, lcn), QualIdent(rq, rcn))
-              if lq == tA && rq == sA && lc(lcn) == lc(rcn) => lcn
-          case other => throw new IllegalArgumentException(
-            s"MERGE SET supports only $tA.c = $sA.c assignments, got $p")
+    // Shape checks below throw IllegalArgumentException when the statement
+    // is not the full-replace identity merge; those route to [[catalystMerge]]
+    // (which either executes a narrower merge natively or reports a real
+    // parse/analysis error) rather than running a silently different merge.
+    val fast: Either[IllegalArgumentException, DataFrame] =
+      try Right {
+        val tA = tAliasOpt.getOrElse(t)
+        val sA = sAliasOpt.getOrElse(src)
+        require(tA != sA, s"MERGE aliases must be distinct, got $tA twice")
+        val key = mergeKey(tA, sA, on._1, on._2)
+        require(delQ == sA && insQ == sA && delCol == insCol && delVal == insVal,
+          s"MERGE op conditions must test one source column against one value, " +
+            s"got $delQ.$delCol='$delVal' vs $insQ.$insCol!='$insVal'")
+        require(delVal == "d",
+          s"MERGE op-aware sugar serves the Debezium op code 'd', got '$delVal'")
+        val source = mergeSource(src)
+        val dataCols = source.columns.toSeq.filterNot(_ == delCol)
+        require(dataCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+          dataCols.size, s"source $src carries duplicate-modulo-case columns")
+        def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        // SET must be the identity map over every non-key data column.
+        // Top-level comma split: a well-formed SET value may itself carry
+        // commas inside function calls or literals.
+        val setPairs = splitAssignments(setSql)
+        val setCols = setPairs.map { p =>
+          p.split('=') match {
+            case Array(l, r) => (l.trim, r.trim) match {
+              case (QualIdent(lq, lcn), QualIdent(rq, rcn))
+                  if lq == tA && rq == sA && lc(lcn) == lc(rcn) => lcn
+              case other => throw new IllegalArgumentException(
+                s"MERGE SET supports only $tA.c = $sA.c assignments, got $p")
+            }
+            case _ => throw new IllegalArgumentException(
+              s"malformed MERGE SET assignment: $p")
+          }
         }
-        case _ => throw new IllegalArgumentException(
-          s"malformed MERGE SET assignment: $p")
-      }
+        require(setCols.map(lc).toSet == dataCols.filterNot(_ == key).map(lc).toSet,
+          s"MERGE SET must cover every non-key source column " +
+            s"(${dataCols.filterNot(_ == key).mkString(", ")}), got ${setCols.mkString(", ")}")
+        // INSERT (cols) VALUES (s.cols): identity-aligned, full column list.
+        val iCols = splitAssignments(insertCols)
+        val iVals = splitAssignments(insertVals)
+        require(iCols.size == iVals.size && iCols.forall(Ident.matches),
+          "MERGE INSERT column list and VALUES must align")
+        iCols.zip(iVals).foreach {
+          case (c, QualIdent(q, v)) if q == sA && lc(v) == lc(c) => ()
+          case (c, v) => throw new IllegalArgumentException(
+            s"MERGE INSERT supports only identity values, got $c <- $v")
+        }
+        require(iCols.map(lc).toSet == dataCols.map(lc).toSet,
+          s"MERGE INSERT must list every source data column " +
+            s"(${dataCols.mkString(", ")}), got ${iCols.mkString(", ")}")
+        val snap = catalog.table(t).upsert(source, key, opCol = Some(delCol))
+        mergeResult(t, "merge-cdc", snap.snapshotId)
+      } catch { case e: IllegalArgumentException => Left(e) }
+    fast.fold(_ => catalystMerge(stmt, t), identity)
+  }
+
+  /** Name of the scratch v2 catalog registered over this session's
+    * warehouse — the bridge that lets Catalyst run row-level SQL (MERGE
+    * shapes the engine-verb sugar doesn't cover) against tables the
+    * session otherwise serves as temp views. Warehouse-derived: Spark's
+    * CatalogManager caches catalog INSTANCES by name after first use, so
+    * two GraftSessions over different warehouses in one SparkSession must
+    * not share a name. */
+  private val scratchCatalog = {
+    val h = Integer.toHexString(catalog.warehouse.toAbsolutePath.toString.hashCode)
+    s"graft_session_$h"
+  }
+
+  /** Run a MERGE statement through Catalyst's row-level machinery by
+    * re-qualifying the (temp-view) target as `<scratchCatalog>.<t>` —
+    * the session warehouse seen through [[graft.connector.GraftSparkCatalog]].
+    * The USING side still resolves against temp views (Catalyst looks
+    * there first), so sources keep working unchanged. Narrower merges
+    * (partial SET, extra WHEN clauses, NOT MATCHED BY SOURCE) execute as
+    * bucket-grouped copy-on-write rewrites exactly as they do against the
+    * `lake` catalog; malformed statements get Catalyst's own errors. */
+  private def catalystMerge(stmt: String, t: String): DataFrame = {
+    val spark = catalog.spark
+    val key = s"spark.sql.catalog.$scratchCatalog"
+    if (!spark.conf.getOption(key).contains(
+        classOf[graft.connector.GraftSparkCatalog].getName)) {
+      spark.conf.set(key, classOf[graft.connector.GraftSparkCatalog].getName)
+      spark.conf.set(s"$key.warehouse", catalog.warehouse.toString)
     }
-    require(setCols.map(lc).toSet == dataCols.filterNot(_ == key).map(lc).toSet,
-      s"MERGE SET must cover every non-key source column " +
-        s"(${dataCols.filterNot(_ == key).mkString(", ")}), got ${setCols.mkString(", ")}")
-    // INSERT (cols) VALUES (s.cols): identity-aligned, full column list.
-    val iCols = insertCols.split(',').map(_.trim).toSeq
-    val iVals = insertVals.split(',').map(_.trim).toSeq
-    require(iCols.size == iVals.size && iCols.forall(Ident.matches),
-      "MERGE INSERT column list and VALUES must align")
-    iCols.zip(iVals).foreach {
-      case (c, QualIdent(q, v)) if q == sA && lc(v) == lc(c) => ()
-      case (c, v) => throw new IllegalArgumentException(
-        s"MERGE INSERT supports only identity values, got $c <- $v")
-    }
-    require(iCols.map(lc).toSet == dataCols.map(lc).toSet,
-      s"MERGE INSERT must list every source data column " +
-        s"(${dataCols.mkString(", ")}), got ${iCols.mkString(", ")}")
-    val snap = catalog.table(t).upsert(source, key, opCol = Some(delCol))
-    mergeResult(t, "merge-cdc", snap.snapshotId)
+    // `t` is a bare identifier ([A-Za-z_]\w*) by the time we get here, so
+    // neither side needs regex quoting.
+    val requalified = stmt.replaceFirst(
+      "(?is)^(\\s*MERGE\\s+INTO\\s+)" + t + "\\b", "$1" + scratchCatalog + "." + t)
+    spark.sql(requalified)
+    mergeResult(t, "merge-catalyst", catalog.table(t).latestVersion)
   }
 
   /** The USING side: a catalog table's resolved read, or any temp view. */
@@ -327,7 +396,7 @@ final class GraftSession(val catalog: GraftCatalog) {
     clean match {
       case MergeCdc(t, tAl, src, sAl, q1, k1, q2, k2, delQ, delCol, delVal,
           setSql, insQ, insCol, insVal, iCols, iVals) if catalog.tableExists(t) =>
-        return runCdcMerge(t, Option(tAl), src, Option(sAl),
+        return runCdcMerge(clean, t, Option(tAl), src, Option(sAl),
           ((q1, k1), (q2, k2)), delQ, delCol, delVal, setSql,
           insQ, insCol, insVal, iCols, iVals)
       case UpdateStmt(t, rest) if catalog.tableExists(t) =>
@@ -346,6 +415,13 @@ final class GraftSession(val catalog: GraftCatalog) {
         val snap = catalog.table(t).deleteKeys(
           mergeSource(src).select(key), key)
         return mergeResult(t, "merge-delete", snap.snapshotId)
+      // Any OTHER merge against an unqualified catalog-table target (a
+      // shape none of the engine-verb sugars cover — partial SET, extra
+      // WHEN clauses, NOT MATCHED BY SOURCE, ...) runs through Catalyst's
+      // row-level machinery via the scratch catalog instead of hitting
+      // Spark's "MERGE into a view" refusal.
+      case MergeAny(t) if catalog.tableExists(t) =>
+        return catalystMerge(clean, t)
       case _ => ()
     }
     // TABLE_CHANGES takes its table/pk arguments as string LITERALS, so a

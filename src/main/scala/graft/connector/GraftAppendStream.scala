@@ -103,9 +103,18 @@ private[connector] final class GraftAppendStream(
         s"streaming read of $tableName hit a '${s.operation}' commit " +
           s"(snapshot $v): rewrites cannot stream as appends — consume " +
           "format(\"graft-changes\") for typed change rows instead")
-      val parent = s.parentId.flatMap(log.get)
-      val parentDirs = parent.map(p => (p.dataDirs ++ p.deltaDirs).toSet)
-        .getOrElse(Set.empty)
+      // An expired PARENT is as fatal as an expired window snapshot: with no
+      // parent dirs to diff against, the "appended" set would degenerate to
+      // the snapshot's full cumulative dataDirs and silently re-emit the
+      // whole table as appends.
+      val parentDirs = s.parentId match {
+        case None => Set.empty[String]
+        case Some(pid) =>
+          val p = log.get(pid).getOrElse(throw new IllegalStateException(
+            s"table $tableName snapshot $pid (parent of $v) expired " +
+              "mid-stream; restart the query"))
+          (p.dataDirs ++ p.deltaDirs).toSet
+      }
       (s.dataDirs ++ s.deltaDirs).filterNot(parentDirs)
     }
   }

@@ -333,6 +333,26 @@ object EngineQueries {
       session.sql("SELECT * FROM orders_m ORDER BY o_orderkey")
     }),
 
+    // MERGE with a PARTIAL SET list on the session surface: no engine-verb
+    // sugar covers it, so it routes through the scratch v2 catalog and
+    // Catalyst's row-level machinery (RewriteMergeIntoTable over the
+    // connector's copy-on-write op) — the same execution the statement
+    // gets against the `lake` catalog, now reachable on temp-view names.
+    "t_sql_merge_partial" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        Files.createTempDirectory("graft-mpart-"))
+      val o = tbl(s, d, "orders").select(orderCols.head, orderCols.tail: _*)
+      cat.saveTable("orders_p", o.filter(col("o_orderkey") % 3 =!= 0))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      o.filter(col("o_orderkey") % 2 === 0).createOrReplaceTempView("updp")
+      session.sql("MERGE INTO orders_p t USING updp s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice + 1000 " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      session.sql("SELECT o_orderkey, o_totalprice FROM orders_p ORDER BY o_orderkey")
+    }),
+
     // UPDATE / DELETE as SQL TEXT on the session surface (the reference's
     // row update, api_poc.py:755, via /query-style SQL): the statement
     // skeleton is pre-parsed, SET/WHERE expressions go through Catalyst's
@@ -851,6 +871,13 @@ object EngineQueries {
                 o_orderdate, o_orderpriority
          FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+         ORDER BY o_orderkey""",
+    "t_sql_merge_partial" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+                THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
          ORDER BY o_orderkey""",
     "t_read_api" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",

@@ -1068,7 +1068,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val next = latestVersion + 1
     val newLeaves = writeBucketedDir(merged, key, n, newDataRel(next))
     val tC = System.nanoTime()
-    val carried = untouchedDirs.map(d => d -> head.dirRecords.getOrElse(d, 0L))
+    val carried = untouchedDirs.map(d => d -> carriedRecordCount(head, d))
     val allDirs = carried ++ newLeaves.map(l => l.rel -> l.rows)
     val total = allDirs.map(_._2).sum
     // Untouched dirs carry their stats forward verbatim; rewritten buckets
@@ -1806,6 +1806,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         }
     }
 
+  /** Record count for a dir carried forward unchanged into a new manifest.
+    * A dir MISSING from `dirRecords` must fail loudly, not default to 0:
+    * the new manifest's `records` summary feeds the metadata-only count(*)
+    * pushdown, which would serve the laundered 0 as an exact wrong answer
+    * (statsFromMetadataAt declines only on absent keys, not wrong values).
+    */
+  private def carriedRecordCount(head: Snapshot, d: String): Long =
+    head.dirRecords.getOrElse(d, throw new IllegalStateException(
+      s"table $name snapshot ${head.snapshotId} carries dir $d with no " +
+        "dirRecords entry; refusing to record an unknown count as 0"))
+
   private[graft] def replaceGroups(
       expectedHeadId: Long,
       operation: String,
@@ -1822,7 +1833,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       case None => Seq.empty
       case Some(bs) => head.dataDirs.filterNot(d => bucketOfDir(d).exists(bs.contains))
     }
-    val carried = untouched.map(d => d -> head.dirRecords.getOrElse(d, 0L))
+    val carried = untouched.map(d => d -> carriedRecordCount(head, d))
     val allDirs = carried ++ leaves.map(l => l.rel -> l.rows)
     val total = allDirs.map(_._2).sum
     val allStats = head.dirStats.view.filterKeys(untouched.toSet).toMap ++

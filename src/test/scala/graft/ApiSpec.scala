@@ -119,12 +119,22 @@ class ApiSpec extends AnyFunSuite {
       "ON src_m.o_orderkey = orders_t.o_orderkey WHEN MATCHED THEN DELETE")
     assert(s.sql("SELECT count(*) AS c FROM orders_t " +
       "WHERE o_orderkey BETWEEN 550 AND 650").head.getLong(0) == 0)
-    // A shape outside the two canonical forms goes to Catalyst, which
-    // reports it — never a silent partial merge.
-    val e = intercept[Exception](s.sql("MERGE INTO orders_t USING src_m " +
-      "ON orders_t.o_orderkey = src_m.o_orderkey " +
-      "WHEN MATCHED THEN UPDATE SET o_totalprice = 0"))
-    assert(e != null)
+    // A shape outside the two canonical forms routes through the scratch
+    // v2 catalog and EXECUTES with Catalyst's real MERGE semantics (a
+    // partial SET updates just that column) — never a silent DIFFERENT
+    // merge, and no longer a refusal.
+    val orig = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    orig.filter(col("o_orderkey") < 100).createOrReplaceTempView("src_p")
+    val nSmall = orig.filter(col("o_orderkey") < 100).count()
+    val res2 = s.sql("MERGE INTO orders_t t USING src_p s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET t.o_totalprice = -1")
+    assert(res2.head.getString(1) == "merge-catalyst")
+    assert(s.sql("SELECT count(*) AS c FROM orders_t WHERE o_totalprice = -1")
+      .head.getLong(0) == nSmall)
+    // Other columns of the touched rows are untouched by the partial SET.
+    assert(s.sql("SELECT count(*) AS c FROM orders_t " +
+      "WHERE o_totalprice = -1 AND o_custkey IS NULL").head.getLong(0) == 0)
     // Mismatched ON keys refuse loudly.
     val e2 = intercept[IllegalArgumentException](s.sql(
       "MERGE INTO orders_t USING src_m " +
@@ -167,6 +177,14 @@ class ApiSpec extends AnyFunSuite {
     // A scalar subquery's own WHERE inside SET must not split either.
     s.sql("UPDATE orders_t SET o_custkey = (SELECT max(o_custkey) FROM " +
       "orders_t WHERE o_orderkey < 100) WHERE o_orderkey = 5")
+    // Backslash-escaped quotes (Spark's default dialect accepts 'it\'s')
+    // must not close the literal early: neither the ' where ' nor the
+    // comma in the tail may split the statement.
+    s.sql("UPDATE orders_t SET o_orderpriority = 'it\\'s, x where y' " +
+      "WHERE o_orderkey = 5")
+    assert(table.read().filter(col("o_orderkey") === 5)
+      .select("o_orderpriority").collect()
+      .forall(_.getString(0) == "it's, x where y"))
     // DELETE FROM ... WHERE with 3VL semantics via the engine verb.
     val keep = after.filter(!(col("o_orderkey") % 3 === 0)).count()
     s.sql("DELETE FROM orders_t WHERE o_orderkey % 3 = 0")
@@ -210,15 +228,24 @@ class ApiSpec extends AnyFunSuite {
       orders.filter(col("o_orderkey").between(201, 230)).count())
     assert(after.filter(col("o_orderkey") >= 9000000).count() == 0)
     // A SET that covers only a subset of columns is NOT the full-replace
-    // shape: refuse loudly rather than run a silently different merge.
-    val e = intercept[IllegalArgumentException](s.sql(
+    // shape: it routes through Catalyst (scratch catalog) and executes
+    // with the statement's real conditional semantics — idempotent here,
+    // since the full-replace merge above already applied the same batch.
+    val total = after.count()
+    val res2 = s.sql(
       s"""MERGE INTO orders_t t USING cdc_src s
         ON t.o_orderkey = s.o_orderkey
         WHEN MATCHED AND s.op = 'd' THEN DELETE
         WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
         WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
-          VALUES (${cols.map(c => s"s.$c").mkString(", ")})"""))
-    assert(e.getMessage.contains("every non-key source column"), e.getMessage)
+          VALUES (${cols.map(c => s"s.$c").mkString(", ")})""")
+    assert(res2.head.getString(1) == "merge-catalyst")
+    val again = table.read()
+    assert(again.count() == total)
+    assert(again.filter(col("o_orderkey").between(151, 200)).count() == 0)
+    assert(again.filter(col("o_orderkey").between(100, 150) &&
+      col("o_totalprice") === 1.0).count() ==
+      before.filter(col("o_orderkey").between(100, 150)).count())
   }
 
   test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {
