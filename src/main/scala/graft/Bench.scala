@@ -404,6 +404,11 @@ object Bench {
     // Point-lookup latencies measured WHILE the resident MOR stream commits
     // (see the serving-under-ingest block below); p50/p99 in the artifact.
     var lookupUnderIngest: Seq[Double] = Seq.empty
+    // Concurrent (t_rel_ms, cpu_ms, io_ms) bracket series sampled through
+    // the under-ingest section, and the latency subset whose covering
+    // bracket window was clean (see the sampler in the CDC MOR section).
+    var underIngestBrackets: Seq[(Double, Double, Double)] = Seq.empty
+    var lookupUnderIngestClean: Seq[Double] = Seq.empty
     // The MOR run's table, kept so the accumulated delta chain can be
     // compacted — and that compaction TIMED — after the ingest waves.
     var cdcMorTable: Option[GraftTable] = None
@@ -530,7 +535,19 @@ object Bench {
                 .select("event_id").orderBy("event_id").limit(200)
                 .collect().map(_.getLong(0))
               cdcCalib("before_lookup_ingest_ms") = calibMtMs()
-              val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+              // Each latency sample carries its section-relative timestamp,
+              // and a CONCURRENT sampler thread records a (t, cpu_ms,
+              // io_ms) bracket series through the whole section — a p99
+              // spike in the histogram is then attributable to the bracket
+              // window it fell in (the r14 official shipped a 1092 ms p99
+              // for a 46 ms quiet path with NO way to tell co-tenant load
+              // from a real serving stall). The sampler uses the
+              // single-threaded CPU probe so it cannot itself perturb the
+              // ingest or the probe thread on a many-core box.
+              val lat = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double)]()
+              val brSeries = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, Double)]()
+              val secT0 = System.nanoTime()
+              def relMs = (System.nanoTime() - secT0) / 1e6
               @volatile var ingesting = true
               val probe = new Thread(() => {
                 var i = 0
@@ -538,18 +555,44 @@ object Bench {
                   val k = probeKeys(i % probeKeys.length)
                   val t0 = System.nanoTime()
                   val n = target.lookupKeyRows(k).size
-                  if (n > 0) lat.add((System.nanoTime() - t0) / 1e6)
+                  if (n > 0) lat.add((relMs, (System.nanoTime() - t0) / 1e6))
                   i += 1
                   Thread.sleep(5L)
                 }
               })
-              probe.start()
+              val sampler = new Thread(() => {
+                while (ingesting) {
+                  val cpu = calibMs()
+                  val io = calibIoMs()
+                  brSeries.add((relMs, cpu, io))
+                  Thread.sleep(500L)
+                }
+              })
+              probe.start(); sampler.start()
               (40 until 43).foreach(oneWave) // untimed ingest, deltas accrue
               ingesting = false
-              probe.join(10000L)
+              probe.join(10000L); sampler.join(10000L)
               cdcCalib("after_lookup_ingest_ms") = calibMtMs()
               import scala.jdk.CollectionConverters._
-              lookupUnderIngest = lat.asScala.map(_.doubleValue).toSeq
+              val samples = lat.asScala.toSeq.sortBy(_._1)
+              lookupUnderIngest = samples.map(_._2)
+              underIngestBrackets = brSeries.asScala.toSeq.sortBy(_._1)
+              // Clean segment: samples whose NEXT bracket reading (the
+              // first taken at-or-after the sample — it reflects the load
+              // the sample ran under) is within 2x/3x of the series' own
+              // quiet floor. With no bracket after a sample, the last one
+              // covers it.
+              if (underIngestBrackets.nonEmpty) {
+                val cpuFloor = underIngestBrackets.map(_._2).min
+                val ioFloor = underIngestBrackets.map(_._3).min
+                def coveringBracket(t: Double) =
+                  underIngestBrackets.find(_._1 >= t)
+                    .getOrElse(underIngestBrackets.last)
+                lookupUnderIngestClean = samples.filter { case (t, _) =>
+                  val (_, cpu, io) = coveringBracket(t)
+                  cpu <= 2.0 * cpuFloor && io <= 3.0 * ioFloor
+                }.map(_._2)
+              }
             } catch { case e: Throwable =>
               errors("lookup_under_ingest") = errText(e) }
           }
@@ -589,7 +632,23 @@ object Bench {
             val keys = spark.read.parquet(s"$sfDir/events.parquet")
               .select("event_id").orderBy("event_id").limit(300)
               .collect().map(_.getLong(0))
-            val timedKeys = Seq(keys(50), keys(150), keys(250))
+            // Seven timed keys, pairwise-distinct buckets (of 16), same
+            // rationale as the table-lookup section: 7 waves / >= 4
+            // survivors gives the drop rule room on a millisecond path.
+            val timedKeys = {
+              val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val used = scala.collection.mutable.Set.empty[Int]
+              keys.iterator.drop(20).foreach { k =>
+                if (picked.size < 7) {
+                  val b = graft.plans.BucketHash.bucketId(k,
+                    org.apache.spark.sql.types.LongType, 16, "UTC")
+                  if (!used.contains(b)) { used += b; picked += k }
+                }
+              }
+              require(picked.size == 7,
+                s"need 7 distinct-bucket keys, got ${picked.size}")
+              picked.toSeq
+            }
             // Warm-up keys from buckets DISJOINT from every timed key's
             // bucket (the CDC bench table is bucketed (event_id, 16)), same
             // rule as the table-lookup section below: a warm key hashing
@@ -602,8 +661,8 @@ object Bench {
                 k, org.apache.spark.sql.types.LongType, 16, "UTC")))
               .take(3)
               .foreach(k => t.lookupKeyRows(k)) // warm-up: JIT + footers
-            val (ws, med) = robustWaves("lookup_mor", 3, minSurvivors = 2,
-                calibMtMs()) { i =>
+            val (ws, med) = robustWaves("lookup_mor", 7, minSurvivors = 4,
+                calibMtMs(), ioEntryMs = Some(calibIoMs())) { i =>
               val t0 = System.nanoTime()
               val n = t.lookupKeyRows(timedKeys(i)).size
               val dt = (System.nanoTime() - t0) / 1e9
@@ -681,7 +740,23 @@ object Bench {
         // empty-result lookup understates real point-read cost).
         val keys = li.select("li_id").orderBy("li_id").limit(400)
           .collect().map(_.getLong(0))
-        val timedKeys = Seq(keys(100), keys(200), keys(300))
+        // SEVEN timed keys from pairwise-DISTINCT buckets (the cold series
+        // needs every wave to pay its own footer; see minSurvivors note
+        // below): picked by scanning the id list with the same driver-side
+        // hash the pruning uses.
+        val timedKeys = {
+          val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val used = scala.collection.mutable.Set.empty[Int]
+          keys.iterator.drop(40).foreach { k =>
+            if (picked.size < 7) {
+              val b = graft.plans.BucketHash.bucketId(k,
+                org.apache.spark.sql.types.LongType, 32, "UTC")
+              if (!used.contains(b)) { used += b; picked += k }
+            }
+          }
+          require(picked.size == 7, s"need 7 distinct-bucket keys, got ${picked.size}")
+          picked.toSeq
+        }
         // lookupKeyRows is the serving call: rows to completion, like the
         // reference's serving tier. THREE warm-up lookups, not one: r9
         // read lookup_ms at 33.8 with a monotonically improving wave
@@ -710,16 +785,25 @@ object Bench {
           dt * 1000.0
         }
         val lookupEntry = calibMtMs()
+        // The serving paths are parquet-decode/read-bound: co-tenant I/O
+        // pressure inflates them while every CPU bracket stays clean (the
+        // r14 official read lookup_mor at 766 ms for a 5.4 ms quiet path
+        // with 33-44 ms CPU brackets). Every serving wave therefore carries
+        // the same I/O bracket the media sections earned in r13, and the
+        // sections run 7 waves / >= 4 survivors so the drop rule has room.
+        val lookupIoEntry = calibIoMs()
         lookupCalib("before_lookup_ms") = lookupEntry
         val (coldWs, coldMed) =
-          robustWaves("lookup", 3, minSurvivors = 2, lookupEntry)(timedWave)
+          robustWaves("lookup", 7, minSurvivors = 4, lookupEntry,
+            ioEntryMs = Some(lookupIoEntry))(timedWave)
         lookupWaves = coldWs
         // Warm repeat of the SAME keys: dir listings, footers, and the
         // serving-path JIT are all hot, so this series isolates the code
         // cost from cold-file I/O — a cold/warm gap is the filesystem, a
         // high warm floor is the decode path.
         val (warmWs, warmMed) =
-          robustWaves("lookup_warm", 3, minSurvivors = 2, lookupEntry)(timedWave)
+          robustWaves("lookup_warm", 7, minSurvivors = 4, lookupEntry,
+            ioEntryMs = Some(lookupIoEntry))(timedWave)
         lookupWarmWaves = warmWs
         // Multi-key serving form (the search tier's postings-fetch shape):
         // six keys spanning several buckets, one driver-side IN read.
@@ -732,7 +816,8 @@ object Bench {
         // ~30 ms multi-bucket driver read. More waves + the drop rule give
         // the median four survivors minimum.
         val (multiWs, multiMed) =
-          robustWaves("lookup_multi", 7, minSurvivors = 4, lookupEntry) { _ =>
+          robustWaves("lookup_multi", 7, minSurvivors = 4, lookupEntry,
+            ioEntryMs = Some(lookupIoEntry)) { _ =>
             val t0 = System.nanoTime()
             val n = t.lookupKeys(multiKeys).collect().length
             val dt = (System.nanoTime() - t0) / 1e9
@@ -756,7 +841,8 @@ object Bench {
         t.readPointRows("l_suppkey", suppVals(0)) // warm-up: JIT + caches
         val pv = suppVals(1)
         val (pWs, pMed) =
-          robustWaves("point", 3, minSurvivors = 2, lookupEntry) { _ =>
+          robustWaves("point", 7, minSurvivors = 4, lookupEntry,
+            ioEntryMs = Some(lookupIoEntry)) { _ =>
             val t0 = System.nanoTime()
             val n = t.readPointRows("l_suppkey", pv).size
             val dt = (System.nanoTime() - t0) / 1e9
@@ -766,7 +852,8 @@ object Bench {
         pointWaves = pWs
         pointMs = pMed
         val (_, pScanMed) =
-          robustWaves("point_scan", 3, minSurvivors = 2, lookupEntry) { _ =>
+          robustWaves("point_scan", 7, minSurvivors = 4, lookupEntry,
+            ioEntryMs = Some(lookupIoEntry)) { _ =>
             val t0 = System.nanoTime()
             t.read().filter(col("l_suppkey") === pv).count()
             (System.nanoTime() - t0) / 1e9 * 1000.0
@@ -800,8 +887,8 @@ object Bench {
         clusterDirsRead = win().inputFiles
           .map(_.split('/').takeRight(2).head).distinct.length
         win().count() // warm-up: codegen for the pruned-scan shape
-        val (ws, med) = robustWaves("cluster_window", 3, minSurvivors = 2,
-            calibMtMs()) { _ =>
+        val (ws, med) = robustWaves("cluster_window", 7, minSurvivors = 4,
+            calibMtMs(), ioEntryMs = Some(calibIoMs())) { _ =>
           val s0 = System.nanoTime()
           val n = win().count()
           val dt = (System.nanoTime() - s0) / 1e6
@@ -933,14 +1020,37 @@ object Bench {
     }
     val underIngestJson =
       if (lookupUnderIngest.isEmpty) "null"
-      else s"""{"p50_ms":${jnum(pct(lookupUnderIngest, 0.50))},"p99_ms":${jnum(pct(lookupUnderIngest, 0.99))},"max_ms":${jnum(lookupUnderIngest.max)},"n":${lookupUnderIngest.size}}"""
+      else {
+        val clean =
+          if (lookupUnderIngestClean.isEmpty) ""
+          else s""","clean_p50_ms":${jnum(pct(lookupUnderIngestClean, 0.50))},"clean_p99_ms":${jnum(pct(lookupUnderIngestClean, 0.99))},"clean_max_ms":${jnum(lookupUnderIngestClean.max)},"clean_n":${lookupUnderIngestClean.size}"""
+        val series =
+          if (underIngestBrackets.isEmpty) ""
+          else {
+            val t = underIngestBrackets.map(b => jnum(b._1)).mkString(",")
+            val c = underIngestBrackets.map(b => jnum(b._2)).mkString(",")
+            val io = underIngestBrackets.map(b => jnum(b._3)).mkString(",")
+            s""","bracket_t_ms":[$t],"bracket_cpu_ms":[$c],"bracket_io_ms":[$io]"""
+          }
+        s"""{"p50_ms":${jnum(pct(lookupUnderIngest, 0.50))},"p99_ms":${jnum(pct(lookupUnderIngest, 0.99))},"max_ms":${jnum(lookupUnderIngest.max)},"n":${lookupUnderIngest.size}$clean$series}"""
+      }
+    // Headline variant: percentiles + the clean segment, no bracket series
+    // (the last stdout line must stay compact for the driver's tail-parse).
+    val underIngestCompactJson =
+      if (lookupUnderIngest.isEmpty) "null"
+      else {
+        val clean =
+          if (lookupUnderIngestClean.isEmpty) ""
+          else s""","clean_p99_ms":${jnum(pct(lookupUnderIngestClean, 0.99))},"clean_n":${lookupUnderIngestClean.size}"""
+        s"""{"p50_ms":${jnum(pct(lookupUnderIngest, 0.50))},"p99_ms":${jnum(pct(lookupUnderIngest, 0.99))},"n":${lookupUnderIngest.size}$clean}"""
+      }
     val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_queries":$cqs,"curation_total_sec":${jnum(curTotal)},"errors":$errJson,"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"cdc_batch_rows":$cdcBatchRows,"compact_sec":${jnum(compactSec)},"compact_input_rows":$compactInputRows,"compact_rows_per_sec":${jnum(compactRowsPerSec)},"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"point_ms":${jnum(pointMs)},"point_scan_ms":${jnum(pointScanMs)},"lookup_under_ingest":$underIngestJson,"cluster_rewrite_sec":${jnum(clusterRewriteSec)},"cluster_window_ms":${jnum(clusterWindowMs)},"spj_join_sec":${jnum(spjJoinSec)},"spj_shuffle_join_sec":${jnum(spjShuffleSec)},"cluster_dirs_read":$clusterDirsRead,"cluster_dirs_total":$clusterDirsTotal,"dispersion":$dispersion,"cdc_cow_wave_sec":$cdcStats,"cdc_cow_phases":$phases,"cdc_cow_trace":${jtrace(cdcCowTrace)},"cdc_mor_trace":${jtrace(cdcMorTrace)},"compact_phases":$compactPhasesJson,"cdc_section_calib_mt_ms":$cdcCalibJson,"wave_calib_mt_ms":$waveBracketJson,"wave_calib_io_ms":$waveIoBracketJson,"section_entry_mt_ms":$entryJson,"section_entry_io_ms":$entryIoJson,"dropped_waves":$droppedJson,"cluster_cc_phases":$ccPhasesJson,"calib_ms":$calib,"sf":"$sfDir"}"""
     // The FULL artifact (~9 kB: every wave, bracket, trace) goes to the
     // file sink and an early stdout line; the LAST stdout line is a COMPACT
     // headline (~1 kB) because the driver records only a 2000-char stdout
     // TAIL — r10/r11/r13 all shipped `parsed: null` when the full line was
     // last and its head got truncated away.
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_total_sec":${jnum(curTotal)},"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"compact_rows_per_sec":${jnum(compactRowsPerSec)},"compact_phases":$compactPhasesJson,"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"point_ms":${jnum(pointMs)},"point_scan_ms":${jnum(pointScanMs)},"lookup_under_ingest":$underIngestJson,"cluster_window_ms":${jnum(clusterWindowMs)},"spj_join_sec":${jnum(spjJoinSec)},"spj_shuffle_join_sec":${jnum(spjShuffleSec)},"dropped_waves":$droppedJson,"n_errors":${errors.size},"calib_ms":$calib,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"curation_total_sec":${jnum(curTotal)},"merge_rows_per_sec":${jnum(mergeThroughput)},"mor_rows_per_sec":${jnum(morThroughput)},"cdc_rows_per_sec":${jnum(cdcThroughput)},"cdc_mor_rows_per_sec":${jnum(cdcMorThroughput)},"compact_rows_per_sec":${jnum(compactRowsPerSec)},"compact_phases":$compactPhasesJson,"lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(lookupWarmMs)},"lookup_multi_ms":${jnum(lookupMultiMs)},"lookup_mor_ms":${jnum(morLookupMs)},"point_ms":${jnum(pointMs)},"point_scan_ms":${jnum(pointScanMs)},"lookup_under_ingest":$underIngestCompactJson,"cluster_window_ms":${jnum(clusterWindowMs)},"spj_join_sec":${jnum(spjJoinSec)},"spj_shuffle_join_sec":${jnum(spjShuffleSec)},"dropped_waves":$droppedJson,"n_errors":${errors.size},"calib_ms":$calib,"sf":"$sfDir"}"""
     println("BENCH_JSON:" + json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.write(java.nio.file.Paths.get(out),

@@ -57,6 +57,11 @@ object ScaleProbe {
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val inputRead = new java.util.concurrent.atomic.AtomicLong
+    // Per-stage input bytes, for attributing a statement's read cost to a
+    // SPECIFIC stage (the v2_sql_merge probe splits the matching-rows
+    // subquery scan from the rewrite scan this way). Cleared by whoever
+    // wants a fresh window.
+    val stageInputs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -65,9 +70,13 @@ object ScaleProbe {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           inputRead.addAndGet(m.inputMetrics.bytesRead)
+          stageInputs.add(m.inputMetrics.bytesRead)
         }
       }
     })
+
+    // v2_sql_merge subquery-vs-rewrite attribution entries (JSON objects).
+    val sqlMergeAttr = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def scaledCorpus(f: Int): DataFrame = {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -481,6 +490,52 @@ object ScaleProbe {
       timedWaves("v2_sql_merge", f, () => ()) { _ =>
         spark.sql(stmt); keys.size.toLong
       }
+      // Attribution of the r14 t^0.28 wall residual (shuffle was flat, so
+      // the growth had to be a scan): per-stage input bytes split the
+      // statement into its two reads — the matching-rows subquery
+      // (RowLevelOperationRuntimeGroupFiltering joins the WHOLE target
+      // against the batch to find touched groups; nothing in the plain ON
+      // condition is statically translatable, so that scan reads every
+      // bucket and grows with the table) and the COW rewrite (runtime
+      // group-filtered to the one touched bucket — flat). top_stage_mb at
+      // f>1 IS the subquery scan.
+      def attrRun(st: String): (Double, Double, Double) = {
+        stageInputs.clear()
+        val i0 = inputRead.get()
+        val t0 = System.nanoTime()
+        spark.sql(st)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300L)
+        import scala.jdk.CollectionConverters._
+        val top = stageInputs.asScala.map(_.longValue).maxOption.getOrElse(0L)
+        (dt, (inputRead.get() - i0) / 1e6, top / 1e6)
+      }
+      val (pWall, pIn, pTop) =
+        Seq(attrRun(stmt), attrRun(stmt)).minBy(_._1)
+      // The statically-prunable twin: the same CDC merge with the batch's
+      // literal key list as an extra ON conjunct (a CDC merger KNOWS its
+      // batch keys driver-side — CdcPipeline does). The In filter
+      // translates to the bucket set on BOTH scans, so the subquery scan
+      // prunes to the touched bucket and the whole statement goes flat.
+      val stmtKeyed = s"""MERGE INTO $cat.t t USING sql_merge_batch s
+        ON t.event_id = s.event_id AND t.event_id IN (${keys.mkString(", ")})
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "event_id")
+          .map(c => s"t.$c = s.$c").mkString(", ")}
+        WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+          VALUES (${cols.map(c => s"s.$c").mkString(", ")})"""
+      timedWaves("v2_sql_merge_keyed", f, () => { spark.sql(stmtKeyed); () }) { _ =>
+        spark.sql(stmtKeyed); keys.size.toLong
+      }
+      val (kWall, kIn, kTop) =
+        Seq(attrRun(stmtKeyed), attrRun(stmtKeyed)).minBy(_._1)
+      println(f"scaleprobe v2_sql_merge_attr f=$f%-3d plain: wall=${pWall}%.3fs " +
+        f"input=${pIn}%.1fMB top_stage=${pTop}%.1fMB | keyed: wall=${kWall}%.3fs " +
+        f"input=${kIn}%.1fMB top_stage=${kTop}%.1fMB")
+      sqlMergeAttr += (s"""{"f":$f,"plain_wall_sec":${jnum(pWall)},""" +
+        s""""plain_input_mb":${jnum(pIn)},"plain_top_stage_mb":${jnum(pTop)},""" +
+        s""""keyed_wall_sec":${jnum(kWall)},"keyed_input_mb":${jnum(kIn)},""" +
+        s""""keyed_top_stage_mb":${jnum(kTop)}}""")
       batch.unpersist(blocking = false)
     }
 
@@ -729,8 +784,10 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val chainJson =
       if (chainAmp.isEmpty) "null" else chainAmp.mkString("[", ",", "]")
+    val sqlMergeAttrJson =
+      if (sqlMergeAttr.isEmpty) "null" else sqlMergeAttr.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp,"mor_chain_amplification":$chainJson}"""
+      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp,"mor_chain_amplification":$chainJson,"v2_sql_merge_attribution":$sqlMergeAttrJson}"""
     println(json)
     println("SCALE_JSON:" + json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")
