@@ -92,7 +92,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: Path) {
       }
 
   /** `DESCRIBE t` (S16). */
-  def describe(name: String): StructType = table(name).schema
+  def describe(name: String): StructType = table(name).logicalSchema
 
   def dropTable(name: String): Unit = {
     requireValid(name)

@@ -110,8 +110,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   /** Base files plus, for merge-on-read snapshots, delta resolution. */
   private def readResolved(s: Snapshot): DataFrame = {
     val base = readSnapshot(s)
-    if (s.deltaDirs.isEmpty) base else resolveDeltas(s, base)
+    val resolved =
+      if (s.deltaDirs.isEmpty) base else resolveDeltas(s, base)
+    // Physical -> logical at the API boundary (identity unless a column
+    // was renamed; see [[ColumnIds]]). Everything upstream of this line —
+    // file reads, delta resolution, stats — speaks physical names.
+    ColumnIds.toLogical(resolved,
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
   }
+
+  /** The user-visible schema: logical column names (renames applied). */
+  def logicalSchema: StructType = ColumnIds.logicalSchema(schema)
 
   /**
    * Merge-on-read resolution: base rows at sequence 0, each delta batch at
@@ -243,14 +252,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * (missing stats always read; NULL never matches; pending MOR deltas
    * resolve on top of the pruned base).
    */
-  def readBox(bounds: Seq[(String, (Any, Any))]): DataFrame = {
-    require(bounds.nonEmpty, "readBox needs at least one column range")
+  def readBox(bounds0: Seq[(String, (Any, Any))]): DataFrame = {
+    require(bounds0.nonEmpty, "readBox needs at least one column range")
     val headOpt = log.latest()
     if (headOpt.isEmpty) return emptyDF(new StructType())
     val head = headOpt.get
     // The head manifest is already in hand — parse its schema directly
     // instead of re-listing and re-reading the log through `schema`.
     val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    // Bound columns arrive under their user-visible (logical) names.
+    val bounds = bounds0.map { case (c, w) =>
+      ColumnIds.physicalFor(st, c) -> w }
     bounds.foreach { case (c, _) =>
       require(st.fieldNames.contains(c), s"table $name has no column $c") }
     val between = bounds.map { case (c, (lower, upper)) =>
@@ -270,8 +282,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       if (dirs.isEmpty) emptyDF(st)
       else spark.read.schema(st)
         .parquet(dirs.map(d => root.resolve(d).toString): _*)
-    (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
-      .filter(between)
+    ColumnIds.toLogical(
+      (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
+        .filter(between), st)
   }
 
   /** Manifest-level data skipping shared by [[readBox]] and [[readPoint]]:
@@ -417,13 +430,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   def buildBloomIndex(column: String, fpp: Double = 0.01,
       maxItemsPerDir: Long = 20_000_000L): Int =
-    writeBloomEntries(column, fpp, maxItemsPerDir, rebuild = true)
+    writeBloomEntries(ColumnIds.physicalFor(schema, column),
+      fpp, maxItemsPerDir, rebuild = true)
 
   /** Extend the index to head dirs not yet covered (post-append/compact
     * maintenance) — covered dirs are immutable, so they are never re-read. */
   def refreshBloomIndex(column: String, fpp: Double = 0.01,
       maxItemsPerDir: Long = 20_000_000L): Int =
-    writeBloomEntries(column, fpp, maxItemsPerDir, rebuild = false)
+    writeBloomEntries(ColumnIds.physicalFor(schema, column),
+      fpp, maxItemsPerDir, rebuild = false)
 
   /** Columns with a bloom index, from the table-lifetime props sidecar. */
   def bloomIndexedColumns: Seq[String] =
@@ -519,13 +534,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * its base-only keys fail the filter anyway and its delta'd keys resolve
    * from the delta scan.
    */
-  def readPoint(column: String, value: Any): DataFrame = {
+  def readPoint(column0: String, value: Any): DataFrame = {
     require(value != null, "readPoint probes equality; NULL never matches")
     val headOpt = log.latest()
     if (headOpt.isEmpty) return emptyDF(new StructType())
     val head = headOpt.get
     val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    require(st.fieldNames.contains(column), s"table $name has no column $column")
+    val column = ColumnIds.physicalFor(st, column0)
+    require(st.fieldNames.contains(column), s"table $name has no column $column0")
     val dt = st(column).dataType
     val statDirs = statPrunedDirs(head, st, Seq(column -> (value, value)))
     val path = bloomIndexPath(column)
@@ -549,8 +565,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       if (dirs.isEmpty) emptyDF(st)
       else spark.read.schema(st)
         .parquet(dirs.map(d => root.resolve(d).toString): _*)
-    (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
-      .filter(col(column) === lit(value).cast(dt))
+    ColumnIds.toLogical(
+      (if (head.deltaDirs.nonEmpty) resolveDeltas(head, base) else base)
+        .filter(col(column) === lit(value).cast(dt)), st)
   }
 
   /**
@@ -569,7 +586,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * rank cut), unsupported schema, byte budget exceeded — never silently
    * narrowing semantics.
    */
-  def readPointRows(column: String, value: Any): Seq[Row] = {
+  def readPointRows(column0: String, value: Any): Seq[Row] = {
+    val column = ColumnIds.physicalFor(schema, column0)
     val fast: Option[Seq[Row]] =
       try {
         val headOpt = log.latest()
@@ -579,7 +597,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         else {
           val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
           require(st.fieldNames.contains(column),
-            s"table $name has no column $column")
+            s"table $name has no column $column0")
           if (!LocalPointRead.supports(st)) None
           else {
             val dt = st(column).dataType
@@ -613,7 +631,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    fast.getOrElse(readPoint(column, value).collect().toSeq)
+    // Fallback takes the ORIGINAL (logical) name — readPoint maps it itself.
+    fast.getOrElse(readPoint(column0, value).collect().toSeq)
   }
 
   private def readSnapshot(s: Snapshot): DataFrame = {
@@ -797,7 +816,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     * `user_id` would default to the non-unique `user_id`). */
   def defaultPk: String = bucketSpec.map(_._1)
     .filter(schema.fieldNames.contains)
-    .getOrElse(graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq))
+    .map(ColumnIds.logicalFor(schema, _)) // user-visible name of the key
+    .getOrElse(graft.functions.Identifiers.findIdCol(
+      logicalSchema.fieldNames.toSeq))
 
   private def bucketSpecOf(s: Snapshot): Option[(String, Int)] =
     for {
@@ -1081,7 +1102,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // commitExpecting fails it; DML writers are expected to serialize (or
     // catch CommitConflictException and re-run the merge). Concurrent
     // appends remain safe: they retry against the new head.
-    val snap = log.commitExpecting(Some(head.snapshotId), operation, merged.schema.json,
+    // restoreMeta: merge transforms drop field metadata, and losing
+    // graft.logical/graft.id here would silently revert renamed columns.
+    val snap = log.commitExpecting(Some(head.snapshotId), operation,
+      ColumnIds.restoreMeta(merged.schema, st).json,
       allDirs.map(_._1),
       Map("records" -> total.toString,
         "bucket_key" -> key, "bucket_count" -> n.toString),
@@ -1145,13 +1169,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * table schema grows to the union; incoming rows are padded with typed
    * nulls for historical columns; existing files are NOT rewritten.
    */
-  def append(df: DataFrame, batchKey: Option[String] = None): Snapshot = {
+  def append(df0: DataFrame, batchKey: Option[String] = None): Snapshot = {
     // The data is written ONCE (against the head's evolved schema); only
     // the head-derived commit content (dir list, evolved schema, totals)
     // is re-derived if a concurrent writer wins the commit race
     // (compare-and-swap via commitExpecting — see commitAppendDirs).
     if (batchKey.exists(log.contains)) return log.latest().get
     val head = log.latest()
+    val df = ColumnIds.toPhysical(df0, head.map(s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .getOrElse(new StructType()))
     val evolved = head.map(s => Merge.unionSchema(
       DataType.fromJson(s.schemaJson).asInstanceOf[StructType], df.schema))
       .getOrElse(df.schema)
@@ -1267,18 +1294,24 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       batchKey: Option[String] = None): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
     val head = log.latest()
+    val st0 = head.map(s => DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]).getOrElse(new StructType())
+    val updatesP = ColumnIds.toPhysical(updates, st0)
+    val keyP = ColumnIds.physicalFor(st0, key)
+    val precombineP = precombine.map(ColumnIds.physicalFor(st0, _))
     val pendingDeltas = head.exists(_.deltaDirs.nonEmpty)
     bucketSpec match {
       // Bucketed partial rewrite reads raw bucket dirs — only valid when no
       // MOR deltas are pending (those need read-time resolution first).
-      case Some((bk, n)) if bk == key && !pendingDeltas =>
-        commitBucketedMerge(updates, key, n, "upsert",
-          (t, u, hint) => Merge.merge(t, u, key, precombine, opCol, broadcastUpdates, hint),
+      case Some((bk, n)) if bk == keyP && !pendingDeltas =>
+        commitBucketedMerge(updatesP, keyP, n, "upsert",
+          (t, u, hint) => Merge.merge(t, u, keyP, precombineP, opCol, broadcastUpdates, hint),
           batchKey)
       case _ =>
-        val target = head.map(readResolved).getOrElse(emptyDF(new StructType()))
+        val target = head.map(s => ColumnIds.toPhysical(readResolved(s), st0))
+          .getOrElse(emptyDF(new StructType()))
         commitRewrite(
-          Merge.merge(target, updates, key, precombine, opCol, broadcastUpdates),
+          Merge.merge(target, updatesP, keyP, precombineP, opCol, broadcastUpdates),
           "upsert", batchKey, head.map(_.snapshotId))
     }
   }
@@ -1322,20 +1355,24 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       preDeduped: Boolean = false,
       deltaPartitions: Int = 0): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
+    val st0 = schema
+    val updatesP = ColumnIds.toPhysical(updates, st0)
+    val keyP = ColumnIds.physicalFor(st0, key)
+    val precombineP = precombine.map(ColumnIds.physicalFor(st0, _))
     var written: Option[String] = None
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
       val head = log.latest().getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots; use overwrite first"))
-      require(head.summary.get("mor_key").forall(_ == key),
-        s"table $name has pending deltas keyed by ${head.summary("mor_key")}, not $key")
+      require(head.summary.get("mor_key").forall(_ == keyP),
+        s"table $name has pending deltas keyed by ${head.summary("mor_key")}, not $keyP")
       val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
       val deduped =
-        if (preDeduped) updates
-        else precombine match {
-          case Some(p) => Merge.dedupLatest(updates, key, p)
-          case None => updates.dropDuplicates(Seq(key))
+        if (preDeduped) updatesP
+        else precombineP match {
+          case Some(p) => Merge.dedupLatest(updatesP, keyP, p)
+          case None => updatesP.dropDuplicates(Seq(keyP))
         }
       // Opt-in diagnosis split (-Dgraft.mor.diag=true): an extra count()
       // action separates "materialize + dedup" from "align + write" in the
@@ -1372,7 +1409,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       try {
         val snap = log.commitExpecting(Some(head.snapshotId), "upsert-deferred",
           evolved.json, head.dataDirs,
-          head.summary ++ Map("mor_key" -> key,
+          head.summary ++ Map("mor_key" -> keyP,
             "pending_deltas" -> (head.deltaDirs.size + 1).toString),
           batchKey, head.dirRecords, head.deltaDirs :+ dir, head.dirStats)
         GraftTable.lastMergePhases = Some(
@@ -1388,8 +1425,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /** Delete rows whose key matches any key in `keys` (keys-only DF sink, `delete_hudi.py`). */
-  def deleteKeys(keys: DataFrame, key: String): Snapshot = {
+  def deleteKeys(keys0: DataFrame, key0: String): Snapshot = {
     val head = log.latest()
+    val st0 = head.map(s => DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]).getOrElse(new StructType())
+    val keys = ColumnIds.toPhysical(keys0, st0)
+    val key = ColumnIds.physicalFor(st0, key0)
     bucketSpec match {
       case Some((bk, n)) if bk == key && !head.exists(_.deltaDirs.nonEmpty) =>
         commitBucketedMerge(keys, key, n, "delete",
@@ -1397,7 +1438,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
             broadcastKeys = hint.forall(_ <= Merge.maxBroadcastKeys)),
           batchKey = None)
       case _ =>
-        val target = head.map(readResolved).getOrElse(emptyDF(new StructType()))
+        val target = head.map(s => ColumnIds.toPhysical(readResolved(s), st0))
+          .getOrElse(emptyDF(new StructType()))
         commitRewrite(Merge.deleteKeys(target, keys, key), "delete",
           batchKey = None, parent = head.map(_.snapshotId))
     }
@@ -1411,8 +1453,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   def deleteWhere(cond: Column): Snapshot = {
     val head = log.latest()
     val base = head.map(readResolved).getOrElse(emptyDF(new StructType()))
-    commitRewrite(base.filter(!coalesce(cond, lit(false))), "delete",
-      batchKey = None, parent = head.map(_.snapshotId))
+    // cond references LOGICAL names (readResolved serves them); the
+    // filtered survivors convert back to physical before the rewrite so
+    // files and manifest schema keep speaking physical names.
+    commitRewrite(
+      ColumnIds.toPhysical(base.filter(!coalesce(cond, lit(false))), schema),
+      "delete", batchKey = None, parent = head.map(_.snapshotId))
   }
 
   /**
@@ -1421,10 +1467,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * `get_cast_val` rules ([[graft.functions.Coerce]]); unknown columns are
    * rejected, missing ones become NULL.
    */
-  def insertRow(values: Map[String, String], batchKey: Option[String] = None): Snapshot = {
+  def insertRow(values0: Map[String, String], batchKey: Option[String] = None): Snapshot = {
     val st = schema
-    val unknown = values.keySet -- st.fieldNames.toSet
+    val unknown = values0.keySet --
+      st.fields.map(ColumnIds.logicalName).toSet -- st.fieldNames.toSet
     require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+    val values = values0.map { case (k, v) =>
+      ColumnIds.physicalFor(st, k) -> v }
     val row = Row.fromSeq(st.fields.toSeq.map { f =>
       values.get(f.name).map(v => graft.functions.Coerce.coerce(v, f.dataType)).orNull
     })
@@ -1681,8 +1730,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           served match {
             case Some(rows) =>
               import scala.jdk.CollectionConverters._
-              return spark.createDataFrame(rows.asJava,
-                StructType(st.fields.map(_.copy(nullable = true))))
+              return ColumnIds.toLogical(spark.createDataFrame(rows.asJava,
+                StructType(st.fields.map(_.copy(nullable = true)))), st)
             case None => () // fall through to the distributed scan
           }
         }
@@ -1704,10 +1753,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           if (dirs.isEmpty) emptyDF(st)
           else spark.read.schema(st)
             .parquet(dirs.map(d => root.resolve(d).toString): _*)
-        (if (deltaSub.isEmpty) base else resolveDeltas(head, base, deltaSub))
-          .filter(col(bk).isin(values: _*))
+        ColumnIds.toLogical(
+          (if (deltaSub.isEmpty) base else resolveDeltas(head, base, deltaSub))
+            .filter(col(bk).isin(values: _*)), st)
       case None => // unbucketed (or empty) table: resolving scan + id filter
-        val bk = graft.functions.Identifiers.findIdCol(schema.fieldNames.toSeq)
+        val bk = graft.functions.Identifiers.findIdCol(
+          logicalSchema.fieldNames.toSeq)
         read().filter(col(bk).isin(values: _*))
     }
   }
@@ -1727,13 +1778,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   def updateWhere(cond: Column, set: Map[String, Column]): Snapshot = {
     val head = log.latest()
     val cur = head.map(readResolved).getOrElse(emptyDF(new StructType()))
+    val lst = logicalSchema // cond/set and cur speak logical names
     val updated = cur.select(cur.columns.toSeq.map { c =>
       set.get(c) match {
-        case Some(v) => when(cond, v.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+        case Some(v) => when(cond, v.cast(lst(c).dataType)).otherwise(col(c)).as(c)
         case None => col(c)
       }
     }: _*)
-    commitRewrite(updated, "update", batchKey = None, parent = head.map(_.snapshotId))
+    commitRewrite(ColumnIds.toPhysical(updated, schema), "update",
+      batchKey = None, parent = head.map(_.snapshotId))
   }
 
   /**
@@ -1749,12 +1802,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   private def commitRewrite(df: DataFrame, operation: String,
       batchKey: Option[String], parent: Option[Long]): Snapshot = {
+    // Callers hand PHYSICAL-named frames; restoreMeta re-stamps identity
+    // metadata (graft.id / graft.logical) that alias chains drop, so a
+    // full rewrite cannot silently revert a renamed column.
+    val committed = ColumnIds.restoreMeta(df.schema, schema).json
     bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
         val leaves = writeBucketedDir(df, bk, n, newDataRel(next))
         val total = leaves.map(_.rows).sum
-        log.commitExpecting(parent, operation, df.schema.json, leaves.map(_.rel),
+        log.commitExpecting(parent, operation, committed, leaves.map(_.rel),
           Map("records" -> total.toString,
             "bucket_key" -> bk, "bucket_count" -> n.toString),
           batchKey, leaves.map(l => l.rel -> l.rows).toMap,
@@ -1762,7 +1819,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       case _ =>
         val next = latestVersion + 1
         val d = writeDataDir(df, next)
-        log.commitExpecting(parent, operation, df.schema.json, Seq(d.rel),
+        log.commitExpecting(parent, operation, committed, Seq(d.rel),
           Map("records" -> d.rows.toString), batchKey,
           dirRecords = Map(d.rel -> d.rows),
           dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
@@ -1908,8 +1965,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
             batchKey = None)
         } finally resolved.unpersist(blocking = false)
       case _ =>
-        commitRewrite(readResolved(head), "compact", batchKey = None,
-          parent = Some(head.snapshotId))
+        commitRewrite(ColumnIds.toPhysical(readResolved(head), schema),
+          "compact", batchKey = None, parent = Some(head.snapshotId))
     }
   }
 
@@ -1999,16 +2056,121 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val head = log.latest().getOrElse(
           throw new IllegalStateException(s"table $name has no snapshots"))
         val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-        val existing = st.fieldNames.map(_.toLowerCase).toSet
+        val existing = st.fields
+          .flatMap(f => Seq(f.name, ColumnIds.logicalName(f)))
+          .map(_.toLowerCase).toSet
         val dup = cols.find(c => existing.contains(c.name.toLowerCase))
         require(dup.isEmpty, s"column ${dup.map(_.name).getOrElse("")} already exists")
+        // Stable id assignment + physical-name tombstones: a column DROPPED
+        // in retained history left its bytes in carried data files under
+        // its physical name — a new column reusing that name would decode
+        // the old values. Scan retained manifests for every physical name
+        // and id ever used; colliding adds get a uniquified physical name
+        // (`<name>__fid<id>`) with the requested name as their logical.
+        val history = log.snapshotsCore()
+        val usedPhys = history.flatMap(c =>
+          DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+            .fields.map(_.name.toLowerCase)).toSet
+        val maxId = (0L +: history.flatMap(c =>
+          DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+            .fields.flatMap(ColumnIds.fieldId))).max
+        val stamped = cols.zipWithIndex.map { case (c, i) =>
+          val id = maxId + 1 + i
+          val f = ColumnIds.withId(c, id)
+          if (usedPhys.contains(c.name.toLowerCase))
+            ColumnIds.withLogical(
+              f.copy(name = s"${c.name}__fid$id"), c.name)
+          else f
+        }
         return log.commitExpecting(Some(head.snapshotId), "add-columns",
-          StructType(st.fields ++ cols).json, head.dataDirs, head.summary,
+          StructType(st.fields ++ stamped).json, head.dataDirs, head.summary,
           None, head.dirRecords, head.deltaDirs, head.dirStats)
       } catch { case _: CommitConflictException => } // head moved — re-read
     }
     throw new IllegalStateException(
       s"addColumns on $name lost $attempts consecutive races")
+  }
+
+  /**
+   * Metadata-only column RENAME (Iceberg `ALTER TABLE ... RENAME COLUMN`):
+   * a CAS commit that changes ONE field's `graft.logical` metadata — zero
+   * data dirs touched, so on a 100 TB table this is a one-manifest write.
+   * The field's physical name (the name in every data file) is unchanged;
+   * reads map physical -> logical at the API boundary ([[ColumnIds]]).
+   * Time travel stays consistent: each snapshot's schemaJson carries the
+   * mapping as of that commit, so pre-rename snapshots serve the old name.
+   */
+  def renameColumn(from: String, to: String): Snapshot = {
+    require(graft.functions.Identifiers.isValidIdent(to),
+      s"'$to' is not a valid column name")
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      try {
+        val head = log.latest().getOrElse(
+          throw new IllegalStateException(s"table $name has no snapshots"))
+        val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val idx = st.fields.indexWhere(f => ColumnIds.logicalName(f) == from)
+        require(idx >= 0, s"table $name has no column $from")
+        require(!st.fields.zipWithIndex.exists { case (f, i) =>
+          i != idx && ColumnIds.logicalName(f).equalsIgnoreCase(to) },
+          s"table $name already has a column $to")
+        val fields = st.fields.clone()
+        // Renamed fields acquire a stable id on first rename if creation
+        // didn't stamp one — the provenance anchor the mapping hangs off.
+        val withIdF =
+          if (ColumnIds.fieldId(fields(idx)).isDefined) fields(idx)
+          else {
+            val maxId = (0L +: log.snapshotsCore().flatMap(c =>
+              DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+                .fields.flatMap(ColumnIds.fieldId))).max
+            ColumnIds.withId(fields(idx), maxId + 1)
+          }
+        fields(idx) = ColumnIds.withLogical(withIdF, to)
+        return log.commitExpecting(Some(head.snapshotId), "rename-column",
+          StructType(fields).json, head.dataDirs, head.summary,
+          None, head.dirRecords, head.deltaDirs, head.dirStats)
+      } catch { case _: CommitConflictException => } // head moved — re-read
+    }
+    throw new IllegalStateException(
+      s"renameColumn on $name lost $attempts consecutive races")
+  }
+
+  /**
+   * Metadata-only column DROP: the field leaves the manifest schema; every
+   * data dir is carried forward verbatim (files keep the column bytes, the
+   * explicit-schema read simply never decodes them). Time travel to a
+   * pre-drop snapshot still sees the column. The bucket key and the
+   * pending-MOR key refuse — the layout and delta resolution need them.
+   */
+  def dropColumn(colName: String): Snapshot = {
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      try {
+        val head = log.latest().getOrElse(
+          throw new IllegalStateException(s"table $name has no snapshots"))
+        val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val idx = st.fields.indexWhere(f => ColumnIds.logicalName(f) == colName)
+        require(idx >= 0, s"table $name has no column $colName")
+        require(st.fields.length > 1,
+          s"cannot drop the last column of table $name")
+        val phys = st.fields(idx).name
+        require(!head.summary.get("bucket_key").contains(phys),
+          s"column $colName is the bucket key of $name; " +
+            "re-layout (overwriteBucketed/cluster) before dropping it")
+        require(!(head.deltaDirs.nonEmpty &&
+            head.summary.get("mor_key").contains(phys)),
+          s"column $colName keys ${head.deltaDirs.size} pending merge-on-read " +
+            s"deltas on $name; compact() first")
+        val fields = st.fields.patch(idx, Nil, 1)
+        return log.commitExpecting(Some(head.snapshotId), "drop-column",
+          StructType(fields).json, head.dataDirs, head.summary,
+          None, head.dirRecords, head.deltaDirs, head.dirStats)
+      } catch { case _: CommitConflictException => } // head moved — re-read
+    }
+    throw new IllegalStateException(
+      s"dropColumn on $name lost $attempts consecutive races")
   }
 
   def rollback(snapshotId: Long): Snapshot = {
@@ -2273,16 +2435,17 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * clustering optimizes scans-by-range, bucketing optimizes point lookups —
    * a table declares one primary layout at a time.
    */
-  def cluster(columns: Seq[String], targetDirs: Int = 16): Snapshot = {
-    require(columns.nonEmpty, "cluster needs at least one column")
+  def cluster(columns0: Seq[String], targetDirs: Int = 16): Snapshot = {
+    require(columns0.nonEmpty, "cluster needs at least one column")
     require(targetDirs >= 2, s"targetDirs must be >= 2, got $targetDirs")
     val headOpt = log.latest()
     require(headOpt.isDefined, s"table $name has no snapshots")
     val head = headOpt.get
     val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    columns.foreach(c =>
-      require(st.fieldNames.contains(c), s"table $name has no column $c"))
-    val df = readResolved(head)
+    val columns = columns0.map(ColumnIds.physicalFor(st, _))
+    columns.zip(columns0).foreach { case (c, c0) =>
+      require(st.fieldNames.contains(c), s"table $name has no column $c0") }
+    val df = ColumnIds.toPhysical(readResolved(head), st)
     val zk = "__zk"
     val sortKey = if (columns.size == 1) col(columns.head) else zValue(df, columns)
     val rel = newDataRel(head.snapshotId + 1)
@@ -2507,9 +2670,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * [[MaterializedAgg.refresh]]).
    */
   def changesBetween(fromSnapshotId: Long, toSnapshotId: Long,
-      pk: String): DataFrame = {
+      pk0: String): DataFrame = {
     require(toSnapshotId >= fromSnapshotId,
       s"change feed window is (from, to]: from=$fromSnapshotId to=$toSnapshotId")
+    val pk = ColumnIds.physicalFor(schema, pk0)
     // Driver-side lineage walk (metadata only): child-to-parent from `to`
     // until `from`, oldest first. parentId — not version arithmetic —
     // because rollback/publish commits parent onto whatever head they saw.
@@ -2540,13 +2704,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           .withColumn("_commit_version", lit(s.snapshotId))
       }
     }
-    if (tagged.isEmpty)
-      emptyDF(StructType(toSchema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    else tagged.reduce(_.unionByName(_))
+    val out =
+      if (tagged.isEmpty)
+        emptyDF(StructType(toSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      else tagged.reduce(_.unionByName(_))
+    // Change rows serve the window-END schema's LOGICAL names.
+    ColumnIds.toLogical(out, toSchema)
   }
 
   /** [[changesBetween]] from `fromSnapshotId` to the current head. */

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.GraftCatalog
+import graft.table.ColumnIds
+
+/** Metadata-only column RENAME / DROP (stable field ids): the Iceberg
+  * schema-evolution verbs as zero-data-dir commits, mapped at the API
+  * boundary by [[graft.table.ColumnIds]]. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshCat() = new GraftCatalog(spark, TestSpark.tmpDir("sev-"))
+
+  private def orders = spark.read
+    .parquet(s"${TestSpark.sf0001}/orders.parquet")
+    .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+  test("rename is metadata-only; reads, writes, time travel all map") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.filter(col("o_orderkey") <= 400))
+    val v1 = t.latestVersion
+    val dirsBefore = t.log.latest().get.dataDirs
+    t.renameColumn("o_totalprice", "price")
+    // Metadata-only: the exact same data dirs, one new manifest.
+    assert(t.log.latest().get.dataDirs == dirsBefore)
+    assert(t.log.latest().get.operation == "rename-column")
+    // The user-visible schema serves the new name; the old is gone.
+    assert(t.logicalSchema.fieldNames.contains("price"))
+    assert(!t.logicalSchema.fieldNames.contains("o_totalprice"))
+    val df = t.read()
+    assert(df.columns.contains("price") && !df.columns.contains("o_totalprice"))
+    // Values unchanged — same column, new name.
+    val sum0 = orders.filter(col("o_orderkey") <= 400)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(df.agg(sum("price")).head.getDouble(0) - sum0) < 1e-6)
+    // Time travel serves the PRE-rename name from the old snapshot.
+    assert(t.readAsOf(v1).columns.contains("o_totalprice"))
+    // Writes after the rename use the new name; old files still resolve.
+    t.append(orders.filter(col("o_orderkey").between(401, 500))
+      .withColumnRenamed("o_totalprice", "price"))
+    assert(t.read().count() ==
+      orders.filter(col("o_orderkey") <= 500).count())
+    assert(t.read().filter(col("price").isNull).count() == 0)
+    // The renamed field carries a stable id.
+    val st = t.schema
+    val f = st.fields.find(_.name == "o_totalprice").get
+    assert(ColumnIds.logicalName(f) == "price")
+    assert(ColumnIds.fieldId(f).isDefined)
+  }
+
+  test("rename on a bucketed table keeps keyed DML partial and lookups pruned") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.limit(0))
+    t.overwriteBucketed(orders, "o_orderkey", 8)
+    t.renameColumn("o_orderkey", "id")
+    t.renameColumn("o_totalprice", "price")
+    // Keyed upsert under the NEW key name stays a partial bucket rewrite.
+    val before = t.log.latest().get.dataDirs.toSet
+    t.upsert(orders.filter(col("o_orderkey").isin(1L, 2L, 3L))
+      .withColumnRenamed("o_orderkey", "id")
+      .withColumnRenamed("o_totalprice", "price")
+      .withColumn("price", lit(1.0)), "id")
+    val after = t.log.latest().get.dataDirs.toSet
+    assert((before intersect after).nonEmpty, "untouched buckets must carry over")
+    val r = t.read()
+    // upsert dedupes per key, so compare against DISTINCT source keys.
+    assert(r.filter(col("id").isin(1L, 2L, 3L) && col("price") === 1.0).count() ==
+      orders.filter(col("o_orderkey").isin(1L, 2L, 3L))
+        .select("o_orderkey").distinct().count())
+    // Pruned lookup under the new name.
+    assert(t.lookupKeys(Seq(42L)).columns.contains("id"))
+    assert(t.lookupKeys(Seq(42L)).count() ==
+      orders.filter(col("o_orderkey") === 42).count())
+    // defaultPk reports the logical name.
+    assert(t.defaultPk == "id")
+    // Range read on the renamed key maps to physical stats.
+    assert(t.readRange("id", 1L, 100L).count() ==
+      orders.filter(col("o_orderkey").between(1, 100)).count())
+  }
+
+  test("drop is metadata-only; time travel still sees the column") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.filter(col("o_orderkey") <= 300))
+    val v1 = t.latestVersion
+    val dirsBefore = t.log.latest().get.dataDirs
+    t.dropColumn("o_orderstatus")
+    assert(t.log.latest().get.dataDirs == dirsBefore)
+    assert(!t.read().columns.contains("o_orderstatus"))
+    assert(t.readAsOf(v1).columns.contains("o_orderstatus"))
+    // Appends after the drop don't resurrect it.
+    t.append(orders.filter(col("o_orderkey").between(301, 350))
+      .drop("o_orderstatus"))
+    assert(!t.read().columns.contains("o_orderstatus"))
+  }
+
+  test("re-adding a dropped column's name gets a fresh physical identity") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.filter(col("o_orderkey") <= 100))
+    t.dropColumn("o_orderstatus")
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("o_orderstatus",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+    // The new column must NOT leak the dropped column's file bytes.
+    val r = t.read()
+    assert(r.columns.contains("o_orderstatus"))
+    assert(r.filter(col("o_orderstatus").isNotNull).count() == 0,
+      "re-added column must read as NULL, not the dropped column's values")
+    // Physically it lives under a uniquified name with a stable id.
+    val f = t.schema.fields.find(f => ColumnIds.logicalName(f) == "o_orderstatus").get
+    assert(f.name != "o_orderstatus" && f.name.contains("__fid"))
+  }
+
+  test("rename guards: unknown column, duplicate target, drop guards") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.limit(0))
+    t.overwriteBucketed(orders.limit(100), "o_orderkey", 4)
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](
+      t.renameColumn("o_totalprice", "o_custkey"))
+    intercept[IllegalArgumentException](t.dropColumn("o_orderkey")) // bucket key
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+    // Rename chain: a -> b -> c keeps serving the latest name only.
+    t.renameColumn("o_totalprice", "p1")
+    t.renameColumn("p1", "p2")
+    assert(t.read().columns.contains("p2"))
+    assert(!t.read().columns.contains("p1"))
+    assert(!t.read().columns.contains("o_totalprice"))
+    // Renaming BACK to the physical name clears the mapping entirely.
+    t.renameColumn("p2", "o_totalprice")
+    assert(!ColumnIds.hasMapping(t.schema))
+  }
+
+  test("updateWhere / deleteWhere / insertRow speak the renamed names") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.filter(col("o_orderkey") <= 200))
+    t.renameColumn("o_totalprice", "price")
+    t.updateWhere(col("o_orderkey") <= 10, Map("price" -> lit(0.5)))
+    assert(t.read()
+      .filter(col("o_orderkey") <= 10 && col("price") =!= 0.5).count() == 0)
+    assert(t.read().filter(col("o_orderkey") <= 10).count() > 0)
+    t.deleteWhere(col("price") === 0.5)
+    assert(t.read().filter(col("o_orderkey") <= 10).count() == 0)
+    t.insertRow(Map("o_orderkey" -> "999999", "price" -> "42.5"))
+    val got = t.read().filter(col("o_orderkey") === 999999)
+    assert(got.count() == 1 && got.head.getAs[Double]("price") == 42.5)
+    // The change feed across the DML speaks logical names too.
+    val ch = t.changesBetween(t.latestVersion - 1, t.latestVersion, "o_orderkey")
+    assert(ch.columns.contains("price"))
+  }
+
+  test("MOR deltas and compaction survive a rename") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.limit(0))
+    t.overwriteBucketed(orders.filter(col("o_orderkey") <= 300), "o_orderkey", 4)
+    t.renameColumn("o_totalprice", "price")
+    t.upsertDeferred(orders.filter(col("o_orderkey") <= 40)
+      .withColumnRenamed("o_totalprice", "price")
+      .withColumn("price", lit(2.0)), "o_orderkey")
+    assert(t.log.latest().get.deltaDirs.nonEmpty)
+    val r = t.read()
+    assert(r.columns.contains("price"))
+    assert(r.count() == orders.filter(col("o_orderkey") <= 300).count())
+    t.compact()
+    assert(t.log.latest().get.deltaDirs.isEmpty)
+    assert(t.read().columns.contains("price"))
+  }
+}
