@@ -120,7 +120,11 @@ private[connector] final class GraftAppendStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readSchema.json, None, hadoopConf)
+    new GraftReaderFactory(
+      GraftSparkTable.schemaToPhysical(readSchema,
+        org.apache.spark.sql.types.DataType.fromJson(startHead.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).json,
+      None, hadoopConf)
 
   override def toString: String =
     s"graft $tableName append-stream from snapshot ${startHead.snapshotId}"

@@ -135,18 +135,21 @@ final class GraftCowScanBuilder(
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val sets = filters.flatMap(
+    // Filters reference LOGICAL names; bucket translation needs physical.
+    val phys = filters.map(GraftSparkTable.filterToPhysical(_, tableSchema))
+    val sets = phys.flatMap(
       GraftSparkTable.bucketsOfFilter(_, bucketSpec, tableSchema, tz))
     keptBuckets = sets.reduceOption(_ intersect _)
-    pushed = filters.filter(
-      GraftSparkTable.bucketsOfFilter(_, bucketSpec, tableSchema, tz).isDefined)
+    pushed = filters.zip(phys).collect { case (f, pf)
+      if GraftSparkTable.bucketsOfFilter(pf, bucketSpec, tableSchema, tz).isDefined => f }
     filters // ALL residual: group selection never substitutes row evaluation
   }
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new GraftScan(spark, rootPath, tableName, head, tableSchema, bucketSpec,
+    new GraftScan(spark, rootPath, tableName, head,
+      graft.table.ColumnIds.logicalSchema(tableSchema), bucketSpec,
       predicate = None, keptBuckets, morKey = None,
       planListener = Some(groups => op.scannedGroups = Some(groups)))
 }
@@ -220,9 +223,20 @@ final class GraftReplaceGroupsWrite(
   //    claim alive). DELETE/UPDATE read one task per bucket and already
   //    write one file each — demanding a distribution there would add a
   //    full shuffle of the survivors for nothing.
+  // The query's output schema is LOGICAL; files and the staged commit
+  // speak physical. Distribution/ordering expressions resolve against the
+  // query output, so they use the key's LOGICAL name.
+  private lazy val tableSt: StructType =
+    org.apache.spark.sql.types.DataType.fromJson(head.schemaJson)
+      .asInstanceOf[StructType]
+  private lazy val physWriteSchema: StructType =
+    GraftSparkTable.schemaToPhysical(writeSchema, tableSt)
+  private def logicalKey(k: String): String =
+    graft.table.ColumnIds.logicalFor(tableSt, k)
+
   private def bucketed: Boolean =
     bucketSpec.exists { case (k, _) =>
-      writeSchema.fieldNames.exists(_.equalsIgnoreCase(k)) }
+      writeSchema.fieldNames.exists(_.equalsIgnoreCase(logicalKey(k))) }
 
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
@@ -230,7 +244,8 @@ final class GraftReplaceGroupsWrite(
       case Some((k, n)) if bucketed &&
           op.command() == RowLevelOperation.Command.MERGE =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)))
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n,
+            logicalKey(k))))
       case _ =>
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
@@ -240,8 +255,9 @@ final class GraftReplaceGroupsWrite(
     bucketSpec match {
       case Some((k, n)) if bucketed =>
         import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
-        Array(E.sort(E.bucket(n, k), SortDirection.ASCENDING),
-          E.sort(E.column(k), SortDirection.ASCENDING))
+        val kl = logicalKey(k)
+        Array(E.sort(E.bucket(n, kl), SortDirection.ASCENDING),
+          E.sort(E.column(kl), SortDirection.ASCENDING))
       case _ => Array.empty
     }
 
@@ -250,10 +266,10 @@ final class GraftReplaceGroupsWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val stagedAbs = Paths.get(rootPath).resolve(stagedRel).toString
-    new GraftReplaceWriterFactory(stagedAbs, writeSchema.json,
-      GraftParquetWrite.keyInfo(writeSchema, bucketSpec),
+    new GraftReplaceWriterFactory(stagedAbs, physWriteSchema.json,
+      GraftParquetWrite.keyInfo(physWriteSchema, bucketSpec),
       new SerializableConfiguration(
-        GraftParquetWrite.conf(SparkSession.active, writeSchema)))
+        GraftParquetWrite.conf(SparkSession.active, physWriteSchema)))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -144,21 +144,32 @@ final class GraftSparkCatalog extends TableCatalog with FunctionCatalog {
     * deliberately refuses. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: org.apache.spark.sql.connector.catalog.TableChange.AddColumn
-          if a.fieldNames.length == 1 =>
-        // Metadata-only widening can never backfill existing rows, so a
-        // NOT NULL add must be REJECTED (GraftTable.addColumns refuses
-        // non-nullable adds loudly) — silently widening it to nullable
-        // would hand back a schema the user didn't ask for.
-        if (!a.isNullable) throw new UnsupportedOperationException(
-          s"graft ADD COLUMNS cannot add NOT NULL column ${a.fieldNames()(0)}: " +
-            "existing rows have no value for it; declare it nullable")
-        StructField(a.fieldNames()(0), a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports only top-level ADD COLUMNS, got $other")
+    val t = cat.table(ident.name)
+    // RENAME / DROP are single-change statements in Spark's grammar; ADD
+    // COLUMNS may carry several adds. All three are METADATA-ONLY commits
+    // (GraftTable.renameColumn/dropColumn/addColumns) — zero data dirs move.
+    changes.toList match {
+      case List(r: TableChange.RenameColumn) if r.fieldNames.length == 1 =>
+        t.renameColumn(r.fieldNames()(0), r.newName)
+      case List(d: TableChange.DeleteColumn) if d.fieldNames.length == 1 =>
+        t.dropColumn(d.fieldNames()(0))
+      case cs =>
+        val adds = cs.map {
+          case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+            // Metadata-only widening can never backfill existing rows, so a
+            // NOT NULL add must be REJECTED (GraftTable.addColumns refuses
+            // non-nullable adds loudly) — silently widening it to nullable
+            // would hand back a schema the user didn't ask for.
+            if (!a.isNullable) throw new UnsupportedOperationException(
+              s"graft ADD COLUMNS cannot add NOT NULL column ${a.fieldNames()(0)}: " +
+                "existing rows have no value for it; declare it nullable")
+            StructField(a.fieldNames()(0), a.dataType, nullable = true)
+          case other => throw new UnsupportedOperationException(
+            "graft ALTER TABLE supports only top-level ADD COLUMNS, " +
+              s"RENAME COLUMN and DROP COLUMN, got $other")
+        }
+        t.addColumns(adds)
     }
-    cat.table(ident.name).addColumns(adds)
     invalidateTable(ident)
     loadTable(ident)
   }

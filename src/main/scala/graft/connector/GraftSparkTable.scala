@@ -89,7 +89,12 @@ final class GraftSparkTable(
     } yield (k, n.toInt)
 
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  // The catalog serves LOGICAL column names (renames applied); everything
+  // file-facing below keeps the manifest's physical names and maps at the
+  // scan/write boundary (graft.table.ColumnIds — identity when no column
+  // was ever renamed).
+  override def schema(): StructType =
+    graft.table.ColumnIds.logicalSchema(tableSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -97,7 +102,8 @@ final class GraftSparkTable(
       TableCapability.STREAMING_WRITE)
 
   override def partitioning(): Array[Transform] =
-    bucketSpec.map { case (k, n) => Expressions.bucket(n, k) }.toArray
+    bucketSpec.map { case (k, n) => Expressions.bucket(n,
+      graft.table.ColumnIds.logicalFor(tableSchema, k)) }.toArray
 
   override def properties(): util.Map[String, String] = {
     val p = new util.HashMap[String, String]()
@@ -206,7 +212,8 @@ final class GraftSparkTable(
             require(!replace,
               s"streaming writes to $tableName support append mode only " +
                 "(complete mode would truncate the table every epoch)")
-            new GraftStreamingAppend(rootPath, tableName, info.schema(),
+            new GraftStreamingAppend(rootPath, tableName,
+              GraftSparkTable.schemaToPhysical(info.schema(), tableSchema),
               bucketSpec, info.queryId())
           }
           // (bucket, key) ordering on the STREAMING path (Spark honors
@@ -227,10 +234,12 @@ final class GraftSparkTable(
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             bucketSpec match {
               case Some((k, n))
-                  if info.schema().fieldNames.exists(_.equalsIgnoreCase(k)) =>
+                  if info.schema().fieldNames.exists(_.equalsIgnoreCase(
+                    graft.table.ColumnIds.logicalFor(tableSchema, k))) =>
                 import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
-                Array(E.sort(E.bucket(n, k), SortDirection.ASCENDING),
-                  E.sort(E.column(k), SortDirection.ASCENDING))
+                val kl = graft.table.ColumnIds.logicalFor(tableSchema, k)
+                Array(E.sort(E.bucket(n, kl), SortDirection.ASCENDING),
+                  E.sort(E.column(kl), SortDirection.ASCENDING))
               case _ => Array.empty
             }
         }
@@ -239,6 +248,45 @@ final class GraftSparkTable(
 }
 
 object GraftSparkTable {
+
+  /** A requested (logical-named) schema rewritten to the table's PHYSICAL
+    * field names by logical-name match — what the parquet readers/writers
+    * need when a column has been renamed. Identity when unmapped. */
+  def schemaToPhysical(requested: StructType, tableSt: StructType): StructType =
+    if (!graft.table.ColumnIds.hasMapping(tableSt)) requested
+    else StructType(requested.fields.map { f =>
+      tableSt.fields
+        .find(h => graft.table.ColumnIds.logicalName(h) == f.name)
+        .map(h => f.copy(name = h.name)).getOrElse(f)
+    })
+
+  /** A pushed filter's attribute names rewritten logical -> physical so
+    * parquet predicates and bucket pruning act on in-file names. Identity
+    * when the table never renamed a column. */
+  def filterToPhysical(f: sources.Filter, tableSt: StructType): sources.Filter = {
+    if (!graft.table.ColumnIds.hasMapping(tableSt)) return f
+    def p(a: String): String = graft.table.ColumnIds.physicalFor(tableSt, a)
+    f match {
+      case sources.EqualTo(a, v) => sources.EqualTo(p(a), v)
+      case sources.EqualNullSafe(a, v) => sources.EqualNullSafe(p(a), v)
+      case sources.GreaterThan(a, v) => sources.GreaterThan(p(a), v)
+      case sources.GreaterThanOrEqual(a, v) => sources.GreaterThanOrEqual(p(a), v)
+      case sources.LessThan(a, v) => sources.LessThan(p(a), v)
+      case sources.LessThanOrEqual(a, v) => sources.LessThanOrEqual(p(a), v)
+      case sources.In(a, vs) => sources.In(p(a), vs)
+      case sources.IsNull(a) => sources.IsNull(p(a))
+      case sources.IsNotNull(a) => sources.IsNotNull(p(a))
+      case sources.StringStartsWith(a, v) => sources.StringStartsWith(p(a), v)
+      case sources.StringEndsWith(a, v) => sources.StringEndsWith(p(a), v)
+      case sources.StringContains(a, v) => sources.StringContains(p(a), v)
+      case sources.And(l, r) =>
+        sources.And(filterToPhysical(l, tableSt), filterToPhysical(r, tableSt))
+      case sources.Or(l, r) =>
+        sources.Or(filterToPhysical(l, tableSt), filterToPhysical(r, tableSt))
+      case sources.Not(c) => sources.Not(filterToPhysical(c, tableSt))
+      case other => other
+    }
+  }
 
   /** `sources.Filter` → Catalyst [[org.apache.spark.sql.Column]] for the
     * SQL DELETE path. None = untranslatable; `canDeleteWhere` then refuses
@@ -403,7 +451,10 @@ final class GraftScanBuilder(
   with SupportsPushDownFilters
   with SupportsPushDownAggregates {
 
-  private var readSchema: StructType = tableSchema
+  // Spark-facing schemas are LOGICAL; file-facing translation happens in
+  // GraftScan. Default (no pruneColumns call) = the full logical schema.
+  private var readSchema: StructType =
+    graft.table.ColumnIds.logicalSchema(tableSchema)
   private var pushed: Array[sources.Filter] = Array.empty
   private var pushedAgg: Option[(StructType, Seq[Any])] = None
 
@@ -425,9 +476,10 @@ final class GraftScanBuilder(
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
-        case r: NamedReference if r.fieldNames.length == 1 &&
-            tableSchema.fieldNames.contains(r.fieldNames()(0)) =>
-          Some(r.fieldNames()(0))
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          // Aggregates reference LOGICAL names; stats live under physical.
+          val c = graft.table.ColumnIds.physicalFor(tableSchema, r.fieldNames()(0))
+          if (tableSchema.fieldNames.contains(c)) Some(c) else None
         case _ => None
       }
     // Column each aggregate needs stats for (None = count). Any shape
@@ -481,8 +533,14 @@ final class GraftScanBuilder(
     readSchema = requiredSchema
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    pushed = filters.filter(f => ParquetPredicate.translate(f, tableSchema).isDefined ||
-      bucketsOf(f).isDefined)
+    // Filters carry LOGICAL names; translation and bucket pruning act on
+    // the physical twin. `pushed` keeps the logical originals (what Spark
+    // renders in plans); build() re-physicalizes.
+    pushed = filters.filter { f =>
+      val pf = GraftSparkTable.filterToPhysical(f, tableSchema)
+      ParquetPredicate.translate(pf, tableSchema).isDefined ||
+        bucketsOf(pf).isDefined
+    }
     filters // all residual: the translation is advisory, Spark re-filters
   }
 
@@ -499,10 +557,11 @@ final class GraftScanBuilder(
     case Some((aggSchema, values)) =>
       new GraftAggScan(tableName, head.snapshotId, aggSchema, values)
     case None =>
-      val predicate = pushed.flatMap(ParquetPredicate.translate(_, tableSchema))
+      val pushedPhys = pushed.map(GraftSparkTable.filterToPhysical(_, tableSchema))
+      val predicate = pushedPhys.flatMap(ParquetPredicate.translate(_, tableSchema))
         .reduceOption(FilterApi.and)
       // Conjuncts AND together, so the bucket sets intersect.
-      val keptBuckets = pushed.flatMap(bucketsOf).reduceOption(_ intersect _)
+      val keptBuckets = pushedPhys.flatMap(bucketsOf).reduceOption(_ intersect _)
       new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec,
         predicate, keptBuckets, morKey)
   }
@@ -589,6 +648,17 @@ final class GraftScan(
 
   private val hadoopConf =
     new SerializableConfiguration(spark.sessionState.newHadoopConf())
+
+  // readSchema is Spark-facing (LOGICAL names); the parquet readers need
+  // the in-file physical names, and Spark-facing expressions (runtime
+  // filter attributes, partitioning/ordering reports) need the logical
+  // name of the physical bucket key. Identity when never renamed.
+  private lazy val tableSt: StructType =
+    DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+  private lazy val fileReadSchema: StructType =
+    GraftSparkTable.schemaToPhysical(readSchema, tableSt)
+  private def logicalOf(k: String): String =
+    graft.table.ColumnIds.logicalFor(tableSt, k)
 
   private def listFiles(dir: String): Seq[FileSlice] = {
     val p = new Path(Paths.get(rootPath).resolve(dir).toString)
@@ -708,7 +778,7 @@ final class GraftScan(
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     bucketSpec match {
-      case Some((k, _)) => Array(Expressions.column(k))
+      case Some((k, _)) => Array(Expressions.column(logicalOf(k)))
       case None => Array.empty
     }
 
@@ -730,7 +800,8 @@ final class GraftScan(
     def refIs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case r: org.apache.spark.sql.connector.expressions.NamedReference =>
-          r.fieldNames.sameElements(Array(bk))
+          // Runtime predicates reference the relation's LOGICAL output.
+          r.fieldNames.sameElements(Array(logicalOf(bk)))
         case _ => false
       }
     val sets = predicates.toSeq.flatMap { p =>
@@ -760,7 +831,7 @@ final class GraftScan(
   override def outputPartitioning(): Partitioning = bucketSpec match {
     case Some((k, n)) if planned._2 =>
       new KeyGroupedPartitioning(
-        Array(Expressions.bucket(n, k)), planned._1.length)
+        Array(Expressions.bucket(n, logicalOf(k))), planned._1.length)
     case _ => new UnknownPartitioning(planned._1.length)
   }
 
@@ -783,21 +854,19 @@ final class GraftScan(
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     bucketSpec match {
       case Some((k, _)) if planned._2 && morKey.isEmpty &&
-          readSchema.fieldNames.contains(k) &&
+          readSchema.fieldNames.contains(logicalOf(k)) &&
           planned._1.forall {
             case p: GraftInputPartition => p.files.length <= 1
             case _ => false
           } =>
-        Array(Expressions.sort(Expressions.column(k),
+        Array(Expressions.sort(Expressions.column(logicalOf(k)),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       case _ => Array.empty
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(readSchema.json, predicate, hadoopConf,
-      morKey.map(k => (k,
-        DataType.fromJson(head.schemaJson).asInstanceOf[StructType](k).dataType.json,
-        bucketSpec.get._2)))
+    new GraftReaderFactory(fileReadSchema.json, predicate, hadoopConf,
+      morKey.map(k => (k, tableSt(k).dataType.json, bucketSpec.get._2)))
 
   /** `spark.readStream.table("lake.t")` — micro-batch append stream
     * ([[GraftAppendStream]]): initial snapshot = this scan's pinned head,

@@ -179,6 +179,57 @@ object ConnectorQueries {
         s"VERSION AS OF $v1 ORDER BY o_orderkey")
     }),
 
+    // Metadata-only column RENAME through SQL (Iceberg's ALTER TABLE ...
+    // RENAME COLUMN as a one-manifest commit — stable field ids, zero data
+    // dirs move): post-rename reads serve the new name, DML speaks it, the
+    // key stays bucket-pruned, and time travel to the pre-rename snapshot
+    // serves the OLD name over the SAME files.
+    "t_v2_rename" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val o = tbl(s, d, "orders")
+      val t = new graft.catalog.GraftCatalog(s, wh).materialized("orders")
+      t.overwriteBucketed(o, "o_orderkey", 8)
+      val v1 = t.latestVersion
+      val dirsBefore = t.log.latest().get.dataDirs.toSet
+      s.sql(s"ALTER TABLE $cat.orders RENAME COLUMN o_totalprice TO price")
+      require(t.log.latest().get.dataDirs.toSet == dirsBefore,
+        "rename must be metadata-only (zero data-dir changes)")
+      // DML under the NEW name, through the row-level SQL path.
+      s.sql(s"UPDATE $cat.orders SET price = price + 1000.0 " +
+        "WHERE o_orderkey % 10 = 0")
+      val now = s.sql(s"SELECT o_orderkey, price FROM $cat.orders " +
+        "WHERE o_orderkey <= 2000")
+      val old = s.sql(s"SELECT o_orderkey, o_totalprice AS price_v1 " +
+        s"FROM $cat.orders VERSION AS OF $v1 WHERE o_orderkey <= 2000")
+      now.join(old, "o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // Metadata-only column DROP through SQL: the column leaves the live
+    // schema (files keep the bytes, the scan never decodes them); time
+    // travel to the pre-drop snapshot still serves it.
+    "t_v2_drop" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val o = tbl(s, d, "orders")
+      val t = new graft.catalog.GraftCatalog(s, wh).materialized("orders")
+      t.overwriteBucketed(o, "o_orderkey", 4)
+      val v1 = t.latestVersion
+      val dirsBefore = t.log.latest().get.dataDirs.toSet
+      s.sql(s"ALTER TABLE $cat.orders DROP COLUMN o_orderstatus")
+      require(t.log.latest().get.dataDirs.toSet == dirsBefore,
+        "drop must be metadata-only (zero data-dir changes)")
+      require(!s.table(s"$cat.orders").columns.contains("o_orderstatus"),
+        "dropped column must leave the live schema")
+      val now = s.sql(s"SELECT o_orderkey, o_totalprice FROM $cat.orders " +
+        "WHERE o_orderkey <= 2000")
+      val old = s.sql(s"SELECT o_orderkey, o_orderstatus FROM $cat.orders " +
+        s"VERSION AS OF $v1 WHERE o_orderkey <= 2000")
+      now.join(old, "o_orderkey").orderBy("o_orderkey")
+    }),
+
     // SQL UPDATE through the catalog (SupportsRowLevelOperations,
     // group-based copy-on-write): the modulo predicate is untranslatable,
     // so this exercises the full rewrite — COW scan, replacement write,
@@ -339,6 +390,15 @@ object ConnectorQueries {
     "t_v2_timetravel" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+    "t_v2_rename" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_totalprice AS price_v1
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+    "t_v2_drop" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
     "t_v2_sql" ->
       // BIGINT cast: the DDL above declares n_regionkey BIGINT (append
       // casts on ingest), while the raw parquet stores int32.

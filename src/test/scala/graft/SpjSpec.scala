@@ -65,6 +65,39 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ and bucket pruning survive a metadata-only bucket-key rename") {
+    val (cat, wh) = freshCat()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    ConnectorQueries.ingestBucketed(spark, cat, "lineitem", li, "l_orderkey", 8)
+    val gt = new graft.catalog.GraftCatalog(spark, wh).table("orders")
+    val dirsBefore = gt.log.latest().get.dataDirs.toSet
+    spark.sql(s"ALTER TABLE $cat.orders RENAME COLUMN o_orderkey TO okey")
+    // Metadata-only: zero data-dir changes.
+    assert(gt.log.latest().get.dataDirs.toSet == dirsBefore)
+    noBroadcast {
+      // Co-bucketed join under the NEW key name still elides both
+      // exchanges — partitioning() reports the logical name, the bucket
+      // function resolves it, KeyGroupedPartitioning holds.
+      val joined = spark.table(s"$cat.orders")
+        .join(spark.table(s"$cat.lineitem"), col("okey") === col("l_orderkey"))
+        .select("okey", "o_orderstatus", "l_quantity")
+      assert(shuffleCount(joined) == 0,
+        "SPJ must survive a bucket-key rename:\n" +
+          joined.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      val expected = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"), col("l_quantity"))
+      assert(joined.exceptAll(expected).isEmpty && expected.exceptAll(joined).isEmpty)
+    }
+    // Static bucket pruning on the renamed key plans 1 of 8 partitions.
+    val probe = spark.table(s"$cat.orders").filter(col("okey") === 42L)
+    val n = probe.rdd.getNumPartitions
+    assert(n <= 1, s"expected <=1 planned partition after rename-key filter, got $n")
+    assert(probe.count() == orders.filter(col("o_orderkey") === 42).count())
+  }
+
   test("bucket-key aggregation through the v2 scan plans with zero shuffles") {
     val (cat, _) = freshCat()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
