@@ -87,6 +87,68 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val MergeAny =
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?!\s*\.)\b.*$""".r
 
+  // `l ASOF JOIN r ON l.k = r.k AND l.lts >= r.rts [TOLERANCE INTERVAL ...]
+  // [TIEBREAK r.c] [PREFIX 'p_']` — the DuckDB backward-as-of grammar as a
+  // FROM-clause sugar (Spark has no ASOF JOIN): the fragment rewrites to a
+  // temp view over [[graft.ops.TimeJoin.asofBackward]] (single-shuffle
+  // plan, per-key ordered sweep) and the surrounding SELECT runs
+  // unchanged. Right payload columns surface as `<prefix><col>` (default
+  // `asof_`). Only fires outside string literals and when both names
+  // resolve as tables/views.
+  private val AsofJoin =
+    ("""(?is)\b([A-Za-z_]\w*)\s+ASOF\s+JOIN\s+([A-Za-z_]\w*)\s+ON\s+""" +
+      """([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
+      """AND\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*>=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)""" +
+      """(?:\s+TOLERANCE\s+(INTERVAL\s+'?\d+'?\s+\w+))?""" +
+      """(?:\s+TIEBREAK\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*))?""" +
+      """(?:\s+PREFIX\s+'(\w*)')?""").r
+
+  private def resolvable(name: String): Boolean =
+    catalog.tableExists(name) || catalog.spark.catalog.tableExists(name)
+
+  /** Rewrite every top-level ASOF JOIN fragment to a temp view over the
+    * engine's as-of join. A matched fragment with mismatched qualifiers
+    * refuses loudly — Spark's parser has no ASOF grammar to report it. */
+  private def rewriteAsof(stmt: String): String = {
+    val mask = outsideMask(stmt)
+    AsofJoin.replaceAllIn(stmt, m => {
+      val (l, r) = (m.group(1), m.group(2))
+      if (!mask(m.start) || !resolvable(l) || !resolvable(r))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        def sideOf(q: String): String =
+          if (q == l) "left" else if (q == r) "right"
+          else throw new IllegalArgumentException(
+            s"ASOF JOIN qualifier $q names neither $l nor $r")
+        val (kq1, k1, kq2, k2) = (m.group(3), m.group(4), m.group(5), m.group(6))
+        require(sideOf(kq1) != sideOf(kq2) && k1 == k2,
+          s"ASOF JOIN ON must equate one shared key, got $kq1.$k1 = $kq2.$k2")
+        val (tq1, t1, tq2, t2) =
+          (m.group(7), m.group(8), m.group(9), m.group(10))
+        require(sideOf(tq1) == "left" && sideOf(tq2) == "right",
+          s"ASOF JOIN time condition must be $l.<ts> >= $r.<ts>, " +
+            s"got $tq1.$t1 >= $tq2.$t2")
+        val tolerance = Option(m.group(11))
+          .map(iv => org.apache.spark.sql.functions.expr(iv))
+        val tieBreak = Option(m.group(13)).map { c =>
+          require(sideOf(m.group(12)) == "right",
+            s"ASOF JOIN TIEBREAK must name a $r column")
+          c
+        }
+        val prefix = Option(m.group(14)).getOrElse("asof_")
+        val left = mergeSource(l)
+        val right = mergeSource(r)
+        val payload = right.columns.toSeq.filterNot(_ == k1)
+        val view = s"${l}__asof_${r}_${prefix.stripSuffix("_")}"
+        graft.ops.TimeJoin.asofBackward(left, right, key = k1,
+          leftTs = t1, rightTs = t2, rightPayload = payload,
+          prefix = prefix, tieBreak = tieBreak, tolerance = tolerance)
+          .createOrReplaceTempView(view)
+        view
+      }
+    })
+  }
+
   // UPDATE / DELETE as SQL TEXT against a session (temp-view) table — the
   // reference's row update (`api_poc.py:755`) on the surface Spark's own
   // parser refuses for views. Expressions parse through Catalyst's
@@ -424,13 +486,16 @@ final class GraftSession(val catalog: GraftCatalog) {
         return catalystMerge(clean, t)
       case _ => ()
     }
+    // ASOF JOIN fragments rewrite to as-of-join temp views first (the
+    // rewrite computes its own literal mask over the original text).
+    val asofd = rewriteAsof(clean)
     // TABLE_CHANGES takes its table/pk arguments as string LITERALS, so a
     // match necessarily spans protected runs — it can't be rewritten
     // segment-wise like VERSION AS OF. Match on the full text instead and
     // accept only matches whose keyword STARTS outside literals/comments
     // (`WHERE c = 'TABLE_CHANGES(...)'` passes through untouched).
-    val mask = outsideMask(clean)
-    val sugared = TableChanges.replaceAllIn(clean, m => {
+    val mask = outsideMask(asofd)
+    val sugared = TableChanges.replaceAllIn(asofd, m => {
       val t = m.group(1)
       if (!mask(m.start) || !catalog.tableExists(t))
         scala.util.matching.Regex.quoteReplacement(m.matched)

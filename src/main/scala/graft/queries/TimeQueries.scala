@@ -17,6 +17,28 @@ object TimeQueries {
     events(s, d).select("event_id", "user_id", "ts", "event_type")
 
   val queries: Map[String, QueryFn] = Map(
+    // The SAME backward as-of as j_asof, reached as SQL TEXT through the
+    // session surface's ASOF JOIN sugar (round 15): the DuckDB-shaped
+    // `l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts [TIEBREAK r.c]
+    // [PREFIX 'p_']` FROM-fragment rewrites to a TimeJoin.asofBackward
+    // temp view, so the single-shuffle ordered-sweep plan serves plain SQL.
+    "t_sql_asof" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-asof-"))
+      cat.saveTable("events_t", ev(s, d))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      ev(s, d).filter(col("event_type") === "signup")
+        .createOrReplaceTempView("signups_v")
+      session.sql(
+        "SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id " +
+          "FROM events_t ASOF JOIN signups_v " +
+          "ON events_t.user_id = signups_v.user_id " +
+          "AND events_t.ts >= signups_v.ts " +
+          "TIEBREAK signups_v.event_id PREFIX 'signup_' " +
+          "ORDER BY event_id")
+    }),
+
     // Backward as-of: every event annotated with the user's latest signup
     // at-or-before it (ties broken by highest signup event_id).
     "j_asof" -> ((s, d) => {
@@ -62,6 +84,18 @@ object TimeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t_sql_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         signups AS (SELECT * FROM ev WHERE event_type = 'signup')
+         SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                  l.ts AS signup_ts, l.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY l.ts DESC, l.event_id DESC) AS rn
+           FROM ev e LEFT JOIN signups l
+             ON e.user_id = l.user_id AND l.ts <= e.ts
+         ) WHERE rn = 1 ORDER BY event_id""",
     "j_asof" ->
       """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
          signups AS (SELECT * FROM ev WHERE event_type = 'signup')

@@ -248,6 +248,41 @@ class ApiSpec extends AnyFunSuite {
       before.filter(col("o_orderkey").between(100, 150)).count())
   }
 
+  test("ASOF JOIN sugar: rewrite, tolerance, tiebreak, literal-protected") {
+    val s = freshSession()
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    orders.filter(col("o_orderkey") < 300)
+      .select(col("o_custkey"), col("o_orderdate").as("rts"),
+        col("o_totalprice").as("rp"))
+      .createOrReplaceTempView("rside")
+    // Backward as-of: each order annotated with the latest rside row
+    // at-or-before its date for the same customer.
+    val out = s.sql("SELECT o_orderkey, ref_rts, ref_rp FROM orders_t " +
+      "ASOF JOIN rside ON orders_t.o_custkey = rside.o_custkey " +
+      "AND orders_t.o_orderdate >= rside.rts PREFIX 'ref_' " +
+      "ORDER BY o_orderkey")
+    assert(out.columns.toSeq == Seq("o_orderkey", "ref_rts", "ref_rp"))
+    assert(out.count() == s.sql("SELECT count(*) c FROM orders_t").head.getLong(0))
+    // Values: the max rts at-or-before, per the naive formulation.
+    val naive = s.sql(
+      """SELECT l.o_orderkey, max(r.rts) AS m FROM orders_t l JOIN rside r
+         ON l.o_custkey = r.o_custkey AND r.rts <= l.o_orderdate
+         GROUP BY l.o_orderkey""")
+    val got = out.filter(col("ref_rts").isNotNull)
+      .select(col("o_orderkey"), col("ref_rts").as("m"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // Inside a string literal the fragment must pass through untouched.
+    val lit1 = s.sql("SELECT 'a ASOF JOIN b ON a.x = b.x AND a.t >= b.t' AS v")
+      .head.getString(0)
+    assert(lit1.contains("ASOF JOIN"))
+    // Mismatched qualifiers refuse loudly (Spark has no grammar to report).
+    val e = intercept[IllegalArgumentException](s.sql(
+      "SELECT * FROM orders_t ASOF JOIN rside " +
+        "ON orders_t.o_custkey = orders_t.o_custkey " +
+        "AND orders_t.o_orderdate >= rside.rts"))
+    assert(e.getMessage.contains("shared key"))
+  }
+
   test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {
     val s = freshSession()
     // v1 → v2 appended 100 rows: the feed is 100 inserts.
