@@ -1073,12 +1073,22 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // commit — always on): pre-pass / merge+write / footer listing / log
     // commit, published via [[GraftTable.lastMergePhases]] so a slow CDC
     // micro-batch is attributable to a NAMED phase from the bench trace.
+    // For compact(), the pre-pass DELIBERATELY forces the cached chain
+    // resolution: its time is the one-time rank-cut materialization the
+    // merge's two references (anti-join keys + union rows) then reuse.
+    // Measured r15 (sf0.1, 16 buckets, 8-delta chain): moving the
+    // resolution out of the pre-pass behind a key-only distinct scan made
+    // the trace prettier (prepass 19% instead of ~40-70%) and the TOTAL
+    // 33% slower (4.37 s vs 3.28 s) — the chain was never read twice, so
+    // the "cheap" precount was pure added work. Keep the forcing pre-pass.
     val tA = System.nanoTime()
-    val bucketCounts = updates.select(bucketId(key, n).as("__b"))
-      .groupBy("__b").count().collect()
+    val (touched: Set[Int], updateRows: Long) = {
+      val bucketCounts = updates.select(bucketId(key, n).as("__b"))
+        .groupBy("__b").count().collect()
+      (bucketCounts.map(_.getInt(0)).toSet,
+        bucketCounts.map(_.getLong(1)).sum)
+    }
     val tB = System.nanoTime()
-    val touched: Set[Int] = bucketCounts.map(_.getInt(0)).toSet
-    val updateRows = bucketCounts.map(_.getLong(1)).sum
     val (touchedDirs, untouchedDirs) =
       head.dataDirs.partition(d => bucketOfDir(d).exists(touched.contains))
     val st = schema
@@ -1957,6 +1967,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val resolved = Merge.latestAll(
             deltaFrame(head, head.deltaDirs), bk, "__seq").drop("__seq")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // NOTE (r15 investigation): the compact "prepass" in the phase
+        // trace is NOT a duplicate chain read — it is the one-time
+        // materialization of this cached resolution, which the merge's two
+        // references then reuse. An attempted split (key-only distinct
+        // precount + resolution deferred into merge+write) measured 33%
+        // SLOWER overall; see the pre-pass comment in commitBucketedMerge.
         try {
           commitBucketedMerge(resolved, bk, n, "compact",
             (t, u, hint) => Merge.merge(t, u, bk, None, Some("__op"),
