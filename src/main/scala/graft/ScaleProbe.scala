@@ -768,6 +768,136 @@ object ScaleProbe {
       }
     }
 
+    // Driver-side planning cost at HIGH DIR COUNTS (manifest_scale): the
+    // manifest is O(dirs) with side stats; at 100 TB a table can carry
+    // 10^5-10^6 dirs, and the untested bottleneck is the driver's
+    // read+prune+plan step, not the executors. Synthesize a head that
+    // references `extra` empty bucket-leaf dirs with DISJOINT stats (so
+    // range pruning must consider and reject each one) on top of a real
+    // small table, then measure: manifest read (fresh instance), a pruned
+    // point lookup (bucket-suffix scan over every dir name + listing of
+    // the key's bucket), and a stat-pruned range read.
+    val manifestScale = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (only.forall(_.contains("manifest_scale")))
+    for (extra <- Seq(1000, 10000, 100000)) {
+      val wh = Files.createTempDirectory("graft-mscale-")
+      val gc = new graft.catalog.GraftCatalog(spark, wh)
+      val ev = graft.queries.Q.events(spark, sfDir).limit(60000)
+      val t0t = gc.saveTable("t", ev.limit(0))
+      t0t.overwriteBucketed(ev, "event_id", 16)
+      val head = t0t.log.latest().get
+      val fakes = (0 until extra).map(i => s"data/f$i/__bucket=${i % 16}")
+      fakes.foreach(d => Files.createDirectories(wh.resolve("t").resolve(d)))
+      // Stats far outside the real key domain: every fake dir is
+      // CONSIDERED and REJECTED by the range prune — the O(dirs) path.
+      val fakeStats = fakes.map(d => d -> Map(
+        "event_id:min" -> "9000000000", "event_id:max" -> "9000000999")).toMap
+      val fakeRecs = fakes.map(_ -> 1000L).toMap
+      t0t.log.commitExpecting(Some(head.snapshotId), "append", head.schemaJson,
+        head.dataDirs ++ fakes, head.summary, None,
+        head.dirRecords ++ fakeRecs, Seq.empty, head.dirStats ++ fakeStats)
+      def freshT() = new graft.catalog.GraftCatalog(spark, wh).table("t")
+      val keys = ev.select("event_id").orderBy("event_id").limit(10)
+        .collect().map(_.getLong(0))
+      freshT().lookupKeyRows(keys(0)) // warm: JIT + fs metadata
+      def ms(body: => Unit): Double = {
+        val s0 = System.nanoTime(); body; (System.nanoTime() - s0) / 1e6
+      }
+      val latestMs = (0 until 3).map(_ => ms { freshT().log.latest() }).min
+      val lookupMs = (1 to 3).map(i =>
+        ms { require(freshT().lookupKeyRows(keys(i)).nonEmpty) }).min
+      // Warm = a RESIDENT serving instance (manifest cached): what a
+      // steady-state server pays per lookup at this dir count.
+      val resident = freshT()
+      resident.lookupKeyRows(keys(4))
+      val warmMs = (5 to 7).map(i =>
+        ms { require(resident.lookupKeyRows(keys(i)).nonEmpty) }).min
+      val rangeMs = (0 until 3).map(_ => ms {
+        freshT().readRange("event_id", keys(0), keys(9)).count() }).min
+      val manifestMb = {
+        val logDir = wh.resolve("t").resolve("_log")
+        scala.util.Using.resource(Files.list(logDir)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(f => Files.size(f)).sum
+        } / 1e6
+      }
+      println(f"scaleprobe manifest_scale extra=$extra%-7d latest=${latestMs}%.1fms " +
+        f"lookup=${lookupMs}%.1fms warm=${warmMs}%.1fms range=${rangeMs}%.1fms " +
+        f"log=${manifestMb}%.1fMB")
+      manifestScale += (s"""{"extra_dirs":$extra,"latest_ms":${jnum(latestMs)},""" +
+        s""""lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(warmMs)},""" +
+        s""""range_ms":${jnum(rangeMs)},"log_mb":${jnum(manifestMb)}}""")
+    }
+
+    // Concurrent-writer CAS pricing (cas_contention): ConcurrencySpec
+    // proves the races CORRECT; this prices them. Four appenders race
+    // 8 batches each on one table while a compactor fires mid-stream;
+    // report wall, CAS conflicts burned (retries), whether the
+    // single-attempt compact survived, and staged-but-unreferenced bytes
+    // (a loser's data that never committed — orphan-GC diet).
+    val casContention = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (only.forall(_.contains("cas_contention"))) {
+      val wh = Files.createTempDirectory("graft-cas-")
+      val gc = new graft.catalog.GraftCatalog(spark, wh)
+      val ev = graft.queries.Q.events(spark, sfDir).limit(80000)
+      val t = gc.saveTable("t", ev.limit(0))
+      t.overwriteBucketed(ev, "event_id", 16)
+      val batch = ev.limit(2000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      val c0 = graft.log.CommitConflictException.total.get()
+      val rows0 = t.read().count()
+      @volatile var compactOk = true
+      val t0 = System.nanoTime()
+      val writers = (0 until 4).map { w =>
+        new Thread(() => {
+          val wt = new graft.catalog.GraftCatalog(spark, wh).table("t")
+          (0 until 8).foreach { i =>
+            wt.append(batch.withColumn("event_id",
+              col("event_id") + lit((w * 8 + i + 1) * 10000000L)))
+          }
+        })
+      }
+      val compactor = new Thread(() => {
+        Thread.sleep(400L)
+        try new graft.catalog.GraftCatalog(spark, wh).table("t").compact()
+        catch { case _: graft.log.CommitConflictException => compactOk = false }
+      })
+      (writers :+ compactor).foreach(_.start())
+      (writers :+ compactor).foreach(_.join())
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val conflicts = graft.log.CommitConflictException.total.get() - c0
+      val tEnd = new graft.catalog.GraftCatalog(spark, wh).table("t")
+      val headEnd = tEnd.log.latest().get
+      require(tEnd.read().count() == rows0 + 4 * 8 * batch.count(),
+        "CAS race lost rows — contention probe found a correctness bug")
+      // Unreferenced staged bytes: data dirs on disk minus every dir any
+      // RETAINED snapshot references.
+      val referenced = tEnd.log.snapshots()
+        .flatMap(s => s.dataDirs ++ s.deltaDirs).toSet
+      val dataRoot = wh.resolve("t")
+      def dirBytes(p: java.nio.file.Path): Long =
+        scala.util.Using.resource(Files.walk(p)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(f => Files.size(f)).sum
+        }
+      val totalBytes = dirBytes(dataRoot.resolve("data"))
+      val refBytes = referenced.iterator
+        .map(d => wh.resolve("t").resolve(d))
+        .filter(Files.isDirectory(_)).map(dirBytes).sum
+      val orphanMb = math.max(0L, totalBytes - refBytes) / 1e6
+      println(f"scaleprobe cas_contention wall=${wallSec}%.2fs conflicts=$conflicts " +
+        f"compact_ok=$compactOk orphan=${orphanMb}%.1fMB " +
+        f"commits=${headEnd.snapshotId}")
+      casContention += (s"""{"writers":4,"appends_per_writer":8,""" +
+        s""""wall_sec":${jnum(wallSec)},"cas_conflicts":$conflicts,""" +
+        s""""compact_survived":$compactOk,"orphan_staged_mb":${jnum(orphanMb)},""" +
+        s""""final_snapshot":${headEnd.snapshotId}}""")
+      batch.unpersist(blocking = false)
+    }
+
     val perOp = results.map { case (name, byF) =>
       val fs = byF.map { case (f, (ts, med, mb, rows)) =>
         s""""f$f":{"waves":${jarr(ts)},"median_sec":${jnum(med)},"shuffle_mb":${jnum(mb)},"rows":$rows}"""
@@ -786,8 +916,12 @@ object ScaleProbe {
       if (chainAmp.isEmpty) "null" else chainAmp.mkString("[", ",", "]")
     val sqlMergeAttrJson =
       if (sqlMergeAttr.isEmpty) "null" else sqlMergeAttr.mkString("[", ",", "]")
+    val manifestScaleJson =
+      if (manifestScale.isEmpty) "null" else manifestScale.mkString("[", ",", "]")
+    val casJson =
+      if (casContention.isEmpty) "null" else casContention.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp,"mor_chain_amplification":$chainJson,"v2_sql_merge_attribution":$sqlMergeAttrJson}"""
+      s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp,"mor_chain_amplification":$chainJson,"v2_sql_merge_attribution":$sqlMergeAttrJson,"manifest_scale":$manifestScaleJson,"cas_contention":$casJson}"""
     println(json)
     println("SCALE_JSON:" + json)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")

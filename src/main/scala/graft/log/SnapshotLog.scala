@@ -64,7 +64,15 @@ case class Snapshot(
 
 /** A committed write lost the optimistic-concurrency race; the caller must
   * re-derive its commit content against the new head and retry. */
-final class CommitConflictException(msg: String) extends RuntimeException(msg)
+final class CommitConflictException(msg: String) extends RuntimeException(msg) {
+  CommitConflictException.total.incrementAndGet()
+}
+
+object CommitConflictException {
+  /** Process-wide conflict counter (diagnostics: the CAS-contention scale
+    * probe prices retry cost under concurrent writers with it). */
+  val total = new java.util.concurrent.atomic.AtomicLong
+}
 
 object SnapshotLog {
   // Per-tableRoot maintenance mutex: serializes storage-RECLAIM passes
@@ -312,6 +320,15 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     }
   }
 
+  // Head cache keyed by manifest PATH: a manifest is claimed atomically
+  // (tryClaim) and never rewritten in place, so path identity IS content
+  // identity — if the newest listing entry hasn't changed, the parsed head
+  // is current. Without this, every serving call re-parses the O(dirs)
+  // detail JSON: measured 360 ms PER LOOKUP on a 100k-dir table
+  // (manifest_scale probe, r15) for what is otherwise a ~5 ms read. The
+  // dir listing itself stays — that's what detects concurrent commits.
+  @volatile private var headCache: (String, Snapshot) = null
+
   def latest(): Option[Snapshot] = {
     // The newest retained manifest is never expired, so a missing-file read
     // here means the LISTING was stale — re-list and retry.
@@ -321,7 +338,14 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       listManifests().lastOption match {
         case None => return None
         case Some(p) =>
-          try return Some(readManifest(p))
+          val key = p.toString
+          val c = headCache
+          if (c != null && c._1 == key) return Some(c._2)
+          try {
+            val s = readManifest(p)
+            headCache = (key, s)
+            return Some(s)
+          }
           catch { case e if isMissing(e) => } // stale listing — re-list
       }
     }
