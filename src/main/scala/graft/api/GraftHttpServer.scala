@@ -604,15 +604,19 @@ final class GraftHttpServer(session: GraftSession, port: Int = 0,
     val c = p.getOrElse("col", throw new IllegalArgumentException("missing col"))
     val raw = p.getOrElse("value", throw new IllegalArgumentException("missing value"))
     val table = session.catalog.table(t)
-    require(table.schema.fieldNames.contains(c), s"no such column $c")
-    val v = graft.functions.Coerce.coerce(raw, table.schema(c).dataType)
+    // User-visible (logical) names on the HTTP face; readPointRows maps to
+    // the physical column itself, and rows are positional (same field
+    // order), so the logical schema labels them correctly.
+    val lst = table.logicalSchema
+    require(lst.fieldNames.contains(c), s"no such column $c")
+    val v = graft.functions.Coerce.coerce(raw, lst(c).dataType)
     // serving path: materialized rows, zero jobs steady-state (driver-side
     // stats + cached-bloom pruning + footer-cached decode); the JSON face
     // is a LocalRelation — no distributed work either way
     val rows = table.readPointRows(c, v)
     import scala.jdk.CollectionConverters._
     val st = org.apache.spark.sql.types.StructType(
-      table.schema.fields.map(_.copy(nullable = true)))
+      lst.fields.map(_.copy(nullable = true)))
     dfJson(table.spark.createDataFrame(rows.take(maxRows).asJava, st), maxRows)
   }
 

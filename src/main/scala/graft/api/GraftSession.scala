@@ -228,7 +228,7 @@ final class GraftSession(val catalog: GraftCatalog) {
   private def runUpdate(t: String, setSql: String, whereSql: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val table = catalog.table(t)
-    val cols = table.schema.fieldNames.toSet
+    val cols = table.logicalSchema.fieldNames.toSet // user-visible names
     val set: Map[String, org.apache.spark.sql.Column] =
       splitAssignments(setSql).map { a =>
         val i = a.indexOf('=')
