@@ -161,6 +161,19 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val DeleteStmt =
     """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+?)\s*$""".r
 
+  // Schema evolution as SQL text on the session surface — Spark's parser
+  // refuses ALTER against a temp view, so the three metadata-only verbs
+  // (rename / drop / add) pre-parse here and route to the table API.
+  // Catalog-qualified names pass through to GraftSparkCatalog.alterTable.
+  private val AlterRename =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+""" +
+      """([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$""").r
+  private val AlterDrop =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*$""".r
+  private val AlterAdd =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*""" +
+      """\(([^()]+)\)\s*$""").r
+
   /** Split at the LAST top-level `WHERE` keyword — outside string
     * literals and parentheses, so a literal `'x where y'` in a SET value
     * or a scalar subquery's own WHERE never splits the statement. */
@@ -461,6 +474,17 @@ final class GraftSession(val catalog: GraftCatalog) {
         return runCdcMerge(clean, t, Option(tAl), src, Option(sAl),
           ((q1, k1), (q2, k2)), delQ, delCol, delVal, setSql,
           insQ, insCol, insVal, iCols, iVals)
+      case AlterRename(t, from, to) if catalog.tableExists(t) =>
+        val snap = catalog.table(t).renameColumn(from, to)
+        return mergeResult(t, "rename-column", snap.snapshotId)
+      case AlterDrop(t, c) if catalog.tableExists(t) =>
+        val snap = catalog.table(t).dropColumn(c)
+        return mergeResult(t, "drop-column", snap.snapshotId)
+      case AlterAdd(t, colsSql) if catalog.tableExists(t) =>
+        // Column list parses through Catalyst's own DDL type grammar.
+        val st = org.apache.spark.sql.types.StructType.fromDDL(colsSql)
+        val snap = catalog.table(t).addColumns(st.fields.toSeq)
+        return mergeResult(t, "add-columns", snap.snapshotId)
       case UpdateStmt(t, rest) if catalog.tableExists(t) =>
         val (setSql, whereSql) = splitLastTopLevelWhere(rest).getOrElse(
           throw new IllegalArgumentException(

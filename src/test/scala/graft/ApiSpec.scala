@@ -248,6 +248,22 @@ class ApiSpec extends AnyFunSuite {
       before.filter(col("o_orderkey").between(100, 150)).count())
   }
 
+  test("ALTER TABLE rename/drop/add as SQL text on the session surface") {
+    val s = freshSession()
+    s.sql("ALTER TABLE orders_t RENAME COLUMN o_totalprice TO price")
+    assert(s.sql("SELECT sum(price) p FROM orders_t").head.getDouble(0) > 0)
+    assert(!s.catalog.describe("orders_t").fieldNames.contains("o_totalprice"))
+    s.sql("ALTER TABLE orders_t DROP COLUMN o_orderpriority")
+    assert(!s.catalog.describe("orders_t").fieldNames.contains("o_orderpriority"))
+    s.sql("ALTER TABLE orders_t ADD COLUMNS (note STRING, score DOUBLE)")
+    assert(s.sql("SELECT count(*) c FROM orders_t WHERE note IS NULL")
+      .head.getLong(0) == s.sql("SELECT count(*) c FROM orders_t").head.getLong(0))
+    // DML under the renamed name via SQL text.
+    s.sql("UPDATE orders_t SET price = 1.5 WHERE o_orderkey = 7")
+    assert(s.sql("SELECT price FROM orders_t WHERE o_orderkey = 7")
+      .collect().forall(_.getDouble(0) == 1.5))
+  }
+
   test("ASOF JOIN sugar: rewrite, tolerance, tiebreak, literal-protected") {
     val s = freshSession()
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
