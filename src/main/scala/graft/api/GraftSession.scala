@@ -337,8 +337,19 @@ final class GraftSession(val catalog: GraftCatalog) {
     * two GraftSessions over different warehouses in one SparkSession must
     * not share a name. */
   private val scratchCatalog = {
-    val h = Integer.toHexString(catalog.warehouse.toAbsolutePath.toString.hashCode)
-    s"graft_session_$h"
+    val wh = catalog.warehouse.toAbsolutePath.toString
+    val h = Integer.toHexString(wh.hashCode)
+    // hashCode collisions across warehouses would route a MERGE into the
+    // WRONG warehouse (the cached catalog instance keeps the first one) —
+    // probe registered names and suffix until ours is free or already ours.
+    val spark = catalog.spark
+    var name = s"graft_session_$h"
+    var i = 0
+    while (spark.conf.getOption(s"spark.sql.catalog.$name.warehouse")
+        .exists(_ != wh)) {
+      i += 1; name = s"graft_session_${h}_$i"
+    }
+    name
   }
 
   /** Run a MERGE statement through Catalyst's row-level machinery by
