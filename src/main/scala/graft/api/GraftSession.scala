@@ -173,6 +173,9 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val AlterAdd =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*""" +
       """\(([^()]+)\)\s*$""").r
+  private val AlterWiden =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+""" +
+      """([A-Za-z_]\w*)\s+TYPE\s+([A-Za-z0-9_()]+)\s*$""").r
 
   /** Split at the LAST top-level `WHERE` keyword — outside string
     * literals and parentheses, so a literal `'x where y'` in a SET value
@@ -496,6 +499,11 @@ final class GraftSession(val catalog: GraftCatalog) {
         val st = org.apache.spark.sql.types.StructType.fromDDL(colsSql)
         val snap = catalog.table(t).addColumns(st.fields.toSeq)
         return mergeResult(t, "add-columns", snap.snapshotId)
+      case AlterWiden(t, c, typeSql) if catalog.tableExists(t) =>
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"__x $typeSql").fields(0).dataType
+        val snap = catalog.table(t).widenColumn(c, dt)
+        return mergeResult(t, "widen-column", snap.snapshotId)
       case UpdateStmt(t, rest) if catalog.tableExists(t) =>
         val (setSql, whereSql) = splitLastTopLevelWhere(rest).getOrElse(
           throw new IllegalArgumentException(

@@ -153,6 +153,8 @@ final class GraftSparkCatalog extends TableCatalog with FunctionCatalog {
         t.renameColumn(r.fieldNames()(0), r.newName)
       case List(d: TableChange.DeleteColumn) if d.fieldNames.length == 1 =>
         t.dropColumn(d.fieldNames()(0))
+      case List(u: TableChange.UpdateColumnType) if u.fieldNames.length == 1 =>
+        t.widenColumn(u.fieldNames()(0), u.newDataType)
       case cs =>
         val adds = cs.map {
           case a: TableChange.AddColumn if a.fieldNames.length == 1 =>

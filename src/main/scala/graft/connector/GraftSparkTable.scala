@@ -558,7 +558,17 @@ final class GraftScanBuilder(
       new GraftAggScan(tableName, head.snapshotId, aggSchema, values)
     case None =>
       val pushedPhys = pushed.map(GraftSparkTable.filterToPhysical(_, tableSchema))
-      val predicate = pushedPhys.flatMap(ParquetPredicate.translate(_, tableSchema))
+      // Widened columns (narrow physical type still live in files) must
+      // not reach parquet-mr's TYPE-STRICT row-group filters — a long
+      // predicate over an int32 chunk fails the task, not the pushdown.
+      // Spark re-evaluates every filter above the scan, so skipping the
+      // push is pure (temporary) perf cost, cleared by any full rewrite.
+      val widened = tableSchema.fields
+        .filter(graft.table.ColumnIds.isWidened).map(_.name).toSet
+      val pushable =
+        if (widened.isEmpty) pushedPhys
+        else pushedPhys.filterNot(_.references.exists(widened))
+      val predicate = pushable.flatMap(ParquetPredicate.translate(_, tableSchema))
         .reduceOption(FilterApi.and)
       // Conjuncts AND together, so the bucket sets intersect.
       val keptBuckets = pushedPhys.flatMap(bucketsOf).reduceOption(_ intersect _)

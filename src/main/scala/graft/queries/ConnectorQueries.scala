@@ -230,6 +230,34 @@ object ConnectorQueries {
       now.join(old, "o_orderkey").orderBy("o_orderkey")
     }),
 
+    // Metadata-only type WIDENING through SQL (Iceberg ALTER COLUMN ...
+    // TYPE): the manifest type widens in one commit; the narrow (int32)
+    // files promote on read, a filter on the widened column stays exact
+    // (row-group pushdown skipped for it, re-filtering not), and a
+    // post-widen INSERT lands at the wide type in the same table.
+    "t_v2_widen" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val o = tbl(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"))
+      ingestBucketed(s, cat, "orders", o, "o_orderkey", 4)
+      val dirsBefore = {
+        val wh = java.nio.file.Paths.get(
+          s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+        new graft.catalog.GraftCatalog(s, wh).table("orders")
+          .log.latest().get.dataDirs
+      }
+      s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN o_custkey TYPE BIGINT")
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      require(new graft.catalog.GraftCatalog(s, wh).table("orders")
+        .log.latest().get.dataDirs == dirsBefore,
+        "widen must be metadata-only (zero data-dir changes)")
+      s.sql(s"INSERT INTO $cat.orders VALUES (99999999, 7777777777, 5.5)")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $cat.orders " +
+        "WHERE o_custkey >= 100 ORDER BY o_orderkey")
+    }),
+
     // SQL UPDATE through the catalog (SupportsRowLevelOperations,
     // group-based copy-on-write): the modulo predicate is untranslatable,
     // so this exercises the full rewrite — COW scan, replacement write,
@@ -399,6 +427,14 @@ object ConnectorQueries {
     "t_v2_drop" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
          FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+    "t_v2_widen" ->
+      """SELECT * FROM (
+           SELECT o_orderkey,
+                  CAST(CAST(o_custkey AS INT) AS BIGINT) AS o_custkey,
+                  o_totalprice
+           FROM orders
+           UNION ALL SELECT 99999999, 7777777777, 5.5
+         ) WHERE o_custkey >= 100 ORDER BY o_orderkey""",
     "t_v2_sql" ->
       // BIGINT cast: the DDL above declares n_regionkey BIGINT (append
       // casts on ingest), while the raw parquet stores int32.

@@ -111,6 +111,30 @@ private[graft] object ColumnIds {
     })
   }
 
+  /** Marker set by [[GraftTable.widenColumn]]: live data files still carry
+    * the NARROWER physical type, which Spark's parquet readers promote on
+    * read (vectorized + row-based, Spark 4 type widening) — but parquet-mr
+    * ROW-GROUP FILTERS are type-strict, so pushdown paths must skip
+    * predicates on widened columns (the scan re-filters above; correctness
+    * never depended on the pushdown). A FULL rewrite (commitRewrite —
+    * zero carried dirs) clears the marker via [[clearWidened]]: every
+    * surviving file then stores the wide type and pushdown returns. */
+  val WidenedKey = "graft.widened"
+
+  def isWidened(f: StructField): Boolean =
+    f.metadata.contains(WidenedKey) && f.metadata.getBoolean(WidenedKey)
+
+  def markWidened(f: StructField): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putBoolean(WidenedKey, true).build())
+
+  /** Strip widened markers from every field (full-rewrite commits). */
+  def clearWidened(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      if (!f.metadata.contains(WidenedKey)) f
+      else f.copy(metadata = without(f.metadata, WidenedKey))
+    })
+
   def withLogical(f: StructField, logical: String): StructField =
     if (logical == f.name) f.copy(metadata = without(f.metadata, LogicalKey))
     else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)

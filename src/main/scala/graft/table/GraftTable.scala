@@ -1814,8 +1814,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       batchKey: Option[String], parent: Option[Long]): Snapshot = {
     // Callers hand PHYSICAL-named frames; restoreMeta re-stamps identity
     // metadata (graft.id / graft.logical) that alias chains drop, so a
-    // full rewrite cannot silently revert a renamed column.
-    val committed = ColumnIds.restoreMeta(df.schema, schema).json
+    // full rewrite cannot silently revert a renamed column. Widened
+    // markers CLEAR here — a full rewrite leaves no narrow-typed file
+    // alive, so parquet predicate pushdown returns for those columns.
+    val committed = ColumnIds.clearWidened(
+      ColumnIds.restoreMeta(df.schema, schema)).json
     bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
@@ -2187,6 +2190,74 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     }
     throw new IllegalStateException(
       s"dropColumn on $name lost $attempts consecutive races")
+  }
+
+  /**
+   * Metadata-only column type WIDENING (Iceberg `ALTER COLUMN ... TYPE`):
+   * the manifest schema's type widens in one CAS commit; data files keep
+   * the narrower physical type and Spark's parquet readers promote on read
+   * (vectorized AND row-based, Spark 4 type widening — probed on this
+   * build for int->long, int->double, float->double before shipping).
+   * Only lossless widenings are accepted. Guards: the bucket key refuses
+   * (the xxhash layout is type-width-sensitive — a widened key would hash
+   * into different buckets than the files were written under), a pending
+   * MOR chain keyed by the column refuses, and a bloom sidecar on the
+   * column refuses (its hashes were taken at the narrow width; rebuild
+   * after — see [[dropBloomIndex]]). Parquet row-group predicates stop
+   * pushing for the column while narrow files are live ([[ColumnIds
+   * .isWidened]]); the scan's own re-filtering keeps results exact.
+   */
+  def widenColumn(colName: String, to: DataType): Snapshot = {
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    val widenable: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set(ShortType, IntegerType, LongType),
+      ShortType -> Set(IntegerType, LongType),
+      IntegerType -> Set(LongType, DoubleType),
+      FloatType -> Set(DoubleType))
+    var attempts = 0
+    while (attempts < 8) {
+      attempts += 1
+      try {
+        val head = log.latest().getOrElse(
+          throw new IllegalStateException(s"table $name has no snapshots"))
+        val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val idx = st.fields.indexWhere(f => ColumnIds.logicalName(f) == colName)
+        require(idx >= 0, s"table $name has no column $colName")
+        val f = st.fields(idx)
+        require(widenable.get(f.dataType).exists(_.contains(to)),
+          s"cannot widen $colName: ${f.dataType.simpleString} -> " +
+            s"${to.simpleString} is not a lossless parquet-promotable widening")
+        require(!head.summary.get("bucket_key").contains(f.name),
+          s"column $colName is the bucket key of $name; the hash layout is " +
+            "type-width-sensitive — re-layout (overwriteBucketed) to widen it")
+        require(!(head.deltaDirs.nonEmpty &&
+            head.summary.get("mor_key").contains(f.name)),
+          s"column $colName keys pending merge-on-read deltas; compact() first")
+        require(!Files.exists(bloomIndexPath(f.name)),
+          s"column $colName carries a bloom index hashed at the narrow " +
+            "width; dropBloomIndex and rebuild after widening")
+        val fields = st.fields.clone()
+        fields(idx) = ColumnIds.markWidened(f.copy(dataType = to))
+        return log.commitExpecting(Some(head.snapshotId), "widen-column",
+          StructType(fields).json, head.dataDirs, head.summary,
+          None, head.dirRecords, head.deltaDirs, head.dirStats)
+      } catch { case _: CommitConflictException => } // head moved — re-read
+    }
+    throw new IllegalStateException(
+      s"widenColumn on $name lost $attempts consecutive races")
+  }
+
+  /** Delete a column's bloom sidecar (see [[buildBloomIndex]]) — the
+    * maintenance verb type widening points at. */
+  def dropBloomIndex(column: String): Unit = {
+    val p = bloomIndexPath(ColumnIds.physicalFor(schema, column))
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
   }
 
   def rollback(snapshotId: Long): Snapshot = {

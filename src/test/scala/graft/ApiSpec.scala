@@ -264,6 +264,25 @@ class ApiSpec extends AnyFunSuite {
       .collect().forall(_.getDouble(0) == 1.5))
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only on the session surface") {
+    val s = freshSession()
+    val t = s.catalog.table("orders_t")
+    // Rebuild the table with a narrow column to widen.
+    val narrow = t.read().withColumn("o_custkey", col("o_custkey").cast("int"))
+    s.catalog.saveTable("orders_w", narrow)
+    s.registerView("orders_w")
+    val sum0 = s.sql("SELECT sum(CAST(o_custkey AS BIGINT)) x FROM orders_w")
+      .head.getLong(0)
+    s.sql("ALTER TABLE orders_w ALTER COLUMN o_custkey TYPE BIGINT")
+    assert(s.catalog.describe("orders_w")("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(s.sql("SELECT sum(o_custkey) x FROM orders_w").head.getLong(0) == sum0)
+    // Narrowing refuses loudly.
+    val e = intercept[IllegalArgumentException](
+      s.sql("ALTER TABLE orders_w ALTER COLUMN o_custkey TYPE INT"))
+    assert(e.getMessage.contains("widening"))
+  }
+
   test("ASOF JOIN sugar: rewrite, tolerance, tiebreak, literal-protected") {
     val s = freshSession()
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")

@@ -150,6 +150,89 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(ch.columns.contains("price"))
   }
 
+  test("column pruning and bucket pruning push through the rename projection") {
+    val cat = freshCat()
+    val t = cat.saveTable("t", orders.limit(0))
+    t.overwriteBucketed(orders, "o_orderkey", 8)
+    t.renameColumn("o_totalprice", "price")
+    t.renameColumn("o_orderkey", "id")
+    // Projection of ONE logical column must reach the parquet scan as its
+    // physical twin — at 100 TB, reading all columns for a 1-column
+    // projection is the difference between a scan and a disaster.
+    val proj = t.read().select("price")
+    val p = proj.queryExecution.executedPlan.toString
+    val rs = p.indexOf("ReadSchema")
+    assert(rs >= 0 && p.substring(rs, math.min(p.length, rs + 300))
+      .contains("o_totalprice"), p.substring(math.max(0, rs), math.min(p.length, rs + 300)))
+    assert(!p.substring(rs, math.min(p.length, rs + 300)).contains("o_custkey"))
+    // A literal filter on the RENAMED bucket key over the plain read()
+    // must still prune to one bucket (BucketPruneRule sees the physical
+    // attribute after Catalyst pushes the filter through the alias).
+    val lk = t.read().filter(col("id") === 42L)
+    val buckets = lk.inputFiles.flatMap(f =>
+      "__bucket=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+    assert(buckets.length == 1, s"expected 1 bucket, got ${buckets.mkString(",")}")
+    assert(lk.count() == orders.filter(col("o_orderkey") === 42).count())
+  }
+
+  test("type widening is metadata-only; old files promote, guards refuse") {
+    val cat = freshCat()
+    val narrow = orders.select(
+      col("o_orderkey"),
+      col("o_custkey").cast("int").as("o_custkey"),
+      col("o_totalprice").cast("float").as("o_totalprice"))
+    val t = cat.saveTable("t", narrow.limit(0))
+    t.overwriteBucketed(narrow.filter(col("o_orderkey") <= 400), "o_orderkey", 4)
+    val dirsBefore = t.log.latest().get.dataDirs
+    t.widenColumn("o_custkey", org.apache.spark.sql.types.LongType)
+    t.widenColumn("o_totalprice", org.apache.spark.sql.types.DoubleType)
+    assert(t.log.latest().get.dataDirs == dirsBefore) // zero data moved
+    val r = t.read()
+    assert(r.schema("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(r.schema("o_totalprice").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // Values survive the promotion (int32 files read as long).
+    val expect = narrow.filter(col("o_orderkey") <= 400)
+      .agg(sum(col("o_custkey").cast("long"))).head.getLong(0)
+    assert(r.agg(sum("o_custkey")).head.getLong(0) == expect)
+    // Filter on the widened column over OLD files stays correct (the
+    // parquet row-group predicate is skipped, re-filtering is not).
+    val one = narrow.filter(col("o_orderkey") === 42)
+      .select(col("o_custkey").cast("long")).head.getLong(0)
+    assert(r.filter(col("o_custkey") === one).count() ==
+      narrow.filter(col("o_orderkey") <= 400)
+        .filter(col("o_custkey").cast("long") === one).count())
+    // Writes after the widen land wide; mixed-era read stays exact.
+    t.append(narrow.filter(col("o_orderkey").between(401, 500))
+      .withColumn("o_custkey", col("o_custkey").cast("long"))
+      .withColumn("o_totalprice", col("o_totalprice").cast("double")))
+    assert(t.read().count() == narrow.filter(col("o_orderkey") <= 500).count())
+    // Guards: narrowing, unknown, bucket key.
+    intercept[IllegalArgumentException](
+      t.widenColumn("o_custkey", org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](
+      t.widenColumn("nope", org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException](
+      t.widenColumn("o_orderkey", org.apache.spark.sql.types.DoubleType))
+    // Bloom-indexed column refuses until the sidecar is dropped.
+    val t2 = cat.saveTable("t2", narrow.filter(col("o_orderkey") <= 100))
+    t2.buildBloomIndex("o_custkey")
+    intercept[IllegalArgumentException](
+      t2.widenColumn("o_custkey", org.apache.spark.sql.types.LongType))
+    t2.dropBloomIndex("o_custkey")
+    t2.widenColumn("o_custkey", org.apache.spark.sql.types.LongType)
+    assert(t2.read().schema("o_custkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // Serving point read on the widened column: the narrow-file parquet
+    // predicate can't push, the answer must still be exact.
+    val pv = narrow.filter(col("o_orderkey") <= 100)
+      .select(col("o_custkey").cast("long")).head.getLong(0)
+    assert(t2.readPointRows("o_custkey", pv).size ==
+      narrow.filter(col("o_orderkey") <= 100)
+        .filter(col("o_custkey").cast("long") === pv).count())
+  }
+
   test("MOR deltas and compaction survive a rename") {
     val cat = freshCat()
     val t = cat.saveTable("t", orders.limit(0))
