@@ -320,14 +320,15 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     }
   }
 
-  // Head cache keyed by manifest PATH: a manifest is claimed atomically
-  // (tryClaim) and never rewritten in place, so path identity IS content
-  // identity — if the newest listing entry hasn't changed, the parsed head
-  // is current. Without this, every serving call re-parses the O(dirs)
-  // detail JSON: measured 360 ms PER LOOKUP on a 100k-dir table
-  // (manifest_scale probe, r15) for what is otherwise a ~5 ms read. The
-  // dir listing itself stays — that's what detects concurrent commits.
-  @volatile private var headCache: (String, Snapshot) = null
+  // Head cache keyed by (manifest path, store mtime): a manifest is
+  // claimed atomically (tryClaim) and never rewritten in place, so path
+  // identity alone is content identity IN CONTRACT — the mtime guard
+  // additionally catches out-of-band edits (tests, external tooling).
+  // Without this cache, every serving call re-parses the O(dirs) detail
+  // JSON: measured 360 ms PER LOOKUP on a 100k-dir table (manifest_scale
+  // probe, r15) for what is otherwise a ~5 ms read. The dir listing
+  // itself stays — that's what detects concurrent commits.
+  @volatile private var headCache: (String, Option[Long], Snapshot) = null
 
   def latest(): Option[Snapshot] = {
     // The newest retained manifest is never expired, so a missing-file read
@@ -339,11 +340,12 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         case None => return None
         case Some(p) =>
           val key = p.toString
+          val mt = store.modifiedAtMs(p)
           val c = headCache
-          if (c != null && c._1 == key) return Some(c._2)
+          if (c != null && c._1 == key && c._2 == mt) return Some(c._3)
           try {
             val s = readManifest(p)
-            headCache = (key, s)
+            headCache = (key, mt, s)
             return Some(s)
           }
           catch { case e if isMissing(e) => } // stale listing — re-list

@@ -64,11 +64,16 @@ class StatsSpec extends AnyFunSuite {
         .replaceAll(""","dirStats":\{.*?\}\}""", ""","dirStats":{}""")
       java.nio.file.Files.write(p, s.getBytes("UTF-8"))
     } finally paths.close()
-    val head2 = t.log.latest().get
+    // Out-of-band manifest surgery breaks the claim-once immutability the
+    // head cache leans on — re-open the table like a fresh process would
+    // (the cache also guards on store mtime, but that is belt-and-braces,
+    // not a license to edit manifests under a live handle).
+    val t2 = new GraftTable(spark, t.root, "t")
+    val head2 = t2.log.latest().get
     assert(head2.dirStats.isEmpty)
-    val r = t.readRange("o_orderkey", 100L, 200L)
+    val r = t2.readRange("o_orderkey", 100L, 200L)
     assert(r.collect().toSet ==
-      t.read().filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 200).collect().toSet)
+      t2.read().filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 200).collect().toSet)
   }
 
   test("range read with pending MOR deltas resolves through the delta chain") {
