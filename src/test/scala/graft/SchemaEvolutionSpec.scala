@@ -233,6 +233,30 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         .filter(col("o_custkey").cast("long") === pv).count())
   }
 
+  test("widening a non-key column with pending MOR deltas resolves and compacts") {
+    val cat = freshCat()
+    val narrow = orders.select(col("o_orderkey"),
+      col("o_custkey").cast("int").as("o_custkey"))
+    val t = cat.saveTable("t", narrow.limit(0))
+    t.overwriteBucketed(narrow.filter(col("o_orderkey") <= 300), "o_orderkey", 4)
+    t.upsertDeferred(narrow.filter(col("o_orderkey") <= 30)
+      .withColumn("o_custkey", lit(7).cast("int")), "o_orderkey")
+    assert(t.log.latest().get.deltaDirs.nonEmpty)
+    // Widen the NON-key column mid-chain: base and delta files both carry
+    // int32; the resolving read and compaction promote both.
+    t.widenColumn("o_custkey", org.apache.spark.sql.types.LongType)
+    val r = t.read()
+    assert(r.schema("o_custkey").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.filter(col("o_orderkey") <= 30 && col("o_custkey") === 7L).count() ==
+      narrow.filter(col("o_orderkey") <= 30)
+        .select("o_orderkey").distinct().count())
+    t.compact()
+    assert(t.log.latest().get.deltaDirs.isEmpty)
+    assert(t.read().filter(col("o_orderkey") <= 30 && col("o_custkey") === 7L)
+      .count() == narrow.filter(col("o_orderkey") <= 30)
+        .select("o_orderkey").distinct().count())
+  }
+
   test("MOR deltas and compaction survive a rename") {
     val cat = freshCat()
     val t = cat.saveTable("t", orders.limit(0))
