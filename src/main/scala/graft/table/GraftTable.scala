@@ -1062,13 +1062,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * merged output is the plan that amortizes.
    */
   private def commitBucketedMerge(
+      head: Snapshot,
       updates: DataFrame,
       key: String,
       n: Int,
       operation: String,
       mergeFn: (DataFrame, DataFrame, Option[Long]) => DataFrame,
-      batchKey: Option[String]): Snapshot = {
-    val head = log.latest().get
+      batchKey: Option[String],
+      rebaseAppends: Boolean = false): Snapshot = {
+    // `head` is the snapshot the CALLER derived its inputs from — the
+    // upsert/delete guard checks (no pending deltas) and compact's chain
+    // resolution all speak it. Re-reading log.latest() here instead used
+    // to open a torn-read window: a delta/append landing between the
+    // caller's read and this one joined the re-read head's chain, the CAS
+    // then succeeded against THAT head, and the commit silently dropped
+    // the interloper's rows (cleared deltaDirs / treated its chain dir as
+    // already-resolved). One head, read once, end to end — anything that
+    // lands after it must fail the CAS (or rebase, for compact).
     // Phase wall-clocks (a few nanoTime reads + one volatile write per
     // commit — always on): pre-pass / merge+write / footer listing / log
     // commit, published via [[GraftTable.lastMergePhases]] so a slow CDC
@@ -1114,18 +1124,109 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // appends remain safe: they retry against the new head.
     // restoreMeta: merge transforms drop field metadata, and losing
     // graft.logical/graft.id here would silently revert renamed columns.
-    val snap = log.commitExpecting(Some(head.snapshotId), operation,
-      ColumnIds.restoreMeta(merged.schema, st).json,
-      allDirs.map(_._1),
-      Map("records" -> total.toString,
-        "bucket_key" -> key, "bucket_count" -> n.toString),
-      batchKey, allDirs.toMap, dirStats = allStats)
+    val committedSchema = ColumnIds.restoreMeta(merged.schema, st).json
+    val baseSummary = Map("bucket_key" -> key, "bucket_count" -> n.toString)
+    val snap =
+      if (rebaseAppends)
+        commitRebasing(head, operation, committedSchema, allDirs,
+          allStats.toMap, baseSummary, batchKey)
+      else log.commitExpecting(Some(head.snapshotId), operation,
+        committedSchema, allDirs.map(_._1),
+        baseSummary + ("records" -> total.toString),
+        batchKey, allDirs.toMap, dirStats = allStats.toMap)
     val tD = System.nanoTime()
     val footer = GraftTable.lastFooterSec
     GraftTable.lastMergePhases = Some(Seq(
       "prepass" -> (tB - tA) / 1e9, "merge_write" -> ((tC - tB) / 1e9 - footer),
       "footer" -> footer, "commit" -> (tD - tC) / 1e9))
     snap
+  }
+
+  /**
+   * Commit a rewrite derived from `planned` while surviving interleaved
+   * APPEND-ONLY commits — the availability story for compaction under
+   * continuous ingest. A compact is single-attempt CAS by design (a stale
+   * merge must never land over a commit that touched its inputs), but under
+   * four racing appenders that meant the compactor could starve forever
+   * while `morDeltaMaxBytes` marched the table toward refusing reads. The
+   * rebase closes the gap without re-paying the chain resolution + bucket
+   * rewrite: on a lost race, re-read the head and walk every interleaved
+   * snapshot — if each one is purely ADDITIVE (same schema, data dirs a
+   * superset of its parent's, delta chain extended by suffix only), then
+   * none of them touched any dir this rewrite consumed OR carried, and the
+   * rewrite's output is still a correct resolution of the state it read.
+   * The interleaved dirs did not exist at plan time, so re-CASing the SAME
+   * output with those dirs carried forward verbatim (records and stats from
+   * the new head) produces a state identical to compact-then-append — the
+   * legal serialization in which this compact committed first. Interleaved
+   * DELTA commits carry forward as the new (shorter) pending chain: the
+   * compacted base resolves at sequence 0 and every pending delta above it,
+   * exactly the rank order those rows had against the longer pre-compact
+   * chain, so read results are unchanged.
+   *
+   * Any non-additive interleaving (another rewrite, a delete, a schema
+   * evolution) keeps today's refuse — that commit may have rewritten an
+   * input this merge consumed, and only a full re-derive is sound. Attempts
+   * are bounded; each retry is metadata-only (no data is re-read or
+   * re-written), so losing 64 straight metadata races would mean the log
+   * itself is unavailable.
+   */
+  private[graft] def commitRebasing(
+      planned: Snapshot,
+      operation: String,
+      schemaJson: String,
+      outDirs: Seq[(String, Long)],
+      outStats: Map[String, Map[String, String]],
+      baseSummary: Map[String, String],
+      batchKey: Option[String],
+      maxAttempts: Int = 64): Snapshot = {
+    val plannedSchema = DataType.fromJson(planned.schemaJson)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val head = log.latest().getOrElse(throw new IllegalStateException(
+        s"table $name lost its snapshot log mid-$operation"))
+      if (head.snapshotId != planned.snapshotId) {
+        var prev = planned
+        ((planned.snapshotId + 1) to head.snapshotId).foreach { id =>
+          val s = log.get(id).getOrElse(throw new CommitConflictException(
+            s"$operation lost the commit race and snapshot $id expired " +
+              "before the rebase could verify it was append-only"))
+          // Parsed-schema equality (not JSON text): field METADATA matters
+          // (graft.id / graft.logical), serialization key order does not.
+          val sData = s.dataDirs.toSet
+          val additive = DataType.fromJson(s.schemaJson) == plannedSchema &&
+            prev.dataDirs.forall(sData) &&
+            s.deltaDirs.startsWith(prev.deltaDirs)
+          if (!additive) throw new CommitConflictException(
+            s"$operation lost the commit race to non-append snapshot $id " +
+              s"(${s.operation}); the rewrite must re-derive against the new head")
+          prev = s
+        }
+      }
+      val plannedData = planned.dataDirs.toSet
+      val extraData = head.dataDirs.filterNot(plannedData)
+      val extraDelta = head.deltaDirs.drop(planned.deltaDirs.size)
+      val allDirs = outDirs ++ extraData.map(d => d -> carriedRecordCount(head, d))
+      val allStats = outStats ++
+        head.dirStats.view.filterKeys(extraData.toSet).toMap
+      val summary = baseSummary +
+        ("records" -> allDirs.map(_._2).sum.toString) ++
+        // Carried pending deltas keep the chain readable: resolution needs
+        // the key, and the count mirrors what upsertDeferred would record.
+        (if (extraDelta.nonEmpty)
+          Map("mor_key" -> head.summary("mor_key"),
+            "pending_deltas" -> extraDelta.size.toString)
+        else Map.empty)
+      try {
+        return log.commitExpecting(Some(head.snapshotId), operation,
+          schemaJson, allDirs.map(_._1), summary, batchKey,
+          allDirs.toMap, extraDelta, allStats)
+      } catch {
+        case e: CommitConflictException => if (attempts >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // --------------------------------------------------------------- writes
@@ -1314,7 +1415,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       // Bucketed partial rewrite reads raw bucket dirs — only valid when no
       // MOR deltas are pending (those need read-time resolution first).
       case Some((bk, n)) if bk == keyP && !pendingDeltas =>
-        commitBucketedMerge(updatesP, keyP, n, "upsert",
+        commitBucketedMerge(head.get, updatesP, keyP, n, "upsert",
           (t, u, hint) => Merge.merge(t, u, keyP, precombineP, opCol, broadcastUpdates, hint),
           batchKey)
       case _ =>
@@ -1443,7 +1544,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val key = ColumnIds.physicalFor(st0, key0)
     bucketSpec match {
       case Some((bk, n)) if bk == key && !head.exists(_.deltaDirs.nonEmpty) =>
-        commitBucketedMerge(keys, key, n, "delete",
+        commitBucketedMerge(head.get, keys, key, n, "delete",
           (t, k, hint) => Merge.deleteKeys(t, k, key,
             broadcastKeys = hint.forall(_ <= Merge.maxBroadcastKeys)),
           batchKey = None)
@@ -1811,31 +1912,49 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * than being overwritten.
    */
   private def commitRewrite(df: DataFrame, operation: String,
-      batchKey: Option[String], parent: Option[Long]): Snapshot = {
+      batchKey: Option[String], parent: Option[Long],
+      rebaseAppends: Boolean = false): Snapshot = {
     // Callers hand PHYSICAL-named frames; restoreMeta re-stamps identity
     // metadata (graft.id / graft.logical) that alias chains drop, so a
     // full rewrite cannot silently revert a renamed column. Widened
     // markers CLEAR here — a full rewrite leaves no narrow-typed file
     // alive, so parquet predicate pushdown returns for those columns.
+    // (With rebaseAppends, carried interleaved appends were written at the
+    // head's already-widened schema — align casts to the wide type — so
+    // the clear stays sound: no narrow-typed file survives the rewrite.)
     val committed = ColumnIds.clearWidened(
       ColumnIds.restoreMeta(df.schema, schema)).json
+    val plannedHead = if (rebaseAppends) parent.flatMap(log.get) else None
     bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
         val leaves = writeBucketedDir(df, bk, n, newDataRel(next))
         val total = leaves.map(_.rows).sum
-        log.commitExpecting(parent, operation, committed, leaves.map(_.rel),
-          Map("records" -> total.toString,
-            "bucket_key" -> bk, "bucket_count" -> n.toString),
-          batchKey, leaves.map(l => l.rel -> l.rows).toMap,
-          dirStats = leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats).toMap)
+        val dirs = leaves.map(l => l.rel -> l.rows)
+        val stats = leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats).toMap
+        val baseSummary = Map("bucket_key" -> bk, "bucket_count" -> n.toString)
+        plannedHead match {
+          case Some(h) =>
+            commitRebasing(h, operation, committed, dirs, stats, baseSummary, batchKey)
+          case None =>
+            log.commitExpecting(parent, operation, committed, dirs.map(_._1),
+              baseSummary + ("records" -> total.toString),
+              batchKey, dirs.toMap, dirStats = stats)
+        }
       case _ =>
         val next = latestVersion + 1
         val d = writeDataDir(df, next)
-        log.commitExpecting(parent, operation, committed, Seq(d.rel),
-          Map("records" -> d.rows.toString), batchKey,
-          dirRecords = Map(d.rel -> d.rows),
-          dirStats = if (d.stats.nonEmpty) Map(d.rel -> d.stats) else Map.empty)
+        val stats = if (d.stats.nonEmpty) Map(d.rel -> d.stats)
+          else Map.empty[String, Map[String, String]]
+        plannedHead match {
+          case Some(h) =>
+            commitRebasing(h, operation, committed, Seq(d.rel -> d.rows),
+              stats, Map.empty, batchKey)
+          case None =>
+            log.commitExpecting(parent, operation, committed, Seq(d.rel),
+              Map("records" -> d.rows.toString), batchKey,
+              dirRecords = Map(d.rel -> d.rows), dirStats = stats)
+        }
     }
   }
 
@@ -1977,15 +2096,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         // precount + resolution deferred into merge+write) measured 33%
         // SLOWER overall; see the pre-pass comment in commitBucketedMerge.
         try {
-          commitBucketedMerge(resolved, bk, n, "compact",
+          commitBucketedMerge(head, resolved, bk, n, "compact",
             (t, u, hint) => Merge.merge(t, u, bk, None, Some("__op"),
               broadcastUpdates = true, updatesRowsHint = hint,
               preDeduped = true),
-            batchKey = None)
+            batchKey = None, rebaseAppends = true)
         } finally resolved.unpersist(blocking = false)
       case _ =>
         commitRewrite(ColumnIds.toPhysical(readResolved(head), schema),
-          "compact", batchKey = None, parent = Some(head.snapshotId))
+          "compact", batchKey = None, parent = Some(head.snapshotId),
+          rebaseAppends = true)
     }
   }
 

@@ -295,4 +295,128 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(counts.forall(_ > 0), s"readers must have exercised the race: $counts")
     assert(t.lookupKeyRows(5L).head.getAs[Long]("rev") == 6L)
   }
+
+  // ---- compact() append-only rebase (commitRebasing) -------------------
+  // Deterministic protocol-level cases: the "rewrite output" is the planned
+  // head's own dir list (a no-op compact), so each case interleaves real
+  // commits between plan and CAS without racing threads.
+
+  test("rebase: interleaved appends are carried forward verbatim onto the rewrite") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("rebase-").resolve("t"), "t")
+    t.overwrite((0L until 50L).map(k => (k, "base")).toDF("id", "v"))
+    val planned = t.log.latest().get
+    val out = planned.dataDirs.map(d => d -> planned.dirRecords(d))
+    t.append((100L until 110L).map(k => (k, "a1")).toDF("id", "v"))
+    t.append((200L until 205L).map(k => (k, "a2")).toDF("id", "v"))
+    val head = t.log.latest().get
+    val snap = t.commitRebasing(planned, "compact", planned.schemaJson,
+      out, Map.empty, Map.empty, None)
+    assert(snap.snapshotId == head.snapshotId + 1)
+    assert(snap.parentId.contains(head.snapshotId),
+      "the rebased commit must extend the NEW head, not the planned one")
+    val extras = head.dataDirs.filterNot(planned.dataDirs.toSet)
+    assert(extras.nonEmpty && extras.forall(snap.dataDirs.contains),
+      s"interleaved append dirs must ride the rebased commit: $extras")
+    assert(snap.summary("records").toLong == 65L)
+    assert(t.read().count() == 65L)
+  }
+
+  test("rebase: an interleaved MOR delta commit stays pending over the compacted base") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("rebase-mor-").resolve("t"), "t")
+    t.overwrite((0L until 40L).map(k => (k, "base")).toDF("id", "v"))
+    val planned = t.log.latest().get
+    val out = planned.dataDirs.map(d => d -> planned.dirRecords(d))
+    t.upsertDeferred((0L until 5L).map(k => (k, "upd")).toDF("id", "v"), "id")
+    val head = t.log.latest().get
+    val snap = t.commitRebasing(planned, "compact", planned.schemaJson,
+      out, Map.empty, Map.empty, None)
+    assert(snap.deltaDirs == head.deltaDirs,
+      "the interleaved delta must carry forward as the pending chain")
+    assert(snap.summary("mor_key") == "id")
+    assert(snap.summary("pending_deltas") == "1")
+    // Resolution over the rebased head: base at seq 0, carried delta above
+    // it — exactly the rank order the rows had before the compact.
+    val rows = t.read().filter(col("id") < 5L).select("v").collect()
+    assert(rows.length == 5 && rows.forall(_.getString(0) == "upd"))
+    assert(t.read().count() == 40L)
+  }
+
+  test("rebase: a non-append interleaving (rewrite) refuses — the output is stale") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("rebase-no-").resolve("t"), "t")
+    t.overwrite((0L until 30L).map(k => (k, "base")).toDF("id", "v"))
+    val planned = t.log.latest().get
+    val out = planned.dataDirs.map(d => d -> planned.dirRecords(d))
+    // COW upsert REPLACES the data dirs the rewrite consumed.
+    t.upsert((0L until 3L).map(k => (k, "cow")).toDF("id", "v"), "id")
+    assertThrows[graft.log.CommitConflictException] {
+      t.commitRebasing(planned, "compact", planned.schemaJson,
+        out, Map.empty, Map.empty, None)
+    }
+  }
+
+  test("rebase: an interleaved schema evolution refuses — the rewrite's schema is stale") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("rebase-ev-").resolve("t"), "t")
+    t.overwrite((0L until 30L).map(k => (k, "base")).toDF("id", "v"))
+    val planned = t.log.latest().get
+    val out = planned.dataDirs.map(d => d -> planned.dirRecords(d))
+    t.append((100L until 103L).map(k => (k, "a", 7L)).toDF("id", "v", "extra"))
+    assertThrows[graft.log.CommitConflictException] {
+      t.commitRebasing(planned, "compact", planned.schemaJson,
+        out, Map.empty, Map.empty, None)
+    }
+  }
+
+  test("compact lands under racing appenders: append-only rebase, zero lost rows") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("rebase-race-").resolve("t"), "t")
+    val base = (0L until 60000L).map(k => (k, s"v$k")).toDF("id", "v")
+    t.overwriteBucketed(base, "id", 8)
+    (1 to 4).foreach { i =>
+      t.upsertDeferred((0L until 4000L).map(k => (k * 8, s"u$i")).toDF("id", "v"), "id")
+    }
+    val planned = t.log.latest().get.snapshotId
+    // The appender starts on compact's FIRST Spark job — after compact read
+    // its head, seconds before its commit — so its batches interleave
+    // between plan and CAS and the rebase path is genuinely exercised.
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        started.countDown()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pool = Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val compactF = Future { t.compact() }
+      assert(started.await(120, java.util.concurrent.TimeUnit.SECONDS))
+      val t2 = new GraftTable(spark, t.root, "t")
+      var appended = 0L
+      while (!compactF.isCompleted) {
+        val lo = 1000000L + appended
+        t2.append((lo until lo + 100L).map(k => (k, "app")).toDF("id", "v"))
+        appended += 100L
+      }
+      val compactSnap = Await.result(compactF, 5.minutes)
+      pool.shutdown()
+      assert(compactSnap.operation == "compact")
+      // The RESOLVED chain is folded; interleaved appends joined the chain
+      // (deltas were pending when they landed) and legitimately carry
+      // forward as the new pending suffix — disjoint from what was folded.
+      val foldedChain = t.log.get(planned).get.deltaDirs.toSet
+      assert(compactSnap.deltaDirs.forall(d => !foldedChain.contains(d)),
+        "compact must fold every chain dir it resolved")
+      assert(compactSnap.parentId.exists(_ > planned),
+        "at least one append must have interleaved (rebase exercised)")
+      val fin = new GraftTable(spark, t.root, "t")
+      assert(fin.read().count() == 60000L + appended, "zero lost rows")
+      val r = fin.read().filter(col("id") === 0L).select("v").collect()
+      assert(r.map(_.getString(0)).toSeq == Seq("u4"),
+        "compacted resolution must keep the chain's final image")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

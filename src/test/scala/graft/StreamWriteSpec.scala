@@ -167,6 +167,36 @@ class StreamWriteSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("expired parent mid-stream fails loudly instead of re-emitting the table") {
+    import spark.implicits._
+    val (cat, wh) = freshCat()
+    val t = new graft.catalog.GraftCatalog(spark, wh).materialized("exp")
+    t.overwriteBucketed(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id", 2) // v1
+    val ckpt = TestSpark.tmpDir("graft-exp-ckpt-").toString
+    val outDir = TestSpark.tmpDir("graft-exp-out-").resolve("rows").toString
+    def run(): Unit = {
+      val q = spark.readStream.table(s"$cat.exp").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // initial snapshot (v1); checkpointed offset = 1
+    t.append(Seq((3L, "c")).toDF("id", "v")) // v2
+    t.append(Seq((4L, "d")).toDF("id", "v")) // v3
+    t.append(Seq((5L, "e")).toDF("id", "v")) // v4
+    // Retention expires v1 — v2's PARENT — while v2..v4 stay in the window.
+    // With no parent dirs to diff against, the "appended" set would
+    // degenerate to v2's full cumulative dataDirs and silently re-emit the
+    // whole table as appends; the source must throw instead.
+    assert(t.expireSnapshots(3) == 1)
+    val e = intercept[Exception] { run() }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + " | " + msgs(x.getCause)
+    assert(msgs(e).contains("expired mid-stream"), msgs(e).take(400))
+    assert(spark.read.parquet(outDir).count() == 2,
+      "nothing beyond the initial snapshot may have been emitted")
+  }
+
   test("streaming read-write loop: readStream.table into writeStream.toTable") {
     import spark.implicits._
     val (cat, wh) = freshCat()
