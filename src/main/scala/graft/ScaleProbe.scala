@@ -888,12 +888,34 @@ object ScaleProbe {
         .map(d => wh.resolve("t").resolve(d))
         .filter(Files.isDirectory(_)).map(dirBytes).sum
       val orphanMb = math.max(0L, totalBytes - refBytes) / 1e6
+      // The append-only rebase makes compactor survival a guarantee under
+      // pure-append contention, not a coin flip — hold the probe to it.
+      require(compactOk,
+        "compact() starved under append-only contention — rebase regressed")
+      // Close the orphan loop: expire history, run the grace-gated sweep
+      // with grace=0 (the probe IS past any in-flight write), and measure
+      // what survives. This documents the orphan-lifetime bound: an
+      // unreferenced dir lives at most gcGraceMs + sweep interval.
+      val gcT = new graft.table.GraftTable(spark, wh.resolve("t"), "t",
+        gcGraceMs = 0L)
+      gcT.expireSnapshots(5)
+      gcT.log.gcOrphanDataDirs()
+      val refAfter = gcT.log.snapshots()
+        .flatMap(s => s.dataDirs ++ s.deltaDirs).toSet
+      val totalAfter = dirBytes(dataRoot.resolve("data"))
+      val refAfterBytes = refAfter.iterator
+        .map(d => wh.resolve("t").resolve(d))
+        .filter(Files.isDirectory(_)).map(dirBytes).sum
+      val orphanAfterMb = math.max(0L, totalAfter - refAfterBytes) / 1e6
+      require(orphanAfterMb < 0.05,
+        f"orphaned staging not reclaimed post-sweep: ${orphanAfterMb}%.2f MB")
       println(f"scaleprobe cas_contention wall=${wallSec}%.2fs conflicts=$conflicts " +
         f"compact_ok=$compactOk orphan=${orphanMb}%.1fMB " +
-        f"commits=${headEnd.snapshotId}")
+        f"orphan_after_gc=${orphanAfterMb}%.2fMB commits=${headEnd.snapshotId}")
       casContention += (s"""{"writers":4,"appends_per_writer":8,""" +
         s""""wall_sec":${jnum(wallSec)},"cas_conflicts":$conflicts,""" +
         s""""compact_survived":$compactOk,"orphan_staged_mb":${jnum(orphanMb)},""" +
+        s""""orphan_after_gc_mb":${jnum(orphanAfterMb)},""" +
         s""""final_snapshot":${headEnd.snapshotId}}""")
       batch.unpersist(blocking = false)
     }

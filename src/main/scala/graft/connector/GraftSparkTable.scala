@@ -536,6 +536,8 @@ final class GraftScanBuilder(
     // Filters carry LOGICAL names; translation and bucket pruning act on
     // the physical twin. `pushed` keeps the logical originals (what Spark
     // renders in plans); build() re-physicalizes.
+    if (sys.props.contains("graft.debug.pushFilters"))
+      println(s"GRAFT pushFilters arrived: ${filters.map(f => f.getClass.getSimpleName + ":" + f).mkString(" | ")}")
     pushed = filters.filter { f =>
       val pf = GraftSparkTable.filterToPhysical(f, tableSchema)
       ParquetPredicate.translate(pf, tableSchema).isDefined ||
@@ -654,7 +656,11 @@ final class GraftScan(
   override def description(): String =
     s"graft $tableName snapshot=${head.snapshotId} " +
       bucketSpec.map { case (k, n) => s"bucketed($k,$n) " }.getOrElse("") +
-      s"pushed=[${predicate.getOrElse("")}]"
+      s"pushed=[${predicate.getOrElse("")}]" +
+      // Static bucket pruning is a separate channel from the parquet
+      // row-group predicate; without this the plan reads as unpruned.
+      keptBuckets.map(b => s" buckets=${b.toSeq.sorted.mkString("{", ",", "}")}")
+        .getOrElse("")
 
   private val hadoopConf =
     new SerializableConfiguration(spark.sessionState.newHadoopConf())

@@ -109,6 +109,8 @@ case class BucketPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions` entry point (also usable via `.withExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(BucketPruneRule.apply)
+    ext.injectOptimizerRule(MergeKeyPruneRule.apply)
+  }
 }

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Exists, Expression, In, InSet, Literal, OuterReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/**
+ * Prunes the matching-rows subquery of a group-based row-level MERGE
+ * (`reference: cdc_merger_optimized.py:176-183` — the literal 3-clause CDC
+ * MERGE is exactly this shape).
+ *
+ * Spark's `RowLevelOperationRuntimeGroupFiltering` finds the groups a MERGE
+ * touches by joining the WHOLE target against the source: the subquery's
+ * target scan carries no static predicate, so it reads every bucket and
+ * grows linearly with the table — measured at 0.043 MB → 0.438 MB for a
+ * FIXED single-bucket batch between 1× and 10× table size (SCALE_r15
+ * `v2_sql_merge_attribution`), while a twin statement carrying the batch's
+ * literal key list as an extra ON conjunct stayed flat. At 100 TB that scan
+ * IS the merge cost even when one bucket is touched.
+ *
+ * A CDC merger knows its batch keys driver-side, so this rule derives what
+ * the twin spells out: when the MERGE condition equi-joins the target's
+ * BUCKET key against a source attribute and the source is provably small
+ * (size-estimated under `spark.graft.merge.keyPrune.maxSourceBytes`,
+ * distinct keys collectible under `spark.graft.merge.keyPrune.maxKeys` —
+ * never an unbounded driver collect), it appends
+ * `target.key IN (<collected literals>)` to the ReplaceData's
+ * groupFilterCondition. `buildMatchingRowsPlan` then plants that conjunct
+ * as a Filter over its fresh target relation, the scan builder translates
+ * it to the static bucket set ([[graft.connector.GraftSparkTable
+ * .bucketsOfFilter]]), and the subquery scan reads O(touched buckets)
+ * instead of O(table).
+ *
+ * Semantics: the conjunct is IMPLIED by the equi-condition — any target row
+ * matching some source row necessarily has its key in the source's key set
+ * — so the selected group set is unchanged; it only becomes statically
+ * computable. The group filter selects which buckets are REWRITTEN, never
+ * which rows survive, so unmatched rows in selected buckets are untouched.
+ * Declines: non-deterministic sources (re-execution could yield keys
+ * outside the collected set, silently missing groups), sources over the
+ * size/key caps (never a driver OOM), non-bucket-key joins (nothing to
+ * prune to), and conditions already carrying a key IN (the user wrote the
+ * twin themselves; re-deriving would double the work). UPDATE/DELETE's
+ * ReplaceData carries a plain row predicate (no Exists) and falls through
+ * untouched — their WHERE already pushes statically.
+ *
+ * Runs in the operator-optimization fixed point (idempotent via the
+ * already-keyed check), safely BEFORE the `PartitionPruning` batch that
+ * consumes groupFilterCondition.
+ */
+case class MergeKeyPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def maxSourceBytes: Long =
+    spark.conf.get("spark.graft.merge.keyPrune.maxSourceBytes",
+      (8L * 1024 * 1024).toString).toLong
+  private def maxKeys: Int =
+    spark.conf.get("spark.graft.merge.keyPrune.maxKeys", "10000").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case rd: ReplaceData if rd.groupFilterCondition.isDefined =>
+      keyedCondition(rd, rd.groupFilterCondition.get) match {
+        case Some(cond) => rd.copy(groupFilterCondition = Some(cond))
+        case None => rd
+      }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** The table's bucket key under its LOGICAL (Spark-facing) name — the
+    * namespace the merge condition's attributes live in. The rewrite wraps
+    * the target in a [[org.apache.spark.sql.connector.write
+    * .RowLevelOperationTable]] whose `partitioning()` is empty; unwrap to
+    * the graft table underneath. */
+  private def bucketKeyOf(rel: org.apache.spark.sql.catalyst.analysis.NamedRelation): Option[String] =
+    rel match {
+      case r: DataSourceV2Relation =>
+        org.apache.spark.sql.graft.ColumnBridge.unwrapRowLevelTable(r.table) match {
+          case g: graft.connector.GraftSparkTable =>
+            g.partitioning().toSeq
+              .flatMap(graft.connector.GraftSparkTable.asBucketTransform)
+              .headOption.map(_._1)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def keyedCondition(rd: ReplaceData, cond: Expression): Option[Expression] = {
+    val conjuncts = splitAnd(cond)
+    val alreadyKeyed = conjuncts.exists {
+      case In(_: AttributeReference, _) => true
+      case InSet(_: AttributeReference, _) => true
+      case _ => false
+    }
+    if (alreadyKeyed) return None
+    val bk = bucketKeyOf(rd.table).getOrElse(return None)
+    val ex = conjuncts.collectFirst { case e: Exists => e }.getOrElse(return None)
+    // Correlated shape before vs after PullupCorrelatedPredicates: the
+    // merge condition sits either as a Filter inside the Exists' plan or
+    // pulled up into its joinCond. Handle both.
+    val (joinConds: Seq[Expression], src: LogicalPlan) = ex.plan match {
+      case Filter(fc, child) if ex.joinCond.isEmpty => (splitAnd(fc), child)
+      case p => (ex.joinCond, p)
+    }
+    val eq = joinConds.collectFirst {
+      case EqualTo(OuterReference(t: AttributeReference), s: AttributeReference)
+          if t.name == bk => (t, s)
+      case EqualTo(s: AttributeReference, OuterReference(t: AttributeReference))
+          if t.name == bk => (t, s)
+      // After pullup the outer side may be a bare attribute of the target.
+      case EqualTo(t: AttributeReference, s: AttributeReference)
+          if t.name == bk && rd.table.output.exists(_.exprId == t.exprId) &&
+            src.outputSet.contains(s) => (t, s)
+      case EqualTo(s: AttributeReference, t: AttributeReference)
+          if t.name == bk && rd.table.output.exists(_.exprId == t.exprId) &&
+            src.outputSet.contains(s) => (t, s)
+    }.getOrElse(return None)
+    val (tAttr, sAttr) = eq
+    if (!src.outputSet.contains(sAttr)) return None
+    if (!src.deterministic) return None
+    if (src.stats.sizeInBytes > maxSourceBytes) return None
+    // Bounded driver-side key collect: one job over a provably-small
+    // source, the price the twin statement's author pays by hand.
+    val rows = org.apache.spark.sql.graft.ColumnBridge
+      .ofRows(spark, Project(Seq(sAttr), src))
+      .distinct().limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) return None
+    val vals = rows.iterator.map(_.get(0)).filter(_ != null).toSeq
+    if (vals.isEmpty) return None
+    val lits = vals.map(v => Literal.create(v, tAttr.dataType))
+    Some(And(cond, In(tAttr, lits)))
+  }
+}

@@ -108,6 +108,51 @@ class RowLevelSpec extends AnyFunSuite {
     assert(sortedRows(got) == sortedRows(want))
   }
 
+  test("plain MERGE derives the batch key set: matching-rows subquery is bucket-pruned") {
+    val (cat, wh) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    orders.filter(col("o_orderkey") <= 40)
+      .withColumn("o_totalprice", lit(1.0))
+      .createOrReplaceTempView("mkp_src")
+    val stmt = s"""MERGE INTO $cat.orders t USING mkp_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN INSERT *"""
+    // The reference's plain CDC MERGE shape (cdc_merger_optimized.py:176)
+    // carries no static predicate, so the matching-rows subquery used to
+    // scan O(table). MergeKeyPruneRule derives the batch's key literals
+    // into the group filter; the subquery scan must show a static bucket
+    // set alongside (not instead of) its runtime filters.
+    val plan = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
+    assert(plan.contains(" buckets={"),
+      s"matching-rows subquery scan not statically pruned:\n$plan")
+    spark.sql(stmt)
+    val got = spark.table(s"$cat.orders")
+      .filter(col("o_orderkey") <= 40).select("o_totalprice").collect()
+    assert(got.nonEmpty && got.forall(_.getDouble(0) == 1.0))
+    assert(spark.table(s"$cat.orders").count() == orders.count())
+  }
+
+  test("MERGE key derivation declines above the key cap; result stays correct") {
+    val (cat, _) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    orders.filter(col("o_orderkey") <= 40)
+      .withColumn("o_totalprice", lit(2.0)).createOrReplaceTempView("mkp_big")
+    val stmt = s"""MERGE INTO $cat.orders t USING mkp_big s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice"""
+    spark.conf.set("spark.graft.merge.keyPrune.maxKeys", "3")
+    try {
+      val plan = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
+      assert(!plan.contains(" buckets={"),
+        "over-cap source must decline the driver-side key collect")
+      spark.sql(stmt)
+      val got = spark.table(s"$cat.orders")
+        .filter(col("o_orderkey") <= 40).select("o_totalprice").collect()
+      assert(got.nonEmpty && got.forall(_.getDouble(0) == 2.0))
+    } finally spark.conf.unset("spark.graft.merge.keyPrune.maxKeys")
+  }
+
   test("DELETE with an untranslatable predicate falls back to the rewrite") {
     val (cat, wh) = freshCat()
     ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 4)
