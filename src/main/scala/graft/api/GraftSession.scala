@@ -87,20 +87,37 @@ final class GraftSession(val catalog: GraftCatalog) {
   private val MergeAny =
     """(?is)^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?!\s*\.)\b.*$""".r
 
-  // `l ASOF JOIN r ON l.k = r.k AND l.lts >= r.rts [TOLERANCE INTERVAL ...]
-  // [TIEBREAK r.c] [PREFIX 'p_']` — the DuckDB backward-as-of grammar as a
-  // FROM-clause sugar (Spark has no ASOF JOIN): the fragment rewrites to a
-  // temp view over [[graft.ops.TimeJoin.asofBackward]] (single-shuffle
-  // plan, per-key ordered sweep) and the surrounding SELECT runs
-  // unchanged. Right payload columns surface as `<prefix><col>` (default
+  // `l ASOF [LEFT|INNER] JOIN r ON l.k = r.k AND l.lts >= r.rts
+  // [TOLERANCE INTERVAL ...] [TIEBREAK r.c] [PREFIX 'p_']` — the DuckDB
+  // backward-as-of grammar as a FROM-clause sugar (Spark has no ASOF
+  // JOIN): the fragment rewrites to a temp view over
+  // [[graft.ops.TimeJoin.asofBackward]] (single-shuffle plan, per-key
+  // ordered sweep) and the surrounding SELECT runs unchanged. LEFT (the
+  // default) keeps unmatched left rows with NULL right columns; INNER
+  // drops them. Right payload columns surface as `<prefix><col>` (default
   // `asof_`). Only fires outside string literals and when both names
   // resolve as tables/views.
   private val AsofJoin =
-    ("""(?is)\b([A-Za-z_]\w*)\s+ASOF\s+JOIN\s+([A-Za-z_]\w*)\s+ON\s+""" +
+    ("""(?is)\b([A-Za-z_]\w*)\s+ASOF\s+(?:(LEFT|INNER)\s+)?JOIN\s+([A-Za-z_]\w*)\s+ON\s+""" +
       """([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
       """AND\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*>=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)""" +
       """(?:\s+TOLERANCE\s+(INTERVAL\s+'?\d+'?\s+\w+))?""" +
       """(?:\s+TIEBREAK\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*))?""" +
+      """(?:\s+PREFIX\s+'(\w*)')?""").r
+
+  // `p INTERVAL JOIN i ON p.k = i.k AND p.ts BETWEEN i.start AND i.end
+  // [BINS INTERVAL ...] [PREFIX 'p_']` — point-in-interval join sugar over
+  // [[graft.ops.TimeJoin.intervalJoin]] (binned equi-join, never an
+  // inequality nested loop). BINS sets the bin granularity (default one
+  // hour — correct for any positive width; pick near the typical interval
+  // span). Interval payload columns (everything but the key and the two
+  // bounds) surface as `<prefix><col>` (default `iv_`).
+  private val IntervalJoin =
+    ("""(?is)\b([A-Za-z_]\w*)\s+INTERVAL\s+JOIN\s+([A-Za-z_]\w*)\s+ON\s+""" +
+      """([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+""" +
+      """AND\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+BETWEEN\s+""" +
+      """([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+AND\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)""" +
+      """(?:\s+BINS\s+(INTERVAL\s+'?\d+'?\s+\w+))?""" +
       """(?:\s+PREFIX\s+'(\w*)')?""").r
 
   private def resolvable(name: String): Boolean =
@@ -111,8 +128,8 @@ final class GraftSession(val catalog: GraftCatalog) {
     * refuses loudly — Spark's parser has no ASOF grammar to report it. */
   private def rewriteAsof(stmt: String): String = {
     val mask = outsideMask(stmt)
-    AsofJoin.replaceAllIn(stmt, m => {
-      val (l, r) = (m.group(1), m.group(2))
+    val asofd = AsofJoin.replaceAllIn(stmt, m => {
+      val (l, r) = (m.group(1), m.group(3))
       if (!mask(m.start) || !resolvable(l) || !resolvable(r))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
@@ -120,29 +137,83 @@ final class GraftSession(val catalog: GraftCatalog) {
           if (q == l) "left" else if (q == r) "right"
           else throw new IllegalArgumentException(
             s"ASOF JOIN qualifier $q names neither $l nor $r")
-        val (kq1, k1, kq2, k2) = (m.group(3), m.group(4), m.group(5), m.group(6))
+        val inner = Option(m.group(2))
+          .exists(_.equalsIgnoreCase("INNER"))
+        val (kq1, k1, kq2, k2) = (m.group(4), m.group(5), m.group(6), m.group(7))
         require(sideOf(kq1) != sideOf(kq2) && k1 == k2,
           s"ASOF JOIN ON must equate one shared key, got $kq1.$k1 = $kq2.$k2")
         val (tq1, t1, tq2, t2) =
-          (m.group(7), m.group(8), m.group(9), m.group(10))
+          (m.group(8), m.group(9), m.group(10), m.group(11))
         require(sideOf(tq1) == "left" && sideOf(tq2) == "right",
           s"ASOF JOIN time condition must be $l.<ts> >= $r.<ts>, " +
             s"got $tq1.$t1 >= $tq2.$t2")
-        val tolerance = Option(m.group(11))
+        val tolerance = Option(m.group(12))
           .map(iv => org.apache.spark.sql.functions.expr(iv))
-        val tieBreak = Option(m.group(13)).map { c =>
-          require(sideOf(m.group(12)) == "right",
+        val tieBreak = Option(m.group(14)).map { c =>
+          require(sideOf(m.group(13)) == "right",
             s"ASOF JOIN TIEBREAK must name a $r column")
           c
         }
-        val prefix = Option(m.group(14)).getOrElse("asof_")
+        val prefix = Option(m.group(15)).getOrElse("asof_")
         val left = mergeSource(l)
         val right = mergeSource(r)
         val payload = right.columns.toSeq.filterNot(_ == k1)
-        val view = s"${l}__asof_${r}_${prefix.stripSuffix("_")}"
+        val view = s"${l}__asof_${r}_${prefix.stripSuffix("_")}" +
+          (if (inner) "_inner" else "")
         graft.ops.TimeJoin.asofBackward(left, right, key = k1,
           leftTs = t1, rightTs = t2, rightPayload = payload,
-          prefix = prefix, tieBreak = tieBreak, tolerance = tolerance)
+          prefix = prefix, tieBreak = tieBreak, tolerance = tolerance,
+          inner = inner)
+          .createOrReplaceTempView(view)
+        view
+      }
+    })
+    rewriteInterval(asofd)
+  }
+
+  /** Evaluated day-time INTERVAL literal in microseconds. */
+  private def intervalMicros(iv: String): Long =
+    catalog.spark.sessionState.sqlParser.parseExpression(iv).eval(null) match {
+      case l: java.lang.Long => l.longValue // DayTimeIntervalType micros
+      case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+        require(ci.months == 0, s"BINS interval must be day-time: $iv")
+        ci.days * 86400000000L + ci.microseconds
+      case other => throw new IllegalArgumentException(
+        s"BINS must be a literal day-time interval, got $iv ($other)")
+    }
+
+  private def rewriteInterval(stmt: String): String = {
+    val mask = outsideMask(stmt)
+    IntervalJoin.replaceAllIn(stmt, m => {
+      val (l, r) = (m.group(1), m.group(2))
+      if (!mask(m.start) || !resolvable(l) || !resolvable(r))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        def sideOf(q: String): String =
+          if (q == l) "points" else if (q == r) "intervals"
+          else throw new IllegalArgumentException(
+            s"INTERVAL JOIN qualifier $q names neither $l nor $r")
+        val (kq1, k1, kq2, k2) = (m.group(3), m.group(4), m.group(5), m.group(6))
+        require(sideOf(kq1) != sideOf(kq2) && k1 == k2,
+          s"INTERVAL JOIN ON must equate one shared key, got $kq1.$k1 = $kq2.$k2")
+        require(sideOf(m.group(7)) == "points",
+          s"INTERVAL JOIN BETWEEN must test a $l timestamp")
+        require(sideOf(m.group(9)) == "intervals" &&
+          sideOf(m.group(11)) == "intervals",
+          s"INTERVAL JOIN bounds must both be $r columns")
+        val (pts, sts, ets) = (m.group(8), m.group(10), m.group(12))
+        val binMicros = Option(m.group(13)).map(intervalMicros)
+          .getOrElse(3600L * 1000 * 1000)
+        val prefix = Option(m.group(14)).getOrElse("iv_")
+        val points = mergeSource(l)
+        val intervals = mergeSource(r)
+        val payload = intervals.columns.toSeq
+          .filterNot(c => c == k1 || c == sts || c == ets)
+        val view = s"${l}__interval_${r}_${prefix.stripSuffix("_")}"
+        graft.ops.TimeJoin.intervalJoin(points, intervals, key = k1,
+          pointTs = pts, startTs = sts, endTs = ets,
+          binWidthMicros = binMicros, intervalPayload = payload,
+          prefix = prefix)
           .createOrReplaceTempView(view)
         view
       }

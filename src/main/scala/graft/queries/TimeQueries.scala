@@ -39,6 +39,69 @@ object TimeQueries {
           "ORDER BY event_id")
     }),
 
+    // Explicit LEFT variant of the sugar (round 16): same semantics as the
+    // default — unmatched events keep NULL signup columns.
+    "t_sql_asof_left" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-asofl-"))
+      cat.saveTable("events_t", ev(s, d))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      ev(s, d).filter(col("event_type") === "signup")
+        .createOrReplaceTempView("signups_v")
+      session.sql(
+        "SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id " +
+          "FROM events_t ASOF LEFT JOIN signups_v " +
+          "ON events_t.user_id = signups_v.user_id " +
+          "AND events_t.ts >= signups_v.ts " +
+          "TIEBREAK signups_v.event_id PREFIX 'signup_' " +
+          "ORDER BY event_id")
+    }),
+
+    // INNER variant: events with no at-or-before signup drop.
+    "t_sql_asof_inner" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-asofi-"))
+      cat.saveTable("events_t", ev(s, d))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      ev(s, d).filter(col("event_type") === "signup")
+        .createOrReplaceTempView("signups_v")
+      session.sql(
+        "SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id " +
+          "FROM events_t ASOF INNER JOIN signups_v " +
+          "ON events_t.user_id = signups_v.user_id " +
+          "AND events_t.ts >= signups_v.ts " +
+          "TIEBREAK signups_v.event_id PREFIX 'signup_' " +
+          "ORDER BY event_id")
+    }),
+
+    // The j_interval point-in-interval join as SQL text (round 16): the
+    // BETWEEN fragment rewrites to TimeJoin.intervalJoin's binned
+    // equi-join — plain SQL never plans the inequality nested loop.
+    "t_sql_interval" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-ivj-"))
+      cat.saveTable("events_t", ev(s, d))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      val e = ev(s, d)
+      e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("errors_v")
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+        .createOrReplaceTempView("purchases_v")
+      session.sql(
+        "SELECT event_id, user_id, ts, iv_event_id " +
+          "FROM errors_v INTERVAL JOIN purchases_v " +
+          "ON errors_v.user_id = purchases_v.user_id " +
+          "AND errors_v.ts BETWEEN purchases_v.start_ts AND purchases_v.end_ts " +
+          "BINS INTERVAL 1 HOUR ORDER BY event_id, iv_event_id")
+    }),
+
     // Backward as-of: every event annotated with the user's latest signup
     // at-or-before it (ties broken by highest signup event_id).
     "j_asof" -> ((s, d) => {
@@ -96,6 +159,39 @@ object TimeQueries {
            FROM ev e LEFT JOIN signups l
              ON e.user_id = l.user_id AND l.ts <= e.ts
          ) WHERE rn = 1 ORDER BY event_id""",
+    "t_sql_asof_left" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         signups AS (SELECT * FROM ev WHERE event_type = 'signup')
+         SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                  l.ts AS signup_ts, l.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY l.ts DESC, l.event_id DESC) AS rn
+           FROM ev e LEFT JOIN signups l
+             ON e.user_id = l.user_id AND l.ts <= e.ts
+         ) WHERE rn = 1 ORDER BY event_id""",
+    "t_sql_asof_inner" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         signups AS (SELECT * FROM ev WHERE event_type = 'signup')
+         SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                  l.ts AS signup_ts, l.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY l.ts DESC, l.event_id DESC) AS rn
+           FROM ev e JOIN signups l
+             ON e.user_id = l.user_id AND l.ts <= e.ts
+         ) WHERE rn = 1 ORDER BY event_id""",
+    "t_sql_interval" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+         i AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, i.event_id AS iv_event_id
+         FROM p JOIN i ON p.user_id = i.user_id
+          AND p.ts >= i.ts - INTERVAL 1 HOUR
+          AND p.ts <= i.ts + INTERVAL 1 HOUR
+         ORDER BY 1, 4""",
     "j_asof" ->
       """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
          signups AS (SELECT * FROM ev WHERE event_type = 'signup')

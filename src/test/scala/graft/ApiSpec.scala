@@ -318,6 +318,53 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shared key"))
   }
 
+  test("ASOF LEFT vs INNER JOIN sugar: unmatched rows kept vs dropped") {
+    val s = freshSession()
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    orders.filter(col("o_orderkey") < 300)
+      .select(col("o_custkey"), col("o_orderdate").as("rts"))
+      .createOrReplaceTempView("rside2")
+    def run(variant: String) = s.sql(
+      s"SELECT o_orderkey, ref_rts FROM orders_t ASOF $variant JOIN rside2 " +
+        "ON orders_t.o_custkey = rside2.o_custkey " +
+        "AND orders_t.o_orderdate >= rside2.rts PREFIX 'ref_' ")
+    val leftRows = run("LEFT")
+    val innerRows = run("INNER")
+    val total = s.sql("SELECT count(*) c FROM orders_t").head.getLong(0)
+    assert(leftRows.count() == total, "LEFT keeps every left row")
+    assert(innerRows.filter(col("ref_rts").isNull).count() == 0,
+      "INNER has no unmatched rows")
+    assert(innerRows.count() == leftRows.filter(col("ref_rts").isNotNull).count(),
+      "INNER = LEFT minus the unmatched rows")
+  }
+
+  test("INTERVAL JOIN sugar: binned point-in-interval, BINS + PREFIX, literal-protected") {
+    val s = freshSession()
+    import spark.implicits._
+    Seq((1L, "2024-01-01 10:30:00"), (1L, "2024-01-01 13:00:00"),
+      (2L, "2024-01-01 10:30:00"))
+      .toDF("k", "pts").withColumn("pts", col("pts").cast("timestamp"))
+      .createOrReplaceTempView("pts_v")
+    Seq((1L, 100L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      (1L, 101L, "2024-01-01 12:00:00", "2024-01-01 12:30:00"),
+      (3L, 102L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("k", "iid", "sts", "ets")
+      .withColumn("sts", col("sts").cast("timestamp"))
+      .withColumn("ets", col("ets").cast("timestamp"))
+      .createOrReplaceTempView("ivs_v")
+    val out = s.sql("SELECT k, pts, x_iid FROM pts_v INTERVAL JOIN ivs_v " +
+      "ON pts_v.k = ivs_v.k AND pts_v.pts BETWEEN ivs_v.sts AND ivs_v.ets " +
+      "BINS INTERVAL 30 MINUTES PREFIX 'x_' ORDER BY k, pts")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // Only (k=1, 10:30) falls inside interval 100; 13:00 is outside both,
+    // k=2 has no interval, interval 102 has no same-key point.
+    assert(out == Seq((1L, 100L)), s"got $out")
+    // Inside a string literal the fragment passes through untouched.
+    val lit = s.sql("SELECT 'a INTERVAL JOIN b ON a.x = b.x AND " +
+      "a.t BETWEEN b.s AND b.e' AS v").head.getString(0)
+    assert(lit.contains("INTERVAL JOIN"))
+  }
+
   test("TABLE_CHANGES sugar: full form, defaulted to/pk, literal-protected") {
     val s = freshSession()
     // v1 → v2 appended 100 rows: the feed is 100 inserts.
