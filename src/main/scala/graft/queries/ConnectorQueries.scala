@@ -258,6 +258,33 @@ object ConnectorQueries {
         "WHERE o_custkey >= 100 ORDER BY o_orderkey")
     }),
 
+    // Decimal + date widenings (round 16, probed on both parquet reader
+    // paths): DECIMAL(9,2) -> DECIMAL(13,2) promotes across the int32 ->
+    // int64 physical encoding boundary; DATE -> TIMESTAMP_NTZ reads
+    // midnight with no zone shift. Metadata-only (zero data-dir changes),
+    // then a mixed-era read: the post-widen INSERT writes wide-typed files
+    // alongside the narrow ones.
+    "t_v2_widen_dec" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val o = tbl(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(9,2)").as("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      ingestBucketed(s, cat, "orders", o, "o_orderkey", 4)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val dirsBefore = new graft.catalog.GraftCatalog(s, wh).table("orders")
+        .log.latest().get.dataDirs
+      s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN o_totalprice TYPE DECIMAL(13,2)")
+      s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN o_orderdate TYPE TIMESTAMP_NTZ")
+      require(new graft.catalog.GraftCatalog(s, wh).table("orders")
+        .log.latest().get.dataDirs == dirsBefore,
+        "widen must be metadata-only (zero data-dir changes)")
+      s.sql(s"INSERT INTO $cat.orders VALUES " +
+        "(99999999, 77777777777.55, TIMESTAMP_NTZ '2031-01-02 03:04:05')")
+      s.sql(s"SELECT o_orderkey, o_totalprice, o_orderdate FROM $cat.orders " +
+        "WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey")
+    }),
+
     // SQL UPDATE through the catalog (SupportsRowLevelOperations,
     // group-based copy-on-write): the modulo predicate is untranslatable,
     // so this exercises the full rewrite — COW scan, replacement write,
@@ -435,6 +462,16 @@ object ConnectorQueries {
            FROM orders
            UNION ALL SELECT 99999999, 7777777777, 5.5
          ) WHERE o_custkey >= 100 ORDER BY o_orderkey""",
+    "t_v2_widen_dec" ->
+      """SELECT * FROM (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DECIMAL(13,2))
+                    AS o_totalprice,
+                  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS o_orderdate
+           FROM orders
+           UNION ALL SELECT 99999999, CAST(77777777777.55 AS DECIMAL(13,2)),
+                  TIMESTAMP '2031-01-02 03:04:05'
+         ) WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey""",
     "t_v2_sql" ->
       // BIGINT cast: the DDL above declares n_regionkey BIGINT (append
       // casts on ingest), while the raw parquet stores int32.

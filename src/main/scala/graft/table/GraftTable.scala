@@ -2328,12 +2328,26 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * .isWidened]]); the scan's own re-filtering keeps results exact.
    */
   def widenColumn(colName: String, to: DataType): Snapshot = {
-    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     val widenable: Map[DataType, Set[DataType]] = Map(
       ByteType -> Set(ShortType, IntegerType, LongType),
       ShortType -> Set(IntegerType, LongType),
       IntegerType -> Set(LongType, DoubleType),
       FloatType -> Set(DoubleType))
+    // Probed on this build (r16), vectorized AND row-based readers:
+    // decimal precision growth promotes ACROSS parquet physical encodings
+    // (int32 -> int64 -> binary), scale growth promotes when the integer
+    // part keeps its headroom (values rescale on read), and date promotes
+    // to TIMESTAMP_NTZ (midnight, no zone shift). date -> TIMESTAMP (local
+    // TZ) fails both readers — refuse with the fix in the message.
+    def promotable(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (f0, t0) if widenable.get(f0).exists(_.contains(t0)) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        val (p, s, p2, s2) = (d1.precision, d1.scale, d2.precision, d2.scale)
+        (p2 != p || s2 != s) && s2 >= s && (p2 - s2) >= (p - s)
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
     var attempts = 0
     while (attempts < 8) {
       attempts += 1
@@ -2344,7 +2358,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val idx = st.fields.indexWhere(f => ColumnIds.logicalName(f) == colName)
         require(idx >= 0, s"table $name has no column $colName")
         val f = st.fields(idx)
-        require(widenable.get(f.dataType).exists(_.contains(to)),
+        require(!(f.dataType == DateType && to == TimestampType),
+          s"cannot widen $colName: date -> timestamp (local-TZ) is not " +
+            "parquet-promotable; widen to TIMESTAMP_NTZ instead")
+        require(promotable(f.dataType, to),
           s"cannot widen $colName: ${f.dataType.simpleString} -> " +
             s"${to.simpleString} is not a lossless parquet-promotable widening")
         require(!head.summary.get("bucket_key").contains(f.name),

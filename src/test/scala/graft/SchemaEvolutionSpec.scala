@@ -233,6 +233,51 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         .filter(col("o_custkey").cast("long") === pv).count())
   }
 
+  test("decimal and date widenings promote across physical encodings; LTZ refuses") {
+    import org.apache.spark.sql.types._
+    val cat = freshCat()
+    val narrow = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet").select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(9,2)").as("price"),   // int32-encoded
+      col("o_totalprice").cast("decimal(18,2)").as("price18"), // int64-encoded
+      col("o_orderdate").cast("date").as("od"))
+    val t = cat.saveTable("t", narrow.limit(0))
+    t.overwriteBucketed(narrow.filter(col("o_orderkey") <= 400), "o_orderkey", 4)
+    val dirsBefore = t.log.latest().get.dataDirs
+    // Precision growth crossing the int32 -> int64 physical boundary, the
+    // int64 -> binary boundary, scale growth with integer-part headroom,
+    // and date -> TIMESTAMP_NTZ — all probed parquet-promotable (r16).
+    // The local-TZ timestamp is not parquet-promotable — refused BEFORE
+    // any widening, with the NTZ fix named in the message.
+    val e = intercept[IllegalArgumentException](
+      t.widenColumn("od", TimestampType))
+    assert(e.getMessage.contains("TIMESTAMP_NTZ"))
+    t.widenColumn("price", DecimalType(12, 2))
+    t.widenColumn("price18", DecimalType(22, 3))
+    t.widenColumn("od", TimestampNTZType)
+    assert(t.log.latest().get.dataDirs == dirsBefore) // zero data moved
+    val r = t.read()
+    assert(r.schema("price").dataType == DecimalType(12, 2))
+    assert(r.schema("price18").dataType == DecimalType(22, 3))
+    assert(r.schema("od").dataType == TimestampNTZType)
+    // Values survive: sum of the widened decimal equals the cast of the
+    // narrow originals; dates read as midnight NTZ (no zone shift).
+    val expect = narrow.filter(col("o_orderkey") <= 400)
+      .agg(sum(col("price").cast(DecimalType(12, 2)))).head.getDecimal(0)
+    assert(r.agg(sum("price")).head.getDecimal(0).compareTo(expect) == 0)
+    val wantOd = narrow.filter(col("o_orderkey") === 42)
+      .select(col("od").cast(TimestampNTZType)).head.get(0)
+    assert(r.filter(col("o_orderkey") === 42).select("od").head.get(0) == wantOd)
+    // Mixed era: a post-widen append carries a value the narrow precision
+    // could not hold.
+    t.append(spark.sql(
+      "SELECT 99999999L AS o_orderkey, CAST(7777777777.55 AS DECIMAL(12,2)) AS price, " +
+        "CAST(1.5 AS DECIMAL(22,3)) AS price18, TIMESTAMP_NTZ '2031-01-02 03:04:05' AS od"))
+    assert(t.read().filter(col("price") > 1000000000L).count() == 1)
+    // Refusal: scale growth without integer headroom loses digits.
+    intercept[IllegalArgumentException](t.widenColumn("price", DecimalType(12, 4)))
+  }
+
   test("widening a non-key column with pending MOR deltas resolves and compacts") {
     val cat = freshCat()
     val narrow = orders.select(col("o_orderkey"),
