@@ -779,15 +779,34 @@ object ScaleProbe {
     // the key's bucket), and a stat-pruned range read.
     val manifestScale = scala.collection.mutable.ArrayBuffer.empty[String]
     if (only.forall(_.contains("manifest_scale")))
-    for (extra <- Seq(1000, 10000, 100000)) {
+    // The 10^6 row (r16) models the layout a real 100 TB table at that dir
+    // count would carry — ~1000 buckets, so dirs-per-bucket stays in the
+    // hundreds — because the lookup contract under test is O(dirs-in-bucket
+    // + chain), not O(dirs): the Snapshot-cached bucket index makes the
+    // manifest term flat, and the residual warm cost is the key's own
+    // bucket (its dir listings), which a 16-bucket 10^6-dir layout would
+    // drown in 62k listings no index can avoid.
+    for ((extra, nb) <- Seq((1000, 16), (10000, 16), (100000, 16),
+        (1000000, 1024))) {
       val wh = Files.createTempDirectory("graft-mscale-")
       val gc = new graft.catalog.GraftCatalog(spark, wh)
       val ev = graft.queries.Q.events(spark, sfDir).limit(60000)
       val t0t = gc.saveTable("t", ev.limit(0))
-      t0t.overwriteBucketed(ev, "event_id", 16)
+      t0t.overwriteBucketed(ev, "event_id", nb)
       val head = t0t.log.latest().get
-      val fakes = (0 until extra).map(i => s"data/f$i/__bucket=${i % 16}")
-      fakes.foreach(d => Files.createDirectories(wh.resolve("t").resolve(d)))
+      val keys = ev.select("event_id").orderBy("event_id").limit(10)
+        .collect().map(_.getLong(0))
+      val fakes = (0 until extra).map(i => s"data/f$i/__bucket=${i % nb}")
+      // The manifest references every fake dir (that is the cost under
+      // test); on DISK only the dirs a probe lookup can touch need to
+      // exist — the probed keys' buckets. At 10^6 dirs, creating all of
+      // them would spend minutes of probe wall on mkdir syscalls the
+      // measurement never reads.
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val keyBuckets = keys.map(k => graft.plans.BucketHash.bucketId(
+        k, org.apache.spark.sql.types.LongType, nb, tz)).toSet
+      fakes.filter(d => graft.log.Snapshot.bucketOfDir(d).exists(keyBuckets))
+        .foreach(d => Files.createDirectories(wh.resolve("t").resolve(d)))
       // Stats far outside the real key domain: every fake dir is
       // CONSIDERED and REJECTED by the range prune — the O(dirs) path.
       val fakeStats = fakes.map(d => d -> Map(
@@ -797,8 +816,6 @@ object ScaleProbe {
         head.dataDirs ++ fakes, head.summary, None,
         head.dirRecords ++ fakeRecs, Seq.empty, head.dirStats ++ fakeStats)
       def freshT() = new graft.catalog.GraftCatalog(spark, wh).table("t")
-      val keys = ev.select("event_id").orderBy("event_id").limit(10)
-        .collect().map(_.getLong(0))
       freshT().lookupKeyRows(keys(0)) // warm: JIT + fs metadata
       def ms(body: => Unit): Double = {
         val s0 = System.nanoTime(); body; (System.nanoTime() - s0) / 1e6
@@ -822,10 +839,11 @@ object ScaleProbe {
             .map(f => Files.size(f)).sum
         } / 1e6
       }
-      println(f"scaleprobe manifest_scale extra=$extra%-7d latest=${latestMs}%.1fms " +
-        f"lookup=${lookupMs}%.1fms warm=${warmMs}%.1fms range=${rangeMs}%.1fms " +
-        f"log=${manifestMb}%.1fMB")
-      manifestScale += (s"""{"extra_dirs":$extra,"latest_ms":${jnum(latestMs)},""" +
+      println(f"scaleprobe manifest_scale extra=$extra%-7d buckets=$nb%-4d " +
+        f"latest=${latestMs}%.1fms lookup=${lookupMs}%.1fms warm=${warmMs}%.1fms " +
+        f"range=${rangeMs}%.1fms log=${manifestMb}%.1fMB")
+      manifestScale += (s"""{"extra_dirs":$extra,"buckets":$nb,""" +
+        s""""latest_ms":${jnum(latestMs)},""" +
         s""""lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(warmMs)},""" +
         s""""range_ms":${jnum(rangeMs)},"log_mb":${jnum(manifestMb)}}""")
     }

@@ -1619,7 +1619,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         case Some((bk, n)) if head.deltaDirs.isEmpty =>
           val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
           val b = driverBucketId(value, st(bk).dataType, n)
-          Some((st, head.dataDirs.filter(d => bucketOfDir(d).contains(b))
+          // Snapshot-cached bucket index: O(dirs-in-bucket) per lookup,
+          // not an O(dirs) filter — the term that dominated warm serving
+          // latency at 100k+ dirs.
+          Some((st, head.dataDirsByBucket.getOrElse(b, Nil)
             .map(d => root.resolve(d).toString), bk))
         case _ => None
       }
@@ -1741,8 +1744,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           if (remaining.nonEmpty) {
             val remVals = remaining.toSeq.map(extByNorm)
             val remBuckets = remVals.map(driverBucketId(_, dt, n)).toSet
-            val baseDirs = head.dataDirs
-              .filter(d => bucketOfDir(d).exists(remBuckets.contains))
+            val baseDirs = head.dataDirsInBuckets(remBuckets)
               .map(d => root.resolve(d).toString)
             val baseTotal = LocalPointRead.totalBytes(servingConf, baseDirs)
               .getOrElse(return None)
@@ -1823,7 +1825,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val st = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
         if (values.isEmpty) return emptyDF(st)
         val buckets = values.map(v => driverBucketId(v, st(bk).dataType, n)).toSet
-        val dirs = head.dataDirs.filter(d => bucketOfDir(d).exists(buckets.contains))
+        val dirs = head.dataDirsInBuckets(buckets)
         // Serving fast path, multi-key form: with the keys' buckets (plus,
         // under pending deltas, the chain) inside the byte cap, the driver
         // reads them itself — the search tier's postings fetch (a handful
