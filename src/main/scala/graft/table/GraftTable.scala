@@ -1179,6 +1179,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       outStats: Map[String, Map[String, String]],
       baseSummary: Map[String, String],
       batchKey: Option[String],
+      // false (chain-RESOLVING rewrites — compact): planned's chain was
+      // folded into outDirs, only interleaved NEW deltas stay pending.
+      // true (chain-PRESERVING rewrites — minor compaction): the full
+      // chain at the new head carries forward verbatim.
+      keepPendingDeltas: Boolean = false,
       maxAttempts: Int = 64): Snapshot = {
     val plannedSchema = DataType.fromJson(planned.schemaJson)
     var attempts = 0
@@ -1206,7 +1211,9 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       }
       val plannedData = planned.dataDirs.toSet
       val extraData = head.dataDirs.filterNot(plannedData)
-      val extraDelta = head.deltaDirs.drop(planned.deltaDirs.size)
+      val extraDelta =
+        if (keepPendingDeltas) head.deltaDirs
+        else head.deltaDirs.drop(planned.deltaDirs.size)
       val allDirs = outDirs ++ extraData.map(d => d -> carriedRecordCount(head, d))
       val allStats = outStats ++
         head.dirStats.view.filterKeys(extraData.toSet).toMap
@@ -2122,9 +2129,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * stream's life is O(maxRows / batchRows) per row, not O(batches).
    *
    * Returns None when there is nothing to fold (fewer than two small
-   * dirs) or the table has no snapshots. Single-attempt CAS commit: on a
-   * concurrent-writer conflict the caller simply retries at its next
-   * maintenance cadence (the fold is derived from the head it read).
+   * dirs) or the table has no snapshots. CAS commit with append-only
+   * rebase ([[commitRebasing]], chain-preserving): interleaved appends —
+   * the stream this maintenance runs under — carry forward verbatim
+   * instead of starving the fold; any non-additive interleaving throws
+   * and the caller retries at its next maintenance cadence.
    */
   def compactSmallDirs(maxRows: Long = 1L << 20): Option[Snapshot] = {
     val headOpt = log.latest()
@@ -2145,16 +2154,31 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       case _ => Seq(writeDataDir(df, next))
     }
     val smallSet = small.toSet
-    val dataDirs = head.dataDirs.filterNot(smallSet) ++ folded.map(_.rel)
-    val dirRecords = (head.dirRecords -- smallSet) ++
-      folded.map(l => l.rel -> l.rows)
+    val kept = head.dataDirs.filterNot(smallSet)
     val dirStats = (head.dirStats -- smallSet) ++
       folded.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats)
-    // head.summary carries bucket spec / MOR markers forward verbatim;
-    // the record total is unchanged by construction.
-    Some(log.commitExpecting(Some(head.snapshotId), "compact_minor",
-      head.schemaJson, dataDirs, head.summary, None, dirRecords,
-      head.deltaDirs, dirStats))
+    // Minor compaction runs at a maintenance cadence UNDER the very
+    // append stream that creates its small-dir debt, so it takes the same
+    // append-only rebase as compact(): interleaved appends carry forward
+    // verbatim, and the UNRESOLVED delta chain is preserved in full
+    // (keepPendingDeltas — this fold never touches chain state). A kept
+    // dir without a record count (legacy manifest) keeps the old
+    // single-attempt commit: the rebase recomputes the records summary
+    // and must not launder an unknown count.
+    if (kept.forall(head.dirRecords.contains)) {
+      val out = kept.map(d => d -> head.dirRecords(d)) ++
+        folded.map(l => l.rel -> l.rows)
+      Some(commitRebasing(head, "compact_minor", head.schemaJson, out,
+        dirStats, head.summary - "records" - "mor_key" - "pending_deltas",
+        None, keepPendingDeltas = true))
+    } else {
+      val dataDirs = kept ++ folded.map(_.rel)
+      val dirRecords = (head.dirRecords -- smallSet) ++
+        folded.map(l => l.rel -> l.rows)
+      Some(log.commitExpecting(Some(head.snapshotId), "compact_minor",
+        head.schemaJson, dataDirs, head.summary, None, dirRecords,
+        head.deltaDirs, dirStats))
+    }
   }
 
   // ------------------------------------------------------ lifecycle / layout

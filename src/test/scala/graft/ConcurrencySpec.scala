@@ -343,6 +343,48 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().count() == 40L)
   }
 
+  test("rebase (chain-preserving): minor-compaction shape keeps the FULL pending chain") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("rebase-mc-").resolve("t"), "t")
+    t.overwriteBucketed((0L until 40L).map(k => (k, "base")).toDF("id", "v"), "id", 2)
+    t.upsertDeferred((0L until 5L).map(k => (k, "upd")).toDF("id", "v"), "id")
+    val planned = t.log.latest().get
+    t.append((100L until 103L).map(k => (k, "app")).toDF("id", "v")) // joins chain
+    val head = t.log.latest().get
+    assert(head.deltaDirs.size > planned.deltaDirs.size,
+      "the append must have joined the chain")
+    val out = planned.dataDirs.map(d => d -> planned.dirRecords(d))
+    val snap = t.commitRebasing(planned, "compact_minor", planned.schemaJson,
+      out, Map.empty, Map.empty, None, keepPendingDeltas = true)
+    // Minor compaction never resolves the chain: planned's OWN pending
+    // delta AND the interleaved append-joined dirs all stay pending.
+    assert(snap.deltaDirs == head.deltaDirs)
+    assert(snap.summary("pending_deltas") == head.deltaDirs.size.toString)
+    assert(snap.summary("records").toLong == 40L)
+    val r = t.read()
+    assert(r.count() == 43L)
+    assert(r.filter(col("id") < 5L).select("v").collect()
+      .forall(_.getString(0) == "upd"))
+  }
+
+  test("compactSmallDirs folds under a pending chain and recomputes totals") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("mc-fold-").resolve("t"), "t")
+    t.overwriteBucketed((0L until 40L).map(k => (k, "base")).toDF("id", "v"), "id", 2)
+    t.upsertDeferred((0L until 5L).map(k => (k, "upd")).toDF("id", "v"), "id")
+    t.upsertDeferred((0L until 3L).map(k => (k, "upd2")).toDF("id", "v"), "id")
+    val chainBefore = t.log.latest().get.deltaDirs
+    val snap = t.compactSmallDirs(maxRows = 1L << 20)
+    assert(snap.isDefined && snap.get.operation == "compact_minor")
+    assert(snap.get.deltaDirs == chainBefore, "minor fold must not touch the chain")
+    assert(snap.get.summary("mor_key") == "id")
+    assert(snap.get.dataDirs.size <= 2, "small bucket dirs folded")
+    val r = t.read()
+    assert(r.count() == 40L)
+    assert(r.filter(col("id") < 3L).select("v").collect()
+      .forall(_.getString(0) == "upd2"))
+  }
+
   test("rebase: a non-append interleaving (rewrite) refuses — the output is stale") {
     import spark.implicits._
     val t = new GraftTable(spark, TestSpark.tmpDir("rebase-no-").resolve("t"), "t")
