@@ -246,7 +246,8 @@ final class GraftSession(val catalog: GraftCatalog) {
       """\(([^()]+)\)\s*$""").r
   private val AlterWiden =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+""" +
-      """([A-Za-z_]\w*)\s+TYPE\s+([A-Za-z0-9_()]+)\s*$""").r
+      // Parameterized types carry commas and spaces: DECIMAL(13, 2).
+      """([A-Za-z_]\w*)\s+TYPE\s+([A-Za-z0-9_]+(?:\s*\([\d\s,]*\))?)\s*$""").r
 
   /** Split at the LAST top-level `WHERE` keyword — outside string
     * literals and parentheses, so a literal `'x where y'` in a SET value

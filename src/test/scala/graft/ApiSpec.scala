@@ -281,6 +281,14 @@ class ApiSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       s.sql("ALTER TABLE orders_w ALTER COLUMN o_custkey TYPE INT"))
     assert(e.getMessage.contains("widening"))
+    // Parameterized target types parse through the sugar (round 16).
+    val narrowDec = t.read()
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(9,2)"))
+    s.catalog.saveTable("orders_wd", narrowDec)
+    s.registerView("orders_wd")
+    s.sql("ALTER TABLE orders_wd ALTER COLUMN o_totalprice TYPE DECIMAL(13, 2)")
+    assert(s.catalog.describe("orders_wd")("o_totalprice").dataType ==
+      org.apache.spark.sql.types.DecimalType(13, 2))
   }
 
   test("ASOF JOIN sugar: rewrite, tolerance, tiebreak, literal-protected") {
