@@ -831,6 +831,20 @@ object ScaleProbe {
         ms { require(resident.lookupKeyRows(keys(i)).nonEmpty) }).min
       val rangeMs = (0 until 3).map(_ => ms {
         freshT().readRange("event_id", keys(0), keys(9)).count() }).min
+      // The segmented-detail prices (r16): a WHOLE one-row append at this
+      // dir count (the ~0.3 s Spark write is constant across rows, so the
+      // growth across rows isolates the metadata term), and what the
+      // RESIDENT serving instance pays to re-read the head after that
+      // commit (parse the new segment; prior segments cached).
+      // Self-contained details made both O(dirs) — at 10^6 dirs, a
+      // ~147 MB detail write per commit and a ~7.5 s re-parse per head
+      // change.
+      val ev1 = ev.limit(1).withColumn("event_id",
+        col("event_id") + lit(7777777777L))
+      val appendMs = ms { resident.append(ev1) }
+      val headChangeMs = ms { resident.log.latest() }
+      val warmAfterMs = (5 to 7).map(i =>
+        ms { require(resident.lookupKeyRows(keys(i)).nonEmpty) }).min
       val manifestMb = {
         val logDir = wh.resolve("t").resolve("_log")
         scala.util.Using.resource(Files.list(logDir)) { st =>
@@ -841,11 +855,16 @@ object ScaleProbe {
       }
       println(f"scaleprobe manifest_scale extra=$extra%-7d buckets=$nb%-4d " +
         f"latest=${latestMs}%.1fms lookup=${lookupMs}%.1fms warm=${warmMs}%.1fms " +
-        f"range=${rangeMs}%.1fms log=${manifestMb}%.1fMB")
+        f"range=${rangeMs}%.1fms append=${appendMs}%.1fms " +
+        f"head_change=${headChangeMs}%.1fms warm_after=${warmAfterMs}%.1fms " +
+        f"log=${manifestMb}%.1fMB")
       manifestScale += (s"""{"extra_dirs":$extra,"buckets":$nb,""" +
         s""""latest_ms":${jnum(latestMs)},""" +
         s""""lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(warmMs)},""" +
-        s""""range_ms":${jnum(rangeMs)},"log_mb":${jnum(manifestMb)}}""")
+        s""""range_ms":${jnum(rangeMs)},"append_commit_ms":${jnum(appendMs)},""" +
+        s""""head_change_ms":${jnum(headChangeMs)},""" +
+        s""""lookup_warm_after_commit_ms":${jnum(warmAfterMs)},""" +
+        s""""log_mb":${jnum(manifestMb)}}""")
     }
 
     // Concurrent-writer CAS pricing (cas_contention): ConcurrencySpec

@@ -122,6 +122,13 @@ object CommitConflictException {
 }
 
 object SnapshotLog {
+  /** Segment-chain cap: a commit whose detail chain would exceed this
+    * folds back to one self-contained document. Bounds the manifest
+    * core's segment list (~30 B/name) and a cold reader's segment fetch
+    * fan-out; at one fold per 64 commits the amortized write stays
+    * O(delta). */
+  val maxDetailSegments = 64
+
   // Per-tableRoot maintenance mutex: serializes storage-RECLAIM passes
   // (expire, orphan sweep) against the one commit type that re-references
   // OLD dirs (rollback). Ordinary commits never take it — they only
@@ -150,6 +157,17 @@ object SnapshotLog {
 private[log] case class SnapshotDetail(
     dataDirs: Seq[String],
     deltaDirs: Seq[String] = Seq.empty,
+    // SEGMENTED form (round 16, Iceberg's reused-manifest move): when the
+    // owning ManifestCore carries `detailSegments`, this document holds
+    // only the dirs THIS commit ADDED (dataDirs/dirRecords/dirStats are
+    // restricted to them), `removedDirs` is the cumulative set of
+    // segment-contributed dirs no longer live, and `deltaDirs` stays the
+    // FULL authoritative chain (bounded by compactEvery — never worth
+    // segmenting). An append to a 10^6-dir table then writes KILOBYTES
+    // where the self-contained form rewrote the full ~147 MB detail per
+    // commit, and a warm reader re-parses only the new segment on a head
+    // change (prior segments are immutable and cached by name).
+    removedDirs: Seq[String] = Seq.empty,
     dirRecords: Map[String, Long] = Map.empty,
     dirStats: Map[String, Map[String, String]] = Map.empty)
 
@@ -165,7 +183,15 @@ private[graft] case class ManifestCore(
     summary: Map[String, String] = Map.empty,
     batchKey: Option[String] = None,
     recentBatchKeys: Seq[String] = Seq.empty,
-    detailFile: Option[String] = None)
+    detailFile: Option[String] = None,
+    // Prior commits' detail files whose ADDED dirs still contribute to
+    // this snapshot (oldest first; `detailFile` holds this commit's own
+    // additions + the cumulative removed set). Lives in the CORE — not the
+    // detail — so expiry/GC builds the full protection set from O(retained)
+    // small manifest reads, never an O(dirs) detail parse. Bounded: a
+    // commit whose chain would exceed the segment cap (or whose delta
+    // rivals the live set) folds back to one self-contained detail.
+    detailSegments: Seq[String] = Seq.empty)
 
 /**
  * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
@@ -420,19 +446,57 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         (head.recentBatchKeys.isEmpty && snapshotsCore().exists(_.batchKey.contains(batchKey)))
     }
 
-  /** Parse a manifest in either format: the SPLIT form (core + side detail
-    * file) or the legacy inline form (everything in one document) — old
-    * logs stay readable without migration. */
+  // Immutable-segment cache: detail files are claim-once and never
+  // rewritten, so name identity is content identity. A head change then
+  // re-parses ONLY the new commit's own (small) detail; the prior
+  // segments' parsed form is reused. Bounded defensively — a table cannot
+  // reference more than (segment cap + retained manifests) live segments,
+  // but expired names would otherwise accrete over a long-lived instance.
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
+
+  private def loadDetail(name: String): SnapshotDetail = {
+    val c = segmentCache.get(name)
+    if (c != null) c
+    else {
+      val d = Serialization.read[SnapshotDetail](new String(
+        store.read(logDir.resolve(name)), StandardCharsets.UTF_8))
+      if (segmentCache.size > 512) segmentCache.clear()
+      segmentCache.put(name, d)
+      d
+    }
+  }
+
+  /** Parse a manifest in any format: the SEGMENTED form (core + own detail
+    * + prior segments), the plain SPLIT form (core + one self-contained
+    * detail), or the legacy inline form — old logs stay readable without
+    * migration. Segmented compose order is CANONICAL (segments oldest
+    * first, then this commit's additions, removed dirs filtered) — dataDirs
+    * is a set in contract; nothing orders on it (delta ordering lives in
+    * `deltaDirs`, which is always inline and authoritative). */
   private def readManifest(p: Path): Snapshot =
     parseManifest(new String(store.read(p), StandardCharsets.UTF_8)) match {
       case (_, Some(legacyFull)) => legacyFull
       case (core, None) =>
-        val detail = Serialization.read[SnapshotDetail](new String(
-          store.read(logDir.resolve(core.detailFile.get)), StandardCharsets.UTF_8))
+        val own = loadDetail(core.detailFile.get)
+        val (dataDirs, dirRecords, dirStats) =
+          if (core.detailSegments.isEmpty)
+            (own.dataDirs, own.dirRecords, own.dirStats)
+          else {
+            val segs = core.detailSegments.map(loadDetail)
+            val removed = own.removedDirs.toSet
+            val dirs = segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
+            val recs = segs.foldLeft(Map.empty[String, Long])(_ ++ _.dirRecords)
+              .view.filterKeys(!removed(_)).toMap ++ own.dirRecords
+            val stats = segs.foldLeft(
+              Map.empty[String, Map[String, String]])(_ ++ _.dirStats)
+              .view.filterKeys(!removed(_)).toMap ++ own.dirStats
+            (dirs, recs, stats)
+          }
         Snapshot(core.snapshotId, core.parentId, core.committedAt,
-          core.operation, core.schemaJson, detail.dataDirs, core.summary,
-          core.batchKey, detail.dirRecords, detail.deltaDirs,
-          core.recentBatchKeys, detail.dirStats)
+          core.operation, core.schemaJson, dataDirs, core.summary,
+          core.batchKey, dirRecords, own.deltaDirs,
+          core.recentBatchKeys, dirStats)
     }
 
   /** Detail-file reference of a manifest, without inflating the snapshot.
@@ -443,13 +507,27 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     * (whose core fields may not deserialize here) must still yield its
     * detailFile so the orphan sweep never mistakes its live detail for
     * garbage. */
-  private def detailFileOf(p: Path): Option[String] = {
+  /** ALL detail files a manifest references: its own plus any prior
+    * segments (segmented form). DELIBERATELY bare AST field extraction,
+    * not [[parseManifest]] — both are CORE fields, so the protection set
+    * for GC/expiry builds from O(retained) small reads (a legacy inline
+    * manifest would otherwise pay a full O(dirs) deserialization just to
+    * learn the fields are absent), and a manifest written by a NEWER
+    * format revision must still yield its references so the orphan sweep
+    * never mistakes its live details for garbage. */
+  private def detailRefsOf(p: Path): Seq[String] = {
     import org.json4s._
-    org.json4s.jackson.JsonMethods.parse(
-      new String(store.read(p), StandardCharsets.UTF_8)) \ "detailFile" match {
-      case JString(df) => Some(df)
-      case _ => None
+    val ast = org.json4s.jackson.JsonMethods.parse(
+      new String(store.read(p), StandardCharsets.UTF_8))
+    val own = ast \ "detailFile" match {
+      case JString(df) => Seq(df)
+      case _ => Seq.empty
     }
+    val segs = ast \ "detailSegments" match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+    own ++ segs
   }
 
   /**
@@ -464,24 +542,75 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def claimSplit(snap: Snapshot): Boolean = {
     val detailName =
       f"d${snap.snapshotId}%016d-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    val (detail, segments) = segmentedDetail(snap).getOrElse((SnapshotDetail(
+      dataDirs = snap.dataDirs, deltaDirs = snap.deltaDirs,
+      dirRecords = snap.dirRecords, dirStats = snap.dirStats), Seq.empty))
     // The detail claim must gate the manifest claim: committing a manifest
     // whose referenced detail never landed (uuid collision with a crashed
     // process's leftover, transient store failure) would make every read of
     // this snapshot throw — and as the NEWEST manifest it is not covered by
     // the benign expiry-race retry. Failing the commit lets the caller's
-    // conflict/retry path handle it like any lost race.
+    // conflict/retry path handle it like any lost race. A lost race deletes
+    // only this commit's OWN detail — referenced segments belong to
+    // already-committed manifests and are never touched here.
     val detailOk = store.tryClaim(logDir.resolve(detailName),
-      Serialization.write(SnapshotDetail(snap.dataDirs, snap.deltaDirs,
-        snap.dirRecords, snap.dirStats)).getBytes(StandardCharsets.UTF_8))
+      Serialization.write(detail).getBytes(StandardCharsets.UTF_8))
     if (!detailOk) return false
     val core = ManifestCore(snap.snapshotId, snap.parentId, snap.committedAt,
       snap.operation, snap.schemaJson, snap.summary, snap.batchKey,
-      snap.recentBatchKeys, Some(detailName))
+      snap.recentBatchKeys, Some(detailName), segments)
     val won = store.tryClaim(manifestPath(snap.snapshotId),
       Serialization.write(core).getBytes(StandardCharsets.UTF_8))
     if (!won) store.delete(logDir.resolve(detailName))
     won
   }
+
+  /**
+   * Segmented (delta) encoding of `snap` against its parent's committed
+   * detail chain, or None when self-contained is the right shape. A child
+   * references the parent's segments + the parent's own detail and records
+   * only what changed: added dirs (with their records/stats), the
+   * cumulative removed set, and the full delta chain. Self-contained is
+   * chosen — folding the chain back to one document — when the parent is
+   * legacy/inline or expired mid-read, when the chain would exceed the
+   * segment cap, or when the encoded delta rivals the live set (a full
+   * rewrite like compact/overwrite resets the chain naturally; a small
+   * table's churn isn't worth the indirection). Correct for ANY commit
+   * shape by construction: the composed read is (segment dirs − removed)
+   * ++ added, and both sides are derived from the very snapshot being
+   * committed. A dir re-added after removal (rollback) is already present
+   * in a segment, so it simply leaves the removed set rather than being
+   * written twice.
+   */
+  private def segmentedDetail(snap: Snapshot): Option[(SnapshotDetail, Seq[String])] =
+    try {
+      val pid = snap.parentId.getOrElse(return None)
+      val (pcore, legacy) = parseManifest(
+        new String(store.read(manifestPath(pid)), StandardCharsets.UTF_8))
+      if (legacy.isDefined || pcore.detailFile.isEmpty) return None
+      val segments = pcore.detailSegments :+ pcore.detailFile.get
+      if (segments.size > SnapshotLog.maxDetailSegments) return None
+      val segDirs = segments.flatMap(s => loadDetail(s).dataDirs)
+      val segSet = segDirs.toSet
+      val live = snap.dataDirs.toSet
+      val added = snap.dataDirs.filterNot(segSet)
+      val removed = segDirs.filterNot(live)
+      // Fold when the encoded delta rivals the live set (full rewrites),
+      // or when the segments contribute NO live dir (an overwrite chain
+      // would otherwise drag every ancestor's dead detail along as pure
+      // reference overhead, pinning it against GC).
+      if (added.size + removed.size > math.max(8, snap.dataDirs.size / 2))
+        return None
+      if (removed.size >= segDirs.size) return None
+      val addedSet = added.toSet
+      Some((SnapshotDetail(
+        dataDirs = added,
+        deltaDirs = snap.deltaDirs,
+        removedDirs = removed,
+        dirRecords = snap.dirRecords.view.filterKeys(addedSet).toMap,
+        dirStats = snap.dirStats.view.filterKeys(addedSet).toMap),
+        segments))
+    } catch { case e if isMissing(e) => None } // parent expired — fold
 
   /**
    * The batchKey window for a commit extending `head`. Migration seed
@@ -640,11 +769,19 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     // the base snapshot's dir list, so cross-log sharing is the common case.
     val keptRefs = refsOf(keepPs) ++ externalRefs()
     val deadRefs = refsOf(dropPs) -- keptRefs
-    // Manifest before detail, same ordering rule as the background expiry.
+    // Detail files can be SHARED (a retained segmented manifest references
+    // its ancestors' details): a dropped manifest's details die only when
+    // no retained manifest still lists them. Manifest before detail, same
+    // ordering rule as the background expiry.
+    val keptDetails = keepPs.flatMap(p =>
+      scala.util.Try(detailRefsOf(p)).getOrElse(Seq.empty)).toSet
     dropPs.foreach { p =>
-      val df = scala.util.Try(detailFileOf(p)).toOption.flatten
+      val refs = scala.util.Try(detailRefsOf(p)).getOrElse(Seq.empty)
       store.delete(p)
-      df.foreach(d => store.delete(logDir.resolve(d)))
+      refs.filterNot(keptDetails).foreach { d =>
+        segmentCache.remove(d)
+        store.delete(logDir.resolve(d))
+      }
     }
     deadRefs.foreach(rel => deleteRecursively(tableRoot.resolve(rel)))
     // Leaf-granular deletes (bucketed layouts) can leave an empty commit-top
@@ -706,14 +843,17 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       // Tagged manifests are exempt (same rule as expire()); the tag
       // listing is only paid on the commits that actually cross retention.
       val tagged = taggedIds()
+      // Manifests delete eagerly; their DETAIL files do not — a detail may
+      // be a live segment of a retained manifest, and proving otherwise
+      // costs O(retained) reads this per-commit path must not pay. The
+      // grace-gated orphan sweep below reclaims unreferenced details with
+      // the same (grace + interval) lifetime bound data-dir orphans get;
+      // an expired detail's mtime is its old commit time, so the very next
+      // sweep collects it.
       ms.dropRight(retainVersions)
         .filterNot(p => tagged.contains(
           p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong))
-        .foreach { p =>
-        val df = scala.util.Try(detailFileOf(p)).toOption.flatten
-        store.delete(p)
-        df.foreach(d => store.delete(logDir.resolve(d)))
-      }
+        .foreach(store.delete)
       // The orphan sweep re-reads every retained manifest (+detail) to build
       // the referenced set — ~200 small reads. Running it on EVERY commit
       // past retention bought nothing: the GC grace makes any orphan
@@ -739,7 +879,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     * writers get for data dirs. */
   private def gcOrphanDetailFiles(): Unit = {
     val referenced = listManifests()
-      .flatMap(p => scala.util.Try(detailFileOf(p)).toOption.flatten).toSet
+      .flatMap(p => scala.util.Try(detailRefsOf(p)).getOrElse(Seq.empty)).toSet
     val cutoff = System.currentTimeMillis() - gcGraceMs
     store.list(logDir)
       .filter(p => p.getFileName.toString.matches("d\\d{16}-[0-9a-f]{8}\\.json"))

@@ -25,25 +25,40 @@ class LogSplitSpec extends AnyFunSuite {
     } finally paths.close()
   }
 
-  test("manifest byte size stays O(1) as appended dirs accumulate") {
+  test("manifest stays O(segment cap); append details are O(added), not O(dirs)") {
     val t = new GraftTable(spark, TestSpark.tmpDir("split-").resolve("t"), "t")
     t.overwrite(orders.filter(col("o_orderkey") < 100))
-    (1 to 4).foreach(i => t.append(orders
+    (1 to 30).foreach(i => t.append(orders
       .filter(col("o_orderkey") >= i * 100 && col("o_orderkey") < (i + 1) * 100)))
-    val early = manifestSizes(t).max
-    (5 to 30).foreach(i => t.append(orders
-      .filter(col("o_orderkey") >= i * 100 && col("o_orderkey") < (i + 1) * 100)))
-    val late = manifestSizes(t).max
     val head = t.log.latest().get
     assert(head.dataDirs.size == 31, s"expected 31 dirs, got ${head.dataDirs.size}")
-    // 31 dirs vs 5: the manifest document must not have grown with them
-    // (recentBatchKeys is empty here; only jitter like id digits differs).
-    assert(late <= early * 3 / 2,
-      s"manifest grew with dir count: $early -> $late bytes")
+    // The manifest document grows with the SEGMENT LIST (one ~45-byte name
+    // per commit since the last fold, capped at maxDetailSegments), never
+    // with dir count: 31 dirs must fit well under base + cap * name.
+    val late = manifestSizes(t).max
+    assert(late <= 1200 + graft.log.SnapshotLog.maxDetailSegments * 60L,
+      s"manifest grew beyond the segment-list cap: $late bytes")
+    // The SEGMENTED detail write is the point: the newest commit's own
+    // detail holds one added dir, not all 31 — an append to a million-dir
+    // table writes kilobytes, not the full O(dirs) document.
+    val details = {
+      val paths = Files.list(t.root.resolve("_log"))
+      try {
+        import scala.jdk.CollectionConverters._
+        paths.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.matches("d\\d{16}-[0-9a-f]{8}\\.json"))
+          .sortBy(_.getFileName.toString)
+      } finally paths.close()
+    }
+    val newest = Files.size(details.last)
+    val first = Files.size(details.head)
+    assert(newest <= first * 3,
+      s"append detail grew with table dirs: first=$first newest=$newest bytes")
     // and the detail content is still fully served through the manifest
     // (empty appends legitimately carry no stats entry)
     assert(head.dirStats.nonEmpty &&
       head.dirStats.keySet.subsetOf(head.dataDirs.toSet))
+    assert(head.dirRecords.keySet == head.dataDirs.toSet)
     assert(t.read().count() == orders.filter(col("o_orderkey") < 3100).count())
   }
 
@@ -69,6 +84,67 @@ class LogSplitSpec extends AnyFunSuite {
     val reread = t.log.latest().get
     assert(reread == head, "inline manifest must inflate to the same snapshot")
     assert(t.read().count() == orders.filter(col("o_orderkey") < 500).count())
+  }
+
+  test("segmented details: partial rewrites remove, rollbacks re-add, reads exact") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("seg-rw-").resolve("t"), "t")
+    t.overwriteBucketed((0L until 400L).map(k => (k, s"v$k")).toDF("id", "v"), "id", 4)
+    (1 to 6).foreach(i => t.append(
+      (1000L * i until 1000L * i + 50L).map(k => (k, "a")).toDF("id", "v")))
+    val preRewrite = t.log.latest().get
+    // Partial bucket rewrite: the touched buckets' dirs leave the live set
+    // (segmented form records them in removedDirs), untouched carry.
+    t.upsert((0L until 10L).map(k => (k, "UP")).toDF("id", "v"), "id")
+    val afterUp = t.log.latest().get
+    assert(afterUp.dataDirs.toSet != preRewrite.dataDirs.toSet)
+    val reread = new GraftTable(spark, t.root, "t").log.latest().get
+    assert(reread.dataDirs.toSet == afterUp.dataDirs.toSet)
+    assert(reread.dirRecords == afterUp.dirRecords,
+      "records must compose exactly through segments minus removed")
+    assert(t.read().count() == 700L)
+    assert(t.read().filter(col("id") < 10L).select("v").collect()
+      .forall(_.getString(0) == "UP"))
+    // Rollback re-references dirs a later commit removed: they are already
+    // present in segments, so the rollback commit only shrinks the removed
+    // set — and the read serves the pre-rewrite image exactly.
+    t.rollback(preRewrite.snapshotId)
+    val rolled = new GraftTable(spark, t.root, "t")
+    assert(rolled.read().count() == 700L)
+    assert(rolled.read().filter(col("id") < 10L).select("v").collect()
+      .forall(_.getString(0).startsWith("v")))
+    assert(rolled.log.latest().get.dataDirs.toSet == preRewrite.dataDirs.toSet)
+  }
+
+  test("a shared segment survives its own manifest's expiry until unreferenced") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("seg-exp-").resolve("t"),
+      "t", retainVersions = 3, gcGraceMs = 0L)
+    t.overwrite((0L until 100L).map(k => (k, "x")).toDF("id", "v")) // v1
+    (2 to 8).foreach(i =>
+      t.append(Seq((1000L + i, "a")).toDF("id", "v"))) // v2..v8 segmented
+    // Retention keeps v6..v8; v1's detail is a SEGMENT of every retained
+    // manifest (it holds the base 100 rows) and must survive the expiry of
+    // manifest v1 itself.
+    val names = {
+      val paths = java.nio.file.Files.list(t.root.resolve("_log"))
+      try {
+        import scala.jdk.CollectionConverters._
+        paths.iterator().asScala.toSeq.map(_.getFileName.toString)
+      } finally paths.close()
+    }
+    assert(names.count(_.matches("v\\d{16}\\.json")) == 3, s"retention: $names")
+    assert(names.exists(_.startsWith("d0000000000000001-")),
+      s"v1's detail is a live segment and must survive: $names")
+    // The full content still reads through the retained heads.
+    val fresh = new GraftTable(spark, t.root, "t")
+    assert(fresh.read().count() == 107L)
+    assert(fresh.log.latest().get.dataDirs.size == 8)
+    // expire(1): only the head remains; it still references the shared
+    // segments, which therefore survive — content intact.
+    fresh.expireSnapshots(1)
+    val fresh2 = new GraftTable(spark, t.root, "t")
+    assert(fresh2.read().count() == 107L)
   }
 
   test("expired manifests take their detail files with them") {
