@@ -76,6 +76,28 @@ object TimeQueries {
           "ORDER BY event_id")
     }),
 
+    // TOLERANCE + INNER through the sugar (round 16): only signups within
+    // the last 2 days count and events with no qualifying signup drop —
+    // the SQL-text twin of j_asof_tol, so the bounded-lookback shape
+    // (tolerance pre-filter before the ordered sweep) serves plain SQL.
+    "t_sql_asof_tol" -> ((s, d) => {
+      val cat = new graft.catalog.GraftCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft-asoft-"))
+      cat.saveTable("events_t", ev(s, d))
+      val session = new graft.api.GraftSession(cat)
+      session.refreshViews()
+      ev(s, d).filter(col("event_type") === "signup")
+        .createOrReplaceTempView("signups_v")
+      session.sql(
+        "SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id " +
+          "FROM events_t ASOF INNER JOIN signups_v " +
+          "ON events_t.user_id = signups_v.user_id " +
+          "AND events_t.ts >= signups_v.ts " +
+          "TOLERANCE INTERVAL 2 DAYS " +
+          "TIEBREAK signups_v.event_id PREFIX 'signup_' " +
+          "ORDER BY event_id")
+    }),
+
     // The j_interval point-in-interval join as SQL text (round 16): the
     // BETWEEN fragment rewrites to TimeJoin.intervalJoin's binned
     // equi-join — plain SQL never plans the inequality nested loop.
@@ -182,6 +204,19 @@ object TimeQueries {
                     ORDER BY l.ts DESC, l.event_id DESC) AS rn
            FROM ev e JOIN signups l
              ON e.user_id = l.user_id AND l.ts <= e.ts
+         ) WHERE rn = 1 ORDER BY event_id""",
+    "t_sql_asof_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
+         signups AS (SELECT * FROM ev WHERE event_type = 'signup')
+         SELECT event_id, user_id, ts, event_type, signup_ts, signup_event_id
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                  l.ts AS signup_ts, l.event_id AS signup_event_id,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY l.ts DESC, l.event_id DESC) AS rn
+           FROM ev e JOIN signups l
+             ON e.user_id = l.user_id AND l.ts <= e.ts
+            AND l.ts >= e.ts - INTERVAL 2 DAY
          ) WHERE rn = 1 ORDER BY event_id""",
     "t_sql_interval" ->
       """WITH ev AS (SELECT event_id, user_id, ts, event_type FROM events),
