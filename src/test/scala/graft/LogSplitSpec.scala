@@ -162,4 +162,61 @@ class LogSplitSpec extends AnyFunSuite {
     assert(manifests.size == 3, s"retention: $manifests")
     assert(details.size == 3, s"side files must expire with manifests: $details")
   }
+
+  test("an inconsistent delta hint falls back to derivation, never corrupts") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("hint-bad-").resolve("t"), "t")
+    t.overwrite((0L until 100L).map(k => (k, "x")).toDF("id", "v"))
+    t.append(Seq((200L, "a")).toDF("id", "v"))
+    val head = t.log.latest().get
+    // A metadata-only commit whose hint CLAIMS an added dir that does not
+    // exist: the size equation (live == Σ segment-added − removed + added)
+    // fails, so the encoder must ignore the hint and derive the true delta
+    // — the committed snapshot reads back exactly, bogus dir nowhere.
+    val s1 = t.log.commitExpecting(Some(head.snapshotId), "noop",
+      head.schemaJson, head.dataDirs, head.summary, None, head.dirRecords,
+      head.deltaDirs, head.dirStats,
+      Some(graft.log.DirDelta(Seq("data/bogus-hint-dir"))))
+    assert(s1.dataDirs.toSet == head.dataDirs.toSet)
+    val fresh = new GraftTable(spark, t.root, "t")
+    val reread = fresh.log.latest().get
+    assert(reread.dataDirs.toSet == head.dataDirs.toSet,
+      "bogus hinted dir must not leak into the composed read")
+    assert(reread.dirRecords == head.dirRecords)
+    assert(fresh.read().count() == 101L)
+    // The mirror inconsistency — a hint OMITTING a genuinely added dir —
+    // must also fall back (equation fails low) and still serve the new dir.
+    val rel = "data/hint-extra"
+    Seq((300L, "b")).toDF("id", "v").write.parquet(t.root.resolve(rel).toString)
+    val h2 = fresh.log.latest().get
+    fresh.log.commitExpecting(Some(h2.snapshotId), "append", h2.schemaJson,
+      h2.dataDirs :+ rel, h2.summary, None,
+      h2.dirRecords + (rel -> 1L), h2.deltaDirs, h2.dirStats,
+      Some(graft.log.DirDelta(Seq.empty)))
+    val fresh2 = new GraftTable(spark, t.root, "t")
+    assert(fresh2.log.latest().get.dataDirs.contains(rel))
+    assert(fresh2.read().count() == 102L)
+  }
+
+  test("hinted commits (append, MOR delta, schema verb) read back exactly") {
+    import spark.implicits._
+    val t = new GraftTable(spark, TestSpark.tmpDir("hint-ok-").resolve("t"), "t")
+    t.overwriteBucketed((0L until 200L).map(k => (k, s"v$k")).toDF("id", "v"),
+      "id", 4)
+    t.append((1000L until 1050L).map(k => (k, "a")).toDF("id", "v"))
+    // MOR delta: base dirs unchanged, batch joins the chain (empty hint).
+    t.upsertDeferred((0L until 5L).map(k => (k, "MOR")).toDF("id", "v"), "id")
+    // Metadata-only verb on the same chain (empty hint, schema changes).
+    t.renameColumn("v", "val")
+    val live = t.log.latest().get
+    val fresh = new GraftTable(spark, t.root, "t")
+    val reread = fresh.log.latest().get
+    assert(reread.dataDirs.toSet == live.dataDirs.toSet)
+    assert(reread.deltaDirs == live.deltaDirs,
+      "delta chain must stay inline and exact through hinted commits")
+    assert(reread.dirRecords == live.dirRecords)
+    assert(fresh.read().count() == 250L)
+    assert(fresh.read().filter(col("id") < 5L).select("val").collect()
+      .forall(_.getString(0) == "MOR"))
+  }
 }
