@@ -983,7 +983,11 @@ object ScaleProbe {
       s"""{"metric":"scale_probe","factor":$factor,"sf":"$sfDir","ops":$perOp,"mor_chain_amplification":$chainJson,"v2_sql_merge_attribution":$sqlMergeAttrJson,"manifest_scale":$manifestScaleJson,"cas_contention":$casJson}"""
     println(json)
     println("SCALE_JSON:" + json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r10.json")
+    // Default to a SCRATCH file, not a round artifact: a partial probe run
+    // (SPARK_GRAFT_SCALE_ONLY=...) emits null for every section it skipped,
+    // and writing that over a curated SCALE_r{N}.json would silently drop
+    // the other sections. Curate subsets into the round artifact explicitly.
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe_last.json")
     try Files.write(Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => println(s"scale_out write failed: ${e.getMessage}") }

@@ -129,6 +129,14 @@ object SnapshotLog {
     * O(delta). */
   val maxDetailSegments = 64
 
+  /** Fold-shard threshold: a self-contained (fold) detail covering at
+    * least this many dirs is written as parallel-parsable shard segments
+    * instead of one document. 64k dirs ≈ a ~10 MB detail — below that the
+    * single-document parse is already sub-second and extra files would be
+    * pure overhead; above it, shard count scales up to 16 (≈62k dirs per
+    * shard at the 10⁶-dir regime). */
+  val foldShardDirs = 65536
+
   // Per-tableRoot maintenance mutex: serializes storage-RECLAIM passes
   // (expire, orphan sweep) against the one commit type that re-references
   // OLD dirs (rollback). Ordinary commits never take it — they only
@@ -143,6 +151,113 @@ object SnapshotLog {
   private[graft] def lockFor(tableRoot: Path): Object =
     maintenanceLocks.computeIfAbsent(
       tableRoot.toAbsolutePath.normalize.toString, _ => new Object)
+
+  private implicit val detailFormats: Formats = DefaultFormats
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** Streaming (token-level) parse of a SnapshotDetail document — the
+    * same JSON the json4s path reads, minus its intermediate AST. Measured
+    * at the 10⁶-dir regime (147 MB document, DetailCodecBench): parse is
+    * PARITY with json4s (~3.5-5 s both — the cost is building the
+    * million-entry Scala maps, not tokenization), so the reader is kept
+    * for its allocation profile (no 147 MB intermediate String + no AST —
+    * roughly a 3× peak-garbage cut on the cold open) and for symmetry with
+    * the write side, where streaming IS several-fold faster. Any shape
+    * surprise (wrong token where a field starts) falls back to the json4s
+    * reader, so the streaming path can only ever be a fast path, never a
+    * different dialect. */
+  private[graft] def parseDetailBytes(bytes: Array[Byte]): SnapshotDetail =
+    try streamDetail(bytes)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        Serialization.read[SnapshotDetail](
+          new String(bytes, StandardCharsets.UTF_8))
+    }
+
+  private def streamDetail(bytes: Array[Byte]): SnapshotDetail = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val p = jsonFactory.createParser(bytes)
+    try {
+      require(p.nextToken() == START_OBJECT, "detail: not an object")
+      var dataDirs: Seq[String] = Seq.empty
+      var deltaDirs: Seq[String] = Seq.empty
+      var removedDirs: Seq[String] = Seq.empty
+      var dirRecords: Map[String, Long] = Map.empty
+      var dirStats: Map[String, Map[String, String]] = Map.empty
+      def strings(): Seq[String] = {
+        require(p.currentToken() == START_ARRAY, s"detail: ${p.currentToken()}")
+        val b = Vector.newBuilder[String]
+        while (p.nextToken() != END_ARRAY) b += p.getText
+        b.result()
+      }
+      while (p.nextToken() != END_OBJECT) {
+        val field = p.currentName()
+        p.nextToken()
+        field match {
+          case "dataDirs" => dataDirs = strings()
+          case "deltaDirs" => deltaDirs = strings()
+          case "removedDirs" => removedDirs = strings()
+          case "dirRecords" =>
+            require(p.currentToken() == START_OBJECT, "detail: dirRecords")
+            val b = Map.newBuilder[String, Long]
+            while (p.nextToken() != END_OBJECT) {
+              val k = p.currentName(); p.nextToken(); b += k -> p.getLongValue
+            }
+            dirRecords = b.result()
+          case "dirStats" =>
+            require(p.currentToken() == START_OBJECT, "detail: dirStats")
+            val b = Map.newBuilder[String, Map[String, String]]
+            while (p.nextToken() != END_OBJECT) {
+              val k = p.currentName()
+              require(p.nextToken() == START_OBJECT, "detail: stats entry")
+              val inner = Map.newBuilder[String, String]
+              while (p.nextToken() != END_OBJECT) {
+                val ik = p.currentName(); p.nextToken(); inner += ik -> p.getText
+              }
+              b += k -> inner.result()
+            }
+            dirStats = b.result()
+          case _ => p.skipChildren() // forward-compat, as the AST reader
+        }
+      }
+      SnapshotDetail(dataDirs, deltaDirs, removedDirs, dirRecords, dirStats)
+    } finally p.close()
+  }
+
+  /** Streaming detail WRITE — same document, same field order as the
+    * case-class serializer (`dirStats` last: tooling that patches stats in
+    * place relies on it closing the object), without materializing a
+    * ~147 MB intermediate string on a fold. This is where streaming pays:
+    * 0.85 s vs json4s' 3.4 s at 10⁶ dirs (DetailCodecBench, 3 reps) — the
+    * fold commit every `maxDetailSegments` writes the full document, so
+    * the fold's amortized metadata cost drops ~4× at high dir counts. */
+  private[graft] def writeDetailBytes(d: SnapshotDetail): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      64 + d.dataDirs.size * 48 + d.dirStats.size * 64)
+    val g = jsonFactory.createGenerator(out)
+    def arr(name: String, vs: Seq[String]): Unit = {
+      g.writeArrayFieldStart(name)
+      vs.foreach(s => g.writeString(s))
+      g.writeEndArray()
+    }
+    g.writeStartObject()
+    arr("dataDirs", d.dataDirs)
+    arr("deltaDirs", d.deltaDirs)
+    arr("removedDirs", d.removedDirs)
+    g.writeObjectFieldStart("dirRecords")
+    d.dirRecords.foreach { case (k, v) => g.writeNumberField(k, v) }
+    g.writeEndObject()
+    g.writeObjectFieldStart("dirStats")
+    d.dirStats.foreach { case (k, m) =>
+      g.writeObjectFieldStart(k)
+      m.foreach { case (ik, iv) => g.writeStringField(ik, iv) }
+      g.writeEndObject()
+    }
+    g.writeEndObject()
+    g.writeEndObject()
+    g.close()
+    out.toByteArray
+  }
 }
 
 /**
@@ -154,7 +269,7 @@ object SnapshotLog {
  * LAST field by construction (tests and tooling that patch stats in place
  * rely on it closing the JSON document).
  */
-private[log] case class SnapshotDetail(
+private[graft] case class SnapshotDetail(
     dataDirs: Seq[String],
     deltaDirs: Seq[String] = Seq.empty,
     // SEGMENTED form (round 16, Iceberg's reused-manifest move): when the
@@ -467,12 +582,39 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     val c = segmentCache.get(name)
     if (c != null) c
     else {
-      val d = Serialization.read[SnapshotDetail](new String(
-        store.read(logDir.resolve(name)), StandardCharsets.UTF_8))
+      val d = SnapshotLog.parseDetailBytes(store.read(logDir.resolve(name)))
       if (segmentCache.size > 512) segmentCache.clear()
       segmentCache.put(name, d)
       d
     }
+  }
+
+  /** Batch form of [[loadDetail]]: cache misses parse CONCURRENTLY, order
+    * preserved. This is the cold-open lever the sharded fold exists for —
+    * one 147 MB fold document parses on one core no matter how many are
+    * idle, while 16 shards parse on 16. Warm instances never enter the
+    * parallel branch (everything is in the immutable-segment cache).
+    * Exceptions rethrow with their original type so callers' missing-file
+    * handling (expiry races) keeps working. */
+  private def loadDetails(names: Seq[String]): Seq[SnapshotDetail] = {
+    val misses = names.distinct.filterNot(segmentCache.containsKey)
+    if (misses.size > 1) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(misses.size, Runtime.getRuntime.availableProcessors()))
+      try {
+        val fs = misses.map(n => pool.submit(
+          new java.util.concurrent.Callable[SnapshotDetail] {
+            override def call(): SnapshotDetail = loadDetail(n)
+          }))
+        fs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+    names.map(loadDetail)
   }
 
   /** Parse a manifest in any format: the SEGMENTED form (core + own detail
@@ -491,15 +633,21 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
           if (core.detailSegments.isEmpty)
             (own.dataDirs, own.dirRecords, own.dirStats)
           else {
-            val segs = core.detailSegments.map(loadDetail)
+            val segs = loadDetails(core.detailSegments)
             val removed = own.removedDirs.toSet
             val dirs = segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
-            val recs = segs.foldLeft(Map.empty[String, Long])(_ ++ _.dirRecords)
-              .view.filterKeys(!removed(_)).toMap ++ own.dirRecords
-            val stats = segs.foldLeft(
-              Map.empty[String, Map[String, String]])(_ ++ _.dirStats)
-              .view.filterKeys(!removed(_)).toMap ++ own.dirStats
-            (dirs, recs, stats)
+            // Single-pass merges (later segments override earlier, own
+            // last — the builder keeps the last binding per key, exactly
+            // the foldLeft(++)/filterKeys semantics this replaces, minus
+            // the intermediate map per segment and the second O(n) pass).
+            def merged[V](parts: Seq[Map[String, V]], ownM: Map[String, V]) = {
+              val b = scala.collection.immutable.HashMap.newBuilder[String, V]
+              parts.foreach(_.foreach(kv => if (!removed(kv._1)) b += kv))
+              b ++= ownM
+              b.result()
+            }
+            (dirs, merged(segs.map(_.dirRecords), own.dirRecords),
+              merged(segs.map(_.dirStats), own.dirStats))
           }
         Snapshot(core.snapshotId, core.parentId, core.committedAt,
           core.operation, core.schemaJson, dataDirs, core.summary,
@@ -549,29 +697,92 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
    */
   private def claimSplit(
       snap: Snapshot, deltaHint: Option[DirDelta] = None): Boolean = {
-    val detailName =
+    // Resurrection guard: claim-once stores FORGET deleted paths, so a
+    // writer whose head read is stale by a full retention cycle could
+    // re-claim an EXPIRED manifest path (observed under an 8-writer race
+    // with retainVersions=4: two commits both "won" v2 — one claimed the
+    // path after retention deleted it, resurrecting a dead version id).
+    // Re-list immediately before claiming and refuse any id that is not
+    // strictly beyond the current newest; this also fails a lost race fast
+    // BEFORE paying the detail/shard encode+writes. The residual window —
+    // a stall between this check and the claim spanning an entire
+    // retention cycle of other writers' commits — is bounded by
+    // retainVersions (default 100 commits), the same stall tolerance
+    // Iceberg's and Delta's claim-once metadata protocols carry.
+    if (listManifests().lastOption.exists(p =>
+        p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+          >= snap.snapshotId))
+      return false
+    def freshName() =
       f"d${snap.snapshotId}%016d-${java.util.UUID.randomUUID().toString.take(8)}.json"
-    val (detail, segments) = segmentedDetail(snap, deltaHint)
-      .getOrElse((SnapshotDetail(
-        dataDirs = snap.dataDirs, deltaDirs = snap.deltaDirs,
-        dirRecords = snap.dirRecords, dirStats = snap.dirStats), Seq.empty))
-    // The detail claim must gate the manifest claim: committing a manifest
+    // A FOLD (self-contained detail) past the shard threshold splits into
+    // k disjoint slices written as this commit's OWN detailSegments plus an
+    // empty own detail carrying the delta chain: the composed read is
+    // identical by the segment contract (shards add, nothing removes), a
+    // cold reader parses the shards in PARALLEL (loadDetails) instead of
+    // one ~147 MB document on one core, and the shard writes themselves
+    // fan out. Shards use the ordinary detail naming, so GC/expiry
+    // lifecycle (detailRefsOf, the orphan-sweep regex) needs no new case.
+    val (detail, segments, ownShards) = segmentedDetail(snap, deltaHint) match {
+      case Some((d, segs)) => (d, segs, Seq.empty[(String, SnapshotDetail)])
+      case None =>
+        val n = snap.dataDirs.size
+        val k = math.min(16, 1 + (n - 1).max(0) / SnapshotLog.foldShardDirs)
+        if (k < 2)
+          (SnapshotDetail(
+            dataDirs = snap.dataDirs, deltaDirs = snap.deltaDirs,
+            dirRecords = snap.dirRecords, dirStats = snap.dirStats),
+            Seq.empty[String], Seq.empty[(String, SnapshotDetail)])
+        else {
+          val per = (n + k - 1) / k
+          val shards = snap.dataDirs.grouped(per).map { slice =>
+            freshName() -> SnapshotDetail(
+              dataDirs = slice,
+              dirRecords = slice.iterator
+                .flatMap(d => snap.dirRecords.get(d).map(d -> _)).toMap,
+              dirStats = slice.iterator
+                .flatMap(d => snap.dirStats.get(d).map(d -> _)).toMap)
+          }.toSeq
+          (SnapshotDetail(dataDirs = Seq.empty, deltaDirs = snap.deltaDirs),
+            shards.map(_._1), shards)
+        }
+    }
+    val detailName = freshName()
+    // The detail claims must gate the manifest claim: committing a manifest
     // whose referenced detail never landed (uuid collision with a crashed
     // process's leftover, transient store failure) would make every read of
     // this snapshot throw — and as the NEWEST manifest it is not covered by
     // the benign expiry-race retry. Failing the commit lets the caller's
     // conflict/retry path handle it like any lost race. A lost race deletes
-    // only this commit's OWN detail — referenced segments belong to
+    // only this commit's OWN files (its detail + any fold shards it just
+    // wrote) — segments referenced from the PARENT belong to
     // already-committed manifests and are never touched here.
-    val detailOk = store.tryClaim(logDir.resolve(detailName),
-      Serialization.write(detail).getBytes(StandardCharsets.UTF_8))
-    if (!detailOk) return false
+    def cleanupOwn(): Unit = {
+      store.delete(logDir.resolve(detailName))
+      ownShards.foreach { case (nm, _) => store.delete(logDir.resolve(nm)) }
+    }
+    val shardsOk = ownShards.size match {
+      case 0 => true
+      case sz => // encode+claim shards concurrently: the fold's write fan
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(sz, Runtime.getRuntime.availableProcessors()))
+        try ownShards.map { case (nm, d) =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            override def call(): Boolean =
+              store.tryClaim(logDir.resolve(nm), SnapshotLog.writeDetailBytes(d))
+          })
+        }.forall(_.get())
+        finally pool.shutdown()
+    }
+    val detailOk = shardsOk && store.tryClaim(logDir.resolve(detailName),
+      SnapshotLog.writeDetailBytes(detail))
+    if (!detailOk) { cleanupOwn(); return false }
     val core = ManifestCore(snap.snapshotId, snap.parentId, snap.committedAt,
       snap.operation, snap.schemaJson, snap.summary, snap.batchKey,
       snap.recentBatchKeys, Some(detailName), segments)
     val won = store.tryClaim(manifestPath(snap.snapshotId),
       Serialization.write(core).getBytes(StandardCharsets.UTF_8))
-    if (!won) store.delete(logDir.resolve(detailName))
+    if (!won) cleanupOwn()
     won
   }
 
@@ -615,7 +826,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       // segment cache) and falls back to the full derivation on ANY
       // mismatch, so a wrong hint can cost time, never correctness.
       val hinted = deltaHint.flatMap { h =>
-        val segDetails = segments.map(loadDetail)
+        val segDetails = loadDetails(segments)
         val parentOwn = segDetails.last
         val hintAdded = h.added.toSet
         val removed = (parentOwn.removedDirs.filterNot(hintAdded) ++
@@ -641,7 +852,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         case Some(out) => return out // verified hint: segment form or fold
         case None => // no hint / inconsistent hint: derive from segments
       }
-      val segDirs = segments.flatMap(s => loadDetail(s).dataDirs)
+      val segDirs = loadDetails(segments).flatMap(_.dataDirs)
       val segSet = segDirs.toSet
       val live = snap.dataDirs.toSet
       val added = snap.dataDirs.filterNot(segSet)

@@ -219,4 +219,77 @@ class LogSplitSpec extends AnyFunSuite {
     assert(fresh.read().filter(col("id") < 5L).select("val").collect()
       .forall(_.getString(0) == "MOR"))
   }
+
+  // --- streaming detail codec: byte-for-byte dialect parity with json4s ---
+
+  private val codecFixture = graft.log.SnapshotDetail(
+    dataDirs = Seq("d1__bucket=0", "d2__bucket=1", "quote\"back\\slash",
+      "unicode-é中文", "ctrl-\t\n"),
+    deltaDirs = Seq("delta-000001", "delta-000002"),
+    removedDirs = Seq("gone-1"),
+    dirRecords = Map("d1__bucket=0" -> 42L, "d2__bucket=1" -> 0L,
+      "big" -> Long.MaxValue),
+    dirStats = Map(
+      "d1__bucket=0" -> Map("ts:min" -> "2024-01-01", "ts:max" -> "2024-06-30"),
+      "d2__bucket=1" -> Map.empty[String, String]))
+
+  test("streaming detail codec round-trips and matches the json4s dialect") {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import graft.log.SnapshotLog.{parseDetailBytes, writeDetailBytes}
+    // Round-trip through the streaming pair.
+    assert(parseDetailBytes(writeDetailBytes(codecFixture)) == codecFixture)
+    // json4s-written bytes (the pre-round-16 on-disk form) parse identically
+    // through the streaming reader — no dialect drift on old tables.
+    val legacy = org.json4s.jackson.Serialization.write(codecFixture)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(parseDetailBytes(legacy) == codecFixture)
+    // Streaming-written bytes parse identically through json4s — a reader
+    // running pre-streaming code (rollback) sees the same document.
+    val streamed = new String(writeDetailBytes(codecFixture),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(org.json4s.jackson.Serialization
+      .read[graft.log.SnapshotDetail](streamed) == codecFixture)
+    // Defaults: a minimal document (old writer, fewer fields) still parses.
+    assert(parseDetailBytes("""{"dataDirs":["only"]}""".getBytes) ==
+      graft.log.SnapshotDetail(Seq("only")))
+    // Forward-compat: unknown fields skip, scalar or nested.
+    assert(parseDetailBytes(
+      ("""{"dataDirs":["a"],"future":{"x":[1,2,{"y":3}]},""" +
+        """"flag":true,"deltaDirs":["d"]}""").getBytes) ==
+      graft.log.SnapshotDetail(Seq("a"), deltaDirs = Seq("d")))
+    // Malformed bytes surface as a parse failure, not silence.
+    intercept[Exception](parseDetailBytes("not json".getBytes))
+  }
+
+  test("a fold past the shard threshold writes parallel shards, reads exact") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("shard-").resolve("t")
+    val log = new SnapshotLog(root)
+    val n = SnapshotLog.foldShardDirs + 5000 // k = 2 shards
+    val dirs = (0 until n).map(i => f"data/s$i%07d/__bucket=${i % 32}")
+    val recs = dirs.map(d => d -> 7L).toMap
+    val stats = dirs.take(100).map(d => d -> Map("k:min" -> "0")).toMap
+    val snap = log.commit("create", "{}", dirs,
+      dirRecords = recs, dirStats = stats)
+    // The manifest core references >1 segment (the shards) — raw check so
+    // the assertion can't be satisfied by a single self-contained detail.
+    val core = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("_log").resolve(f"v${snap.snapshotId}%016d.json")))
+    val segCount = "\"detailSegments\":\\[[^\\]]+\\]".r.findFirstIn(core)
+      .map(_.count(_ == ',') + 1).getOrElse(0)
+    assert(segCount >= 2, s"expected sharded fold, core: ${core.take(400)}")
+    // A fresh instance (cold segment cache) composes the exact snapshot.
+    val cold = new SnapshotLog(root).latest().get
+    assert(cold.dataDirs.size == n && cold.dataDirs.toSet == dirs.toSet)
+    assert(cold.dirRecords == recs && cold.dirStats == stats)
+    // A child append stays segmented O(delta) on top of the shards and
+    // reads back exactly through the composed chain.
+    val extra = Seq("data/extra/__bucket=0")
+    log.commitExpecting(Some(snap.snapshotId), "append", "{}", dirs ++ extra,
+      dirRecords = recs ++ extra.map(_ -> 1L),
+      deltaHint = Some(graft.log.DirDelta(extra)))
+    val cold2 = new SnapshotLog(root).latest().get
+    assert(cold2.dataDirs.size == n + 1)
+    assert(cold2.dirRecords("data/extra/__bucket=0") == 1L)
+  }
 }
