@@ -76,15 +76,31 @@ case class Snapshot(
    * sees constructor params only, so the on-disk format is unchanged.
    */
   @transient lazy val dataDirsByBucket: Map[Int, Seq[String]] = {
-    val m = scala.collection.mutable.HashMap
-      .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
-    dataDirs.foreach { d =>
-      Snapshot.bucketOfDir(d).foreach(b =>
-        m.getOrElseUpdate(b,
-          scala.collection.mutable.ArrayBuffer.empty[String]) += d)
+    val pre = bucketIndexCarry
+    if (pre != null) pre
+    else {
+      val m = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+      dataDirs.foreach { d =>
+        Snapshot.bucketOfDir(d).foreach(b =>
+          m.getOrElseUpdate(b,
+            scala.collection.mutable.ArrayBuffer.empty[String]) += d)
+      }
+      val out = m.view.mapValues(_.toSeq).toMap
+      bucketIndexCarry = out
+      out
     }
-    m.view.mapValues(_.toSeq).toMap
   }
+
+  /** Pre-built (or post-built) form of [[dataDirsByBucket]]: the
+    * incremental head-change compose in [[SnapshotLog.readManifest]]
+    * CARRIES the parent's materialized index forward with the O(delta)
+    * adjustments, so a serving instance's first lookup after a commit
+    * skips the O(dirs) rebuild too. Set before first access when carried;
+    * set by the lazy build otherwise (which is how the compose learns the
+    * parent's index was ever materialized). @transient var: never rides
+    * serialization or the on-disk format. */
+  @transient @volatile private[graft] var bucketIndexCarry: Map[Int, Seq[String]] = null
 
   /** [[dataDirsByBucket]] union over a bucket set, in bucket order —
     * the serving paths' replacement for `dataDirs.filter(bucket ∈ set)`. */
@@ -629,31 +645,113 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       case (_, Some(legacyFull)) => legacyFull
       case (core, None) =>
         val own = loadDetail(core.detailFile.get)
+        var carriedIndex: Map[Int, Seq[String]] = null
         val (dataDirs, dirRecords, dirStats) =
           if (core.detailSegments.isEmpty)
             (own.dataDirs, own.dirRecords, own.dirStats)
-          else {
-            val segs = loadDetails(core.detailSegments)
-            val removed = own.removedDirs.toSet
-            val dirs = segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
-            // Single-pass merges (later segments override earlier, own
-            // last — the builder keeps the last binding per key, exactly
-            // the foldLeft(++)/filterKeys semantics this replaces, minus
-            // the intermediate map per segment and the second O(n) pass).
-            def merged[V](parts: Seq[Map[String, V]], ownM: Map[String, V]) = {
-              val b = scala.collection.immutable.HashMap.newBuilder[String, V]
-              parts.foreach(_.foreach(kv => if (!removed(kv._1)) b += kv))
-              b ++= ownM
-              b.result()
-            }
-            (dirs, merged(segs.map(_.dirRecords), own.dirRecords),
-              merged(segs.map(_.dirStats), own.dirStats))
+          else composeIncremental(core, own) match {
+            case Some((dirs, recs, stats, idx)) =>
+              carriedIndex = idx
+              (dirs, recs, stats)
+            case None =>
+              val segs = loadDetails(core.detailSegments)
+              val removed = own.removedDirs.toSet
+              val dirs =
+                segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
+              // Single-pass merges (later segments override earlier, own
+              // last — the builder keeps the last binding per key, exactly
+              // the foldLeft(++)/filterKeys semantics this replaces, minus
+              // the intermediate map per segment and the second O(n) pass).
+              def merged[V](parts: Seq[Map[String, V]], ownM: Map[String, V]) = {
+                val b = scala.collection.immutable.HashMap.newBuilder[String, V]
+                parts.foreach(_.foreach(kv => if (!removed(kv._1)) b += kv))
+                b ++= ownM
+                b.result()
+              }
+              (dirs, merged(segs.map(_.dirRecords), own.dirRecords),
+                merged(segs.map(_.dirStats), own.dirStats))
           }
-        Snapshot(core.snapshotId, core.parentId, core.committedAt,
+        val snap = Snapshot(core.snapshotId, core.parentId, core.committedAt,
           core.operation, core.schemaJson, dataDirs, core.summary,
           core.batchKey, dirRecords, own.deltaDirs,
           core.recentBatchKeys, dirStats)
+        if (carriedIndex != null) snap.bucketIndexCarry = carriedIndex
+        if (core.detailFile.isDefined)
+          composedTip = ComposedTip(core.snapshotId,
+            core.detailSegments :+ core.detailFile.get, snap,
+            own.removedDirs.toSet)
+        snap
     }
+
+  /** One-slot cache of the last composed SPLIT-format snapshot: id, its
+    * full detail chain (segments + own detail, in order), the composed
+    * snapshot, and its cumulative removed set. Lets a CHILD manifest whose
+    * segment list is exactly this chain compose in O(delta) — see
+    * [[composeIncremental]]. Volatile single slot: concurrent readers at
+    * worst lose the cache, never correctness (the incremental path's
+    * preconditions are exact identities, and details are claim-once
+    * immutable, same contract the segment cache rests on). */
+  private case class ComposedTip(snapId: Long, chain: Seq[String],
+      snap: Snapshot, removed: Set[String])
+  @volatile private var composedTip: ComposedTip = null
+
+  /** Diagnostics: count of reads served by the O(delta) incremental
+    * compose (tests assert the fast path actually ran — an equality-only
+    * test would pass on a silent fallback too). */
+  private[graft] val incrementalComposes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** O(delta) compose of a segmented manifest against the cached parent
+    * composition. Sound by the segment-format algebra: a child whose
+    * `detailSegments` EQUALS the parent's chain (segments :+ own detail)
+    * reads, in full form, `concat(chain dirs) filterNot R_c ++ own_c` —
+    * and the cached parent is `concat(parent segments) filterNot R_p ++
+    * own_p`. With no re-adds (R_p ⊆ R_c), filtering the parent's composed
+    * sequence by (R_c − R_p) and appending own_c yields the identical
+    * sequence (own_c's dirs are disjoint from the chain by construction:
+    * both encoder paths add only dirs absent from every segment). Re-adds
+    * (a rollback pulling a dir back OUT of the removed set — R_p ⊄ R_c)
+    * fall back to the full compose, as does any chain mismatch. On a
+    * 10⁶-dir table this turns the serving instance's post-commit head
+    * re-read from an O(dirs) recompose (~600 ms) into O(delta), and
+    * carries the materialized bucket index the same way. */
+  private def composeIncremental(core: ManifestCore, own: SnapshotDetail):
+      Option[(Seq[String], Map[String, Long],
+        Map[String, Map[String, String]], Map[Int, Seq[String]])] = {
+    val tip = composedTip
+    if (tip == null || !core.parentId.contains(tip.snapId) ||
+        core.detailSegments != tip.chain) return None
+    val removedNow = own.removedDirs.toSet
+    if (!tip.removed.subsetOf(removedNow)) return None // re-add: full path
+    val newly = removedNow -- tip.removed
+    val p = tip.snap
+    val dirs =
+      (if (newly.isEmpty) p.dataDirs else p.dataDirs.filterNot(newly)) ++
+        own.dataDirs
+    val recs = (if (newly.isEmpty) p.dirRecords else p.dirRecords -- newly) ++
+      own.dirRecords
+    val stats = (if (newly.isEmpty) p.dirStats else p.dirStats -- newly) ++
+      own.dirStats
+    // Carry the bucket index only if the parent ever materialized it
+    // (serving instances do; batch jobs often don't — then the child's
+    // stays lazy as before).
+    val idx: Map[Int, Seq[String]] = p.bucketIndexCarry match {
+      case null => null
+      case parentIdx =>
+        var m = parentIdx
+        newly.foreach(d => Snapshot.bucketOfDir(d).foreach { b =>
+          m.get(b).foreach { seq =>
+            val left = seq.filterNot(_ == d)
+            m = if (left.isEmpty) m - b else m.updated(b, left)
+          }
+        })
+        own.dataDirs.foreach(d => Snapshot.bucketOfDir(d).foreach(b =>
+          m = m.updated(b, m.getOrElse(b, Vector.empty[String]) :+ d)))
+        m
+    }
+    incrementalComposes.incrementAndGet()
+    Some((dirs, recs, stats, idx))
+  }
 
   /** Detail-file reference of a manifest, without inflating the snapshot.
     * DELIBERATELY a bare AST field extraction, not [[parseManifest]]: the

@@ -291,5 +291,77 @@ class LogSplitSpec extends AnyFunSuite {
     val cold2 = new SnapshotLog(root).latest().get
     assert(cold2.dataDirs.size == n + 1)
     assert(cold2.dirRecords("data/extra/__bucket=0") == 1L)
+    // Lifecycle: a later fold (overwrite resets the chain) leaves the
+    // shards referenced only by expired manifests; expire() must reclaim
+    // the shard files like any other detail.
+    log.commit("overwrite", "{}", Seq("data/tiny"))
+    assert(log.expire(1) >= 2)
+    val detailFiles = {
+      val s = java.nio.file.Files.list(root.resolve("_log"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("d\\d{16}-[0-9a-f]{8}\\.json")).toSeq
+      } finally s.close()
+    }
+    assert(detailFiles.size == 1,
+      s"only the live head's detail should remain, got $detailFiles")
+  }
+
+  test("incremental head-change compose equals full compose, carries the index") {
+    import graft.log.{DirDelta, Snapshot, SnapshotLog}
+    val root = TestSpark.tmpDir("incr-").resolve("t")
+    val warm = new SnapshotLog(root)
+    val dirs0 = (0 until 300).map(i => f"data/s$i%04d/__bucket=${i % 8}")
+    val s1 = warm.commit("create", "{}", dirs0,
+      dirRecords = dirs0.map(_ -> 3L).toMap,
+      dirStats = dirs0.map(d => d -> Map("k:min" -> "1", "k:max" -> "9")).toMap)
+    warm.latest().get.dataDirsByBucket // materialize the index on the warm log
+    def freshEquals(w: Snapshot): Unit = {
+      val f = new SnapshotLog(root).latest().get
+      assert(w.dataDirs == f.dataDirs)
+      assert(w.dirRecords == f.dirRecords && w.dirStats == f.dirStats)
+      assert(w.deltaDirs == f.deltaDirs)
+      assert(w.dataDirsByBucket == f.dataDirsByBucket)
+    }
+    // Append (pure add): the warm re-read must match a fresh full compose —
+    // and must have gone through the O(delta) fast path, not a fallback.
+    def countingIncremental[T](expect: Boolean)(body: => T): T = {
+      val before = warm.incrementalComposes.get()
+      val out = body
+      assert((warm.incrementalComposes.get() > before) == expect,
+        s"incremental-compose fast path: expected used=$expect")
+      out
+    }
+    val add = Seq("data/added/__bucket=3")
+    warm.commitExpecting(Some(s1.snapshotId), "append", "{}", dirs0 ++ add,
+      dirRecords = s1.dirRecords ++ add.map(_ -> 11L),
+      deltaHint = Some(DirDelta(add)))
+    freshEquals(countingIncremental(expect = true)(warm.latest().get))
+    // Partial rewrite (remove some, add one): removed set grows.
+    val gone = dirs0.take(5)
+    val kept = dirs0.drop(5) ++ add
+    val repl = Seq("data/repl/__bucket=0")
+    warm.commitExpecting(Some(s1.snapshotId + 1), "upsert", "{}", kept ++ repl,
+      dirRecords = (s1.dirRecords -- gone) ++ add.map(_ -> 11L) + (repl.head -> 15L))
+    val afterRw = countingIncremental(expect = true)(warm.latest().get)
+    assert(afterRw.dataDirs.size == kept.size + 1 &&
+      !afterRw.dataDirs.exists(gone.contains))
+    freshEquals(afterRw)
+    // MOR delta join (base dirs unchanged): delta chain from own, inline.
+    warm.commitExpecting(Some(s1.snapshotId + 2), "upsert-deferred", "{}",
+      afterRw.dataDirs, dirRecords = afterRw.dirRecords,
+      deltaDirs = Seq("data/delta1"), deltaHint = Some(DirDelta(Seq.empty)))
+    freshEquals(countingIncremental(expect = true)(warm.latest().get))
+    // Rollback shape (re-add a removed dir): incremental must fall back to
+    // the full compose and still be exact.
+    val reAdd = warm.latest().get
+    warm.commitExpecting(Some(reAdd.snapshotId), "rollback", "{}",
+      reAdd.dataDirs ++ Seq(gone.head),
+      dirRecords = reAdd.dirRecords + (gone.head -> 3L),
+      deltaDirs = reAdd.deltaDirs)
+    val rolled = countingIncremental(expect = false)(warm.latest().get)
+    assert(rolled.dataDirs.contains(gone.head))
+    freshEquals(rolled)
   }
 }
