@@ -1,0 +1,67 @@
+package graft
+
+// Isolated A/B of the cold-open compose costs at the 10^6-dir regime:
+// parse (parallel shard load) vs the three merge passes, and sequential
+// vs concurrent execution of the two map merges. Pure data-structure
+// timing — no Spark, no probe noise. Run:
+//   sbt "Test/runMain graft.ComposeBench"
+object ComposeBench {
+  def main(args: Array[String]): Unit = {
+    import graft.log.{SnapshotDetail, SnapshotLog}
+    val n = 1000000
+    val k = 16
+    val per = (n + k - 1) / k
+    val dirs = (0 until n).map(i => s"data/f$i/__bucket=${i % 1024}")
+    val shards = dirs.grouped(per).map { slice =>
+      SnapshotDetail(slice,
+        dirRecords = slice.map(_ -> 1000L).toMap,
+        dirStats = slice.map(d => d -> Map(
+          "event_id:min" -> "9000000000", "event_id:max" -> "9000000999")).toMap)
+    }.toSeq
+    val shardBytes = shards.map(SnapshotLog.writeDetailBytes)
+    println(s"n=$n shards=$k bytes=${shardBytes.map(_.length.toLong).sum / 1e6}%.0f MB")
+    def ms(body: => Unit): Double = {
+      val s0 = System.nanoTime(); body; (System.nanoTime() - s0) / 1e6
+    }
+    val removed = Set.empty[String]
+    def merged[V](parts: Seq[Map[String, V]]): Map[String, V] = {
+      val b = scala.collection.immutable.HashMap.newBuilder[String, V]
+      parts.foreach(_.foreach(kv => if (!removed(kv._1)) b += kv))
+      b.result()
+    }
+    for (rep <- 1 to 4) {
+      // parse: sequential vs parallel over shards
+      val seqParse = ms { shardBytes.foreach(SnapshotLog.parseDetailBytes) }
+      var segs: Seq[SnapshotDetail] = null
+      val parParse = ms {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        try segs = shardBytes.map(b => pool.submit(
+          new java.util.concurrent.Callable[SnapshotDetail] {
+            override def call() = SnapshotLog.parseDetailBytes(b)
+          })).map(_.get())
+        finally pool.shutdown()
+      }
+      // merges: dirs concat, records map, stats map — sequential sum
+      val dirsMs = ms { segs.flatMap(_.dataDirs).filterNot(removed) }
+      val recsMs = ms { merged(segs.map(_.dirRecords)) }
+      val statsMs = ms { merged(segs.map(_.dirStats)) }
+      // concurrent: dirs on caller, recs+stats off-thread
+      val concMs = ms {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val f1 = pool.submit(new java.util.concurrent.Callable[AnyRef] {
+            override def call() = merged(segs.map(_.dirRecords))
+          })
+          val f2 = pool.submit(new java.util.concurrent.Callable[AnyRef] {
+            override def call() = merged(segs.map(_.dirStats))
+          })
+          segs.flatMap(_.dataDirs).filterNot(removed)
+          f1.get(); f2.get()
+        } finally pool.shutdown()
+      }
+      println(f"rep=$rep parseSeq=$seqParse%.0f parsePar=$parParse%.0f | " +
+        f"dirs=$dirsMs%.0f recs=$recsMs%.0f stats=$statsMs%.0f " +
+        f"(seqSum=${dirsMs + recsMs + statsMs}%.0f) concurrent=$concMs%.0f ms")
+    }
+  }
+}
