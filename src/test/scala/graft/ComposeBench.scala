@@ -19,7 +19,7 @@ object ComposeBench {
           "event_id:min" -> "9000000000", "event_id:max" -> "9000000999")).toMap)
     }.toSeq
     val shardBytes = shards.map(SnapshotLog.writeDetailBytes)
-    println(s"n=$n shards=$k bytes=${shardBytes.map(_.length.toLong).sum / 1e6}%.0f MB")
+    println(f"n=$n shards=$k bytes=${shardBytes.map(_.length.toLong).sum / 1e6}%.0f MB")
     def ms(body: => Unit): Double = {
       val s0 = System.nanoTime(); body; (System.nanoTime() - s0) / 1e6
     }
