@@ -32,10 +32,32 @@ object Verify {
         SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Registry-wide output-type audit (round 17): the driver's hash compare
+    // is only proven on the leaf types below — r16's sole raw-DECIMAL output
+    // column hash-failed officially while passing a value-exact local DuckDB
+    // compare. A novel type now fails ITS gate loudly (an `err` row in
+    // CORRECTNESS, not a silent hash mismatch), pointing at the Q.scala
+    // convention (decimal-exact math, DOUBLE/STRING outputs).
+    import org.apache.spark.sql.types._
+    def unstable(dt: DataType, path: String): Seq[String] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => unstable(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => unstable(a.elementType, s"$path[]")
+      case m: MapType =>
+        unstable(m.keyType, s"$path<key>") ++ unstable(m.valueType, s"$path<val>")
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType => Nil
+      case other => Seq(s"$path: ${other.sql}")
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = unstable(df.schema, name)
+        require(bad.isEmpty, "output type(s) not driver-hash-proven: " +
+          bad.mkString("; ") + " — cast to DOUBLE/STRING per Q.scala convention")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -594,6 +594,27 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private val segmentCache =
     new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
 
+  /** Shared daemon pool for metadata fan-out (segment parses, compose
+    * merges, shard claims). One lazily-created pool per log instance —
+    * `snapshots()` alone can hit readManifest up to retainVersions times
+    * per call, and a per-call `newFixedThreadPool` there churned ~100
+    * short-lived pools (thread create/teardown) per metadata scan, with
+    * non-daemon threads briefly pinning JVM shutdown. Daemon threads +
+    * never shut down. CONSTRAINT: a task submitted here must never block
+    * on another task submitted here (all current uses are flat fan-outs
+    * awaited from a caller thread). */
+  private lazy val metaPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors()),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-log-meta-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   private def loadDetail(name: String): SnapshotDetail = {
     val c = segmentCache.get(name)
     if (c != null) c
@@ -615,20 +636,16 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def loadDetails(names: Seq[String]): Seq[SnapshotDetail] = {
     val misses = names.distinct.filterNot(segmentCache.containsKey)
     if (misses.size > 1) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(misses.size, Runtime.getRuntime.availableProcessors()))
-      try {
-        val fs = misses.map(n => pool.submit(
-          new java.util.concurrent.Callable[SnapshotDetail] {
-            override def call(): SnapshotDetail = loadDetail(n)
-          }))
-        fs.foreach { f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException => throw e.getCause
-          }
+      val fs = misses.map(n => metaPool.submit(
+        new java.util.concurrent.Callable[SnapshotDetail] {
+          override def call(): SnapshotDetail = loadDetail(n)
+        }))
+      fs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
-      } finally pool.shutdown()
+      }
     }
     names.map(loadDetail)
   }
@@ -671,22 +688,19 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
               // their sum — isolated A/B (ComposeBench, 10⁶ dirs): 820 →
               // 470 ms. Warm head changes never get here (they take the
               // incremental path above).
-              val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-              try {
-                val recsF = pool.submit(
-                  new java.util.concurrent.Callable[Map[String, Long]] {
-                    override def call() =
-                      merged(segs.map(_.dirRecords), own.dirRecords)
-                  })
-                val statsF = pool.submit(new java.util.concurrent.Callable[
-                    Map[String, Map[String, String]]] {
+              val recsF = metaPool.submit(
+                new java.util.concurrent.Callable[Map[String, Long]] {
                   override def call() =
-                    merged(segs.map(_.dirStats), own.dirStats)
+                    merged(segs.map(_.dirRecords), own.dirRecords)
                 })
-                val dirs =
-                  segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
-                (dirs, recsF.get(), statsF.get())
-              } finally pool.shutdown()
+              val statsF = metaPool.submit(new java.util.concurrent.Callable[
+                  Map[String, Map[String, String]]] {
+                override def call() =
+                  merged(segs.map(_.dirStats), own.dirStats)
+              })
+              val dirs =
+                segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
+              (dirs, recsF.get(), statsF.get())
           }
         val snap = Snapshot(core.snapshotId, core.parentId, core.committedAt,
           core.operation, core.schemaJson, dataDirs, core.summary,
@@ -878,16 +892,29 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     }
     val shardsOk = ownShards.size match {
       case 0 => true
-      case sz => // encode+claim shards concurrently: the fold's write fan
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(sz, Runtime.getRuntime.availableProcessors()))
-        try ownShards.map { case (nm, d) =>
-          pool.submit(new java.util.concurrent.Callable[Boolean] {
+      case _ => // encode+claim shards concurrently: the fold's write fan.
+        val fs = ownShards.map { case (nm, d) =>
+          metaPool.submit(new java.util.concurrent.Callable[Boolean] {
             override def call(): Boolean =
               store.tryClaim(logDir.resolve(nm), SnapshotLog.writeDetailBytes(d))
           })
-        }.forall(_.get())
-        finally pool.shutdown()
+        }
+        // Await ALL claims before judging success: short-circuiting on the
+        // first false would let a still-racing shard land its claim AFTER
+        // cleanupOwn() deleted the path, leaving a claimed-but-unreferenced
+        // shard until the orphan sweep. A store exception unwraps to its
+        // cause (matching loadDetails) and still runs cleanupOwn so no
+        // already-claimed sibling shard is stranded.
+        val outcomes = fs.map { f =>
+          try Right(f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+          }
+        }
+        outcomes.collectFirst { case Left(t) => t }.foreach { t =>
+          cleanupOwn(); throw t
+        }
+        outcomes.forall(_ == Right(true))
     }
     val detailOk = shardsOk && store.tryClaim(logDir.resolve(detailName),
       SnapshotLog.writeDetailBytes(detail))
@@ -934,12 +961,24 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       // all). The cumulative removed set then derives from the PARENT's own
       // detail (its cumulative removed, minus any hinted re-add, plus the
       // hinted removals), and nothing here touches the O(dirs) segment
-      // union: per-commit metadata CPU is O(delta + cumulative-removed),
-      // not O(live dirs) — at 10^6 dirs that is the difference between a
-      // ~7 s and a sub-second append. The size equation below cross-checks
-      // the hint against segment totals (O(#segments) given the immutable-
-      // segment cache) and falls back to the full derivation on ANY
-      // mismatch, so a wrong hint can cost time, never correctness.
+      // union: per-commit metadata CPU is O(delta) hash-set work plus one
+      // O(live)-but-constant-cheap membership sweep, never the O(live)
+      // set/map DERIVATION below — at 10^6 dirs that is the difference
+      // between a ~7 s and a sub-second append. Two cross-checks gate the
+      // hint, falling back to the full derivation on ANY failure:
+      //   1. the size equation against segment totals (O(#segments) given
+      //      the immutable-segment cache);
+      //   2. a membership sweep over snap.dataDirs — every hinted add must
+      //      be live and no hinted/cumulative removed dir may be live. A
+      //      size-consistent but membership-wrong hint (removed=[A] when
+      //      the commit really dropped B) would otherwise compose a dir set
+      //      that silently diverges from the committed snapshot: durable
+      //      metadata corruption, not just wasted time.
+      // Residual trust (documented, not checked): a hint claiming "no
+      // change" when dirs actually churned symmetrically passes both
+      // checks; full validation would require rebuilding the segment set,
+      // i.e. the exact O(live-dirs) derivation the hint exists to skip.
+      // Callers stating a hint must know the commit's true base-dir delta.
       val hinted = deltaHint.flatMap { h =>
         val segDetails = loadDetails(segments)
         val parentOwn = segDetails.last
@@ -949,7 +988,18 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         val segDirsCount = segDetails.iterator.map(_.dataDirs.size).sum
         val consistent =
           snap.dataDirs.size.toLong == segDirsCount.toLong - removed.size + h.added.size
-        if (!consistent) None
+        def membershipOk: Boolean = {
+          val remSet = removed.toSet
+          var liveAdds = 0
+          val it = snap.dataDirs.iterator
+          while (it.hasNext) {
+            val d = it.next()
+            if (remSet.contains(d)) return false // "removed" dir still live
+            if (hintAdded.contains(d)) liveAdds += 1
+          }
+          liveAdds == hintAdded.size // every hinted add is actually live
+        }
+        if (!consistent || !membershipOk) None
         else if (h.added.size + removed.size >
             math.max(8, snap.dataDirs.size / 2)) Some(None)
         else if (removed.size >= segDirsCount) Some(None)

@@ -5,6 +5,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import Q._
 
@@ -263,7 +264,11 @@ object ConnectorQueries {
     // int64 physical encoding boundary; DATE -> TIMESTAMP_NTZ reads
     // midnight with no zone shift. Metadata-only (zero data-dir changes),
     // then a mixed-era read: the post-widen INSERT writes wide-typed files
-    // alongside the narrow ones.
+    // alongside the narrow ones. Decimal exactness is asserted IN-GATE at
+    // the wide type (the only place a raw DECIMAL(13,2) exists); the graded
+    // projection casts to DOUBLE per the registry's hash-stable output
+    // convention (Q.scala class doc) — the r16 official hash-fail on this
+    // gate traced to it being the registry's sole raw-DECIMAL output.
     "t_v2_widen_dec" -> ((s, d) => {
       val cat = tempCatalog(s)
       val o = tbl(s, d, "orders").select(col("o_orderkey"),
@@ -281,8 +286,53 @@ object ConnectorQueries {
         "widen must be metadata-only (zero data-dir changes)")
       s.sql(s"INSERT INTO $cat.orders VALUES " +
         "(99999999, 77777777777.55, TIMESTAMP_NTZ '2031-01-02 03:04:05')")
-      s.sql(s"SELECT o_orderkey, o_totalprice, o_orderdate FROM $cat.orders " +
+      // The wide-era row must read back bit-exact at DECIMAL(13,2) — a
+      // value beyond DECIMAL(9,2)'s range, so it proves the widened type
+      // is live end-to-end (write + mixed-era read).
+      val wide = s.sql(s"SELECT o_totalprice FROM $cat.orders " +
+        "WHERE o_orderkey = 99999999").collect()
+      require(wide.length == 1 && wide(0).getDecimal(0).compareTo(
+          new java.math.BigDecimal("77777777777.55")) == 0,
+        s"wide-era row must be exact DECIMAL(13,2): ${wide.toSeq}")
+      // The narrow-era files must rescale losslessly: exact decimal sum
+      // over the promoted read equals the same sum over the source.
+      val got = s.table(s"$cat.orders").filter(col("o_orderkey") =!= 99999999)
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 2)))).collect()(0)
+      val want = o
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 2)))).collect()(0)
+      require(got.getDecimal(0).compareTo(want.getDecimal(0)) == 0,
+        s"narrow-era decimal sum must survive the widen: $got vs $want")
+      s.sql(s"SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+        s"o_orderdate FROM $cat.orders " +
         "WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey")
+    }),
+
+    // Decimal SCALE growth (round 17): DECIMAL(9,2) -> DECIMAL(12,4) keeps
+    // integer headroom (9-2 = 12-4 digits) so every narrow value rescales
+    // exactly on read; metadata-only, then a mixed-era read with a
+    // post-widen INSERT carrying 4 live decimal places. DOUBLE-cast output
+    // per the registry convention.
+    "t_v2_widen_scale" -> ((s, d) => {
+      val cat = tempCatalog(s)
+      val o = tbl(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(9,2)").as("o_totalprice"))
+      ingestBucketed(s, cat, "orders", o, "o_orderkey", 4)
+      val wh = java.nio.file.Paths.get(
+        s.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      val dirsBefore = new graft.catalog.GraftCatalog(s, wh).table("orders")
+        .log.latest().get.dataDirs
+      s.sql(s"ALTER TABLE $cat.orders ALTER COLUMN o_totalprice TYPE DECIMAL(12,4)")
+      require(new graft.catalog.GraftCatalog(s, wh).table("orders")
+        .log.latest().get.dataDirs == dirsBefore,
+        "scale widen must be metadata-only (zero data-dir changes)")
+      s.sql(s"INSERT INTO $cat.orders VALUES (99999999, 1234567.8912)")
+      val wide = s.sql(s"SELECT o_totalprice FROM $cat.orders " +
+        "WHERE o_orderkey = 99999999").collect()
+      require(wide.length == 1 && wide(0).getDecimal(0).compareTo(
+          new java.math.BigDecimal("1234567.8912")) == 0,
+        s"wide-era row must be exact DECIMAL(12,4): ${wide.toSeq}")
+      s.sql(s"SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice " +
+        s"FROM $cat.orders WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey")
     }),
 
     // SQL UPDATE through the catalog (SupportsRowLevelOperations,
@@ -463,7 +513,9 @@ object ConnectorQueries {
            UNION ALL SELECT 99999999, 7777777777, 5.5
          ) WHERE o_custkey >= 100 ORDER BY o_orderkey""",
     "t_v2_widen_dec" ->
-      """SELECT * FROM (
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                o_orderdate
+         FROM (
            SELECT o_orderkey,
                   CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DECIMAL(13,2))
                     AS o_totalprice,
@@ -471,6 +523,15 @@ object ConnectorQueries {
            FROM orders
            UNION ALL SELECT 99999999, CAST(77777777777.55 AS DECIMAL(13,2)),
                   TIMESTAMP '2031-01-02 03:04:05'
+         ) WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey""",
+    "t_v2_widen_scale" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DECIMAL(12,4))
+                    AS o_totalprice
+           FROM orders
+           UNION ALL SELECT 99999999, CAST(1234567.8912 AS DECIMAL(12,4))
          ) WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey""",
     "t_v2_sql" ->
       // BIGINT cast: the DDL above declares n_regionkey BIGINT (append

@@ -1367,13 +1367,27 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       // are resolved at read time and ALWAYS read (readRange prunes base
       // dirs only), so their stats would never be consulted. Branch-local
       // O(added) construction — the head's stats keys are already confined
-      // to its base dirs by this same rule on every prior commit, so no
-      // O(dirs) re-filter is needed: plain append extends the base (head
-      // stats stay, new stats join); a pending-MOR append changes NO base
-      // dir (head stats alone).
+      // to its base dirs by this same rule on every prior commit (the same
+      // invariant every other commit site that produces dirStats maintains:
+      // commitRewrite, upsert/delete COW, compaction), so no O(dirs)
+      // re-filter is needed: plain append extends the base (head stats
+      // stay, new stats join); a pending-MOR append changes NO base dir
+      // (head stats alone). One cheap repair path remains for the invariant
+      // ever being violated upstream (an older-format table, a direct
+      // SnapshotLog.commitExpecting caller passing unfiltered stats): a
+      // stray key makes the stats map strictly LARGER than the base-dir
+      // set, and only then do we pay the O(dirs) re-filter once — without
+      // it the stray would propagate through every subsequent append
+      // forever.
+      val headBaseDirs = head.map(_.dataDirs).getOrElse(Seq.empty)
+      val headStats = {
+        val raw = head.map(_.dirStats).getOrElse(Map.empty)
+        if (raw.size <= headBaseDirs.size) raw
+        else { val base = headBaseDirs.toSet; raw.view.filterKeys(base).toMap }
+      }
       val statsAll =
-        if (pendingDeltas.nonEmpty) head.map(_.dirStats).getOrElse(Map.empty)
-        else head.map(_.dirStats).getOrElse(Map.empty) ++
+        if (pendingDeltas.nonEmpty) headStats
+        else headStats ++
           newDirs.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats)
       // The commit's base-dir delta is known outright here (fresh dir
       // names; nothing removed) — the hint lets the segmented-detail
