@@ -539,6 +539,67 @@ object ScaleProbe {
       batch.unpersist(blocking = false)
     }
 
+    // Range-layout twin (round 17, v2_sql_merge_range): the table is
+    // bucketed by user_id — the MERGE key event_id is NOT the bucket key,
+    // so the key-IN variant cannot apply — and ingested as f APPEND-ORDERED
+    // slices with disjoint event_id windows (each bucket leaf carries a
+    // tight event_id min/max). The fixed 50-key batch lives in slice 0.
+    // MergeKeyPruneRule's min/max conjunct + the v2 scan's manifest stats
+    // skipping should hold the matching-rows subquery (top_stage_mb) at
+    // ~slice size while the table grows f× — the range-clustered analogue
+    // of the bucket-pinned claim above.
+    if (only.forall(_.contains("v2_sql_merge_range")))
+    for (f <- Seq(1, factor)) {
+      val ev0 = graft.queries.Q.events(spark, sfDir)
+      val n = 16 * f
+      val cat = graft.queries.ConnectorQueries.tempCatalog(spark)
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      def slice(k: Int): DataFrame =
+        ev0.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"))
+      graft.queries.ConnectorQueries.ingestBucketed(
+        spark, cat, "t", slice(0), "user_id", n)
+      (1 until f).foreach { k =>
+        slice(k).createOrReplaceTempView("rng_slice")
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM rng_slice")
+      }
+      val keys = ev0.select("event_id").limit(50).collect()
+        .map(_.getLong(0)).toSeq
+      val batch = slice(0).filter(col("event_id").isin(keys: _*))
+        .withColumn("value", col("value") + 1.0)
+        .withColumn("op", lit("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      batch.createOrReplaceTempView("sql_merge_range_batch")
+      val stmt = s"""MERGE INTO $cat.t t USING sql_merge_range_batch s
+        ON t.event_id = s.event_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET ${cols.filterNot(_ == "event_id")
+          .map(c => s"t.$c = s.$c").mkString(", ")}
+        WHEN NOT MATCHED AND s.op != 'd' THEN INSERT (${cols.mkString(", ")})
+          VALUES (${cols.map(c => s"s.$c").mkString(", ")})"""
+      timedWaves("v2_sql_merge_range", f, () => ()) { _ =>
+        spark.sql(stmt); keys.size.toLong
+      }
+      def attrRunR(st: String): (Double, Double, Double) = {
+        stageInputs.clear()
+        val i0 = inputRead.get()
+        val t0 = System.nanoTime()
+        spark.sql(st)
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300L)
+        import scala.jdk.CollectionConverters._
+        val top = stageInputs.asScala.map(_.longValue).maxOption.getOrElse(0L)
+        (dt, (inputRead.get() - i0) / 1e6, top / 1e6)
+      }
+      val (rWall, rIn, rTop) = Seq(attrRunR(stmt), attrRunR(stmt)).minBy(_._1)
+      println(f"scaleprobe v2_sql_merge_range_attr f=$f%-3d wall=${rWall}%.3fs " +
+        f"input=${rIn}%.1fMB top_stage=${rTop}%.1fMB")
+      sqlMergeAttr += (s"""{"f":$f,"layout":"range","wall_sec":${jnum(rWall)},""" +
+        s""""input_mb":${jnum(rIn)},"top_stage_mb":${jnum(rTop)}}""")
+      batch.unpersist(blocking = false)
+    }
+
     // In-scan MOR chain amplification probe (v2_mor_chain): every bucket
     // task re-reads the WHOLE unbucketed chain and keeps its bucket's keys
     // (GraftSparkTable.scala, GraftMorPartitionReader), so total chain

@@ -574,8 +574,40 @@ final class GraftScanBuilder(
         .reduceOption(FilterApi.and)
       // Conjuncts AND together, so the bucket sets intersect.
       val keptBuckets = pushedPhys.flatMap(bucketsOf).reduceOption(_ intersect _)
+      // Manifest-level data skipping on pushed range/point conjuncts
+      // (round 17): the same per-dir min/max intersection the session
+      // API's readRange/readBox does, applied BEFORE any file listing. A
+      // column needs a lower AND an upper conjunct to form a window
+      // (strict bounds use the closed window — a conservative superset);
+      // dirs without stats always survive, and Spark re-evaluates every
+      // filter above the scan, so pruning is never a correctness decision.
+      // This is what makes a range-pruned MERGE's matching-rows subquery
+      // O(touched dirs) on a range-clustered table (MergeKeyPruneRule's
+      // min/max conjunct) — and any plain v2 range query O(matching dirs).
+      val statKept: Option[Set[String]] = {
+        val los = pushedPhys.collect {
+          case sources.GreaterThan(a, v) if v != null => (a, v)
+          case sources.GreaterThanOrEqual(a, v) if v != null => (a, v)
+          case sources.EqualTo(a, v) if v != null => (a, v)
+        }
+        val his = pushedPhys.collect {
+          case sources.LessThan(a, v) if v != null => (a, v)
+          case sources.LessThanOrEqual(a, v) if v != null => (a, v)
+          case sources.EqualTo(a, v) if v != null => (a, v)
+        }
+        val bounds = for {
+          (c, lo) <- los.toSeq
+          (c2, hi) <- his.toSeq if c2 == c
+        } yield (c, (lo, hi))
+        if (bounds.isEmpty) None
+        else {
+          val gt = new GraftTable(spark, Paths.get(rootPath), tableName)
+          val kept = gt.statPrunedDirs(head, tableSchema, bounds).toSet
+          if (kept.size == head.dataDirs.size) None else Some(kept)
+        }
+      }
       new GraftScan(spark, rootPath, tableName, head, readSchema, bucketSpec,
-        predicate, keptBuckets, morKey)
+        predicate, keptBuckets, morKey, statKept)
   }
 }
 
@@ -646,6 +678,10 @@ final class GraftScan(
     predicate: Option[FilterPredicate],
     keptBuckets: Option[Set[Int]] = None,
     morKey: Option[String] = None,
+    // Data dirs surviving manifest min/max skipping on the pushed range
+    // conjuncts (None = no skipping applies). Conservative superset by
+    // construction — see the builder; delta dirs are never pruned.
+    statKept: Option[Set[String]] = None,
     planListener: Option[Option[Set[Int]] => Unit] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsReportStatistics with SupportsRuntimeV2Filtering
@@ -660,7 +696,9 @@ final class GraftScan(
       // Static bucket pruning is a separate channel from the parquet
       // row-group predicate; without this the plan reads as unpruned.
       keptBuckets.map(b => s" buckets=${b.toSeq.sorted.mkString("{", ",", "}")}")
-        .getOrElse("")
+        .getOrElse("") +
+      statKept.map(s => s" statsPruned=${head.dataDirs.size - s.size}/" +
+        s"${head.dataDirs.size}").getOrElse("")
 
   private val hadoopConf =
     new SerializableConfiguration(spark.sessionState.newHadoopConf())
@@ -695,6 +733,15 @@ final class GraftScan(
     * loadTable), each bucket's partition also carries ITS slice of the
     * chain in sequence order; partitioning stays key-grouped because
     * resolution never moves a row across its key's bucket. */
+  // Manifest stats skipping happens here (not on head itself): the bucket
+  // layout decision above/below still reads the FULL dir set (a pruned
+  // view must not change the partitioning claim), only planning drops
+  // dirs. Delta dirs are never stats-pruned (always read + resolved).
+  private def statKeptDataDirs: Seq[String] = statKept match {
+    case Some(keep) => head.dataDirs.filter(keep.contains)
+    case None => head.dataDirs
+  }
+
   private lazy val planned: (Array[InputPartition], Boolean) = bucketSpec match {
     case Some((_, n)) if (head.dataDirs ++ head.deltaDirs).nonEmpty &&
         head.dataDirs.forall(bucketOfDir(_).isDefined) &&
@@ -713,7 +760,7 @@ final class GraftScan(
           s"pending delta chain is $chainBytes bytes " +
             s"(cap ${GraftSparkTable.morDeltaMaxBytes}); compact() first")
       }
-      val byBucket = head.dataDirs.groupBy(d => bucketOfDir(d).get)
+      val byBucket = statKeptDataDirs.groupBy(d => bucketOfDir(d).get)
       val allBuckets =
         (byBucket.keySet ++ (if (chain.nonEmpty) (0 until n).toSet else Set.empty))
           .toSeq.sorted
@@ -730,7 +777,7 @@ final class GraftScan(
       // ever planning a stale bare scan.
       require(head.deltaDirs.isEmpty,
         s"internal: unpartitioned plan cannot resolve ${head.deltaDirs.size} deltas")
-      val parts = head.dataDirs.flatMap { d =>
+      val parts = statKeptDataDirs.flatMap { d =>
         val files = listFiles(d)
         if (files.isEmpty) None
         else Some(GraftInputPartition(files.toArray, -1): InputPartition)
@@ -772,7 +819,7 @@ final class GraftScan(
         p.files.map(_.len).sum + p.deltaFiles.map(_.len).sum
     }.sum
     val rows: Option[Long] =
-      if (head.deltaDirs.isEmpty && keptBuckets.isEmpty &&
+      if (head.deltaDirs.isEmpty && keptBuckets.isEmpty && statKept.isEmpty &&
           head.dataDirs.forall(head.dirRecords.contains))
         Some(head.dataDirs.map(head.dirRecords).sum)
       else None

@@ -171,24 +171,108 @@ object SnapshotLog {
   private implicit val detailFormats: Formats = DefaultFormats
   private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
-  /** Streaming (token-level) parse of a SnapshotDetail document — the
-    * same JSON the json4s path reads, minus its intermediate AST. Measured
-    * at the 10⁶-dir regime (147 MB document, DetailCodecBench): parse is
-    * PARITY with json4s (~3.5-5 s both — the cost is building the
-    * million-entry Scala maps, not tokenization), so the reader is kept
-    * for its allocation profile (no 147 MB intermediate String + no AST —
-    * roughly a 3× peak-garbage cut on the cold open) and for symmetry with
-    * the write side, where streaming IS several-fold faster. Any shape
-    * surprise (wrong token where a field starts) falls back to the json4s
-    * reader, so the streaming path can only ever be a fast path, never a
-    * different dialect. */
+  /** Binary detail documents (round 17) start with this magic; anything
+    * else (a '{') is a legacy JSON detail and takes the streaming-JSON /
+    * json4s path below — old logs stay readable without migration. */
+  private val DetailMagic = Array[Byte]('G', 'D', 'T', '1')
+
+  /** Parse a SnapshotDetail document, any era. Binary (magic `GDT1`) is
+    * the round-17 format [[writeDetailBytes]] emits: each dir is stated
+    * ONCE with its record count and stats inline (the JSON form repeated
+    * every dir name three times — dataDirs array, dirRecords key, dirStats
+    * key — which tripled both bytes and string allocations), stat KEYS are
+    * dictionary-coded (a 10⁶-dir table carries the same handful of
+    * "col:min"/"col:max" keys a million times each), and the result's
+    * dirRecords/dirStats are [[ArrayDirMap]]s — parallel arrays, ZERO hash
+    * building at parse time; `get` forces a one-time index, iteration
+    * never does. Measured (DetailCodecBench, 10⁶ dirs): 147 MB JSON →
+    * 56 MB binary; parse 3.5-5 s → sub-second, and the remaining cost is
+    * the inner per-dir stats Maps, not tokenization or top-level maps. */
   private[graft] def parseDetailBytes(bytes: Array[Byte]): SnapshotDetail =
-    try streamDetail(bytes)
-    catch {
-      case scala.util.control.NonFatal(_) =>
-        Serialization.read[SnapshotDetail](
-          new String(bytes, StandardCharsets.UTF_8))
+    if (bytes.length >= 4 && bytes(0) == DetailMagic(0) &&
+        bytes(1) == DetailMagic(1) && bytes(2) == DetailMagic(2) &&
+        bytes(3) == DetailMagic(3))
+      parseBinaryDetail(bytes)
+    else
+      try streamDetail(bytes)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          Serialization.read[SnapshotDetail](
+            new String(bytes, StandardCharsets.UTF_8))
+      }
+
+  private def parseBinaryDetail(bytes: Array[Byte]): SnapshotDetail = {
+    var pos = 4
+    def vint(): Long = {
+      var shift = 0; var r = 0L
+      while (true) {
+        val b = bytes(pos); pos += 1
+        r |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return r
+        shift += 7
+      }
+      r
     }
+    def zig(): Long = { val n = vint(); (n >>> 1) ^ -(n & 1L) }
+    def str(): String = {
+      val len = vint().toInt
+      val s = new String(bytes, pos, len, StandardCharsets.UTF_8)
+      pos += len
+      s
+    }
+    val dict = Array.fill(vint().toInt)(str())
+    def statsMap(): Map[String, String] = {
+      val n = vint().toInt
+      val b = Map.newBuilder[String, String]
+      var j = 0
+      while (j < n) { b += dict(vint().toInt) -> str(); j += 1 }
+      b.result()
+    }
+    val nDirs = vint().toInt
+    val dirs = new Array[String](nDirs)
+    val recK = scala.collection.mutable.ArrayBuilder.make[String]
+    val recV = scala.collection.mutable.ArrayBuilder.make[AnyRef]
+    val stK = scala.collection.mutable.ArrayBuilder.make[String]
+    val stV = scala.collection.mutable.ArrayBuilder.make[AnyRef]
+    recK.sizeHint(nDirs); recV.sizeHint(nDirs)
+    stK.sizeHint(nDirs); stV.sizeHint(nDirs)
+    var i = 0
+    while (i < nDirs) {
+      val dir = str()
+      dirs(i) = dir
+      val flags = bytes(pos); pos += 1
+      if ((flags & 1) != 0) { recK += dir; recV += java.lang.Long.valueOf(zig()) }
+      if ((flags & 2) != 0) { stK += dir; stV += statsMap() }
+      i += 1
+    }
+    var nx = vint().toInt
+    while (nx > 0) { recK += str(); recV += java.lang.Long.valueOf(zig()); nx -= 1 }
+    nx = vint().toInt
+    while (nx > 0) { stK += str(); stV += statsMap(); nx -= 1 }
+    def strings(): Seq[String] = {
+      val n = vint().toInt
+      if (n == 0) Seq.empty
+      else {
+        val a = new Array[String](n)
+        var j = 0
+        while (j < n) { a(j) = str(); j += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+      }
+    }
+    val deltaDirs = strings()
+    val removedDirs = strings()
+    val rk = recK.result(); val sk = stK.result()
+    SnapshotDetail(
+      dataDirs = scala.collection.immutable.ArraySeq.unsafeWrapArray(dirs),
+      deltaDirs = deltaDirs,
+      removedDirs = removedDirs,
+      dirRecords =
+        if (rk.isEmpty) Map.empty
+        else new ArrayDirMap[Long](rk, recV.result()),
+      dirStats =
+        if (sk.isEmpty) Map.empty
+        else new ArrayDirMap[Map[String, String]](sk, stV.result()))
+  }
 
   private def streamDetail(bytes: Array[Byte]): SnapshotDetail = {
     import com.fasterxml.jackson.core.JsonToken._
@@ -240,39 +324,88 @@ object SnapshotLog {
     } finally p.close()
   }
 
-  /** Streaming detail WRITE — same document, same field order as the
-    * case-class serializer (`dirStats` last: tooling that patches stats in
-    * place relies on it closing the object), without materializing a
-    * ~147 MB intermediate string on a fold. This is where streaming pays:
-    * 0.85 s vs json4s' 3.4 s at 10⁶ dirs (DetailCodecBench, 3 reps) — the
-    * fold commit every `maxDetailSegments` writes the full document, so
-    * the fold's amortized metadata cost drops ~4× at high dir counts. */
+  /** Binary detail WRITE — see [[parseDetailBytes]] for the layout
+    * rationale. Layout (all counts/lengths unsigned LEB128 varints,
+    * record values zigzag varints, strings length-prefixed UTF-8):
+    *
+    *   magic "GDT1"
+    *   nStatKeys, statKey*                    — dictionary, first-seen order
+    *   nDirs, then per dir:
+    *     dir, flags(bit0 record, bit1 stats),
+    *     [record], [nStats, (keyIdx, value)*]
+    *   nExtraRecords, (key, record)*          — records for non-data dirs
+    *   nExtraStats, (key, nStats, (keyIdx, value)*)*
+    *   nDeltaDirs, dir* ; nRemovedDirs, dir*
+    *
+    * The extras sections carry dirRecords/dirStats keys outside dataDirs
+    * (delta dirs get record counts); a dir is otherwise stated exactly
+    * once. vs the JSON writer this replaced (DetailCodecBench, 10⁶ dirs):
+    * 147 MB → 56 MB, write 0.85 s → ~0.3 s; the fold commit every
+    * `maxDetailSegments` writes the full document, so the fold's amortized
+    * metadata cost drops with it. */
   private[graft] def writeDetailBytes(d: SnapshotDetail): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(
-      64 + d.dataDirs.size * 48 + d.dirStats.size * 64)
-    val g = jsonFactory.createGenerator(out)
-    def arr(name: String, vs: Seq[String]): Unit = {
-      g.writeArrayFieldStart(name)
-      vs.foreach(s => g.writeString(s))
-      g.writeEndArray()
+    // Unsynchronized growable buffer: ByteArrayOutputStream synchronizes
+    // every write, and varint encoding writes byte-at-a-time — at 10⁶ dirs
+    // that is tens of millions of monitor acquisitions on the fold path.
+    var buf = new Array[Byte](64 + d.dataDirs.size * 40 + d.dirStats.size * 24)
+    var len = 0
+    def ensure(k: Int): Unit =
+      if (len + k > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + k))
+    def byte1(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
+    def uvint(n0: Long): Unit = { // value treated as UNSIGNED 64-bit
+      var n = n0
+      ensure(10)
+      while ((n & ~0x7fL) != 0) {
+        buf(len) = ((n & 0x7f) | 0x80).toByte; len += 1; n >>>= 7
+      }
+      buf(len) = n.toByte; len += 1
     }
-    g.writeStartObject()
-    arr("dataDirs", d.dataDirs)
-    arr("deltaDirs", d.deltaDirs)
-    arr("removedDirs", d.removedDirs)
-    g.writeObjectFieldStart("dirRecords")
-    d.dirRecords.foreach { case (k, v) => g.writeNumberField(k, v) }
-    g.writeEndObject()
-    g.writeObjectFieldStart("dirStats")
-    d.dirStats.foreach { case (k, m) =>
-      g.writeObjectFieldStart(k)
-      m.foreach { case (ik, iv) => g.writeStringField(ik, iv) }
-      g.writeEndObject()
+    def vint(n0: Long): Unit = {
+      require(n0 >= 0, s"detail count/length must be non-negative: $n0")
+      uvint(n0)
     }
-    g.writeEndObject()
-    g.writeEndObject()
-    g.close()
-    out.toByteArray
+    def zig(n: Long): Unit = uvint((n << 1) ^ (n >> 63))
+    def str(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      vint(b.length.toLong)
+      ensure(b.length)
+      System.arraycopy(b, 0, buf, len, b.length)
+      len += b.length
+    }
+    ensure(4)
+    System.arraycopy(DetailMagic, 0, buf, 0, 4)
+    len = 4
+    val dict = new java.util.LinkedHashMap[String, Integer]()
+    d.dirStats.foreachEntry((_, m) => m.keysIterator.foreach { k =>
+      if (!dict.containsKey(k)) dict.put(k, dict.size)
+    })
+    vint(dict.size.toLong)
+    dict.keySet.forEach(k => str(k))
+    def stats(m: Map[String, String]): Unit = {
+      vint(m.size.toLong)
+      m.foreachEntry((k, v) => { vint(dict.get(k).toLong); str(v) })
+    }
+    vint(d.dataDirs.size.toLong)
+    d.dataDirs.foreach { dir =>
+      str(dir)
+      val rec = d.dirRecords.get(dir)
+      val st = d.dirStats.get(dir)
+      byte1((if (rec.isDefined) 1 else 0) | (if (st.isDefined) 2 else 0))
+      rec.foreach(zig)
+      st.foreach(stats)
+    }
+    val inline = d.dataDirs.toSet
+    val xr = d.dirRecords.iterator.filter(kv => !inline(kv._1)).toSeq
+    vint(xr.size.toLong)
+    xr.foreach { case (k, v) => str(k); zig(v) }
+    val xs = d.dirStats.iterator.filter(kv => !inline(kv._1)).toSeq
+    vint(xs.size.toLong)
+    xs.foreach { case (k, m) => str(k); stats(m) }
+    def strs(vs: Seq[String]): Unit = { vint(vs.size.toLong); vs.foreach(str) }
+    strs(d.deltaDirs)
+    strs(d.removedDirs)
+    java.util.Arrays.copyOf(buf, len)
   }
 }
 
@@ -574,6 +707,35 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       catch { case e if isMissing(e) => None } // expired between check and read
   }
 
+  /** One commit's (added base dirs, removed base dirs, new delta dirs) in
+    * O(delta) metadata reads — two small manifest cores + two own details
+    * (cached), NEVER a composed snapshot or an O(live-dirs) set diff. This
+    * is what keeps a change-feed tick O(changes) on a 10⁶-dir table.
+    * Provable only when the child EXTENDS the parent's detail chain (same
+    * segments, no fold) with no re-add (the cumulative removed set only
+    * grew): then the composed diff is exactly (own adds, newly removed).
+    * None otherwise — callers fall back to the full set diff. */
+  private[graft] def commitDirDelta(
+      childId: Long): Option[(Seq[String], Seq[String], Seq[String])] =
+    try {
+      val (cCore, cLegacy) = parseManifest(
+        new String(store.read(manifestPath(childId)), StandardCharsets.UTF_8))
+      if (cLegacy.isDefined || cCore.detailFile.isEmpty) return None
+      val pid = cCore.parentId.getOrElse(return None)
+      val (pCore, pLegacy) = parseManifest(
+        new String(store.read(manifestPath(pid)), StandardCharsets.UTF_8))
+      if (pLegacy.isDefined || pCore.detailFile.isEmpty) return None
+      if (cCore.detailSegments !=
+          pCore.detailSegments :+ pCore.detailFile.get) return None
+      val cOwn = loadDetail(cCore.detailFile.get)
+      val pOwn = loadDetail(pCore.detailFile.get)
+      val pRem = pOwn.removedDirs.toSet
+      val cRem = cOwn.removedDirs.toSet
+      if (!pRem.subsetOf(cRem)) return None // re-add (rollback): full diff
+      val newDeltas = cOwn.deltaDirs.filterNot(pOwn.deltaDirs.toSet)
+      Some((cOwn.dataDirs, (cRem -- pRem).toSeq, newDeltas))
+    } catch { case e if isMissing(e) => None } // expired mid-read
+
   def contains(batchKey: String): Boolean =
     latest().exists { head =>
       head.recentBatchKeys.contains(batchKey) ||
@@ -673,34 +835,42 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
             case None =>
               val segs = loadDetails(core.detailSegments)
               val removed = own.removedDirs.toSet
-              // Single-pass merges (later segments override earlier, own
-              // last — the builder keeps the last binding per key, exactly
-              // the foldLeft(++)/filterKeys semantics this replaces, minus
-              // the intermediate map per segment and the second O(n) pass).
-              def merged[V](parts: Seq[Map[String, V]], ownM: Map[String, V]) = {
-                val b = scala.collection.immutable.HashMap.newBuilder[String, V]
-                parts.foreach(_.foreach(kv => if (!removed(kv._1)) b += kv))
-                b ++= ownM
-                b.result()
+              // O(1) map composition (round 17; replaces the single-pass
+              // HashMap rebuild that dominated the cold open together with
+              // the shard parses — ComposeBench: ~0.5-1.2 s of merges at
+              // 10⁶ dirs, gone): segment maps' key sets are pairwise
+              // DISJOINT by the encoder's contract (a commit adds only
+              // dirs absent from every prior segment; a re-added dir stays
+              // in its original segment), so the union is a ConcatDirMap
+              // view and this commit's own adds + the cumulative removed
+              // set ride an OverlayDirMap. No million-entry hash map
+              // exists unless a point `get` asks for one — and then it is
+              // built once and shared via the instance.
+              def layered[V](parts: Seq[Map[String, V]],
+                  ownM: Map[String, V]): Map[String, V] = {
+                val ne = parts.filter(_.nonEmpty).toIndexedSeq
+                val base: Map[String, V] =
+                  if (ne.isEmpty) Map.empty
+                  else if (ne.size == 1) ne.head
+                  else new ConcatDirMap(ne)
+                if (ownM.isEmpty && removed.isEmpty) base
+                else new OverlayDirMap(base, ownM, removed)
               }
-              // The three builds are independent; the two map merges run
-              // off-thread so a COLD open's wall is the slowest pass, not
-              // their sum — isolated A/B (ComposeBench, 10⁶ dirs): 820 →
-              // 470 ms. Warm head changes never get here (they take the
-              // incremental path above).
-              val recsF = metaPool.submit(
-                new java.util.concurrent.Callable[Map[String, Long]] {
-                  override def call() =
-                    merged(segs.map(_.dirRecords), own.dirRecords)
-                })
-              val statsF = metaPool.submit(new java.util.concurrent.Callable[
-                  Map[String, Map[String, String]]] {
-                override def call() =
-                  merged(segs.map(_.dirStats), own.dirStats)
-              })
-              val dirs =
-                segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
-              (dirs, recsF.get(), statsF.get())
+              val dirs: Seq[String] = {
+                val partsD = segs.map(_.dataDirs) :+ own.dataDirs
+                if (removed.isEmpty) {
+                  // Pure-append chain (incl. every fresh fold): one
+                  // arraycopy pass instead of a Vector rebuild.
+                  val total = partsD.iterator.map(_.size).sum
+                  val arr = new Array[String](total)
+                  var off = 0
+                  partsD.foreach { s => s.copyToArray(arr, off); off += s.size }
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+                } else
+                  segs.flatMap(_.dataDirs).filterNot(removed) ++ own.dataDirs
+              }
+              (dirs, layered(segs.map(_.dirRecords), own.dirRecords),
+                layered(segs.map(_.dirStats), own.dirStats))
           }
         val snap = Snapshot(core.snapshotId, core.parentId, core.committedAt,
           core.operation, core.schemaJson, dataDirs, core.summary,

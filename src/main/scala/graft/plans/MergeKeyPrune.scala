@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Exists, Expression, In, InSet, Literal, OuterReference}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Exists, Expression, GreaterThanOrEqual, In, InSet, LessThanOrEqual, Literal, OuterReference}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, ReplaceData}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -38,13 +38,22 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
  * — so the selected group set is unchanged; it only becomes statically
  * computable. The group filter selects which buckets are REWRITTEN, never
  * which rows survive, so unmatched rows in selected buckets are untouched.
+ * NON-bucket-key equi-joins (round 17): there is no bucket set to pin, but
+ * `target.key BETWEEN min(source.key) AND max(source.key)` is equally
+ * implied — the rule collects only the source's two extrema (O(1) driver
+ * memory, same size cap) and appends the closed range; the v2 scan's
+ * manifest min/max skipping then plans the matching-rows subquery against
+ * O(intersecting dirs) on a range-clustered or naturally append-ordered
+ * table.
+ *
  * Declines: non-deterministic sources (re-execution could yield keys
  * outside the collected set, silently missing groups), sources over the
- * size/key caps (never a driver OOM), non-bucket-key joins (nothing to
- * prune to), and conditions already carrying a key IN (the user wrote the
- * twin themselves; re-deriving would double the work). UPDATE/DELETE's
- * ReplaceData carries a plain row predicate (no Exists) and falls through
- * untouched — their WHERE already pushes statically.
+ * size/key caps (never a driver OOM), and conditions already carrying a
+ * key IN or a static bound on a target attribute (the user wrote the twin
+ * themselves — and the rule's own output matches this, keeping the fixed
+ * point). UPDATE/DELETE's ReplaceData carries a plain row predicate (no
+ * Exists) and falls through untouched — their WHERE already pushes
+ * statically.
  *
  * Runs in the operator-optimization fixed point (idempotent via the
  * already-keyed check), safely BEFORE the `PartitionPruning` batch that
@@ -94,10 +103,14 @@ case class MergeKeyPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val alreadyKeyed = conjuncts.exists {
       case In(_: AttributeReference, _) => true
       case InSet(_: AttributeReference, _) => true
+      // The range variant's own output (or a hand-written range twin):
+      // a static bound on a target attribute already prunes.
+      case GreaterThanOrEqual(_: AttributeReference, Literal(_, _)) => true
+      case LessThanOrEqual(_: AttributeReference, Literal(_, _)) => true
       case _ => false
     }
     if (alreadyKeyed) return None
-    val bk = bucketKeyOf(rd.table).getOrElse(return None)
+    val bk = bucketKeyOf(rd.table)
     val ex = conjuncts.collectFirst { case e: Exists => e }.getOrElse(return None)
     // Correlated shape before vs after PullupCorrelatedPredicates: the
     // merge condition sits either as a Filter inside the Exists' plan or
@@ -106,32 +119,67 @@ case class MergeKeyPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Filter(fc, child) if ex.joinCond.isEmpty => (splitAnd(fc), child)
       case p => (ex.joinCond, p)
     }
-    val eq = joinConds.collectFirst {
-      case EqualTo(OuterReference(t: AttributeReference), s: AttributeReference)
-          if t.name == bk => (t, s)
-      case EqualTo(s: AttributeReference, OuterReference(t: AttributeReference))
-          if t.name == bk => (t, s)
-      // After pullup the outer side may be a bare attribute of the target.
-      case EqualTo(t: AttributeReference, s: AttributeReference)
-          if t.name == bk && rd.table.output.exists(_.exprId == t.exprId) &&
-            src.outputSet.contains(s) => (t, s)
-      case EqualTo(s: AttributeReference, t: AttributeReference)
-          if t.name == bk && rd.table.output.exists(_.exprId == t.exprId) &&
-            src.outputSet.contains(s) => (t, s)
-    }.getOrElse(return None)
-    val (tAttr, sAttr) = eq
+    // An equi-join between a TARGET attribute and a SOURCE attribute —
+    // against the bucket key when the table has one (pin the exact bucket
+    // set), else against any target column (derive a min/max window for
+    // manifest-stats pruning on range-clustered / naturally-ordered
+    // tables).
+    def targetEq(wantBucketKey: Boolean)
+        : Option[(AttributeReference, AttributeReference)] =
+      joinConds.collectFirst {
+        case EqualTo(OuterReference(t: AttributeReference), s: AttributeReference)
+            if bk.contains(t.name) == wantBucketKey || !wantBucketKey => (t, s)
+        case EqualTo(s: AttributeReference, OuterReference(t: AttributeReference))
+            if bk.contains(t.name) == wantBucketKey || !wantBucketKey => (t, s)
+        // After pullup the outer side may be a bare attribute of the target.
+        case EqualTo(t: AttributeReference, s: AttributeReference)
+            if (bk.contains(t.name) || !wantBucketKey) &&
+              rd.table.output.exists(_.exprId == t.exprId) &&
+              src.outputSet.contains(s) => (t, s)
+        case EqualTo(s: AttributeReference, t: AttributeReference)
+            if (bk.contains(t.name) || !wantBucketKey) &&
+              rd.table.output.exists(_.exprId == t.exprId) &&
+              src.outputSet.contains(s) => (t, s)
+      }.filter { case (t, _) => !wantBucketKey || bk.contains(t.name) }
+    val bucketEq = if (bk.isDefined) targetEq(wantBucketKey = true) else None
+    val (tAttr, sAttr) = bucketEq.orElse(targetEq(wantBucketKey = false))
+      .getOrElse(return None)
     if (!src.outputSet.contains(sAttr)) return None
     if (!src.deterministic) return None
     if (src.stats.sizeInBytes > maxSourceBytes) return None
-    // Bounded driver-side key collect: one job over a provably-small
-    // source, the price the twin statement's author pays by hand.
-    val rows = org.apache.spark.sql.graft.ColumnBridge
-      .ofRows(spark, Project(Seq(sAttr), src))
-      .distinct().limit(maxKeys + 1).collect()
-    if (rows.length > maxKeys) return None
-    val vals = rows.iterator.map(_.get(0)).filter(_ != null).toSeq
-    if (vals.isEmpty) return None
-    val lits = vals.map(v => Literal.create(v, tAttr.dataType))
-    Some(And(cond, In(tAttr, lits)))
+    // Range variant (round 17): `target.key BETWEEN min(source.key) AND
+    // max(source.key)` is implied by the equi-condition just like the key
+    // IN, and the v2 scan's manifest min/max skipping turns it into
+    // O(intersecting dirs) on a range-clustered (or naturally
+    // append-ordered) table. O(1) driver memory: only the two extrema are
+    // collected, never the key list — so it also serves as the fallback
+    // when a bucket-key batch is over the key cap.
+    def rangeConjunct(): Option[Expression] = {
+      val mm = org.apache.spark.sql.graft.ColumnBridge
+        .ofRows(spark, Project(Seq(sAttr), src))
+        .agg(org.apache.spark.sql.functions.min(sAttr.name).as("mn"),
+          org.apache.spark.sql.functions.max(sAttr.name).as("mx"))
+        .collect()
+      if (mm.length != 1 || mm(0).isNullAt(0) || mm(0).isNullAt(1)) None
+      else {
+        val lo = Literal.create(mm(0).get(0), tAttr.dataType)
+        val hi = Literal.create(mm(0).get(1), tAttr.dataType)
+        Some(And(cond,
+          And(GreaterThanOrEqual(tAttr, lo), LessThanOrEqual(tAttr, hi))))
+      }
+    }
+    if (bucketEq.isDefined) {
+      // Bounded driver-side key collect: one job over a provably-small
+      // source, the price the twin statement's author pays by hand. The
+      // scan builder turns the IN into the exact static bucket set.
+      val rows = org.apache.spark.sql.graft.ColumnBridge
+        .ofRows(spark, Project(Seq(sAttr), src))
+        .distinct().limit(maxKeys + 1).collect()
+      if (rows.length > maxKeys) return rangeConjunct()
+      val vals = rows.iterator.map(_.get(0)).filter(_ != null).toSeq
+      if (vals.isEmpty) return None
+      val lits = vals.map(v => Literal.create(v, tAttr.dataType))
+      Some(And(cond, In(tAttr, lits)))
+    } else rangeConjunct()
   }
 }

@@ -291,7 +291,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     * the head's data dirs whose recorded per-column [min, max] can
     * intersect EVERY bound. Dirs without stats always survive — skipping
     * is an optimization, never a filter. */
-  private def statPrunedDirs(head: Snapshot, st: StructType,
+  private[graft] def statPrunedDirs(head: Snapshot, st: StructType,
       bounds: Seq[(String, (Any, Any))]): Seq[String] = {
     // Per-column stat-domain windows, resolved once outside the dir loop.
     val statWindows = bounds.map { case (c, (lower, upper)) =>
@@ -312,7 +312,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /** User-supplied range bound → the stats domain (long / double / string). */
-  private def statBound(v: Any, dt: DataType): Option[Any] = {
+  private[graft] def statBound(v: Any, dt: DataType): Option[Any] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => v match {
@@ -361,7 +361,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   }
 
   /** Manifest stat string → the stats domain, per the column's type. */
-  private def parseStat(s: String, dt: DataType): Option[Any] = {
+  private[graft] def parseStat(s: String, dt: DataType): Option[Any] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType | TimestampType |
@@ -380,7 +380,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * supplementary-plane text (surrogates sort below U+E000 in UTF-16 but
    * above it in UTF-8), which would mis-prune dirs containing emoji.
    */
-  private def statLt(a: Any, b: Any): Boolean = (a, b) match {
+  private[graft] def statLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Double, y: Double) => x < y
     case (x: String, y: String) =>
@@ -2972,6 +2972,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // until `from`, oldest first. parentId — not version arithmetic —
     // because rollback/publish commits parent onto whatever head they saw.
     var chain = List.empty[Snapshot]
+    var floor: Option[Snapshot] = None // the `from` snapshot, if composed
     if (toSnapshotId > fromSnapshotId) {
       var at = Option(log.get(toSnapshotId).getOrElse(throw new NoSuchElementException(
         s"table $name has no snapshot $toSnapshotId")))
@@ -2988,12 +2989,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
               s"in table $name")
         }
       }
+      floor = at
     }
     val toSchema = chain.lastOption
       .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
       .getOrElse(schema)
-    val tagged = chain.flatMap { s =>
-      commitChanges(s, pk).map { df =>
+    // Each commit's parent is the previous chain entry (the first one's is
+    // the window floor) — the walk composed every snapshot ONCE; without
+    // threading it, commitChanges would re-compose each parent a second
+    // time through log.get.
+    val parents: Seq[Option[Snapshot]] =
+      if (chain.isEmpty) Nil else floor +: chain.init.map(Option(_))
+    val tagged = chain.zip(parents).flatMap { case (s, p) =>
+      commitChanges(s, p, pk).map { df =>
         align(df, toSchema, keep = Seq("_change_type"))
           .withColumn("_commit_version", lit(s.snapshotId))
       }
@@ -3019,13 +3027,21 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     * fanned out by a per-row explode over when()-built entries, not by
     * per-type filters that would re-scan the join (exchange reuse does not
     * fire across differently-pruned consumers of one frame). */
-  private def commitChanges(s: Snapshot, pk: String): Option[DataFrame] = {
-    val p = s.parentId.flatMap(log.get)
-    val pData = p.map(_.dataDirs).getOrElse(Seq.empty)
-    val added = s.dataDirs.filterNot(pData.toSet)
-    val removed = pData.filterNot(s.dataDirs.toSet)
-    val newDeltas =
-      s.deltaDirs.filterNot(p.map(_.deltaDirs).getOrElse(Seq.empty).toSet)
+  private def commitChanges(s: Snapshot, p: Option[Snapshot],
+      pk: String): Option[DataFrame] = {
+    // O(delta) dir attribution when the log can prove it from the commit's
+    // own detail (round 17); the O(live-dirs) set diff is the fallback for
+    // legacy manifests, folds, and rollback re-adds. On a 10⁶-dir table
+    // this is the difference between a feed tick pricing the CHANGES and
+    // pricing the table.
+    val (added, removed, newDeltas) = log.commitDirDelta(s.snapshotId) match {
+      case Some(t) => t
+      case None =>
+        val pData = p.map(_.dataDirs).getOrElse(Seq.empty)
+        (s.dataDirs.filterNot(pData.toSet),
+          pData.filterNot(s.dataDirs.toSet),
+          s.deltaDirs.filterNot(p.map(_.deltaDirs).getOrElse(Seq.empty).toSet))
+    }
     s.operation match {
       // Layout-only: logical content is unchanged by construction
       // (compaction read-equality is property-held in MorSpec/LookupProps).

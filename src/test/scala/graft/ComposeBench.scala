@@ -41,27 +41,31 @@ object ComposeBench {
           })).map(_.get())
         finally pool.shutdown()
       }
-      // merges: dirs concat, records map, stats map — sequential sum
-      val dirsMs = ms { segs.flatMap(_.dataDirs).filterNot(removed) }
-      val recsMs = ms { merged(segs.map(_.dirRecords)) }
-      val statsMs = ms { merged(segs.map(_.dirStats)) }
-      // concurrent: dirs on caller, recs+stats off-thread
-      val concMs = ms {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-        try {
-          val f1 = pool.submit(new java.util.concurrent.Callable[AnyRef] {
-            override def call() = merged(segs.map(_.dirRecords))
-          })
-          val f2 = pool.submit(new java.util.concurrent.Callable[AnyRef] {
-            override def call() = merged(segs.map(_.dirStats))
-          })
-          segs.flatMap(_.dataDirs).filterNot(removed)
-          f1.get(); f2.get()
-        } finally pool.shutdown()
+      // the OLD compose: eager HashMap rebuilds (what readManifest did
+      // before round 17 — kept as the A/B reference)
+      val mergedMs = ms {
+        merged(segs.map(_.dirRecords)); merged(segs.map(_.dirStats))
       }
+      // the NEW compose: arraycopy dir concat + O(1) layered maps
+      var recsL: Map[String, Long] = null
+      val layerMs = ms {
+        val partsD = segs.map(_.dataDirs)
+        val total = partsD.iterator.map(_.size).sum
+        val arr = new Array[String](total)
+        var off = 0
+        partsD.foreach { s => s.copyToArray(arr, off); off += s.size }
+        recsL = new graft.log.ConcatDirMap[Long](
+          segs.map(_.dirRecords).toIndexedSeq)
+        new graft.log.ConcatDirMap[Map[String, String]](
+          segs.map(_.dirStats).toIndexedSeq)
+      }
+      // first point `get` forces the combined index once per instance
+      val forceMs = ms { recsL.get(dirs(n / 2)) }
+      val warmGetMs = ms { var i = 0; while (i < 1000) { recsL(dirs(i)); i += 1 } }
+      val iterMs = ms { recsL.values.sum }
       println(f"rep=$rep parseSeq=$seqParse%.0f parsePar=$parParse%.0f | " +
-        f"dirs=$dirsMs%.0f recs=$recsMs%.0f stats=$statsMs%.0f " +
-        f"(seqSum=${dirsMs + recsMs + statsMs}%.0f) concurrent=$concMs%.0f ms")
+        f"oldMerges=$mergedMs%.0f newLayered=$layerMs%.0f " +
+        f"indexForce=$forceMs%.0f warmGet1k=$warmGetMs%.2f iterSum=$iterMs%.0f ms")
     }
   }
 }

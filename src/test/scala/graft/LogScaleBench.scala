@@ -1,0 +1,42 @@
+package graft
+
+// Metadata-only timing at the 10^6-dir regime: commit-with-hint and the
+// post-commit head re-read, with no Spark write in the way (the probe's
+// append row folds a ~0.5 s constant parquet write into its number).
+// Run: sbt "Test/runMain graft.LogScaleBench"
+object LogScaleBench {
+  def main(args: Array[String]): Unit = {
+    import graft.log.{DirDelta, SnapshotLog}
+    val root = java.nio.file.Files.createTempDirectory("logscale-").resolve("t")
+    val log = new SnapshotLog(root)
+    val n = 1000000
+    val dirs = (0 until n).map(i => s"data/f$i/__bucket=${i % 1024}")
+    val recs = dirs.map(_ -> 1000L).toMap
+    val stats = dirs.map(d => d -> Map(
+      "event_id:min" -> "9000000000", "event_id:max" -> "9000000999")).toMap
+    def ms(tag: String)(body: => Unit): Unit = {
+      val s0 = System.nanoTime(); body
+      println(f"$tag%-24s ${(System.nanoTime() - s0) / 1e6}%.1f ms")
+    }
+    ms("seed commit (fold)") {
+      log.commit("create", "{}", dirs, dirRecords = recs, dirStats = stats)
+    }
+    // Fresh instance = the probe's resident: cold compose once, then
+    // hinted appends + head re-reads.
+    val l2 = new SnapshotLog(root)
+    ms("cold latest") { l2.latest() }
+    for (i <- 1 to 5) {
+      val head = l2.latest().get
+      val add = Seq(s"data/extra$i/__bucket=${i % 1024}")
+      ms(s"append commit $i") {
+        l2.commitExpecting(Some(head.snapshotId), "append", "{}",
+          head.dataDirs ++ add, head.summary, None,
+          head.dirRecords ++ add.map(_ -> 1L), Seq.empty,
+          head.dirStats ++ add.map(_ -> Map("event_id:min" -> "1",
+            "event_id:max" -> "2")),
+          deltaHint = Some(DirDelta(add)))
+      }
+      ms(s"head re-read $i") { l2.latest() }
+    }
+  }
+}

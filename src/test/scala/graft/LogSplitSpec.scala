@@ -236,19 +236,23 @@ class LogSplitSpec extends AnyFunSuite {
   test("streaming detail codec round-trips and matches the json4s dialect") {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     import graft.log.SnapshotLog.{parseDetailBytes, writeDetailBytes}
-    // Round-trip through the streaming pair.
-    assert(parseDetailBytes(writeDetailBytes(codecFixture)) == codecFixture)
+    // Round-trip through the binary pair (round-17 on-disk form), and the
+    // writer really emits binary (magic GDT1) — its maps are array-backed
+    // views, so equality here also exercises ArrayDirMap vs plain Map.
+    val binary = writeDetailBytes(codecFixture)
+    assert(binary.take(4).toSeq == Seq[Byte]('G', 'D', 'T', '1'))
+    assert(parseDetailBytes(binary) == codecFixture)
     // json4s-written bytes (the pre-round-16 on-disk form) parse identically
     // through the streaming reader — no dialect drift on old tables.
     val legacy = org.json4s.jackson.Serialization.write(codecFixture)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     assert(parseDetailBytes(legacy) == codecFixture)
-    // Streaming-written bytes parse identically through json4s — a reader
-    // running pre-streaming code (rollback) sees the same document.
-    val streamed = new String(writeDetailBytes(codecFixture),
-      java.nio.charset.StandardCharsets.UTF_8)
-    assert(org.json4s.jackson.Serialization
-      .read[graft.log.SnapshotDetail](streamed) == codecFixture)
+    // The round-16 streaming-JSON writer's output (what existing tables
+    // hold) parses identically — reconstructed here via json4s, whose
+    // dialect the r16 writer matched byte-for-byte by prior rounds' tests.
+    // NOTE: the binary format is a forward-only revision — readers older
+    // than round 17 cannot parse details written by this code; old logs
+    // stay fully readable here.
     // Defaults: a minimal document (old writer, fewer fields) still parses.
     assert(parseDetailBytes("""{"dataDirs":["only"]}""".getBytes) ==
       graft.log.SnapshotDetail(Seq("only")))

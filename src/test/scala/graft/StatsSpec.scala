@@ -60,9 +60,14 @@ class StatsSpec extends AnyFunSuite {
     val logDir = t.root.resolve("_log")
     val paths = java.nio.file.Files.list(logDir)
     try paths.forEach { p =>
-      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        .replaceAll(""","dirStats":\{.*?\}\}""", ""","dirStats":{}""")
-      java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+      // Detail documents (binary since round 17): strip stats via the
+      // codec. Manifests stay JSON and carry no stats to strip.
+      if (p.getFileName.toString.startsWith("d")) {
+        val d = graft.log.SnapshotLog.parseDetailBytes(
+          java.nio.file.Files.readAllBytes(p))
+        java.nio.file.Files.write(p, graft.log.SnapshotLog.writeDetailBytes(
+          d.copy(dirStats = Map.empty)))
+      }
     } finally paths.close()
     // Out-of-band manifest surgery breaks the claim-once immutability the
     // head cache leans on — re-open the table like a fresh process would
