@@ -796,6 +796,25 @@ object ScaleProbe {
         timedWaves("feed_append", f,
           () => { t.changesBetween(v1, v2, "event_id").count(); () })(
           _ => t.changesBetween(v1, v2, "event_id").count())
+        // Attribution twin: a plain Spark read of the SAME appended leaf
+        // dirs, no feed machinery. The insert-only window's cost is the
+        // commit's own file fan (16f bucket leaves at a fixed batch size);
+        // twin ≈ feed_append means the feed's metadata walk adds ~nothing
+        // and the residual growth is the per-leaf list/footer/task
+        // constant — O(commit's own files), the feed's natural unit.
+        locally {
+          val snap2 = t.log.get(v2).get
+          val addedDirs = t.log.commitDirDelta(v2).map(_._1).getOrElse(
+            snap2.dataDirs.filterNot(
+              t.log.get(v1).map(_.dataDirs).getOrElse(Seq.empty).toSet))
+          val st = org.apache.spark.sql.types.DataType
+            .fromJson(snap2.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          def readTwin(): Long = spark.read.schema(st).parquet(
+            addedDirs.map(d => t.root.resolve(d).toString): _*).count()
+          timedWaves("feed_append_readtwin", f,
+            () => { readTwin(); () })(_ => readTwin())
+        }
         t.upsertDeferred(base.filter(col("event_id") < 16)
           .withColumn("value", col("value") + 1.0), "event_id") // v3
         val v3 = t.latestVersion

@@ -171,6 +171,27 @@ object SnapshotLog {
   private implicit val detailFormats: Formats = DefaultFormats
   private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
+  /** Shared daemon pool for metadata fan-out (segment parses, shard
+    * claims). ONE pool per JVM — per-call `newFixedThreadPool`s churned
+    * ~100 short-lived pools per `snapshots()` scan (thread create/
+    * teardown, non-daemon threads briefly pinning JVM shutdown), and a
+    * per-log-instance pool would leak 32 idle threads per table in
+    * instance-heavy workloads (benches, multi-table pipelines). Daemon
+    * threads + never shut down. CONSTRAINT: a task submitted here must
+    * never block on another task submitted here (all current uses are
+    * flat fan-outs awaited from caller threads). */
+  private[log] lazy val metaPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors()),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-log-meta-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Binary detail documents (round 17) start with this magic; anything
     * else (a '{') is a legacy JSON detail and takes the streaming-JSON /
     * json4s path below — old logs stay readable without migration. */
@@ -756,26 +777,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private val segmentCache =
     new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
 
-  /** Shared daemon pool for metadata fan-out (segment parses, compose
-    * merges, shard claims). One lazily-created pool per log instance —
-    * `snapshots()` alone can hit readManifest up to retainVersions times
-    * per call, and a per-call `newFixedThreadPool` there churned ~100
-    * short-lived pools (thread create/teardown) per metadata scan, with
-    * non-daemon threads briefly pinning JVM shutdown. Daemon threads +
-    * never shut down. CONSTRAINT: a task submitted here must never block
-    * on another task submitted here (all current uses are flat fan-outs
-    * awaited from a caller thread). */
-  private lazy val metaPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(2, Runtime.getRuntime.availableProcessors()),
-      new java.util.concurrent.ThreadFactory {
-        private val n = new java.util.concurrent.atomic.AtomicInteger()
-        override def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, s"graft-log-meta-${n.incrementAndGet()}")
-          t.setDaemon(true)
-          t
-        }
-      })
+  private def metaPool = SnapshotLog.metaPool
 
   private def loadDetail(name: String): SnapshotDetail = {
     val c = segmentCache.get(name)
