@@ -97,25 +97,37 @@ private[connector] final class GraftAppendStream(
   private def appendedDirs(from: Long, to: Long): Seq[String] = {
     val log = gt.log
     (from to to).flatMap { v =>
-      val s = log.get(v).getOrElse(throw new IllegalStateException(
+      // The operation gate needs core fields only — no composed snapshot.
+      val core = log.getCore(v).getOrElse(throw new IllegalStateException(
         s"table $tableName snapshot $v expired mid-stream; restart the query"))
-      require(s.operation == "append" || s.operation == "insert",
-        s"streaming read of $tableName hit a '${s.operation}' commit " +
+      require(core.operation == "append" || core.operation == "insert",
+        s"streaming read of $tableName hit a '${core.operation}' commit " +
           s"(snapshot $v): rewrites cannot stream as appends — consume " +
           "format(\"graft-changes\") for typed change rows instead")
-      // An expired PARENT is as fatal as an expired window snapshot: with no
-      // parent dirs to diff against, the "appended" set would degenerate to
-      // the snapshot's full cumulative dataDirs and silently re-emit the
-      // whole table as appends.
-      val parentDirs = s.parentId match {
-        case None => Set.empty[String]
-        case Some(pid) =>
-          val p = log.get(pid).getOrElse(throw new IllegalStateException(
-            s"table $tableName snapshot $pid (parent of $v) expired " +
-              "mid-stream; restart the query"))
-          (p.dataDirs ++ p.deltaDirs).toSet
+      // O(delta) attribution from the commit's own detail segment when the
+      // log can prove it (round 17 — a poll tick on a 10⁶-dir table must
+      // price the appended dirs, not the table); the composed set diff is
+      // the fallback for legacy manifests and folds.
+      log.commitDirDelta(v) match {
+        case Some((added, removed, newDeltas)) if removed.isEmpty =>
+          added ++ newDeltas
+        case _ =>
+          val s = log.get(v).getOrElse(throw new IllegalStateException(
+            s"table $tableName snapshot $v expired mid-stream; restart the query"))
+          // An expired PARENT is as fatal as an expired window snapshot:
+          // with no parent dirs to diff against, the "appended" set would
+          // degenerate to the snapshot's full cumulative dataDirs and
+          // silently re-emit the whole table as appends.
+          val parentDirs = s.parentId match {
+            case None => Set.empty[String]
+            case Some(pid) =>
+              val p = log.get(pid).getOrElse(throw new IllegalStateException(
+                s"table $tableName snapshot $pid (parent of $v) expired " +
+                  "mid-stream; restart the query"))
+              (p.dataDirs ++ p.deltaDirs).toSet
+          }
+          (s.dataDirs ++ s.deltaDirs).filterNot(parentDirs)
       }
-      (s.dataDirs ++ s.deltaDirs).filterNot(parentDirs)
     }
   }
 

@@ -728,6 +728,18 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       catch { case e if isMissing(e) => None } // expired between check and read
   }
 
+  /** One manifest's core fields without inflating its detail — the single
+    * -id companion of [[snapshotsCore]], for callers that need operation/
+    * schema/summary but not the O(dirs) dir sets. */
+  private[graft] def getCore(id: Long): Option[ManifestCore] = {
+    val p = manifestPath(id)
+    if (!store.exists(p)) None
+    else
+      try Some(parseManifest(
+        new String(store.read(p), StandardCharsets.UTF_8))._1)
+      catch { case e if isMissing(e) => None }
+  }
+
   /** One commit's (added base dirs, removed base dirs, new delta dirs) in
     * O(delta) metadata reads — two small manifest cores + two own details
     * (cached), NEVER a composed snapshot or an O(live-dirs) set diff. This
