@@ -911,6 +911,14 @@ object ScaleProbe {
         ms { require(resident.lookupKeyRows(keys(i)).nonEmpty) }).min
       val rangeMs = (0 until 3).map(_ => ms {
         freshT().readRange("event_id", keys(0), keys(9)).count() }).min
+      // Warm range = a RESIDENT instance re-planning the same column: the
+      // per-snapshot parsed-stats arrays (round 17) make repeat planning
+      // two comparisons per dir instead of an O(dirs) stat-string parse.
+      val rangeWarmMs = {
+        resident.readRange("event_id", keys(0), keys(9)).count() // arrays build
+        (0 until 3).map(_ => ms {
+          resident.readRange("event_id", keys(0), keys(9)).count() }).min
+      }
       // The segmented-detail prices (r16): a WHOLE one-row append at this
       // dir count (the ~0.3 s Spark write is constant across rows, so the
       // growth across rows isolates the metadata term), and what the
@@ -935,13 +943,13 @@ object ScaleProbe {
       }
       println(f"scaleprobe manifest_scale extra=$extra%-7d buckets=$nb%-4d " +
         f"latest=${latestMs}%.1fms lookup=${lookupMs}%.1fms warm=${warmMs}%.1fms " +
-        f"range=${rangeMs}%.1fms append=${appendMs}%.1fms " +
+        f"range=${rangeMs}%.1fms range_warm=${rangeWarmMs}%.1fms append=${appendMs}%.1fms " +
         f"head_change=${headChangeMs}%.1fms warm_after=${warmAfterMs}%.1fms " +
         f"log=${manifestMb}%.1fMB")
       manifestScale += (s"""{"extra_dirs":$extra,"buckets":$nb,""" +
         s""""latest_ms":${jnum(latestMs)},""" +
         s""""lookup_ms":${jnum(lookupMs)},"lookup_warm_ms":${jnum(warmMs)},""" +
-        s""""range_ms":${jnum(rangeMs)},"append_commit_ms":${jnum(appendMs)},""" +
+        s""""range_ms":${jnum(rangeMs)},"range_warm_ms":${jnum(rangeWarmMs)},"append_commit_ms":${jnum(appendMs)},""" +
         s""""head_change_ms":${jnum(headChangeMs)},""" +
         s""""lookup_warm_after_commit_ms":${jnum(warmAfterMs)},""" +
         s""""log_mb":${jnum(manifestMb)}}""")

@@ -106,6 +106,18 @@ case class Snapshot(
     * the serving paths' replacement for `dataDirs.filter(bucket ∈ set)`. */
   def dataDirsInBuckets(buckets: Set[Int]): Seq[String] =
     buckets.toSeq.sorted.flatMap(b => dataDirsByBucket.getOrElse(b, Nil))
+
+  /** Per-column parsed min/max stat arrays, aligned to [[dataDirs]] order
+    * (null = no stats for that dir+column), built once per snapshot
+    * instance by the first range/point plan touching the column and
+    * reused by every later plan — see `GraftTable.statPrunedDirs`.
+    * @transient like the bucket index: never rides serialization. */
+  @transient private lazy val statArraysCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[AnyRef], Array[AnyRef])]
+  private[graft] def statArrays(col: String,
+      build: => (Array[AnyRef], Array[AnyRef])): (Array[AnyRef], Array[AnyRef]) =
+    statArraysCache.computeIfAbsent(col, _ => build)
 }
 
 object Snapshot {
