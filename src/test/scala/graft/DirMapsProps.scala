@@ -91,6 +91,26 @@ object DirMapsProps extends Properties("DirMaps") {
         same(overlay, (plainBase -- dropped) ++ over)
     }
 
+  property("maps survive Java serialization (Spark closure capture)") =
+    forAll(partsGen, Gen.listOfN(3, keyGen)) { (parts, adds) =>
+      val concat = new ConcatDirMap[Long](parts.map(arrayOf).toIndexedSeq)
+      val overlay = adds.foldLeft(concat: Map[String, Long])(
+        (m, k) => m.updated(k, 7L))
+      def roundTrip(m: Map[String, Long]): Map[String, Long] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val oos = new java.io.ObjectOutputStream(bos)
+        oos.writeObject(m); oos.close()
+        new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+          .readObject().asInstanceOf[Map[String, Long]]
+      }
+      // The @transient lazy indexes must rebuild on the far side.
+      val back = roundTrip(overlay)
+      same(back, overlay) &&
+        Prop(overlay.keysIterator.forall(k => back.get(k) == overlay.get(k))) :|
+          "post-deserialization gets"
+    }
+
   property("overlay collapse keeps semantics when the delta rivals the base") =
     forAll(Gen.listOfN(20, keyGen).map(_.distinct)) { keys0 =>
       val keys = keys0.toIndexedSeq
