@@ -247,21 +247,31 @@ object SnapshotLog {
       r
     }
     def zig(): Long = { val n = vint(); (n >>> 1) ^ -(n & 1L) }
+    // Corruption guard: a count/length exceeding the document itself can
+    // only be a damaged file — fail the parse loudly instead of attempting
+    // a multi-GB allocation (every counted element occupies >= 1 byte).
+    def cnt(): Int = {
+      val n = vint()
+      require(n >= 0 && n <= bytes.length - pos,
+        s"detail document corrupt: count/length $n at offset $pos " +
+          s"exceeds remaining ${bytes.length - pos} bytes")
+      n.toInt
+    }
     def str(): String = {
-      val len = vint().toInt
+      val len = cnt()
       val s = new String(bytes, pos, len, StandardCharsets.UTF_8)
       pos += len
       s
     }
-    val dict = Array.fill(vint().toInt)(str())
+    val dict = Array.fill(cnt())(str())
     def statsMap(): Map[String, String] = {
-      val n = vint().toInt
+      val n = cnt()
       val b = Map.newBuilder[String, String]
       var j = 0
       while (j < n) { b += dict(vint().toInt) -> str(); j += 1 }
       b.result()
     }
-    val nDirs = vint().toInt
+    val nDirs = cnt()
     val dirs = new Array[String](nDirs)
     val recK = scala.collection.mutable.ArrayBuilder.make[String]
     val recV = scala.collection.mutable.ArrayBuilder.make[AnyRef]
@@ -278,12 +288,12 @@ object SnapshotLog {
       if ((flags & 2) != 0) { stK += dir; stV += statsMap() }
       i += 1
     }
-    var nx = vint().toInt
+    var nx = cnt()
     while (nx > 0) { recK += str(); recV += java.lang.Long.valueOf(zig()); nx -= 1 }
-    nx = vint().toInt
+    nx = cnt()
     while (nx > 0) { stK += str(); stV += statsMap(); nx -= 1 }
     def strings(): Seq[String] = {
-      val n = vint().toInt
+      val n = cnt()
       if (n == 0) Seq.empty
       else {
         val a = new Array[String](n)

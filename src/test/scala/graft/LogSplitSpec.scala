@@ -263,6 +263,18 @@ class LogSplitSpec extends AnyFunSuite {
       graft.log.SnapshotDetail(Seq("a"), deltaDirs = Seq("d")))
     // Malformed bytes surface as a parse failure, not silence.
     intercept[Exception](parseDetailBytes("not json".getBytes))
+    // Empty detail round-trips (a fold of an empty table).
+    val empty = graft.log.SnapshotDetail(Seq.empty)
+    assert(parseDetailBytes(writeDetailBytes(empty)) == empty)
+    // Corrupt binary fails LOUDLY: truncation mid-document and a count
+    // larger than the document are parse failures, never a silent
+    // wrong/partial detail or a multi-GB allocation attempt.
+    intercept[Exception](parseDetailBytes(binary.take(binary.length / 2)))
+    // magic + varint(2^20) dictionary count with nothing behind it: the
+    // count guard must refuse before any allocation is attempted.
+    val bigCount = Array[Byte]('G', 'D', 'T', '1',
+      0x80.toByte, 0x80.toByte, 0x40)
+    intercept[Exception](parseDetailBytes(bigCount))
   }
 
   test("a fold past the shard threshold writes parallel shards, reads exact") {
