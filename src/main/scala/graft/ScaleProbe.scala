@@ -900,16 +900,21 @@ object ScaleProbe {
       def ms(body: => Unit): Double = {
         val s0 = System.nanoTime(); body; (System.nanoTime() - s0) / 1e6
       }
-      val latestMs = (0 until 3).map(_ => ms { freshT().log.latest() }).min
+      // COLD = fresh process: the parse/head caches are process-wide since
+      // round 17 (a fresh catalog instance alone would be served another
+      // instance's work), so each cold sample clears them first.
+      def coldCaches(): Unit = graft.log.SnapshotLog.clearSharedCaches()
+      val latestMs = (0 until 3).map(_ =>
+        ms { coldCaches(); freshT().log.latest() }).min
       val lookupMs = (1 to 3).map(i =>
-        ms { require(freshT().lookupKeyRows(keys(i)).nonEmpty) }).min
+        ms { coldCaches(); require(freshT().lookupKeyRows(keys(i)).nonEmpty) }).min
       // Warm = a RESIDENT serving instance (manifest cached): what a
       // steady-state server pays per lookup at this dir count.
       val resident = freshT()
       resident.lookupKeyRows(keys(4))
       val warmMs = (5 to 7).map(i =>
         ms { require(resident.lookupKeyRows(keys(i)).nonEmpty) }).min
-      val rangeMs = (0 until 3).map(_ => ms {
+      val rangeMs = (0 until 3).map(_ => ms { coldCaches()
         freshT().readRange("event_id", keys(0), keys(9)).count() }).min
       // Warm range = a RESIDENT instance re-planning the same column: the
       // per-snapshot parsed-stats arrays (round 17) make repeat planning

@@ -183,6 +183,40 @@ object SnapshotLog {
   private implicit val detailFormats: Formats = DefaultFormats
   private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
+  /** Process-wide parsed-detail cache, keyed by `path@mtime` (see
+    * `detailKey`): detail files are claim-once immutable, so parses are
+    * shareable across every SnapshotLog instance — the v2 catalog creates
+    * one per loadTable (per SQL statement), and without sharing each
+    * statement against a 10⁶-dir table re-parsed the whole chain. Bounded
+    * by TOTAL CACHED DIR ENTRIES (not file count — one fold shard can
+    * carry 62k dirs) with a clear-all overflow, the same crude-but-bounded
+    * policy the per-instance cache used. */
+  private val maxSharedSegmentDirs = 4000000L
+  private[log] val sharedSegments =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
+  private val sharedSegmentDirs = new java.util.concurrent.atomic.AtomicLong()
+  private[log] def cacheSegment(key: String, d: SnapshotDetail): Unit = {
+    if (sharedSegmentDirs.get() > maxSharedSegmentDirs) {
+      sharedSegments.clear()
+      sharedSegmentDirs.set(0L)
+    }
+    if (sharedSegments.putIfAbsent(key, d) == null)
+      sharedSegmentDirs.addAndGet(math.max(1, d.dataDirs.size).toLong)
+  }
+
+  /** One composed-head slot per table root, (manifest path, mtime)-guarded
+    * — see the `latest()` comment. */
+  private[log] val sharedHeads = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Option[Long], Snapshot)]()
+
+  /** Test/probe hook: forget every shared parse so a "cold open" measures
+    * the real fresh-process path instead of another instance's work. */
+  private[graft] def clearSharedCaches(): Unit = {
+    sharedSegments.clear()
+    sharedSegmentDirs.set(0L)
+    sharedHeads.clear()
+  }
+
   /** Shared daemon pool for metadata fan-out (segment parses, shard
     * claims). ONE pool per JVM — per-call `newFixedThreadPool`s churned
     * ~100 short-lived pools per `snapshots()` scan (thread create/
@@ -715,8 +749,13 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   // Without this cache, every serving call re-parses the O(dirs) detail
   // JSON: measured 360 ms PER LOOKUP on a 100k-dir table (manifest_scale
   // probe, r15) for what is otherwise a ~5 ms read. The dir listing
-  // itself stays — that's what detects concurrent commits.
-  @volatile private var headCache: (String, Option[Long], Snapshot) = null
+  // itself stays — that's what detects concurrent commits. SHARED across
+  // instances (round 17, one slot per table root): the v2 catalog builds
+  // a fresh GraftTable/SnapshotLog per loadTable, i.e. per SQL query —
+  // without sharing, every statement against a big table re-composed the
+  // head AND rebuilt the bucket/stat indexes that ride the Snapshot
+  // instance.
+  private val headSlot = tableRoot.toAbsolutePath.normalize.toString
 
   def latest(): Option[Snapshot] = {
     // The newest retained manifest is never expired, so a missing-file read
@@ -729,11 +768,11 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         case Some(p) =>
           val key = p.toString
           val mt = store.modifiedAtMs(p)
-          val c = headCache
+          val c = SnapshotLog.sharedHeads.get(headSlot)
           if (c != null && c._1 == key && c._2 == mt) return Some(c._3)
           try {
             val s = readManifest(p)
-            headCache = (key, mt, s)
+            SnapshotLog.sharedHeads.put(headSlot, (key, mt, s))
             return Some(s)
           }
           catch { case e if isMissing(e) => } // stale listing — re-list
@@ -808,18 +847,25 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   // segments' parsed form is reused. Bounded defensively — a table cannot
   // reference more than (segment cap + retained manifests) live segments,
   // but expired names would otherwise accrete over a long-lived instance.
-  private val segmentCache =
-    new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
-
   private def metaPool = SnapshotLog.metaPool
 
+  /** Cache key of a detail document: absolute path + mtime. Detail files
+    * are claim-once immutable, so the PATH is content identity in
+    * contract; the mtime term additionally catches out-of-band edits
+    * (tests, external tooling) — same guard the head cache carries. The
+    * stat syscall is noise next to the parse it saves. */
+  private def detailKey(name: String): String = {
+    val p = logDir.resolve(name)
+    p.toAbsolutePath.toString + "@" + store.modifiedAtMs(p).getOrElse(-1L)
+  }
+
   private def loadDetail(name: String): SnapshotDetail = {
-    val c = segmentCache.get(name)
+    val key = detailKey(name)
+    val c = SnapshotLog.sharedSegments.get(key)
     if (c != null) c
     else {
       val d = SnapshotLog.parseDetailBytes(store.read(logDir.resolve(name)))
-      if (segmentCache.size > 512) segmentCache.clear()
-      segmentCache.put(name, d)
+      SnapshotLog.cacheSegment(key, d)
       d
     }
   }
@@ -832,7 +878,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     * Exceptions rethrow with their original type so callers' missing-file
     * handling (expiry races) keeps working. */
   private def loadDetails(names: Seq[String]): Seq[SnapshotDetail] = {
-    val misses = names.distinct.filterNot(segmentCache.containsKey)
+    val misses = names.distinct
+      .filter(n => SnapshotLog.sharedSegments.get(detailKey(n)) == null)
     if (misses.size > 1) {
       val fs = misses.map(n => metaPool.submit(
         new java.util.concurrent.Callable[SnapshotDetail] {
@@ -1413,7 +1460,9 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       val refs = scala.util.Try(detailRefsOf(p)).getOrElse(Seq.empty)
       store.delete(p)
       refs.filterNot(keptDetails).foreach { d =>
-        segmentCache.remove(d)
+        // The shared cache self-invalidates through the mtime-keyed
+        // detailKey (a deleted path never resolves to its old key again);
+        // dead entries age out via the size bound.
         store.delete(logDir.resolve(d))
       }
     }

@@ -111,6 +111,9 @@ object LogComposeProps extends Properties("SnapshotLog.compose") {
             }
         }
         val w = warm.latest().get
+        // Shared parse caches would otherwise hand the fresh instance the
+        // warm composition itself — clear so "fresh full compose" means it.
+        SnapshotLog.clearSharedCaches()
         val f = new SnapshotLog(root).latest().get
         val ok = w.dataDirs == f.dataDirs &&
           w.dirRecords == f.dirRecords && w.dirStats == f.dirStats &&

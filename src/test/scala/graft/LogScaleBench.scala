@@ -24,7 +24,12 @@ object LogScaleBench {
     // Fresh instance = the probe's resident: cold compose once, then
     // hinted appends + head re-reads.
     val l2 = new SnapshotLog(root)
+    SnapshotLog.clearSharedCaches() // cold = fresh-process, not fresh-instance
     ms("cold latest") { l2.latest() }
+    // The v2 catalog's per-statement shape: a brand-new SnapshotLog per
+    // query, served by the process-wide caches (round 17).
+    ms("fresh-instance latest") { new SnapshotLog(root).latest() }
+    ms("fresh-instance latest 2") { new SnapshotLog(root).latest() }
     for (i <- 1 to 5) {
       val head = l2.latest().get
       val add = Seq(s"data/extra$i/__bucket=${i % 1024}")

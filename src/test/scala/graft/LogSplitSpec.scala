@@ -295,6 +295,7 @@ class LogSplitSpec extends AnyFunSuite {
       .map(_.count(_ == ',') + 1).getOrElse(0)
     assert(segCount >= 2, s"expected sharded fold, core: ${core.take(400)}")
     // A fresh instance (cold segment cache) composes the exact snapshot.
+    SnapshotLog.clearSharedCaches()
     val cold = new SnapshotLog(root).latest().get
     assert(cold.dataDirs.size == n && cold.dataDirs.toSet == dirs.toSet)
     assert(cold.dirRecords == recs && cold.dirStats == stats)
@@ -334,6 +335,7 @@ class LogSplitSpec extends AnyFunSuite {
       dirStats = dirs0.map(d => d -> Map("k:min" -> "1", "k:max" -> "9")).toMap)
     warm.latest().get.dataDirsByBucket // materialize the index on the warm log
     def freshEquals(w: Snapshot): Unit = {
+      SnapshotLog.clearSharedCaches() // "fresh" must mean a real re-compose
       val f = new SnapshotLog(root).latest().get
       assert(w.dataDirs == f.dataDirs)
       assert(w.dirRecords == f.dirRecords && w.dirStats == f.dirStats)

@@ -70,9 +70,11 @@ class StatsSpec extends AnyFunSuite {
       }
     } finally paths.close()
     // Out-of-band manifest surgery breaks the claim-once immutability the
-    // head cache leans on — re-open the table like a fresh process would
-    // (the cache also guards on store mtime, but that is belt-and-braces,
-    // not a license to edit manifests under a live handle).
+    // head cache leans on — re-open the table like a fresh process would.
+    // The caches are process-wide since round 17 (detail entries are
+    // mtime-guarded, but the untouched MANIFEST's head slot still serves
+    // the pre-surgery composition), so "fresh process" means clearing them.
+    graft.log.SnapshotLog.clearSharedCaches()
     val t2 = new GraftTable(spark, t.root, "t")
     val head2 = t2.log.latest().get
     assert(head2.dirStats.isEmpty)
