@@ -579,18 +579,25 @@ final class GraftScanBuilder(
       // API's readRange/readBox does, applied BEFORE any file listing. A
       // column needs a lower AND an upper conjunct to form a window
       // (strict bounds use the closed window — a conservative superset);
-      // dirs without stats always survive, and Spark re-evaluates every
-      // filter above the scan, so pruning is never a correctness decision.
+      // dirs without stats always survive. UNLIKE the parquet predicate
+      // above, dir skipping IS a correctness decision: rows in a dropped
+      // dir are never read, so Spark's re-filtering cannot restore them.
+      // Soundness rests on stats being true min/max in the bound's stats
+      // domain — which is why bounds come from `pushable` (widened
+      // columns excluded): a widened column's narrow-era stats are in the
+      // OLD type's domain (DATE days vs TIMESTAMP_NTZ micros) and would
+      // mis-prune every narrow-era dir. statPrunedDirs itself declines
+      // widened columns too (defense in depth for the session paths).
       // This is what makes a range-pruned MERGE's matching-rows subquery
       // O(touched dirs) on a range-clustered table (MergeKeyPruneRule's
       // min/max conjunct) — and any plain v2 range query O(matching dirs).
       val statKept: Option[Set[String]] = {
-        val los = pushedPhys.collect {
+        val los = pushable.collect {
           case sources.GreaterThan(a, v) if v != null => (a, v)
           case sources.GreaterThanOrEqual(a, v) if v != null => (a, v)
           case sources.EqualTo(a, v) if v != null => (a, v)
         }
-        val his = pushedPhys.collect {
+        val his = pushable.collect {
           case sources.LessThan(a, v) if v != null => (a, v)
           case sources.LessThanOrEqual(a, v) if v != null => (a, v)
           case sources.EqualTo(a, v) if v != null => (a, v)

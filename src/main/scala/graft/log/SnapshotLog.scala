@@ -191,7 +191,9 @@ object SnapshotLog {
     * by TOTAL CACHED DIR ENTRIES (not file count — one fold shard can
     * carry 62k dirs) with a clear-all overflow, the same crude-but-bounded
     * policy the per-instance cache used. */
-  private val maxSharedSegmentDirs = 4000000L
+  // var: test hook — the eviction spec lowers the cap to exercise the
+  // clear-all path with small tables, then restores it.
+  private[graft] var maxSharedSegmentDirs = 4000000L
   private[log] val sharedSegments =
     new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
   private val sharedSegmentDirs = new java.util.concurrent.atomic.AtomicLong()
@@ -205,9 +207,30 @@ object SnapshotLog {
   }
 
   /** One composed-head slot per table root, (manifest path, mtime)-guarded
-    * — see the `latest()` comment. */
-  private[log] val sharedHeads = new java.util.concurrent.ConcurrentHashMap[
+    * — see the `latest()` comment. Bounded like [[sharedSegments]]: a
+    * composed Snapshot is O(dirs) memory AND pins its parsed segment maps
+    * (so the segment cache's own bound alone would not bound the process),
+    * and slots are keyed by table root for the JVM lifetime — a long-lived
+    * multi-table process (the HTTP server, a bench loop over ephemeral
+    * tables) would otherwise accrete one full head per table ever touched.
+    * Same crude-but-bounded clear-all policy; per-slot replacement
+    * (the common single-table commit cadence) adjusts the count instead
+    * of growing it. */
+  private[graft] var maxSharedHeadDirs = 4000000L
+  private[graft] val sharedHeads = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Option[Long], Snapshot)]()
+  private[graft] val sharedHeadDirs = new java.util.concurrent.atomic.AtomicLong()
+  private[log] def cacheHead(
+      slot: String, entry: (String, Option[Long], Snapshot)): Unit = {
+    val add = math.max(1, entry._3.dataDirs.size).toLong
+    if (sharedHeadDirs.get() + add > maxSharedHeadDirs) {
+      sharedHeads.clear()
+      sharedHeadDirs.set(0L)
+    }
+    val prev = sharedHeads.put(slot, entry)
+    val rem = if (prev == null) 0L else math.max(1, prev._3.dataDirs.size).toLong
+    sharedHeadDirs.addAndGet(add - rem)
+  }
 
   /** Test/probe hook: forget every shared parse so a "cold open" measures
     * the real fresh-process path instead of another instance's work. */
@@ -215,6 +238,7 @@ object SnapshotLog {
     sharedSegments.clear()
     sharedSegmentDirs.set(0L)
     sharedHeads.clear()
+    sharedHeadDirs.set(0L)
   }
 
   /** Shared daemon pool for metadata fan-out (segment parses, shard
@@ -772,7 +796,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
           if (c != null && c._1 == key && c._2 == mt) return Some(c._3)
           try {
             val s = readManifest(p)
-            SnapshotLog.sharedHeads.put(headSlot, (key, mt, s))
+            SnapshotLog.cacheHead(headSlot, (key, mt, s))
             return Some(s)
           }
           catch { case e if isMissing(e) => } // stale listing — re-list

@@ -100,16 +100,25 @@ case class MergeKeyPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def keyedCondition(rd: ReplaceData, cond: Expression): Option[Expression] = {
     val conjuncts = splitAnd(cond)
-    val alreadyKeyed = conjuncts.exists {
-      case In(_: AttributeReference, _) => true
-      case InSet(_: AttributeReference, _) => true
+    if (sys.props.contains("graft.debug.mergePrune"))
+      println(s"GRAFT mergePrune conjuncts:\n${conjuncts.map(c => "  " + c.getClass.getSimpleName + ": " + c).mkString("\n")}")
+    // "Already keyed" is decided PER ATTRIBUTE, after the candidate join
+    // attribute is chosen (below): a static bound on an UNRELATED target
+    // column (e.g. `t.ts >= '2024-01-01' AND t.k = s.k`) must not cost
+    // the merge its bucket-key IN derivation. Matching by exprId also
+    // keeps the rule idempotent — its own In/range output lands on the
+    // derived attribute exactly.
+    def alreadyKeyedOn(a: AttributeReference): Boolean = conjuncts.exists {
+      case In(t: AttributeReference, _) => t.exprId == a.exprId
+      case InSet(t: AttributeReference, _) => t.exprId == a.exprId
       // The range variant's own output (or a hand-written range twin):
-      // a static bound on a target attribute already prunes.
-      case GreaterThanOrEqual(_: AttributeReference, Literal(_, _)) => true
-      case LessThanOrEqual(_: AttributeReference, Literal(_, _)) => true
+      // a static bound on the derived attribute already prunes.
+      case GreaterThanOrEqual(t: AttributeReference, Literal(_, _)) =>
+        t.exprId == a.exprId
+      case LessThanOrEqual(t: AttributeReference, Literal(_, _)) =>
+        t.exprId == a.exprId
       case _ => false
     }
-    if (alreadyKeyed) return None
     val bk = bucketKeyOf(rd.table)
     val ex = conjuncts.collectFirst { case e: Exists => e }.getOrElse(return None)
     // Correlated shape before vs after PullupCorrelatedPredicates: the
@@ -144,6 +153,7 @@ case class MergeKeyPruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val bucketEq = if (bk.isDefined) targetEq(wantBucketKey = true) else None
     val (tAttr, sAttr) = bucketEq.orElse(targetEq(wantBucketKey = false))
       .getOrElse(return None)
+    if (alreadyKeyedOn(tAttr)) return None
     if (!src.outputSet.contains(sAttr)) return None
     if (!src.deterministic) return None
     if (src.stats.sizeInBytes > maxSourceBytes) return None

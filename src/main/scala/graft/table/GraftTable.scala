@@ -302,12 +302,25 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   private[graft] def statPrunedDirs(head: Snapshot, st: StructType,
       bounds: Seq[(String, (Any, Any))]): Seq[String] = {
     // Per-column stat-domain windows, resolved once outside the dir loop.
+    // INVARIANT: dir-level skipping is a CORRECTNESS decision — rows in a
+    // wrongly dropped dir are never read, so no re-filter above the scan
+    // can restore them. Pruning on a column is sound only while its
+    // recorded min/max strings live in the SAME stats domain statBound
+    // maps query bounds into. A widened column breaks that: narrow-era
+    // commits recorded stats in the OLD type's domain (DATE days vs
+    // TIMESTAMP_NTZ micros) and dirStats carry no per-dir era marker, so
+    // while the widened flag is set (i.e. narrow-era files may still
+    // exist) the column must not stat-prune at all. Any full rewrite
+    // clears the flag and re-records stats in the wide domain.
     val statWindows = bounds.map { case (c, (lower, upper)) =>
-      val dt = st(c).dataType
-      (c, dt, statBound(lower, dt), statBound(upper, dt))
+      val f = st(c)
+      val dt = f.dataType
+      if (ColumnIds.isWidened(f)) (c, dt, None, None)
+      else (c, dt, statBound(lower, dt), statBound(upper, dt))
     }
     // A bound that cannot enter the stats domain (type mismatch, unknown
-    // type) prunes nothing for that column; drop it before array work.
+    // type, widened column) prunes nothing for that column; drop it
+    // before array work.
     val active = statWindows.collect {
       case (c, dt, Some(lo), Some(hi)) => (c, dt, lo, hi)
     }
@@ -769,6 +782,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     def colStat(c: String): Option[(String, Any, Any)] = {
       val f = st.fields.find(_.name == c).getOrElse(return None)
       if (f.dataType == StringType) return None
+      // A widened column's narrow-era dir stats live in the OLD type's
+      // domain (DATE days vs TIMESTAMP_NTZ micros); folding them under
+      // the wide type would return a WRONG pushed-down MIN/MAX answer.
+      // Decline — the scan computes the aggregate from real rows instead.
+      if (ColumnIds.isWidened(f)) return None
       if (live.isEmpty) return Some((c, null, null))
       val perDir = live.map { d =>
         val stats = head.dirStats.getOrElse(d, Map.empty)
@@ -2431,9 +2449,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * into different buckets than the files were written under), a pending
    * MOR chain keyed by the column refuses, and a bloom sidecar on the
    * column refuses (its hashes were taken at the narrow width; rebuild
-   * after — see [[dropBloomIndex]]). Parquet row-group predicates stop
-   * pushing for the column while narrow files are live ([[ColumnIds
-   * .isWidened]]); the scan's own re-filtering keeps results exact.
+   * after — see [[dropBloomIndex]]). While narrow files are live
+   * ([[ColumnIds.isWidened]]) the column goes dark for every
+   * stats-derived decision: parquet row-group predicates stop pushing
+   * (type-strict filters would fail the task), manifest dir skipping
+   * declines ([[statPrunedDirs]] — narrow-era dirStats are in the OLD
+   * type's domain, e.g. DATE days vs TIMESTAMP_NTZ micros, and dropping
+   * a dir is unrecoverable by re-filtering), and metadata MIN/MAX agg
+   * pushdown declines ([[statsFromMetadataAt]] — it would fold days as
+   * micros into a wrong answer). Any full rewrite clears the marker and
+   * re-records wide-domain stats.
    */
   def widenColumn(colName: String, to: DataType): Snapshot = {
     import org.apache.spark.sql.types.{ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}

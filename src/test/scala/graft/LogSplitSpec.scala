@@ -382,4 +382,63 @@ class LogSplitSpec extends AnyFunSuite {
     assert(rolled.dataDirs.contains(gone.head))
     freshEquals(rolled)
   }
+
+  test("shared head cache is bounded at its cap and never thrashes to zero") {
+    // r18 (ADVICE): sharedHeads previously retained one O(dirs) Snapshot
+    // per table root for the JVM lifetime — a long-lived multi-table
+    // process accreted unbounded heads, each pinning its parsed segment
+    // maps past sharedSegments' own bound. Now total cached head dirs are
+    // capped (clear-all at overflow, like the segment cache), a same-slot
+    // replacement ADJUSTS the count instead of growing it, and the
+    // freshly composed head is always cached AFTER an eviction (the
+    // next read stays warm — no thrash-to-zero).
+    import graft.log.{DirDelta, SnapshotLog}
+    SnapshotLog.clearSharedCaches()
+    val savedCap = SnapshotLog.maxSharedHeadDirs
+    try {
+      val base = TestSpark.tmpDir("headcap-")
+      val logA = new SnapshotLog(base.resolve("a"))
+      val logB = new SnapshotLog(base.resolve("b"))
+      val dirsA = (0 until 8).map(i => s"data/a$i/__bucket=$i")
+      val dirsB = (0 until 8).map(i => s"data/b$i/__bucket=$i")
+      val sA = logA.commit("create", "{}", dirsA,
+        dirRecords = dirsA.map(_ -> 1L).toMap)
+      logB.commit("create", "{}", dirsB,
+        dirRecords = dirsB.map(_ -> 1L).toMap)
+      SnapshotLog.maxSharedHeadDirs = 10L // holds one 8-dir head, not two
+      logA.latest()
+      assert(SnapshotLog.sharedHeads.size == 1 &&
+        SnapshotLog.sharedHeadDirs.get == 8L)
+      // B would overflow the cap: clear-all, then B ITSELF is cached.
+      logB.latest()
+      assert(SnapshotLog.sharedHeads.size == 1 &&
+        SnapshotLog.sharedHeadDirs.get == 8L)
+      // Alternating the two big tables stays bounded every step (steady
+      // state = one resident head, not zero, not both).
+      (0 until 6).foreach { i =>
+        (if (i % 2 == 0) logA else logB).latest()
+        assert(SnapshotLog.sharedHeadDirs.get <= SnapshotLog.maxSharedHeadDirs)
+        assert(SnapshotLog.sharedHeads.size == 1)
+      }
+      // Same-slot replacement adjusts the count (9 dirs replace 8), never
+      // accretes per-commit.
+      SnapshotLog.clearSharedCaches()
+      SnapshotLog.maxSharedHeadDirs = 100L
+      logA.latest()
+      val add = Seq("data/extra/__bucket=0")
+      logA.commitExpecting(Some(sA.snapshotId), "append", "{}", dirsA ++ add,
+        dirRecords = (dirsA ++ add).map(_ -> 1L).toMap,
+        deltaHint = Some(DirDelta(add)))
+      logA.latest()
+      logA.latest()
+      assert(SnapshotLog.sharedHeads.size == 1 &&
+        SnapshotLog.sharedHeadDirs.get == 9L)
+      // And the slot really serves: two reads of an unchanged head return
+      // the same composed instance.
+      assert(logA.latest().get eq logA.latest().get)
+    } finally {
+      SnapshotLog.maxSharedHeadDirs = savedCap
+      SnapshotLog.clearSharedCaches()
+    }
+  }
 }

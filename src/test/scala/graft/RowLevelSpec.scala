@@ -133,6 +133,33 @@ class RowLevelSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.orders").count() == orders.count())
   }
 
+  test("MERGE with an unrelated static bound still derives the key set") {
+    // "Already keyed" is per-attribute (r18): a static range conjunct on a
+    // DIFFERENT target column (the `t.ts >= X AND t.k = s.k` shape) must
+    // not cost the merge its bucket-key IN derivation — only a static
+    // In/bound on the DERIVED attribute itself declines (idempotence).
+    // In the current optimizer phase ordering the static bound stays
+    // inside the Exists' join condition (verified via
+    // -Dgraft.debug.mergePrune), so this freezes the wanted behavior for
+    // any future phase that pulls outer-only predicates to the top level.
+    val (cat, _) = freshCat()
+    ConnectorQueries.ingestBucketed(spark, cat, "orders", orders, "o_orderkey", 8)
+    orders.filter(col("o_orderkey") <= 40)
+      .withColumn("o_totalprice", lit(3.0))
+      .createOrReplaceTempView("mkp_bound_src")
+    val stmt = s"""MERGE INTO $cat.orders t USING mkp_bound_src s
+      ON t.o_orderkey = s.o_orderkey AND t.o_custkey >= 0
+      WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice"""
+    val plan = spark.sql("EXPLAIN FORMATTED " + stmt).collect()(0).getString(0)
+    assert(plan.contains(" buckets={"),
+      s"unrelated static bound must not block key derivation:\n$plan")
+    spark.sql(stmt)
+    val got = spark.table(s"$cat.orders")
+      .filter(col("o_orderkey") <= 40).select("o_totalprice").collect()
+    assert(got.nonEmpty && got.forall(_.getDouble(0) == 3.0))
+    assert(spark.table(s"$cat.orders").count() == orders.count())
+  }
+
   test("range-layout MERGE derives min/max: matching-rows subquery is stats-pruned") {
     val (cat, wh) = freshCat()
     // Bucketed by o_custkey, APPEND-ORDERED on o_orderkey: each ingest

@@ -302,6 +302,54 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         .select("o_orderkey").distinct().count())
   }
 
+  test("widened column goes dark for stats pruning and metadata MIN/MAX") {
+    // Narrow-era dir stats live in the OLD type's domain (DATE = epoch
+    // DAYS). After a DATE -> TIMESTAMP_NTZ widen, query bounds enter the
+    // stats domain as MICROS; comparing micros bounds against days stats
+    // would prune EVERY narrow-era dir (days max << micros lo) and
+    // silently drop all matching rows — dir skipping is not recoverable
+    // by re-filtering. Regression for the r18 fix: statPrunedDirs,
+    // the v2 statKept set, and statsFromMetadataAt all decline widened
+    // columns while narrow files are live.
+    import org.apache.spark.sql.types._
+    val vcat = graft.queries.ConnectorQueries.tempCatalog(spark)
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get(s"spark.sql.catalog.$vcat.warehouse"))
+    val narrow = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+    graft.queries.ConnectorQueries.ingestBucketed(
+      spark, vcat, "t", narrow, "o_orderkey", 4)
+    val t = new graft.table.GraftTable(spark, wh.resolve("t"), "t")
+    // Precondition: the narrow era really recorded days-domain stats.
+    assert(t.log.latest().get.dirStats.values.exists(_.contains("od:min")))
+    t.widenColumn("od", TimestampNTZType)
+    val lo = java.time.LocalDateTime.of(1994, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1996, 12, 31, 23, 59)
+    val want = t.read()
+      .filter(col("od") >= lit(lo) && col("od") <= lit(hi)).count()
+    assert(want > 0) // the window must actually hit narrow-era rows
+    // (1) Session range read: statPrunedDirs must keep narrow-era dirs.
+    assert(t.readRange("od", lo, hi).count() == want)
+    // (2) v2 SQL range scan: the manifest statKept set must not compare
+    // micros bounds against days stats.
+    val sqlGot = spark.sql(
+      s"SELECT count(*) AS c FROM $vcat.t WHERE " +
+        "od >= TIMESTAMP_NTZ '1994-01-01 00:00:00' AND " +
+        "od <= TIMESTAMP_NTZ '1996-12-31 23:59:00'").head.getLong(0)
+    assert(sqlGot == want)
+    // (3) Metadata MIN/MAX pushdown must decline (days folded as micros
+    // would answer ~1970) and compute from real rows instead.
+    val aggDf = spark.sql(s"SELECT min(od) AS mn, max(od) AS mx FROM $vcat.t")
+    assert(!aggDf.queryExecution.executedPlan.toString
+      .contains("metadata-aggregate"))
+    val r = aggDf.head
+    val wantMn = t.read().agg(min("od"), max("od")).head
+    assert(r.get(0) == wantMn.get(0) && r.get(1) == wantMn.get(1))
+    // COUNT-only pushdown is still metadata-answerable (no stat domain).
+    val cntDf = spark.sql(s"SELECT count(*) AS c FROM $vcat.t")
+    assert(cntDf.head.getLong(0) == narrow.count())
+  }
+
   test("MOR deltas and compaction survive a rename") {
     val cat = freshCat()
     val t = cat.saveTable("t", orders.limit(0))
