@@ -193,6 +193,32 @@ object ScaleProbe {
           graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5,
             eager = true)).count()
       }
+      // Attribution twins (r18): the SAME ops with broadcast joins
+      // disabled at BOTH factors. The broadcast-enabled rows read a
+      // shuffle-bytes exponent ≫1 because the f=1 point's small join
+      // sides broadcast (zero shuffle bytes) while the f=10 sides cross
+      // spark.sql.autoBroadcastJoinThreshold and shuffle their linear
+      // streams — a one-time plan transition (Dedup.nearDupPairs scale
+      // doc; same mechanism as x_dsir's, Importance.scala). With the
+      // transition removed the exponent must read ~1: the twin's f10
+      // bytes should equal the enabled run's (the enabled f10 plan is
+      // already all shuffle joins) while its f1 point gains the bytes
+      // broadcast was hiding.
+      def noBroadcast(op: => Long): Long = {
+        val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try op finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      }
+      probe("d_minhash_pairs_noB", f) { c =>
+        noBroadcast(graft.ops.Dedup.nearDupPairs(c, "doc_id", "text",
+          minJaccard = 0.5, eager = true).count())
+      }
+      probe("d_cluster_cc_noB", f) { c =>
+        noBroadcast(graft.ops.Cluster.clusterDocs(c, "doc_id",
+          graft.ops.Dedup.nearDupPairs(c, "doc_id", "text", minJaccard = 0.5,
+            eager = true)).count())
+      }
       probe("x_pack", f) { c =>
         graft.ops.Curation.packSequences(c, "doc_id", "text",
           budget = 256, shards = 64).count()

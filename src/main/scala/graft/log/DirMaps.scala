@@ -215,3 +215,69 @@ private[graft] final class OverlayDirMap[V](
     else if (dropped.contains(key) || !base.contains(key)) this
     else maybeCollapsed[V](base, over, dropped + key)
 }
+
+/**
+ * ONE dir's stats, decoded from the binary detail's dictionary-coded
+ * entries (r18): keys are indices into the document's shared stat-key
+ * dictionary, values strings. The previous shape built an eager Scala Map
+ * per dir at parse time — at 10⁶ dirs those inner maps were the dominant
+ * remaining parse cost (SnapshotLog's codec doc) and forced every
+ * stats-array build into string-keyed gets. This keeps the full
+ * `immutable.Map` contract with ZERO hashing: `get` is a linear scan over
+ * the handful of entries a dir carries (faster than a tiny HashMap), and
+ * the range planner's fast path (GraftTable.statPrunedDirs) resolves a
+ * column to a dict index ONCE per document and then reads each dir's
+ * value by INT comparison — column-major access without a format change.
+ * `updated`/`removed` copy out to a plain map (stats maps are read-only
+ * in practice; the copies keep the contract for tests/tooling).
+ */
+private[graft] final class PackedStatsMap(
+    private[graft] val dict: Array[String],
+    private[graft] val keyIdx: Array[Int],
+    private[graft] val vals: Array[String])
+    extends AbstractMap[String, String] with Serializable {
+
+  override def size: Int = keyIdx.length
+  override def knownSize: Int = keyIdx.length
+  override def isEmpty: Boolean = keyIdx.length == 0
+
+  /** Value for a dictionary index, or null — the planner's int-keyed read. */
+  private[graft] def valueAt(di: Int): String = {
+    var i = 0
+    while (i < keyIdx.length) {
+      if (keyIdx(i) == di) return vals(i)
+      i += 1
+    }
+    null
+  }
+
+  override def get(key: String): Option[String] = {
+    var i = 0
+    while (i < keyIdx.length) {
+      val k = dict(keyIdx(i))
+      if ((k eq key) || k == key) return Some(vals(i))
+      i += 1
+    }
+    None
+  }
+
+  override def iterator: Iterator[(String, String)] =
+    keyIdx.indices.iterator.map(i => dict(keyIdx(i)) -> vals(i))
+
+  override def foreachEntry[U](f: (String, String) => U): Unit = {
+    var i = 0
+    while (i < keyIdx.length) { f(dict(keyIdx(i)), vals(i)); i += 1 }
+  }
+
+  override def updated[V1 >: String](key: String, value: V1): Map[String, V1] = {
+    val b = HashMap.newBuilder[String, V1]
+    foreachEntry((k, v) => b += k -> v)
+    b.result().updated(key, value)
+  }
+
+  override def removed(key: String): Map[String, String] = {
+    val b = HashMap.newBuilder[String, String]
+    foreachEntry((k, v) => if (k != key) b += k -> v)
+    b.result()
+  }
+}

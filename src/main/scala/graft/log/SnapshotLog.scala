@@ -262,13 +262,30 @@ object SnapshotLog {
         }
       })
 
-  /** Binary detail documents (round 17) start with this magic; anything
-    * else (a '{') is a legacy JSON detail and takes the streaming-JSON /
-    * json4s path below — old logs stay readable without migration. */
-  private val DetailMagic = Array[Byte]('G', 'D', 'T', '1')
+  /** Highest detail-format revision this build can read, and the revision
+    * it writes. History: revision 1 = JSON details (pre-r17); revision 2 =
+    * binary `GDT1` details (r17, forward-only); revision 3 = `GDT2`
+    * details (r18): identical body, plus a mandatory trailing CRC32 so
+    * corruption is detected deterministically instead of relying on
+    * structural guards to trip. Readers parse all three. Every new
+    * manifest core stamps `minReader = ReaderRevision`;
+    * [[SnapshotLog#parseManifest]] refuses any core demanding more than
+    * this constant, so a future revision 4 fails THIS build with
+    * "log requires reader revision ≥ 4" instead of a byte-level parse
+    * error — the marker the r17 one-way door lacked. */
+  private[graft] val ReaderRevision = 3
 
-  /** Parse a SnapshotDetail document, any era. Binary (magic `GDT1`) is
-    * the round-17 format [[writeDetailBytes]] emits: each dir is stated
+  /** Binary detail documents start with one of these magics (`GDT1` =
+    * r17 revision 2, no checksum; `GDT2` = r18 revision 3, trailing
+    * CRC32); anything else (a '{') is a legacy JSON detail and takes the
+    * streaming-JSON / json4s path below — old logs stay readable without
+    * migration. */
+  private val DetailMagic = Array[Byte]('G', 'D', 'T', '1')
+  private val DetailMagic2 = Array[Byte]('G', 'D', 'T', '2')
+
+  /** Parse a SnapshotDetail document, any era. Binary (magic `GDT1`
+    * r17 / `GDT2` r18, which adds a mandatory trailing CRC32) is
+    * the format [[writeDetailBytes]] emits: each dir is stated
     * ONCE with its record count and stats inline (the JSON form repeated
     * every dir name three times — dataDirs array, dirRecords key, dirStats
     * key — which tripled both bytes and string allocations), stat KEYS are
@@ -279,11 +296,15 @@ object SnapshotLog {
     * never does. Measured (DetailCodecBench, 10⁶ dirs): 147 MB JSON →
     * 56 MB binary; parse 3.5-5 s → sub-second, and the remaining cost is
     * the inner per-dir stats Maps, not tokenization or top-level maps. */
+  private def magicIs(bytes: Array[Byte], m: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == m(0) && bytes(1) == m(1) &&
+      bytes(2) == m(2) && bytes(3) == m(3)
+
   private[graft] def parseDetailBytes(bytes: Array[Byte]): SnapshotDetail =
-    if (bytes.length >= 4 && bytes(0) == DetailMagic(0) &&
-        bytes(1) == DetailMagic(1) && bytes(2) == DetailMagic(2) &&
-        bytes(3) == DetailMagic(3))
-      parseBinaryDetail(bytes)
+    if (magicIs(bytes, DetailMagic2))
+      parseBinaryDetail(bytes, checksummed = true)
+    else if (magicIs(bytes, DetailMagic))
+      parseBinaryDetail(bytes, checksummed = false)
     else
       try streamDetail(bytes)
       catch {
@@ -292,7 +313,27 @@ object SnapshotLog {
             new String(bytes, StandardCharsets.UTF_8))
       }
 
-  private def parseBinaryDetail(bytes: Array[Byte]): SnapshotDetail = {
+  private def parseBinaryDetail(
+      bytes: Array[Byte], checksummed: Boolean): SnapshotDetail = {
+    // GDT2: verify the trailing CRC32 over everything before it FIRST —
+    // any flipped bit or truncation fails here with one deterministic
+    // message, before body decoding can act on damaged lengths. GDT1
+    // (r17, no trailer) keeps the structural guards only.
+    val bodyEnd = if (checksummed) bytes.length - 4 else bytes.length
+    if (checksummed) {
+      require(bytes.length >= 8,
+        s"detail document corrupt: ${bytes.length} bytes is shorter than " +
+          "the GDT2 magic + checksum")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, 0, bodyEnd)
+      val stored = ((bytes(bodyEnd) & 0xffL) << 24) |
+        ((bytes(bodyEnd + 1) & 0xffL) << 16) |
+        ((bytes(bodyEnd + 2) & 0xffL) << 8) |
+        (bytes(bodyEnd + 3) & 0xffL)
+      require(crc.getValue == stored,
+        f"detail document corrupt: CRC32 mismatch (stored $stored%08x, " +
+          f"computed ${crc.getValue}%08x over $bodyEnd bytes)")
+    }
     var pos = 4
     def vint(): Long = {
       var shift = 0; var r = 0L
@@ -310,9 +351,9 @@ object SnapshotLog {
     // a multi-GB allocation (every counted element occupies >= 1 byte).
     def cnt(): Int = {
       val n = vint()
-      require(n >= 0 && n <= bytes.length - pos,
+      require(n >= 0 && n <= bodyEnd - pos,
         s"detail document corrupt: count/length $n at offset $pos " +
-          s"exceeds remaining ${bytes.length - pos} bytes")
+          s"exceeds remaining ${bodyEnd - pos} bytes")
       n.toInt
     }
     def str(): String = {
@@ -322,12 +363,26 @@ object SnapshotLog {
       s
     }
     val dict = Array.fill(cnt())(str())
+    // Per-dir stats decode to [[PackedStatsMap]]s (r18): dict-index keys +
+    // value strings in two arrays, ZERO map building — at 10⁶ dirs the
+    // eager inner Maps were the dominant remaining parse cost, and the
+    // packed form is what lets the range planner read one column by int
+    // comparison (GraftTable.statPrunedDirs' fast path).
     def statsMap(): Map[String, String] = {
       val n = cnt()
-      val b = Map.newBuilder[String, String]
+      val ki = new Array[Int](n)
+      val va = new Array[String](n)
       var j = 0
-      while (j < n) { b += dict(vint().toInt) -> str(); j += 1 }
-      b.result()
+      while (j < n) {
+        val k = vint().toInt
+        require(k >= 0 && k < dict.length,
+          s"detail document corrupt: stat key index $k outside " +
+            s"dictionary of ${dict.length}")
+        ki(j) = k
+        va(j) = str()
+        j += 1
+      }
+      new PackedStatsMap(dict, ki, va)
     }
     val nDirs = cnt()
     val dirs = new Array[String](nDirs)
@@ -362,6 +417,12 @@ object SnapshotLog {
     }
     val deltaDirs = strings()
     val removedDirs = strings()
+    // The body must account for every byte before the trailer (GDT2) or
+    // the end of file (GDT1) — leftover bytes mean a damaged document
+    // whose structural fields happened to stay self-consistent.
+    require(pos == bodyEnd,
+      s"detail document corrupt: ${bodyEnd - pos} undecoded bytes after " +
+        "the last section")
     val rk = recK.result(); val sk = stK.result()
     SnapshotDetail(
       dataDirs = scala.collection.immutable.ArraySeq.unsafeWrapArray(dirs),
@@ -429,7 +490,7 @@ object SnapshotLog {
     * rationale. Layout (all counts/lengths unsigned LEB128 varints,
     * record values zigzag varints, strings length-prefixed UTF-8):
     *
-    *   magic "GDT1"
+    *   magic "GDT2"
     *   nStatKeys, statKey*                    — dictionary, first-seen order
     *   nDirs, then per dir:
     *     dir, flags(bit0 record, bit1 stats),
@@ -437,6 +498,7 @@ object SnapshotLog {
     *   nExtraRecords, (key, record)*          — records for non-data dirs
     *   nExtraStats, (key, nStats, (keyIdx, value)*)*
     *   nDeltaDirs, dir* ; nRemovedDirs, dir*
+    *   CRC32 (4 bytes big-endian) of everything above   — GDT2 only
     *
     * The extras sections carry dirRecords/dirStats keys outside dataDirs
     * (delta dirs get record counts); a dir is otherwise stated exactly
@@ -475,7 +537,7 @@ object SnapshotLog {
       len += b.length
     }
     ensure(4)
-    System.arraycopy(DetailMagic, 0, buf, 0, 4)
+    System.arraycopy(DetailMagic2, 0, buf, 0, 4)
     len = 4
     val dict = new java.util.LinkedHashMap[String, Integer]()
     d.dirStats.foreachEntry((_, m) => m.keysIterator.foreach { k =>
@@ -506,6 +568,16 @@ object SnapshotLog {
     def strs(vs: Seq[String]): Unit = { vint(vs.size.toLong); vs.foreach(str) }
     strs(d.deltaDirs)
     strs(d.removedDirs)
+    // GDT2 integrity trailer: CRC32 (big-endian) over everything above,
+    // magic included. One JDK-intrinsic pass over the buffer (~GB/s) buys
+    // deterministic corruption detection on every future read.
+    val crc = new java.util.zip.CRC32()
+    crc.update(buf, 0, len)
+    val c = crc.getValue
+    ensure(4)
+    buf(len) = (c >>> 24).toByte; buf(len + 1) = (c >>> 16).toByte
+    buf(len + 2) = (c >>> 8).toByte; buf(len + 3) = c.toByte
+    len += 4
     java.util.Arrays.copyOf(buf, len)
   }
 }
@@ -564,7 +636,14 @@ private[graft] case class ManifestCore(
     // small manifest reads, never an O(dirs) detail parse. Bounded: a
     // commit whose chain would exceed the segment cap (or whose delta
     // rivals the live set) folds back to one self-contained detail.
-    detailSegments: Seq[String] = Seq.empty)
+    detailSegments: Seq[String] = Seq.empty,
+    // Minimum reader revision able to parse this commit's detail documents
+    // — the table-format evolution contract (Iceberg's `format-version`):
+    // it lives in the JSON core, which EVERY reader era parses, so a
+    // too-old reader refuses with a versioned message instead of choking
+    // on bytes it cannot decode. None (pre-marker manifests) means
+    // revision ≤ 2 by construction. See [[SnapshotLog.ReaderRevision]].
+    minReader: Option[Int] = None)
 
 /**
  * Append-only snapshot log for one table: `<tableRoot>/_log/v%016d.json`.
@@ -757,7 +836,18 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   private def parseManifest(s: String): (ManifestCore, Option[Snapshot]) = {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(s) \ "detailFile" match {
-      case JString(_) => (Serialization.read[ManifestCore](s), None)
+      case JString(_) =>
+        val core = Serialization.read[ManifestCore](s)
+        // Format-version gate (the Iceberg `format-version` contract):
+        // refuse a future detail revision HERE, on the always-JSON core,
+        // with a versioned message — never a downstream byte-parse error.
+        core.minReader.filter(_ > SnapshotLog.ReaderRevision).foreach { mr =>
+          throw new IllegalStateException(
+            s"log $logDir requires reader revision >= $mr; this build " +
+              s"supports <= ${SnapshotLog.ReaderRevision} — upgrade the " +
+              "graft library to read this table")
+        }
+        (core, None)
       case _ =>
         val full = Serialization.read[Snapshot](s)
         (ManifestCore(full.snapshotId, full.parentId, full.committedAt,
@@ -1198,7 +1288,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     if (!detailOk) { cleanupOwn(); return false }
     val core = ManifestCore(snap.snapshotId, snap.parentId, snap.committedAt,
       snap.operation, snap.schemaJson, snap.summary, snap.batchKey,
-      snap.recentBatchKeys, Some(detailName), segments)
+      snap.recentBatchKeys, Some(detailName), segments,
+      minReader = Some(SnapshotLog.ReaderRevision))
     val won = store.tryClaim(manifestPath(snap.snapshotId),
       Serialization.write(core).getBytes(StandardCharsets.UTF_8))
     if (!won) cleanupOwn()

@@ -96,6 +96,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   // reads, and the serving path never mutates it.
   private lazy val servingConf = spark.sessionState.newHadoopConf()
 
+  /** Fire-and-forget post-commit pre-warm of the serving caches for
+    * freshly written dirs (relative paths) — see [[LocalPointRead
+    * .prewarm]] for why. Queued on a single shared daemon thread so the
+    * committing caller returns immediately; disabled alongside the local
+    * serving path itself, or explicitly via -Dgraft.serving.prewarm=false. */
+  private def prewarmServing(rels: Seq[String]): Unit =
+    if (rels.nonEmpty && LocalPointRead.enabled &&
+        !sys.props.get("graft.serving.prewarm").contains("false")) {
+      val abs = rels.map(r => root.resolve(r).toString)
+      GraftTable.prewarmPool.execute(() =>
+        LocalPointRead.prewarm(servingConf, abs))
+    }
+
   def schema: StructType =
     log.latest().map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
       .getOrElse(new StructType())
@@ -330,17 +343,76 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       val cached = head.statArrays(c, {
         val mns = new Array[AnyRef](n)
         val mxs = new Array[AnyRef](n)
-        var i = 0
-        head.dataDirs.foreach { d =>
-          head.dirStats.get(d).foreach { s =>
-            val mn = s.get(s"$c:min").flatMap(parseStat(_, dt))
-            val mx = s.get(s"$c:max").flatMap(parseStat(_, dt))
+        val minKey = s"$c:min"
+        val maxKey = s"$c:max"
+        def fillParsed(i: Int, mnS: String, mxS: String): Unit =
+          if (mnS != null && mxS != null) {
+            val mn = parseStat(mnS, dt)
+            val mx = parseStat(mxS, dt)
             if (mn.isDefined && mx.isDefined) {
               mns(i) = mn.get.asInstanceOf[AnyRef]
               mxs(i) = mx.get.asInstanceOf[AnyRef]
             }
           }
-          i += 1
+        // Column-major access into packed stats (r18): a binary-parsed
+        // dir's stats are dict-indexed ([[graft.log.PackedStatsMap]]);
+        // resolving the column to its dict index ONCE per document turns
+        // each dir's reads into int scans — no string hashing or compares
+        // on the million-dir walk. Plain maps (fresh commits' dirs, legacy
+        // JSON parses) take the string-keyed path.
+        var lastDict: Array[String] = null
+        var minIdx = -1
+        var maxIdx = -1
+        def fill(i: Int, s: Map[String, String]): Unit = s match {
+          case p: graft.log.PackedStatsMap =>
+            if (p.dict ne lastDict) {
+              lastDict = p.dict
+              minIdx = lastDict.indexOf(minKey)
+              maxIdx = lastDict.indexOf(maxKey)
+            }
+            if (minIdx >= 0 && maxIdx >= 0)
+              fillParsed(i, p.valueAt(minIdx), p.valueAt(maxIdx))
+          case m =>
+            fillParsed(i, m.getOrElse(minKey, null), m.getOrElse(maxKey, null))
+        }
+        // Optimistic ALIGNED merge-walk (r18): the binary detail codec
+        // states dirs-with-stats in dataDirs order (extras after), so one
+        // forward scan over both sequences fills the arrays with ZERO
+        // hashing. The prior shape — dirStats.get(d) per dir — forced the
+        // array-backed map's one-time string index (a 10⁶-entry hash
+        // build) plus a hash probe per dir, most of the measured 755 ms
+        // first-range-plan cost at 10⁶ dirs. Safety: a fill happens only
+        // at an exact string match, and an unmatched entry merely leaves
+        // nulls (dir kept — pruning stays conservative); a step budget
+        // of 2n bounds misordered sources (legacy JSON maps), which
+        // rebuild via the hash path below, correctness identical.
+        val dirArr = new Array[String](n)
+        locally { var i = 0
+          head.dataDirs.foreach { d => dirArr(i) = d; i += 1 } }
+        var cursor = 0
+        var steps = 0L
+        var aligned = true
+        val entries = head.dirStats.iterator
+        while (aligned && entries.hasNext) {
+          val (d, s) = entries.next()
+          var j = cursor
+          while (j < n && steps <= 2L * n &&
+              !((dirArr(j) eq d) || dirArr(j) == d)) {
+            j += 1; steps += 1
+          }
+          if (steps > 2L * n) aligned = false
+          else if (j < n) { fill(j, s); cursor = j + 1 }
+          // j == n: an entry outside dataDirs (delta-dir stats ride the
+          // extras section) — skip it, cursor unchanged.
+        }
+        if (!aligned) {
+          java.util.Arrays.fill(mns, null)
+          java.util.Arrays.fill(mxs, null)
+          var i = 0
+          head.dataDirs.foreach { d =>
+            head.dirStats.get(d).foreach(s => fill(i, s))
+            i += 1
+          }
         }
         (mns, mxs)
       })
@@ -1207,6 +1279,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     GraftTable.lastMergePhases = Some(Seq(
       "prepass" -> (tB - tA) / 1e9, "merge_write" -> ((tC - tB) / 1e9 - footer),
       "footer" -> footer, "commit" -> (tD - tC) / 1e9))
+    prewarmServing(newLeaves.map(_.rel)) // rewritten buckets, warm serving
     snap
   }
 
@@ -1631,6 +1704,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           (if (diag) Seq("dedup" -> dedupSec) else Nil) ++ Seq(
             "write" -> (tC - tW) / 1e9,
             "commit" -> (System.nanoTime() - tC) / 1e9))
+        prewarmServing(Seq(dir)) // serving sees warm footers for the delta
         return snap
       } catch {
         case _: graft.log.CommitConflictException if attempts < 64 => // re-derive
@@ -3318,6 +3392,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
 }
 
 object GraftTable {
+  /** One daemon thread for post-commit serving pre-warms: warming runs
+    * strictly BEHIND the commit (never in its latency), one at a time —
+    * a burst of commits queues warms rather than spawning threads. */
+  private[table] lazy val prewarmPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-serving-prewarm")
+      t.setDaemon(true)
+      t
+    })
+
   /**
    * Default prune-worthy heuristic for manifest statistics: id/key-named
    * columns — the ones equality lookups and range reads target (timestamp/

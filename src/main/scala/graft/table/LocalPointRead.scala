@@ -78,6 +78,26 @@ object LocalPointRead {
 
   def enabled: Boolean = !sys.props.get(EnabledProp).contains("false")
 
+  /** Populate the dir-listing and file-plan caches for freshly committed
+    * dirs — the post-commit pre-warm (r18). Under continuous ingest, the
+    * FIRST lookup after each commit paid the new files' footer opens
+    * (~1-17 ms each) plus their listings inside its own latency; the
+    * bench's under-ingest probe read a 160 ms clean p99 against a 5.7 ms
+    * p50 largely from those post-commit samples. The ingest side calls
+    * this right after its commit (fire-and-forget — see
+    * [[GraftTable.prewarmServing]]), so serving lookups find warm plans.
+    * Files are immutable once committed: warming can never go stale, and
+    * a racing lookup at worst duplicates a footer read (same as two
+    * concurrent cold lookups). Failures are swallowed — this is an
+    * optimization, never a correctness step. */
+  def prewarm(
+      conf: org.apache.hadoop.conf.Configuration,
+      dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      try listDir(d, conf).foreach(f => filePlan(f, conf))
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+
   /** Flat schemas only: nested types take the distributed path (their
     * row conversion has more edge cases than a serving read should carry). */
   def supports(st: StructType): Boolean = st.fields.forall(f => f.dataType match {

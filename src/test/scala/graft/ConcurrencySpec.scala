@@ -129,8 +129,11 @@ class ConcurrencySpec extends AnyFunSuite {
     t.append(small.limit(1), batchKey = Some("old1"))
     t.append(small.limit(1), batchKey = Some("old2"))
     val logDir = root.resolve("_log")
+    // Patch only the MANIFEST cores (v*.json — always JSON): detail
+    // documents are binary (GDT2 carries a CRC trailer with non-UTF-8
+    // bytes) and a String round-trip would corrupt them.
     val paths = java.nio.file.Files.list(logDir)
-    try paths.forEach { p =>
+    try paths.filter(_.getFileName.toString.startsWith("v")).forEach { p =>
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         .replaceAll(""","recentBatchKeys":\[[^\]]*\]""", ""","recentBatchKeys":[]""")
       java.nio.file.Files.write(p, s.getBytes("UTF-8"))

@@ -111,6 +111,77 @@ object DirMapsProps extends Properties("DirMaps") {
           "post-deserialization gets"
     }
 
+  // ---- binary detail codec fuzz (r18, VERDICT #7) -------------------
+
+  private val statsGen: Gen[Map[String, String]] = Gen.mapOf(Gen.zip(
+    Gen.oneOf("k:min", "k:max", "ts:min", "ts:max", "weird ✓ key"),
+    Gen.alphaNumStr.map(_.take(16))))
+
+  private val detailGen: Gen[graft.log.SnapshotDetail] = for {
+    dirs <- Gen.listOfN(12, keyGen).map(_.distinct)
+    delta <- Gen.listOfN(3, keyGen).map(_.distinct)
+    removed <- Gen.listOfN(3, keyGen).map(_.distinct)
+    recSubset <- Gen.someOf(dirs ++ delta)
+    statSubset <- Gen.someOf(dirs)
+    stats <- Gen.listOfN(statSubset.size, statsGen)
+  } yield graft.log.SnapshotDetail(
+    dataDirs = dirs,
+    deltaDirs = delta,
+    removedDirs = removed,
+    dirRecords = recSubset.zipWithIndex
+      .map { case (d, i) => d -> (i.toLong - 2) }.toMap,
+    dirStats = statSubset.zip(stats).toMap)
+
+  property("binary detail codec round-trips arbitrary details") =
+    forAll(detailGen) { d =>
+      import graft.log.SnapshotLog.{parseDetailBytes, writeDetailBytes}
+      Prop(parseDetailBytes(writeDetailBytes(d)) == d)
+    }
+
+  /** Corrupted GDT2 buffers must fail LOUDLY — a structural guard or the
+    * CRC32 trailer — never an attempted multi-GB allocation from a bogus
+    * varint length, and never a silently different parse. Bit flips,
+    * truncations, and appended garbage all dirty either the magic (falls
+    * to the JSON path, which throws) or the CRC window (deterministic
+    * mismatch), so every mutation must throw. */
+  property("corrupted GDT2 buffers fail loudly, never parse silently") =
+    forAll(detailGen, Gen.choose(0, Int.MaxValue - 1),
+      Gen.choose(0, 7)) { (d, posSeed, bit) =>
+      import graft.log.SnapshotLog.{parseDetailBytes, writeDetailBytes}
+      val bytes = writeDetailBytes(d)
+      // 12 mutations per generated buffer (100 ScalaCheck runs → 1200
+      // corrupt cases): bit flips spread across the document including
+      // the magic, the length-prefix region, and the CRC trailer itself;
+      // truncations at a random point, mid-document, and inside the
+      // trailer; one appended garbage byte.
+      def flip(p: Int, bt: Int): Array[Byte] = {
+        val b = bytes.clone(); b(p) = (b(p) ^ (1 << bt)).toByte; b
+      }
+      val n = bytes.length
+      val mutations: Seq[(String, Array[Byte])] = Seq(
+        "flip-magic" -> flip(posSeed % 4, bit),
+        "flip-early" -> flip(4 + posSeed % math.max(1, n / 4), bit),
+        "flip-mid" -> flip(n / 2, bit),
+        "flip-late" -> flip(n - 5 - posSeed % math.max(1, n / 4), bit),
+        "flip-crc" -> flip(n - 1 - posSeed % 4, bit),
+        "trunc-rand" -> bytes.take(posSeed % n),
+        "trunc-mid" -> bytes.take(n / 2),
+        "trunc-header" -> bytes.take(4 + posSeed % 4),
+        "trunc-in-crc" -> bytes.take(n - 1 - posSeed % 4),
+        "trunc-empty" -> Array.empty[Byte],
+        "append-garbage" -> (bytes :+ (posSeed % 256).toByte),
+        "flip-bit0-everywhere" -> flip(posSeed % n, 0))
+      Prop.all(mutations.map { case (label, m) =>
+        try {
+          parseDetailBytes(m)
+          Prop(false) :| s"$label parsed without error"
+        } catch {
+          case _: OutOfMemoryError => Prop(false) :| s"$label drove an OOM"
+          case _: Throwable => Prop.passed
+        }
+      }: _*)
+    }
+
   property("overlay collapse keeps semantics when the delta rivals the base") =
     forAll(Gen.listOfN(20, keyGen).map(_.distinct)) { keys0 =>
       val keys = keys0.toIndexedSeq

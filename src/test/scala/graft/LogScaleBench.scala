@@ -43,5 +43,25 @@ object LogScaleBench {
       }
       ms(s"head re-read $i") { l2.latest() }
     }
+    // Resident-bytes pricing of the process-wide caches at the 10⁶-dir
+    // regime (SURVEY cache-ceiling line): GC-settled used-heap diff
+    // between cleared and populated shared caches. The absolute ceiling
+    // is then (maxShared{Segment,Head}Dirs / measured dirs) × this
+    // figure; the eviction test (LogSplitSpec) proves the clear-all +
+    // re-fill behavior at the cap.
+    def usedHeap(): Long = {
+      val rt = Runtime.getRuntime
+      (1 to 4).foreach { _ => System.gc(); Thread.sleep(150L) }
+      rt.totalMemory - rt.freeMemory
+    }
+    SnapshotLog.clearSharedCaches()
+    val base = usedHeap()
+    new SnapshotLog(root).latest()
+    val populated = usedHeap()
+    SnapshotLog.clearSharedCaches()
+    val cleared = usedHeap()
+    println(f"shared-cache resident at ${n / 1000000}M dirs: " +
+      f"populate=${(populated - base) / 1e6}%.1f MB " +
+      f"freed-on-clear=${(populated - cleared) / 1e6}%.1f MB")
   }
 }

@@ -240,8 +240,13 @@ class LogSplitSpec extends AnyFunSuite {
     // writer really emits binary (magic GDT1) — its maps are array-backed
     // views, so equality here also exercises ArrayDirMap vs plain Map.
     val binary = writeDetailBytes(codecFixture)
-    assert(binary.take(4).toSeq == Seq[Byte]('G', 'D', 'T', '1'))
+    assert(binary.take(4).toSeq == Seq[Byte]('G', 'D', 'T', '2'))
     assert(parseDetailBytes(binary) == codecFixture)
+    // r17-era GDT1 documents (same body, no CRC trailer) still parse: a
+    // GDT1 file is exactly the GDT2 body with the old magic.
+    val gdt1 = binary.dropRight(4)
+    gdt1(3) = '1'
+    assert(parseDetailBytes(gdt1) == codecFixture)
     // json4s-written bytes (the pre-round-16 on-disk form) parse identically
     // through the streaming reader — no dialect drift on old tables.
     val legacy = org.json4s.jackson.Serialization.write(codecFixture)
@@ -275,6 +280,46 @@ class LogSplitSpec extends AnyFunSuite {
     val bigCount = Array[Byte]('G', 'D', 'T', '1',
       0x80.toByte, 0x80.toByte, 0x40)
     intercept[Exception](parseDetailBytes(bigCount))
+    // GDT2's CRC trailer names corruption deterministically: any flipped
+    // body byte fails with the checksum message BEFORE body decoding can
+    // act on the damaged bytes.
+    val flipped = binary.clone()
+    flipped(binary.length / 2) = (flipped(binary.length / 2) ^ 0x10).toByte
+    val crcErr = intercept[IllegalArgumentException](parseDetailBytes(flipped))
+    assert(crcErr.getMessage.contains("CRC32 mismatch"))
+  }
+
+  test("a future-revision manifest refuses loudly, naming the revision") {
+    // The table-format evolution contract (r18): the minReader field lives
+    // in the always-JSON core, so a reader too old for the DETAIL encoding
+    // fails with a versioned upgrade message, never a byte-parse error —
+    // the marker the r17 GDT1 one-way door lacked.
+    val root = TestSpark.tmpDir("minreader-").resolve("t")
+    val logDir = root.resolve("_log")
+    java.nio.file.Files.createDirectories(logDir)
+    val core = """{"snapshotId":1,"committedAt":"2026-01-01T00:00:00Z",""" +
+      """"operation":"create","schemaJson":"{}","summary":{},""" +
+      """"recentBatchKeys":[],"detailFile":"d0000000000000001-deadbeef.json",""" +
+      """"detailSegments":[],"minReader":99}"""
+    java.nio.file.Files.write(logDir.resolve("v0000000000000001.json"),
+      core.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException](
+      new graft.log.SnapshotLog(root).latest())
+    assert(e.getMessage.contains("requires reader revision >= 99"))
+    assert(e.getMessage.contains("upgrade"))
+  }
+
+  test("new manifests stamp the reader revision they require") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("stamp-").resolve("t")
+    val log = new SnapshotLog(root)
+    val snap = log.commit("create", "{}", Seq("data/x"))
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("_log").resolve(f"v${snap.snapshotId}%016d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(raw.contains(s""""minReader":${SnapshotLog.ReaderRevision}"""))
+    // And this build reads its own stamp back, of course.
+    assert(new SnapshotLog(root).latest().get.dataDirs == Seq("data/x"))
   }
 
   test("a fold past the shard threshold writes parallel shards, reads exact") {
