@@ -99,15 +99,29 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
   /** Fire-and-forget post-commit pre-warm of the serving caches for
     * freshly written dirs (relative paths) — see [[LocalPointRead
     * .prewarm]] for why. Queued on a single shared daemon thread so the
-    * committing caller returns immediately; disabled alongside the local
-    * serving path itself, or explicitly via -Dgraft.serving.prewarm=false. */
+    * committing caller returns immediately. ONLY for tables something is
+    * actually SERVING from (a point lookup in the last
+    * [[GraftTable.PrewarmServeWindowMs]]): an interleaved bench A/B
+    * showed unconditional post-commit warming costing 10-17% of
+    * pure-ingest CDC throughput (the footer opens + per-file Hadoop conf
+    * copies allocate enough to tax a 32-core saturated write via GC),
+    * while a batch pipeline with no reader gains nothing from warm
+    * footers. Kill switch: -Dgraft.serving.prewarm=false. */
   private def prewarmServing(rels: Seq[String]): Unit =
     if (rels.nonEmpty && LocalPointRead.enabled &&
+        GraftTable.recentlyServed(rootKey) &&
         !sys.props.get("graft.serving.prewarm").contains("false")) {
       val abs = rels.map(r => root.resolve(r).toString)
       GraftTable.prewarmPool.execute(() =>
         LocalPointRead.prewarm(servingConf, abs))
     }
+
+  private lazy val rootKey = root.toAbsolutePath.normalize.toString
+
+  /** Record that this table is being point-served — gates the post-commit
+    * pre-warm above. Called from the serving lookup entry points. */
+  private def markServed(): Unit =
+    GraftTable.servedTables.put(rootKey, System.currentTimeMillis())
 
   def schema: StructType =
     log.latest().map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
@@ -711,6 +725,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * narrowing semantics.
    */
   def readPointRows(column0: String, value: Any): Seq[Row] = {
+    markServed()
     val column = ColumnIds.physicalFor(schema, column0)
     val fast: Option[Seq[Row]] =
       try {
@@ -1938,7 +1953,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  def lookupKey(value: Any): DataFrame = prunedLookupCtx(value) match {
+  def lookupKey(value: Any): DataFrame = { markServed(); prunedLookupCtx(value) } match {
     case Some((st, dirs, bk)) =>
       if (dirs.isEmpty) emptyDF(st)
       else LocalPointRead.lookupRows(spark, servingConf, dirs, st, bk, value) match {
@@ -1975,7 +1990,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * construction + first-collect query-execution overhead (~20 ms) that
    * [[lookupKey]].collect() pays on top of the same driver-side read.
    */
-  def lookupKeyRows(value: Any): Seq[Row] = prunedLookupCtx(value) match {
+  def lookupKeyRows(value: Any): Seq[Row] = { markServed(); prunedLookupCtx(value) } match {
     case Some((st, dirs, bk)) =>
       if (dirs.isEmpty) Seq.empty
       else LocalPointRead.lookupRows(spark, servingConf, dirs, st, bk, value)
@@ -1994,6 +2009,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    * |distinct buckets|/numBuckets of the table instead of all of it.
    */
   def lookupKeys(values: Seq[Any]): DataFrame = {
+    markServed()
     // ONE log read: bucket spec, schema, dirs and delta chain all come from
     // the same head snapshot — separate reads could observe different
     // snapshots across a concurrent commit (and each costs log I/O).
@@ -3401,6 +3417,24 @@ object GraftTable {
       t.setDaemon(true)
       t
     })
+
+  /** How long after a point lookup a table still counts as "being
+    * served": post-commit pre-warms run only inside this window, so a
+    * pure batch pipeline (no reader) never pays the warm's footer I/O
+    * against its own ingest throughput. */
+  private[table] val PrewarmServeWindowMs: Long = 10L * 60 * 1000
+
+  /** Absolute table root -> last point-lookup wall millis (process-wide:
+    * serving and ingest commonly run through distinct GraftTable
+    * instances over the same root). Bounded by the number of distinct
+    * table roots a process touches. */
+  private[table] val servedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[table] def recentlyServed(rootKey: String): Boolean = {
+    val t = servedTables.get(rootKey)
+    t != null && System.currentTimeMillis() - t <= PrewarmServeWindowMs
+  }
 
   /**
    * Default prune-worthy heuristic for manifest statistics: id/key-named
