@@ -349,11 +349,12 @@ object Bench {
         // leaves the timed shape's codegen uncompiled and wave 1 pays it —
         // r7 diagnosis read wave 1 at 2.9s vs a 1.3s steady state.
         t.upsert(batch.withColumn("l_quantity", col("l_quantity") + 100), "li_id")
-        // Five waves, not three: r6 read this metric 14% below r5 on
-        // untouched operator code — more waves + the dispersion series make
-        // environment noise distinguishable from a real regression. Waves
-        // run under the bracket drop rule (keep >= 3 of 5).
-        val (ws, med) = robustWaves("table_merge", 5, minSurvivors = 3,
+        // Seven waves (r18; five since r6, three originally): two quiet
+        // back-to-back r18 runs read this metric 57.3k vs 74.9k rows/s on
+        // identical code — a ~8 s five-wave window can sit entirely inside
+        // one co-tenant ramp. Seven waves + the bracket drop rule
+        // (keep >= 4) straddle it the same way the CDC sections' 7 waves do.
+        val (ws, med) = robustWaves("table_merge", 7, minSurvivors = 4,
             tblCalib("before_table_merge_ms")) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()
@@ -380,7 +381,7 @@ object Bench {
         val nBatch = batch.count()
         // Same-shape warm-up as the merge metric (see above).
         t.upsertDeferred(batch.withColumn("l_quantity", col("l_quantity") + 100), "li_id")
-        val (ws, med) = robustWaves("table_mor", 5, minSurvivors = 3,
+        val (ws, med) = robustWaves("table_mor", 7, minSurvivors = 4,
             tblCalib("before_table_mor_ms")) { i =>
           val b = batch.withColumn("l_quantity", col("l_quantity") + i + 1)
           val t0 = System.nanoTime()
