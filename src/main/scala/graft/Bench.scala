@@ -581,17 +581,23 @@ object Bench {
               }
               val probe = new Thread(() => {
                 var i = 0
-                var lastSnap = target.latestVersion
+                // Commit detection via the in-process commit tick, read
+                // BEFORE each lookup: zero store I/O (the old per-sample
+                // latestVersion listing taxed the path under measurement),
+                // and a commit landing mid-lookup flags the NEXT sample —
+                // the first lookup that STARTED after the commit — instead
+                // of retroactively flagging the pre-commit one.
+                var lastTick = graft.log.SnapshotLog.commitTick.get()
                 while (ingesting) {
                   val k = probeKeys(i % probeKeys.length)
+                  val tick = graft.log.SnapshotLog.commitTick.get()
+                  val postCommit = tick != lastTick
+                  lastTick = tick
                   val gc0 = gcTotalMs()
                   val t0 = System.nanoTime()
                   val n = target.lookupKeyRows(k).size
                   val latMs = (System.nanoTime() - t0) / 1e6
                   val gcD = gcTotalMs() - gc0
-                  val snapNow = target.latestVersion
-                  val postCommit = snapNow != lastSnap
-                  lastSnap = snapNow
                   if (n > 0) lat.add((relMs, latMs, gcD, postCommit))
                   i += 1
                   Thread.sleep(5L)

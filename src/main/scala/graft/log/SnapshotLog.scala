@@ -197,14 +197,26 @@ object SnapshotLog {
   private[log] val sharedSegments =
     new java.util.concurrent.ConcurrentHashMap[String, SnapshotDetail]()
   private val sharedSegmentDirs = new java.util.concurrent.atomic.AtomicLong()
-  private[log] def cacheSegment(key: String, d: SnapshotDetail): Unit = {
-    if (sharedSegmentDirs.get() > maxSharedSegmentDirs) {
-      sharedSegments.clear()
-      sharedSegmentDirs.set(0L)
+
+  /** Serializes cache MUTATION + accounting (cacheSegment/cacheHead/
+    * clearSharedCaches): each is a check-then-act over (map, counter), and
+    * a clear landing between another thread's put and its counter update
+    * would leave the two permanently disagreeing — cacheHead SUBTRACTS a
+    * replaced entry's size, so unrepaired drift can go negative and
+    * silently un-bound the cache. Mutations are cold (once per parse /
+    * compose, never per-row); lookups stay lock-free on the concurrent
+    * maps. */
+  private val cacheLock = new Object
+
+  private[log] def cacheSegment(key: String, d: SnapshotDetail): Unit =
+    cacheLock.synchronized {
+      if (sharedSegmentDirs.get() > maxSharedSegmentDirs) {
+        sharedSegments.clear()
+        sharedSegmentDirs.set(0L)
+      }
+      if (sharedSegments.putIfAbsent(key, d) == null)
+        sharedSegmentDirs.addAndGet(math.max(1, d.dataDirs.size).toLong)
     }
-    if (sharedSegments.putIfAbsent(key, d) == null)
-      sharedSegmentDirs.addAndGet(math.max(1, d.dataDirs.size).toLong)
-  }
 
   /** One composed-head slot per table root, (manifest path, mtime)-guarded
     * — see the `latest()` comment. Bounded like [[sharedSegments]]: a
@@ -221,20 +233,29 @@ object SnapshotLog {
     String, (String, Option[Long], Snapshot)]()
   private[graft] val sharedHeadDirs = new java.util.concurrent.atomic.AtomicLong()
   private[log] def cacheHead(
-      slot: String, entry: (String, Option[Long], Snapshot)): Unit = {
-    val add = math.max(1, entry._3.dataDirs.size).toLong
-    if (sharedHeadDirs.get() + add > maxSharedHeadDirs) {
-      sharedHeads.clear()
-      sharedHeadDirs.set(0L)
+      slot: String, entry: (String, Option[Long], Snapshot)): Unit =
+    cacheLock.synchronized {
+      val add = math.max(1, entry._3.dataDirs.size).toLong
+      if (sharedHeadDirs.get() + add > maxSharedHeadDirs) {
+        sharedHeads.clear()
+        sharedHeadDirs.set(0L)
+      }
+      val prev = sharedHeads.put(slot, entry)
+      val rem = if (prev == null) 0L else math.max(1, prev._3.dataDirs.size).toLong
+      sharedHeadDirs.addAndGet(add - rem)
     }
-    val prev = sharedHeads.put(slot, entry)
-    val rem = if (prev == null) 0L else math.max(1, prev._3.dataDirs.size).toLong
-    sharedHeadDirs.addAndGet(add - rem)
-  }
+
+  /** Process-wide count of WON commits (any table). Purpose: lets an
+    * in-process observer (the bench's under-ingest probe) detect "a commit
+    * landed since I last checked" without touching the store — its
+    * previous per-sample log-dir listing added steady metadata I/O to the
+    * very path it was measuring, and its post-lookup placement could flag
+    * the pre-commit sample. Monotonic, never read for correctness. */
+  private[graft] val commitTick = new java.util.concurrent.atomic.AtomicLong()
 
   /** Test/probe hook: forget every shared parse so a "cold open" measures
     * the real fresh-process path instead of another instance's work. */
-  private[graft] def clearSharedCaches(): Unit = {
+  private[graft] def clearSharedCaches(): Unit = cacheLock.synchronized {
     sharedSegments.clear()
     sharedSegmentDirs.set(0L)
     sharedHeads.clear()
@@ -274,6 +295,25 @@ object SnapshotLog {
     * "log requires reader revision ≥ 4" instead of a byte-level parse
     * error — the marker the r17 one-way door lacked. */
   private[graft] val ReaderRevision = 3
+
+  /** Writer-side compatibility knob (the other half of the Iceberg
+    * format-version contract): the detail revision THIS process writes.
+    * Default: the newest. A fleet mid-rolling-upgrade sets
+    * `-Dgraft.log.detailRevision=2` (or `1` for pre-r17 readers) so new
+    * commits stay readable by not-yet-upgraded processes, then removes
+    * the knob once every reader is current — without it the first commit
+    * from an upgraded writer is an instant flag-day for old readers.
+    * Stamped into `minReader` per commit; a SEGMENTED commit additionally
+    * floors at its parent chain's own `minReader` (the chain may carry
+    * newer-revision segments a downgraded stamp would lie about — a fold,
+    * e.g. any compact, rewrites everything and genuinely drops the floor). */
+  private[graft] def writerRevision: Int = {
+    val r = sys.props.get("graft.log.detailRevision")
+      .map(_.trim.toInt).getOrElse(ReaderRevision)
+    require(r >= 1 && r <= ReaderRevision,
+      s"graft.log.detailRevision=$r outside supported range 1..$ReaderRevision")
+    r
+  }
 
   /** Binary detail documents start with one of these magics (`GDT1` =
     * r17 revision 2, no checksum; `GDT2` = r18 revision 3, trailing
@@ -506,7 +546,13 @@ object SnapshotLog {
     * 147 MB → 56 MB, write 0.85 s → ~0.3 s; the fold commit every
     * `maxDetailSegments` writes the full document, so the fold's amortized
     * metadata cost drops with it. */
-  private[graft] def writeDetailBytes(d: SnapshotDetail): Array[Byte] = {
+  private[graft] def writeDetailBytes(
+      d: SnapshotDetail, revision: Int = ReaderRevision): Array[Byte] = {
+    // Revision 1: the legacy JSON document every era parses — the
+    // rolling-upgrade escape hatch for pre-r17 readers. Same shape
+    // streamDetail/json4s read (field names are the case class's).
+    if (revision <= 1)
+      return Serialization.write(d).getBytes(StandardCharsets.UTF_8)
     // Unsynchronized growable buffer: ByteArrayOutputStream synchronizes
     // every write, and varint encoding writes byte-at-a-time — at 10⁶ dirs
     // that is tens of millions of monitor acquisitions on the fold path.
@@ -537,7 +583,8 @@ object SnapshotLog {
       len += b.length
     }
     ensure(4)
-    System.arraycopy(DetailMagic2, 0, buf, 0, 4)
+    System.arraycopy(
+      if (revision == 2) DetailMagic else DetailMagic2, 0, buf, 0, 4)
     len = 4
     val dict = new java.util.LinkedHashMap[String, Integer]()
     d.dirStats.foreachEntry((_, m) => m.keysIterator.foreach { k =>
@@ -570,14 +617,17 @@ object SnapshotLog {
     strs(d.removedDirs)
     // GDT2 integrity trailer: CRC32 (big-endian) over everything above,
     // magic included. One JDK-intrinsic pass over the buffer (~GB/s) buys
-    // deterministic corruption detection on every future read.
-    val crc = new java.util.zip.CRC32()
-    crc.update(buf, 0, len)
-    val c = crc.getValue
-    ensure(4)
-    buf(len) = (c >>> 24).toByte; buf(len + 1) = (c >>> 16).toByte
-    buf(len + 2) = (c >>> 8).toByte; buf(len + 3) = c.toByte
-    len += 4
+    // deterministic corruption detection on every future read. Revision 2
+    // (GDT1, the r17 compat target) has no trailer by definition.
+    if (revision >= 3) {
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf, 0, len)
+      val c = crc.getValue
+      ensure(4)
+      buf(len) = (c >>> 24).toByte; buf(len + 1) = (c >>> 16).toByte
+      buf(len + 2) = (c >>> 8).toByte; buf(len + 3) = c.toByte
+      len += 4
+    }
     java.util.Arrays.copyOf(buf, len)
   }
 }
@@ -1219,8 +1269,11 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     // one ~147 MB document on one core, and the shard writes themselves
     // fan out. Shards use the ordinary detail naming, so GC/expiry
     // lifecycle (detailRefsOf, the orphan-sweep regex) needs no new case.
-    val (detail, segments, ownShards) = segmentedDetail(snap, deltaHint) match {
-      case Some((d, segs)) => (d, segs, Seq.empty[(String, SnapshotDetail)])
+    val rev = SnapshotLog.writerRevision
+    val (detail, segments, ownShards, chainFloor) =
+      segmentedDetail(snap, deltaHint) match {
+      case Some((d, segs, parentFloor)) =>
+        (d, segs, Seq.empty[(String, SnapshotDetail)], parentFloor)
       case None =>
         val n = snap.dataDirs.size
         val k = math.min(16, 1 + (n - 1).max(0) / SnapshotLog.foldShardDirs)
@@ -1228,7 +1281,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
           (SnapshotDetail(
             dataDirs = snap.dataDirs, deltaDirs = snap.deltaDirs,
             dirRecords = snap.dirRecords, dirStats = snap.dirStats),
-            Seq.empty[String], Seq.empty[(String, SnapshotDetail)])
+            Seq.empty[String], Seq.empty[(String, SnapshotDetail)], rev)
         else {
           val per = (n + k - 1) / k
           val shards = snap.dataDirs.grouped(per).map { slice =>
@@ -1240,7 +1293,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
                 .flatMap(d => snap.dirStats.get(d).map(d -> _)).toMap)
           }.toSeq
           (SnapshotDetail(dataDirs = Seq.empty, deltaDirs = snap.deltaDirs),
-            shards.map(_._1), shards)
+            shards.map(_._1), shards, rev)
         }
     }
     val detailName = freshName()
@@ -1263,7 +1316,8 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         val fs = ownShards.map { case (nm, d) =>
           metaPool.submit(new java.util.concurrent.Callable[Boolean] {
             override def call(): Boolean =
-              store.tryClaim(logDir.resolve(nm), SnapshotLog.writeDetailBytes(d))
+              store.tryClaim(logDir.resolve(nm),
+                SnapshotLog.writeDetailBytes(d, rev))
           })
         }
         // Await ALL claims before judging success: short-circuiting on the
@@ -1284,15 +1338,18 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         outcomes.forall(_ == Right(true))
     }
     val detailOk = shardsOk && store.tryClaim(logDir.resolve(detailName),
-      SnapshotLog.writeDetailBytes(detail))
+      SnapshotLog.writeDetailBytes(detail, rev))
     if (!detailOk) { cleanupOwn(); return false }
+    // minReader states what a reader of THIS manifest must parse: the
+    // revision just written, floored (for segmented commits) at the
+    // referenced chain's own requirement.
     val core = ManifestCore(snap.snapshotId, snap.parentId, snap.committedAt,
       snap.operation, snap.schemaJson, snap.summary, snap.batchKey,
       snap.recentBatchKeys, Some(detailName), segments,
-      minReader = Some(SnapshotLog.ReaderRevision))
+      minReader = Some(math.max(rev, chainFloor)))
     val won = store.tryClaim(manifestPath(snap.snapshotId),
       Serialization.write(core).getBytes(StandardCharsets.UTF_8))
-    if (!won) cleanupOwn()
+    if (!won) cleanupOwn() else SnapshotLog.commitTick.incrementAndGet()
     won
   }
 
@@ -1315,12 +1372,17 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
    */
   private def segmentedDetail(
       snap: Snapshot,
-      deltaHint: Option[DirDelta] = None): Option[(SnapshotDetail, Seq[String])] =
+      deltaHint: Option[DirDelta] = None)
+      : Option[(SnapshotDetail, Seq[String], Int)] =
     try {
       val pid = snap.parentId.getOrElse(return None)
       val (pcore, legacy) = parseManifest(
         new String(store.read(manifestPath(pid)), StandardCharsets.UTF_8))
       if (legacy.isDefined || pcore.detailFile.isEmpty) return None
+      // The chain's own reader floor: a segmented child keeps referencing
+      // the parent's segments, so its minReader stamp can never drop
+      // below theirs even if this writer is revision-downgraded.
+      val parentFloor = pcore.minReader.getOrElse(1)
       val segments = pcore.detailSegments :+ pcore.detailFile.get
       if (segments.size > SnapshotLog.maxDetailSegments) return None
       // Hinted path: the caller states the commit's (added, removed) dirs
@@ -1379,7 +1441,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
             .flatMap(a => snap.dirRecords.get(a).map(a -> _)).toMap,
           dirStats = h.added.iterator
             .flatMap(a => snap.dirStats.get(a).map(a -> _)).toMap),
-          segments)))
+          segments, parentFloor)))
       }
       hinted match {
         case Some(out) => return out // verified hint: segment form or fold
@@ -1404,7 +1466,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         removedDirs = removed,
         dirRecords = snap.dirRecords.view.filterKeys(addedSet).toMap,
         dirStats = snap.dirStats.view.filterKeys(addedSet).toMap),
-        segments))
+        segments, parentFloor))
     } catch { case e if isMissing(e) => None } // parent expired — fold
 
   /**

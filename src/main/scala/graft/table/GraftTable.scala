@@ -108,7 +108,12 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     * while a batch pipeline with no reader gains nothing from warm
     * footers. Kill switch: -Dgraft.serving.prewarm=false. */
   private def prewarmServing(rels: Seq[String]): Unit =
-    if (rels.nonEmpty && LocalPointRead.enabled &&
+    // Dir cap: a commit fanning wider than this (a full rewrite of a huge
+    // table) exceeds what the local serving path would read anyway (its
+    // byte budget) — warming it would only churn the footer LRU. Serving
+    //-scale tables stay fully covered.
+    if (rels.nonEmpty && rels.size <= GraftTable.PrewarmMaxDirs &&
+        LocalPointRead.enabled &&
         GraftTable.recentlyServed(rootKey) &&
         !sys.props.get("graft.serving.prewarm").contains("false")) {
       val abs = rels.map(r => root.resolve(r).toString)
@@ -2121,7 +2126,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val committed = ColumnIds.clearWidened(
       ColumnIds.restoreMeta(df.schema, schema)).json
     val plannedHead = if (rebaseAppends) parent.flatMap(log.get) else None
-    bucketSpec match {
+    val (snap, freshRels) = bucketSpec match {
       case Some((bk, n)) if df.columns.contains(bk) =>
         val next = latestVersion + 1
         val leaves = writeBucketedDir(df, bk, n, newDataRel(next))
@@ -2129,7 +2134,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
         val dirs = leaves.map(l => l.rel -> l.rows)
         val stats = leaves.filter(_.stats.nonEmpty).map(l => l.rel -> l.stats).toMap
         val baseSummary = Map("bucket_key" -> bk, "bucket_count" -> n.toString)
-        plannedHead match {
+        val s = plannedHead match {
           case Some(h) =>
             commitRebasing(h, operation, committed, dirs, stats, baseSummary, batchKey)
           case None =>
@@ -2137,12 +2142,13 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
               baseSummary + ("records" -> total.toString),
               batchKey, dirs.toMap, dirStats = stats)
         }
+        (s, dirs.map(_._1))
       case _ =>
         val next = latestVersion + 1
         val d = writeDataDir(df, next)
         val stats = if (d.stats.nonEmpty) Map(d.rel -> d.stats)
           else Map.empty[String, Map[String, String]]
-        plannedHead match {
+        val s = plannedHead match {
           case Some(h) =>
             commitRebasing(h, operation, committed, Seq(d.rel -> d.rows),
               stats, Map.empty, batchKey)
@@ -2151,7 +2157,14 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
               Map("records" -> d.rows.toString), batchKey,
               dirRecords = Map(d.rel -> d.rows), dirStats = stats)
         }
+        (s, Seq(d.rel))
     }
+    // A full rewrite is the LARGEST post-commit cold event a served table
+    // sees (compact() lands here): without this, the first lookup after a
+    // compaction paid every rewritten dir's footer opens in its own
+    // latency while the cheaper single-delta commits were warmed.
+    prewarmServing(freshRels)
+    snap
   }
 
   /**
@@ -2226,8 +2239,11 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     val summary = Map("records" -> total.toString) ++
       spec.map { case (k, n) =>
         Map("bucket_key" -> k, "bucket_count" -> n.toString) }.getOrElse(Map.empty)
-    log.commitExpecting(Some(expectedHeadId), operation, head.schemaJson,
-      allDirs.map(_._1), summary, None, allDirs.toMap, dirStats = allStats)
+    val snap = log.commitExpecting(Some(expectedHeadId), operation,
+      head.schemaJson, allDirs.map(_._1), summary, None, allDirs.toMap,
+      dirStats = allStats)
+    prewarmServing(leaves.map(_.rel)) // replaced groups, warm serving
+    snap
   }
 
   /**
@@ -2352,20 +2368,23 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     // dir without a record count (legacy manifest) keeps the old
     // single-attempt commit: the rebase recomputes the records summary
     // and must not launder an unknown count.
-    if (kept.forall(head.dirRecords.contains)) {
-      val out = kept.map(d => d -> head.dirRecords(d)) ++
-        folded.map(l => l.rel -> l.rows)
-      Some(commitRebasing(head, "compact_minor", head.schemaJson, out,
-        dirStats, head.summary - "records" - "mor_key" - "pending_deltas",
-        None, keepPendingDeltas = true))
-    } else {
-      val dataDirs = kept ++ folded.map(_.rel)
-      val dirRecords = (head.dirRecords -- smallSet) ++
-        folded.map(l => l.rel -> l.rows)
-      Some(log.commitExpecting(Some(head.snapshotId), "compact_minor",
-        head.schemaJson, dataDirs, head.summary, None, dirRecords,
-        head.deltaDirs, dirStats))
-    }
+    val snap =
+      if (kept.forall(head.dirRecords.contains)) {
+        val out = kept.map(d => d -> head.dirRecords(d)) ++
+          folded.map(l => l.rel -> l.rows)
+        commitRebasing(head, "compact_minor", head.schemaJson, out,
+          dirStats, head.summary - "records" - "mor_key" - "pending_deltas",
+          None, keepPendingDeltas = true)
+      } else {
+        val dataDirs = kept ++ folded.map(_.rel)
+        val dirRecords = (head.dirRecords -- smallSet) ++
+          folded.map(l => l.rel -> l.rows)
+        log.commitExpecting(Some(head.snapshotId), "compact_minor",
+          head.schemaJson, dataDirs, head.summary, None, dirRecords,
+          head.deltaDirs, dirStats)
+      }
+    prewarmServing(folded.map(_.rel)) // folded dirs, warm serving
+    Some(snap)
   }
 
   // ------------------------------------------------------ lifecycle / layout
@@ -3424,6 +3443,10 @@ object GraftTable {
     * against its own ingest throughput. */
   private[table] val PrewarmServeWindowMs: Long = 10L * 60 * 1000
 
+  /** Widest commit (in fresh dirs) the post-commit pre-warm will touch —
+    * see the cap note at [[GraftTable#prewarmServing]]. */
+  private[table] val PrewarmMaxDirs: Int = 1024
+
   /** Absolute table root -> last point-lookup wall millis (process-wide:
     * serving and ingest commonly run through distinct GraftTable
     * instances over the same root). Bounded by the number of distinct
@@ -3433,7 +3456,15 @@ object GraftTable {
 
   private[table] def recentlyServed(rootKey: String): Boolean = {
     val t = servedTables.get(rootKey)
-    t != null && System.currentTimeMillis() - t <= PrewarmServeWindowMs
+    if (t == null) false
+    else if (System.currentTimeMillis() - t <= PrewarmServeWindowMs) true
+    else {
+      // Expired: drop the entry so a long-lived process looking up many
+      // ephemeral tables doesn't accrete one root string per table forever
+      // (remove(k, v) so a racing fresh markServed is never lost).
+      servedTables.remove(rootKey, t)
+      false
+    }
   }
 
   /**

@@ -18,7 +18,7 @@ object ComposeBench {
         dirStats = slice.map(d => d -> Map(
           "event_id:min" -> "9000000000", "event_id:max" -> "9000000999")).toMap)
     }.toSeq
-    val shardBytes = shards.map(SnapshotLog.writeDetailBytes)
+    val shardBytes = shards.map(d => SnapshotLog.writeDetailBytes(d))
     println(f"n=$n shards=$k bytes=${shardBytes.map(_.length.toLong).sum / 1e6}%.0f MB")
     def ms(body: => Unit): Double = {
       val s0 = System.nanoTime(); body; (System.nanoTime() - s0) / 1e6

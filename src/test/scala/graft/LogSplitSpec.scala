@@ -322,6 +322,55 @@ class LogSplitSpec extends AnyFunSuite {
     assert(new SnapshotLog(root).latest().get.dataDirs == Seq("data/x"))
   }
 
+  test("writer revision knob: downgraded commits stay readable and stamp " +
+      "their revision; a segmented commit floors at the chain's") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("wrev-").resolve("t")
+    def rawCore(id: Long): String = new String(
+      java.nio.file.Files.readAllBytes(
+        root.resolve("_log").resolve(f"v$id%016d.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // Commit 1 at the CURRENT revision: the chain now requires revision 3.
+    val log = new SnapshotLog(root)
+    val s1 = log.commit("create", "{}",
+      Seq("data/a"), dirRecords = Map("data/a" -> 1L),
+      dirStats = Map("data/a" -> Map("id:min" -> "1", "id:max" -> "9")))
+    assert(rawCore(s1.snapshotId).contains(""""minReader":3"""))
+    sys.props("graft.log.detailRevision") = "2"
+    try {
+      // Segmented child written as GDT1: readable, but the stamp must NOT
+      // drop below the referenced chain's revision-3 segments.
+      val s2 = log.commit("append", "{}", Seq("data/a", "data/b"),
+        dirRecords = Map("data/b" -> 2L))
+      assert(rawCore(s2.snapshotId).contains(""""minReader":3"""))
+      val got = new SnapshotLog(root).latest().get
+      assert(got.dataDirs.sorted == Seq("data/a", "data/b"))
+      assert(got.dirStats("data/a")("id:max") == "9")
+      // A wide overwrite FOLDS self-contained: everything is rewritten at
+      // the downgraded revision, so the floor genuinely drops to 2.
+      val wide = (0 until 20).map(i => s"data/x$i")
+      val s3 = log.commit("overwrite", "{}", wide,
+        dirRecords = wide.map(_ -> 1L).toMap)
+      assert(rawCore(s3.snapshotId).contains(""""minReader":2"""))
+      // Revision 1 folds write legacy JSON — the pre-r17 escape hatch.
+      sys.props("graft.log.detailRevision") = "1"
+      val s4 = log.commit("overwrite", "{}", Seq("data/c"),
+        dirRecords = Map("data/c" -> 3L))
+      assert(rawCore(s4.snapshotId).contains(""""minReader":1"""))
+      val details = java.nio.file.Files.list(root.resolve("_log")).iterator()
+      var sawJson = false
+      while (details.hasNext) {
+        val p = details.next()
+        if (p.getFileName.toString.startsWith(f"d${s4.snapshotId}%016d")) {
+          val b = java.nio.file.Files.readAllBytes(p)
+          sawJson = b.nonEmpty && b(0) == '{'
+        }
+      }
+      assert(sawJson, "revision-1 details must be legacy JSON documents")
+      assert(new SnapshotLog(root).latest().get.dataDirs == Seq("data/c"))
+    } finally sys.props.remove("graft.log.detailRevision")
+  }
+
   test("a fold past the shard threshold writes parallel shards, reads exact") {
     import graft.log.SnapshotLog
     val root = TestSpark.tmpDir("shard-").resolve("t")
