@@ -138,6 +138,26 @@ object DirMapsProps extends Properties("DirMaps") {
       Prop(parseDetailBytes(writeDetailBytes(d)) == d)
     }
 
+  /** Every writable revision round-trips, INCLUDING over already-parsed
+    * inputs: table paths hand commit the head's parsed maps verbatim
+    * (ArrayDirMap values, PackedStatsMap stats), so a revision-downgraded
+    * writer (-Dgraft.log.detailRevision) must serialize those custom Map
+    * implementations through the legacy JSON path (json4s decompose) and
+    * the GDT1 path exactly as it does plain maps. */
+  property("all writer revisions round-trip, incl. over parsed packed maps") =
+    forAll(detailGen, Gen.oneOf(1, 2, 3)) { (d, rev) =>
+      import graft.log.SnapshotLog.{parseDetailBytes, writeDetailBytes}
+      val parsed = parseDetailBytes(writeDetailBytes(d)) // packed-map forms
+      val bytes = writeDetailBytes(parsed, rev)
+      val expectMagic = rev match {
+        case 1 => '{'.toByte
+        case 2 => 'G'.toByte
+        case 3 => 'G'.toByte
+      }
+      Prop(bytes(0) == expectMagic) :| s"revision $rev leading byte" &&
+        Prop(parseDetailBytes(bytes) == d) :| s"revision $rev round-trip"
+    }
+
   /** Corrupted GDT2 buffers must fail LOUDLY — a structural guard or the
     * CRC32 trailer — never an attempted multi-GB allocation from a bogus
     * varint length, and never a silently different parse. Bit flips,
