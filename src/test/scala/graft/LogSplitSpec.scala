@@ -477,6 +477,52 @@ class LogSplitSpec extends AnyFunSuite {
     freshEquals(rolled)
   }
 
+  test("shared-cache accounting stays exact under racing reads and clears") {
+    // r18 review fix: cacheHead's put and counter update were a
+    // check-then-act racing clearSharedCaches — a clear landing between
+    // them left counter and map permanently disagreeing (cacheHead
+    // SUBTRACTS a replaced entry's size, so drift could go negative and
+    // silently un-bound the cache). Mutations now serialize on one
+    // monitor; this hammers reads against clears and asserts the exact
+    // quiescent invariant the race used to break.
+    import graft.log.SnapshotLog
+    SnapshotLog.clearSharedCaches()
+    val base = TestSpark.tmpDir("cacherace-")
+    val logs = (0 until 4).map { t =>
+      val l = new SnapshotLog(base.resolve(s"t$t"))
+      val dirs = (0 to t + 3).map(i => s"data/d$i")
+      l.commit("create", "{}", dirs, dirRecords = dirs.map(_ -> 1L).toMap)
+      l.commit("append", "{}", dirs :+ s"data/extra$t",
+        dirRecords = (dirs :+ s"data/extra$t").map(_ -> 1L).toMap)
+      l
+    }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 8).map { ti =>
+      new Thread(() => try {
+        val rnd = new scala.util.Random(ti)
+        while (!stop.get) {
+          if (rnd.nextInt(10) == 0) SnapshotLog.clearSharedCaches()
+          else assert(logs(rnd.nextInt(logs.size)).latest().isDefined)
+        }
+      } catch { case t: Throwable => errs.add(t) }, s"cache-race-$ti")
+    }
+    threads.foreach(_.start())
+    Thread.sleep(2000L)
+    stop.set(true)
+    threads.foreach(_.join(20000L))
+    assert(errs.isEmpty, s"racing readers threw: ${errs.peek()}")
+    // Quiescent invariant: each counter equals the exact sum over its
+    // map's resident entries — no drift in either direction.
+    import scala.jdk.CollectionConverters._
+    val headSum = SnapshotLog.sharedHeads.values.asScala
+      .map(e => math.max(1, e._3.dataDirs.size).toLong).sum
+    assert(SnapshotLog.sharedHeadDirs.get == headSum,
+      s"head counter ${SnapshotLog.sharedHeadDirs.get} != resident $headSum")
+    SnapshotLog.clearSharedCaches()
+    assert(SnapshotLog.sharedHeadDirs.get == 0L)
+  }
+
   test("shared head cache is bounded at its cap and never thrashes to zero") {
     // r18 (ADVICE): sharedHeads previously retained one O(dirs) Snapshot
     // per table root for the JVM lifetime — a long-lived multi-table
