@@ -299,21 +299,28 @@ object SnapshotLog {
   /** Writer-side compatibility knob (the other half of the Iceberg
     * format-version contract): the detail revision THIS process writes.
     * Default: the newest. A fleet mid-rolling-upgrade sets
-    * `-Dgraft.log.detailRevision=2` (or `1` for pre-r17 readers) so new
+    * `-Dgraft.log.detailRevision=2` (or `1` for JSON-era readers) so new
     * commits stay readable by not-yet-upgraded processes, then removes
     * the knob once every reader is current — without it the first commit
     * from an upgraded writer is an instant flag-day for old readers.
+    * SCOPE: revision 1 means the SEGMENTATION-AWARE JSON era (readers
+    * that compose `detailSegments`) — the knob changes the per-document
+    * ENCODING, not the chain shape; a pre-segmentation reader also
+    * predates the `minReader` gate itself, so no stamp can protect it.
     * Stamped into `minReader` per commit; a SEGMENTED commit additionally
     * floors at its parent chain's own `minReader` (the chain may carry
     * newer-revision segments a downgraded stamp would lie about — a fold,
     * e.g. any compact, rewrites everything and genuinely drops the floor). */
-  private[graft] def writerRevision: Int = {
-    val r = sys.props.get("graft.log.detailRevision")
-      .map(_.trim.toInt).getOrElse(ReaderRevision)
-    require(r >= 1 && r <= ReaderRevision,
-      s"graft.log.detailRevision=$r outside supported range 1..$ReaderRevision")
-    r
-  }
+  private[graft] def writerRevision: Int =
+    sys.props.get("graft.log.detailRevision") match {
+      case None => ReaderRevision
+      case Some(v) =>
+        val r = v.trim.toIntOption.getOrElse(-1)
+        require(r >= 1 && r <= ReaderRevision,
+          s"graft.log.detailRevision='$v' is not a revision in the " +
+            s"supported range 1..$ReaderRevision")
+        r
+    }
 
   /** Binary detail documents start with one of these magics (`GDT1` =
     * r17 revision 2, no checksum; `GDT2` = r18 revision 3, trailing
@@ -1381,8 +1388,12 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       if (legacy.isDefined || pcore.detailFile.isEmpty) return None
       // The chain's own reader floor: a segmented child keeps referencing
       // the parent's segments, so its minReader stamp can never drop
-      // below theirs even if this writer is revision-downgraded.
-      val parentFloor = pcore.minReader.getOrElse(1)
+      // below theirs even if this writer is revision-downgraded. A
+      // pre-marker manifest (None) can be anything up to r17's GDT1 —
+      // floor at 2, the highest revision a markerless chain can contain;
+      // overstating a pure-JSON chain is merely stricter, understating a
+      // GDT1 chain would stamp a readability claim the bytes can't honor.
+      val parentFloor = pcore.minReader.getOrElse(2)
       val segments = pcore.detailSegments :+ pcore.detailFile.get
       if (segments.size > SnapshotLog.maxDetailSegments) return None
       // Hinted path: the caller states the commit's (added, removed) dirs

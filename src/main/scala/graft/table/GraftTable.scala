@@ -1551,6 +1551,10 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
           Map("records" -> (prior + appended).toString,
             "appended" -> appended.toString) ++ spec ++ morSummary,
           batchKey, dirRecs, commitDeltaDirs, statsAll, Some(deltaHint))
+        // The most common served-table ingest verb (plain appends, the v2
+        // streaming sink's epoch commits via appendStaged) warms like the
+        // merge/rewrite paths — same served-gate, same cap.
+        prewarmServing(newDirs.map(_.rel))
         return {
           if (autoCompactAfter > 0 && snap.dataDirs.size > autoCompactAfter) compact()
           else snap

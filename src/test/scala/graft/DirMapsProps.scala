@@ -149,12 +149,15 @@ object DirMapsProps extends Properties("DirMaps") {
       import graft.log.SnapshotLog.{parseDetailBytes, writeDetailBytes}
       val parsed = parseDetailBytes(writeDetailBytes(d)) // packed-map forms
       val bytes = writeDetailBytes(parsed, rev)
-      val expectMagic = rev match {
-        case 1 => '{'.toByte
-        case 2 => 'G'.toByte
-        case 3 => 'G'.toByte
+      // Assert the FULL magic, not just the leading byte: revision 2 must
+      // emit GDT1 exactly (the r17 compat target) — a regression emitting
+      // GDT2 there would still parse here but break real r17 readers.
+      val magicOk = rev match {
+        case 1 => bytes(0) == '{'.toByte
+        case 2 => new String(bytes, 0, 4, "US-ASCII") == "GDT1"
+        case 3 => new String(bytes, 0, 4, "US-ASCII") == "GDT2"
       }
-      Prop(bytes(0) == expectMagic) :| s"revision $rev leading byte" &&
+      Prop(magicOk) :| s"revision $rev magic" &&
         Prop(parseDetailBytes(bytes) == d) :| s"revision $rev round-trip"
     }
 

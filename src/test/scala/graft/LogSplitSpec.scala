@@ -357,15 +357,20 @@ class LogSplitSpec extends AnyFunSuite {
       val s4 = log.commit("overwrite", "{}", Seq("data/c"),
         dirRecords = Map("data/c" -> 3L))
       assert(rawCore(s4.snapshotId).contains(""""minReader":1"""))
-      val details = java.nio.file.Files.list(root.resolve("_log")).iterator()
-      var sawJson = false
-      while (details.hasNext) {
-        val p = details.next()
-        if (p.getFileName.toString.startsWith(f"d${s4.snapshotId}%016d")) {
-          val b = java.nio.file.Files.readAllBytes(p)
-          sawJson = b.nonEmpty && b(0) == '{'
-        }
-      }
+      val listing = java.nio.file.Files.list(root.resolve("_log"))
+      val sawJson =
+        try {
+          val details = listing.iterator()
+          var json = false
+          while (details.hasNext) {
+            val p = details.next()
+            if (p.getFileName.toString.startsWith(f"d${s4.snapshotId}%016d")) {
+              val b = java.nio.file.Files.readAllBytes(p)
+              json = b.nonEmpty && b(0) == '{'
+            }
+          }
+          json
+        } finally listing.close()
       assert(sawJson, "revision-1 details must be legacy JSON documents")
       assert(new SnapshotLog(root).latest().get.dataDirs == Seq("data/c"))
     } finally sys.props.remove("graft.log.detailRevision")
