@@ -373,6 +373,24 @@ class LogSplitSpec extends AnyFunSuite {
         } finally listing.close()
       assert(sawJson, "revision-1 details must be legacy JSON documents")
       assert(new SnapshotLog(root).latest().get.dataDirs == Seq("data/c"))
+      // MARKERLESS parent (pre-r18 manifest, no minReader field): the
+      // floor must assume the worst a markerless chain can contain (GDT1,
+      // revision 2) — a revision-1 writer segmenting over it must NOT
+      // stamp 1, which would claim JSON readability for binary segments.
+      val mPath = root.resolve("_log")
+        .resolve(f"v${s4.snapshotId}%016d.json")
+      val stripped = new String(
+        java.nio.file.Files.readAllBytes(mPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .replaceAll(""","minReader":\d+""", "")
+      assert(!stripped.contains("minReader"))
+      java.nio.file.Files.write(mPath, stripped.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      SnapshotLog.clearSharedCaches() // drop the cached (path,mtime) head
+      val s5 = log.commit("append", "{}", Seq("data/c", "data/d"),
+        dirRecords = Map("data/d" -> 4L))
+      assert(rawCore(s5.snapshotId).contains(""""minReader":2"""),
+        s"markerless parent must floor the stamp at 2: ${rawCore(s5.snapshotId)}")
     } finally sys.props.remove("graft.log.detailRevision")
   }
 
