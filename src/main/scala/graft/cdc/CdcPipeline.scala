@@ -119,7 +119,11 @@ object CdcPipeline {
         val traceGc0 = if (trace) gcMillis() else 0L
         if (trace) GraftTable.lastMergePhases = None // only THIS batch's merge counts
         if (!batch.isEmpty) { // ST8: skip empty micro-batches
-          if (wrappedFmt.isEmpty) wrappedFmt = Some(Envelope.looksWrapped(batch))
+          // Stick the format only when the probe saw EVIDENCE (a payload
+          // wrapper, or top-level op/after keys): a first batch of junk or
+          // blank lines returns None and the next batch re-probes —
+          // caching a guess would misparse the whole stream to nulls.
+          if (wrappedFmt.isEmpty) wrappedFmt = Envelope.probeWrapped(batch)
           val spread =
             if (decodeParallelism > 0 &&
                 batch.rdd.getNumPartitions < decodeParallelism)
@@ -155,8 +159,12 @@ object CdcPipeline {
                 deltaPartitions = deltaPartitions)
               if (snap.deltaDirs.size >= compactEvery) table.compact()
             } else {
+              // preDeduped: like the MOR branch — transformBatch already
+              // ended in latest-per-key dedup, so the merge's own
+              // dropDuplicates would re-shuffle every micro-batch for a
+              // no-op.
               table.upsert(b, key, opCol = Some("op"),
-                batchKey = Some(s"cdc-$batchId"))
+                batchKey = Some(s"cdc-$batchId"), preDeduped = true)
             }
             if (timing) {
               val tMerge = (System.nanoTime() - t1) / 1e9
@@ -169,8 +177,14 @@ object CdcPipeline {
         if (trace) {
           val wall = (System.nanoTime() - traceT0) / 1e9
           val gcSec = (gcMillis() - traceGc0) / 1e3
-          traces = traces :+ BatchTrace(batchId, wall, gcSec,
-            GraftTable.lastMergePhases)
+          // Synchronized append: the :+ on a @volatile Vector is a
+          // read-modify-write, and two traced pipelines in one JVM would
+          // silently lose each other's entries. (lastMergePhases remains
+          // best-effort under multi-table concurrency — diagnostics only.)
+          CdcPipeline.synchronized {
+            traces = traces :+ BatchTrace(batchId, wall, gcSec,
+              GraftTable.lastMergePhases)
+          }
         }
       }
       .start()

@@ -32,15 +32,39 @@ object Envelope {
     StructType(Seq(StructField("payload", payloadStruct(row), nullable = true)))
 
   /**
-   * Wrapped-vs-flat auto-detect (`cdc_merger_optimized.py:129-135`): probe
-   * ONE row of the batch for a `payload` key. Driver-side single-row
-   * collect, same as the reference; batches are micro-batches so this is a
-   * constant cost per trigger.
+   * Wrapped-vs-flat auto-detect (`cdc_merger_optimized.py:129-135`, made
+   * robust): the reference probes ONE row, so a single blank or corrupt
+   * first line misclassified a wrapped stream as flat — and a stream that
+   * CACHES the answer then silently nulled out every later batch. This
+   * probes the first 16 non-blank lines for actual EVIDENCE:
+   *
+   *  - any line with a top-level `payload` key        → `Some(true)`
+   *  - else any line with a top-level `op`/`after`    → `Some(false)`
+   *  - no decodable evidence at all (all junk/blank)  → `None`
+   *
+   * `None` tells a caching caller to re-probe on the next batch instead of
+   * sticking a guess. Driver-side 16-row collect — constant per trigger.
    */
+  def probeWrapped(raw: DataFrame, valueCol: String = "value"): Option[Boolean] = {
+    val rows = raw
+      .select(col(valueCol).cast("string").as("__v"))
+      .filter(length(trim(col("__v"))) > 0)
+      .limit(16)
+      .select(
+        get_json_object(col("__v"), "$.payload").isNotNull.as("w"),
+        (get_json_object(col("__v"), "$.op").isNotNull ||
+          get_json_object(col("__v"), "$.after").isNotNull ||
+          get_json_object(col("__v"), "$.before").isNotNull).as("f"))
+      .collect()
+    if (rows.exists(r => !r.isNullAt(0) && r.getBoolean(0))) Some(true)
+    else if (rows.exists(r => !r.isNullAt(1) && r.getBoolean(1))) Some(false)
+    else None
+  }
+
+  /** [[probeWrapped]] collapsed to the reference's boolean (undecidable →
+    * flat, the reference's own default). */
   def looksWrapped(raw: DataFrame, valueCol: String = "value"): Boolean =
-    raw.limit(1)
-      .select(get_json_object(col(valueCol), "$.payload").isNotNull.as("w"))
-      .collect().headOption.exists(r => !r.isNullAt(0) && r.getBoolean(0))
+    probeWrapped(raw, valueCol).contains(true)
 
   /**
    * Parse raw JSON into `before / after / op / ts_ms` columns, handling both
@@ -72,17 +96,43 @@ object Envelope {
   def flatten(decoded: DataFrame, row: StructType, key: String): DataFrame =
     decoded.select(
       row.fields.toSeq.map { f =>
+        // getField, not col(s"after.$name"): a dotted column name would
+        // otherwise parse as a deeper nested path and fail analysis.
         if (f.name == key)
-          coalesce(col(s"after.${f.name}"), col(s"before.${f.name}")).as(f.name)
-        else col(s"after.${f.name}").as(f.name)
+          coalesce(col("after").getField(f.name),
+            col("before").getField(f.name)).as(f.name)
+        else col("after").getField(f.name).as(f.name)
       } ++ Seq(col("op"), col("ts_ms")): _*)
 
-  /** In-batch dedup: latest image per key by ts_ms (key tiebreak on op for determinism). */
-  def dedupe(flat: DataFrame, key: String): DataFrame =
-    graft.dml.Merge.dedupLatest(flat, key, "ts_ms", tieBreak = Some("op"))
+  /** Within-batch arrival-order column (see [[transformBatch]]). */
+  private[cdc] val SeqCol = "__seq"
 
-  /** decode → flatten → dedup: the full batch transform. */
+  /** In-batch dedup: latest image per key by `ts_ms`, ties broken by
+    * arrival order when [[transformBatch]]'s `__seq` column is present.
+    * Arrival order IS source order for a key: Debezium partitions its
+    * topic by primary key, so one key's events ride one Kafka partition in
+    * emission order, and `monotonically_increasing_id` assigned before any
+    * shuffle preserves that order. The previous lexical-`op` tiebreak
+    * deterministically resurrected deletes: an UPDATE and DELETE sharing a
+    * millisecond (one transaction) ranked 'u' > 'd', so the update image
+    * outlived the delete. Callers without the seq column keep the op
+    * tiebreak (determinism over nothing). */
+  def dedupe(flat: DataFrame, key: String): DataFrame =
+    graft.dml.Merge.dedupLatest(flat, key, "ts_ms",
+      tieBreak = Some(if (flat.columns.contains(SeqCol)) SeqCol else "op"))
+
+  /** decode → flatten → junk filter → dedup: the full batch transform.
+    *
+    * The junk filter drops rows with a NULL key: an unparseable or blank
+    * input line decodes to an all-null row (from_json returns null on
+    * corrupt JSON), and without the filter each such line inserted a
+    * permanent all-null row — a legitimate CDC event always carries its
+    * primary key in the after or before image. */
   def transformBatch(raw: DataFrame, row: StructType, key: String,
-      valueCol: String = "value", wrappedHint: Option[Boolean] = None): DataFrame =
-    dedupe(flatten(decode(raw, row, valueCol, wrappedHint), row, key), key)
+      valueCol: String = "value", wrappedHint: Option[Boolean] = None): DataFrame = {
+    val flat = flatten(decode(raw, row, valueCol, wrappedHint), row, key)
+      .filter(col(key).isNotNull)
+      .withColumn(SeqCol, monotonically_increasing_id())
+    dedupe(flat, key).drop(SeqCol)
+  }
 }

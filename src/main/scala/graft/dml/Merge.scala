@@ -19,6 +19,17 @@ import org.apache.spark.sql.types.StructType
  * with the greatest precombine value wins (`row_number` dedup, same as
  * `cdc_merger_optimized.py:160-161`).
  *
+ * One DOCUMENTED deviation: a source row whose op is NULL upserts. Under
+ * SQL three-valued logic the reference's `NOT MATCHED AND s.op != 'd'`
+ * clause would skip INSERTing it (NULL <> 'd' is NULL) while its
+ * unguarded `WHEN MATCHED` clause still updates — distinguishing the two
+ * here would cost an extra join against the target key set purely for
+ * malformed input. The CDC decode layer drops undecodable rows (null
+ * key, [[graft.cdc.Envelope.transformBatch]]), so a surviving null-op
+ * row means a producer that omits `op`; it degrades to an upsert rather
+ * than silent row loss. (The SQL `MERGE INTO` path through Spark's
+ * `RewriteMergeIntoTable` keeps exact 3VL semantics.)
+ *
  * Physical shape (scale notes): because a matched row is fully replaced by
  * the update image, the plan is an ANTI JOIN + UNION, not a full-outer join.
  * With `broadcastUpdates = true` (the normal CDC case: small micro-batch vs
@@ -161,10 +172,20 @@ object Merge {
     kept.unionByName(upserts)
   }
 
-  /** Delete-as-anti-join (`delete_hudi.py:63-88`): remove rows whose key appears in `keys`. */
-  def deleteKeys(target: DataFrame, keys: DataFrame, key: String, broadcastKeys: Boolean = true): DataFrame = {
+  /** Delete-as-anti-join (`delete_hudi.py:63-88`): remove rows whose key
+    * appears in `keys`. The broadcast is size-gated like [[merge]]'s —
+    * an unconditional hint would OOM the driver on a bulk/backfill delete
+    * replaying millions of keys; `keysRowsHint` (by-name count fallback)
+    * lets callers that already know the size skip the extra job. */
+  def deleteKeys(target: DataFrame, keys: DataFrame, key: String,
+      broadcastKeys: Boolean = true,
+      keysRowsHint: Option[Long] = None): DataFrame = {
     val k = keys.select(col(key)).dropDuplicates(Seq(key))
-    target.join(if (broadcastKeys) broadcast(k) else k, Seq(key), "left_anti")
+    val side =
+      if (broadcastKeys && keysRowsHint.getOrElse(k.count()) <= maxBroadcastKeys)
+        broadcast(k)
+      else k
+    target.join(side, Seq(key), "left_anti")
   }
 
   /** Schema union used for append-time evolution (`ingest_csv_hudi.py:112-146`).

@@ -218,7 +218,8 @@ object SnapshotLog {
         sharedSegmentDirs.addAndGet(math.max(1, d.dataDirs.size).toLong)
     }
 
-  /** One composed-head slot per table root, (manifest path, mtime)-guarded
+  /** One composed-head slot per log (table root + branch), (manifest
+    * path, mtime)-guarded
     * — see the `latest()` comment. Bounded like [[sharedSegments]]: a
     * composed Snapshot is O(dirs) memory AND pins its parsed segment maps
     * (so the segment cache's own bound alone would not bound the process),
@@ -244,6 +245,15 @@ object SnapshotLog {
       val rem = if (prev == null) 0L else math.max(1, prev._3.dataDirs.size).toLong
       sharedHeadDirs.addAndGet(add - rem)
     }
+
+  /** Last orphan-sweep wall millis per log dir — the throttle state for
+    * [[SnapshotLog.expireOldManifests]]'s grace-gated GC. Process-wide for
+    * the same reason the parse/head caches are: per-statement instances
+    * would each sweep "for the first time". One (string, long) entry per
+    * log past retention; the crude size guard only exists for processes
+    * churning unbounded ephemeral tables. */
+  private[log] val lastSweeps =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Process-wide count of WON commits (any table). Purpose: lets an
     * in-process observer (the bench's under-ingest probe) detect "a commit
@@ -762,7 +772,15 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   def branches(): Seq[String] = {
     val d = mainLogDir.resolve("branches")
     if (!store.exists(d)) Seq.empty
-    else store.list(d).filter(Files.isDirectory(_)).map(_.getFileName.toString)
+    // No raw Files.isDirectory here: entries go through the LogStore
+    // abstraction only, so a non-POSIX store (conditional-put object
+    // store) still enumerates its branches — reclaim subtracts
+    // branch-referenced dirs via externalRefs(), and a store whose Paths
+    // fail java.nio checks would otherwise see ZERO branches and delete
+    // data their snapshots still reference. A stray non-directory entry
+    // (crash leftover) yields an empty log below and filters out.
+    else store.list(d).map(_.getFileName.toString)
+      .filterNot(_.startsWith("."))
       .filter(b => new SnapshotLog(tableRoot, retainVersions, gcGraceMs, store,
         Some(b)).latest().isDefined)
       .sorted
@@ -818,7 +836,12 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     * keeps working no matter how far the log advances. Create-if-absent by
     * construction — retargeting a tag is dropTag + addTag, never a silent
     * overwrite. Returns false if the tag already exists. */
-  def addTag(name: String, snapshotId: Long): Boolean = {
+  def addTag(name: String, snapshotId: Long): Boolean = withMaintenanceLock {
+    // Under the maintenance lock: expire()/expireOlderThan read taggedIds()
+    // and then delete un-pinned manifests under the same lock, so without
+    // it a tag could pass the existence check here, lose the CPU to a
+    // concurrent expiry that read the tag listing pre-claim, and land on a
+    // just-deleted manifest — durably published but forever unreadable.
     require(get(snapshotId).isDefined,
       s"cannot tag snapshot $snapshotId: not in the retained log")
     store.mkdirs(mainLogDir.resolve("tags"))
@@ -921,12 +944,17 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
   // JSON: measured 360 ms PER LOOKUP on a 100k-dir table (manifest_scale
   // probe, r15) for what is otherwise a ~5 ms read. The dir listing
   // itself stays — that's what detects concurrent commits. SHARED across
-  // instances (round 17, one slot per table root): the v2 catalog builds
+  // instances (round 17, one slot per LOG): the v2 catalog builds
   // a fresh GraftTable/SnapshotLog per loadTable, i.e. per SQL query —
   // without sharing, every statement against a big table re-composed the
   // head AND rebuilt the bucket/stat indexes that ride the Snapshot
-  // instance.
-  private val headSlot = tableRoot.toAbsolutePath.normalize.toString
+  // instance. Keyed by logDir, NOT table root: a branch log is a distinct
+  // log over the same root (branches/<name>), and a shared root key made
+  // main and each branch EVICT one another's composed head — every
+  // branch-touching maintenance call (externalRefs, publish) then cost
+  // the next serving read a full O(dirs) head recompose. The (path,
+  // mtime) guard kept that correct, but never cheap.
+  private val headSlot = logDir.toAbsolutePath.normalize.toString
 
   def latest(): Option[Snapshot] = {
     // The newest retained manifest is never expired, so a missing-file read
@@ -1001,23 +1029,30 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       Some((cOwn.dataDirs, (cRem -- pRem).toSeq, newDeltas))
     } catch { case e if isMissing(e) => None } // expired mid-read
 
-  def contains(batchKey: String): Boolean =
-    latest().exists { head =>
-      head.recentBatchKeys.contains(batchKey) ||
+  def contains(batchKey: String): Boolean = containsIn(latest(), batchKey)
+
+  /** [[contains]] evaluated against an ALREADY-READ head. The commit paths
+    * use this (never the re-reading `contains`) so the replay check and
+    * the head they return/extend are ONE consistent view: with an
+    * independent re-read, a same-batchKey commit landing between the two
+    * reads made `contains` true while `head` was still the PRE-commit
+    * value — `head.get` then crashed on an initially-empty log, and on a
+    * non-empty one the replay returned the wrong (stale) snapshot. Under
+    * the consistent view that race instead falls through to the claim,
+    * loses it, and resolves on the caller's ordinary conflict/retry path. */
+  private[graft] def containsIn(head: Option[Snapshot], batchKey: String): Boolean =
+    head.exists { h =>
+      h.recentBatchKeys.contains(batchKey) ||
         // Migration fallback: manifests written before recentBatchKeys
         // existed carry only their own per-commit batchKey. Until a
         // new-format commit rebuilds the window, fall back to the full
         // retained-log scan the field replaced — otherwise a checkpointed
         // stream replaying its last pre-upgrade batch would apply it twice.
-        (head.recentBatchKeys.isEmpty && snapshotsCore().exists(_.batchKey.contains(batchKey)))
+        (h.recentBatchKeys.isEmpty && snapshotsCore().exists(_.batchKey.contains(batchKey)))
     }
 
-  // Immutable-segment cache: detail files are claim-once and never
-  // rewritten, so name identity is content identity. A head change then
-  // re-parses ONLY the new commit's own (small) detail; the prior
-  // segments' parsed form is reused. Bounded defensively — a table cannot
-  // reference more than (segment cap + retained manifests) live segments,
-  // but expired names would otherwise accrete over a long-lived instance.
+  // (Segment-parse caching lives process-wide in the companion —
+  // SnapshotLog.sharedSegments / cacheSegment — since round 17.)
   private def metaPool = SnapshotLog.metaPool
 
   /** Cache key of a detail document: absolute path + mtime. Detail files
@@ -1049,12 +1084,30 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     * Exceptions rethrow with their original type so callers' missing-file
     * handling (expiry races) keeps working. */
   private def loadDetails(names: Seq[String]): Seq[SnapshotDetail] = {
-    val misses = names.distinct
-      .filter(n => SnapshotLog.sharedSegments.get(detailKey(n)) == null)
+    // ONE detailKey per distinct name: the key costs a store metadata call
+    // (modifiedAtMs — a remote round-trip on an object store), and
+    // computing it in the miss probe, again inside each parallel
+    // loadDetail, and once more in the final assembly tripled the stat
+    // traffic of a warm chain read. Compute once, reuse everywhere.
+    val distinct = names.distinct
+    val keyed = new java.util.HashMap[String, String](distinct.size * 2)
+    distinct.foreach(n => keyed.put(n, detailKey(n)))
+    def load(n: String): SnapshotDetail = {
+      val key = keyed.get(n)
+      val c = SnapshotLog.sharedSegments.get(key)
+      if (c != null) c
+      else {
+        val d = SnapshotLog.parseDetailBytes(store.read(logDir.resolve(n)))
+        SnapshotLog.cacheSegment(key, d)
+        d
+      }
+    }
+    val misses = distinct
+      .filter(n => SnapshotLog.sharedSegments.get(keyed.get(n)) == null)
     if (misses.size > 1) {
       val fs = misses.map(n => metaPool.submit(
         new java.util.concurrent.Callable[SnapshotDetail] {
-          override def call(): SnapshotDetail = loadDetail(n)
+          override def call(): SnapshotDetail = load(n)
         }))
       fs.foreach { f =>
         try f.get()
@@ -1063,7 +1116,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
         }
       }
     }
-    names.map(loadDetail)
+    names.map(load)
   }
 
   /** Parse a manifest in any format: the SEGMENTED form (core + own detail
@@ -1208,14 +1261,6 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     Some((dirs, recs, stats, idx))
   }
 
-  /** Detail-file reference of a manifest, without inflating the snapshot.
-    * DELIBERATELY a bare AST field extraction, not [[parseManifest]]: the
-    * GC paths call this per retained manifest, where a legacy inline
-    * manifest would pay a full O(dirs) deserialization just to learn the
-    * field is absent — and a manifest written by a NEWER format revision
-    * (whose core fields may not deserialize here) must still yield its
-    * detailFile so the orphan sweep never mistakes its live detail for
-    * garbage. */
   /** ALL detail files a manifest references: its own plus any prior
     * segments (segmented form). DELIBERATELY bare AST field extraction,
     * not [[parseManifest]] — both are CORE fields, so the protection set
@@ -1299,7 +1344,18 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
               dirStats = slice.iterator
                 .flatMap(d => snap.dirStats.get(d).map(d -> _)).toMap)
           }.toSeq
-          (SnapshotDetail(dataDirs = Seq.empty, deltaDirs = snap.deltaDirs),
+          // Entries keyed OUTSIDE dataDirs belong to no shard slice — a
+          // pending MOR delta dir's record count rides dirRecords while
+          // the dir itself lives in deltaDirs (GraftTable.commitAppendDirs)
+          // — so they must ride the commit's OWN detail via the codec's
+          // extras section, exactly as the unsharded (k < 2) fold has
+          // always carried them. Dropping them made a cold compose of a
+          // sharded fold diverge from what the committer (and any warm
+          // reader) held.
+          val sliced = snap.dataDirs.toSet
+          (SnapshotDetail(dataDirs = Seq.empty, deltaDirs = snap.deltaDirs,
+            dirRecords = snap.dirRecords.filter(kv => !sliced(kv._1)),
+            dirStats = snap.dirStats.filter(kv => !sliced(kv._1))),
             shards.map(_._1), shards, rev)
         }
     }
@@ -1523,7 +1579,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       deltaHint: Option[DirDelta] = None): Snapshot = {
     store.mkdirs(logDir)
     val head = latest()
-    if (batchKey.exists(contains)) return head.get
+    if (batchKey.exists(containsIn(head, _))) return head.get
     if (head.map(_.snapshotId) != expectedParent) {
       throw new CommitConflictException(
         s"head is ${head.map(_.snapshotId)}, expected $expectedParent")
@@ -1573,7 +1629,7 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     while (attempts < 64) {
       attempts += 1
       val head = latest()
-      if (batchKey.exists(contains)) {
+      if (batchKey.exists(containsIn(head, _))) {
         return head.get // idempotent replay: this batch already committed
       }
       val snap = Snapshot(
@@ -1705,14 +1761,17 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
 
   private def expireOldManifests(): Unit = {
     val ms = listManifests()
-    if (ms.size > retainVersions) {
+    if (ms.size > retainVersions) withMaintenanceLock {
       // A concurrent committer may be expiring the same manifests — a read
       // of an already-deleted file is a benign race, not an error. The
       // MANIFEST is deleted FIRST: readers resolve detail files only
       // through a manifest they just read, so deleting the detail first
       // would leave a visible manifest pointing at nothing.
       // Tagged manifests are exempt (same rule as expire()); the tag
-      // listing is only paid on the commits that actually cross retention.
+      // listing is only paid on the commits that actually cross retention —
+      // and it must happen under the maintenance lock addTag holds, or a
+      // tag claimed between this read and the deletes below would land on
+      // a manifest this pass is deleting.
       val tagged = taggedIds()
       // Manifests delete eagerly; their DETAIL files do not — a detail may
       // be a live segment of a retained manifest, and proving otherwise
@@ -1733,16 +1792,24 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
       // at 1/N the steady-state commit cost of a long-running CDC stream.
       // Tests that force immediate GC use gcGraceMs = 0 → interval 0 →
       // every expiry sweeps, as before.
+      // The throttle timestamp is PROCESS-WIDE per log (companion map),
+      // not per instance: the v2 catalog builds a fresh SnapshotLog per
+      // SQL statement, and a per-instance field (always 0 on a fresh
+      // instance) made EVERY statement against a past-retention table pay
+      // the full orphan sweep — ~retained manifest composes plus a data/
+      // listing — the exact steady-state cost this throttle exists to
+      // amortize.
       val now = System.currentTimeMillis()
-      if (now - lastSweepMs >= math.min(gcGraceMs / 4, 15L * 60 * 1000)) {
-        lastSweepMs = now
+      val last = SnapshotLog.lastSweeps.get(headSlot)
+      if (last == null ||
+          now - last >= math.min(gcGraceMs / 4, 15L * 60 * 1000)) {
+        if (SnapshotLog.lastSweeps.size > 8192) SnapshotLog.lastSweeps.clear()
+        SnapshotLog.lastSweeps.put(headSlot, now)
         gcOrphanDataDirs()
         gcOrphanDetailFiles()
       }
     }
   }
-
-  @volatile private var lastSweepMs = 0L
 
   /** Detail files referenced by NO retained manifest (a crashed writer that
     * never claimed its manifest, or a file missed at expiry) are deleted
@@ -1752,9 +1819,23 @@ final class SnapshotLog(tableRoot: Path, retainVersions: Int = 100,
     val referenced = listManifests()
       .flatMap(p => scala.util.Try(detailRefsOf(p)).getOrElse(Seq.empty)).toSet
     val cutoff = System.currentTimeMillis() - gcGraceMs
-    store.list(logDir)
+    val entries = store.list(logDir)
+    entries
       .filter(p => p.getFileName.toString.matches("d\\d{16}-[0-9a-f]{8}\\.json"))
       .filterNot(p => referenced.contains(p.getFileName.toString))
+      .filter(p => store.modifiedAtMs(p).exists(_ < cutoff))
+      .foreach(store.delete)
+    // Crash leftovers of LocalLogStore.tryClaim (write-temp-then-link): a
+    // process killed between the temp write and its finally-delete leaves
+    // `.commit-*.tmp` in this log dir. Nothing ever references a temp, so
+    // age them out with the same grace (an in-flight claim's temp lives
+    // milliseconds); without this they accreted over a table's
+    // crash-restart history, matched by no other sweep pattern.
+    entries
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".commit-") && n.endsWith(".tmp")
+      }
       .filter(p => store.modifiedAtMs(p).exists(_ < cutoff))
       .foreach(store.delete)
   }

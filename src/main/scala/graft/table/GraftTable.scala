@@ -997,6 +997,19 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
    */
   private def writeBucketedDir(
       df: DataFrame, key: String, n: Int, rel: String): Seq[DirInfo] = {
+    // Floating-point bucket keys are refused at the layout choke point:
+    // xxhash64 hashes raw IEEE bits, so -0.0 and 0.0 — equal under SQL
+    // `=` (Spark compares primitives) — would land in DIFFERENT buckets,
+    // and a pruned lookup would miss rows the full scan finds. Same
+    // philosophy as widenColumn's bucket-key guard: the hash layout only
+    // admits types whose equality agrees with their bit patterns.
+    df.schema.find(_.name == key).map(_.dataType).foreach { kt =>
+      require(kt != org.apache.spark.sql.types.FloatType &&
+        kt != org.apache.spark.sql.types.DoubleType,
+        s"cannot bucket by $key: floating-point keys (${kt.simpleString}) " +
+          "hash by IEEE bit pattern, so -0.0/0.0 — equal under SQL '=' — " +
+          "would land in different buckets; use an exact-typed key")
+    }
     val abs = root.resolve(rel).toString
     // Repartition on the bucket id before the partitioned write — the
     // analog of the reference's `write.distribution-mode=hash`
@@ -1599,7 +1612,8 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       precombine: Option[String] = None,
       opCol: Option[String] = None,
       broadcastUpdates: Boolean = true,
-      batchKey: Option[String] = None): Snapshot = {
+      batchKey: Option[String] = None,
+      preDeduped: Boolean = false): Snapshot = {
     if (batchKey.exists(log.contains)) return log.latest().get
     val head = log.latest()
     val st0 = head.map(s => DataType.fromJson(s.schemaJson)
@@ -1613,13 +1627,15 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       // MOR deltas are pending (those need read-time resolution first).
       case Some((bk, n)) if bk == keyP && !pendingDeltas =>
         commitBucketedMerge(head.get, updatesP, keyP, n, "upsert",
-          (t, u, hint) => Merge.merge(t, u, keyP, precombineP, opCol, broadcastUpdates, hint),
+          (t, u, hint) => Merge.merge(t, u, keyP, precombineP, opCol,
+            broadcastUpdates, hint, preDeduped = preDeduped),
           batchKey)
       case _ =>
         val target = head.map(s => ColumnIds.toPhysical(readResolved(s), st0))
           .getOrElse(emptyDF(new StructType()))
         commitRewrite(
-          Merge.merge(target, updatesP, keyP, precombineP, opCol, broadcastUpdates),
+          Merge.merge(target, updatesP, keyP, precombineP, opCol,
+            broadcastUpdates, preDeduped = preDeduped),
           "upsert", batchKey, head.map(_.snapshotId))
     }
   }
@@ -1747,8 +1763,7 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
     bucketSpec match {
       case Some((bk, n)) if bk == key && !head.exists(_.deltaDirs.nonEmpty) =>
         commitBucketedMerge(head.get, keys, key, n, "delete",
-          (t, k, hint) => Merge.deleteKeys(t, k, key,
-            broadcastKeys = hint.forall(_ <= Merge.maxBroadcastKeys)),
+          (t, k, hint) => Merge.deleteKeys(t, k, key, keysRowsHint = hint),
           batchKey = None)
       case _ =>
         val target = head.map(s => ColumnIds.toPhysical(readResolved(s), st0))

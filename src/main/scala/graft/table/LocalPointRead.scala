@@ -193,10 +193,20 @@ object LocalPointRead {
         catKeys.map(k => Int.box(k.asInstanceOf[Int]))))
       case LongType => Some(mk(FilterApi.longColumn(name),
         catKeys.map(k => Long.box(k.asInstanceOf[Long]))))
-      case FloatType => Some(mk(FilterApi.floatColumn(name),
-        catKeys.map(k => Float.box(k.asInstanceOf[Float]))))
-      case DoubleType => Some(mk(FilterApi.doubleColumn(name),
-        catKeys.map(k => Double.box(k.asInstanceOf[Double]))))
+      // A NaN key must not stats-filter: parquet min/max EXCLUDE NaN by
+      // spec, so a row group holding NaN rows can carry finite bounds that
+      // eq(NaN) would wrongly drop — decode-all and let the row-level
+      // check match (boxed NaN equality agrees with Spark's NaN = NaN).
+      case FloatType =>
+        if (catKeys.exists(k => java.lang.Float.isNaN(k.asInstanceOf[Float])))
+          None
+        else Some(mk(FilterApi.floatColumn(name),
+          catKeys.map(k => Float.box(k.asInstanceOf[Float]))))
+      case DoubleType =>
+        if (catKeys.exists(k => java.lang.Double.isNaN(k.asInstanceOf[Double])))
+          None
+        else Some(mk(FilterApi.doubleColumn(name),
+          catKeys.map(k => Double.box(k.asInstanceOf[Double]))))
       case StringType => Some(mk(FilterApi.binaryColumn(name),
         catKeys.map(k => Binary.fromString(k.toString))))
       case BinaryType => Some(mk(FilterApi.binaryColumn(name),
@@ -323,8 +333,29 @@ object LocalPointRead {
       val dt = st(keyCol).dataType
       val tz = spark.sessionState.conf.sessionLocalTimeZone
       // `= NULL` matches nothing; null entries simply drop from the set.
-      val catKeys = values.map(v => Cast(Literal(v), dt, Some(tz)).eval(null))
+      val castKeys = values.map(v => Cast(Literal(v), dt, Some(tz)).eval(null))
         .filter(_ != null).distinct
+      // Signed-zero parity with the distributed scan: Spark's EqualTo on
+      // float/double compares primitives (-0.0 == 0.0 is TRUE). The boxed
+      // key-set probe below agrees (Scala's == unifies signed zeros), but
+      // parquet's STATS comparator does not — eq(0.0) would prune a row
+      // group whose only zero is -0.0 — so a zero key expands to both
+      // signed zeros before the predicate builds. NO .distinct here: Scala
+      // equality would collapse the pair right back. (castKeys is already
+      // distinct, so the expansion introduces no duplicates.)
+      val catKeys = dt match {
+        case DoubleType => castKeys.flatMap {
+          case d: java.lang.Double if d.doubleValue == 0.0d =>
+            Seq(Double.box(0.0d), Double.box(-0.0d))
+          case other => Seq(other)
+        }
+        case FloatType => castKeys.flatMap {
+          case f: java.lang.Float if f.floatValue == 0.0f =>
+            Seq(Float.box(0.0f), Float.box(-0.0f))
+          case other => Seq(other)
+        }
+        case _ => castKeys
+      }
       if (catKeys.isEmpty) return Some(Seq.empty)
       // Binary keys can't sit in a hash set (Array[Byte] hashes by
       // reference — `==` would silently match nothing); compare by value.
@@ -332,6 +363,20 @@ object LocalPointRead {
         case BinaryType =>
           val bs = catKeys.map(_.asInstanceOf[Array[Byte]])
           v => bs.exists(java.util.Arrays.equals(_, v.asInstanceOf[Array[Byte]]))
+        // Spark's genEqual on float/double treats NaN = NaN as TRUE, but a
+        // Scala Set probe uses numeric == (NaN != NaN), so a NaN key
+        // silently matched nothing — divergent from the distributed scan.
+        // Signed zeros need no special case here (Scala == unifies them).
+        case DoubleType =>
+          val s = catKeys.toSet
+          val wantNaN = catKeys.exists(_.asInstanceOf[java.lang.Double].isNaN)
+          v => s.contains(v) ||
+            (wantNaN && v.asInstanceOf[java.lang.Double].isNaN)
+        case FloatType =>
+          val s = catKeys.toSet
+          val wantNaN = catKeys.exists(_.asInstanceOf[java.lang.Float].isNaN)
+          v => s.contains(v) ||
+            (wantNaN && v.asInstanceOf[java.lang.Float].isNaN)
         case _ =>
           val s = catKeys.toSet
           v => s.contains(v)

@@ -115,4 +115,16 @@ class BucketSpec extends AnyFunSuite {
     // the pinned plan still evaluates: its files sit inside the grace window
     assert(inflight.count() == a.count())
   }
+
+  test("floating-point bucket keys are refused at layout creation") {
+    import spark.implicits._
+    // xxhash64 hashes IEEE bits, so -0.0/0.0 — equal under SQL '=' — would
+    // land in different buckets and pruned lookups would miss rows.
+    val t = new GraftTable(spark, TestSpark.tmpDir("bk-f-").resolve("t"), "t")
+    val df = Seq((0.0, "a"), (-0.0, "b")).toDF("score", "v")
+    val e = intercept[IllegalArgumentException] {
+      t.overwriteBucketed(df, "score", 4)
+    }
+    assert(e.getMessage.contains("floating-point"), e.getMessage)
+  }
 }

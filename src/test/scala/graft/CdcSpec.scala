@@ -147,4 +147,53 @@ class CdcSpec extends AnyFunSuite {
     val out = Envelope.transformBatch(raw, row, "id").collect()
     assert(out.length == 1 && out(0).getLong(0) == 9L)
   }
+
+  test("junk and blank lines are dropped, never inserted as all-null rows") {
+    import spark.implicits._
+    // from_json yields null on corrupt JSON; the flattened row is then
+    // all-null (null key, null op) — without the junk filter each such
+    // line permanently appended an all-null row to the table.
+    val raw = Seq(
+      "", "   ", "not json at all", """{"half": """,
+      wrapped(1, "a", 1.0, "c", 1),
+      wrapped(2, "b", 2.0, "c", 2)).toDF("value")
+    val out = Envelope.transformBatch(raw, row, "id").collect()
+    assert(out.length == 2, s"junk must be dropped: ${out.mkString(";")}")
+    assert(out.forall(!_.isNullAt(0)))
+  }
+
+  test("equal-ts_ms ties resolve by arrival order, not lexical op") {
+    import spark.implicits._
+    // One source transaction: update and delete share a millisecond; the
+    // delete was emitted after the update (per-key events ride one Kafka
+    // partition in order). Lexical op ordering ('u' > 'd') used to let the
+    // update image resurrect the deleted row.
+    val raw = Seq(
+      wrapped(7, "x", 1.0, "c", 5),
+      wrapped(7, "x2", 2.0, "u", 9),
+      wrapped(7, "x2", 2.0, "d", 9, beforeOnly = true)).toDF("value")
+    val out = Envelope.transformBatch(raw, row, "id").collect()
+    assert(out.length == 1 && out(0).getAs[String]("op") == "d",
+      s"the later-arriving delete must win the same-ms tie: ${out.mkString(";")}")
+    // Reverse arrival (delete then re-create at the same ms): the
+    // re-created row survives — an op-priority rule would break one of
+    // the two orders; arrival order gets both right.
+    val raw2 = Seq(
+      wrapped(8, "y", 1.0, "d", 9, beforeOnly = true),
+      wrapped(8, "y2", 2.0, "c", 9)).toDF("value")
+    val out2 = Envelope.transformBatch(raw2, row, "id").collect()
+    assert(out2.length == 1 && out2(0).getAs[String]("op") == "c")
+  }
+
+  test("format probe needs evidence; junk first lines never stick a guess") {
+    import spark.implicits._
+    val junkFirst = Seq("", "garbage", wrapped(1, "a", 1.0, "c", 1)).toDF("value")
+    assert(Envelope.probeWrapped(junkFirst).contains(true),
+      "wrapped evidence behind junk lines must still detect")
+    val flatS = Seq("junk", flat(1, "a", 1.0, "c", 1)).toDF("value")
+    assert(Envelope.probeWrapped(flatS).contains(false))
+    val allJunk = Seq("", "junk", "{}").toDF("value")
+    assert(Envelope.probeWrapped(allJunk).isEmpty,
+      "no evidence → None, so a caching stream re-probes next batch")
+  }
 }

@@ -168,6 +168,35 @@ class LocalReadSpec extends AnyFunSuite {
     } finally sys.props.remove(LocalPointRead.MaxBytesProp)
   }
 
+  test("float semantics: signed zeros and NaN agree with the distributed scan") {
+    import spark.implicits._
+    // Spark's EqualTo on double compares primitives (-0.0 == 0.0 TRUE,
+    // NaN = NaN TRUE via genEqual); the local path's boxed key set and
+    // parquet's stats comparator both distinguish the zero signs — the
+    // signed-zero expansion and the NaN stats-predicate decline keep the
+    // two paths row-identical.
+    val dir = TestSpark.tmpDir("lkp-f0-").resolve("d0")
+    val df = Seq((1L, 0.0), (2L, -0.0), (3L, Double.NaN), (4L, 1.5))
+      .toDF("id", "d")
+    df.coalesce(1).write.parquet(dir.toString)
+    val back = spark.read.parquet(dir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    def local(v: Double): Set[Long] = {
+      val got = LocalPointRead.lookupRowsIn(
+        spark, conf, Seq(dir.toString), back.schema, "d", Seq(v))
+      assert(got.isDefined, "local path must engage for a flat double schema")
+      got.get.map(_.getLong(0)).toSet
+    }
+    def dist(v: Double): Set[Long] =
+      back.filter(col("d") === lit(v)).collect().map(_.getLong(0)).toSet
+    for (v <- Seq(0.0, -0.0, Double.NaN, 1.5, 2.5)) {
+      assert(local(v) == dist(v), s"paths disagree for double key $v")
+    }
+    assert(local(0.0) == Set(1L, 2L), "0.0 must match the stored -0.0 row")
+    assert(local(-0.0) == Set(1L, 2L), "-0.0 must match the stored 0.0 row")
+    assert(local(Double.NaN) == Set(3L), "NaN must match the stored NaN row")
+  }
+
   test("nested schemas fall back to the distributed path") {
     import org.apache.spark.sql.types._
     val st = StructType(Seq(StructField("id", LongType),

@@ -400,7 +400,10 @@ class LogSplitSpec extends AnyFunSuite {
     val log = new SnapshotLog(root)
     val n = SnapshotLog.foldShardDirs + 5000 // k = 2 shards
     val dirs = (0 until n).map(i => f"data/s$i%07d/__bucket=${i % 32}")
-    val recs = dirs.map(d => d -> 7L).toMap
+    // Extras: entries keyed OUTSIDE dataDirs (a pending MOR delta dir's
+    // record count) must survive the sharded encode — they belong to no
+    // shard slice, so they ride the commit's own detail.
+    val recs = dirs.map(d => d -> 7L).toMap + ("data/zdelta" -> 42L)
     val stats = dirs.take(100).map(d => d -> Map("k:min" -> "0")).toMap
     val snap = log.commit("create", "{}", dirs,
       dirRecords = recs, dirStats = stats)
@@ -603,5 +606,96 @@ class LogSplitSpec extends AnyFunSuite {
       SnapshotLog.maxSharedHeadDirs = savedCap
       SnapshotLog.clearSharedCaches()
     }
+  }
+
+  test("replay check is evaluated against the commit's own head read") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("replaych-").resolve("t")
+    val log = new SnapshotLog(root)
+    // Another writer (a second instance over the same root) lands batch B1.
+    new SnapshotLog(root).commit("append", "{}", Seq("data/a"),
+      batchKey = Some("B1"))
+    // The commit paths must judge replay against the head THEY read — a
+    // head read of None (a racing writer committed B1 after it) must NOT
+    // report B1 as contained, or the replay return `head.get` would crash
+    // on an initially-empty log (and return a stale snapshot otherwise).
+    assert(!log.containsIn(None, "B1"))
+    assert(log.contains("B1")) // the re-reading public form still sees it
+    // Behavioral: a replayed commitExpecting against the CURRENT head is a
+    // no-op returning that head, never a duplicate commit.
+    val head = log.latest().get
+    val replay = log.commitExpecting(Some(head.snapshotId), "append", "{}",
+      Seq("data/a", "data/b"), batchKey = Some("B1"))
+    assert(replay.snapshotId == head.snapshotId)
+    assert(log.latest().get.dataDirs == Seq("data/a"))
+  }
+
+  test("main and branch heads occupy distinct shared-cache slots") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("branchslot-").resolve("t")
+    val main = new SnapshotLog(root)
+    main.commit("create", "{}", Seq("data/m"))
+    val br = main.branchLog("audit")
+    br.commit("branch", "{}", Seq("data/m"),
+      summary = Map("branch_base" -> "1"))
+    SnapshotLog.clearSharedCaches()
+    val mainHead = main.latest().get
+    br.latest()
+    // A branch read must not evict main's composed head (they are distinct
+    // logs over one root): the root-keyed slot made every branch-touching
+    // maintenance call cost the next serving read a full head recompose.
+    assert(SnapshotLog.sharedHeads.size == 2,
+      s"expected two head slots, got ${SnapshotLog.sharedHeads.size}")
+    assert(main.latest().get eq mainHead)
+  }
+
+  test("branches() ignores stray files and orphan sweep collects claim temps") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("braystray-").resolve("t")
+    val log = new SnapshotLog(root, retainVersions = 2, gcGraceMs = 0L)
+    log.commit("create", "{}", Seq("data/a"))
+    log.branchLog("real").commit("branch", "{}", Seq("data/a"))
+    // A stray FILE under branches/ (crash leftover) is not a branch; the
+    // listing filters through latest() rather than raw directory checks,
+    // so it must simply drop out (and never crash a non-POSIX store).
+    val bdir = root.resolve("_log").resolve("branches")
+    Files.write(bdir.resolve("junk"), "not a branch".getBytes)
+    assert(log.branches() == Seq("real"))
+    // A crashed tryClaim's temp file is swept once past grace (grace 0
+    // here): previously no GC pattern matched it and leftovers accreted.
+    val tmp = root.resolve("_log").resolve(".commit-crashed.tmp")
+    Files.write(tmp, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L))
+    (1 to 3).foreach(i => log.commit("append", "{}", Seq(s"data/a$i")))
+    assert(!Files.exists(tmp), "stale .commit-*.tmp must be swept")
+  }
+
+  test("orphan sweep is throttled process-wide across fresh instances") {
+    import graft.log.SnapshotLog
+    val root = TestSpark.tmpDir("sweepthrottle-").resolve("t")
+    // Non-zero grace → a 15 s minimum sweep interval (gcGraceMs / 4).
+    def fresh() = new SnapshotLog(root, retainVersions = 1, gcGraceMs = 60_000L)
+    def plantOrphan(name: String): java.nio.file.Path = {
+      val p = root.resolve("_log").resolve(name)
+      Files.write(p, "{}".getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 600_000L)) // past grace
+      p
+    }
+    val a = fresh()
+    a.commit("create", "{}", Seq("data/a"))
+    val orphan1 = plantOrphan(f"d${900L}%016d-deadbeef.json")
+    a.commit("append", "{}", Seq("data/b")) // crosses retention → sweeps
+    assert(!Files.exists(orphan1), "first cross-retention commit sweeps")
+    // A FRESH instance within the interval must NOT sweep again: the
+    // throttle timestamp is process-wide, not per instance — per-instance
+    // state made every per-statement SnapshotLog pay the full sweep.
+    val orphan2 = plantOrphan(f"d${901L}%016d-deadbeef.json")
+    fresh().commit("append", "{}", Seq("data/c"))
+    assert(Files.exists(orphan2),
+      "fresh instance within the sweep interval must be throttled")
   }
 }
