@@ -286,7 +286,11 @@ object Bench {
     // (the clamp reported 0.000, i.e. nothing).
     var ccPhases: Option[(Double, Double)] = None
     try {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // SAME corpus construction as the gate entries (LlmQueries.dedupCorpus,
+      // incl. its core-spreading exchange): the scope cache keys on plan
+      // equality, so a differently-built corpus here would fork every
+      // collapse/LSH intermediate into a second cache copy.
+      val docs = graft.queries.LlmQueries.dedupCorpus(spark, sfDir)
       // The pair frame is persisted+counted here so CONSTRUCTION is the
       // pair-generation phase and CC then runs over the cached frame. The
       // shared per-corpus scope means this diagnostic re-queries the same

@@ -118,8 +118,14 @@ object Envelope {
     * outlived the delete. Callers without the seq column keep the op
     * tiebreak (determinism over nothing). */
   def dedupe(flat: DataFrame, key: String): DataFrame =
-    graft.dml.Merge.dedupLatest(flat, key, "ts_ms",
-      tieBreak = Some(if (flat.columns.contains(SeqCol)) SeqCol else "op"))
+    if (flat.columns.contains(SeqCol))
+      // The seq column is unique per row, so the winner is computable by a
+      // map-side-partial max_by aggregate instead of a window — a hot key's
+      // superseded images collapse before the exchange and nothing sorts
+      // (Merge.dedupLatestUnique documents the equivalence).
+      graft.dml.Merge.dedupLatestUnique(flat, key, "ts_ms", SeqCol)
+    else
+      graft.dml.Merge.dedupLatest(flat, key, "ts_ms", tieBreak = Some("op"))
 
   /** decode → flatten → junk filter → dedup: the full batch transform.
     *

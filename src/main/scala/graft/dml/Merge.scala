@@ -57,6 +57,34 @@ object Merge {
   }
 
   /**
+   * [[dedupLatest]] for a tie-break column whose values are UNIQUE within
+   * the batch (an arrival-sequence column): the winner of
+   * (precombine desc, tieBreak desc) is computed by one `max_by` hash
+   * aggregate instead of a window. Two structural wins over the window at
+   * scale: partial (map-side) aggregation collapses a hot key's superseded
+   * images before the exchange — a window must shuffle EVERY row of the
+   * batch — and no per-partition sort runs at all. Equivalence to the
+   * window form: the greatest (precombine, tieBreak) struct is the row
+   * row_number() = 1 picks under (precombine desc, tieBreak desc); struct
+   * ordering ranks a NULL field below any value, matching desc NULLS LAST;
+   * and a unique tie-break makes full ties impossible, so the arbitrary
+   * element max_by would pick among tied maxima never materializes
+   * (MergeProps proves the equivalence property-wise).
+   */
+  def dedupLatestUnique(
+      updates: DataFrame, key: String, precombine: String,
+      tieBreak: String): DataFrame = {
+    val dataCols = updates.columns.filterNot(_ == key)
+    val row = struct(dataCols.map(col): _*)
+    val ord = struct(col(precombine), col(tieBreak))
+    updates.groupBy(col(key))
+      .agg(max_by(row, ord).as("__row"))
+      .select(updates.columns.toSeq.map { c =>
+        if (c == key) col(key) else col("__row").getField(c).as(c)
+      }: _*)
+  }
+
+  /**
    * ALL rows tied at the key's highest `precombine` value — `rank()`, not
    * `row_number()`. The difference matters when ties are possible: a
    * row_number pick among tied rows depends on which competitors are IN
@@ -99,6 +127,15 @@ object Merge {
     * tied winners per key are fine: the anti join removes the key's
     * target rows once and the union keeps every winner, matching the
     * rank-cut read semantics ([[latestAll]]). */
+  /** `targetEmpty = true` asserts the target holds NO rows (a fresh table's
+    * first batch — the CDC bootstrap case): the anti join is then a no-op,
+    * so its whole subtree is skipped — the distinct key-set pass over the
+    * updates, the broadcast-gate `count()` job, and the join itself. For
+    * an updates side that is itself expensive to produce (a JSON envelope
+    * decode), those were two full extra passes over the input per merge.
+    * The kept side is replaced by `limit(0)` over the SAME aligned plan,
+    * so the output schema (names, types, nullability through the union)
+    * is byte-identical to the general path's. */
   def merge(
       target: DataFrame,
       updates: DataFrame,
@@ -107,7 +144,8 @@ object Merge {
       opCol: Option[String] = None,
       broadcastUpdates: Boolean = false,
       updatesRowsHint: Option[Long] = None,
-      preDeduped: Boolean = false): DataFrame = {
+      preDeduped: Boolean = false,
+      targetEmpty: Boolean = false): DataFrame = {
 
     val deduped =
       if (preDeduped) updates
@@ -154,21 +192,25 @@ object Merge {
     // anti join stays inside whole-stage codegen.
     val notDelete = opCol.map(c => coalesce(col(c) =!= "d", lit(true))).getOrElse(lit(true))
     val upserts = alignTo(deduped.filter(notDelete).drop(opCol.toSeq: _*), target)
-    // The anti join needs only the DISTINCT KEY SET, which precombine dedup
-    // cannot change — build it from the raw updates with a narrow
-    // single-column distinct instead of referencing the (windowed) deduped
-    // plan a second time.
-    val keys = updates.select(col(key)).dropDuplicates(Seq(key))
-    // Size-gated broadcast: an unconditional hint would OOM on a backfill
-    // batch that replays the whole history. The caller passes a row count it
-    // already knows (bucketed merges count while bucketing) so the common
-    // path costs no extra job; otherwise one cheap pass over the updates —
-    // and no count at all when broadcasting is off.
-    val keysSide =
-      if (broadcastUpdates && updatesRowsHint.getOrElse(keys.count()) <= maxBroadcastKeys)
-        broadcast(keys)
-      else keys
-    val kept = alignTo(target, deduped).join(keysSide, Seq(key), "left_anti")
+    val kept =
+      if (targetEmpty) alignTo(target, deduped).limit(0)
+      else {
+        // The anti join needs only the DISTINCT KEY SET, which precombine
+        // dedup cannot change — build it from the raw updates with a narrow
+        // single-column distinct instead of referencing the (windowed)
+        // deduped plan a second time.
+        val keys = updates.select(col(key)).dropDuplicates(Seq(key))
+        // Size-gated broadcast: an unconditional hint would OOM on a
+        // backfill batch that replays the whole history. The caller passes a
+        // row count it already knows (bucketed merges count while bucketing)
+        // so the common path costs no extra job; otherwise one cheap pass
+        // over the updates — and no count at all when broadcasting is off.
+        val keysSide =
+          if (broadcastUpdates && updatesRowsHint.getOrElse(keys.count()) <= maxBroadcastKeys)
+            broadcast(keys)
+          else keys
+        alignTo(target, deduped).join(keysSide, Seq(key), "left_anti")
+      }
     kept.unionByName(upserts)
   }
 

@@ -416,9 +416,22 @@ object Dedup {
     requireIntegralId(docs, idCol, "nearDupPairs")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
     val innerCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-    val repPairs = nearDupPairsDistinct(
+    val repPairs0 = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
       idCol, textCol, minJaccard, numPerm, bands, n, innerCaches)
+    // Scoped calls persist the VERIFIED rep-level pair list too: it is the
+    // smallest frame in the pipeline (pairs, not corpus), yet recomputing
+    // it replays the whole candidate-verification join chain — the
+    // dominant per-call cost once the collapse/LSH caches are warm. A
+    // sibling consumer (clusters after pairs, repeated waves) then reads
+    // the cached pairs instead of re-verifying.
+    val repPairs =
+      if (scope == null) repPairs0
+      else {
+        val p = repPairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        innerCaches += p
+        p
+      }
     val intra = members.as("a").join(members.as("b"),
         col("a.__fp") === col("b.__fp") && col("a.__mid") < col("b.__mid"))
       .select(col("a.__mid").as("id_a"), col("b.__mid").as("id_b"))
@@ -514,9 +527,19 @@ object Dedup {
     requireIntegralId(docs, idCol, "nearDupClusters")
     val (members, reps) = collapseByShingleSet(docs, idCol, textCol, n)
     val innerCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-    val repPairs = nearDupPairsDistinct(
+    val repPairs0 = nearDupPairsDistinct(
       reps.select(col("__rid").as(idCol), col("__rtext").as(textCol)),
       idCol, textCol, minJaccard, numPerm, bands, n, innerCaches)
+    // Same scoped rep-pair persistence as [[nearDupPairs]] — and because
+    // the two entries build PLAN-EQUAL rep pairs over one corpus, a
+    // pairs-then-clusters pipeline verifies once, not twice.
+    val repPairs =
+      if (scope == null) repPairs0
+      else {
+        val p = repPairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        innerCaches += p
+        p
+      }
     val repCC = graft.ops.Cluster.clusterDocs(
       reps.select(col("__rid").as(idCol)), idCol, repPairs)
       .select(col(idCol).as("__rid"), col("cluster_id"))

@@ -66,7 +66,10 @@ object CdcQueries {
         col("user_id"), col("event_type"), col("value"), col("props"), col("op"))
     val cat = new graft.catalog.GraftCatalog(s, Files.createTempDirectory("graft-cdc-"))
     val target = cat.createTable("cdc_events", targetSchema)
-    target.upsert(batch, "event_id", opCol = Some("op"))
+    // transformBatch ends in the latest-per-key dedup, so the batch holds
+    // exactly one row per key — preDeduped skips the merge's own
+    // dropDuplicates shuffle (the same contract CdcPipeline passes).
+    target.upsert(batch, "event_id", opCol = Some("op"), preDeduped = true)
     target.read()
   }
 
@@ -94,7 +97,13 @@ object CdcQueries {
         val deletes = ev.filter(col("event_id") % 97 === 0)
           .select(env(img, nul, "d", 2))
         val dir = Files.createTempDirectory("graft-cdc-raw-").resolve("events")
+        // One file per core: the staged envelopes are re-read (and
+        // from_json-decoded) every wave, and text splits pack by bytes +
+        // open cost — 8 files capped the decode at 8 tasks on a 32-core
+        // session (guide §2.5 input parallelism). Core-count-derived, not a
+        // constant, so the driver's lower-core bench rc keeps its shape.
         inserts.unionAll(updates).unionAll(deletes)
+          .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite").text(dir.toString)
         dir
       })

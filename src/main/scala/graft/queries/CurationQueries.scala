@@ -28,7 +28,7 @@ object CurationQueries {
     // Benchmark decontamination: every 5th doc stands in for the eval set;
     // n_hits = distinct shared word-5-grams per contaminated corpus doc.
     "x_decontam" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spread(tbl(s, d, "documents"), "doc_id")
       Curation.contaminationHits(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
@@ -38,7 +38,7 @@ object CurationQueries {
     // WHERE the contamination sits: benchmark-overlap windows merged into
     // per-doc token spans (the review surface behind the x_decontam flag).
     "x_decontam_spans" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spread(tbl(s, d, "documents"), "doc_id")
       Curation.contaminationSpans(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
@@ -65,7 +65,7 @@ object CurationQueries {
     // Surgical decontamination: benchmark-overlap SPANS removed, the rest
     // of each document kept (vs x_decontam's whole-doc drop).
     "x_decontam_strip" -> ((s, d) => {
-      val docs = tbl(s, d, "documents")
+      val docs = Q.spread(tbl(s, d, "documents"), "doc_id")
       Curation.stripContamination(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
@@ -142,6 +142,8 @@ object CurationQueries {
     // groups) make their lines boilerplate wherever a group exceeds the
     // cap, so the result exercises both drop and keep paths.
     "x_line_dedup" -> ((s, d) => {
+      // NOT spread: measured neutral-to-worse (0.74 s -> 0.80 s) — the
+      // reconstruction collect_list shuffle dominates, not the scan CPU.
       val docs = tbl(s, d, "documents")
       val lines8 = Curation.chunkTokens(docs, "doc_id", "text",
         window = 8, overlap = 0)

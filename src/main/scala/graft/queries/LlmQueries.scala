@@ -41,9 +41,21 @@ object LlmQueries {
   /** The documents corpus plus planted exact duplicates (every 10th doc copied under a new id). */
   private def withExactDups(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = tbl(s, d, "documents")
-    docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000))
+    // Spread before the tokenize/window-hash passes every consumer runs —
+    // see [[Q.spread]] (the union reads 1-2 scan splits, which otherwise
+    // pins those codegen pipelines to 1-2 cores).
+    Q.spread(docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)), "doc_id")
   }
+
+  /** The shared near-dup corpus frame — ONE construction used by every
+    * scope-cached consumer (the minhash/cluster gate entries and the
+    * bench's pairs-vs-CC phase diagnostic), so their plan-equal
+    * intermediates unify in the [[dedupScope]] cache. Spread like
+    * [[withExactDups]]: the MinHash signature pass is the most
+    * CPU-expensive per-row pipeline in the registry. */
+  def dedupCorpus(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Q.spread(tbl(s, d, "documents"), "doc_id")
 
   // Shared DuckDB CTE: exact word-3-gram shingle-Jaccard pairs >= 0.5.
   // Sub-3-token documents contribute their whole text as one shingle,
@@ -125,7 +137,7 @@ object LlmQueries {
     // MinHash+LSH near-dup pairs, exact-verified — the 100 TB path. Its
     // output must equal the exact Jaccard answer (oracle recomputes that).
     "d_minhash_pairs" -> ((s, d) =>
-      Dedup.nearDupPairs(tbl(s, d, "documents"), "doc_id", "text",
+      Dedup.nearDupPairs(dedupCorpus(s, d), "doc_id", "text",
         minJaccard = 0.5, scope = dedupScope(d))),
 
     // SimHash near-dup candidates, SELF-VERIFYING and fully hash-checked
@@ -220,7 +232,7 @@ object LlmQueries {
     // recursive CTE, so the gate proves rep-level CC ≡ full-graph CC ≡
     // exact closure all at once.
     "d_cluster_cc" -> ((s, d) =>
-      Dedup.nearDupClusters(tbl(s, d, "documents"), "doc_id", "text",
+      Dedup.nearDupClusters(dedupCorpus(s, d), "doc_id", "text",
         minJaccard = 0.5, scope = dedupScope(d))),
 
     // Brute-force cosine top-5 for 10 query vectors (ranks are int-only).
@@ -390,6 +402,9 @@ object LlmQueries {
     // orders (rounded to 6 decimals against cross-engine ulp noise) but
     // never leaves, so DuckDB recomputes the selection exactly.
     "x_dsir_topk" -> ((s, d) => {
+      // NOT spread: the DSIR passes are multi-aggregation scans whose
+      // map-side partials collapse best over few fat partitions — measured
+      // 0.69 s unspread vs 1.06 s spread at sf0.1.
       val docs = tbl(s, d, "documents")
       Importance.dsirTopK(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", k = 100)
@@ -409,6 +424,7 @@ object LlmQueries {
     // Same cross-engine discipline as x_dsir_topk: rank+id leave the
     // plan, the float mean log-prob only orders.
     "x_lm_topk" -> ((s, d) => {
+      // NOT spread — same multi-aggregation shape as x_dsir_topk (measured).
       val docs = tbl(s, d, "documents")
       Importance.bigramLmTopK(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text", k = 100)
@@ -423,12 +439,15 @@ object LlmQueries {
     // Vocabulary-coverage stats: per-doc token / out-of-top-100-vocab
     // counts (the CCNet-style corpus-level quality signal).
     "x_oov" -> ((s, d) =>
-      TextAnalysis.oovStats(tbl(s, d, "documents"), "doc_id", "text", topK = 100)),
+      TextAnalysis.oovStats(Q.spread(tbl(s, d, "documents"), "doc_id"),
+        "doc_id", "text", topK = 100)),
 
     // Gopher/FineWeb-style repetition filters: integer n-gram duplication
     // counts + most-frequent-2-gram count + the integer-arithmetic pass
     // boolean, all recomputed exactly by the oracle.
     "x_repetition" -> ((s, d) =>
+      // NOT spread: single cheap pass; the exchange overhead measured
+      // larger than the CPU it redistributes (0.12 s -> 0.15 s).
       TextAnalysis.repetitionMetrics(tbl(s, d, "documents"), "doc_id", "text")),
 
     // Rolling-hash document fingerprints. The raw hash values cannot be
@@ -511,7 +530,7 @@ object LlmQueries {
     // (id%8)*30 makes luma exactly (299+587+114)/1000 * level = level*30.
     "m_image_dedup" -> ((s, d) => {
       import s.implicits._
-      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val ids = Q.spread(tbl(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       val pngs = ids.map { id =>
         val g = (id % 8L).toInt * 30
         (id, Multimodal.constantPng((id % 4L).toInt + 2, (id % 3L).toInt + 2, g, g, g), "s")
@@ -531,6 +550,9 @@ object LlmQueries {
     // container and folds real 16-bit samples.
     "m_audio_decode" -> ((s, d) => {
       import s.implicits._
+      // NOT spread: javax.sound decode serializes on JVM-global provider
+      // state, and 32-way task concurrency measured SLOWER than the narrow
+      // scan (m_audio_dedup 0.69 s -> 1.33 s with the spread exchange).
       val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
       val wavs = ids.map { id =>
         (id, Multimodal.squareWav(
@@ -551,6 +573,7 @@ object LlmQueries {
     // is exactly the amplitude, making every group feature closed-form.
     "m_audio_dedup" -> ((s, d) => {
       import s.implicits._
+      // NOT spread — see m_audio_decode.
       val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
       val clips = ids.map { id =>
         val g = (id % 12L).toInt
@@ -571,7 +594,7 @@ object LlmQueries {
     // and per-frame channel means are all analytic functions of the id.
     "m_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val ids = Q.spread(tbl(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       val tiffs = ids.map { id =>
         val colors = (0 until (id % 4L).toInt + 2).map { f =>
           (((id + f * 17L) % 256L).toInt, ((id * 3L + f * 29L) % 256L).toInt,
@@ -596,7 +619,7 @@ object LlmQueries {
     // channel means analytic functions of the id.
     "m_video_decode" -> ((s, d) => {
       import s.implicits._
-      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val ids = Q.spread(tbl(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       val avis = ids.map { id =>
         val k = (id % 3L).toInt + 1
         (id, Multimodal.constantAvi(
@@ -623,7 +646,7 @@ object LlmQueries {
     // luma units) stays inside the bucket: sig element = level/8 exactly.
     "m_video_dedup" -> ((s, d) => {
       import s.implicits._
-      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val ids = Q.spread(tbl(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       val clips = ids.map { id =>
         val g = (id % 12L).toInt
         val w = (g % 3) + 2
@@ -646,7 +669,7 @@ object LlmQueries {
     // per-frame colors; same analytic-oracle shape as m_frame_sample.
     "m_video_frames" -> ((s, d) => {
       import s.implicits._
-      val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+      val ids = Q.spread(tbl(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
       val avis = ids.map { id =>
         val w = (id % 8L).toInt + 2
         val h = (id % 6L).toInt + 2
@@ -671,7 +694,7 @@ object LlmQueries {
     * synthesize their own partitions' payloads; nothing is collected). */
   private def imageCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
-    val ids = tbl(s, d, "documents").select(col("doc_id")).as[Long]
+    val ids = Q.spread(tbl(s, d, "documents").select(col("doc_id")), "doc_id").as[Long]
     val payload = ids.map { id =>
       (id, Multimodal.constantPng(
         (id % 13L).toInt + 1, (id % 7L).toInt + 1,

@@ -69,6 +69,25 @@ object Q {
     }
   }
 
+  /**
+   * Spread a low-split corpus read across the session's cores before
+   * CPU-heavy per-row work (tokenize / shingle / hash / codec passes).
+   * Guide §2.5 "input skew": a small parquet file plans 1-2 scan tasks
+   * (split packing is byte-based, and a single row group cannot split at
+   * all), so every expression pipeline fused into the scan stage runs on
+   * 1-2 cores regardless of session width. One narrow exchange of the
+   * corpus rows moves the heavy expressions above a core-count-wide
+   * hash partitioning — deterministic (hash on the unique id column, NOT
+   * round-robin, which pays a per-task sort and re-draws rows under task
+   * retry, SPARK-38388) and core-count-derived, so the driver's
+   * lower-core bench run keeps its shape. At real scale the scan has
+   * thousands of row-group splits and the exchange cost stays linear in
+   * the (narrow) corpus bytes — the tokenize CPU it redistributes
+   * dominates it by orders of magnitude.
+   */
+  def spread(df: DataFrame, byCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(byCol))
+
   /** A fresh single-use [[GraftTable]] in a temp warehouse dir. */
   def tempTable(s: SparkSession, name: String = "t"): GraftTable = {
     val wh: Path = Files.createTempDirectory("graft-wh-")

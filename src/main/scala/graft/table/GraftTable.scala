@@ -1633,9 +1633,16 @@ final class GraftTable(val spark: SparkSession, val root: Path, val name: String
       case _ =>
         val target = head.map(s => ColumnIds.toPhysical(readResolved(s), st0))
           .getOrElse(emptyDF(new StructType()))
+        // A provably row-free target (fresh table's first batch) skips the
+        // anti-join subtree inside the merge — two full extra passes over
+        // the updates (distinct keys + the broadcast-gate count) for a
+        // join that can keep nothing.
+        val targetEmpty =
+          head.forall(s => s.dataDirs.isEmpty && s.deltaDirs.isEmpty)
         commitRewrite(
           Merge.merge(target, updatesP, keyP, precombineP, opCol,
-            broadcastUpdates, preDeduped = preDeduped),
+            broadcastUpdates, preDeduped = preDeduped,
+            targetEmpty = targetEmpty),
           "upsert", batchKey, head.map(_.snapshotId))
     }
   }

@@ -48,6 +48,25 @@ object MergeProps extends Properties("Merge") {
       got == want
     }
 
+  property("dedupLatestUnique == window dedupLatest under a unique tie-break") =
+    Prop.forAll(batchGen) { u =>
+      // Unique per-row sequence (the Envelope.SeqCol contract) + a
+      // deliberately ty-heavy precombine (ver in 1..5 over ~13 keys) so the
+      // tie-break actually decides winners. Include NULL precombines: the
+      // window's desc NULLS LAST and struct ordering's null-lowest must
+      // agree.
+      val rows = u.zipWithIndex.map { case ((k, v, s), i) =>
+        (k, if (i % 7 == 3) None else Some(v), s, i.toLong)
+      }
+      val d = rows.toDF("id", "ver", "payload", "seq")
+      val viaWindow = Merge.dedupLatest(d, "id", "ver", tieBreak = Some("seq"))
+      val viaMaxBy = Merge.dedupLatestUnique(d, "id", "ver", "seq")
+      def canon4(x: org.apache.spark.sql.DataFrame) =
+        x.collect().map(r => (r.getLong(0), Option(r.get(1)), r.getString(2), r.getLong(3))).toSet
+      viaMaxBy.columns.toSeq == d.columns.toSeq &&
+        canon4(viaWindow) == canon4(viaMaxBy)
+    }
+
   property("delete then re-check: deleted keys are absent, others untouched") =
     Prop.forAll(batchGen, Gen.someOf(0L to 12L)) { (t, dels) =>
       val target = df(t).dropDuplicates(Seq("id"))
