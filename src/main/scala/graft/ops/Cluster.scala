@@ -121,12 +121,37 @@ object Cluster {
       maxRounds: Int = 50,
       driverEdgeLimit: Long = defaultDriverEdgeLimit,
       maxEdges: Long = defaultMaxEdges): DataFrame = {
+    val rawEdges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // Small-graph fast path, probed with ONE bounded job: collect up to
+    // limit+1 RAW edges (union-find dedups duplicates for free, so no
+    // distinct shuffle, no checkpoint materialization and no signature
+    // aggregate run at all — the verified near-dup graphs this clusters are
+    // a few thousand edges, and those three extra jobs were the dominant
+    // per-call cost). A graph past the limit falls through to the
+    // distributed rounds at the price of this one early-aborting collect.
+    if (driverEdgeLimit > 0) {
+      val probe = rawEdges.limit(
+        math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt + 1).collect()
+      if (probe.length <= driverEdgeLimit) {
+        val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+        // The density guard holds on this path too: maxEdges speaks
+        // DISTINCT edges, computable for free from the collected probe.
+        if (maxEdges > 0) {
+          val nd = es.distinct.length
+          require(nd <= maxEdges,
+            s"edge frame has $nd distinct edges (cap $maxEdges): a verified " +
+              "near-dup graph is sparse — this looks like an unverified candidate " +
+              "frame; verify pairs first or raise maxEdges explicitly")
+        }
+        return unionFindComponents(pairs.sparkSession, es)
+      }
+    }
     // Lazy checkpoints: the signature aggregate right after is the first
     // action, so each round materializes its checkpoint AND computes the
     // signature in ONE job instead of two (eager checkpoint + agg).
-    var edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    var edges = rawEdges
       .distinct()
       .localCheckpoint(false)
 
