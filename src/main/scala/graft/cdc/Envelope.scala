@@ -72,14 +72,34 @@ object Envelope {
    * the caller already knows the shape (a stream detects it on its first
    * batch and reuses the answer — the format cannot change mid-stream).
    */
+  /** `beforeKeyOnly = Some(k)` parses the BEFORE image down to just the key
+    * field: the merge path reads nothing else from it (deletes carry their
+    * key in `before`; every data column comes from `after` alone), and
+    * Catalyst's JSON schema pruning does not reach through the two-level
+    * projection — so without this the parser materialized a full second row
+    * image per event that no consumer ever read. */
   def decode(raw: DataFrame, row: StructType, valueCol: String = "value",
-      wrappedHint: Option[Boolean] = None): DataFrame = {
+      wrappedHint: Option[Boolean] = None,
+      beforeKeyOnly: Option[String] = None): DataFrame = {
+    val beforeT = beforeKeyOnly match {
+      case Some(k) =>
+        val f = row.fields.filter(_.name == k)
+        require(f.nonEmpty, s"beforeKeyOnly column $k not in the row schema")
+        StructType(f)
+      case None => row
+    }
+    val payload = StructType(Seq(
+      StructField("before", beforeT, nullable = true),
+      StructField("after", row, nullable = true),
+      StructField("op", StringType, nullable = true),
+      StructField("ts_ms", LongType, nullable = true)))
     val parsed =
       if (wrappedHint.getOrElse(looksWrapped(raw, valueCol)))
-        raw.select(from_json(col(valueCol).cast("string"), envelopeSchema(row)).as("__e"))
+        raw.select(from_json(col(valueCol).cast("string"),
+            StructType(Seq(StructField("payload", payload, nullable = true)))).as("__e"))
           .select(col("__e.payload.*"))
       else
-        raw.select(from_json(col(valueCol).cast("string"), payloadStruct(row)).as("__e"))
+        raw.select(from_json(col(valueCol).cast("string"), payload).as("__e"))
           .select(col("__e.*"))
     parsed
   }
@@ -136,7 +156,9 @@ object Envelope {
     * primary key in the after or before image. */
   def transformBatch(raw: DataFrame, row: StructType, key: String,
       valueCol: String = "value", wrappedHint: Option[Boolean] = None): DataFrame = {
-    val flat = flatten(decode(raw, row, valueCol, wrappedHint), row, key)
+    val flat = flatten(
+      decode(raw, row, valueCol, wrappedHint, beforeKeyOnly = Some(key)),
+      row, key)
       .filter(col(key).isNotNull)
       .withColumn(SeqCol, monotonically_increasing_id())
     dedupe(flat, key).drop(SeqCol)

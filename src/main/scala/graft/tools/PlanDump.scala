@@ -37,7 +37,55 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    names.foreach { name =>
+    def write(file: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/$file.txt"), txt)
+      println(s"[plandump] wrote $file")
+    }
+    // The CDC/upsert gate entries execute their DML eagerly and return the
+    // final table read, so their MERGE plan shape is not visible from the
+    // registry DataFrame. "cdcshapes" captures the shapes directly: the
+    // envelope transform's dedup (window vs max_by) and the first-batch
+    // merge with and without the empty-target fast path. Both variants are
+    // produced by the CURRENT code (the flag selects the old shape), so the
+    // before/after diff is exactly the change under claim.
+    if (names.contains("cdcshapes")) {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions._
+      val rowSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val ev = graft.queries.Q.events(spark, sfDir)
+      val img = struct(col("event_id"),
+        graft.plans.TimestampMicrosExprs.wallMicros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      val raw = ev.select(to_json(struct(struct(
+        lit(null).cast(rowSchema).as("before"), img.as("after"),
+        lit("c").as("op"), (col("event_id") * 10).as("ts_ms")).as("payload")))
+        .as("value"))
+      val flat = graft.cdc.Envelope.flatten(
+        graft.cdc.Envelope.decode(raw, rowSchema, wrappedHint = Some(true)),
+        rowSchema, "event_id")
+        .filter(col("event_id").isNotNull)
+        .withColumn("__seq", monotonically_increasing_id())
+      write("c_cdc_dedup_before",
+        graft.dml.Merge.dedupLatest(flat, "event_id", "ts_ms", Some("__seq")))
+      write("c_cdc_dedup_after",
+        graft.dml.Merge.dedupLatestUnique(flat, "event_id", "ts_ms", "__seq"))
+      val batch = graft.cdc.Envelope.transformBatch(raw, rowSchema, "event_id")
+      val target = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(rowSchema.fields))
+      write("c_cdc_merge_before", graft.dml.Merge.merge(target, batch,
+        "event_id", opCol = Some("op"), broadcastUpdates = true,
+        preDeduped = true, targetEmpty = false))
+      write("c_cdc_merge_after", graft.dml.Merge.merge(target, batch,
+        "event_id", opCol = Some("op"), broadcastUpdates = true,
+        preDeduped = true, targetEmpty = true))
+    }
+    names.filterNot(_ == "cdcshapes").foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val txt = df.queryExecution.explainString(
