@@ -806,8 +806,19 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       fillConstant(img, ((l & 0xFF) << 16) | ((l & 0xFF) << 8) | (l & 0xFF))
+      // Memory-cached output stream, NOT ImageIO.write(img, fmt, rawStream):
+      // the raw-OutputStream overload wraps it via createImageOutputStream,
+      // which under the JVM-wide use-cache default is a
+      // FileCacheImageOutputStream — one temp FILE created, written, and
+      // deleted per frame. 32 concurrent synth tasks then contend on
+      // temp-dir metadata instead of encoding (see [[memIn]]); measured on
+      // m_video_dedup's corpus: the synth+decode stage's task time fell
+      // 11.4 s -> 2.9 s with the in-memory stream (warm wave 1.0-2.0 s ->
+      // 0.5-0.7 s).
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try { javax.imageio.ImageIO.write(img, "jpeg", mos); mos.flush() }
+      finally mos.close()
       ("dc", bos.toByteArray)
     }
     Riff.writeAvi(width, height, fps, "MJPG", frames)
@@ -818,7 +829,10 @@ object Multimodal {
   def multiFrameTiff(width: Int, height: Int,
       frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // Memory-cached, not createImageOutputStream: the factory's use-cache
+    // default round-trips the whole TIFF through an executor temp file per
+    // document (same hazard as [[constantMjpegAvi]]'s per-frame encode).
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
     try {
       w.setOutput(ios)
